@@ -35,6 +35,11 @@ def main(sf_dir, out_dir):
         if sorted(got.column_names) != sorted(exp.column_names):
             print(f"FAIL {name}: columns {sorted(got.column_names)} != {sorted(exp.column_names)}")
             failed.append(name); continue
+        gt = {f.name: f.type for f in got.schema}
+        et = {f.name: f.type for f in exp.schema}
+        tdiff = [(c, str(gt[c]), str(et[c])) for c in gt if str(gt[c]) != str(et[c])]
+        if tdiff:
+            print(f"WARN {name}: type mismatch (driver may flag schema): {tdiff}")
         if len(g) != len(e):
             print(f"FAIL {name}: rows {len(g)} != {len(e)}"); failed.append(name); continue
         bad = [(i, a, b) for i, (a, b) in enumerate(zip(g, e)) if a != b]
@@ -43,7 +48,6 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: {len(bad)}/{len(g)} rows differ; first at {i}:\n  spark={a}\n  duck ={b}")
             failed.append(name); continue
         print(f"OK   {name}: {len(g)} rows")
-    extra = [q for q in oracle if q not in oracle]  # placeholder symmetry
     print(f"\n{len(oracle)-len(failed)}/{len(oracle)} queries match")
     return 1 if failed else 0
 

@@ -8,9 +8,13 @@ object SparkEntry {
     Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries
+    Migration.queries ++ Relational.queries ++ Windows.queries ++
+      Functions.queries ++ Llm.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omitted keys (b18_approx_distinct: HLL
+    * sketches aren't cross-engine comparable) get the driver's
+    * rows-only check. */
   def oracleSql: Map[String, String] =
-    Relational.oracle
+    Migration.oracle ++ Relational.oracle ++ Windows.oracle ++
+      Functions.oracle ++ Llm.oracle
 }

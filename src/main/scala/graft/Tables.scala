@@ -43,4 +43,11 @@ object Tables {
   def events(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "events").withColumn(
       "ts", timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
+
+  /** Canonical read: like [[t]] but with `events.ts` already converted
+    * to the µs TIMESTAMP_NTZ every engine agrees on — the form all
+    * cross-table operators should consume.
+    */
+  def canonical(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") events(spark, sfDir) else t(spark, sfDir, name)
 }

@@ -1,0 +1,388 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.{Canon, Tables}
+
+/** LLM-data-pipeline operators (SURVEY §2 group C, mandated by the
+  * north star): dedup (exact + MinHash/LSH), similarity search, text
+  * analysis, multimodal join.
+  *
+  * Scale posture (C10): no `collect()` anywhere; near-dup detection is
+  * bucketed LSH (candidates meet only inside a band bucket — never the
+  * O(n²) all-pairs join); vector search broadcasts the single probe
+  * row and top-k's via `orderBy().limit(k)` (TakeOrderedAndProject —
+  * per-partition heaps). Cross-engine determinism: MinHash uses `md5`
+  * (bit-identical in every engine, uniformly distributed) with
+  * lexicographic min over hex digests — a valid min-hash family that
+  * DuckDB reproduces exactly, sidestepping engine-specific
+  * `hash()`/`xxhash64` (§5.3 rule 6).
+  */
+object Llm {
+  import Canon._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val MinhashSeeds = 8 // k signatures
+  private val Bands = 4 // b bands of r = k/b = 2 rows
+
+  /** c1 — exact dedup: group identical texts, keep min doc_id (the
+    * canonical survivor), count the duplicates.
+    */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "documents")
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy("keep_id")
+
+  /** Tokenized documents: (doc_id, ws: array<string>). */
+  private def tokenized(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+
+  /** (doc_id, band_idx, band_val) LSH bucket assignments: word
+    * 3-shingles → per-seed min-md5 signature → banded band hash.
+    */
+  private def lshBands(spark: SparkSession, sfDir: String): DataFrame = {
+    val shingles = tokenized(spark, sfDir)
+      .where(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+        .as("shingle"))
+    val seeds = spark.range(MinhashSeeds).select(col("id").as("seed"))
+    val minhashes = shingles
+      .crossJoin(broadcast(seeds))
+      .select(col("doc_id"), col("seed"),
+        md5(concat(col("seed").cast("string"), lit(":"), col("shingle"))).as("h"))
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min(col("h")).as("mh"))
+    val sigs = minhashes
+      .groupBy(col("doc_id"))
+      .agg(expr("transform(sort_array(collect_list(struct(seed, mh))), s -> s.mh)").as("sigs"))
+    sigs.select(col("doc_id"), posexplode(expr(
+      (0 until Bands).map(j => s"md5(concat(sigs[${2 * j}], sigs[${2 * j + 1}]))")
+        .mkString("array(", ", ", ")"))).as(Seq("band_idx", "band_val")))
+  }
+
+  /** c2 — MinHash/LSH near-duplicate candidate pairs: docs sharing at
+    * least one band bucket. The join is per-bucket (equi on
+    * band_idx+band_val), so work scales with bucket occupancy, not n².
+    */
+  def dedupMinhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val bands = lshBands(spark, sfDir)
+    val a = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_val"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band_idx").as("bi2"), col("band_val").as("bv2"))
+    a.join(b, col("band_idx") === col("bi2") && col("band_val") === col("bv2") &&
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** c3 — exact token-set Jaccard over the c2 candidate pairs (the
+    * verify stage of the dedup pipeline: cheap LSH recall → exact
+    * precision on the small candidate set).
+    */
+  def jaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = dedupMinhashPairs(spark, sfDir)
+    val toks = tokenized(spark, sfDir)
+      .select(col("doc_id"), array_distinct(col("ws")).as("tset"))
+    pairs
+      .join(toks.select(col("doc_id").as("doc_a"), col("tset").as("ta")), "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("tset").as("tb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb"))), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Cosine similarity of two double-array columns (float elements
+    * cast to double first — §5.3 rule 7; caller rounds).
+    */
+  private def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** c4 — similarity search: brute-force cosine top-10 against a probe
+    * vector (vec_id 0), the exact baseline ANN variants are measured
+    * against. Probe is a broadcast single row; top-k fuses to
+    * TakeOrderedAndProject. At 100 TB the same plan holds: one scan,
+    * no shuffle, k rows to the driver.
+    */
+  def cosineTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val probe = emb.where(col("vec_id") === 0).select(col("embedding").as("probe"))
+    emb.crossJoin(broadcast(probe))
+      .select(col("vec_id"), round(cosine(col("embedding"), col("probe")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Per-(label, dim) centroid components via posexplode + exact
+    * decimal mean (row algebra keeps the aggregation associative and
+    * cross-engine exact; §5.3 rule 2).
+    */
+  private def centroidComponents(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("idx", "x")))
+      .groupBy(col("label"), col("idx"))
+      .agg((sum(col("x").cast("double").cast(DecimalType(38, 18))).cast("double") /
+        count(lit(1))).as("c"))
+
+  /** c6 — label centroids, one row per (label, dimension). */
+  def labelCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    centroidComponents(spark, sfDir)
+      .select(col("label"), col("idx").cast("long").as("idx"),
+        round(col("c"), 4).as("centroid"))
+      .orderBy("label", "idx")
+
+  /** c5 — KNN per label: the 3 vectors closest (cosine) to their own
+    * label's centroid. Dot products in exact-decimal row algebra so
+    * both engines agree bit-for-bit before rounding.
+    */
+  def knnPerLabel(spark: SparkSession, sfDir: String): DataFrame = {
+    val comps = Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("idx", "x")))
+      .withColumn("x", col("x").cast("double"))
+    val cents = centroidComponents(spark, sfDir)
+      .withColumnRenamed("label", "clabel").withColumnRenamed("idx", "cidx")
+    val dots = comps
+      .join(cents, col("label") === col("clabel") && col("idx") === col("cidx"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(
+        sum((col("x") * col("c")).cast(DecimalType(38, 18))).cast("double").as("dot"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 18))).cast("double").as("na"),
+        sum((col("c") * col("c")).cast(DecimalType(38, 18))).cast("double").as("nc"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    dots
+      .select(col("label"), col("vec_id"),
+        round(col("dot") / (sqrt(col("na")) * sqrt(col("nc"))), 4).as("cos"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 3)
+      .orderBy("label", "rn")
+  }
+
+  /** c7 — text stats per language: doc counts, exact-mean lengths,
+    * vocabulary size.
+    */
+  def textStatsByLang(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.t(spark, sfDir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+    val base = d.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      davg(col("n_chars")).as("avg_chars"),
+      davg(size(col("ws"))).as("avg_tokens"))
+    val vocab = d.select(col("lang"), explode(col("ws")).as("w"))
+      .groupBy(col("lang")).agg(countDistinct(col("w")).as("vocab"))
+    base.join(vocab, "lang").orderBy("lang")
+  }
+
+  /** c8 — TF-IDF top terms per language: corpus doc-frequency → idf,
+    * per-lang term frequency → score, window top-5. The doc-frequency
+    * side is a distinct+groupBy (shuffle on word — fine: vocabulary,
+    * not corpus, cardinality); N is a broadcast 1-row aggregate, not a
+    * collect.
+    */
+  def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = tokenized(spark, sfDir)
+      .join(Tables.t(spark, sfDir, "documents").select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), explode(col("ws")).as("word"))
+    val docFreq = words.select(col("doc_id"), col("word")).distinct()
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val nDocs = Tables.t(spark, sfDir, "documents").agg(count(lit(1)).as("n_total"))
+    val tf = words.groupBy(col("lang"), col("word")).agg(count(lit(1)).as("tf"))
+    val scored = tf
+      .join(docFreq, "word")
+      .crossJoin(broadcast(nDocs))
+      .select(col("lang"), col("word"),
+        round(col("tf") * log(col("n_total").cast("double") / col("df")), 4).as("score"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("score").desc, col("word"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 5)
+      .orderBy("lang", "rn")
+  }
+
+  /** c9 — multimodal search: text table ⋈ vector table on the shared
+    * id space, language filter on the text side, cosine ranking on the
+    * vector side — the "one frame, both modalities" join.
+    */
+  def multimodalSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.t(spark, sfDir, "documents").where(col("lang") === "en")
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val probe = emb.where(col("vec_id") === 0).select(col("embedding").as("probe"))
+    docs.join(emb, col("doc_id") === col("vec_id"))
+      .crossJoin(broadcast(probe))
+      .select(col("doc_id"), col("source"),
+        round(cosine(col("embedding"), col("probe")), 4).as("cos"),
+        substring(col("text"), 1, 40).as("snippet"))
+      .orderBy(col("cos").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "c1_dedup_exact" -> (dedupExact(_, _)),
+    "c2_dedup_minhash_pairs" -> (dedupMinhashPairs(_, _)),
+    "c3_jaccard_pairs" -> (jaccardPairs(_, _)),
+    "c4_cosine_topk" -> (cosineTopk(_, _)),
+    "c5_knn_per_label" -> (knnPerLabel(_, _)),
+    "c6_label_centroids" -> (labelCentroids(_, _)),
+    "c7_text_stats_by_lang" -> (textStatsByLang(_, _)),
+    "c8_tfidf_top_terms" -> (tfidfTopTerms(_, _)),
+    "c9_multimodal_search" -> (multimodalSearch(_, _))
+  )
+
+  /** Shared oracle CTE: the LSH candidate pairs in DuckDB's dialect
+    * (1-based list indexing; same md5 formulas).
+    */
+  private val oraclePairsCte: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |), sh AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(ws) - 1),
+       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+       |  FROM toks WHERE len(ws) >= 3
+       |), mh AS (
+       |  SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || shingle)) AS mh
+       |  FROM sh, range($MinhashSeeds) s(seed)
+       |  GROUP BY doc_id, seed
+       |), sig AS (
+       |  SELECT doc_id, list(mh ORDER BY seed ASC) AS sigs FROM mh GROUP BY doc_id
+       |), bands AS (
+       |  SELECT doc_id, j AS band_idx, md5(sigs[2*j+1] || sigs[2*j+2]) AS band_val
+       |  FROM sig, range($Bands) t(j)
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |   AND a.doc_id < b.doc_id
+       |)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "c1_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents
+        |GROUP BY text
+        |ORDER BY keep_id ASC NULLS FIRST""".stripMargin,
+
+    "c2_dedup_minhash_pairs" ->
+      s"""$oraclePairsCte
+         |SELECT doc_a, doc_b FROM pairs
+         |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
+
+    "c3_jaccard_pairs" ->
+      s"""$oraclePairsCte
+         |SELECT doc_a, doc_b,
+         |  ROUND(CAST(len(list_intersect(ta.tset, tb.tset)) AS DOUBLE)
+         |        / len(list_distinct(list_concat(ta.tset, tb.tset))), 4) AS jaccard
+         |FROM pairs
+         |JOIN (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tset
+         |      FROM documents) ta ON ta.doc_id = doc_a
+         |JOIN (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tset
+         |      FROM documents) tb ON tb.doc_id = doc_b
+         |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
+
+    "c4_cosine_topk" ->
+      """WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, ROUND(
+        |  list_sum(list_transform(range(1, len(embedding) + 1),
+        |    i -> CAST(embedding[i] AS DOUBLE) * CAST(p[i] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(p, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos
+        |FROM embeddings, probe
+        |ORDER BY cos DESC NULLS LAST, vec_id ASC NULLS FIRST
+        |LIMIT 10""".stripMargin,
+
+    "c5_knn_per_label" ->
+      """WITH comps AS (
+        |  SELECT vec_id, label, i - 1 AS idx, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, range(1, 65) t(i)
+        |), cents AS (
+        |  SELECT label, idx,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS c
+        |  FROM comps GROUP BY label, idx
+        |), dots AS (
+        |  SELECT comps.vec_id, comps.label,
+        |    CAST(SUM(CAST(x * c AS DECIMAL(38,18))) AS DOUBLE) AS dot,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS na,
+        |    CAST(SUM(CAST(c * c AS DECIMAL(38,18))) AS DOUBLE) AS nc
+        |  FROM comps JOIN cents ON comps.label = cents.label AND comps.idx = cents.idx
+        |  GROUP BY comps.vec_id, comps.label
+        |)
+        |SELECT label, vec_id, cos, rn FROM (
+        |  SELECT label, vec_id, ROUND(dot / (sqrt(na) * sqrt(nc)), 4) AS cos,
+        |    row_number() OVER (PARTITION BY label
+        |      ORDER BY ROUND(dot / (sqrt(na) * sqrt(nc)), 4) DESC NULLS LAST,
+        |               vec_id ASC NULLS FIRST) AS rn
+        |  FROM dots
+        |) WHERE rn <= 3
+        |ORDER BY label ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin,
+
+    "c6_label_centroids" ->
+      """SELECT label, i - 1 AS idx,
+        |  ROUND(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 4) AS centroid
+        |FROM embeddings, range(1, 65) t(i)
+        |GROUP BY label, i
+        |ORDER BY label ASC NULLS FIRST, idx ASC NULLS FIRST""".stripMargin,
+
+    "c7_text_stats_by_lang" ->
+      s"""WITH d AS (
+         |  SELECT lang, n_chars, string_split(text, ' ') AS ws FROM documents
+         |), base AS (
+         |  SELECT lang, COUNT(*) AS n_docs,
+         |    ${oDavg("n_chars")} AS avg_chars,
+         |    ${oDavg("len(ws)")} AS avg_tokens
+         |  FROM d GROUP BY lang
+         |), v AS (
+         |  SELECT lang, COUNT(DISTINCT w) AS vocab
+         |  FROM (SELECT lang, unnest(ws) AS w FROM d) GROUP BY lang
+         |)
+         |SELECT base.lang, n_docs, avg_chars, avg_tokens, vocab
+         |FROM base JOIN v ON base.lang = v.lang
+         |ORDER BY base.lang ASC NULLS FIRST""".stripMargin,
+
+    "c8_tfidf_top_terms" ->
+      """WITH words AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents
+        |), df AS (
+        |  SELECT word, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, word FROM words)
+        |  GROUP BY word
+        |), tf AS (
+        |  SELECT lang, word, COUNT(*) AS tf FROM words GROUP BY lang, word
+        |), n AS (SELECT COUNT(*) AS n_total FROM documents),
+        |scored AS (
+        |  SELECT lang, tf.word,
+        |    ROUND(tf * ln(CAST(n_total AS DOUBLE) / df), 4) AS score
+        |  FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
+        |)
+        |SELECT lang, word, score, rn FROM (
+        |  SELECT lang, word, score,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY score DESC NULLS LAST, word ASC NULLS FIRST) AS rn
+        |  FROM scored
+        |) WHERE rn <= 5
+        |ORDER BY lang ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin,
+
+    "c9_multimodal_search" ->
+      """WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
+        |SELECT doc_id, source, ROUND(
+        |  list_sum(list_transform(range(1, len(embedding) + 1),
+        |    i -> CAST(embedding[i] AS DOUBLE) * CAST(p[i] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(p, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos,
+        |  substring(text, 1, 40) AS snippet
+        |FROM documents
+        |JOIN embeddings ON doc_id = vec_id
+        |CROSS JOIN probe
+        |WHERE lang = 'en'
+        |ORDER BY cos DESC NULLS LAST, doc_id ASC NULLS FIRST
+        |LIMIT 10""".stripMargin
+  )
+}

@@ -1,0 +1,177 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{Canon, Tables}
+
+/** Migration/ETL core — the reference's own capability surface
+  * (SURVEY §2 group A; the reference checkout is empty, so these are
+  * the CQL-public operators every keyspace-from-cluster migrator has:
+  * full scan, schema discovery, type round-trip, count verification,
+  * counter merge).
+  *
+  * Scale posture: A1/A7 are metadata-sized aggregations (one row per
+  * table) over full scans — the scans parallelize per file split and
+  * the counts are partial-aggregated map-side, so the shuffle carries
+  * one row per partition. A2 is a driver-side metadata operation by
+  * nature (schema lives in the parquet footer, not the data), mirroring
+  * Cassandra's `system_schema` reads. Nothing here collects row data to
+  * the driver.
+  */
+object Migration {
+  import Canon._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Spark type → DuckDB type-name vocabulary, the cross-engine schema
+    * manifest language for A2 (CQL `system_schema.columns` analog).
+    */
+  private def duckType(dt: DataType): String = dt match {
+    case IntegerType                      => "INTEGER"
+    case LongType                         => "BIGINT"
+    case ShortType                        => "SMALLINT"
+    case ByteType                         => "TINYINT"
+    case DoubleType                       => "DOUBLE"
+    case FloatType                        => "FLOAT"
+    case StringType                       => "VARCHAR"
+    case BooleanType                      => "BOOLEAN"
+    case BinaryType                       => "BLOB"
+    case DateType                         => "DATE"
+    case TimestampType | TimestampNTZType => "TIMESTAMP"
+    case d: DecimalType                   => s"DECIMAL(${d.precision},${d.scale})"
+    case ArrayType(e, _)                  => duckType(e) + "[]"
+    case other                            => other.sql
+  }
+
+  /** A1 — full-keyspace scan: every row of every table, reduced to one
+    * count per table (the migrator's source-side scan pass).
+    */
+  def fullScanCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.names.map { n =>
+      Tables.t(spark, sfDir, n)
+        .agg(count(lit(1)).as("row_count"))
+        .select(lit(n).as("table_name"), col("row_count"))
+    }.reduce(_ unionByName _).orderBy("table_name")
+
+  /** A2 — runtime schema discovery (the `system_schema` read): column
+    * name/type per table from the parquet footers, in the shared
+    * DuckDB type vocabulary. `events` is reported post-canonicalization
+    * (ts as TIMESTAMP) — the engine's declared schema for that table.
+    */
+  def schemaManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.names.flatMap { n =>
+      Tables.canonical(spark, sfDir, n).schema.fields.map(f => (n, f.name, duckType(f.dataType)))
+    }.toDF("table_name", "column_name", "column_type")
+      .orderBy("table_name", "column_name")
+  }
+
+  /** A4 — type round-trip: the conversion pass a migrator applies to
+    * every cell. Exercises the two lossy-prone fixture types: ns
+    * timestamps (→ µs, SURVEY §1.3) and JSON-in-string (→ typed int).
+    * (µs is the finest cross-engine-visible resolution: DuckDB's
+    * reader truncates ns→µs.)
+    */
+  def typeRoundtrip(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir).select(
+      col("event_id"),
+      col("ts"),
+      col("user_id"),
+      col("event_type"),
+      col("value"),
+      from_json(col("props"), lit("k INT")).getField("k").as("k"))
+      .orderBy("event_id")
+
+  /** A7 — migration verification: source vs target row counts per
+    * table. "Target" is the identity-migrated frame (same rows passed
+    * through the migration transform), so the check is the real
+    * post-copy count-parity audit a migrator runs.
+    */
+  def verifyCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.names.map { n =>
+      val src = Tables.t(spark, sfDir, n).agg(count(lit(1)).as("src_rows"))
+      val tgt = Tables.canonical(spark, sfDir, n).select("*")
+        .agg(count(lit(1)).as("tgt_rows"))
+      src.crossJoin(tgt).select(
+        lit(n).as("table_name"),
+        col("src_rows"),
+        col("tgt_rows"),
+        (col("src_rows") === col("tgt_rows")).as("rows_match"))
+    }.reduce(_ unionByName _).orderBy("table_name")
+
+  /** A9 — counter-column merge semantics: Cassandra counters merge by
+    * SUM on re-write (never overwrite). Demonstrated as the per-key
+    * sum+count merge over the events stream.
+    */
+  def counterMerge(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "events")
+      .groupBy(col("user_id"))
+      .agg(dsum(col("value")).as("counter_value"),
+        count(lit(1)).as("merge_count"))
+      .orderBy("user_id")
+
+  /** B2 — ns-timestamp ingestion: the raw INT64(TIMESTAMP_NANOS)
+    * column read and converted to µs timestamps (SURVEY §1.3 verified
+    * path), emitted alongside the epoch-µs integer (µs is the finest
+    * cross-engine-visible resolution — DuckDB truncates ns on read).
+    */
+  def nsTsIngest(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "events").select(
+      col("event_id"),
+      expr("ts DIV 1000").as("ts_us"),
+      timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz").as("ts"))
+      .orderBy("event_id")
+
+  private def unionCounts(sel: String => String): String =
+    Tables.names.map(sel).mkString("\nUNION ALL ")
+
+  val queries: Map[String, Q] = Map(
+    "a1_full_scan_count" -> (fullScanCount(_, _)),
+    "a2_schema_manifest" -> (schemaManifest(_, _)),
+    "a4_type_roundtrip" -> (typeRoundtrip(_, _)),
+    "a7_verify_counts" -> (verifyCounts(_, _)),
+    "a9_counter_merge" -> (counterMerge(_, _)),
+    "b2_ns_ts_ingest" -> (nsTsIngest(_, _))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "a1_full_scan_count" ->
+      s"""SELECT * FROM (
+         |${unionCounts(n => s"SELECT '$n' AS table_name, count(*) AS row_count FROM $n")}
+         |) ORDER BY table_name ASC NULLS FIRST""".stripMargin,
+
+    // The manifest oracle derives each table's schema from DuckDB's own
+    // reading of the same parquet (DESCRIBE), i.e. two independent
+    // schema-discovery implementations must agree. events is described
+    // post-conversion like the Spark side (ns→µs is DuckDB's native read).
+    "a2_schema_manifest" ->
+      s"""SELECT * FROM (
+         |${unionCounts(n => s"SELECT '$n' AS table_name, column_name, column_type FROM (DESCRIBE SELECT * FROM $n)")}
+         |) ORDER BY table_name ASC NULLS FIRST, column_name ASC NULLS FIRST""".stripMargin,
+
+    "a4_type_roundtrip" ->
+      """SELECT event_id, ts, user_id, event_type, value,
+        |  CAST(json_extract(props, '$.k') AS INTEGER) AS k
+        |FROM events
+        |ORDER BY event_id ASC NULLS FIRST""".stripMargin,
+
+    "a7_verify_counts" ->
+      s"""SELECT * FROM (
+         |${unionCounts(n => s"SELECT '$n' AS table_name, count(*) AS src_rows, count(*) AS tgt_rows, count(*) = count(*) AS rows_match FROM $n")}
+         |) ORDER BY table_name ASC NULLS FIRST""".stripMargin,
+
+    "a9_counter_merge" ->
+      s"""SELECT user_id,
+         |  ${oDsum("value")} AS counter_value,
+         |  COUNT(*) AS merge_count
+         |FROM events
+         |GROUP BY user_id
+         |ORDER BY user_id ASC NULLS FIRST""".stripMargin,
+
+    "b2_ns_ts_ingest" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, ts
+        |FROM events
+        |ORDER BY event_id ASC NULLS FIRST""".stripMargin
+  )
+}

@@ -13,7 +13,9 @@ import graft.{Canon, Tables}
   * keys and rely on AQE for skew/coalescing. Aggregations are plain
   * `groupBy.agg`, which Spark executes as partial (map-side) + final
   * hash aggregation — the shuffle carries one row per (partition,
-  * group), not per input row.
+  * group), not per input row. Top-k uses `orderBy().limit(k)` which
+  * Spark fuses into `TakeOrderedAndProject` (per-partition heaps, no
+  * global sort).
   */
 object Relational {
   import Canon._
@@ -41,8 +43,244 @@ object Relational {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** b6 — conjunctive/disjunctive predicates, BETWEEN, IN, LIKE,
+    * NOT LIKE, IS NOT NULL; all pushdown-eligible on the parquet scan.
+    */
+  def filterComplex(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "orders")
+      .where(
+        col("o_orderdate").between(lit("1996-01-01"), lit("1998-12-31")) &&
+        col("o_orderstatus").isin("O", "F") &&
+        col("o_totalprice").between(10000, 200000) &&
+        col("o_orderpriority").like("%-%") &&
+        !col("o_orderpriority").like("5%") &&
+        col("o_custkey").isNotNull &&
+        (col("o_orderstatus") === "F" || col("o_totalprice") > 150000))
+      .orderBy("o_orderkey")
+
+  /** b7 — broadcast hash join of the dimension chain
+    * region ⋈ nation ⋈ customer. Both dims are tiny at any scale
+    * (region=5, nation=25 rows forever) → explicit broadcast keeps the
+    * fact side shuffle-free.
+    */
+  def joinBroadcastDims(spark: SparkSession, sfDir: String): DataFrame = {
+    val region = Tables.t(spark, sfDir, "region")
+    val nation = Tables.t(spark, sfDir, "nation")
+    val customer = Tables.t(spark, sfDir, "customer")
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        dsum(col("c_acctbal")).as("total_acctbal"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** b8 — 3-way shuffle (sort-merge) join customer ⋈ orders ⋈ lineitem;
+    * the canonical fact-fact-dim chain. Aggregated to a bounded group
+    * count so the output stays metadata-sized at 100 TB.
+    */
+  def join3Way(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.t(spark, sfDir, "customer")
+    val o = Tables.t(spark, sfDir, "orders")
+    val l = Tables.t(spark, sfDir, "lineitem")
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy("c_mktsegment", "o_orderpriority")
+  }
+
+  /** b9 — left outer join + null probe: customers that placed no
+    * orders (the outer-join null side surfaced directly).
+    */
+  def joinLeftUnmatched(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.t(spark, sfDir, "customer")
+    val o = Tables.t(spark, sfDir, "orders")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .where(col("o_orderkey").isNull)
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  /** b10 — left semi join (EXISTS): customers with ≥1 open order. */
+  def joinSemi(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.t(spark, sfDir, "customer")
+    val o = Tables.t(spark, sfDir, "orders").where(col("o_orderstatus") === "O")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  /** b11 — left anti join (NOT EXISTS): parts never ordered. */
+  def joinAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.t(spark, sfDir, "part")
+    val l = Tables.t(spark, sfDir, "lineitem")
+    p.join(l, col("p_partkey") === col("l_partkey"), "left_anti")
+      .select(col("p_partkey"), col("p_name"))
+      .orderBy("p_partkey")
+  }
+
+  /** b12 — full outer join: part catalog vs parts seen in lineitem
+    * (lineitem pre-aggregated per key so the outer join is
+    * key-vs-key, not key-vs-600M-rows).
+    */
+  def joinFull(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.t(spark, sfDir, "part")
+    val l = Tables.t(spark, sfDir, "lineitem")
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("li_rows"))
+    p.join(l, col("p_partkey") === col("l_partkey"), "full")
+      .select(
+        coalesce(col("p_partkey"), col("l_partkey")).as("partkey"),
+        col("p_partkey").isNotNull.as("in_catalog"),
+        coalesce(col("li_rows"), lit(0L)).as("li_rows"))
+      .orderBy("partkey")
+  }
+
+  /** b17 — exact COUNT(DISTINCT), single- and multi-column. Spark
+    * plans the multi-distinct via expand + two-phase aggregation.
+    */
+  def countDistinctQ(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "lineitem").agg(
+      countDistinct(col("l_partkey")).as("distinct_parts"),
+      countDistinct(col("l_suppkey")).as("distinct_supps"),
+      countDistinct(col("l_partkey"), col("l_suppkey")).as("distinct_part_supp"),
+      count(lit(1)).as("total_rows"))
+
+  /** b18 — approximate distinct (HLL++). Sketches are not
+    * cross-engine comparable, so this key ships WITHOUT oracle SQL
+    * (driver records a rows-only check) — SURVEY §2 B18.
+    */
+  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "lineitem").agg(
+      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+      count(lit(1)).as("total_rows"))
+
+  /** b19 — ROLLUP with grouping_id over orders status×priority. */
+  def rollupQ(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("total_price"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** b20 — CUBE over lineitem returnflag×linestatus. */
+  def cubeQ(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** b21 — grouped collect as canon-sorted array (SURVEY §5.3 rule 5:
+    * never emit unsorted collections).
+    */
+  def groupCollect(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = Tables.t(spark, sfDir, "nation")
+    val c = Tables.t(spark, sfDir, "customer")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sort_array(collect_set(col("c_mktsegment"))).as("segments"),
+        count(lit(1)).as("n_customers"))
+      .orderBy("n_name")
+  }
+
+  /** b22 — statistical aggregates per event_type: sample
+    * stddev/variance, correlation, exact median. All FP quantities are
+    * canon-rounded (§5.3 rule 2).
+    */
+  def statsAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        r4(stddev_samp(col("value"))).as("sd_value"),
+        r4(var_samp(col("value"))).as("var_value"),
+        r4(corr(col("value"), col("user_id").cast("double"))).as("corr_value_user"),
+        r4(median(col("value"))).as("median_value"))
+      .orderBy("event_type")
+
+  /** b23 — pivot: documents lang × source counts, fixed value list so
+    * the output schema is static; absent cells coalesced to 0 to match
+    * the oracle's COUNT(CASE...) form.
+    */
+  def pivotQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val sources = (0 to 19).map(i => s"src$i")
+    val piv = Tables.t(spark, sfDir, "documents")
+      .groupBy(col("lang"))
+      .pivot("source", sources)
+      .count()
+    piv.select(col("lang") +: sources.map(s => coalesce(col(s), lit(0L)).as(s)): _*)
+      .orderBy("lang")
+  }
+
+  /** b29 — TPC-H Q3 shape: filtered 3-way join, revenue per order,
+    * global top-10 — fused by Spark into TakeOrderedAndProject
+    * (per-partition heaps; no global sort even at 100 TB).
+    */
+  def q3TopkRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = "1996-03-15"
+    val c = Tables.t(spark, sfDir, "customer").where(col("c_mktsegment") === "BUILDING")
+    val o = Tables.t(spark, sfDir, "orders").where(col("o_orderdate") < lit(cutoff))
+    val l = Tables.t(spark, sfDir, "lineitem").where(col("l_shipdate") > lit(cutoff))
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** b31 — distinct union of two id universes (buyers ∪ event users). */
+  def unionQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val buyers = Tables.t(spark, sfDir, "orders").select(col("o_custkey").as("id"))
+    val users = Tables.t(spark, sfDir, "events").select(col("user_id").as("id"))
+    buyers.unionByName(users).distinct().orderBy("id")
+  }
+
+  /** b32 — INTERSECT: part keys that appear in lineitem ∩ large parts. */
+  def intersectQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val ordered = Tables.t(spark, sfDir, "lineitem").select(col("l_partkey").as("partkey"))
+    val large = Tables.t(spark, sfDir, "part").where(col("p_size") >= 25)
+      .select(col("p_partkey").as("partkey"))
+    ordered.intersect(large).orderBy("partkey")
+  }
+
+  /** b33 — EXCEPT: customers that never ordered, as a set op (the
+    * set-algebra twin of b9's outer-join formulation).
+    */
+  def exceptQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val all = Tables.t(spark, sfDir, "customer").select(col("c_custkey").as("custkey"))
+    val buyers = Tables.t(spark, sfDir, "orders").select(col("o_custkey").as("custkey"))
+    all.except(buyers).orderBy("custkey")
+  }
+
   val queries: Map[String, Q] = Map(
-    "b16_q1_pricing_summary" -> (q1PricingSummary(_, _))
+    "b16_q1_pricing_summary" -> (q1PricingSummary(_, _)),
+    "b6_filter_complex" -> (filterComplex(_, _)),
+    "b7_join_broadcast_dims" -> (joinBroadcastDims(_, _)),
+    "b8_join_3way" -> (join3Way(_, _)),
+    "b9_join_left_unmatched" -> (joinLeftUnmatched(_, _)),
+    "b10_join_semi" -> (joinSemi(_, _)),
+    "b11_join_anti" -> (joinAnti(_, _)),
+    "b12_join_full" -> (joinFull(_, _)),
+    "b17_count_distinct" -> (countDistinctQ(_, _)),
+    "b18_approx_distinct" -> (approxDistinct(_, _)),
+    "b19_rollup" -> (rollupQ(_, _)),
+    "b20_cube" -> (cubeQ(_, _)),
+    "b21_group_collect" -> (groupCollect(_, _)),
+    "b22_stats_agg" -> (statsAgg(_, _)),
+    "b23_pivot" -> (pivotQ(_, _)),
+    "b29_q3_topk_revenue" -> (q3TopkRevenue(_, _)),
+    "b31_union" -> (unionQ(_, _)),
+    "b32_intersect" -> (intersectQ(_, _)),
+    "b33_except" -> (exceptQ(_, _))
   )
 
   val oracle: Map[String, String] = Map(
@@ -58,6 +296,147 @@ object Relational {
          |  COUNT(*) AS count_order
          |FROM lineitem
          |GROUP BY l_returnflag, l_linestatus
-         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "b6_filter_complex" ->
+      """SELECT * FROM orders
+        |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1998-12-31 00:00:00'
+        |  AND o_orderstatus IN ('O', 'F')
+        |  AND o_totalprice BETWEEN 10000 AND 200000
+        |  AND o_orderpriority LIKE '%-%'
+        |  AND o_orderpriority NOT LIKE '5%'
+        |  AND o_custkey IS NOT NULL
+        |  AND (o_orderstatus = 'F' OR o_totalprice > 150000)
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "b7_join_broadcast_dims" ->
+      s"""SELECT r_name, n_name, COUNT(*) AS n_customers,
+         |  ${oDsum("c_acctbal")} AS total_acctbal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name
+         |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+
+    "b8_join_3way" ->
+      s"""SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n_items,
+         |  ${oDsum("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY c_mktsegment, o_orderpriority
+         |ORDER BY c_mktsegment ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "b9_join_left_unmatched" ->
+      """SELECT c_custkey, c_name
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |WHERE o_orderkey IS NULL
+        |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin,
+
+    "b10_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin,
+
+    "b11_join_anti" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |ORDER BY p_partkey ASC NULLS FIRST""".stripMargin,
+
+    "b12_join_full" ->
+      """SELECT COALESCE(p_partkey, l_partkey) AS partkey,
+        |  p_partkey IS NOT NULL AS in_catalog,
+        |  COALESCE(li_rows, 0) AS li_rows
+        |FROM part
+        |FULL OUTER JOIN (SELECT l_partkey, COUNT(*) AS li_rows
+        |                 FROM lineitem GROUP BY l_partkey) li
+        |  ON p_partkey = l_partkey
+        |ORDER BY partkey ASC NULLS FIRST""".stripMargin,
+
+    "b17_count_distinct" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS distinct_parts,
+        |  COUNT(DISTINCT l_suppkey) AS distinct_supps,
+        |  (SELECT COUNT(*) FROM (SELECT DISTINCT l_partkey, l_suppkey
+        |                         FROM lineitem)) AS distinct_part_supp,
+        |  COUNT(*) AS total_rows
+        |FROM lineitem""".stripMargin,
+
+    "b19_rollup" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         |  ${oDsum("o_totalprice")} AS total_price,
+         |  GROUPING(o_orderstatus, o_orderpriority) AS gid
+         |FROM orders
+         |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+         |ORDER BY gid ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST,
+         |  o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "b20_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |  ${oDsum("l_quantity")} AS sum_qty,
+         |  GROUPING(l_returnflag, l_linestatus) AS gid
+         |FROM lineitem
+         |GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY gid ASC NULLS FIRST, l_returnflag ASC NULLS FIRST,
+         |  l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "b21_group_collect" ->
+      """SELECT n_name, list_sort(list(DISTINCT c_mktsegment)) AS segments,
+        |  COUNT(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name ASC NULLS FIRST""".stripMargin,
+
+    "b22_stats_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  ROUND(stddev_samp(value), 4) AS sd_value,
+        |  ROUND(var_samp(value), 4) AS var_value,
+        |  ROUND(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_value_user,
+        |  ROUND(median(value), 4) AS median_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+
+    "b23_pivot" -> {
+      val cases = (0 to 19).map(i =>
+        s"COUNT(CASE WHEN source = 'src$i' THEN 1 END) AS src$i").mkString(",\n  ")
+      s"""SELECT lang,
+         |  $cases
+         |FROM documents
+         |GROUP BY lang
+         |ORDER BY lang ASC NULLS FIRST""".stripMargin
+    },
+
+    "b29_q3_topk_revenue" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         |  ${oDsum("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC NULLS LAST, l_orderkey ASC NULLS FIRST
+         |LIMIT 10""".stripMargin,
+
+    "b31_union" ->
+      """SELECT DISTINCT id FROM (
+        |  SELECT o_custkey AS id FROM orders
+        |  UNION ALL
+        |  SELECT user_id AS id FROM events
+        |) ORDER BY id ASC NULLS FIRST""".stripMargin,
+
+    "b32_intersect" ->
+      """SELECT l_partkey AS partkey FROM lineitem
+        |INTERSECT
+        |SELECT p_partkey AS partkey FROM part WHERE p_size >= 25
+        |ORDER BY partkey ASC NULLS FIRST""".stripMargin,
+
+    "b33_except" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders
+        |ORDER BY custkey ASC NULLS FIRST""".stripMargin
   )
 }
