@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mini-oracle (SURVEY §5.4): every declared query key executes on
+  * sf0.001 with a stable non-empty schema, and every oracle key refers
+  * to a declared query. Catches breakage before the driver's t2 gate.
+  */
+class MiniOracleSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  // Keys whose result can legitimately be empty at sf0.001 (tiny
+  // fixtures: no never-ordered parts, no order-less customers).
+  private val mayBeEmpty = Set(
+    "b9_join_left_unmatched", "b11_join_anti", "b33_except",
+    "b13_join_range", "c2_dedup_minhash_pairs", "c3_jaccard_pairs")
+
+  test("oracleSql keys are a subset of query keys") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle SQL without a query: $missing")
+  }
+
+  test("every query key except b18 has oracle SQL") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle == Set("b18_approx_distinct"),
+      s"unexpected no-oracle keys: $noOracle")
+  }
+
+  test("entry returns rows (driver t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name executes on sf0.001") {
+      val df = fn(spark, TestSpark.sf0001)
+      assert(df.schema.nonEmpty, "empty schema")
+      val n = df.queryExecution.toRdd.count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY §5.4) over the operator kernels,
+  * on scalacheck-generated in-memory data — no fixtures. (The
+  * scalatest↔scalacheck bridge artifact isn't in the offline cache,
+  * so generators are sampled with fixed seeds inside plain funsuite
+  * tests: deterministic and dependency-free.)
+  */
+class OperatorPropertiesSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int = 5): Seq[A] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default.withSize(40), Seed(i.toLong)))
+
+  private val texts: Gen[List[String]] =
+    Gen.nonEmptyListOf(Gen.oneOf("a b c", "a b c d", "x y", "a b c", "q r s t"))
+
+  test("exact dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
+    samples(texts).foreach { ts =>
+      val once = ts.toDF("text").dropDuplicates("text")
+      assert(once.count() == once.dropDuplicates("text").count())
+    }
+  }
+
+  test("union-all count is additive") {
+    val g = Gen.zip(Gen.listOf(Gen.choose(0L, 50L)), Gen.listOf(Gen.choose(0L, 50L)))
+    samples(g).foreach { case (a, b) =>
+      assert(a.toDF("id").unionByName(b.toDF("id")).count() == a.size + b.size)
+    }
+  }
+
+  test("window top-k returns at most k rows per group") {
+    val g = Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 5), Gen.choose(0.0, 100.0)))
+    samples(g).foreach { rows =>
+      val k = 3
+      val w = Window.partitionBy($"g").orderBy($"v".desc, $"rowid")
+      val topk = rows.zipWithIndex.map { case ((grp, v), i) => (grp, v, i.toLong) }
+        .toDF("g", "v", "rowid")
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" <= k)
+      val maxPerGroup = topk.groupBy($"g").count().agg(max($"count")).head.getLong(0)
+      assert(maxPerGroup <= k)
+    }
+  }
+
+  test("jaccard is 1 for identical docs and within [0,1] for random pairs") {
+    val g = Gen.zip(Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e")),
+      Gen.nonEmptyListOf(Gen.oneOf("c", "d", "e", "f", "g")))
+    samples(g).foreach { case (wa, wb) =>
+      def jac(x: String, y: String): Double =
+        Seq((x, y)).toDF("xa", "xb")
+          .select(
+            array_distinct(split($"xa", " ")).as("ta"),
+            array_distinct(split($"xb", " ")).as("tb"))
+          .select((size(array_intersect($"ta", $"tb")).cast("double") /
+            size(array_union($"ta", $"tb"))).as("j"))
+          .head.getDouble(0)
+      val ta = wa.mkString(" "); val tb = wb.mkString(" ")
+      assert(jac(ta, ta) == 1.0)
+      val j = jac(ta, tb)
+      assert(j >= 0.0 && j <= 1.0)
+    }
+  }
+
+  test("semi-join keys equal distinct inner-join keys") {
+    val g = Gen.zip(Gen.listOf(Gen.choose(0L, 20L)), Gen.listOf(Gen.choose(0L, 20L)))
+    samples(g).foreach { case (l, r) =>
+      val dl = l.toDF("k"); val dr = r.toDF("k")
+      val semi = dl.join(dr, Seq("k"), "left_semi").select($"k").distinct()
+        .as[Long].collect().toSet
+      val inner = dl.join(dr, Seq("k")).select($"k").distinct()
+        .as[Long].collect().toSet
+      assert(semi == inner)
+    }
+  }
+
+  test("counter merge (a9 kernel) equals exact per-key decimal sum") {
+    val g = Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 3), Gen.choose(-10.0, 10.0)))
+    samples(g).foreach { rows =>
+      val expected = rows.groupBy(_._1).view.mapValues(vs =>
+        vs.map(v => BigDecimal(v._2).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble).toMap
+      val got = rows.toDF("k", "v")
+        .groupBy($"k").agg(Canon.dsum($"v").as("s"))
+        .as[(Int, Double)].collect().toMap
+      expected.foreach { case (k, e) =>
+        assert(math.abs(got(k) - e) < 1e-9, s"key $k: got ${got(k)}, expected $e")
+      }
+    }
+  }
+}

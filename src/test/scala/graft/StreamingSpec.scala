@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming semantics (SURVEY §2 B45–B47): watermark
+  * late-data drop, stateful stream dedup, arbitrary stateful
+  * processing. Streaming has no DuckDB oracle by design (§5.4) — these
+  * MemoryStream suites are the coverage. The batch twins of these
+  * operators (b42–b44, b26) ARE oracle'd: `window`/`session_window`
+  * are the same Catalyst operators in both modes, so the semantics
+  * tested here carry to the oracle'd plans.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(hhmm: String): Timestamp =
+    Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+
+  test("B45: watermark drops data later than the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val agg = input.toDF().toDF("ts", "uid")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "10 minutes"))
+      .count()
+      .select($"window.start".as("wstart"), $"count")
+    val q = agg.writeStream.format("memory").queryName("b45")
+      .outputMode("update").start()
+    try {
+      input.addData((ts("10:00"), 1L), (ts("10:15"), 1L))
+      q.processAllAvailable() // watermark advances to 10:05
+      input.addData((ts("09:00"), 2L)) // window [09:00,09:10) < watermark → dropped
+      input.addData((ts("10:16"), 3L))
+      q.processAllAvailable()
+      val wstarts = spark.table("b45").select($"wstart").as[Timestamp]
+        .collect().toSet
+      assert(!wstarts.contains(ts("09:00")), "late row should have been dropped")
+      assert(wstarts.contains(ts("10:00")) && wstarts.contains(ts("10:10")))
+    } finally q.stop()
+  }
+
+  test("B46: dropDuplicatesWithinWatermark suppresses re-arriving keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val dedup = input.toDF().toDF("ts", "id")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+    val q = dedup.writeStream.format("memory").queryName("b46")
+      .outputMode("append").start()
+    try {
+      input.addData((ts("10:00"), "a"), (ts("10:01"), "a"), (ts("10:02"), "b"))
+      q.processAllAvailable()
+      input.addData((ts("10:03"), "a")) // still within watermark → duplicate
+      q.processAllAvailable()
+      val ids = spark.table("b46").select($"id").as[String].collect().toSeq
+      assert(ids.count(_ == "a") == 1, s"'a' emitted more than once: $ids")
+      assert(ids.count(_ == "b") == 1)
+    } finally q.stop()
+  }
+
+  test("B47: flatMapGroupsWithState keeps a running per-key count across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val counts = input.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (String, Long, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Double)], state: GroupState[(Long, Double)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          val batch = rows.toSeq
+          val next = (n0 + batch.size, s0 + batch.map(_._2).sum)
+          state.update(next)
+          Iterator((key, next._1, next._2))
+      }.toDF("key", "n", "total")
+    val q = counts.writeStream.format("memory").queryName("b47")
+      .outputMode("update").start()
+    try {
+      input.addData(("u1", 1.0), ("u1", 2.0), ("u2", 5.0))
+      q.processAllAvailable()
+      input.addData(("u1", 3.0))
+      q.processAllAvailable()
+      val byKey = spark.table("b47").as[(String, Long, Double)].collect()
+        .groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+      assert(byKey("u1")._2 == 3L && byKey("u1")._3 == 6.0)
+      assert(byKey("u2")._2 == 1L && byKey("u2")._3 == 5.0)
+    } finally q.stop()
+  }
+}
