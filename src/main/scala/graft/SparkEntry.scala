@@ -9,12 +9,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Migration.queries ++ Relational.queries ++ Windows.queries ++
-      Functions.queries ++ Llm.queries
+      Functions.queries ++ Llm.queries ++ NearDup.queries ++
+      TextAnalysis.queries ++ Multimodal.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (b18_approx_distinct: HLL
     * sketches aren't cross-engine comparable) get the driver's
     * rows-only check. */
   def oracleSql: Map[String, String] =
     Migration.oracle ++ Relational.oracle ++ Windows.oracle ++
-      Functions.oracle ++ Llm.oracle
+      Functions.oracle ++ Llm.oracle ++ NearDup.oracle ++
+      TextAnalysis.oracle ++ Multimodal.oracle
 }

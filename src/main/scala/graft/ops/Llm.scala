@@ -241,7 +241,7 @@ object Llm {
   /** Shared oracle CTE: the LSH candidate pairs in DuckDB's dialect
     * (1-based list indexing; same md5 formulas).
     */
-  private val oraclePairsCte: String =
+  private[ops] val oraclePairsCte: String =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
        |), sh AS (

@@ -1,0 +1,207 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Canon, Tables}
+
+/** Near-duplicate detection beyond MinHash, plus the ANN scale path
+  * (north-star dedup/similarity families: SimHash, n-gram Jaccard,
+  * embedding-cosine near-dup, IVF-bucketed search).
+  *
+  * Scale posture: SimHash is a per-doc map-side fingerprint (one
+  * shuffle on (doc, bit) pairs, output one row per doc — at 100 TB the
+  * fingerprint table is ~0.1% of corpus size and equal fingerprints
+  * bucket near-dups with no pairwise work). n-gram Jaccard only runs
+  * on LSH candidate pairs (Llm.lshBands), never all-pairs. Embedding
+  * near-dup pairs only within a coarse cell (label = the IVF cell id),
+  * and IVF search probes the nearest cells only — both are the
+  * inverted-file discipline that keeps vector ops sub-quadratic.
+  *
+  * Cross-engine hashing: same md5 trick as MinHash (§5.3 rule 6) —
+  * SimHash bit j of a token is the high bit of md5 hex nibble j,
+  * identical in Spark and DuckDB.
+  */
+object NearDup {
+  import Canon._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val SimhashBits = 32
+  private val NearDupCos = 0.35 // fixture-calibrated (random 64-d vectors)
+  private val IvfProbeCells = 2
+
+  /** c10 — SimHash fingerprint per document: each token votes ±1 on
+    * each of 32 bits (high bit of its md5 hex nibbles); the sign of
+    * the per-bit sum is the fingerprint bit.
+    */
+  def simhashFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val bits = spark.range(SimhashBits).select(col("id").cast("int").as("pos"))
+    toks.crossJoin(broadcast(bits))
+      .select(col("doc_id"), col("pos"),
+        when(expr("substring(md5(w), pos + 1, 1)")
+          .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+          .otherwise(-1).as("contrib"))
+      .groupBy(col("doc_id"), col("pos"))
+      .agg(sum(col("contrib")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(expr(
+        "array_join(transform(sort_array(collect_list(named_struct('pos', pos, 'b', case when s > 0 then '1' else '0' end))), x -> x.b), '')")
+        .as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** c11 — character-trigram Jaccard over the MinHash/LSH candidate
+    * pairs (char-level near-dup verify — catches token-reordered
+    * near-dups that word-level Jaccard (c3) scores differently).
+    */
+  def ngramJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Llm.dedupMinhashPairs(spark, sfDir)
+    val grams = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3)))")
+        .as("g3"))
+    pairs
+      .join(grams.select(col("doc_id").as("doc_a"), col("g3").as("ga")), "doc_a")
+      .join(grams.select(col("doc_id").as("doc_b"), col("g3").as("gb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          size(array_union(col("ga"), col("gb"))), 4).as("char3_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** c12 — embedding-cosine near-duplicates: pairs above threshold,
+    * compared only within a coarse cell (label), the IVF discipline —
+    * cell size bounds the quadratic term.
+    */
+  def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val a = e.select(col("vec_id").as("vec_a"), col("label"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label").as("label2"), col("embedding").as("eb"))
+    a.join(b, col("label") === col("label2") && col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("label"),
+        round(cosine(col("ea"), col("eb")), 4).as("cos"))
+      .where(col("cos") >= NearDupCos)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** c13 — IVF-style two-stage ANN: rank cells (label centroids) by
+    * cosine to the probe, then brute-force only the nearest
+    * `IvfProbeCells` cells. The centroid table is tiny (n_cells rows)
+    * and broadcast; the candidate scan touches only probed cells.
+    */
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val probe = e.where(col("vec_id") === 0).select(col("embedding").as("probe"))
+    val cents = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("idx", "x")))
+      .groupBy(col("label"), col("idx"))
+      .agg((sum(col("x").cast("double").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+        .cast("double") / count(lit(1))).as("c"))
+      .groupBy(col("label"))
+      .agg(expr("transform(sort_array(collect_list(struct(idx, c))), s -> s.c)").as("carr"))
+    val wCell = Window.orderBy(col("cell_cos").desc, col("label"))
+    val topCells = cents.crossJoin(broadcast(probe))
+      .select(col("label"), round(cosine(col("carr"), col("probe")), 4).as("cell_cos"))
+      .withColumn("cell_rank", row_number().over(wCell))
+      .where(col("cell_rank") <= IvfProbeCells)
+      .select(col("label"), col("cell_rank").cast("long").as("cell_rank"))
+    e.join(broadcast(topCells), "label")
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("label"), col("cell_rank"),
+        round(cosine(col("embedding"), col("probe")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "c10_simhash_fingerprint" -> (simhashFingerprint(_, _)),
+    "c11_ngram_jaccard_pairs" -> (ngramJaccardPairs(_, _)),
+    "c12_embedding_near_dup" -> (embeddingNearDup(_, _)),
+    "c13_ann_ivf" -> (annIvf(_, _))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "c10_simhash_fingerprint" ->
+      s"""SELECT doc_id,
+         |  string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY pos ASC) AS simhash
+         |FROM (
+         |  SELECT doc_id, pos, SUM(CASE WHEN substr(md5(w), pos + 1, 1)
+         |      IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |       range($SimhashBits) t(pos)
+         |  GROUP BY doc_id, pos
+         |)
+         |GROUP BY doc_id
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "c11_ngram_jaccard_pairs" ->
+      s"""${Llm.oraclePairsCte},
+         |grams AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    range(1, greatest(len(text) - 2, 1) + 1), i -> substr(text, i, 3))) AS g3
+         |  FROM documents
+         |)
+         |SELECT doc_a, doc_b,
+         |  ROUND(CAST(len(list_intersect(ga.g3, gb.g3)) AS DOUBLE)
+         |        / len(list_distinct(list_concat(ga.g3, gb.g3))), 4) AS char3_jaccard
+         |FROM pairs
+         |JOIN grams ga ON ga.doc_id = doc_a
+         |JOIN grams gb ON gb.doc_id = doc_b
+         |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
+
+    "c12_embedding_near_dup" ->
+      s"""SELECT vec_a, vec_b, label, cos FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+         |    ROUND(
+         |      list_sum(list_transform(range(1, len(a.embedding) + 1),
+         |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |         * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |)
+         |WHERE cos >= $NearDupCos
+         |ORDER BY vec_a ASC NULLS FIRST, vec_b ASC NULLS FIRST""".stripMargin,
+
+    "c13_ann_ivf" ->
+      s"""WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+         |cents AS (
+         |  SELECT label, list(c ORDER BY idx ASC) AS carr FROM (
+         |    SELECT label, i - 1 AS idx,
+         |      CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS c
+         |    FROM embeddings, range(1, 65) t(i)
+         |    GROUP BY label, i
+         |  ) GROUP BY label
+         |), cells AS (
+         |  SELECT label, cell_rank FROM (
+         |    SELECT label, row_number() OVER (ORDER BY cell_cos DESC NULLS LAST, label ASC) AS cell_rank
+         |    FROM (
+         |      SELECT label, ROUND(
+         |        list_sum(list_transform(range(1, len(carr) + 1),
+         |          i -> carr[i] * CAST(p[i] AS DOUBLE)))
+         |        / (sqrt(list_sum(list_transform(carr, x -> x * x)))
+         |           * sqrt(list_sum(list_transform(p, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cell_cos
+         |      FROM cents, probe
+         |    )
+         |  ) WHERE cell_rank <= $IvfProbeCells
+         |)
+         |SELECT vec_id, e.label, cell_rank, ROUND(
+         |  list_sum(list_transform(range(1, len(embedding) + 1),
+         |    i -> CAST(embedding[i] AS DOUBLE) * CAST(p[i] AS DOUBLE)))
+         |  / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |     * sqrt(list_sum(list_transform(p, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos
+         |FROM embeddings e JOIN cells ON e.label = cells.label, probe
+         |ORDER BY cos DESC NULLS LAST, vec_id ASC NULLS FIRST
+         |LIMIT 5""".stripMargin
+  )
+}

@@ -1,0 +1,177 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Canon, Tables}
+
+/** Text-analysis operators for the training-data pipeline (north-star
+  * group: language-ID, quality scoring, token counting, document
+  * fingerprinting).
+  *
+  * Scale posture: lang-ID's profile table is (n_langs × top-k) rows —
+  * broadcast; per-doc scoring shuffles once on (doc, candidate-lang).
+  * Quality/token-count are pure per-row projections. Fingerprints are
+  * per-doc bottom-k sketches (constant bytes per doc regardless of doc
+  * size) — the winnowing-style shape used for corpus-scale dedup
+  * indexes.
+  */
+object TextAnalysis {
+  import Canon._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val ProfileTopK = 10
+  private val Stopwords = Seq("the", "a", "of", "and", "in")
+
+  /** c14 — language identification by token-profile overlap: each
+    * language's profile = its top-10 corpus tokens; a doc's score for
+    * a language = how many of its token occurrences hit that profile;
+    * prediction = argmax (lang-ascending tiebreak). Self-trained,
+    * deterministic, no model artifacts. (On these fixtures every
+    * language shares one synthetic vocabulary, so accuracy is
+    * near-chance — the pipeline, not the accuracy, is the operator.)
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+    val wProf = Window.partitionBy(col("plang"))
+      .orderBy(col("cnt").desc, col("w"))
+    val profile = toks.groupBy(col("lang").as("plang"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("r", row_number().over(wProf))
+      .where(col("r") <= ProfileTopK)
+      .select(col("plang"), col("w"))
+    val scores = toks.join(broadcast(profile), "w")
+      .groupBy(col("doc_id"), col("lang"), col("plang"))
+      .agg(count(lit(1)).as("score"))
+    val wBest = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("plang"))
+    scores.withColumn("rn", row_number().over(wBest))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("actual_lang"),
+        col("plang").as("predicted_lang"), col("score"))
+      .orderBy("doc_id")
+  }
+
+  /** c15 — heuristic quality score: length score, stopword ratio,
+    * average token length — the cheap filters a corpus pipeline runs
+    * before anything expensive.
+    */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val stopArr = array(Stopwords.map(lit): _*)
+    Tables.t(spark, sfDir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("ws")).cast("long"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round((length(col("text")) - (col("n_tokens") - 1)).cast("double") /
+          col("n_tokens"), 4).as("avg_token_len"),
+        size(expr(s"filter(ws, w -> array_contains(array(${Stopwords.map("'" + _ + "'").mkString(",")}), w))"))
+          .cast("double").as("n_stop"),
+        least(length(col("text")).cast("double") / 300.0, lit(1.0)).as("ls_raw"))
+      // quality from UNROUNDED components: rounding the inputs first
+      // manufactures exact .00005 half-way cases where Spark (decimal
+      // HALF_UP) and DuckDB (binary rounding) disagree.
+      .withColumn("quality",
+        round(lit(0.5) * col("ls_raw") +
+          lit(0.5) * (lit(1.0) - col("n_stop") / col("n_tokens")), 4))
+      .withColumn("stopword_ratio", round(col("n_stop") / col("n_tokens"), 4))
+      .withColumn("length_score", round(col("ls_raw"), 4))
+      .drop("n_stop", "ls_raw")
+      .orderBy("doc_id")
+  }
+
+  /** c16 — token counting: whitespace tokens vs BPE-ish subword pieces
+    * (greedy ≤3-char chunks via regex — the codepoint-budget estimator
+    * shape used for context-length accounting).
+    */
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]{1,3}', 0)")).cast("long").as("bpe_pieces"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("n_letters"))
+      .withColumn("pieces_per_token",
+        round(col("bpe_pieces").cast("double") / col("ws_tokens"), 4))
+      .orderBy("doc_id")
+
+  /** c17 — document fingerprint: bottom-4 sketch of character 5-gram
+    * md5s (winnowing-style). Constant-size per doc; near-dup docs
+    * share most sketch elements, exact dups share all.
+    */
+  def docFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), expr(
+        "slice(array_sort(transform(sequence(1, greatest(length(text) - 4, 1)), i -> md5(substring(text, i, 5)))), 1, 4)")
+        .as("fingerprint"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, Q] = Map(
+    "c14_lang_id" -> (langId(_, _)),
+    "c15_quality_score" -> (qualityScore(_, _)),
+    "c16_token_count" -> (tokenCount(_, _)),
+    "c17_doc_fingerprint" -> (docFingerprint(_, _))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "c14_lang_id" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+         |), profile AS (
+         |  SELECT plang, w FROM (
+         |    SELECT lang AS plang, w, COUNT(*) AS cnt,
+         |      row_number() OVER (PARTITION BY lang
+         |        ORDER BY COUNT(*) DESC NULLS LAST, w ASC) AS r
+         |    FROM toks GROUP BY lang, w
+         |  ) WHERE r <= $ProfileTopK
+         |), scores AS (
+         |  SELECT doc_id, lang, plang, COUNT(*) AS score
+         |  FROM toks JOIN profile ON toks.w = profile.w
+         |  GROUP BY doc_id, lang, plang
+         |)
+         |SELECT doc_id, actual_lang, predicted_lang, score FROM (
+         |  SELECT doc_id, lang AS actual_lang, plang AS predicted_lang, score,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC NULLS LAST, plang ASC) AS rn
+         |  FROM scores
+         |) WHERE rn = 1
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "c15_quality_score" -> {
+      val stopList = Stopwords.map("'" + _ + "'").mkString(", ")
+      s"""SELECT doc_id, n_tokens, avg_token_len,
+         |  ROUND(n_stop / n_tokens, 4) AS stopword_ratio,
+         |  ROUND(ls_raw, 4) AS length_score,
+         |  ROUND(0.5 * ls_raw + 0.5 * (1.0 - n_stop / n_tokens), 4) AS quality
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(len(ws) AS BIGINT) AS n_tokens,
+         |    ROUND(CAST(length(text) - (len(ws) - 1) AS DOUBLE) / len(ws), 4) AS avg_token_len,
+         |    CAST(len(list_filter(ws, w -> list_contains([$stopList], w))) AS DOUBLE) AS n_stop,
+         |    least(CAST(length(text) AS DOUBLE) / 300.0, 1.0) AS ls_raw
+         |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+         |)
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+    },
+
+    "c16_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]{1,3}', 0)) AS BIGINT) AS bpe_pieces,
+        |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_letters,
+        |  ROUND(CAST(len(regexp_extract_all(text, '[a-z]{1,3}', 0)) AS DOUBLE)
+        |        / len(string_split(text, ' ')), 4) AS pieces_per_token
+        |FROM documents
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "c17_doc_fingerprint" ->
+      """SELECT doc_id,
+        |  list_sort(list_transform(range(1, greatest(len(text) - 4, 1) + 1),
+        |    i -> md5(substr(text, i, 5))))[1:4] AS fingerprint
+        |FROM documents
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+  )
+}

@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Source/sink abstraction + the production Cassandra path design
+  * (SURVEY §2 rows A8/A10/A11 — doc-only: no Cassandra connector jar
+  * ships in this environment and the build is offline, so the live
+  * path cannot be exercised; the parquet implementations are the
+  * runnable ones and everything in `ops/` goes through them).
+  */
+trait TableSource {
+  /** Discover the table names this source exposes (A2's runtime
+    * schema-discovery contract: Cassandra `system_schema.tables`,
+    * parquet directory listing here).
+    */
+  def tableNames(spark: SparkSession): Seq[String]
+  def read(spark: SparkSession, table: String): DataFrame
+}
+
+trait TableSink {
+  def write(df: DataFrame, table: String): Unit
+}
+
+/** The runnable source: one parquet file per table under a scale-factor
+  * directory (TESTDATA.md).
+  */
+final class ParquetSource(dir: String) extends TableSource {
+  def tableNames(spark: SparkSession): Seq[String] = graft.Tables.names
+  def read(spark: SparkSession, table: String): DataFrame =
+    graft.Tables.canonical(spark, dir, table)
+}
+
+final class ParquetSink(dir: String) extends TableSink {
+  def write(df: DataFrame, table: String): Unit =
+    df.write.mode("overwrite").parquet(s"$dir/$table.parquet")
+}
+
+/** PRODUCTION-PATH DESIGN (not runnable here; kept out of the oracle
+  * query map per SURVEY §7 hard-part 5).
+  *
+  * A Cassandra-backed `TableSource`/`TableSink` pair would use the
+  * Spark Cassandra Connector (`format("org.apache.spark.sql.cassandra")`
+  * with `keyspace`/`table` options), which maps the token ring to
+  * input splits — the Spark-native equivalent of the reference's
+  * token-range parallel scan (A3).
+  *
+  * A8 — WRITETIME/TTL preservation: the connector exposes per-cell
+  * `writetime(col)`/`ttl(col)` as extra projected columns on read; on
+  * write, `WriteConf(timestamp = TimestampOption.perRow("w_col"),
+  * ttl = TTLOption.perRow("ttl_col"))` replays them. Engine shape:
+  * every value column gains two Long companions, carried through the
+  * pipeline like any other column — no operator changes needed.
+  *
+  * A10 — retry / rate-limit / progress: task-level retry is Spark's
+  * `spark.task.maxFailures` (idempotent because writes are per-row
+  * upserts keyed by primary key); throughput capping via the
+  * connector's `spark.cassandra.output.throughputMBPerSec`; progress
+  * via a `SparkListener` on task completion (rows × partitions), the
+  * equivalent of the reference CLI's paging counter.
+  *
+  * A11 — DDL re-create: generate `CREATE TABLE` from the source
+  * `StructType` + primary-key metadata (partition/clustering columns
+  * from `system_schema.columns.kind`), mapping Spark types back
+  * through SURVEY §1.2's table. The parquet analog (schema manifest →
+  * DDL string) is exercised by `a2_schema_manifest`.
+  */
+object CassandraPathDesign

@@ -13,7 +13,8 @@ class MiniOracleSpec extends AnyFunSuite {
   // fixtures: no never-ordered parts, no order-less customers).
   private val mayBeEmpty = Set(
     "b9_join_left_unmatched", "b11_join_anti", "b33_except",
-    "b13_join_range", "c2_dedup_minhash_pairs", "c3_jaccard_pairs")
+    "b13_join_range", "c2_dedup_minhash_pairs", "c3_jaccard_pairs",
+    "c11_ngram_jaccard_pairs", "c12_embedding_near_dup")
 
   test("oracleSql keys are a subset of query keys") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
