@@ -36,20 +36,21 @@ object NearDup {
     * the per-bit sum is the fingerprint bit.
     */
   def simhashFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val hi = Seq("8", "9", "a", "b", "c", "d", "e", "f")
     val toks = Tables.t(spark, sfDir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-    val bits = spark.range(SimhashBits).select(col("id").cast("int").as("pos"))
-    toks.crossJoin(broadcast(bits))
-      .select(col("doc_id"), col("pos"),
-        when(expr("substring(md5(w), pos + 1, 1)")
-          .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
-          .otherwise(-1).as("contrib"))
-      .groupBy(col("doc_id"), col("pos"))
-      .agg(sum(col("contrib")).as("s"))
-      .groupBy(col("doc_id"))
-      .agg(expr(
-        "array_join(transform(sort_array(collect_list(named_struct('pos', pos, 'b', case when s > 0 then '1' else '0' end))), x -> x.b), '')")
-        .as("simhash"))
+      .select(col("doc_id"), md5(col("w")).as("h"))
+    // One ±1-sum aggregate per bit, not a 32× row explosion: the
+    // shuffle carries one 32-column row per (partition, doc) thanks to
+    // map-side partial aggregation — the shape that survives 100 TB.
+    val bitSums = (0 until SimhashBits).map(j =>
+      sum(when(substring(col("h"), j + 1, 1).isin(hi: _*), 1).otherwise(-1))
+        .as(s"s$j"))
+    toks.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        concat((0 until SimhashBits).map(j =>
+          when(col(s"s$j") > 0, "1").otherwise("0")): _*).as("simhash"))
       .orderBy("doc_id")
   }
 
@@ -84,12 +85,20 @@ object NearDup {
     * cell size bounds the quadratic term.
     */
   def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    // Norms computed once per vector (not once per pair — at n vectors
+    // per cell that's n·dim work instead of n²·dim).
     val e = Tables.t(spark, sfDir, "embeddings")
-    val a = e.select(col("vec_id").as("vec_a"), col("label"), col("embedding").as("ea"))
-    val b = e.select(col("vec_id").as("vec_b"), col("label").as("label2"), col("embedding").as("eb"))
+      .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
+    val a = e.select(col("vec_id").as("vec_a"), col("label"),
+      col("embedding").as("ea"), col("norm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label").as("label2"),
+      col("embedding").as("eb"), col("norm").as("nb"))
     a.join(b, col("label") === col("label2") && col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"), col("label"),
-        round(cosine(col("ea"), col("eb")), 4).as("cos"))
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4).as("cos"))
       .where(col("cos") >= NearDupCos)
       .orderBy("vec_a", "vec_b")
   }
@@ -135,9 +144,9 @@ object NearDup {
       s"""SELECT doc_id,
          |  string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY pos ASC) AS simhash
          |FROM (
-         |  SELECT doc_id, pos, SUM(CASE WHEN substr(md5(w), pos + 1, 1)
+         |  SELECT doc_id, pos, SUM(CASE WHEN substr(h, pos + 1, 1)
          |      IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s
-         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |  FROM (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents),
          |       range($SimhashBits) t(pos)
          |  GROUP BY doc_id, pos
          |)
@@ -160,14 +169,18 @@ object NearDup {
          |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
 
     "c12_embedding_near_dup" ->
-      s"""SELECT vec_a, vec_b, label, cos FROM (
+      s"""WITH e AS (
+         |  SELECT vec_id, label, embedding,
+         |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+         |  FROM embeddings
+         |)
+         |SELECT vec_a, vec_b, label, cos FROM (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
          |    ROUND(
          |      list_sum(list_transform(range(1, len(a.embedding) + 1),
          |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-         |      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-         |         * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos
-         |  FROM embeddings a JOIN embeddings b
+         |      / (a.norm * b.norm), 4) AS cos
+         |  FROM e a JOIN e b
          |    ON a.label = b.label AND a.vec_id < b.vec_id
          |)
          |WHERE cos >= $NearDupCos
