@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.Row
+
+/** Streaming surface: the SAME transforms the batch operators use
+  * (b42/b43/b44 in ops/Windows.scala call `window`/`session_window`
+  * too), applied to unbounded input — Spark compiles them to
+  * incremental stateful plans under `readStream`. Each transform here
+  * is a pure DataFrame→DataFrame function so it is testable against a
+  * MemoryStream (StreamingSpec/StreamsApiSpec) and runnable against
+  * any source (`spark.readStream.schema(...).parquet(dir)`, Kafka,
+  * etc.) unchanged.
+  *
+  * Scale posture: state stores are keyed by (group, window) — bounded
+  * by watermarks, which also bound the state a 100 TB/day stream
+  * accumulates; without a watermark Spark would keep every window
+  * open forever.
+  */
+object Streams {
+
+  /** Tumbling-window counts+sums per hour with late-data bound.
+    * Batch twin: ops/Windows.tumblingWindow (oracle'd as b42).
+    */
+  def tumblingAgg(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("n_events"), col("sum_value"))
+
+  /** Session windows (30-minute gap) per user with late-data bound.
+    * Batch twin: ops/Windows.sessionWindow (oracle'd as b44).
+    */
+  def sessionAgg(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming dedup by key within the watermark horizon — the
+    * streaming twin of exact dedup (c1): state holds one entry per key
+    * seen inside the horizon, evicted as the watermark passes.
+    */
+  def dedupStream(events: DataFrame, keyCol: String,
+    lateness: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keyCol)
+
+  /** Arbitrary stateful op: running per-user (count, sum) emitted on
+    * every update — the `flatMapGroupsWithState` extension point
+    * (batch shadow: b26's running sums).
+    */
+  def runningTotals(events: Dataset[(Long, Double)]): DataFrame = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          val batch = rows.toSeq
+          val next = (n0 + batch.size, s0 + batch.map(_._2).sum)
+          state.update(next)
+          Iterator((user, next._1, next._2))
+      }.toDF("user_id", "n_events", "sum_value")
+  }
+
+  /** Standard sink wiring: append to parquet with a checkpoint — the
+    * readStream→transform→writeStream production shape. Returned
+    * unstarted so callers control trigger/lifecycle.
+    */
+  def toParquetSink(df: DataFrame, outDir: String,
+    checkpointDir: String): DataStreamWriter[Row] =
+    df.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Layout
+
+/** Bucketing pre-pays the join shuffle: two tables bucketed on the
+  * join key must join with no Exchange on either side.
+  */
+class LayoutSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("bucketed-by-key tables join without a shuffle") {
+    val orders = Tables.t(spark, TestSpark.sf0001, "orders")
+    val lineitem = Tables.t(spark, TestSpark.sf0001, "lineitem")
+    Layout.writeBucketed(orders, "orders_b", "o_orderkey", 4)
+    Layout.writeBucketed(lineitem, "lineitem_b", "l_orderkey", 4)
+    try {
+      val joined = spark.table("orders_b")
+        .join(spark.table("lineitem_b"), col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == lineitem.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
+  test("clusterBy produces the requested partitioning and local order") {
+    val df = Layout.clusterBy(
+      Tables.t(spark, TestSpark.sf0001, "orders"), "o_custkey", 8, "o_orderdate")
+    assert(df.rdd.getNumPartitions == 8)
+    // within every partition, keys are grouped (sorted) — verify on one
+    import spark.implicits._
+    val firstPart = df.select($"o_custkey").rdd
+      .mapPartitionsWithIndex { case (i, it) => if (i == 0) it else Iterator.empty }
+      .map(_.getLong(0)).collect()
+    assert(firstPart.sameElements(firstPart.sorted))
+  }
+
+  test("writeSized caps records per output file") {
+    val out = "/tmp/graft_layout_test"
+    Layout.writeSized(Tables.t(spark, TestSpark.sf0001, "orders"), out, 500L)
+    val files = new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files >= 3, s"expected >=3 files of <=500 rows for 1500 rows, got $files")
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Streams
+
+/** The streaming API (graft.streaming.Streams) drives the same
+  * transforms as the oracle'd batch operators; here they run against
+  * unbounded MemoryStream input end to end.
+  */
+class StreamsApiSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(hhmm: String): Timestamp =
+    Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+
+  test("tumblingAgg aggregates per hour incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val q = Streams.tumblingAgg(input.toDF().toDF("ts", "user_id", "value"))
+      .writeStream.format("memory").queryName("s_tumble")
+      .outputMode("update").start()
+    try {
+      input.addData((ts("10:05"), 1L, 2.0), (ts("10:40"), 2L, 3.0), (ts("11:10"), 1L, 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("s_tumble")
+        .select($"hour_start", $"n_events", $"sum_value")
+        .as[(Timestamp, Long, Double)].collect().groupBy(_._1).view
+        .mapValues(_.maxBy(_._2)).toMap
+      assert(rows(ts("10:00"))._2 == 2 && rows(ts("10:00"))._3 == 5.0)
+      assert(rows(ts("11:00"))._2 == 1)
+    } finally q.stop()
+  }
+
+  test("sessionAgg merges events within the gap and splits across it") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    // session windows support append (watermark-finalized) or
+    // complete, not update; complete keeps the test single-batch
+    val q = Streams.sessionAgg(input.toDF().toDF("ts", "user_id", "value"))
+      .writeStream.format("memory").queryName("s_session")
+      .outputMode("complete").start()
+    try {
+      // two events 10 min apart (one session), third 40 min later (new)
+      input.addData((ts("10:00"), 7L, 1.0), (ts("10:10"), 7L, 1.0), (ts("10:50"), 7L, 1.0))
+      q.processAllAvailable()
+      val sessions = spark.table("s_session")
+        .select($"session_start").as[Timestamp].collect().toSet
+      assert(sessions.contains(ts("10:00")) && sessions.contains(ts("10:50")))
+    } finally q.stop()
+  }
+
+  test("dedupStream emits each key once within the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val q = Streams.dedupStream(input.toDF().toDF("ts", "event_key"), "event_key")
+      .writeStream.format("memory").queryName("s_dedup")
+      .outputMode("append").start()
+    try {
+      input.addData((ts("10:00"), "k1"), (ts("10:01"), "k1"), (ts("10:02"), "k2"))
+      q.processAllAvailable()
+      input.addData((ts("10:03"), "k1"))
+      q.processAllAvailable()
+      val keys = spark.table("s_dedup").select($"event_key").as[String].collect().toSeq
+      assert(keys.count(_ == "k1") == 1 && keys.count(_ == "k2") == 1)
+    } finally q.stop()
+  }
+
+  test("runningTotals accumulates state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val q = Streams.runningTotals(input.toDS())
+      .writeStream.format("memory").queryName("s_running")
+      .outputMode("update").start()
+    try {
+      input.addData((1L, 1.5)); q.processAllAvailable()
+      input.addData((1L, 2.5)); q.processAllAvailable()
+      val last = spark.table("s_running").as[(Long, Long, Double)].collect()
+        .filter(_._1 == 1L).maxBy(_._2)
+      assert(last._2 == 2 && last._3 == 4.0)
+    } finally q.stop()
+  }
+}
