@@ -49,16 +49,23 @@ object Windows {
       .orderBy("o_custkey", "rn")
   }
 
-  /** b25 — lag/lead: per-user inter-event gap in µs. */
+  /** b25 — lag/lead + first/last over an explicit frame (B28): per-
+    * user inter-event gap in µs, plus the user's first event type and
+    * the running latest event id (ROWS frame — explicit, because the
+    * default frame of an ordered window differs across engines).
+    */
   def lagGap(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     eventsUs(spark, sfDir)
       .withColumn("prev_ts_us", lag(col("ts_us"), 1).over(w))
       .withColumn("gap_us", col("ts_us") - col("prev_ts_us"))
       .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .withColumn("first_type", first(col("event_type")).over(wf))
+      .withColumn("latest_id", last(col("event_id")).over(wf))
       .select(col("event_id"), col("user_id"), col("ts_us"),
-        col("gap_us"), col("next_type"))
+        col("gap_us"), col("next_type"), col("first_type"), col("latest_id"))
       .orderBy("user_id", "ts_us", "event_id")
   }
 
@@ -197,10 +204,15 @@ object Windows {
     "b25_window_lag_gap" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us,
-        |  lead(event_type, 1) OVER w AS next_type
+        |  lead(event_type, 1) OVER w AS next_type,
+        |  first_value(event_type) OVER wf AS first_type,
+        |  last_value(event_id) OVER wf AS latest_id
         |FROM events
         |WINDOW w AS (PARTITION BY user_id
-        |             ORDER BY epoch_us(ts) ASC NULLS FIRST, event_id ASC NULLS FIRST)
+        |             ORDER BY epoch_us(ts) ASC NULLS FIRST, event_id ASC NULLS FIRST),
+        |  wf AS (PARTITION BY user_id
+        |         ORDER BY epoch_us(ts) ASC NULLS FIRST, event_id ASC NULLS FIRST
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY user_id ASC NULLS FIRST, ts_us ASC NULLS FIRST, event_id ASC NULLS FIRST""".stripMargin,
 
     "b26_window_running_sum" ->
