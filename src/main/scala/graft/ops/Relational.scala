@@ -158,6 +158,23 @@ object Relational {
       approx_count_distinct(col("l_orderkey")).as("approx_orders"),
       count(lit(1)).as("total_rows"))
 
+  /** b50 — approximate quantile/percentile sketches (companion to
+    * b18's HLL): the monitoring aggregates a 100 TB pipeline runs
+    * where exact percentiles would shuffle the world. Sketches aren't
+    * cross-engine comparable → no oracle (rows-only check); error
+    * bounds are property-tested against exact percentiles instead
+    * (OperatorPropertiesSpec).
+    */
+  def approxQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_price"),
+        expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("p95_price"),
+        expr("approx_percentile(l_quantity, array(0.25, 0.75), 1000)").as("qty_iqr"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   /** b19 — ROLLUP with grouping_id over orders status×priority. */
   def rollupQ(spark: SparkSession, sfDir: String): DataFrame =
     Tables.t(spark, sfDir, "orders")
@@ -272,6 +289,7 @@ object Relational {
     "b12_join_full" -> (joinFull(_, _)),
     "b17_count_distinct" -> (countDistinctQ(_, _)),
     "b18_approx_distinct" -> (approxDistinct(_, _)),
+    "b50_approx_quantiles" -> (approxQuantiles(_, _)),
     "b19_rollup" -> (rollupQ(_, _)),
     "b20_cube" -> (cubeQ(_, _)),
     "b21_group_collect" -> (groupCollect(_, _)),

@@ -40,6 +40,21 @@ class LayoutSpec extends AnyFunSuite {
     assert(firstPart.sameElements(firstPart.sorted))
   }
 
+  test("hive-partitioned writes enable partition pruning at read") {
+    val out = "/tmp/graft_partitioned_docs"
+    Tables.t(spark, TestSpark.sf0001, "documents")
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    val pruned = spark.read.parquet(out).where(col("lang") === "en")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("isnotnull(lang"),
+      s"no partition pruning in:\n$plan")
+    // pruned scan must list only the lang=en directory
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(!scanned.contains("lang=de"), "scan not pruned to lang=en")
+  }
+
   test("writeSized caps records per output file") {
     val out = "/tmp/graft_layout_test"
     Layout.writeSized(Tables.t(spark, TestSpark.sf0001, "orders"), out, 500L)

@@ -21,9 +21,9 @@ class MiniOracleSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle SQL without a query: $missing")
   }
 
-  test("every query key except b18 has oracle SQL") {
+  test("every query key except the sketch ops has oracle SQL") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("b18_approx_distinct"),
+    assert(noOracle == Set("b18_approx_distinct", "b50_approx_quantiles"),
       s"unexpected no-oracle keys: $noOracle")
   }
 

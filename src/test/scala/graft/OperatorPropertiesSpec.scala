@@ -81,6 +81,23 @@ class OperatorPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("approx percentile (b50 kernel) is within its accuracy bound of exact") {
+    val g = Gen.nonEmptyListOf(Gen.choose(0.0, 1000.0))
+    samples(g, 3).foreach { xs =>
+      val df = xs.toDF("x")
+      val approx = df.select(expr("approx_percentile(x, 0.5, 1000)")).head.getDouble(0)
+      val exact = df.select(expr("percentile(x, 0.5)")).head.getDouble(0)
+      val sorted = xs.sorted
+      // with accuracy 1000 and n << 1000 the sketch is exact up to
+      // rank rounding: approx must be an element within 1 rank of the
+      // true median position
+      val rankOfApprox = sorted.indexWhere(_ >= approx)
+      val trueRank = (sorted.size - 1) / 2
+      assert(math.abs(rankOfApprox - trueRank) <= 1,
+        s"approx=$approx exact=$exact n=${xs.size}")
+    }
+  }
+
   test("counter merge (a9 kernel) equals exact per-key decimal sum") {
     val g = Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 3), Gen.choose(-10.0, 10.0)))
     samples(g).foreach { rows =>
