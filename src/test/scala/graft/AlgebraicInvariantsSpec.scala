@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops._
+
+/** Algebraic identities between operators on the real fixtures —
+  * checks the oracle can't make (it verifies each query against SQL,
+  * not queries against each other).
+  */
+class AlgebraicInvariantsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+  import spark.implicits._
+
+  test("rollup (b19): grand-total row equals the sum of leaf rows") {
+    val df = Relational.rollupQ(spark, sf).select($"gid", $"n").as[(Long, Long)].collect()
+    val leaves = df.filter(_._1 == 0).map(_._2).sum
+    val grand = df.filter(_._1 == 3).map(_._2).sum
+    assert(grand == leaves && grand > 0)
+  }
+
+  test("cube (b20): every grouping level totals the same row count") {
+    val df = Relational.cubeQ(spark, sf).select($"gid", $"n").as[(Long, Long)].collect()
+    val byGid = df.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(byGid(0L) == byGid(3L))
+    assert(byGid.getOrElse(1L, 0L) == byGid(3L) || !byGid.contains(1L))
+    assert(byGid.getOrElse(2L, 0L) == byGid(3L) || !byGid.contains(2L))
+  }
+
+  test("running sum (b26): final row per customer equals the customer's total") {
+    val rs = Windows.runningSum(spark, sf)
+      .select($"o_custkey", $"o_totalprice", $"running_total")
+      .as[(Long, Double, Double)].collect().groupBy(_._1)
+    rs.foreach { case (k, rows) =>
+      val last = rows.last._3
+      val total = BigDecimal(rows.map(r => BigDecimal(r._2).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble)
+      assert(math.abs(last - total.toDouble) < 1e-6, s"customer $k")
+    }
+  }
+
+  test("session windows (b44): events are conserved across sessions per user") {
+    val sessions = Windows.sessionWindow(spark, sf)
+      .groupBy($"user_id").agg(sum($"n_events").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val events = Tables.t(spark, sf, "events")
+      .groupBy($"user_id").count().as[(Long, Long)].collect().toMap
+    assert(sessions == events)
+  }
+
+  test("set algebra: b9 outer-join nulls == b33 except, both ⊆ all customers") {
+    val b9 = Relational.joinLeftUnmatched(spark, sf).select($"c_custkey")
+      .as[Long].collect().toSet
+    val b33 = Relational.exceptQ(spark, sf).select($"custkey")
+      .as[Long].collect().toSet
+    assert(b9 == b33)
+  }
+
+  test("minhash (c2): exact duplicate texts always share all bands (recall=1 on exact dups)") {
+    // fabricate exact dups through the same kernel: identical texts
+    // must collide in every band, so the pair must appear
+    val docs = Seq((100000L, "alpha beta gamma delta epsilon"),
+      (100001L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("minhash_dup_probe")
+    // run the same transformations inline (kernel copy — Llm.lshBands is
+    // bound to the fixture reader)
+    val sh = docs.where(size(split($"text", " ")) >= 3)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(split(text, ' ')) - 3), i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], split(text, ' ')[i+2]))")).as("shingle"))
+    val seeds = spark.range(8).select($"id".as("seed"))
+    val sigs = sh.crossJoin(broadcast(seeds))
+      .select($"doc_id", $"seed", md5(concat($"seed".cast("string"), lit(":"), $"shingle")).as("h"))
+      .groupBy($"doc_id", $"seed").agg(min($"h").as("mh"))
+      .groupBy($"doc_id")
+      .agg(expr("transform(sort_array(collect_list(struct(seed, mh))), s -> s.mh)").as("sigs"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sigs(100000L) == sigs(100001L), "identical docs must have identical signatures")
+  }
+
+  test("IVF (c13) searches only the probed cells, ranked correctly") {
+    val rows = NearDup.annIvf(spark, sf)
+      .select($"vec_id", $"label", $"cos")
+      .as[(Long, Int, Double)].collect()
+    assert(rows.length == 5)
+    // candidates come from at most IvfProbeCells distinct cells
+    assert(rows.map(_._2).distinct.length <= 2)
+    // ranking is by descending cosine with vec_id tiebreak
+    assert(rows.map(_._3).sameElements(rows.map(_._3).sortBy(-_)))
+    // if the probe's own cell was probed, the probe itself (cos=1) wins;
+    // if not, that's IVF's documented recall trade-off — assert the
+    // brute-force winner is only missing when its cell wasn't probed
+    val bruteTop = Llm.cosineTopk(spark, sf)
+      .select($"vec_id").as[Long].head()
+    val probedLabels = rows.map(_._2).toSet
+    val bruteTopLabel = Tables.t(spark, sf, "embeddings")
+      .where($"vec_id" === bruteTop).select($"label").as[Int].head()
+    if (probedLabels.contains(bruteTopLabel))
+      assert(rows.head._1 == bruteTop)
+  }
+}
