@@ -18,6 +18,11 @@ import org.apache.spark.sql.Row
   * by watermarks, which also bound the state a 100 TB/day stream
   * accumulates; without a watermark Spark would keep every window
   * open forever.
+  *
+  * Caveat: `withWatermark` requires a session-TZ TIMESTAMP column —
+  * TIMESTAMP_NTZ event time is rejected
+  * ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]). Cast NTZ ingests at the
+  * source (session TZ is pinned UTC, so the instant is unchanged).
   */
 object Streams {
 

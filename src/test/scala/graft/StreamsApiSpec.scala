@@ -68,6 +68,30 @@ class StreamsApiSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file source -> tumblingAgg -> parquet sink runs end to end") {
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.Files
+    val srcDir = Files.createTempDirectory("graft_stream_src").toString
+    val outDir = Files.createTempDirectory("graft_stream_out").toString
+    val ckptDir = Files.createTempDirectory("graft_stream_ckpt").toString
+    // stage "arriving" event files
+    // watermarks need TIMESTAMP (session-TZ), not NTZ — cast at ingest
+    Tables.events(spark, TestSpark.sf0001)
+      .select($"ts".cast("timestamp").as("ts"), $"user_id", $"value")
+      .coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema("ts TIMESTAMP, user_id BIGINT, value DOUBLE")
+      .parquet(srcDir)
+    val q = Streams.toParquetSink(Streams.tumblingAgg(stream), outDir, ckptDir)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(120000) finally q.stop()
+    // append mode emits watermark-finalized windows: all but the last
+    // open hour of the fixture's 30-day span
+    val out = spark.read.parquet(outDir)
+    assert(out.count() > 0, "no finalized windows written")
+    assert(out.columns.toSet == Set("hour_start", "n_events", "sum_value"))
+  }
+
   test("runningTotals accumulates state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Double)]
