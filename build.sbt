@@ -1,5 +1,5 @@
 ThisBuild / scalaVersion := "2.13.17"
-ThisBuild / version := "0.1.0"
+ThisBuild / version := "0.2.0"
 name := "cassandramigratekeyspacefromclusterspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")

@@ -17,7 +17,7 @@ class CanonSpec extends AnyFunSuite {
   test("dsum is identical at 1, 7, and 64 partitions") {
     val sums = Seq(1, 7, 64).map { p =>
       values.toDF("x").repartition(p)
-        .agg(Canon.dsum(col("x"))).head.getDouble(0)
+        .agg(Canon.dsum(col("x"))).head().getDouble(0)
     }
     assert(sums.distinct.size == 1, s"partition-dependent dsum: $sums")
   }
@@ -25,7 +25,7 @@ class CanonSpec extends AnyFunSuite {
   test("davg is identical at 1, 7, and 64 partitions") {
     val avgs = Seq(1, 7, 64).map { p =>
       values.toDF("x").repartition(p)
-        .agg(Canon.davg(col("x"))).head.getDouble(0)
+        .agg(Canon.davg(col("x"))).head().getDouble(0)
     }
     assert(avgs.distinct.size == 1, s"partition-dependent davg: $avgs")
   }
@@ -33,7 +33,7 @@ class CanonSpec extends AnyFunSuite {
   test("raw double sum is NOT partition-stable (why the canon exists)") {
     val sums = Seq(1, 7, 64).map { p =>
       values.toDF("x").repartition(p)
-        .agg(sum(col("x"))).head.getDouble(0)
+        .agg(sum(col("x"))).head().getDouble(0)
     }
     // Not asserting inequality (could coincide), just documenting: the
     // decimal path above is the guarantee, this one has none.

@@ -45,7 +45,7 @@ class OperatorPropertiesSpec extends AnyFunSuite {
         .toDF("g", "v", "rowid")
         .withColumn("rn", row_number().over(w))
         .where($"rn" <= k)
-      val maxPerGroup = topk.groupBy($"g").count().agg(max($"count")).head.getLong(0)
+      val maxPerGroup = topk.groupBy($"g").count().agg(max($"count")).head().getLong(0)
       assert(maxPerGroup <= k)
     }
   }
@@ -61,7 +61,7 @@ class OperatorPropertiesSpec extends AnyFunSuite {
             array_distinct(split($"xb", " ")).as("tb"))
           .select((size(array_intersect($"ta", $"tb")).cast("double") /
             size(array_union($"ta", $"tb"))).as("j"))
-          .head.getDouble(0)
+          .head().getDouble(0)
       val ta = wa.mkString(" "); val tb = wb.mkString(" ")
       assert(jac(ta, ta) == 1.0)
       val j = jac(ta, tb)
@@ -85,8 +85,8 @@ class OperatorPropertiesSpec extends AnyFunSuite {
     val g = Gen.nonEmptyListOf(Gen.choose(0.0, 1000.0))
     samples(g, 3).foreach { xs =>
       val df = xs.toDF("x")
-      val approx = df.select(expr("approx_percentile(x, 0.5, 1000)")).head.getDouble(0)
-      val exact = df.select(expr("percentile(x, 0.5)")).head.getDouble(0)
+      val approx = df.select(expr("approx_percentile(x, 0.5, 1000)")).head().getDouble(0)
+      val exact = df.select(expr("percentile(x, 0.5)")).head().getDouble(0)
       val sorted = xs.sorted
       // with accuracy 1000 and n << 1000 the sketch is exact up to
       // rank rounding: approx must be an element within 1 rank of the
