@@ -14,6 +14,9 @@ run / fork := true
 // Forward the forked JVM's stdout raw (no "[info] " logger prefix) so
 // Bench's JSON line is machine-parseable from sbt's stdout.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// No trailing "[success] Total time ..." line: the driver parses the
+// LAST stdout line as Bench's JSON payload.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -27,12 +27,24 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup outside any query's timing (one trivial job).
     spark.range(100).count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Headliners (the BASELINE.md contract queries) run twice, min
+    // taken: first-touch parquet footer reads + codegen compilation on
+    // this shared machine add ±1-2 s of noise that a baseline contract
+    // at the 2× line can't absorb. Everything else runs once.
+    val headliners = Set(
+      "b16_q1_pricing_summary", "b8_join_3way", "b29_q3_topk_revenue",
+      "b24_window_topk_per_group", "b42_tumbling_window",
+      "c1_dedup_exact", "c4_cosine_topk")
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).queryExecution.toRdd.count() }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val runs = if (headliners(name)) 2 else 1
+      name -> (1 to runs).map(_ => timeOnce(name, fn)).min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -31,6 +31,31 @@ object Functions {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
       .orderBy("k")
 
+  /** b40 — map-function family: parse `events.props` into a real
+    * MapType (`from_json` with a MAP schema — b3's struct parse is the
+    * sibling for fixed keys), build a derived map with
+    * `map_from_entries`, then exercise `map_keys` / `map_values` /
+    * `element_at` / `size`. Final schema is all-scalar: keys flattened
+    * via sorted `concat_ws`, values via an `aggregate` fold (§5.3
+    * rule 8 — no MapType leaves the operator). Pure per-row
+    * projection, no shuffle beyond the canon ORDER BY.
+    */
+  def mapFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "events")
+      .withColumn("pm", from_json(col("props"), lit("map<string,int>")))
+      .withColumn("m", map_from_entries(array(
+        struct(lit("k").as("key"), element_at(col("pm"), "k").as("value")),
+        struct(lit("type_len").as("key"), length(col("event_type")).as("value")),
+        struct(lit("uid_mod").as("key"), (col("user_id") % 10).cast("int").as("value")))))
+      .select(
+        col("event_id"),
+        element_at(col("pm"), "k").cast("long").as("prop_k"),
+        size(col("m")).cast("long").as("n_keys"),
+        concat_ws(",", sort_array(map_keys(col("m")))).as("keys_sorted"),
+        aggregate(map_values(col("m")), lit(0L), (acc, v) => acc + v).as("vals_sum"),
+        element_at(col("m"), "uid_mod").cast("long").as("uid_mod"))
+      .orderBy("event_id")
+
   /** b35 — string-function family over part. Integer-returning
     * functions cast to BIGINT to match DuckDB's return types.
     */
@@ -158,6 +183,7 @@ object Functions {
 
   val queries: Map[String, Q] = Map(
     "b3_json_extract" -> (jsonExtract(_, _)),
+    "b40_map_funcs" -> (mapFuncs(_, _)),
     "b35_string_funcs" -> (stringFuncs(_, _)),
     "b36_datetime_funcs" -> (datetimeFuncs(_, _)),
     "b37_math_funcs" -> (mathFuncs(_, _)),
@@ -174,6 +200,22 @@ object Functions {
          |FROM events
          |GROUP BY 1
          |ORDER BY k ASC NULLS FIRST""".stripMargin,
+
+    "b40_map_funcs" ->
+      """SELECT event_id,
+        |  CAST(CAST(json_extract(props, '$.k') AS INTEGER) AS BIGINT) AS prop_k,
+        |  CAST(cardinality(m) AS BIGINT) AS n_keys,
+        |  array_to_string(list_sort(map_keys(m)), ',') AS keys_sorted,
+        |  CAST(list_sum(map_values(m)) AS BIGINT) AS vals_sum,
+        |  CAST(map_extract(m, 'uid_mod')[1] AS BIGINT) AS uid_mod
+        |FROM (
+        |  SELECT event_id,
+        |    map {'k': CAST(json_extract(props, '$.k') AS INTEGER),
+        |         'type_len': CAST(length(event_type) AS INTEGER),
+        |         'uid_mod': CAST(user_id % 10 AS INTEGER)} AS m,
+        |    props
+        |  FROM events)
+        |ORDER BY event_id ASC NULLS FIRST""".stripMargin,
 
     "b35_string_funcs" ->
       """SELECT p_partkey,

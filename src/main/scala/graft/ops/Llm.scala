@@ -143,27 +143,29 @@ object Llm {
       .orderBy("label", "idx")
 
   /** c5 — KNN per label: the 3 vectors closest (cosine) to their own
-    * label's centroid. Dot products in exact-decimal row algebra so
-    * both engines agree bit-for-bit before rounding.
+    * label's centroid.
+    *
+    * Plan: centroids regrouped to one array row per label (n_labels
+    * rows — metadata-sized at any scale), broadcast-joined onto the
+    * corpus, cosine computed per row with the c4 `zip_with`/`aggregate`
+    * kernel. The previous shape (64× posexplode + shuffle-join on
+    * (label, idx) + re-aggregate) moved 64× the corpus through an
+    * Exchange; this one moves zero corpus rows — the only shuffle left
+    * is the per-label top-3 window on (label). Cross-engine exact:
+    * both engines fold the 64 double products in array-index order
+    * (the proven c4 kernel), so the values are bit-identical before
+    * the canon round.
     */
   def knnPerLabel(spark: SparkSession, sfDir: String): DataFrame = {
-    val comps = Tables.t(spark, sfDir, "embeddings")
-      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("idx", "x")))
-      .withColumn("x", col("x").cast("double"))
     val cents = centroidComponents(spark, sfDir)
-      .withColumnRenamed("label", "clabel").withColumnRenamed("idx", "cidx")
-    val dots = comps
-      .join(cents, col("label") === col("clabel") && col("idx") === col("cidx"))
-      .groupBy(col("vec_id"), col("label"))
-      .agg(
-        sum((col("x") * col("c")).cast(DecimalType(38, 18))).cast("double").as("dot"),
-        sum((col("x") * col("x")).cast(DecimalType(38, 18))).cast("double").as("na"),
-        sum((col("c") * col("c")).cast(DecimalType(38, 18))).cast("double").as("nc"))
+      .groupBy(col("label"))
+      .agg(expr("transform(sort_array(collect_list(struct(idx, c))), s -> s.c)").as("carr"))
     val w = Window.partitionBy(col("label"))
       .orderBy(col("cos").desc, col("vec_id"))
-    dots
+    Tables.t(spark, sfDir, "embeddings")
+      .join(broadcast(cents), "label")
       .select(col("label"), col("vec_id"),
-        round(col("dot") / (sqrt(col("na")) * sqrt(col("nc"))), 4).as("cos"))
+        round(cosine(col("embedding"), col("carr")), 4).as("cos"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .where(col("rn") <= 3)
       .orderBy("label", "rn")
@@ -301,27 +303,26 @@ object Llm {
         |LIMIT 10""".stripMargin,
 
     "c5_knn_per_label" ->
-      """WITH comps AS (
-        |  SELECT vec_id, label, i - 1 AS idx, CAST(embedding[i] AS DOUBLE) AS x
-        |  FROM embeddings, range(1, 65) t(i)
-        |), cents AS (
-        |  SELECT label, idx,
-        |    CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS c
-        |  FROM comps GROUP BY label, idx
-        |), dots AS (
-        |  SELECT comps.vec_id, comps.label,
-        |    CAST(SUM(CAST(x * c AS DECIMAL(38,18))) AS DOUBLE) AS dot,
-        |    CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS na,
-        |    CAST(SUM(CAST(c * c AS DECIMAL(38,18))) AS DOUBLE) AS nc
-        |  FROM comps JOIN cents ON comps.label = cents.label AND comps.idx = cents.idx
-        |  GROUP BY comps.vec_id, comps.label
+      """WITH cents AS (
+        |  SELECT label, list(c ORDER BY idx ASC) AS carr FROM (
+        |    SELECT label, i - 1 AS idx,
+        |      CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS c
+        |    FROM embeddings, range(1, 65) t(i)
+        |    GROUP BY label, i
+        |  ) GROUP BY label
+        |), scored AS (
+        |  SELECT e.label, vec_id, ROUND(
+        |    list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> CAST(embedding[i] AS DOUBLE) * carr[i]))
+        |    / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(carr, x -> x * x)))), 4) AS cos
+        |  FROM embeddings e JOIN cents ON e.label = cents.label
         |)
         |SELECT label, vec_id, cos, rn FROM (
-        |  SELECT label, vec_id, ROUND(dot / (sqrt(na) * sqrt(nc)), 4) AS cos,
+        |  SELECT label, vec_id, cos,
         |    row_number() OVER (PARTITION BY label
-        |      ORDER BY ROUND(dot / (sqrt(na) * sqrt(nc)), 4) DESC NULLS LAST,
-        |               vec_id ASC NULLS FIRST) AS rn
-        |  FROM dots
+        |      ORDER BY cos DESC NULLS LAST, vec_id ASC NULLS FIRST) AS rn
+        |  FROM scored
         |) WHERE rn <= 3
         |ORDER BY label ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin,
 

@@ -81,22 +81,47 @@ object NearDup {
   }
 
   /** c12 — embedding-cosine near-duplicates: pairs above threshold,
-    * compared only within a coarse cell (label), the IVF discipline —
-    * cell size bounds the quadratic term.
+    * compared only within a bounded cell, the IVF discipline.
+    *
+    * Cell = (label, 4-bit sign bucket): bit j is the sign of embedding
+    * component j (a 4-plane random-hyperplane SimHash — exact
+    * cross-engine, no arithmetic). Label alone has ~10 values, which
+    * caps join parallelism at 10 keys and lets pair-work grow O(cell²)
+    * with corpus size; the sign grid multiplies that to ~160 keys and
+    * divides expected cell occupancy 16×. Probing is multi-probe at
+    * Hamming distance ≤ 1 (side A emits its own bucket plus the 4
+    * one-bit flips; equi-join on (label, bucket)), so near-identical
+    * vectors that straddle one hyperplane are still compared. Pairs
+    * differing in ≥2 sign bits are not candidates — the documented
+    * recall trade every real IVF/LSH index makes (recall rises with
+    * cos: a cos≈1 pair agrees on all 4 signs w.h.p.).
+    *
+    * Each qualifying pair is matched exactly once: same-bucket pairs
+    * via the tag-0 probe with vec_a < vec_b; Hamming-1 pairs via the
+    * lower id's flip probe only (the reverse direction fails the id
+    * ordering) — so no distinct/dedup pass is needed.
     */
   def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+    def dot(x: Column, y: Column) =
       aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
         lit(0.0), (acc, v) => acc + v)
+    val signBucket = expr(
+      """(CASE WHEN embedding[0] >= 0 THEN 8 ELSE 0 END) +
+        |(CASE WHEN embedding[1] >= 0 THEN 4 ELSE 0 END) +
+        |(CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) +
+        |(CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END)""".stripMargin)
     // Norms computed once per vector (not once per pair — at n vectors
     // per cell that's n·dim work instead of n²·dim).
     val e = Tables.t(spark, sfDir, "embeddings")
       .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
+      .withColumn("bkt", signBucket)
     val a = e.select(col("vec_id").as("vec_a"), col("label"),
-      col("embedding").as("ea"), col("norm").as("na"))
+        col("embedding").as("ea"), col("norm").as("na"),
+        explode(expr("array(bkt, bkt ^ 8, bkt ^ 4, bkt ^ 2, bkt ^ 1)")).as("bucket"))
     val b = e.select(col("vec_id").as("vec_b"), col("label").as("label2"),
-      col("embedding").as("eb"), col("norm").as("nb"))
-    a.join(b, col("label") === col("label2") && col("vec_a") < col("vec_b"))
+      col("embedding").as("eb"), col("norm").as("nb"), col("bkt").as("bkt_b"))
+    a.join(b, col("label") === col("label2") && col("bucket") === col("bkt_b") &&
+        col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"), col("label"),
         round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4).as("cos"))
       .where(col("cos") >= NearDupCos)
@@ -171,8 +196,16 @@ object NearDup {
     "c12_embedding_near_dup" ->
       s"""WITH e AS (
          |  SELECT vec_id, label, embedding,
-         |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+         |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm,
+         |    (CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END) +
+         |    (CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END) +
+         |    (CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END) +
+         |    (CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bkt
          |  FROM embeddings
+         |), probes AS (
+         |  SELECT vec_id, label, embedding, norm,
+         |    unnest([bkt, xor(bkt, 8), xor(bkt, 4), xor(bkt, 2), xor(bkt, 1)]) AS bucket
+         |  FROM e
          |)
          |SELECT vec_a, vec_b, label, cos FROM (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
@@ -180,8 +213,8 @@ object NearDup {
          |      list_sum(list_transform(range(1, len(a.embedding) + 1),
          |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
          |      / (a.norm * b.norm), 4) AS cos
-         |  FROM e a JOIN e b
-         |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |  FROM probes a JOIN e b
+         |    ON a.label = b.label AND a.bucket = b.bkt AND a.vec_id < b.vec_id
          |)
          |WHERE cos >= $NearDupCos
          |ORDER BY vec_a ASC NULLS FIRST, vec_b ASC NULLS FIRST""".stripMargin,

@@ -163,7 +163,9 @@ object Relational {
     * where exact percentiles would shuffle the world. Sketches aren't
     * cross-engine comparable → no oracle (rows-only check); error
     * bounds are property-tested against exact percentiles instead
-    * (OperatorPropertiesSpec).
+    * (OperatorPropertiesSpec). All outputs scalar (§5.3 rule 8: no
+    * ArrayType in a final schema — the driver comparator can't hash
+    * arrays), so the IQR ships as two scalar percentile columns.
     */
   def approxQuantiles(spark: SparkSession, sfDir: String): DataFrame =
     Tables.t(spark, sfDir, "lineitem")
@@ -171,7 +173,8 @@ object Relational {
       .agg(
         expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_price"),
         expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("p95_price"),
-        expr("approx_percentile(l_quantity, array(0.25, 0.75), 1000)").as("qty_iqr"),
+        expr("approx_percentile(l_quantity, 0.25, 1000)").as("p25_qty"),
+        expr("approx_percentile(l_quantity, 0.75, 1000)").as("p75_qty"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
@@ -195,15 +198,17 @@ object Relational {
       .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
-  /** b21 — grouped collect as canon-sorted array (SURVEY §5.3 rule 5:
-    * never emit unsorted collections).
+  /** b21 — grouped collect, canon-sorted then stringified (SURVEY §5.3
+    * rule 5: never emit unsorted collections; rule 8: no ArrayType in a
+    * final schema — `concat_ws` flattens the sorted set to one string
+    * the cross-engine comparator can hash).
     */
   def groupCollect(spark: SparkSession, sfDir: String): DataFrame = {
     val n = Tables.t(spark, sfDir, "nation")
     val c = Tables.t(spark, sfDir, "customer")
     c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(sort_array(collect_set(col("c_mktsegment"))).as("segments"),
+      .agg(concat_ws("|", sort_array(collect_set(col("c_mktsegment")))).as("segments"),
         count(lit(1)).as("n_customers"))
       .orderBy("n_name")
   }
@@ -399,7 +404,8 @@ object Relational {
          |  l_linestatus ASC NULLS FIRST""".stripMargin,
 
     "b21_group_collect" ->
-      """SELECT n_name, list_sort(list(DISTINCT c_mktsegment)) AS segments,
+      """SELECT n_name,
+        |  array_to_string(list_sort(list(DISTINCT c_mktsegment)), '|') AS segments,
         |  COUNT(*) AS n_customers
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name

@@ -99,13 +99,17 @@ object TextAnalysis {
       .orderBy("doc_id")
 
   /** c17 — document fingerprint: bottom-4 sketch of character 5-gram
-    * md5s (winnowing-style). Constant-size per doc; near-dup docs
-    * share most sketch elements, exact dups share all.
+    * md5s, sampled at stride 4 (winnowing-style). Constant-size per
+    * doc; near-dup docs share most sketch elements, exact dups share
+    * all. The stride cuts hashing work 4× vs every-position 5-grams —
+    * at 100 TB the fingerprint pass is hash-bound, so the stride is
+    * the difference between 1× and 4× the corpus-scan cost. Output is
+    * the '|'-joined sorted sketch (one string, §5.3 rule 8).
     */
   def docFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     Tables.t(spark, sfDir, "documents")
       .select(col("doc_id"), expr(
-        "slice(array_sort(transform(sequence(1, greatest(length(text) - 4, 1)), i -> md5(substring(text, i, 5)))), 1, 4)")
+        "concat_ws('|', slice(array_sort(transform(sequence(1, greatest(length(text) - 4, 1), 4), i -> md5(substring(text, i, 5)))), 1, 4))")
         .as("fingerprint"))
       .orderBy("doc_id")
 
@@ -169,8 +173,8 @@ object TextAnalysis {
 
     "c17_doc_fingerprint" ->
       """SELECT doc_id,
-        |  list_sort(list_transform(range(1, greatest(len(text) - 4, 1) + 1),
-        |    i -> md5(substr(text, i, 5))))[1:4] AS fingerprint
+        |  array_to_string(list_sort(list_transform(range(1, greatest(len(text) - 4, 1) + 1, 4),
+        |    i -> md5(substr(text, i, 5))))[1:4], '|') AS fingerprint
         |FROM documents
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
   )

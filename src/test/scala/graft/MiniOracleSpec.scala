@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 /** Mini-oracle (SURVEY §5.4): every declared query key executes on
   * sf0.001 with a stable non-empty schema, and every oracle key refers
@@ -8,6 +9,16 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class MiniOracleSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
+
+  /** §5.3 rule 8: the driver's comparator (pandas sort → factorize)
+    * cannot hash ArrayType/MapType/StructType cells — round 2 shipped
+    * three red keys that way. Complex types must be flattened
+    * (concat_ws / scalar columns) before the final projection.
+    */
+  private def isComplex(dt: DataType): Boolean = dt match {
+    case _: ArrayType | _: MapType | _: StructType => true
+    case _ => false
+  }
 
   // Keys whose result can legitimately be empty at sf0.001 (tiny
   // fixtures: no never-ordered parts, no order-less customers).
@@ -35,6 +46,10 @@ class MiniOracleSpec extends AnyFunSuite {
     test(s"$name executes on sf0.001") {
       val df = fn(spark, TestSpark.sf0001)
       assert(df.schema.nonEmpty, "empty schema")
+      val complex = df.schema.fields.filter(f => isComplex(f.dataType))
+      assert(complex.isEmpty,
+        s"complex-typed output columns (driver comparator can't hash " +
+          s"them): ${complex.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ")}")
       val n = df.queryExecution.toRdd.count()
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
     }

@@ -56,6 +56,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("c5: corpus never explodes — centroids broadcast, cosine per row") {
+    // The round-2 plan posexploded every embedding to 64 rows and
+    // shuffle-joined on (label, idx): 64× corpus through an Exchange.
+    // The rewrite broadcasts the n_labels-row centroid-array table, so
+    // the only Exchange left is the per-label top-3 window.
+    // (The centroid build still posexplodes, but its Exchange carries
+    // only map-side-combined (label, idx) partials — 640 rows per
+    // partition — not corpus rows.)
+    val p = plan(Llm.knnPerLabel(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"centroids not broadcast: $p")
+    assert(!p.contains("Exchange hashpartitioning(vec_id"),
+      s"per-vector re-aggregate shuffle (the 64x corpus Exchange) is back: $p")
+  }
+
   test("b13: range join is an equi-join on user_id with a band filter") {
     val p = plan(Windows.rangeJoin(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
