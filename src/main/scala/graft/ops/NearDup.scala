@@ -157,11 +157,36 @@ object NearDup {
       .limit(5)
   }
 
+  /** c19 — batched similarity search: a 10-vector probe set against
+    * the whole corpus, top-3 neighbors per probe (self-match excluded).
+    * The probe set is broadcast (a probe batch is KBs at any corpus
+    * size), so the corpus never shuffles for the join; the per-probe
+    * top-3 is a rank window that Spark executes with WindowGroupLimit —
+    * a map-side per-partition top-k BEFORE the exchange, so the shuffle
+    * carries ≤ 3·n_probes rows per partition, not the 10× scored
+    * corpus. That pair (broadcast probes + group-limit pushdown) is
+    * the batched-ANN plan that survives 100 TB; pinned in PlanSpec.
+    */
+  def batchAnnTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val probes = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    emb.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("pe")), 4).as("cos"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 3)
+      .orderBy("probe_id", "rn")
+  }
+
   val queries: Map[String, Q] = Map(
     "c10_simhash_fingerprint" -> (simhashFingerprint(_, _)),
     "c11_ngram_jaccard_pairs" -> (ngramJaccardPairs(_, _)),
     "c12_embedding_near_dup" -> (embeddingNearDup(_, _)),
-    "c13_ann_ivf" -> (annIvf(_, _))
+    "c13_ann_ivf" -> (annIvf(_, _)),
+    "c19_batch_ann_topk" -> (batchAnnTopk(_, _))
   )
 
   val oracle: Map[String, String] = Map(
@@ -218,6 +243,26 @@ object NearDup {
          |)
          |WHERE cos >= $NearDupCos
          |ORDER BY vec_a ASC NULLS FIRST, vec_b ASC NULLS FIRST""".stripMargin,
+
+    "c19_batch_ann_topk" ->
+      """WITH probes AS (
+        |  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 10
+        |), scored AS (
+        |  SELECT probe_id, vec_id, ROUND(
+        |    list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(pe[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(pe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos
+        |  FROM embeddings, probes
+        |  WHERE vec_id != probe_id
+        |)
+        |SELECT probe_id, vec_id, cos, rn FROM (
+        |  SELECT probe_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY cos DESC NULLS LAST, vec_id ASC NULLS FIRST) AS rn
+        |  FROM scored
+        |) WHERE rn <= 3
+        |ORDER BY probe_id ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin,
 
     "c13_ann_ivf" ->
       s"""WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),

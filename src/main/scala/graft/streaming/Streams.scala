@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.Row
 
 /** Streaming surface: the SAME transforms the batch operators use
@@ -72,6 +73,44 @@ object Streams {
           state.update(next)
           Iterator((user, next._1, next._2))
       }.toDF("user_id", "n_events", "sum_value")
+  }
+
+  /** The `StatefulProcessor` behind [[runningTotalsTws]]: one
+    * `ValueState[(count, sum)]` per user key. Same semantics as the
+    * `flatMapGroupsWithState` version above, on the Spark 4.x state
+    * API (typed named state, TTL support, timers) — the surface new
+    * stateful operators should target.
+    */
+  class RunningTotalsProcessor
+      extends StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
+    @transient private var totals: ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Double)](
+        "totals", Encoders.product[(Long, Double)], TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Double)],
+        timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+      val (n0, s0) = if (totals.exists()) totals.get() else (0L, 0.0)
+      val batch = rows.toSeq
+      val next = (n0 + batch.size, s0 + batch.map(_._2).sum)
+      totals.update(next)
+      Iterator((user, next._1, next._2))
+    }
+  }
+
+  /** Running per-user (count, sum) on `transformWithState` — the
+    * Spark 4.x successor to `flatMapGroupsWithState` ([[runningTotals]]
+    * is the legacy twin). Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` →
+    * `...state.RocksDBStateStoreProvider`), which is also the provider
+    * a 100 TB/day stream needs: state spills to disk instead of
+    * living on the executor heap.
+    */
+  def runningTotalsTws(events: Dataset[(Long, Double)]): DataFrame = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "n_events", "sum_value")
   }
 
   /** Standard sink wiring: append to parquet with a checkpoint — the

@@ -70,6 +70,14 @@ class PlanSpec extends AnyFunSuite {
       s"per-vector re-aggregate shuffle (the 64x corpus Exchange) is back: $p")
   }
 
+  test("c19: batched ANN — probes broadcast, per-probe top-k prunes map-side") {
+    val p = plan(NearDup.batchAnnTopk(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probe set not broadcast: $p")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter not pushed below the exchange: $p")
+  }
+
   test("b13: range join is an equi-join on user_id with a band filter") {
     val p = plan(Windows.rangeJoin(spark, sf))
     assert(!p.contains("CartesianProduct"), p)

@@ -90,4 +90,34 @@ class StreamingSpec extends AnyFunSuite {
       assert(byKey("u2")._2 == 1L && byKey("u2")._3 == 5.0)
     } finally q.stop()
   }
+
+  test("B47b: transformWithState (Spark 4.x API) keeps running totals across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    // transformWithState requires the RocksDB provider (also the one a
+    // large deployment runs: state on disk, not executor heap).
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Long, Double)]
+    val totals = graft.streaming.Streams.runningTotalsTws(input.toDS())
+    val q = totals.writeStream.format("memory").queryName("b47b")
+      .outputMode("update").start()
+    try {
+      input.addData((1L, 1.0), (1L, 2.0), (2L, 5.0))
+      q.processAllAvailable()
+      input.addData((1L, 3.0))
+      q.processAllAvailable()
+      val byKey = spark.table("b47b").as[(Long, Long, Double)].collect()
+        .groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+      assert(byKey(1L)._2 == 3L && byKey(1L)._3 == 6.0)
+      assert(byKey(2L)._2 == 1L && byKey(2L)._3 == 5.0)
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
