@@ -37,7 +37,7 @@ object Functions {
     * `map_from_entries`, then exercise `map_keys` / `map_values` /
     * `element_at` / `size`. Final schema is all-scalar: keys flattened
     * via sorted `concat_ws`, values via an `aggregate` fold (§5.3
-    * rule 8 — no MapType leaves the operator). Pure per-row
+    * rule 5 — no MapType leaves the operator). Pure per-row
     * projection, no shuffle beyond the canon ORDER BY.
     */
   def mapFuncs(spark: SparkSession, sfDir: String): DataFrame =

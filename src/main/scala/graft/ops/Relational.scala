@@ -163,7 +163,7 @@ object Relational {
     * where exact percentiles would shuffle the world. Sketches aren't
     * cross-engine comparable → no oracle (rows-only check); error
     * bounds are property-tested against exact percentiles instead
-    * (OperatorPropertiesSpec). All outputs scalar (§5.3 rule 8: no
+    * (OperatorPropertiesSpec). All outputs scalar (§5.3 rule 5: no
     * ArrayType in a final schema — the driver comparator can't hash
     * arrays), so the IQR ships as two scalar percentile columns.
     */
@@ -199,7 +199,7 @@ object Relational {
         col("l_linestatus").asc_nulls_first)
 
   /** b21 — grouped collect, canon-sorted then stringified (SURVEY §5.3
-    * rule 5: never emit unsorted collections; rule 8: no ArrayType in a
+    * rule 5: never emit unsorted collections and no ArrayType in a
     * final schema — `concat_ws` flattens the sorted set to one string
     * the cross-engine comparator can hash).
     */

@@ -104,7 +104,7 @@ object TextAnalysis {
     * all. The stride cuts hashing work 4× vs every-position 5-grams —
     * at 100 TB the fingerprint pass is hash-bound, so the stride is
     * the difference between 1× and 4× the corpus-scan cost. Output is
-    * the '|'-joined sorted sketch (one string, §5.3 rule 8).
+    * the '|'-joined sorted sketch (one string, §5.3 rule 5).
     */
   def docFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     Tables.t(spark, sfDir, "documents")

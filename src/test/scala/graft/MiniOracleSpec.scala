@@ -10,7 +10,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 class MiniOracleSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
 
-  /** §5.3 rule 8: the driver's comparator (pandas sort → factorize)
+  /** §5.3 rule 5: the driver's comparator (pandas sort → factorize)
     * cannot hash ArrayType/MapType/StructType cells — round 2 shipped
     * three red keys that way. Complex types must be flattened
     * (concat_ws / scalar columns) before the final projection.
