@@ -45,6 +45,15 @@ object Llm {
 
   /** (doc_id, band_idx, band_val) LSH bucket assignments: word
     * 3-shingles → per-seed min-md5 signature → banded band hash.
+    *
+    * The k per-seed min-hashes are k `min` AGGREGATE COLUMNS over one
+    * shingle pass, not a k× row explosion (the round-2 shape
+    * crossJoined a seeds table, putting 8× the shingle count through
+    * the aggregation): same md5 evaluations, but the map-side partial
+    * agg now compresses to one 8-column row per (partition, doc)
+    * before the shuffle. Values are identical — `md5("<seed>:" ++
+    * shingle)`, min per seed, seed-ordered — so the DuckDB oracle CTE
+    * is unchanged.
     */
   private def lshBands(spark: SparkSession, sfDir: String): DataFrame = {
     val shingles = tokenized(spark, sfDir)
@@ -52,18 +61,12 @@ object Llm {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
         .as("shingle"))
-    val seeds = spark.range(MinhashSeeds).select(col("id").as("seed"))
-    val minhashes = shingles
-      .crossJoin(broadcast(seeds))
-      .select(col("doc_id"), col("seed"),
-        md5(concat(col("seed").cast("string"), lit(":"), col("shingle"))).as("h"))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(col("h")).as("mh"))
-    val sigs = minhashes
-      .groupBy(col("doc_id"))
-      .agg(expr("transform(sort_array(collect_list(struct(seed, mh))), s -> s.mh)").as("sigs"))
+    val minCols = (0 until MinhashSeeds).map(s =>
+      min(md5(concat(lit(s"$s:"), col("shingle")))).as(s"mh$s"))
+    val sigs = shingles.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
     sigs.select(col("doc_id"), posexplode(expr(
-      (0 until Bands).map(j => s"md5(concat(sigs[${2 * j}], sigs[${2 * j + 1}]))")
+      (0 until Bands).map(j => s"md5(concat(mh${2 * j}, mh${2 * j + 1}))")
         .mkString("array(", ", ", ")"))).as(Seq("band_idx", "band_val")))
   }
 
