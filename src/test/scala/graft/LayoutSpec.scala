@@ -55,6 +55,34 @@ class LayoutSpec extends AnyFunSuite {
     assert(!scanned.contains("lang=de"), "scan not pruned to lang=en")
   }
 
+  test("runtime bloom-filter pruning injects on a selective shuffle join") {
+    // At 100 TB the win: a selective dimension filter becomes a bloom
+    // filter evaluated inside the fact scan, discarding rows before
+    // the shuffle instead of after it. Thresholds are tuned for prod
+    // sizes, so pin the mechanism by scaling them down to fixture size
+    // (and disabling broadcast so the join actually shuffles).
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1B",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prior = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val orders = Tables.t(spark, TestSpark.sf0001, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+      val lineitem = Tables.t(spark, TestSpark.sf0001, "lineitem")
+      val joined = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("bloomfilter"),
+        s"no runtime bloom filter injected:\n$plan")
+      assert(joined.count() > 0)
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("writeSized caps records per output file") {
     val out = "/tmp/graft_layout_test"
     Layout.writeSized(Tables.t(spark, TestSpark.sf0001, "orders"), out, 500L)
