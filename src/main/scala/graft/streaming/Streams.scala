@@ -113,6 +113,22 @@ object Streams {
       .toDF("user_id", "n_events", "sum_value")
   }
 
+  /** Stream-stream inner join: enrich an event stream with a second
+    * stream on a shared key, matches accepted only within
+    * `horizon` of each other. BOTH watermarks plus the time-range
+    * join condition are what let Spark evict join state — without
+    * them, each side buffers forever (the unbounded-state failure a
+    * 100 TB/day pipeline cannot absorb).
+    *
+    * Column contract: left has (ts, key, ...), right has (rts, rkey,
+    * ...); output = left ⋈ right on key within the horizon.
+    */
+  def enrichJoin(left: DataFrame, right: DataFrame,
+    horizon: String = "10 minutes"): DataFrame =
+    left.withWatermark("ts", horizon)
+      .join(right.withWatermark("rts", horizon),
+        expr(s"""key = rkey AND rts BETWEEN ts AND ts + INTERVAL $horizon"""))
+
   /** Standard sink wiring: append to parquet with a checkpoint — the
     * readStream→transform→writeStream production shape. Returned
     * unstarted so callers control trigger/lifecycle.

@@ -91,6 +91,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join matches keys only within the time horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Timestamp, String)]
+    val clicks = MemoryStream[(Timestamp, String)]
+    val joined = graft.streaming.Streams.enrichJoin(
+      imps.toDF().toDF("ts", "key"),
+      clicks.toDF().toDF("rts", "rkey"))
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      imps.addData((ts("10:00"), "a"), (ts("10:00"), "b"))
+      clicks.addData(
+        (ts("10:05"), "a"),  // within 10 min of a's impression → match
+        (ts("10:30"), "b"))  // 30 min later → outside horizon → no match
+      q.processAllAvailable()
+      import spark.implicits._
+      val keys = spark.table("ssj").select($"key").as[String].collect().toSeq
+      assert(keys == Seq("a"), s"expected only 'a' to join, got $keys")
+    } finally q.stop()
+  }
+
   test("B47b: transformWithState (Spark 4.x API) keeps running totals across batches") {
     implicit val sqlCtx = spark.sqlContext
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
