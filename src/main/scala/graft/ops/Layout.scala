@@ -43,4 +43,40 @@ object Layout {
     df.write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(path)
+
+  /** Z-order (Morton) clustering on two numeric columns: quantize each
+    * to `bits` bits, interleave the bits into one key, range-partition
+    * and sort by it. Files then have COMPACT min/max bounding boxes in
+    * BOTH dimensions, so parquet row-group statistics prune 2-D
+    * predicates — a single-column sort gives perfect pruning on one
+    * dimension and none on the other. This is the lakehouse layout
+    * trick (Delta/Iceberg `OPTIMIZE ZORDER BY`) expressed as plain
+    * DataFrame algebra.
+    *
+    * Scale posture: quantization bounds come from a broadcast 1-row
+    * aggregate (no collect); `repartitionByRange` samples the z-key —
+    * one extra pass, no driver-side data.
+    */
+  def zorderBy(df: DataFrame, c1: String, c2: String,
+    partitions: Int, bits: Int = 8): DataFrame = {
+    val bounds = df.agg(
+      min(col(c1)).cast("double").as("min1"), max(col(c1)).cast("double").as("max1"),
+      min(col(c2)).cast("double").as("min2"), max(col(c2)).cast("double").as("max2"))
+    val scale = (1 << bits) - 1
+    def quant(c: String, lo: String, hi: String) =
+      least(greatest(
+        floor((col(c).cast("double") - col(lo)) /
+          (col(hi) - col(lo) + lit(1e-12)) * scale).cast("long"),
+        lit(0L)), lit(scale.toLong))
+    val keyed = df.crossJoin(broadcast(bounds))
+      .withColumn("q1", quant(c1, "min1", "max1"))
+      .withColumn("q2", quant(c2, "min2", "max2"))
+      .withColumn("zkey", (0 until bits).foldLeft(lit(0L)) { (acc, j) =>
+        acc.bitwiseOR(shiftleft(shiftright(col("q1"), j).bitwiseAND(lit(1L)), 2 * j))
+          .bitwiseOR(shiftleft(shiftright(col("q2"), j).bitwiseAND(lit(1L)), 2 * j + 1))
+      })
+    keyed.repartitionByRange(partitions, col("zkey"))
+      .sortWithinPartitions("zkey")
+      .drop("min1", "max1", "min2", "max2", "q1", "q2", "zkey")
+  }
 }

@@ -55,6 +55,33 @@ class LayoutSpec extends AnyFunSuite {
     assert(!scanned.contains("lang=de"), "scan not pruned to lang=en")
   }
 
+  test("zorderBy gives compact per-partition bounding boxes in BOTH dims") {
+    val orders = Tables.t(spark, TestSpark.sf0001, "orders")
+    def avgRelRanges(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val r = df.select(col("o_custkey").cast("double").as("x"),
+          col("o_totalprice").cast("double").as("y"))
+        .withColumn("p", spark_partition_id())
+        .groupBy("p").agg((max("x") - min("x")).as("rx"), (max("y") - min("y")).as("ry"))
+        .agg(avg("rx").as("arx"), avg("ry").as("ary")).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val g = orders.agg(
+      (max("o_custkey") - min("o_custkey")).cast("double"),
+      (max("o_totalprice") - min("o_totalprice")).cast("double")).head()
+    val (gx, gy) = (g.getDouble(0), g.getDouble(1))
+    val z = Layout.zorderBy(orders, "o_custkey", "o_totalprice", 16)
+    assert(z.count() == orders.count(), "zorder must be a pure re-layout")
+    val (zx, zy) = avgRelRanges(z)
+    // z-curve segments stay compact in BOTH dims (ideal for 16
+    // partitions of an 8-bit grid: ~1/4 of each range)
+    assert(zx / gx < 0.6 && zy / gy < 0.6,
+      f"z-order boxes not compact: x=${zx / gx}%.2f y=${zy / gy}%.2f of global")
+    // contrast: a single-dim range sort leaves the other dim unclustered
+    val (_, sy) = avgRelRanges(orders.repartitionByRange(16, col("o_custkey")))
+    assert(sy / gy > 0.7,
+      f"expected single-dim layout to span ~full y range, got ${sy / gy}%.2f")
+  }
+
   test("runtime bloom-filter pruning injects on a selective shuffle join") {
     // At 100 TB the win: a selective dimension filter becomes a bloom
     // filter evaluated inside the fact scan, discarding rows before
