@@ -77,6 +77,35 @@ class AlgebraicInvariantsSpec extends AnyFunSuite {
     assert(sigs(100000L) == sigs(100001L), "identical docs must have identical signatures")
   }
 
+  test("batched ANN (c19): probe 0's neighbors equal c4's brute-force list minus self") {
+    val batch = NearDup.batchAnnTopk(spark, sf)
+      .where($"probe_id" === 0).select($"vec_id").as[Long].collect().toSeq
+    val brute = Llm.cosineTopk(spark, sf)
+      .select($"vec_id").as[Long].collect().toSeq
+    // c4 ranks vec 0 first (cos=1 with itself); c19 excludes self-match,
+    // so its top-3 must be exactly the next three of the brute-force list
+    assert(brute.head == 0L)
+    assert(batch == brute.slice(1, 4),
+      s"batched ANN disagrees with brute force: $batch vs $brute")
+  }
+
+  test("near-dup cells (c12): every emitted pair agrees on >=3 of 4 sign bits") {
+    val sfDir = TestSpark.sf0001
+    val emb = Tables.t(spark, sfDir, "embeddings")
+      .select($"vec_id", expr(
+        """(CASE WHEN embedding[0] >= 0 THEN 8 ELSE 0 END) +
+          |(CASE WHEN embedding[1] >= 0 THEN 4 ELSE 0 END) +
+          |(CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) +
+          |(CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END)""".stripMargin).as("bkt"))
+      .as[(Long, Int)].collect().toMap
+    val pairs = NearDup.embeddingNearDup(spark, sfDir)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect()
+    pairs.foreach { case (a, b) =>
+      val hamming = Integer.bitCount(emb(a) ^ emb(b))
+      assert(hamming <= 1, s"pair ($a,$b) differs in $hamming sign bits")
+    }
+  }
+
   test("IVF (c13) searches only the probed cells, ranked correctly") {
     val rows = NearDup.annIvf(spark, sf)
       .select($"vec_id", $"label", $"cos")
