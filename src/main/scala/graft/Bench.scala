@@ -58,8 +58,11 @@ object Bench {
     val total = results.map(_._2).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
     Files.writeString(Paths.get(outFile), json + "\n")
+    // Stop Spark BEFORE printing: its shutdown logging must not be able
+    // to land after the JSON when a caller merges stderr into stdout —
+    // the driver parses the LAST line.
     spark.stop()
+    println(json)
   }
 }
