@@ -22,6 +22,24 @@ class OperatorPropertiesSpec extends AnyFunSuite {
   private val texts: Gen[List[String]] =
     Gen.nonEmptyListOf(Gen.oneOf("a b c", "a b c d", "x y", "a b c", "q r s t"))
 
+  test("canon decimal sums are partition-count invariant (the 100 TB claim)") {
+    // The canon's central promise: dsum/davg produce bit-identical
+    // results at ANY partitioning — 1 partition (DuckDB's world) or
+    // many (a 1000-executor cluster). Raw double sums break this;
+    // the decimal path must not.
+    val values = samples(Gen.listOfN(200, Gen.chooseNum(-1e6, 1e6)), 3)
+    values.foreach { vs =>
+      val df = vs.toDF("x")
+      val results = Seq(1, 7, 32).map { p =>
+        df.repartition(p).agg(
+          Canon.dsum($"x").as("s"), Canon.davg($"x").as("a"))
+          .as[(Double, Double)].head()
+      }
+      assert(results.distinct.size == 1,
+        s"partitioning changed a canon aggregate: $results")
+    }
+  }
+
   test("exact dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
     samples(texts).foreach { ts =>
       val once = ts.toDF("text").dropDuplicates("text")
