@@ -113,11 +113,35 @@ object TextAnalysis {
         .as("fingerprint"))
       .orderBy("doc_id")
 
+  /** c20 — deterministic hash sampling: keep a document iff the first
+    * hex nibble of md5("sample:" ++ doc_id) falls in a fixed set — a
+    * 4/16 = 25% sample that is reproducible across runs, engines and
+    * cluster sizes (no RNG, no seed plumbing, no partition
+    * sensitivity), which is how a production corpus pipeline cuts
+    * reproducible subsamples. The salt isolates this decision from
+    * every other md5(doc_id) use. Reported as per-language kept/total/
+    * rate so the oracle verifies both the membership decision and the
+    * stratification balance.
+    */
+  def hashSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.t(spark, sfDir, "documents")
+    val kept = d.where(substring(
+        md5(concat(lit("sample:"), col("doc_id").cast("string"))), 1, 1)
+      .isin("0", "1", "2", "3"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+    val totals = d.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+    kept.join(totals, "lang")
+      .select(col("lang"), col("n_kept"), col("n_total"),
+        round(col("n_kept").cast("double") / col("n_total"), 4).as("rate"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
     "c14_lang_id" -> (langId(_, _)),
     "c15_quality_score" -> (qualityScore(_, _)),
     "c16_token_count" -> (tokenCount(_, _)),
-    "c17_doc_fingerprint" -> (docFingerprint(_, _))
+    "c17_doc_fingerprint" -> (docFingerprint(_, _)),
+    "c20_hash_sample" -> (hashSample(_, _))
   )
 
   val oracle: Map[String, String] = Map(
@@ -170,6 +194,20 @@ object TextAnalysis {
         |        / len(string_split(text, ' ')), 4) AS pieces_per_token
         |FROM documents
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "c20_hash_sample" ->
+      """WITH kept AS (
+        |  SELECT lang, COUNT(*) AS n_kept FROM documents
+        |  WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 1)
+        |    IN ('0', '1', '2', '3')
+        |  GROUP BY lang
+        |), totals AS (
+        |  SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang
+        |)
+        |SELECT kept.lang, n_kept, n_total,
+        |  ROUND(CAST(n_kept AS DOUBLE) / n_total, 4) AS rate
+        |FROM kept JOIN totals ON kept.lang = totals.lang
+        |ORDER BY kept.lang ASC NULLS FIRST""".stripMargin,
 
     "c17_doc_fingerprint" ->
       """SELECT doc_id,
