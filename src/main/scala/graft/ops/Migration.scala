@@ -100,6 +100,26 @@ object Migration {
         (col("src_rows") === col("tgt_rows")).as("rows_match"))
     }.reduce(_ unionByName _).orderBy("table_name")
 
+  /** A12 — per-column data audit: row/null/distinct counts per column
+    * of a table — the data-quality pass a migrator runs before and
+    * after a copy (pairs with A7's count parity). One aggregation per
+    * column keeps each pass a plain scan + 3-agg (no multi-distinct
+    * expand blow-up); the n-column union is n independent
+    * metadata-sized results.
+    */
+  private val OrdersCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  def profileColumns(spark: SparkSession, sfDir: String): DataFrame =
+    OrdersCols.map { c =>
+      Tables.t(spark, sfDir, "orders").agg(
+        count(lit(1)).as("n_rows"),
+        count(col(c)).as("n_nonnull"),
+        countDistinct(col(c)).as("n_distinct"))
+        .select(lit(c).as("column_name"), col("n_rows"),
+          (col("n_rows") - col("n_nonnull")).as("n_null"), col("n_distinct"))
+    }.reduce(_ unionByName _).orderBy("column_name")
+
   /** A9 — counter-column merge semantics: Cassandra counters merge by
     * SUM on re-write (never overwrite). Demonstrated as the per-key
     * sum+count merge over the events stream.
@@ -143,10 +163,17 @@ object Migration {
     "a4_type_roundtrip" -> (typeRoundtrip(_, _)),
     "a7_verify_counts" -> (verifyCounts(_, _)),
     "a9_counter_merge" -> (counterMerge(_, _)),
+    "a12_profile_columns" -> (profileColumns(_, _)),
     "b2_ns_ts_ingest" -> (nsTsIngest(_, _))
   )
 
   val oracle: Map[String, String] = Map(
+    "a12_profile_columns" ->
+      OrdersCols.map(c =>
+        s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($c) AS n_null,
+           |  COUNT(DISTINCT $c) AS n_distinct FROM orders""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name ASC NULLS FIRST"),
     "a1_full_scan_count" ->
       s"""SELECT * FROM (
          |${unionCounts(n => s"SELECT '$n' AS table_name, count(*) AS row_count FROM $n")}

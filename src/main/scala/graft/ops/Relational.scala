@@ -242,6 +242,27 @@ object Relational {
       .orderBy("lang")
   }
 
+  /** b52 — fixed-bin histogram of a numeric column: global min/max via
+    * a broadcast 1-row aggregate (no collect), bin assignment as a
+    * per-row projection, counts map-side combined — the distribution
+    * profile a pipeline computes per ingest batch. Bin arithmetic is
+    * written identically in the oracle (same IEEE ops, same
+    * association) so bin edges match bit-for-bit.
+    */
+  def histogramQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.t(spark, sfDir, "events")
+    val bounds = e.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    e.crossJoin(broadcast(bounds))
+      .withColumn("bin", least(
+        floor((col("value") - col("lo")) / (col("hi") - col("lo")) * 20).cast("long"),
+        lit(19L)))
+      .groupBy(col("bin"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"), col("n"),
+        round(col("lo") + col("bin") * (col("hi") - col("lo")) / 20, 4).as("bin_lo"))
+      .orderBy("bin")
+  }
+
   /** b29 — TPC-H Q3 shape: filtered 3-way join, revenue per order,
     * global top-10 — fused by Spark into TakeOrderedAndProject
     * (per-partition heaps; no global sort even at 100 TB).
@@ -301,6 +322,7 @@ object Relational {
     "b22_stats_agg" -> (statsAgg(_, _)),
     "b23_pivot" -> (pivotQ(_, _)),
     "b29_q3_topk_revenue" -> (q3TopkRevenue(_, _)),
+    "b52_histogram" -> (histogramQ(_, _)),
     "b31_union" -> (unionQ(_, _)),
     "b32_intersect" -> (intersectQ(_, _)),
     "b33_except" -> (exceptQ(_, _))
@@ -443,6 +465,17 @@ object Relational {
          |GROUP BY l_orderkey, o_orderdate, o_orderpriority
          |ORDER BY revenue DESC NULLS LAST, l_orderkey ASC NULLS FIRST
          |LIMIT 10""".stripMargin,
+
+    "b52_histogram" ->
+      """WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+        |SELECT bin, COUNT(*) AS n,
+        |  ROUND(lo + bin * (hi - lo) / 20, 4) AS bin_lo
+        |FROM (
+        |  SELECT least(CAST(floor((value - lo) / (hi - lo) * 20) AS BIGINT), 19) AS bin,
+        |    lo, hi
+        |  FROM events, b)
+        |GROUP BY bin, lo, hi
+        |ORDER BY bin ASC NULLS FIRST""".stripMargin,
 
     "b31_union" ->
       """SELECT DISTINCT id FROM (
