@@ -35,6 +35,41 @@ final class ParquetSink(dir: String) extends TableSink {
     df.write.mode("overwrite").parquet(s"$dir/$table.parquet")
 }
 
+/** JSON-lines source/sink pair — the same `TableSource` contract on a
+  * different wire format (ingest from log shippers / export to
+  * downstream consumers). Reads take an EXPLICIT schema: at 100 TB,
+  * schema inference is a full extra pass and a correctness hazard
+  * (all-null partitions infer string) — the schema manifest (A2) is
+  * the source of truth.
+  */
+final class JsonSink(dir: String) extends TableSink {
+  def write(df: DataFrame, table: String): Unit =
+    df.write.mode("overwrite").json(s"$dir/$table.json")
+}
+
+final class JsonSource(dir: String,
+    schemas: Map[String, org.apache.spark.sql.types.StructType]) extends TableSource {
+  def tableNames(spark: SparkSession): Seq[String] = schemas.keys.toSeq.sorted
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.schema(schemas(table)).json(s"$dir/$table.json")
+}
+
+/** CSV source/sink pair (header row, standard quoting) — same
+  * explicit-schema discipline as [[JsonSource]].
+  */
+final class CsvSink(dir: String) extends TableSink {
+  def write(df: DataFrame, table: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(s"$dir/$table.csv")
+}
+
+final class CsvSource(dir: String,
+    schemas: Map[String, org.apache.spark.sql.types.StructType]) extends TableSource {
+  def tableNames(spark: SparkSession): Seq[String] = schemas.keys.toSeq.sorted
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.schema(schemas(table)).option("header", "true")
+      .csv(s"$dir/$table.csv")
+}
+
 /** PRODUCTION-PATH DESIGN (not runnable here; kept out of the oracle
   * query map per SURVEY §7 hard-part 5).
   *

@@ -30,6 +30,22 @@ class MigrationSpec extends AnyFunSuite {
     assert(cols == df.schema.fieldNames.toSeq)
   }
 
+  test("A6: json and csv sources round-trip the documents table exactly") {
+    import graft.sources._
+    val docs = Tables.t(spark, TestSpark.sf0001, "documents")
+    val schemas = Map("documents" -> docs.schema)
+    val dir = "/tmp/graft_fmt_roundtrip"
+    new JsonSink(dir).write(docs, "documents")
+    new CsvSink(dir).write(docs, "documents")
+    Seq(new JsonSource(dir, schemas), new CsvSource(dir, schemas)).foreach { src =>
+      val back = src.read(spark, "documents")
+      assert(back.schema == docs.schema, s"schema drift via ${src.getClass.getSimpleName}")
+      assert(back.count() == docs.count())
+      assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty,
+        s"rows drift via ${src.getClass.getSimpleName}")
+    }
+  }
+
   test("A3: fixture scans split into multiple partitions (token-range analog)") {
     val parts = Tables.t(spark, TestSpark.sf0001, "lineitem")
       .rdd.getNumPartitions

@@ -40,6 +40,18 @@ class OperatorPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("hash sampling (c20 kernel) is deterministic and partition-invariant") {
+    val df = (1L to 500L).toDF("doc_id")
+    def kept(p: Int): Set[Long] = df.repartition(p)
+      .where(substring(md5(concat(lit("sample:"), $"doc_id".cast("string"))), 1, 1)
+        .isin("0", "1", "2", "3"))
+      .select($"doc_id").as[Long].collect().toSet
+    val once = kept(1)
+    assert(once == kept(32), "sample membership must not depend on partitioning")
+    val rate = once.size.toDouble / 500
+    assert(rate > 0.15 && rate < 0.35, s"25% nominal rate way off: $rate")
+  }
+
   test("exact dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
     samples(texts).foreach { ts =>
       val once = ts.toDF("text").dropDuplicates("text")
