@@ -34,30 +34,33 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$n.parquet").limit(1).count()
       catch { case _: Throwable => () }
     }
-    // Headliners (the BASELINE.md contract queries) run twice, min
-    // taken: first-touch parquet footer reads + codegen compilation on
-    // this shared machine add ±1-2 s of noise that a baseline contract
-    // at the 2× line can't absorb. Everything else runs once.
-    val headliners = Set(
-      "b16_q1_pricing_summary", "b8_join_3way", "b29_q3_topk_revenue",
-      "b24_window_topk_per_group", "b42_tumbling_window",
-      "c1_dedup_exact", "c4_cosine_topk")
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
-      (System.nanoTime() - t0) / 1e9
-    }
+    // Every query runs twice, min taken (total runtime ~2 min permits
+    // it): first-touch parquet footer reads + codegen compilation on
+    // this shared machine add ±1-2 s of noise per query, and round 4's
+    // single-shot numbers produced false 5-8× "regressions" on
+    // unchanged queries that cost a full investigation. A failed run
+    // scores Double.MaxValue so it can never win the min and is
+    // surfaced in the JSON "failed" list, never silently deflating the
+    // total (round-4 ADVICE).
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
+      try {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        Double.MaxValue
+      }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = if (headliners(name)) 2 else 1
-      name -> (1 to runs).map(_ => timeOnce(name, fn)).min
+      name -> (1 to 2).map(_ => timeOnce(name, fn)).min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val (failed, ok) = results.partition(_._2 == Double.MaxValue)
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = ok.map(_._2).sum
+    val failedJson = failed.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outFile), json + "\n")
     // Stop Spark BEFORE printing: its shutdown logging must not be able
     // to land after the JSON when a caller merges stderr into stdout —

@@ -247,14 +247,19 @@ object Relational {
     * per-row projection, counts map-side combined — the distribution
     * profile a pipeline computes per ingest batch. Bin arithmetic is
     * written identically in the oracle (same IEEE ops, same
-    * association) so bin edges match bit-for-bit.
+    * association) so bin edges match bit-for-bit. The denominator
+    * carries a +1e-12 epsilon (same guard as Layout.zorderBy): when
+    * every value is equal, hi−lo = 0 and the unguarded ratio is NaN —
+    * Spark nulls the cast while DuckDB ERRORS on CAST(NaN AS BIGINT),
+    * so the engines would diverge; with the guard both put the
+    * degenerate batch in bin 0.
     */
   def histogramQ(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.t(spark, sfDir, "events")
     val bounds = e.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
     e.crossJoin(broadcast(bounds))
       .withColumn("bin", least(
-        floor((col("value") - col("lo")) / (col("hi") - col("lo")) * 20).cast("long"),
+        floor((col("value") - col("lo")) / (col("hi") - col("lo") + lit(1e-12)) * 20).cast("long"),
         lit(19L)))
       .groupBy(col("bin"), col("lo"), col("hi"))
       .agg(count(lit(1)).as("n"))
@@ -471,7 +476,7 @@ object Relational {
         |SELECT bin, COUNT(*) AS n,
         |  ROUND(lo + bin * (hi - lo) / 20, 4) AS bin_lo
         |FROM (
-        |  SELECT least(CAST(floor((value - lo) / (hi - lo) * 20) AS BIGINT), 19) AS bin,
+        |  SELECT least(CAST(floor((value - lo) / (hi - lo + 1e-12) * 20) AS BIGINT), 19) AS bin,
         |    lo, hi
         |  FROM events, b)
         |GROUP BY bin, lo, hi

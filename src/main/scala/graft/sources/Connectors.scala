@@ -54,12 +54,20 @@ final class JsonSource(dir: String,
     spark.read.schema(schemas(table)).json(s"$dir/$table.json")
 }
 
-/** CSV source/sink pair (header row, standard quoting) — same
-  * explicit-schema discipline as [[JsonSource]].
+/** CSV source/sink pair (header row, RFC-4180 quoting) — same
+  * explicit-schema discipline as [[JsonSource]]. Write and read pin
+  * the SAME quote/escape pair (`"` doubled inside quoted fields) and
+  * the read is multiLine, so cells containing embedded newlines,
+  * quotes or backslashes round-trip exactly — Spark's defaults
+  * (backslash escape, single-line reader) silently corrupt such cells.
+  * multiLine makes a file non-splittable; the sink writes one file per
+  * task, so read parallelism = write parallelism, preserved at scale.
   */
 final class CsvSink(dir: String) extends TableSink {
   def write(df: DataFrame, table: String): Unit =
-    df.write.mode("overwrite").option("header", "true").csv(s"$dir/$table.csv")
+    df.write.mode("overwrite").option("header", "true")
+      .option("quote", "\"").option("escape", "\"")
+      .csv(s"$dir/$table.csv")
 }
 
 final class CsvSource(dir: String,
@@ -67,6 +75,8 @@ final class CsvSource(dir: String,
   def tableNames(spark: SparkSession): Seq[String] = schemas.keys.toSeq.sorted
   def read(spark: SparkSession, table: String): DataFrame =
     spark.read.schema(schemas(table)).option("header", "true")
+      .option("quote", "\"").option("escape", "\"")
+      .option("multiLine", "true")
       .csv(s"$dir/$table.csv")
 }
 

@@ -51,6 +51,51 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("c2: both self-join sides read the materialized band table (one signature pass)") {
+    // Round 4's plan replayed the full shingle→signature subtree under
+    // BOTH join inputs; with the persisted band table each side is an
+    // InMemoryTableScan and the signature pipeline exists once, at
+    // materialization time. Node traversal (not string match): the
+    // plan STRING legitimately shows the cached pipeline as the
+    // InMemoryRelation's provenance, but it must not be a live node of
+    // the query tree — no Generate (shingle explode) may execute here.
+    val sp = Llm.dedupMinhashPairs(spark, sf).queryExecution.sparkPlan
+    val gens = sp.collect { case g: org.apache.spark.sql.execution.GenerateExec => g }
+    val ims = sp.collect {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s }
+    assert(gens.isEmpty, s"signature subtree replayed inside the self-join: $sp")
+    assert(ims.size == 2, s"expected both join sides cached, got ${ims.size}: $sp")
+  }
+
+  test("c2 signature pass hash-aggregates (BIGINT minhash buffer, no sort)") {
+    // min(md5-hex-string) forced SortAggregate — the full exploded
+    // shingle stream was SORTED before aggregation. min over the 60-bit
+    // BIGINT prefix keeps a fixed-width mutable buffer → HashAggregate
+    // with map-side combine.
+    val p = plan(Llm.lshBandsPlan(spark, sf))
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"), s"minhash agg fell back to sort: $p")
+  }
+
+  test("c13: cell ranking is a bounded aggregate, not an empty-partition window") {
+    val p = plan(NearDup.annIvf(spark, sf))
+    assert(!p.contains("Window"), s"global window back in the cell ranker: $p")
+  }
+
+  test("a12: single-pass column audit — one scan of orders, not one per column") {
+    val p = plan(Migration.profileColumns(spark, sf))
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected 1 scan, found $scans: $p")
+  }
+
+  test("b35/b37: pure projections carry no shuffle besides the canon sort") {
+    for (df <- Seq(Functions.stringFuncs(spark, sf), Functions.mathFuncs(spark, sf))) {
+      val p = plan(df)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"projection-only query grew a hash shuffle: $p")
+    }
+  }
+
   test("c12: near-dup pair join is an equi-join on the cell id, not cartesian") {
     val p = plan(NearDup.embeddingNearDup(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
