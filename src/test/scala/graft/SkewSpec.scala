@@ -45,4 +45,33 @@ class SkewSpec extends AnyFunSuite {
       .select($"_salt").distinct().count()
     assert(spread > 8, s"hot key only landed in $spread salt buckets")
   }
+
+  test("salting narrows the max task-input share on a skewed corpus") {
+    // The algebra tests above prove correctness; this one proves the
+    // BENEFIT: on a 200k-row corpus where one key holds 90% of rows,
+    // measure the largest hash-shuffle bucket (= the biggest join
+    // task's input) keyed by k alone vs by (k, salt). Unsalted, the
+    // hot key pins ~90% of the corpus on one task — the straggler that
+    // kills a 1000-executor job; salted over 16 sub-keys the max task
+    // share must drop by at least 4× (expected ~16×).
+    val n = 200000L
+    val big = spark.range(n).select(
+      when(pmod($"id", lit(100)) < 90, 0L)
+        .otherwise(pmod($"id", lit(1000))).as("k"),
+      $"id".as("v"))
+    def maxShare(df: org.apache.spark.sql.DataFrame,
+        keys: org.apache.spark.sql.Column*): Double = {
+      val biggest = df.repartition(32, keys: _*)
+        .select(spark_partition_id().as("p"))
+        .groupBy($"p").count()
+        .agg(max($"count")).as[Long].head()
+      biggest.toDouble / n
+    }
+    val unsalted = maxShare(big, $"k")
+    val salted = maxShare(
+      big.withColumn("_salt", pmod(hash($"v"), lit(16))), $"k", $"_salt")
+    assert(unsalted > 0.5, s"fixture not skewed enough: $unsalted")
+    assert(salted < unsalted / 4,
+      s"salting did not narrow the spread: unsalted=$unsalted salted=$salted")
+  }
 }
