@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.{Canon, Tables}
 
 /** Near-duplicate detection beyond MinHash, plus the ANN scale path
@@ -200,8 +201,85 @@ object NearDup {
       .orderBy("probe_id", "rn")
   }
 
+  /** c21 — near-duplicate CLUSTERS: connected components over the LSH
+    * candidate-pair graph (c2), labelling every involved doc with the
+    * min doc_id of its component — the step that turns pairwise
+    * candidates into dedup groups with one canonical survivor each.
+    *
+    * Algorithm: iterative min-label propagation (the Pregel
+    * connected-components kernel): every vertex starts as its own
+    * label; each round takes the min of its own and its neighbours'
+    * labels; labels decrease monotonically to the component minimum in
+    * O(graph diameter) rounds. The driver loop coordinates ROUNDS, not
+    * data — each round is one distributed shuffle join keyed by
+    * vertex; convergence is detected by the (monotone) global label
+    * sum going unchanged, one scalar agg per round. LSH candidate
+    * graphs are dense band-overlap cliques with tiny diameter, so a
+    * handful of rounds suffices at any corpus size; for adversarially
+    * long path graphs the same join pattern extends to
+    * alternating large-star/small-star contraction (O(log n) rounds,
+    * Kiveris et al.), which this kernel is the building block of.
+    * Per-round frames are eagerly localCheckpoint'ed (lineage cut — see
+    * the kernel comment), so peak footprint is a few vertex-sized label
+    * tables; superseded rounds are dropped by the context cleaner.
+    */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Llm.dedupMinhashPairs(spark, sfDir)
+    connectedComponents(pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+      .orderBy("doc_id")
+  }
+
+  /** The reusable CC kernel behind c21: undirected edges (u, v) →
+    * (doc_id, cluster_id = component min). Vertices not on any edge are
+    * absent from the output (singletons are trivially their own
+    * cluster). Unsorted — callers order as needed.
+    */
+  def connectedComponents(undirected: DataFrame): DataFrame = {
+    val edges = undirected.select(col("u"), col("v"))
+      .union(undirected.select(col("v").as("u"), col("u").as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Each round's frame is cut from its lineage with an EAGER
+    // localCheckpoint: plain persist leaves the logical plan nested
+    // one-round-deeper every iteration (InMemoryRelation embeds the
+    // child plan), which grows planning cost per round and eventually
+    // overflows the tree-walk stack on long-diameter graphs. The
+    // checkpoint keeps every round's plan O(1) deep; on a real cluster
+    // with preemptible executors the reliable `checkpoint()` (HDFS)
+    // form of the same call is the drop-in hardening.
+    var labels = edges.select(col("u").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint(true)
+    // coalesce guards the empty-graph case (sum over 0 rows is NULL)
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("cluster_id"), lit(0L))).head.getLong(0)
+    var lastSum = labelSum(labels)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      // labels appears on both sides of the round; rename the aggregate
+      // side so every column resolves unqualified (no ambiguous
+      // self-join references).
+      val nbrMin = edges.join(labels, edges("v") === labels("doc_id"))
+        .groupBy(col("u")).agg(min(col("cluster_id")).as("nbr_min"))
+        .withColumnRenamed("u", "nm_u")
+      val next = labels.join(nbrMin, col("doc_id") === col("nm_u"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint(true)
+      val nextSum = labelSum(next)
+      labels = next
+      converged = nextSum == lastSum
+      lastSum = nextSum
+      rounds += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
   val queries: Map[String, Q] = Map(
     "c10_simhash_fingerprint" -> (simhashFingerprint(_, _)),
+    "c21_dedup_clusters" -> (dedupClusters(_, _)),
     "c11_ngram_jaccard_pairs" -> (ngramJaccardPairs(_, _)),
     "c12_embedding_near_dup" -> (embeddingNearDup(_, _)),
     "c13_ann_ivf" -> (annIvf(_, _)),
@@ -220,6 +298,25 @@ object NearDup {
          |  GROUP BY doc_id, pos
          |)
          |GROUP BY doc_id
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    // Independent clustering formulation: full transitive closure via a
+    // recursive CTE (set-semantics UNION terminates), then min over the
+    // reachable set — a different algorithm than the Spark side's label
+    // propagation, so agreement is a real cross-check.
+    "c21_dedup_clusters" ->
+      s"""${Llm.oraclePairsCte.replaceFirst("WITH toks", "WITH RECURSIVE toks")},
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION
+         |  SELECT doc_b AS u, doc_a AS v FROM pairs
+         |), reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |)
+         |SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |FROM reach GROUP BY u
          |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
 
     "c11_ngram_jaccard_pairs" ->

@@ -142,4 +142,32 @@ class OperatorPropertiesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("connected components (c21 kernel) match driver-side union-find") {
+    // Random graphs — including long paths that need several label-
+    // propagation rounds — checked against a sequential union-find.
+    val g = Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 30L)))
+      .suchThat(_.exists(e => e._1 != e._2))
+    samples(g, 4).foreach { rawEdges =>
+      val es = rawEdges.filter(e => e._1 != e._2)
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(v => v -> find(v)).toMap
+      val got = ops.NearDup.connectedComponents(es.toDF("u", "v"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"edges=$es got=$got expected=$expected")
+    }
+    // A pure 16-vertex path is the adversarial diameter case.
+    val path = (0L until 15L).map(i => (i, i + 1))
+    val gotPath = ops.NearDup.connectedComponents(path.toDF("u", "v"))
+      .as[(Long, Long)].collect().toMap
+    assert(gotPath == (0L to 15L).map(_ -> 0L).toMap)
+  }
 }
