@@ -277,14 +277,80 @@ object NearDup {
     labels
   }
 
+  /** c22 — dedup SURVIVORS: the per-language corpus accounting after
+    * dropping every non-canonical cluster member (doc_id != its
+    * component min). The removal list is duplicate-sized — orders of
+    * magnitude smaller than the corpus — so it broadcasts and the only
+    * corpus-wide work is one scan with a map-side-combined per-lang
+    * aggregate: the cheap final step of a dedup pipeline at any scale.
+    */
+  def dedupSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
+    val losers = dedupClusters(spark, sfDir)
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("loser_id"))
+    val docs = Tables.t(spark, sfDir, "documents")
+    docs.join(broadcast(losers), docs("doc_id") === col("loser_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("total_docs"),
+        count(when(col("loser_id").isNull, 1)).as("kept_docs"),
+        count(col("loser_id")).as("removed_docs"))
+      .orderBy("lang")
+  }
+
+  /** c24 — int8 embedding quantization: per-vector symmetric max-abs
+    * scaling to [-127, 127] — the 4× storage/bandwidth cut an
+    * embedding store takes before ANN serving. Pure per-row projection
+    * (no shuffle, no UDF; all codegen'd higher-order functions).
+    * Rounding is floor(v + 0.5): exact in both engines, unlike
+    * round-half-to-X which differs between Spark and DuckDB. Reports
+    * the quantized checksum/L1 plus the max reconstruction error so
+    * the oracle verifies the numerics, not just the shape.
+    */
+  def embeddingQuantize(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "embeddings")
+      .withColumn("maxabs", greatest(expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"),
+        lit(1e-12)))
+      .withColumn("q", expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / maxabs * 127.0 + 0.5) AS BIGINT))"))
+      .select(col("vec_id"),
+        round(col("maxabs"), 4).as("scale"),
+        expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x)").as("q_sum"),
+        expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + abs(x))").as("q_l1"),
+        round(expr(
+          """aggregate(zip_with(embedding, q, (x, qi) -> abs(CAST(x AS DOUBLE) - qi * maxabs / 127.0)),
+            |CAST(0.0 AS DOUBLE), (a, e) -> greatest(a, e))""".stripMargin), 6).as("max_err"))
+      .orderBy("vec_id")
+
   val queries: Map[String, Q] = Map(
     "c10_simhash_fingerprint" -> (simhashFingerprint(_, _)),
     "c21_dedup_clusters" -> (dedupClusters(_, _)),
+    "c22_dedup_survivors" -> (dedupSurvivors(_, _)),
+    "c24_embedding_quantize" -> (embeddingQuantize(_, _)),
     "c11_ngram_jaccard_pairs" -> (ngramJaccardPairs(_, _)),
     "c12_embedding_near_dup" -> (embeddingNearDup(_, _)),
     "c13_ann_ivf" -> (annIvf(_, _)),
     "c19_batch_ann_topk" -> (batchAnnTopk(_, _))
   )
+
+  /** Shared DuckDB CTE: LSH candidate pairs (Llm.oraclePairsCte) →
+    * symmetric edges → recursive transitive closure → `clusters`
+    * (doc_id, cluster_id = component min). Used by c21 and c22.
+    */
+  private val oracleClustersCte: String =
+    s"""${Llm.oraclePairsCte.replaceFirst("WITH toks", "WITH RECURSIVE toks")},
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION
+       |  SELECT doc_b AS u, doc_a AS v FROM pairs
+       |), reach AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+       |), clusters AS (
+       |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+       |  FROM reach GROUP BY u
+       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "c10_simhash_fingerprint" ->
@@ -305,19 +371,41 @@ object NearDup {
     // reachable set — a different algorithm than the Spark side's label
     // propagation, so agreement is a real cross-check.
     "c21_dedup_clusters" ->
-      s"""${Llm.oraclePairsCte.replaceFirst("WITH toks", "WITH RECURSIVE toks")},
-         |edges AS (
-         |  SELECT doc_a AS u, doc_b AS v FROM pairs
-         |  UNION
-         |  SELECT doc_b AS u, doc_a AS v FROM pairs
-         |), reach AS (
-         |  SELECT u, v FROM edges
-         |  UNION
-         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-         |)
-         |SELECT u AS doc_id, least(u, min(v)) AS cluster_id
-         |FROM reach GROUP BY u
+      s"""$oracleClustersCte
+         |SELECT doc_id, cluster_id FROM clusters
          |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "c22_dedup_survivors" ->
+      s"""$oracleClustersCte
+         |SELECT lang,
+         |  COUNT(*) AS total_docs,
+         |  COUNT(CASE WHEN l.doc_id IS NULL THEN 1 END) AS kept_docs,
+         |  COUNT(l.doc_id) AS removed_docs
+         |FROM documents d
+         |LEFT JOIN (SELECT doc_id FROM clusters WHERE doc_id != cluster_id) l
+         |  ON d.doc_id = l.doc_id
+         |GROUP BY lang
+         |ORDER BY lang ASC NULLS FIRST""".stripMargin,
+
+    "c24_embedding_quantize" ->
+      """WITH scaled AS (
+        |  SELECT vec_id, embedding,
+        |    greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-12) AS maxabs
+        |  FROM embeddings
+        |), quantized AS (
+        |  SELECT vec_id, embedding, maxabs,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) / maxabs * 127.0 + 0.5) AS BIGINT)) AS q
+        |  FROM scaled
+        |)
+        |SELECT vec_id,
+        |  ROUND(maxabs, 4) AS scale,
+        |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+        |  CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
+        |  ROUND(list_max(list_transform(range(1, len(embedding) + 1),
+        |    i -> abs(CAST(embedding[i] AS DOUBLE) - q[i] * maxabs / 127.0))), 6) AS max_err
+        |FROM quantized
+        |ORDER BY vec_id ASC NULLS FIRST""".stripMargin,
 
     "c11_ngram_jaccard_pairs" ->
       s"""${Llm.oraclePairsCte},

@@ -136,8 +136,48 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  // Shared by the Spark query and the DuckDB oracle (triple-quoted: the
+  // backslashes reach both regex engines literally). Subset of
+  // Java-regex/RE2 syntax that behaves identically in both.
+  private val EmailPat = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
+  private val UrlPat = """https?://\S+"""
+  private val PhonePat = """\+?\d[\d-]{6,}\d"""
+
+  /** c23 — PII detection + redaction: count and mask emails, URLs and
+    * phone numbers — the scrub pass a training corpus runs before
+    * anything leaves the pipeline. The fixtures carry no PII, so the
+    * query first PLANTS one deterministic span of each kind per
+    * document (derived from doc_id — reproducible across engines),
+    * then detects and redacts; the oracle re-derives identical spans,
+    * so the match verifies the regex semantics end-to-end, not a
+    * no-op. Pure per-row projection: regex work is codegen'd,
+    * no shuffle, scales linearly with corpus bytes. Redaction order
+    * (email → URL → phone) is fixed and mirrored in the oracle —
+    * the patterns are applied to disjoint spans but order still
+    * matters for any text that nests them.
+    */
+  def piiRedact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"),
+        concat(col("text"),
+          lit(" reach user"), col("doc_id").cast("string"),
+          lit("@mail.example.org or +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" see https://ex.org/u/"), col("doc_id").cast("string")).as("text"))
+      .withColumn("n_email", size(regexp_extract_all(col("text"), lit(EmailPat), lit(0))).cast("long"))
+      .withColumn("n_url", size(regexp_extract_all(col("text"), lit(UrlPat), lit(0))).cast("long"))
+      .withColumn("n_phone", size(regexp_extract_all(col("text"), lit(PhonePat), lit(0))).cast("long"))
+      .withColumn("clean",
+        regexp_replace(regexp_replace(regexp_replace(col("text"),
+          EmailPat, "<EMAIL>"), UrlPat, "<URL>"), PhonePat, "<PHONE>"))
+      .select(col("doc_id"), col("lang"), col("n_email"), col("n_url"), col("n_phone"),
+        length(col("clean")).cast("long").as("clean_len"),
+        md5(col("clean")).as("clean_md5"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "c14_lang_id" -> (langId(_, _)),
+    "c23_pii_redact" -> (piiRedact(_, _)),
     "c15_quality_score" -> (qualityScore(_, _)),
     "c16_token_count" -> (tokenCount(_, _)),
     "c17_doc_fingerprint" -> (docFingerprint(_, _)),
@@ -145,6 +185,31 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "c23_pii_redact" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id, lang,
+         |    text || ' reach user' || CAST(doc_id AS VARCHAR)
+         |      || '@mail.example.org or +1-555-'
+         |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |      || ' see https://ex.org/u/' || CAST(doc_id AS VARCHAR) AS text
+         |  FROM documents
+         |), redacted AS (
+         |  SELECT doc_id, lang, text,
+         |    regexp_replace(regexp_replace(regexp_replace(text,
+         |      '$EmailPat', '<EMAIL>', 'g'),
+         |      '$UrlPat', '<URL>', 'g'),
+         |      '$PhonePat', '<PHONE>', 'g') AS clean
+         |  FROM planted
+         |)
+         |SELECT doc_id, lang,
+         |  CAST(len(regexp_extract_all(text, '$EmailPat')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(text, '$UrlPat')) AS BIGINT) AS n_url,
+         |  CAST(len(regexp_extract_all(text, '$PhonePat')) AS BIGINT) AS n_phone,
+         |  CAST(length(clean) AS BIGINT) AS clean_len,
+         |  md5(clean) AS clean_md5
+         |FROM redacted
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
     "c14_lang_id" ->
       s"""WITH toks AS (
          |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
