@@ -96,6 +96,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("c23/c24: redaction and quantization are shuffle-free projections") {
+    for (df <- Seq(TextAnalysis.piiRedact(spark, sf),
+        NearDup.embeddingQuantize(spark, sf))) {
+      val p = plan(df)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"projection-only query grew a hash shuffle: $p")
+    }
+  }
+
+  test("c22: removal list broadcasts; corpus joins without shuffling") {
+    val p = plan(NearDup.dedupSurvivors(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join: $p")
+  }
+
   test("c12: near-dup pair join is an equi-join on the cell id, not cartesian") {
     val p = plan(NearDup.embeddingNearDup(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
