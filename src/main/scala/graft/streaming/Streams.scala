@@ -140,4 +140,58 @@ object Streams {
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
+
+  private val sinkId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** c25 — the streaming flagship, oracle-verified: the b42 tumbling
+    * aggregation executed through the STREAMING engine — file source →
+    * incremental stateful plan → `Trigger.AvailableNow` (drain all
+    * available input in micro-batches, then stop) → complete-mode
+    * memory sink — and returned as the finished result table. Because
+    * the result must be micro-batch-partitioning invariant, there is
+    * deliberately no watermark: complete mode keeps every window, so
+    * however AvailableNow slices the input files, the final table is
+    * the full-history aggregate and hash-matches the same DuckDB
+    * oracle as batch b42. (Late-drop semantics — where batching DOES
+    * matter — are pinned separately in StreamingSpec, per spec
+    * B45/B46.) At 100 TB/day the identical pipeline runs unbounded
+    * with `tumblingAgg`'s watermark + append parquet sink; this entry
+    * proves the streaming execution path computes the same answer the
+    * batch path does.
+    */
+  def streamTumbling(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    // The file source lists a DIRECTORY; events.parquet is a single
+    // file, so stream the parent dir filtered down to that file.
+    val ev = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
+    val agg = ev.groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"), graft.Canon.dsum(col("value")).as("sum_value"))
+    val tbl = s"c25_stream_sink_${sinkId.incrementAndGet()}"
+    val q = agg.writeStream.format("memory").queryName(tbl)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(tbl)
+      .select(col("w.start").cast("timestamp_ntz").as("hour_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy("hour_start")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c25_stream_tumbling" -> (streamTumbling(_, _)))
+
+  /** Identical to b42's oracle: the streaming path must agree with
+    * both the batch path and DuckDB on the same input.
+    */
+  val oracle: Map[String, String] = Map(
+    "c25_stream_tumbling" ->
+      s"""SELECT date_trunc('hour', ts) AS hour_start, COUNT(*) AS n_events,
+         |  ${graft.Canon.oDsum("value")} AS sum_value
+         |FROM events
+         |GROUP BY date_trunc('hour', ts)
+         |ORDER BY hour_start ASC NULLS FIRST""".stripMargin)
 }
