@@ -175,9 +175,62 @@ object TextAnalysis {
         md5(col("clean")).as("clean_md5"))
       .orderBy("doc_id")
 
+  private val PackBudget = 2048
+
+  /** c26 — corpus MIXING: downsample each source to a target rate —
+    * how a training mix rebalances web/books/code/… proportions. Rates
+    * are enforced with the same deterministic-hash membership as c20:
+    * keep iff the first md5 byte (2 hex chars, fixed-width so the
+    * lexicographic compare IS the numeric compare, identical in both
+    * engines) is below the source's cut. Per-source target rates
+    * derive from the source number (src_num % 4 + 1)/8 ∈ {.125, .25,
+    * .375, .5}; cuts are the matching hex bytes 20/40/60/80.
+    * Reproducible across runs/engines/partitionings; one scan, tiny
+    * agg — nothing here breaks at any corpus size.
+    */
+  def corpusMix(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "documents")
+      .withColumn("src_num", substring(col("source"), 4, 10).cast("int"))
+      .withColumn("target_rate", ((col("src_num") % 4) + 1).cast("double") / 8.0)
+      .withColumn("cut", element_at(
+        map(lit(1), lit("20"), lit(2), lit("40"), lit(3), lit("60"), lit(4), lit("80")),
+        (col("src_num") % 4) + 1))
+      .withColumn("kept", substring(
+        md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 2) < col("cut"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("kept"), 1)).as("n_kept"),
+        first(col("target_rate")).as("target_rate"))
+      .withColumn("actual_rate", round(col("n_kept").cast("double") / col("n_total"), 4))
+      .orderBy("source")
+
+  /** c27 — sequence PACKING accounting: assign documents to fixed
+    * token-budget bins (the context-window packing step before
+    * training) by running token count within each language, bin =
+    * floor(tokens-before-this-doc / budget); report per-bin doc/token
+    * counts and fill rate. The running sum is windowed PER LANGUAGE —
+    * packing parallelizes across partitions; at 100 TB the same
+    * window runs per (lang, shard) so no partition outgrows an
+    * executor. Deterministic: doc_id order, no RNG.
+    */
+  def sequencePack(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.t(spark, sfDir, "documents")
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", floor((col("cum") - col("n_tokens")) / lit(PackBudget.toDouble)).cast("long"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+      .withColumn("fill_rate", round(col("bin_tokens").cast("double") / PackBudget, 4))
+      .orderBy("lang", "bin")
+  }
+
   val queries: Map[String, Q] = Map(
     "c14_lang_id" -> (langId(_, _)),
     "c23_pii_redact" -> (piiRedact(_, _)),
+    "c26_corpus_mix" -> (corpusMix(_, _)),
+    "c27_sequence_pack" -> (sequencePack(_, _)),
     "c15_quality_score" -> (qualityScore(_, _)),
     "c16_token_count" -> (tokenCount(_, _)),
     "c17_doc_fingerprint" -> (docFingerprint(_, _)),
@@ -185,6 +238,41 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "c26_corpus_mix" ->
+      """WITH marked AS (
+        |  SELECT source,
+        |    CAST(((CAST(substr(source, 4, 10) AS INT) % 4) + 1) AS DOUBLE) / 8.0 AS target_rate,
+        |    substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 2) <
+        |      (CASE (CAST(substr(source, 4, 10) AS INT) % 4) + 1
+        |        WHEN 1 THEN '20' WHEN 2 THEN '40' WHEN 3 THEN '60' ELSE '80' END) AS kept
+        |  FROM documents
+        |)
+        |SELECT source, COUNT(*) AS n_total,
+        |  COUNT(CASE WHEN kept THEN 1 END) AS n_kept,
+        |  first(target_rate) AS target_rate,
+        |  ROUND(CAST(COUNT(CASE WHEN kept THEN 1 END) AS DOUBLE) / COUNT(*), 4) AS actual_rate
+        |FROM marked
+        |GROUP BY source
+        |ORDER BY source ASC NULLS FIRST""".stripMargin,
+
+    "c27_sequence_pack" ->
+      s"""WITH toks AS (
+         |  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), binned AS (
+         |  SELECT lang, n_tokens,
+         |    CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+         |      / $PackBudget.0) AS BIGINT) AS bin
+         |  FROM toks
+         |)
+         |SELECT lang, bin, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+         |  ROUND(CAST(SUM(n_tokens) AS DOUBLE) / $PackBudget, 4) AS fill_rate
+         |FROM binned
+         |GROUP BY lang, bin
+         |ORDER BY lang ASC NULLS FIRST, bin ASC NULLS FIRST""".stripMargin,
+
     "c23_pii_redact" ->
       s"""WITH planted AS (
          |  SELECT doc_id, lang,
