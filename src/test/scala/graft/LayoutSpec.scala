@@ -82,6 +82,43 @@ class LayoutSpec extends AnyFunSuite {
       f"expected single-dim layout to span ~full y range, got ${sy / gy}%.2f")
   }
 
+  test("hilbert key is a bijective unit-step walk of the full grid") {
+    import spark.implicits._
+    val bits = 4
+    val n = 1 << bits
+    // All 256 cells of the 16x16 grid through the production expression.
+    val cells = (for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong))
+      .toDF("q1", "q2")
+      .withColumn("d", org.apache.spark.sql.functions.expr(Layout.hilbertKey(bits)))
+      .select("d", "q1", "q2").as[(Long, Long, Long)].collect().sortBy(_._1)
+    // Bijection: every index in [0, n^2) exactly once.
+    assert(cells.map(_._1).toSeq == (0L until (n.toLong * n)).toSeq)
+    // Hilbert continuity: consecutive indices are grid NEIGHBOURS —
+    // the locality property Morton interleaving lacks (its seams jump
+    // across the grid). This pins the rotation logic exactly: any bit
+    // error breaks adjacency somewhere in the walk.
+    cells.sliding(2).foreach { case Array((_, x1, y1), (_, x2, y2)) =>
+      assert(math.abs(x2 - x1) + math.abs(y2 - y1) == 1,
+        s"non-adjacent step ($x1,$y1) -> ($x2,$y2)")
+    }
+  }
+
+  test("hilbertBy gives compact per-partition bounding boxes in BOTH dims") {
+    val orders = Tables.t(spark, TestSpark.sf0001, "orders")
+    val h = Layout.hilbertBy(orders, "o_custkey", "o_totalprice", 16)
+    assert(h.count() == orders.count(), "hilbert must be a pure re-layout")
+    val r = h.select(col("o_custkey").cast("double").as("x"),
+        col("o_totalprice").cast("double").as("y"))
+      .withColumn("p", spark_partition_id())
+      .groupBy("p").agg((max("x") - min("x")).as("rx"), (max("y") - min("y")).as("ry"))
+      .agg(avg("rx").as("arx"), avg("ry").as("ary")).head()
+    val g = orders.agg(
+      (max("o_custkey") - min("o_custkey")).cast("double"),
+      (max("o_totalprice") - min("o_totalprice")).cast("double")).head()
+    assert(r.getDouble(0) / g.getDouble(0) < 0.6 && r.getDouble(1) / g.getDouble(1) < 0.6,
+      f"hilbert boxes not compact: x=${r.getDouble(0) / g.getDouble(0)}%.2f y=${r.getDouble(1) / g.getDouble(1)}%.2f")
+  }
+
   test("runtime bloom-filter pruning injects on a selective shuffle join") {
     // At 100 TB the win: a selective dimension filter becomes a bloom
     // filter evaluated inside the fact scan, discarding rows before
