@@ -268,6 +268,47 @@ object Relational {
       .orderBy("bin")
   }
 
+  private val HqBins = 100
+  private val HqQs = Seq(0.5, 0.9, 0.99)
+
+  /** c28 — ENGINE-REPRODUCIBLE approximate quantiles: two-pass
+    * fixed-bin histogram sketch (bounds scan → 100-bin count scan)
+    * with linear interpolation inside the target bin. Error is
+    * bounded by one bin width (range/100); unlike `percentile_approx`
+    * (b50 — rows-only, sketch internals differ per engine), every
+    * step here is deterministic integer/double algebra, so the SAME
+    * estimate comes out of Spark, DuckDB, or any partitioning — this
+    * key is hash-matched, not rows-only. The bin table is mergeable
+    * (counts add), so at 100 TB the second pass is one
+    * map-side-combined agg to 100 rows; the cumulative sum runs as a
+    * tiny bin×bin self-join, never a single-partition global window.
+    */
+  def histQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.t(spark, sfDir, "events")
+    val bounds = e.agg(min(col("value")).cast("double").as("lo"),
+      max(col("value")).cast("double").as("hi"), count(lit(1)).as("n"))
+    val bins = e.crossJoin(broadcast(bounds))
+      .select(least(floor((col("value") - col("lo")) /
+          (col("hi") - col("lo") + lit(1e-12)) * HqBins).cast("long"),
+        lit(HqBins - 1L)).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+    val cum = bins.as("a").join(bins.as("b"), col("b.bin") <= col("a.bin"))
+      .groupBy(col("a.bin").as("bin"), col("a.cnt").as("cnt"))
+      .agg(sum(col("b.cnt")).as("cum"))
+    HqQs.toDF("q")
+      .crossJoin(broadcast(cum.crossJoin(broadcast(bounds))))
+      .where(col("cum").cast("double") >= col("q") * col("n"))
+      .groupBy(col("q"))
+      .agg(min_by(struct(col("bin"), col("cnt"), col("cum")), col("bin")).as("s"),
+        first(col("lo")).as("lo"), first(col("hi")).as("hi"), first(col("n")).as("n"))
+      .select(col("q"), col("n"),
+        round(col("lo") + (col("hi") - col("lo") + lit(1e-12)) / HqBins *
+          (col("s.bin") + (col("q") * col("n") -
+            (col("s.cum") - col("s.cnt")).cast("double")) / col("s.cnt")), 4).as("est"))
+      .orderBy("q")
+  }
+
   /** b29 — TPC-H Q3 shape: filtered 3-way join, revenue per order,
     * global top-10 — fused by Spark into TakeOrderedAndProject
     * (per-partition heaps; no global sort even at 100 TB).
@@ -328,6 +369,7 @@ object Relational {
     "b23_pivot" -> (pivotQ(_, _)),
     "b29_q3_topk_revenue" -> (q3TopkRevenue(_, _)),
     "b52_histogram" -> (histogramQ(_, _)),
+    "c28_hist_quantiles" -> (histQuantiles(_, _)),
     "b31_union" -> (unionQ(_, _)),
     "b32_intersect" -> (intersectQ(_, _)),
     "b33_except" -> (exceptQ(_, _))
@@ -470,6 +512,33 @@ object Relational {
          |GROUP BY l_orderkey, o_orderdate, o_orderpriority
          |ORDER BY revenue DESC NULLS LAST, l_orderkey ASC NULLS FIRST
          |LIMIT 10""".stripMargin,
+
+    "c28_hist_quantiles" ->
+      s"""WITH bounds AS (
+         |  SELECT min(CAST(value AS DOUBLE)) AS lo, max(CAST(value AS DOUBLE)) AS hi,
+         |    COUNT(*) AS n
+         |  FROM events
+         |), bins AS (
+         |  SELECT least(CAST(floor((CAST(value AS DOUBLE) - lo) / (hi - lo + 1e-12) * $HqBins)
+         |    AS BIGINT), ${HqBins - 1}) AS bin, COUNT(*) AS cnt
+         |  FROM events, bounds GROUP BY 1
+         |), cumbins AS (
+         |  SELECT a.bin, a.cnt, CAST(SUM(b.cnt) AS BIGINT) AS cum
+         |  FROM bins a JOIN bins b ON b.bin <= a.bin GROUP BY a.bin, a.cnt
+         |), qs AS (
+         |  SELECT CAST(q AS DOUBLE) AS q FROM (VALUES ${HqQs.map("(" + _ + ")").mkString(", ")}) t(q)
+         |)
+         |SELECT q, n,
+         |  ROUND(lo + (hi - lo + 1e-12) / $HqBins *
+         |    (bin + (q * n - CAST(cum - cnt AS DOUBLE)) / cnt), 4) AS est
+         |FROM (
+         |  SELECT q, min_by(bin, bin) AS bin, min_by(cnt, bin) AS cnt, min_by(cum, bin) AS cum,
+         |    first(lo) AS lo, first(hi) AS hi, first(n) AS n
+         |  FROM qs, cumbins, bounds
+         |  WHERE CAST(cum AS DOUBLE) >= q * n
+         |  GROUP BY q
+         |)
+         |ORDER BY q ASC NULLS FIRST""".stripMargin,
 
     "b52_histogram" ->
       """WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)

@@ -143,6 +143,20 @@ class OperatorPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("histogram quantiles (c28) are within one bin width of exact") {
+    val sf = TestSpark.sf0001
+    val est = ops.Relational.histQuantiles(spark, sf)
+      .select($"q", $"est").as[(Double, Double)].collect().toMap
+    val vals = Tables.t(spark, sf, "events")
+      .select($"value".cast("double")).as[Double].collect().sorted
+    val binWidth = (vals.last - vals.head) / 100.0
+    est.foreach { case (q, e) =>
+      val exact = vals(math.min(((vals.length - 1) * q).toInt, vals.length - 1))
+      assert(math.abs(e - exact) <= binWidth + 1e-6,
+        s"q=$q est=$e exact=$exact width=$binWidth")
+    }
+  }
+
   test("connected components (c21 kernel) match driver-side union-find") {
     // Random graphs — including long paths that need several label-
     // propagation rounds — checked against a sequential union-find.
