@@ -167,7 +167,39 @@ object Migration {
   private def unionCounts(sel: String => String): String =
     Tables.names.map(sel).mkString("\nUNION ALL ")
 
+  /** A13 — migration row DIFF: classify every source row as same /
+    * changed / missing in the target — the incremental complement of
+    * A7's count parity (counts can match while rows drifted). The
+    * "target" is derived from the source with deterministic simulated
+    * drift (first md5 nibble of 'drift:'‖key: '0' → row dropped, 'f'
+    * → o_totalprice shifted), so the diff finds a known, reproducible
+    * discrepancy set in any engine. Scale shape: one equi-join on the
+    * primary key — shuffles both sides once on the key (exactly what
+    * a checksum-verify over two 100 TB keyspaces costs) — then a
+    * 3-group map-side-combined count. Values are compared as typed
+    * columns, never via stringified row hashes (double→string
+    * formatting is not cross-engine-stable).
+    */
+  def migrationDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    def nib(c: org.apache.spark.sql.Column) =
+      substring(md5(concat(lit("drift:"), c.cast("string"))), 1, 1)
+    val src = Tables.t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val tgt = Tables.t(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("t_key"), col("o_totalprice").as("t_price"))
+      .where(nib(col("t_key")) =!= "0")
+      .withColumn("t_price",
+        when(nib(col("t_key")) === "f", col("t_price") + 1.0).otherwise(col("t_price")))
+    src.join(tgt, col("o_orderkey") === col("t_key"), "left")
+      .select(when(col("t_key").isNull, "missing_in_target")
+        .when(col("o_totalprice") =!= col("t_price"), "changed")
+        .otherwise("same").as("status"))
+      .groupBy(col("status")).agg(count(lit(1)).as("n_rows"))
+      .orderBy("status")
+  }
+
   val queries: Map[String, Q] = Map(
+    "a13_migration_diff" -> (migrationDiff(_, _)),
     "a1_full_scan_count" -> (fullScanCount(_, _)),
     "a2_schema_manifest" -> (schemaManifest(_, _)),
     "a4_type_roundtrip" -> (typeRoundtrip(_, _)),
@@ -178,6 +210,22 @@ object Migration {
   )
 
   val oracle: Map[String, String] = Map(
+    "a13_migration_diff" ->
+      """WITH tgt AS (
+        |  SELECT o_orderkey AS t_key,
+        |    CASE WHEN substr(md5('drift:' || CAST(o_orderkey AS VARCHAR)), 1, 1) = 'f'
+        |      THEN o_totalprice + 1.0 ELSE o_totalprice END AS t_price
+        |  FROM orders
+        |  WHERE substr(md5('drift:' || CAST(o_orderkey AS VARCHAR)), 1, 1) != '0'
+        |)
+        |SELECT status, COUNT(*) AS n_rows FROM (
+        |  SELECT CASE WHEN t_key IS NULL THEN 'missing_in_target'
+        |    WHEN o_totalprice != t_price THEN 'changed'
+        |    ELSE 'same' END AS status
+        |  FROM orders LEFT JOIN tgt ON o_orderkey = t_key
+        |)
+        |GROUP BY status
+        |ORDER BY status ASC NULLS FIRST""".stripMargin,
     "a12_profile_columns" ->
       OrdersCols.map(c =>
         s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,

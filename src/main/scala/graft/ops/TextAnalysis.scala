@@ -226,11 +226,43 @@ object TextAnalysis {
       .orderBy("lang", "bin")
   }
 
+  /** c29 — benchmark DECONTAMINATION: flag training documents sharing
+    * any word 5-gram with the held-out eval split (doc_id % 50 = 0 —
+    * a stand-in for a benchmark suite) — the leakage check every
+    * training corpus runs before a model sees the data. Scale shape:
+    * the eval gram set is benchmark-sized (tiny vs the corpus), so it
+    * BROADCASTS and the train side never shuffles — one gram-explode
+    * scan, a broadcast semi-join, a distinct on the (small) offender
+    * set, and a broadcast membership join back onto the per-lang agg.
+    * On these fixtures the planted near-dup pairs are exactly what it
+    * catches (2 contaminated docs at sf0.001).
+    */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.t(spark, sfDir, "documents")
+    def grams(d: DataFrame): DataFrame = d
+      .withColumn("ws", split(col("text"), " "))
+      .where(size(col("ws")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 4), i -> concat_ws(' ', slice(ws, i, 5)))")).as("g"))
+    val evalGrams = grams(docs.where(col("doc_id") % 50 === 0))
+      .select(col("g")).distinct()
+    val train = docs.where(col("doc_id") % 50 =!= 0)
+    val contaminated = grams(train).join(broadcast(evalGrams), "g")
+      .select(col("doc_id").as("cid")).distinct()
+    train.join(broadcast(contaminated), col("doc_id") === col("cid"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_train"), count(col("cid")).as("n_contaminated"))
+      .withColumn("contam_rate",
+        round(col("n_contaminated").cast("double") / col("n_train"), 4))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
     "c14_lang_id" -> (langId(_, _)),
     "c23_pii_redact" -> (piiRedact(_, _)),
     "c26_corpus_mix" -> (corpusMix(_, _)),
     "c27_sequence_pack" -> (sequencePack(_, _)),
+    "c29_decontaminate" -> (decontaminate(_, _)),
     "c15_quality_score" -> (qualityScore(_, _)),
     "c16_token_count" -> (tokenCount(_, _)),
     "c17_doc_fingerprint" -> (docFingerprint(_, _)),
@@ -238,6 +270,26 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "c29_decontaminate" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(string_split(text, ' ')) - 4, 0) + 1),
+        |    i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS g
+        |  FROM documents
+        |), ev AS (
+        |  SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0
+        |), contam AS (
+        |  SELECT DISTINCT doc_id FROM g
+        |  WHERE doc_id % 50 != 0 AND g IN (SELECT g FROM ev)
+        |)
+        |SELECT lang, COUNT(*) AS n_train,
+        |  COUNT(c.doc_id) AS n_contaminated,
+        |  ROUND(CAST(COUNT(c.doc_id) AS DOUBLE) / COUNT(*), 4) AS contam_rate
+        |FROM documents d LEFT JOIN contam c ON d.doc_id = c.doc_id
+        |WHERE d.doc_id % 50 != 0
+        |GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin,
+
     "c26_corpus_mix" ->
       """WITH marked AS (
         |  SELECT source,
