@@ -111,6 +111,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join: $p")
   }
 
+  test("c29: eval gram set and offender set broadcast; train side never shuffle-joins") {
+    val p = plan(TextAnalysis.decontaminate(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join: $p")
+  }
+
+  test("c28: no single-partition global window in the quantile path") {
+    val p = plan(Relational.histQuantiles(spark, sf))
+    assert(!p.contains("Window"), s"global window crept into the sketch: $p")
+  }
+
   test("c12: near-dup pair join is an equi-join on the cell id, not cartesian") {
     val p = plan(NearDup.embeddingNearDup(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
