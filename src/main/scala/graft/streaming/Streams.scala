@@ -181,8 +181,35 @@ object Streams {
       .orderBy("hour_start")
   }
 
+  /** c30 — session windows through the streaming engine, same harness
+    * as c25. Session MERGING is associative: however AvailableNow
+    * batches the input, complete mode keeps all session state and
+    * adjacent/overlapping sessions coalesce to the same final set, so
+    * the result is batching-invariant and shares b44's oracle.
+    */
+  def streamSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val ev = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
+    val agg = ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), graft.Canon.dsum(col("value")).as("sum_value"))
+    val tbl = s"c30_stream_sink_${sinkId.incrementAndGet()}"
+    val q = agg.writeStream.format("memory").queryName(tbl)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(tbl)
+      .select(col("user_id"), col("w.start").cast("timestamp_ntz").as("session_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "c25_stream_tumbling" -> (streamTumbling(_, _)))
+    "c25_stream_tumbling" -> (streamTumbling(_, _)),
+    "c30_stream_sessions" -> (streamSessions(_, _)))
 
   /** Identical to b42's oracle: the streaming path must agree with
     * both the batch path and DuckDB on the same input.
@@ -193,5 +220,7 @@ object Streams {
          |  ${graft.Canon.oDsum("value")} AS sum_value
          |FROM events
          |GROUP BY date_trunc('hour', ts)
-         |ORDER BY hour_start ASC NULLS FIRST""".stripMargin)
+         |ORDER BY hour_start ASC NULLS FIRST""".stripMargin,
+    // Streaming sessions must agree with batch b44 — same oracle text.
+    "c30_stream_sessions" -> graft.ops.Windows.oracle("b44_session_window"))
 }
