@@ -143,6 +143,17 @@ class OperatorPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("int8 quantization (c24) reconstruction error is within half a step") {
+    // Symmetric max-abs quantization guarantees |x - deq(q(x))| <=
+    // scale/254 (half the quantization step) for every element.
+    val rows = ops.NearDup.embeddingQuantize(spark, TestSpark.sf0001)
+      .select($"scale", $"max_err").as[(Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (scale, maxErr) =>
+      assert(maxErr <= scale / 254.0 + 1e-6, s"scale=$scale max_err=$maxErr")
+    }
+  }
+
   test("histogram quantiles (c28) are within one bin width of exact") {
     val sf = TestSpark.sf0001
     val est = ops.Relational.histQuantiles(spark, sf)
