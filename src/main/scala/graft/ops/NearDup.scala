@@ -251,7 +251,7 @@ object NearDup {
       .localCheckpoint(true)
     // coalesce guards the empty-graph case (sum over 0 rows is NULL)
     def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum("cluster_id"), lit(0L))).head.getLong(0)
+      df.agg(coalesce(sum("cluster_id"), lit(0L))).head().getLong(0)
     var lastSum = labelSum(labels)
     var converged = false
     var rounds = 0
@@ -279,10 +279,14 @@ object NearDup {
 
   /** c22 — dedup SURVIVORS: the per-language corpus accounting after
     * dropping every non-canonical cluster member (doc_id != its
-    * component min). The removal list is duplicate-sized — orders of
-    * magnitude smaller than the corpus — so it broadcasts and the only
-    * corpus-wide work is one scan with a map-side-combined per-lang
-    * aggregate: the cheap final step of a dedup pipeline at any scale.
+    * component min). The removal list is duplicate-sized — typically
+    * orders of magnitude smaller than the corpus — so it broadcasts
+    * and the only corpus-wide work is one scan with a map-side-combined
+    * per-lang aggregate: the cheap final step of a dedup pipeline.
+    * Degenerate case: at a pathological duplication rate the removal
+    * list approaches corpus size and the broadcast hint should be
+    * dropped (AQE then picks a shuffle join keyed on doc_id — still
+    * one shuffle of ids, never of text).
     */
   def dedupSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
     val losers = dedupClusters(spark, sfDir)
