@@ -341,7 +341,7 @@ object NearDup {
     * symmetric edges → recursive transitive closure → `clusters`
     * (doc_id, cluster_id = component min). Used by c21 and c22.
     */
-  private val oracleClustersCte: String =
+  private[ops] val oracleClustersCte: String =
     s"""${Llm.oraclePairsCte.replaceFirst("WITH toks", "WITH RECURSIVE toks")},
        |edges AS (
        |  SELECT doc_a AS u, doc_b AS v FROM pairs

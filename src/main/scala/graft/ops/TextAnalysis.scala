@@ -58,30 +58,34 @@ object TextAnalysis {
     * average token length — the cheap filters a corpus pipeline runs
     * before anything expensive.
     */
-  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
-    val stopArr = array(Stopwords.map(lit): _*)
-    Tables.t(spark, sfDir, "documents")
-      .withColumn("ws", split(col("text"), " "))
-      .withColumn("n_tokens", size(col("ws")).cast("long"))
+  /** The shared quality projection (per-doc `ws`, `n_tokens`,
+    * `n_stop`, `ls_raw`, `quality`) behind c15 and the c31 pipeline.
+    * quality is built from UNROUNDED components: rounding the inputs
+    * first manufactures exact .00005 half-way cases where Spark
+    * (decimal HALF_UP) and DuckDB (binary rounding) disagree.
+    */
+  private def qualityBase(d: DataFrame): DataFrame = d
+    .withColumn("ws", split(col("text"), " "))
+    .withColumn("n_tokens", size(col("ws")).cast("long"))
+    .withColumn("n_stop",
+      size(expr(s"filter(ws, w -> array_contains(array(${Stopwords.map("'" + _ + "'").mkString(",")}), w))"))
+        .cast("double"))
+    .withColumn("ls_raw", least(length(col("text")).cast("double") / 300.0, lit(1.0)))
+    .withColumn("quality",
+      round(lit(0.5) * col("ls_raw") +
+        lit(0.5) * (lit(1.0) - col("n_stop") / col("n_tokens")), 4))
+
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame =
+    qualityBase(Tables.t(spark, sfDir, "documents"))
       .select(
         col("doc_id"),
         col("n_tokens"),
         round((length(col("text")) - (col("n_tokens") - 1)).cast("double") /
           col("n_tokens"), 4).as("avg_token_len"),
-        size(expr(s"filter(ws, w -> array_contains(array(${Stopwords.map("'" + _ + "'").mkString(",")}), w))"))
-          .cast("double").as("n_stop"),
-        least(length(col("text")).cast("double") / 300.0, lit(1.0)).as("ls_raw"))
-      // quality from UNROUNDED components: rounding the inputs first
-      // manufactures exact .00005 half-way cases where Spark (decimal
-      // HALF_UP) and DuckDB (binary rounding) disagree.
-      .withColumn("quality",
-        round(lit(0.5) * col("ls_raw") +
-          lit(0.5) * (lit(1.0) - col("n_stop") / col("n_tokens")), 4))
-      .withColumn("stopword_ratio", round(col("n_stop") / col("n_tokens"), 4))
-      .withColumn("length_score", round(col("ls_raw"), 4))
-      .drop("n_stop", "ls_raw")
+        col("quality"),
+        round(col("n_stop") / col("n_tokens"), 4).as("stopword_ratio"),
+        round(col("ls_raw"), 4).as("length_score"))
       .orderBy("doc_id")
-  }
 
   /** c16 — token counting: whitespace tokens vs BPE-ish subword pieces
     * (greedy ≤3-char chunks via regex — the codepoint-budget estimator
@@ -257,12 +261,43 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  private val CurateQuality = 0.8
+
+  /** c31 — the composed CURATION pipeline, end-to-end: dedup survivors
+    * (c21/c22's cluster losers anti-joined away) ∘ deterministic 50%
+    * hash sample (c20's membership kernel, salt 'curate:') ∘ quality
+    * floor (c15's score ≥ 0.8) → per-language doc/token/avg-quality
+    * accounting. One corpus scan carries every per-row step (sample
+    * predicate, quality projection, filters are all codegen'd in one
+    * stage); the only extra input is the broadcast loser-id list from
+    * the dedup family. This is the proof the operators COMPOSE — the
+    * whole pipeline is one declarative plan, and the oracle replays
+    * the identical pipeline as one SQL statement.
+    */
+  def curateCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val losers = NearDup.dedupClusters(spark, sfDir)
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("loser_id"))
+    val docs = Tables.t(spark, sfDir, "documents")
+      .join(broadcast(losers), col("doc_id") === col("loser_id"), "left_anti")
+      .where(substring(md5(concat(lit("curate:"), col("doc_id").cast("string"))), 1, 1)
+        .isin("0", "1", "2", "3", "4", "5", "6", "7"))
+    qualityBase(docs)
+      .where(col("quality") >= CurateQuality)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        davg(col("quality")).as("avg_quality"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
     "c14_lang_id" -> (langId(_, _)),
     "c23_pii_redact" -> (piiRedact(_, _)),
     "c26_corpus_mix" -> (corpusMix(_, _)),
     "c27_sequence_pack" -> (sequencePack(_, _)),
     "c29_decontaminate" -> (decontaminate(_, _)),
+    "c31_curate_corpus" -> (curateCorpus(_, _)),
     "c15_quality_score" -> (qualityScore(_, _)),
     "c16_token_count" -> (tokenCount(_, _)),
     "c17_doc_fingerprint" -> (docFingerprint(_, _)),
@@ -270,6 +305,30 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "c31_curate_corpus" -> {
+      val stopList = Stopwords.map("'" + _ + "'").mkString(", ")
+      s"""${NearDup.oracleClustersCte},
+         |curated AS (
+         |  SELECT lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    ROUND(0.5 * least(CAST(length(text) AS DOUBLE) / 300.0, 1.0)
+         |      + 0.5 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+         |          w -> list_contains([$stopList], w))) AS DOUBLE)
+         |        / len(string_split(text, ' '))), 4) AS quality
+         |  FROM documents
+         |  WHERE substr(md5('curate:' || CAST(doc_id AS VARCHAR)), 1, 1)
+         |      IN ('0', '1', '2', '3', '4', '5', '6', '7')
+         |    AND doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id != cluster_id)
+         |)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  ${Canon.oDavg("quality")} AS avg_quality
+         |FROM curated
+         |WHERE quality >= $CurateQuality
+         |GROUP BY lang
+         |ORDER BY lang ASC NULLS FIRST""".stripMargin
+    },
+
     "c29_decontaminate" ->
       """WITH g AS (
         |  SELECT doc_id, unnest(list_transform(
