@@ -117,6 +117,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join: $p")
   }
 
+  test("c31: pipeline scan stays single-stage with a broadcast anti-join") {
+    val p = plan(TextAnalysis.curateCorpus(spark, sf))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join: $p")
+  }
+
   test("c28: no single-partition global window in the quantile path") {
     val p = plan(Relational.histQuantiles(spark, sf))
     assert(!p.contains("Window"), s"global window crept into the sketch: $p")
