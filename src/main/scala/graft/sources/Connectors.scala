@@ -67,6 +67,12 @@ final class CsvSink(dir: String) extends TableSink {
   def write(df: DataFrame, table: String): Unit =
     df.write.mode("overwrite").option("header", "true")
       .option("quote", "\"").option("escape", "\"")
+      // Spark's CSV WRITER trims cell whitespace by default
+      // (ignore*WhiteSpace=true on write, unlike read) — that silently
+      // corrupts cells with leading/trailing spaces; round-trip
+      // fidelity requires disabling both.
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .csv(s"$dir/$table.csv")
 }
 

@@ -46,6 +46,27 @@ class MigrationSpec extends AnyFunSuite {
     }
   }
 
+  test("A6: csv/json round-trip survives newlines, quotes, backslashes in cells") {
+    import graft.sources._
+    import spark.implicits._
+    val nasty = Seq(
+      (1L, "line one\nline two\r\nline three"),
+      (2L, "quote \" and comma, and 'single'"),
+      (3L, "back\\slash and tab\there"),
+      (4L, "trailing space  "),
+      (5L, "unicode é中文 ok")).toDF("id", "text")
+    val schemas = Map("nasty" -> nasty.schema)
+    val dir = "/tmp/graft_fmt_nasty"
+    new JsonSink(dir).write(nasty, "nasty")
+    new CsvSink(dir).write(nasty, "nasty")
+    Seq(new JsonSource(dir, schemas), new CsvSource(dir, schemas)).foreach { src =>
+      val back = src.read(spark, "nasty")
+      assert(back.exceptAll(nasty).isEmpty && nasty.exceptAll(back).isEmpty,
+        s"adversarial cells drift via ${src.getClass.getSimpleName}: " +
+          back.orderBy("id").collect().mkString("; "))
+    }
+  }
+
   test("A3: fixture scans split into multiple partitions (token-range analog)") {
     val parts = Tables.t(spark, TestSpark.sf0001, "lineitem")
       .rdd.getNumPartitions
