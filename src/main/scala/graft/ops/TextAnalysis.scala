@@ -291,6 +291,26 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** c32 — deterministic train/val/test SPLIT (~80/10/10): assign each
+    * document by its first md5 byte (salt 'split:'; fixed-width hex
+    * compare, as in c26): [00,1a) → val, [1a,34) → test (26/256 ≈
+    * 10.2% each), rest → train (≈79.7%). Reproducible across runs,
+    * engines, partition counts and cluster sizes, and STABLE under
+    * corpus growth: a doc's split never changes when other docs are
+    * added or removed — the property an RNG-based split cannot give
+    * and the reason production pipelines hash-split. Reported per
+    * (split, lang) so the oracle checks membership and stratification.
+    */
+  def dataSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val byte = substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 2)
+    Tables.t(spark, sfDir, "documents")
+      .withColumn("split",
+        when(byte < "1a", "val").when(byte < "34", "test").otherwise("train"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("split", "lang")
+  }
+
   val queries: Map[String, Q] = Map(
     "c14_lang_id" -> (langId(_, _)),
     "c23_pii_redact" -> (piiRedact(_, _)),
@@ -298,6 +318,7 @@ object TextAnalysis {
     "c27_sequence_pack" -> (sequencePack(_, _)),
     "c29_decontaminate" -> (decontaminate(_, _)),
     "c31_curate_corpus" -> (curateCorpus(_, _)),
+    "c32_data_split" -> (dataSplit(_, _)),
     "c15_quality_score" -> (qualityScore(_, _)),
     "c16_token_count" -> (tokenCount(_, _)),
     "c17_doc_fingerprint" -> (docFingerprint(_, _)),
@@ -305,6 +326,16 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "c32_data_split" ->
+      """SELECT CASE
+        |    WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'val'
+        |    WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '34' THEN 'test'
+        |    ELSE 'train' END AS split,
+        |  lang, COUNT(*) AS n_docs
+        |FROM documents
+        |GROUP BY 1, 2
+        |ORDER BY split ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin,
+
     "c31_curate_corpus" -> {
       val stopList = Stopwords.map("'" + _ + "'").mkString(", ")
       s"""${NearDup.oracleClustersCte},
