@@ -311,8 +311,34 @@ object TextAnalysis {
       .orderBy("split", "lang")
   }
 
+  /** c33 — repetition/boilerplate detection: distinct-token ratio and
+    * the share of the single most frequent token — the cheap signals
+    * that catch template spam and stuck-generation loops before
+    * training. Tokens explode once and aggregate per (doc, token) with
+    * map-side combine (never a per-doc collect); ties on the top
+    * token resolve by count DESC then token ASC in both engines.
+    */
+  def repetitionScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    toks.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("distinct_tokens"),
+        max(col("c")).as("top_count"),
+        min_by(col("w"), struct((-col("c")).as("nc"), col("w"))).as("top_token"))
+      .select(col("doc_id"), col("n_tokens"), col("distinct_tokens"),
+        col("top_token"),
+        round(col("distinct_tokens").cast("double") / col("n_tokens"), 4)
+          .as("distinct_ratio"),
+        round(col("top_count").cast("double") / col("n_tokens"), 4)
+          .as("top_token_share"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "c14_lang_id" -> (langId(_, _)),
+    "c33_repetition_score" -> (repetitionScore(_, _)),
     "c23_pii_redact" -> (piiRedact(_, _)),
     "c26_corpus_mix" -> (corpusMix(_, _)),
     "c27_sequence_pack" -> (sequencePack(_, _)),
@@ -326,6 +352,29 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "c33_repetition_score" ->
+      """WITH counts AS (
+        |  SELECT doc_id, w, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY doc_id, w
+        |), stats AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    COUNT(*) AS distinct_tokens, max(c) AS top_count
+        |  FROM counts GROUP BY doc_id
+        |), top AS (
+        |  SELECT doc_id, w AS top_token FROM (
+        |    SELECT doc_id, w,
+        |      row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY c DESC NULLS LAST, w ASC) AS rn
+        |    FROM counts
+        |  ) WHERE rn = 1
+        |)
+        |SELECT s.doc_id, n_tokens, distinct_tokens, top_token,
+        |  ROUND(CAST(distinct_tokens AS DOUBLE) / n_tokens, 4) AS distinct_ratio,
+        |  ROUND(CAST(top_count AS DOUBLE) / n_tokens, 4) AS top_token_share
+        |FROM stats s JOIN top t ON s.doc_id = t.doc_id
+        |ORDER BY s.doc_id ASC NULLS FIRST""".stripMargin,
+
     "c32_data_split" ->
       """SELECT CASE
         |    WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'val'
