@@ -326,11 +326,41 @@ object NearDup {
             |CAST(0.0 AS DOUBLE), (a, e) -> greatest(a, e))""".stripMargin), 6).as("max_err"))
       .orderBy("vec_id")
 
+  private val KmSeedStride = 250
+
+  /** c34 — k-means ASSIGNMENT step: every vector joins its nearest of
+    * k deterministic seed centroids (vec_id ≡ 0 mod 250 — no RNG, k
+    * scales with the corpus) by cosine; reported per cluster as
+    * count + decimal-path average cosine. This is the Lloyd-iteration
+    * kernel the embedding world builds on (c13's IVF cells, corpus
+    * bucketing, centroid refinement): one broadcast of the seed table,
+    * a k× row amplification collapsed by map-side combine — the
+    * standard scalable assignment shape, no collect, no per-pair
+    * shuffle. Argmax is over the ROUNDED cosine with centroid-id
+    * tiebreak, so cluster membership is engine-deterministic.
+    */
+  def kmeansAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val seeds = emb.where(col("vec_id") % KmSeedStride === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent"))
+    emb.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("centroid_id"),
+        round(cosine(col("embedding"), col("cent")), 4).as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("centroid_id"), col("cos")),
+        struct((-col("cos")).as("nc"), col("centroid_id"))).as("s"))
+      .select(col("s.centroid_id").as("cluster"), col("s.cos").as("cos"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_assigned"), Canon.davg(col("cos")).as("avg_cos"))
+      .orderBy("cluster")
+  }
+
   val queries: Map[String, Q] = Map(
     "c10_simhash_fingerprint" -> (simhashFingerprint(_, _)),
     "c21_dedup_clusters" -> (dedupClusters(_, _)),
     "c22_dedup_survivors" -> (dedupSurvivors(_, _)),
     "c24_embedding_quantize" -> (embeddingQuantize(_, _)),
+    "c34_kmeans_assign" -> (kmeansAssign(_, _)),
     "c11_ngram_jaccard_pairs" -> (ngramJaccardPairs(_, _)),
     "c12_embedding_near_dup" -> (embeddingNearDup(_, _)),
     "c13_ann_ivf" -> (annIvf(_, _)),
@@ -357,6 +387,30 @@ object NearDup {
        |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "c34_kmeans_assign" ->
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS centroid_id, embedding AS cent
+         |  FROM embeddings WHERE vec_id % $KmSeedStride = 0
+         |), scored AS (
+         |  SELECT e.vec_id, s.centroid_id,
+         |    ROUND(
+         |      list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(s.cent[i] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |        * sqrt(list_sum(list_transform(s.cent, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         |      4) AS cos
+         |  FROM embeddings e, seeds s
+         |), best AS (
+         |  SELECT vec_id, centroid_id AS cluster, cos FROM (
+         |    SELECT vec_id, centroid_id, cos,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY cos DESC NULLS LAST, centroid_id ASC) AS rn
+         |    FROM scored
+         |  ) WHERE rn = 1
+         |)
+         |SELECT cluster, COUNT(*) AS n_assigned, ${Canon.oDavg("cos")} AS avg_cos
+         |FROM best GROUP BY cluster
+         |ORDER BY cluster ASC NULLS FIRST""".stripMargin,
     "c10_simhash_fingerprint" ->
       s"""SELECT doc_id,
          |  string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY pos ASC) AS simhash
