@@ -87,18 +87,25 @@ object Migration {
     * table. "Target" is the identity-migrated frame (same rows passed
     * through the migration transform), so the check is the real
     * post-copy count-parity audit a migrator runs.
+    *
+    * Shape: ONE join of two 10-row count tables (each side a union of
+    * per-table scalar aggregates) instead of the round-5 form's ten
+    * crossJoined count pairs — each parquet footer is planned once per
+    * side and the join is a broadcast of metadata-sized frames
+    * (round-5 verdict task 7).
     */
-  def verifyCounts(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.names.map { n =>
-      val src = Tables.t(spark, sfDir, n).agg(count(lit(1)).as("src_rows"))
-      val tgt = Tables.canonical(spark, sfDir, n).select("*")
-        .agg(count(lit(1)).as("tgt_rows"))
-      src.crossJoin(tgt).select(
-        lit(n).as("table_name"),
-        col("src_rows"),
-        col("tgt_rows"),
+  def verifyCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    def counts(read: String => DataFrame, cnt: String, key: String) =
+      Tables.names.map { n =>
+        read(n).agg(count(lit(1)).as(cnt)).select(lit(n).as(key), col(cnt))
+      }.reduce(_ unionByName _)
+    val src = counts(Tables.t(spark, sfDir, _), "src_rows", "table_name")
+    val tgt = counts(Tables.canonical(spark, sfDir, _), "tgt_rows", "t_name")
+    src.join(broadcast(tgt), col("table_name") === col("t_name"))
+      .select(col("table_name"), col("src_rows"), col("tgt_rows"),
         (col("src_rows") === col("tgt_rows")).as("rows_match"))
-    }.reduce(_ unionByName _).orderBy("table_name")
+      .orderBy("table_name")
+  }
 
   /** A12 — per-column data audit: row/null/distinct counts per column
     * of a table — the data-quality pass a migrator runs before and

@@ -233,6 +233,16 @@ object NearDup {
     * (doc_id, cluster_id = component min). Vertices not on any edge are
     * absent from the output (singletons are trivially their own
     * cluster). Unsorted — callers order as needed.
+    *
+    * Each round combines neighbour-min propagation with POINTER
+    * JUMPING (label ← min(label, label-of-label), the path-doubling
+    * step of Shiloach–Vishkin / hash-to-min): propagation reach
+    * roughly doubles per round, so a path graph of diameter d
+    * converges in O(log d) rounds instead of O(d) — the 30-round cap
+    * covers diameters far beyond any physical corpus (2^30). If the
+    * loop still exits unconverged it THROWS rather than returning
+    * silently-wrong labels (round-5 ADVICE: the old 20-round linear
+    * kernel would hand back partial labels on a diameter-20+ chain).
     */
   def connectedComponents(undirected: DataFrame): DataFrame = {
     val edges = undirected.select(col("u"), col("v"))
@@ -255,16 +265,28 @@ object NearDup {
     var lastSum = labelSum(labels)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 20) {
+    val maxRounds = 30
+    while (!converged && rounds < maxRounds) {
       // labels appears on both sides of the round; rename the aggregate
       // side so every column resolves unqualified (no ambiguous
       // self-join references).
       val nbrMin = edges.join(labels, edges("v") === labels("doc_id"))
         .groupBy(col("u")).agg(min(col("cluster_id")).as("nbr_min"))
         .withColumnRenamed("u", "nm_u")
-      val next = labels.join(nbrMin, col("doc_id") === col("nm_u"), "left")
+      val prop = labels.join(nbrMin, col("doc_id") === col("nm_u"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint(true)
+      // Pointer jump: every label is itself a vertex id present in the
+      // label table (labels only ever take values of existing vertex
+      // ids), so one self-join reads the label's label. Labels are
+      // monotone non-increasing and stay inside the component, so this
+      // is safe and doubles how far the component min has spread.
+      val parents = prop.select(col("doc_id").as("p_id"), col("cluster_id").as("p_cluster"))
+      val next = prop.join(parents, col("cluster_id") === col("p_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("p_cluster"), col("cluster_id")))
             .as("cluster_id"))
         .localCheckpoint(true)
       val nextSum = labelSum(next)
@@ -274,6 +296,10 @@ object NearDup {
       rounds += 1
     }
     edges.unpersist(blocking = false)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds doubling rounds " +
+          "(graph diameter > 2^30?) — refusing to return partial labels")
     labels
   }
 
@@ -326,30 +352,86 @@ object NearDup {
             |CAST(0.0 AS DOUBLE), (a, e) -> greatest(a, e))""".stripMargin), 6).as("max_err"))
       .orderBy("vec_id")
 
-  private val KmSeedStride = 250
+  private[graft] val KmSeedStride = 250
+  private[graft] val KmIters = 2
 
-  /** c34 — k-means ASSIGNMENT step: every vector joins its nearest of
-    * k deterministic seed centroids (vec_id ≡ 0 mod 250 — no RNG, k
-    * scales with the corpus) by cosine; reported per cluster as
-    * count + decimal-path average cosine. This is the Lloyd-iteration
-    * kernel the embedding world builds on (c13's IVF cells, corpus
-    * bucketing, centroid refinement): one broadcast of the seed table,
-    * a k× row amplification collapsed by map-side combine — the
-    * standard scalable assignment shape, no collect, no per-pair
-    * shuffle. Argmax is over the ROUNDED cosine with centroid-id
-    * tiebreak, so cluster membership is engine-deterministic.
+  /** Lloyd ASSIGNMENT step (shared by c34/c35): each vector's nearest
+    * centroid by cosine → (vec_id, cluster, cos). One broadcast of the
+    * centroid table, a k× row amplification collapsed by map-side
+    * combine — the standard scalable assignment shape, no collect, no
+    * per-pair shuffle. Argmax is over the ROUNDED cosine with
+    * centroid-id tiebreak, so cluster membership is
+    * engine-deterministic.
     */
-  def kmeansAssign(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = Tables.t(spark, sfDir, "embeddings")
-    val seeds = emb.where(col("vec_id") % KmSeedStride === 0)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent"))
-    emb.crossJoin(broadcast(seeds))
+  private[graft] def kmAssign(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("centroid_id"),
         round(cosine(col("embedding"), col("cent")), 4).as("cos"))
       .groupBy(col("vec_id"))
       .agg(min_by(struct(col("centroid_id"), col("cos")),
         struct((-col("cos")).as("nc"), col("centroid_id"))).as("s"))
-      .select(col("s.centroid_id").as("cluster"), col("s.cos").as("cos"))
+      .select(col("vec_id"), col("s.centroid_id").as("cluster"), col("s.cos").as("cos"))
+
+  /** Lloyd UPDATE step: each cluster's new centroid is the element-wise
+    * mean of its members — the c6 decimal-exact kernel (posexplode →
+    * per-(cluster, dim) exact mean → re-assemble the array sorted by
+    * dim), so the refined centroids are bit-identical doubles in every
+    * engine and the next assignment round stays hash-comparable.
+    * Because cosine normalizes the centroid anyway, mean-update +
+    * cosine-assignment IS spherical k-means (the mean direction is the
+    * optimal centroid for a fixed assignment), so the objective —
+    * average cosine — is non-decreasing round over round
+    * (property-tested).
+    */
+  private[graft] def kmUpdate(emb: DataFrame, asg: DataFrame): DataFrame =
+    emb.join(asg.select(col("vec_id"), col("cluster")), "vec_id")
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("idx", "x")))
+      .groupBy(col("cluster"), col("idx"))
+      .agg((sum(col("x").cast("double").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+        .cast("double") / count(lit(1))).as("c"))
+      .groupBy(col("cluster"))
+      .agg(expr("transform(sort_array(collect_list(struct(idx, c))), s -> s.c)").as("cent"))
+      .select(col("cluster").as("centroid_id"), col("cent"))
+
+  /** c34 — the k-means ASSIGNMENT step in isolation: every vector joins
+    * its nearest of k deterministic seed centroids (vec_id ≡ 0 mod
+    * [[KmSeedStride]] — no RNG, k scales with the corpus) by cosine;
+    * reported per cluster as count + decimal-path average cosine.
+    */
+  def kmeansAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val seeds = emb.where(col("vec_id") % KmSeedStride === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent"))
+    kmAssign(emb, seeds)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_assigned"), Canon.davg(col("cos")).as("avg_cos"))
+      .orderBy("cluster")
+  }
+
+  /** c35 — FULL k-means: the Lloyd loop (assign → update, [[KmIters]]
+    * fixed rounds from the c34 seeds) followed by a final assignment
+    * report. Fixed iteration count instead of a convergence test keeps
+    * the computation engine-reproducible (the DuckDB oracle unrolls the
+    * same two rounds as CTEs) — production callers iterate the same two
+    * kernels under the c21 driver-loop pattern to an inertia epsilon.
+    *
+    * Scale shape per round: one broadcast-assignment pass (k×
+    * amplification collapsed map-side) + one posexplode mean (dim× rows
+    * through a map-side-combined aggregate) — never a per-pair shuffle;
+    * the k×dim centroid table is localCheckpoint'ed each round (the c21
+    * lineage-cut discipline), so plan depth stays O(1) over rounds.
+    * This also completes c13's IVF story: run the loop over cell seeds
+    * and the cells become data-adaptive instead of label-given.
+    */
+  def kmeansIterate(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var cents = emb.where(col("vec_id") % KmSeedStride === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent"))
+    for (_ <- 1 to KmIters)
+      cents = kmUpdate(emb, kmAssign(emb, cents)).localCheckpoint(true)
+    kmAssign(emb, cents)
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_assigned"), Canon.davg(col("cos")).as("avg_cos"))
       .orderBy("cluster")
@@ -361,6 +443,7 @@ object NearDup {
     "c22_dedup_survivors" -> (dedupSurvivors(_, _)),
     "c24_embedding_quantize" -> (embeddingQuantize(_, _)),
     "c34_kmeans_assign" -> (kmeansAssign(_, _)),
+    "c35_kmeans_iterate" -> (kmeansIterate(_, _)),
     "c11_ngram_jaccard_pairs" -> (ngramJaccardPairs(_, _)),
     "c12_embedding_near_dup" -> (embeddingNearDup(_, _)),
     "c13_ann_ivf" -> (annIvf(_, _)),
@@ -386,7 +469,62 @@ object NearDup {
        |  FROM reach GROUP BY u
        |)""".stripMargin
 
+  /** c35 oracle templates: one Lloyd round = scored (cosine vs the
+    * round's centroid relation) → best (argmax w/ rn tiebreak) → cents
+    * (decimal-exact element-wise mean). Emitted per round so the
+    * unrolled two-round CTE chain below cannot drift between rounds.
+    */
+  private def oKmScored(centsRel: String): String =
+    s"""SELECT e.vec_id, s.centroid_id,
+       |    ROUND(
+       |      list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(s.cent[i] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |        * sqrt(list_sum(list_transform(s.cent, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+       |      4) AS cos
+       |  FROM embeddings e, $centsRel s""".stripMargin
+
+  private def oKmBest(scoredRel: String): String =
+    s"""SELECT vec_id, centroid_id AS cluster, cos FROM (
+       |    SELECT vec_id, centroid_id, cos,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY cos DESC NULLS LAST, centroid_id ASC) AS rn
+       |    FROM $scoredRel
+       |  ) WHERE rn = 1""".stripMargin
+
+  private def oKmCents(bestRel: String): String =
+    s"""SELECT cluster AS centroid_id, list(c ORDER BY idx ASC) AS cent FROM (
+       |    SELECT b.cluster, i AS idx,
+       |      CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS c
+       |    FROM embeddings e JOIN $bestRel b USING (vec_id), range(1, 65) t(i)
+       |    GROUP BY b.cluster, i
+       |  ) GROUP BY cluster""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "c35_kmeans_iterate" ->
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS centroid_id, embedding AS cent
+         |  FROM embeddings WHERE vec_id % $KmSeedStride = 0
+         |), scored0 AS (
+         |  ${oKmScored("seeds")}
+         |), best0 AS (
+         |  ${oKmBest("scored0")}
+         |), cents1 AS (
+         |  ${oKmCents("best0")}
+         |), scored1 AS (
+         |  ${oKmScored("cents1")}
+         |), best1 AS (
+         |  ${oKmBest("scored1")}
+         |), cents2 AS (
+         |  ${oKmCents("best1")}
+         |), scored2 AS (
+         |  ${oKmScored("cents2")}
+         |), best2 AS (
+         |  ${oKmBest("scored2")}
+         |)
+         |SELECT cluster, COUNT(*) AS n_assigned, ${Canon.oDavg("cos")} AS avg_cos
+         |FROM best2 GROUP BY cluster
+         |ORDER BY cluster ASC NULLS FIRST""".stripMargin,
     "c34_kmeans_assign" ->
       s"""WITH seeds AS (
          |  SELECT vec_id AS centroid_id, embedding AS cent

@@ -28,13 +28,17 @@ import org.apache.spark.sql.Row
 object Streams {
 
   /** Tumbling-window counts+sums per hour with late-data bound.
-    * Batch twin: ops/Windows.tumblingWindow (oracle'd as b42).
+    * Batch twin: ops/Windows.tumblingWindow (oracle'd as b42). The sum
+    * goes through the decimal canon (graft.Canon.dsum) like every batch
+    * aggregate: partial-aggregation order in a micro-batch is as
+    * non-deterministic as in a 1000-executor batch job, and c36 hashes
+    * this operator's output against DuckDB.
     */
   def tumblingAgg(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
     events
       .withWatermark("ts", lateness)
       .groupBy(window(col("ts"), "1 hour").as("w"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), graft.Canon.dsum(col("value")).as("sum_value"))
       .select(col("w.start").as("hour_start"), col("n_events"), col("sum_value"))
 
   /** Session windows (30-minute gap) per user with late-data bound.
@@ -160,8 +164,11 @@ object Streams {
     * batch path does.
     */
   def streamTumbling(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = s"$sfDir/events.parquet"
-    val schema = spark.read.parquet(path).schema
+    // Schema via Tables.t, which sets the nanosAsLong conf the raw
+    // INT64(TIMESTAMP_NANOS) file needs — a bare spark.read here would
+    // only work when an earlier batch query already set it session-wide
+    // (round-5 ADVICE: queries must be order-independent).
+    val schema = graft.Tables.t(spark, sfDir, "events").schema
     // The file source lists a DIRECTORY; events.parquet is a single
     // file, so stream the parent dir filtered down to that file.
     val ev = spark.readStream.schema(schema)
@@ -188,8 +195,7 @@ object Streams {
     * the result is batching-invariant and shares b44's oracle.
     */
   def streamSessions(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = s"$sfDir/events.parquet"
-    val schema = spark.read.parquet(path).schema
+    val schema = graft.Tables.t(spark, sfDir, "events").schema // sets nanosAsLong (see c25)
     val ev = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
@@ -207,9 +213,49 @@ object Streams {
       .orderBy("user_id", "session_start")
   }
 
+  /** c36 — the PRODUCTION streaming topology, oracle-verified: file
+    * source → [[tumblingAgg]] (watermark + 1-hour windows) →
+    * [[toParquetSink]] (APPEND mode) under Trigger.AvailableNow, then
+    * the sink directory read back as the result. Unlike c25's
+    * complete-mode memory sink (a driver-side verification harness),
+    * this is the exact readStream→transform→writeStream shape a
+    * 100 TB/day pipeline deploys: append mode emits each window once,
+    * when the watermark passes its end, to a distributed file sink.
+    *
+    * Determinism: the single fixture file arrives in one micro-batch
+    * (no row can be late to itself), so the only watermark effect is
+    * the FINAL cut — the no-data flush batch emits exactly the windows
+    * whose end ≤ max(ts) − lateness. The DuckDB oracle reproduces that
+    * cut with a max(ts) subquery; event time is µs-grained while
+    * Spark's watermark is ms-grained, which agrees exactly because
+    * hour boundaries are whole seconds.
+    *
+    * Event time must be session-TZ TIMESTAMP (not NTZ — watermarks
+    * reject it, see the object scaladoc); the session TZ is pinned UTC
+    * so the instant is unchanged, and the result casts back to NTZ for
+    * the cross-engine compare.
+    */
+  def streamAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = graft.Tables.t(spark, sfDir, "events").schema // sets nanosAsLong (see c25)
+    val ev = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val out = java.nio.file.Files.createTempDirectory("graft_c36_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_c36_ckpt").toString
+    val q = toParquetSink(tumblingAgg(ev), out, ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .select(col("hour_start").cast("timestamp_ntz").as("hour_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy("hour_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c25_stream_tumbling" -> (streamTumbling(_, _)),
-    "c30_stream_sessions" -> (streamSessions(_, _)))
+    "c30_stream_sessions" -> (streamSessions(_, _)),
+    "c36_stream_append" -> (streamAppend(_, _)))
 
   /** Identical to b42's oracle: the streaming path must agree with
     * both the batch path and DuckDB on the same input.
@@ -222,5 +268,19 @@ object Streams {
          |GROUP BY date_trunc('hour', ts)
          |ORDER BY hour_start ASC NULLS FIRST""".stripMargin,
     // Streaming sessions must agree with batch b44 — same oracle text.
-    "c30_stream_sessions" -> graft.ops.Windows.oracle("b44_session_window"))
+    "c30_stream_sessions" -> graft.ops.Windows.oracle("b44_session_window"),
+    // b42's aggregate restricted to the watermark-finalized windows:
+    // append mode emits exactly the windows whose end the final
+    // watermark (max event time − lateness) has passed.
+    "c36_stream_append" ->
+      s"""WITH agg AS (
+         |  SELECT date_trunc('hour', ts) AS hour_start, COUNT(*) AS n_events,
+         |    ${graft.Canon.oDsum("value")} AS sum_value
+         |  FROM events
+         |  GROUP BY date_trunc('hour', ts)
+         |), wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS cut FROM events)
+         |SELECT hour_start, n_events, sum_value
+         |FROM agg, wm
+         |WHERE hour_start + INTERVAL 1 HOUR <= wm.cut
+         |ORDER BY hour_start ASC NULLS FIRST""".stripMargin)
 }

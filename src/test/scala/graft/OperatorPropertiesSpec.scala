@@ -195,4 +195,51 @@ class OperatorPropertiesSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(gotPath == (0L to 15L).map(_ -> 0L).toMap)
   }
+
+  test("connected components converge on a 1000-vertex path (diameter far past the round cap)") {
+    // Round-5 ADVICE: the linear kernel capped at 20 rounds and
+    // silently returned partial labels past diameter ~19. The pointer-
+    // jumping kernel must finish a diameter-999 chain within its
+    // 30-round doubling budget — and throw, not lie, if it ever can't.
+    val path = (0L until 999L).map(i => (i, i + 1))
+    val got = ops.NearDup.connectedComponents(path.toDF("u", "v"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 1000 && got.values.forall(_ == 0L),
+      s"unconverged labels: ${got.filter(_._2 != 0L).take(5)}")
+  }
+
+  test("k-means Lloyd rounds never decrease the objective (c35 kernel)") {
+    // Mean-update + cosine-assignment is spherical k-means, whose
+    // objective (average cosine to the assigned centroid) is
+    // non-decreasing per round; tolerance covers the 1e-4 assignment
+    // rounding the cross-engine canon imposes.
+    val vecs = samples(Gen.listOfN(8, Gen.chooseNum(-1.0, 1.0)), 60)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val emb = vecs.toDF("vec_id", "embedding")
+    var cents = emb.where($"vec_id" % 20 === 0)
+      .select($"vec_id".as("centroid_id"), $"embedding".as("cent"))
+    val objs = (1 to 3).map { _ =>
+      val asg = ops.NearDup.kmAssign(emb, cents)
+      val obj = asg.agg(avg($"cos")).head().getDouble(0)
+      cents = ops.NearDup.kmUpdate(emb, asg)
+      obj
+    }
+    objs.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - 1e-3, s"objective decreased across rounds: $objs")
+    }
+  }
+
+  test("bandCache drops a stopped application's entries (listener eviction)") {
+    val df = Seq((1L, 0, "x")).toDF("doc_id", "band_idx", "band_val")
+    ops.Llm.bandCache.put("deadapp:/tmp/corpusA", df)
+    ops.Llm.bandCache.put("deadapp:/tmp/corpusB", df)
+    ops.Llm.bandCache.put("liveapp:/tmp/corpusA", df)
+    new ops.Llm.BandEvictionListener("deadapp")
+      .onApplicationEnd(org.apache.spark.scheduler.SparkListenerApplicationEnd(0L))
+    assert(!ops.Llm.bandCache.keys.exists(_.startsWith("deadapp:")),
+      "stopped app's band tables must be evicted")
+    assert(ops.Llm.bandCache.keys.exists(_.startsWith("liveapp:")),
+      "other apps' band tables must survive")
+    ops.Llm.evictBands("liveapp")
+  }
 }
