@@ -69,10 +69,21 @@ object NearDup {
   /** c11 — character-trigram Jaccard over the MinHash/LSH candidate
     * pairs (char-level near-dup verify — catches token-reordered
     * near-dups that word-level Jaccard (c3) scores differently).
+    *
+    * Trigram arrays are computed for CANDIDATE docs only: the distinct
+    * ids appearing in a pair are duplicate-sized (≪ corpus), so they
+    * broadcast into a semi-join that prunes the documents scan before
+    * the expensive per-char transform — at 100 TB the trigram work
+    * scales with the candidate set, not the corpus (round-6 fix; the
+    * old shape shingled every document to serve a few thousand pairs).
     */
   def ngramJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = Llm.dedupMinhashPairs(spark, sfDir)
+    val cand = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
     val grams = Tables.t(spark, sfDir, "documents")
+      .join(broadcast(cand), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), expr(
         "array_distinct(transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3)))")
         .as("g3"))

@@ -111,6 +111,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join: $p")
   }
 
+  test("c11: trigram work is pruned to candidate docs by a broadcast semi-join") {
+    // The per-char trigram transform must sit above a LeftSemi against
+    // the (duplicate-sized, broadcast) candidate id set — shingling the
+    // whole corpus to score a few thousand pairs is the shape that
+    // dies at 100 TB.
+    val p = plan(NearDup.ngramJaccardPairs(spark, sf))
+    assert(p.contains("LeftSemi"), s"documents scan not candidate-pruned: $p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("c35: Lloyd rounds broadcast centroids and never go cartesian") {
+    val p = plan(NearDup.kmeansIterate(spark, sf))
+    assert(p.contains("Broadcast"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // The centroid-update aggregation must partial-aggregate map-side
+    // (HashAggregate), not sort the exploded (cluster, dim) stream.
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("c29: eval gram set and offender set broadcast; train side never shuffle-joins") {
     val p = plan(TextAnalysis.decontaminate(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)
