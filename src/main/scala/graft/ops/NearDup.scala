@@ -448,6 +448,36 @@ object NearDup {
       .orderBy("cluster")
   }
 
+  /** Production convergence driver for the Lloyd loop: iterate
+    * assign → update until the objective (average assigned cosine)
+    * improves by less than `eps`, under the c21 driver-loop /
+    * localCheckpoint discipline — each round moves ONE scalar (the
+    * objective) to the driver and cuts the centroid table's lineage.
+    * Returns (final centroids, update rounds run). Not a query key:
+    * the round count is data-dependent, so the fixed-round c35 is the
+    * cross-engine-oracle'd form; this is the API real callers use
+    * (spherical k-means monotonicity guarantees termination — the
+    * objective is non-decreasing and bounded by 1, property-tested).
+    */
+  def kmeansConverge(emb: DataFrame, seeds: DataFrame,
+      eps: Double = 1e-4, maxRounds: Int = 50): (DataFrame, Int) = {
+    var cents = seeds
+    var last = Double.NegativeInfinity
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      val asg = kmAssign(emb, cents)
+      val obj = asg.agg(avg(col("cos"))).head().getDouble(0)
+      if (obj - last < eps) done = true
+      else {
+        cents = kmUpdate(emb, asg).localCheckpoint(true)
+        last = obj
+        rounds += 1
+      }
+    }
+    (cents, rounds)
+  }
+
   val queries: Map[String, Q] = Map(
     "c10_simhash_fingerprint" -> (simhashFingerprint(_, _)),
     "c21_dedup_clusters" -> (dedupClusters(_, _)),

@@ -252,10 +252,42 @@ object Streams {
       .orderBy("hour_start")
   }
 
+  /** c37 — stream-stream JOIN, oracle-verified: purchases enriched
+    * with the same user's clicks within a 2-hour horizon, through
+    * [[enrichJoin]] (both sides watermarked + time-range condition —
+    * the state-eviction contract) on the streaming engine. Inner
+    * joins emit matches as micro-batches find them (append mode), and
+    * the single fixture file arrives in one batch, so the emitted set
+    * is exactly the batch join — the DuckDB oracle is the plain
+    * time-range join. At 100 TB/day the identical topology runs
+    * unbounded: the watermarks bound both sides' join state to the
+    * horizon, the property that makes stream-stream joins survivable.
+    */
+  def streamEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = graft.Tables.t(spark, sfDir, "events").schema // sets nanosAsLong (see c25)
+    def src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000"))) // session-TZ TIMESTAMP for watermarks
+    val purchases = src.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts"), col("user_id").as("key"))
+    val clicks = src.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("rts"), col("user_id").as("rkey"))
+    val joined = enrichJoin(purchases, clicks, "2 hours")
+      .select(col("purchase_id"), col("click_id"))
+    val tbl = s"c37_stream_sink_${sinkId.incrementAndGet()}"
+    val q = joined.writeStream.format("memory").queryName(tbl)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(tbl).orderBy("purchase_id", "click_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c25_stream_tumbling" -> (streamTumbling(_, _)),
     "c30_stream_sessions" -> (streamSessions(_, _)),
-    "c36_stream_append" -> (streamAppend(_, _)))
+    "c36_stream_append" -> (streamAppend(_, _)),
+    "c37_stream_enrich" -> (streamEnrich(_, _)))
 
   /** Identical to b42's oracle: the streaming path must agree with
     * both the batch path and DuckDB on the same input.
@@ -282,5 +314,13 @@ object Streams {
          |SELECT hour_start, n_events, sum_value
          |FROM agg, wm
          |WHERE hour_start + INTERVAL 1 HOUR <= wm.cut
-         |ORDER BY hour_start ASC NULLS FIRST""".stripMargin)
+         |ORDER BY hour_start ASC NULLS FIRST""".stripMargin,
+    // The streaming inner join over one input batch emits exactly the
+    // batch-join result; the time-range condition is the state bound.
+    "c37_stream_enrich" ->
+      """SELECT a.event_id AS purchase_id, b.event_id AS click_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND b.ts BETWEEN a.ts AND a.ts + INTERVAL 2 HOUR
+        |WHERE a.event_type = 'purchase' AND b.event_type = 'click'
+        |ORDER BY purchase_id ASC NULLS FIRST, click_id ASC NULLS FIRST""".stripMargin)
 }

@@ -229,6 +229,17 @@ class OperatorPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("k-means convergence driver terminates before its round cap") {
+    val vecs = samples(Gen.listOfN(6, Gen.chooseNum(-1.0, 1.0)), 40)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val seeds = emb.where($"vec_id" % 13 === 0)
+      .select($"vec_id".as("centroid_id"), $"embedding".as("cent"))
+    val (cents, rounds) = ops.NearDup.kmeansConverge(emb, seeds, eps = 1e-4, maxRounds = 25)
+    assert(rounds < 25, "Lloyd loop hit the round cap instead of converging")
+    assert(cents.count() >= 1)
+  }
+
   test("bandCache drops a stopped application's entries (listener eviction)") {
     val df = Seq((1L, 0, "x")).toDF("doc_id", "band_idx", "band_val")
     ops.Llm.bandCache.put("deadapp:/tmp/corpusA", df)
