@@ -188,6 +188,40 @@ object NearDup {
       .limit(5)
   }
 
+  /** c38 — DATA-ADAPTIVE IVF: c13's two-stage ANN with cells learned
+    * from the data instead of taken from the label column. One Lloyd
+    * refinement round (kmAssign → kmUpdate over the c34 strided seeds)
+    * produces the cell centroids; the probe then ranks those refined
+    * cells, and only the vectors ASSIGNED to the top-2 cells are
+    * brute-forced — the real IVF build+search loop (train coarse
+    * quantizer → assign corpus → probe nearest cells). Same scale
+    * posture as c13: centroids and probed-cell list broadcast, the
+    * corpus shuffles once on vec_id for the assignment join, candidate
+    * scan touches probed cells only. More Lloyd rounds
+    * ([[kmeansConverge]]) sharpen the cells without changing the plan.
+    */
+  def annIvfAdaptive(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.t(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
+    val seeds = emb.where(col("vec_id") % KmSeedStride === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent"))
+    val cents = kmUpdate(emb, kmAssign(emb, seeds)).localCheckpoint(true)
+    val probe = emb.where(col("vec_id") === 0).select(col("embedding").as("probe"))
+    val topCells = cents.crossJoin(broadcast(probe))
+      .select(col("centroid_id"), round(cosine(col("cent"), col("probe")), 4).as("cell_cos"))
+      .agg(expr(s"slice(array_sort(collect_list(struct(-cell_cos AS nc, centroid_id))), 1, $IvfProbeCells)")
+        .as("top"))
+      .select(posexplode(col("top")).as(Seq("r0", "s")))
+      .select(col("s.centroid_id").as("cluster"), (col("r0") + 1).cast("long").as("cell_rank"))
+    val asg = kmAssign(emb, cents).select(col("vec_id"), col("cluster"))
+    emb.join(asg, "vec_id")
+      .join(broadcast(topCells), "cluster")
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("cluster"), col("cell_rank"),
+        round(cosine(col("embedding"), col("probe")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(5)
+  }
+
   /** c19 — batched similarity search: a 10-vector probe set against
     * the whole corpus, top-3 neighbors per probe (self-match excluded).
     * The probe set is broadcast (a probe batch is KBs at any corpus
@@ -488,6 +522,7 @@ object NearDup {
     "c11_ngram_jaccard_pairs" -> (ngramJaccardPairs(_, _)),
     "c12_embedding_near_dup" -> (embeddingNearDup(_, _)),
     "c13_ann_ivf" -> (annIvf(_, _)),
+    "c38_ann_ivf_adaptive" -> (annIvfAdaptive(_, _)),
     "c19_batch_ann_topk" -> (batchAnnTopk(_, _))
   )
 
@@ -542,6 +577,44 @@ object NearDup {
        |  ) GROUP BY cluster""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "c38_ann_ivf_adaptive" ->
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS centroid_id, embedding AS cent
+         |  FROM embeddings WHERE vec_id % $KmSeedStride = 0
+         |), scored0 AS (
+         |  ${oKmScored("seeds")}
+         |), best0 AS (
+         |  ${oKmBest("scored0")}
+         |), cents1 AS (
+         |  ${oKmCents("best0")}
+         |), scored1 AS (
+         |  ${oKmScored("cents1")}
+         |), best1 AS (
+         |  ${oKmBest("scored1")}
+         |), probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+         |cells AS (
+         |  SELECT centroid_id AS cluster, cell_rank FROM (
+         |    SELECT centroid_id,
+         |      row_number() OVER (ORDER BY cell_cos DESC NULLS LAST, centroid_id ASC) AS cell_rank
+         |    FROM (
+         |      SELECT centroid_id, ROUND(
+         |        list_sum(list_transform(range(1, len(cent) + 1), i -> cent[i] * CAST(p[i] AS DOUBLE)))
+         |        / (sqrt(list_sum(list_transform(cent, x -> x * x)))
+         |           * sqrt(list_sum(list_transform(p, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cell_cos
+         |      FROM cents1, probe
+         |    )
+         |  ) WHERE cell_rank <= $IvfProbeCells
+         |)
+         |SELECT e.vec_id, b.cluster, cells.cell_rank, ROUND(
+         |  list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p[i] AS DOUBLE)))
+         |  / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |     * sqrt(list_sum(list_transform(p, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos
+         |FROM embeddings e
+         |JOIN best1 b USING (vec_id)
+         |JOIN cells ON b.cluster = cells.cluster, probe
+         |ORDER BY cos DESC NULLS LAST, vec_id ASC NULLS FIRST
+         |LIMIT 5""".stripMargin,
     "c35_kmeans_iterate" ->
       s"""WITH seeds AS (
          |  SELECT vec_id AS centroid_id, embedding AS cent

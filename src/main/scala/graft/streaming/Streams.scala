@@ -275,11 +275,22 @@ object Streams {
     val joined = enrichJoin(purchases, clicks, "2 hours")
       .select(col("purchase_id"), col("click_id"))
     val tbl = s"c37_stream_sink_${sinkId.incrementAndGet()}"
-    val q = joined.writeStream.format("memory").queryName(tbl)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // A stream-stream join keeps FOUR state stores per shuffle
+    // partition (two per side), each checkpointed every micro-batch —
+    // so the stateful-operator partition count must track STATE SIZE,
+    // not CPU count (it is pinned at query start and carried in the
+    // checkpoint). The fixture's join state is a few thousand rows, so
+    // 8 partitions; a 100 TB/day deployment raises it (or moves to the
+    // RocksDB provider) via the same conf before first start.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = joined.writeStream.format("memory").queryName(tbl)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(tbl).orderBy("purchase_id", "click_id")
   }
 

@@ -121,6 +121,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("c38: adaptive IVF — refined cells and probe broadcast, top-k fuses, no cartesian") {
+    val p = plan(NearDup.annIvfAdaptive(spark, sf))
+    assert(p.contains("Broadcast"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("c35: Lloyd rounds broadcast centroids and never go cartesian") {
     val p = plan(NearDup.kmeansIterate(spark, sf))
     assert(p.contains("Broadcast"), p)
