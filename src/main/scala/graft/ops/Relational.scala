@@ -228,6 +228,36 @@ object Relational {
         r4(median(col("value"))).as("median_value"))
       .orderBy("event_type")
 
+  /** c39 — z-score OUTLIER detection per event_type: the per-group
+    * moments pass → broadcast stats → per-row |z| pass that a
+    * telemetry/data-quality pipeline runs before training ingestion.
+    * Determinism: mean and E[x²] go through the decimal canon (exact
+    * sums, then identical double division/sqrt in both engines) —
+    * `stddev_samp` itself is order-dependent FP and could flip a
+    * threshold compare, which is why the moments are assembled by hand
+    * from [[Canon.dsum]] sums. |z| is rounded at 1e-4 before the >3
+    * cut. Population sigma (÷n) keeps the algebra to two exact sums.
+    * Scale shape: one grouped moment pass (map-side combined, 5 output
+    * rows), stats broadcast back onto one scan — the corpus never
+    * shuffles on rows.
+    */
+  def zscoreOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.t(spark, sfDir, "events")
+    val stats = ev.groupBy(col("event_type").as("et"))
+      .agg((dsum(col("value")) / count(col("value"))).as("mu"),
+        (dsum(col("value") * col("value")) / count(col("value"))).as("m2"))
+      .select(col("et"), col("mu"),
+        greatest(sqrt(col("m2") - col("mu") * col("mu")), lit(1e-12)).as("sigma"))
+    ev.join(broadcast(stats), col("event_type") === col("et"))
+      .select(col("event_type"),
+        round(abs(col("value") - col("mu")) / col("sigma"), 4).as("az"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("az") > 3.0, 1)).as("n_outliers"),
+        max(col("az")).as("max_abs_z"))
+      .orderBy("event_type")
+  }
+
   /** b23 — pivot: documents lang × source counts, fixed value list so
     * the output schema is static; absent cells coalesced to 0 to match
     * the oracle's COUNT(CASE...) form.
@@ -366,6 +396,7 @@ object Relational {
     "b20_cube" -> (cubeQ(_, _)),
     "b21_group_collect" -> (groupCollect(_, _)),
     "b22_stats_agg" -> (statsAgg(_, _)),
+    "c39_zscore_outliers" -> (zscoreOutliers(_, _)),
     "b23_pivot" -> (pivotQ(_, _)),
     "b29_q3_topk_revenue" -> (q3TopkRevenue(_, _)),
     "b52_histogram" -> (histogramQ(_, _)),
@@ -489,6 +520,24 @@ object Relational {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+
+    "c39_zscore_outliers" ->
+      s"""WITH stats AS (
+         |  SELECT event_type AS et,
+         |    ${oDsum("value")} / COUNT(value) AS mu,
+         |    ${oDsum("value * value")} / COUNT(value) AS m2
+         |  FROM events GROUP BY event_type
+         |), scored AS (
+         |  SELECT e.event_type,
+         |    ROUND(abs(e.value - s.mu) / greatest(sqrt(s.m2 - s.mu * s.mu), 1e-12), 4) AS az
+         |  FROM events e JOIN stats s ON e.event_type = s.et
+         |)
+         |SELECT event_type, COUNT(*) AS n_events,
+         |  COUNT(CASE WHEN az > 3.0 THEN 1 END) AS n_outliers,
+         |  MAX(az) AS max_abs_z
+         |FROM scored
+         |GROUP BY event_type
+         |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
 
     "b23_pivot" -> {
       val cases = (0 to 19).map(i =>

@@ -336,7 +336,29 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** c40 — text NORMALIZATION: the canonicalization pass upstream of
+    * every dedup/fingerprint operator — lowercase, non-alphanumerics →
+    * space, whitespace collapsed, edges trimmed. Reported per doc as
+    * normalized length + md5 of the normalized text (the form exact
+    * dedup would key on), so the oracle verifies the exact normalized
+    * BYTES, not just counts. Pure codegen'd projection — no shuffle
+    * besides the canon sort. Regexes are shared verbatim with the
+    * DuckDB oracle and stay inside the RE2 ∩ Java common subset
+    * (character classes only); the fixture corpus is ASCII, so
+    * `lower` agrees engine-to-engine (no locale case mappings).
+    */
+  def textNormalize(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"),
+        trim(regexp_replace(regexp_replace(lower(col("text")),
+          "[^a-z0-9 ]", " "), " +", " ")).as("norm"))
+      .select(col("doc_id"), col("lang"),
+        length(col("norm")).cast("long").as("norm_len"),
+        md5(col("norm")).as("norm_md5"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "c40_text_normalize" -> (textNormalize(_, _)),
     "c14_lang_id" -> (langId(_, _)),
     "c33_repetition_score" -> (repetitionScore(_, _)),
     "c23_pii_redact" -> (piiRedact(_, _)),
@@ -352,6 +374,19 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    // DuckDB regexp_replace needs the 'g' flag for replace-all (Spark
+    // replaces all occurrences by default).
+    "c40_text_normalize" ->
+      """SELECT doc_id, lang,
+        |  CAST(length(norm) AS BIGINT) AS norm_len,
+        |  md5(norm) AS norm_md5
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents
+        |)
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     "c33_repetition_score" ->
       """WITH counts AS (
         |  SELECT doc_id, w, COUNT(*) AS c

@@ -121,6 +121,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("c39: moment stats broadcast back onto the scan; corpus never shuffle-joins") {
+    val p = plan(Relational.zscoreOutliers(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join: $p")
+  }
+
+  test("c40: normalization is a pure projection — no join, no aggregate, one canon sort") {
+    val p = plan(TextAnalysis.textNormalize(spark, sf))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Aggregate"), p)
+    // Exactly one Exchange: the canon orderBy's range partitioning.
+    assert(p.linesIterator.count(_.trim.startsWith("+- Exchange")) <= 1, p)
+  }
+
   test("c38: adaptive IVF — refined cells and probe broadcast, top-k fuses, no cartesian") {
     val p = plan(NearDup.annIvfAdaptive(spark, sf))
     assert(p.contains("Broadcast"), p)
