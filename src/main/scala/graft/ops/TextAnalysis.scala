@@ -357,7 +357,37 @@ object TextAnalysis {
         md5(col("norm")).as("norm_md5"))
       .orderBy("doc_id")
 
+  /** c41 — STRATIFIED balancing sample: downsample every language to
+    * the smallest language's size (the corpus-balancing step before
+    * mixing), deterministically — keep iff the doc's md5-derived
+    * 32-bit uniform < target/n(lang). Like c20/c26/c32, membership is
+    * a pure function of doc_id, so the sample is reproducible across
+    * runs, engines and partitionings, and STABLE under corpus growth
+    * within a stratum (a kept doc stays kept until its stratum's rate
+    * changes). Two passes: a 10-row count aggregate (broadcast back)
+    * + one scan; the rate (exact-int division in double) and the
+    * uniform are bit-identical in both engines, so the `<` cut cannot
+    * straddle.
+    */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val counts = docs.groupBy(col("lang").as("slang")).agg(count(lit(1)).as("n_lang"))
+    val target = counts.agg(min(col("n_lang")).as("target"))
+    val rates = counts.crossJoin(broadcast(target))
+      .select(col("slang"), (col("target").cast("double") / col("n_lang")).as("rate"))
+    val u = conv(substring(md5(concat(lit("strat:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    docs.join(broadcast(rates), col("lang") === col("slang"))
+      .select(col("lang"), col("rate"), (u < col("rate")).as("keep"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("keep"), 1)).as("n_kept"),
+        round(max(col("rate")), 4).as("target_rate"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "c41_stratified_sample" -> (stratifiedSample(_, _)),
     "c40_text_normalize" -> (textNormalize(_, _)),
     "c14_lang_id" -> (langId(_, _)),
     "c33_repetition_score" -> (repetitionScore(_, _)),
@@ -374,6 +404,17 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "c41_stratified_sample" ->
+      """WITH counts AS (SELECT lang AS slang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
+        |t AS (SELECT min(n_lang) AS target FROM counts),
+        |rates AS (SELECT slang, CAST(target AS DOUBLE) / n_lang AS rate FROM counts, t)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  COUNT(CASE WHEN CAST('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |                   / 4294967296.0 < rate THEN 1 END) AS n_kept,
+        |  ROUND(MAX(rate), 4) AS target_rate
+        |FROM documents d JOIN rates r ON d.lang = r.slang
+        |GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin,
     // DuckDB regexp_replace needs the 'g' flag for replace-all (Spark
     // replaces all occurrences by default).
     "c40_text_normalize" ->
