@@ -100,8 +100,41 @@ object Multimodal {
       }
   }
 
+  private val FrameBytes = 16
+  private val FrameStride = 4 // sample every 4th frame → byte stride 64
+
+  /** c42 — FRAME SAMPLING over the binary media column: treat the blob
+    * as fixed-size frames ([[FrameBytes]] bytes) and keep every
+    * [[FrameStride]]-th frame — the video/audio subsampling step of a
+    * multimodal ingest pipeline, on the opaque-binary representation
+    * (a real decoder would slice decoded frames the same way; the
+    * byte-slice math is what Spark executes either way). Verified
+    * byte-exact: the output carries md5 of the concatenated sampled
+    * frames, which the oracle reproduces by re-slicing the same bytes.
+    * Pure per-row projection (codegen'd higher-order fold) — media
+    * bytes never shuffle, only the digest and counters move.
+    */
+  def frameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val strideB = FrameBytes * FrameStride
+    mediaTable(spark, sfDir).select(
+      col("doc_id"),
+      col("meta.lang").as("lang"),
+      length(col("content")).cast("long").as("n_bytes"),
+      ceil(length(col("content")).cast("double") / FrameBytes).cast("long").as("n_frames"),
+      greatest(expr(s"cast(floor((length(content) - 1) / $strideB.0) AS BIGINT)") + 1, lit(1L))
+        .as("n_sampled"),
+      expr(
+        s"""md5(aggregate(
+           |  sequence(0, int(greatest(cast(floor((length(content) - 1) / $strideB.0) AS BIGINT), 0))),
+           |  cast('' AS BINARY),
+           |  (acc, f) -> concat(acc, substring(content, 1 + f * $strideB, $FrameBytes))))""".stripMargin)
+        .as("sampled_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
-    "c18_multimodal_binary" -> (binaryFeatures(_, _))
+    "c18_multimodal_binary" -> (binaryFeatures(_, _)),
+    "c42_frame_sample" -> (frameSample(_, _))
   )
 
   val oracle: Map[String, String] = Map(
@@ -114,6 +147,30 @@ object Multimodal {
         |  CAST(length(text) AS BIGINT) AS n_chars,
         |  lang
         |FROM documents
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    // The fixture corpus is pure ASCII (verified), so char slices of
+    // `text` are byte slices of the UTF-8 blob — string_agg re-builds
+    // the same sampled byte stream the Spark side folds over binary.
+    "c42_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+        |  FROM documents
+        |), s AS (
+        |  -- range() cannot take lateral column bounds in DuckDB 1.0:
+        |  -- use a constant frame-budget and filter to the per-doc count.
+        |  SELECT doc_id,
+        |    string_agg(substr(text, 1 + CAST(t.f AS INT) * 64, 16), '' ORDER BY t.f) AS sampled
+        |  FROM f, range(1024) t(f)
+        |  WHERE t.f <= greatest(CAST(floor((n_bytes - 1) / 64.0) AS BIGINT), 0)
+        |  GROUP BY doc_id
+        |)
+        |SELECT f.doc_id, lang, n_bytes,
+        |  CAST(ceil(CAST(n_bytes AS DOUBLE) / 16) AS BIGINT) AS n_frames,
+        |  greatest(CAST(floor((n_bytes - 1) / 64.0) AS BIGINT) + 1, 1) AS n_sampled,
+        |  md5(sampled) AS sampled_md5
+        |FROM f JOIN s USING (doc_id)
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
   )
 }
