@@ -184,6 +184,29 @@ object Llm {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** c43 — token-set CONTAINMENT over the LSH candidate pairs:
+    * containment(A→B) = |A∩B| / |A| is the ASYMMETRIC near-dup
+    * measure — a short doc quoted whole inside a long one scores
+    * containment ≈ 1 while its Jaccard (c3) stays low, so dedup
+    * pipelines use both (MinHash recall → Jaccard for symmetric dups,
+    * containment for subset/quote dups). Same candidates-only shape
+    * as c3: scores are computed only for pairs an LSH band proposed.
+    */
+  def containmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = dedupMinhashPairs(spark, sfDir)
+    val toks = tokenized(spark, sfDir)
+      .select(col("doc_id"), array_distinct(col("ws")).as("tset"))
+    pairs
+      .join(toks.select(col("doc_id").as("doc_a"), col("tset").as("ta")), "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("tset").as("tb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(col("ta")), 4).as("contain_a_in_b"),
+        round(size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(col("tb")), 4).as("contain_b_in_a"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Cosine similarity of two double-array columns (float elements
     * cast to double first — §5.3 rule 7; caller rounds).
     */
@@ -317,6 +340,7 @@ object Llm {
     "c1_dedup_exact" -> (dedupExact(_, _)),
     "c2_dedup_minhash_pairs" -> (dedupMinhashPairs(_, _)),
     "c3_jaccard_pairs" -> (jaccardPairs(_, _)),
+    "c43_containment_pairs" -> (containmentPairs(_, _)),
     "c4_cosine_topk" -> (cosineTopk(_, _)),
     "c5_knn_per_label" -> (knnPerLabel(_, _)),
     "c6_label_centroids" -> (labelCentroids(_, _)),
@@ -371,6 +395,20 @@ object Llm {
          |SELECT doc_a, doc_b,
          |  ROUND(CAST(len(list_intersect(ta.tset, tb.tset)) AS DOUBLE)
          |        / len(list_distinct(list_concat(ta.tset, tb.tset))), 4) AS jaccard
+         |FROM pairs
+         |JOIN (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tset
+         |      FROM documents) ta ON ta.doc_id = doc_a
+         |JOIN (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tset
+         |      FROM documents) tb ON tb.doc_id = doc_b
+         |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
+
+    "c43_containment_pairs" ->
+      s"""$oraclePairsCte
+         |SELECT doc_a, doc_b,
+         |  ROUND(CAST(len(list_intersect(ta.tset, tb.tset)) AS DOUBLE)
+         |        / len(ta.tset), 4) AS contain_a_in_b,
+         |  ROUND(CAST(len(list_intersect(ta.tset, tb.tset)) AS DOUBLE)
+         |        / len(tb.tset), 4) AS contain_b_in_a
          |FROM pairs
          |JOIN (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tset
          |      FROM documents) ta ON ta.doc_id = doc_a
