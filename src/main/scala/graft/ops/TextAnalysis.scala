@@ -386,7 +386,26 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** c45 — per-language QUALITY TOP-K: the "keep the best k documents
+    * per stratum" curation selector — rank by the c15 quality score
+    * (rounded, deterministic) with doc_id tiebreak, keep the top 5 per
+    * language. The rank window executes with Spark's WindowGroupLimit:
+    * each partition pre-prunes to its local top-k BEFORE the exchange,
+    * so the shuffle carries ≤ k·n_langs rows per partition rather than
+    * the scored corpus — the same 100 TB shape PlanSpec pins for c19.
+    */
+  def qualityTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    qualityBase(Tables.t(spark, sfDir, "documents"))
+      .select(col("doc_id"), col("lang"), col("quality"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 5)
+      .orderBy("lang", "rn")
+  }
+
   val queries: Map[String, Q] = Map(
+    "c45_quality_topk" -> (qualityTopk(_, _)),
     "c41_stratified_sample" -> (stratifiedSample(_, _)),
     "c40_text_normalize" -> (textNormalize(_, _)),
     "c14_lang_id" -> (langId(_, _)),
@@ -404,6 +423,22 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "c45_quality_topk" -> {
+      val stopList = Stopwords.map("'" + _ + "'").mkString(", ")
+      s"""SELECT doc_id, lang, quality, rn FROM (
+         |  SELECT doc_id, lang, quality,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY quality DESC NULLS LAST, doc_id ASC NULLS FIRST) AS rn
+         |  FROM (
+         |    SELECT doc_id, lang,
+         |      ROUND(0.5 * least(CAST(length(text) AS DOUBLE) / 300.0, 1.0)
+         |        + 0.5 * (1.0 - CAST(len(list_filter(ws, w -> list_contains([$stopList], w))) AS DOUBLE)
+         |                       / len(ws)), 4) AS quality
+         |    FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS ws FROM documents)
+         |  )
+         |) WHERE rn <= 5
+         |ORDER BY lang ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin
+    },
     "c41_stratified_sample" ->
       """WITH counts AS (SELECT lang AS slang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
         |t AS (SELECT min(n_lang) AS target FROM counts),

@@ -294,11 +294,39 @@ object Streams {
     spark.table(tbl).orderBy("purchase_id", "click_id")
   }
 
+  /** c44 — SLIDING windows through the streaming engine: b43's
+    * 1-hour/15-minute overlapping aggregation under the c25 harness
+    * (AvailableNow, complete-mode memory sink — batching-invariant, so
+    * it shares b43's oracle verbatim). With c25/c30/c36/c37 this
+    * closes the streaming window family: tumbling, session, sliding,
+    * append-mode production sink, and stream-stream join are all
+    * oracle-verified through the real incremental engine.
+    */
+  def streamSliding(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = graft.Tables.t(spark, sfDir, "events").schema // sets nanosAsLong (see c25)
+    val ev = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
+    val agg = ev.groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), graft.Canon.dsum(col("value")).as("sum_value"))
+    val tbl = s"c44_stream_sink_${sinkId.incrementAndGet()}"
+    val q = agg.writeStream.format("memory").queryName(tbl)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(tbl)
+      .select(col("w.start").cast("timestamp_ntz").as("window_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy("window_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c25_stream_tumbling" -> (streamTumbling(_, _)),
     "c30_stream_sessions" -> (streamSessions(_, _)),
     "c36_stream_append" -> (streamAppend(_, _)),
-    "c37_stream_enrich" -> (streamEnrich(_, _)))
+    "c37_stream_enrich" -> (streamEnrich(_, _)),
+    "c44_stream_sliding" -> (streamSliding(_, _)))
 
   /** Identical to b42's oracle: the streaming path must agree with
     * both the batch path and DuckDB on the same input.
@@ -312,6 +340,8 @@ object Streams {
          |ORDER BY hour_start ASC NULLS FIRST""".stripMargin,
     // Streaming sessions must agree with batch b44 — same oracle text.
     "c30_stream_sessions" -> graft.ops.Windows.oracle("b44_session_window"),
+    // Streaming sliding must agree with batch b43 — same oracle text.
+    "c44_stream_sliding" -> graft.ops.Windows.oracle("b43_sliding_window"),
     // b42's aggregate restricted to the watermark-finalized windows:
     // append mode emits exactly the windows whose end the final
     // watermark (max event time − lateness) has passed.

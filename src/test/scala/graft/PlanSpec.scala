@@ -121,6 +121,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("c45: per-lang quality top-k prunes map-side via WindowGroupLimit") {
+    val p = plan(TextAnalysis.qualityTopk(spark, sf))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("c39: moment stats broadcast back onto the scan; corpus never shuffle-joins") {
     val p = plan(Relational.zscoreOutliers(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)
