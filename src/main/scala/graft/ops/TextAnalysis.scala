@@ -404,7 +404,35 @@ object TextAnalysis {
       .orderBy("lang", "rn")
   }
 
+  /** c46 — unigram LM SURPRISE: per-doc average −ln p(w) under the
+    * corpus's own unigram model — the language-model perplexity
+    * filter (CCNet-style) reduced to its deterministic unigram form:
+    * high surprise = rare-token soup (noise), very low = repetitive
+    * boilerplate; curation keeps the middle band. Two corpus passes:
+    * token counts (map-side combined, vocabulary-sized result), then
+    * probabilities broadcast back onto the token stream (a natural
+    * vocabulary is MBs; past broadcast size the same plan is a
+    * shuffle join on the token — never per-doc state). The per-token
+    * surprise goes through the decimal canon ([[Canon.davg]]) so the
+    * average is partition- and engine-invariant; p itself is an exact
+    * integer ratio, identical in both engines.
+    */
+  def unigramSurprise(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val freq = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("total"))
+    val probs = freq.crossJoin(broadcast(total))
+      .select(col("w").as("pw"), (col("cnt").cast("double") / col("total")).as("p"))
+    toks.join(broadcast(probs), col("w") === col("pw"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        davg(-log(col("p"))).as("avg_surprise"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "c46_unigram_surprise" -> (unigramSurprise(_, _)),
     "c45_quality_topk" -> (qualityTopk(_, _)),
     "c41_stratified_sample" -> (stratifiedSample(_, _)),
     "c40_text_normalize" -> (textNormalize(_, _)),
@@ -423,6 +451,19 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "c46_unigram_surprise" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+         |), freq AS (
+         |  SELECT w AS pw, COUNT(*) AS cnt FROM toks GROUP BY w
+         |), probs AS (
+         |  SELECT pw, CAST(cnt AS DOUBLE) / (SELECT SUM(cnt) FROM freq) AS p FROM freq
+         |)
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |  ${Canon.oDavg("-ln(p)")} AS avg_surprise
+         |FROM toks JOIN probs ON toks.w = probs.pw
+         |GROUP BY doc_id
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     "c45_quality_topk" -> {
       val stopList = Stopwords.map("'" + _ + "'").mkString(", ")
       s"""SELECT doc_id, lang, quality, rn FROM (
