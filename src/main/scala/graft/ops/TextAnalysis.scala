@@ -275,9 +275,7 @@ object TextAnalysis {
     * the identical pipeline as one SQL statement.
     */
   def curateCorpus(spark: SparkSession, sfDir: String): DataFrame = {
-    val losers = NearDup.dedupClusters(spark, sfDir)
-      .where(col("doc_id") =!= col("cluster_id"))
-      .select(col("doc_id").as("loser_id"))
+    val losers = NearDup.clusterLosers(spark, sfDir)
     val docs = Tables.t(spark, sfDir, "documents")
       .join(broadcast(losers), col("doc_id") === col("loser_id"), "left_anti")
       .where(substring(md5(concat(lit("curate:"), col("doc_id").cast("string"))), 1, 1)

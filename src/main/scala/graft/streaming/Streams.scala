@@ -147,6 +147,50 @@ object Streams {
 
   private val sinkId = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Temp sink/checkpoint dirs created by [[streamAppend]], reaped at
+    * JVM exit (round-7 ADVICE: every run leaked two dirs). They cannot
+    * be deleted at return time — the returned DataFrame lazily reads
+    * the sink parquet — and a checkpoint dir cannot be reused across
+    * invocations (AvailableNow would consider the input already
+    * processed and emit nothing), so exit-time reaping is the correct
+    * lifecycle.
+    */
+  private[graft] val tmpDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val reaperHooked: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      tmpDirs.forEach(d => deleteRecursively(d))
+    }))
+
+  private[graft] def trackTmpDir(dir: String): Unit = {
+    reaperHooked
+    tmpDirs.add(dir); ()
+  }
+
+  private[graft] def deleteRecursively(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally walk.close()
+    }
+  }
+
+  /** An isolated child session for stateful streaming queries: shares
+    * the SparkContext (and thus executors + RDD cache) but has its own
+    * SQLConf and catalog, so pinning the stateful-operator partition
+    * count — carried in the checkpoint, sized to STATE not CPUs — never
+    * mutates the caller's session-global `spark.sql.shuffle.partitions`
+    * (round-7 ADVICE; the old try/finally restore still exposed the
+    * mutated value to anything concurrent on the session).
+    */
+  private def stateSession(spark: SparkSession, statePartitions: Int): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    s
+  }
+
   /** c25 — the streaming flagship, oracle-verified: the b42 tumbling
     * aggregation executed through the STREAMING engine — file source →
     * incremental stateful plan → `Trigger.AvailableNow` (drain all
@@ -236,17 +280,22 @@ object Streams {
     * the cross-engine compare.
     */
   def streamAppend(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = graft.Tables.t(spark, sfDir, "events").schema // sets nanosAsLong (see c25)
-    val ev = spark.readStream.schema(schema)
+    // Isolated child session: the window-agg state store partition
+    // count is pinned at query start and belongs to this query, not to
+    // the caller's session (see [[stateSession]]).
+    val s = stateSession(spark, statePartitions = 8)
+    val schema = graft.Tables.t(s, sfDir, "events").schema // sets nanosAsLong (see c25)
+    val ev = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     val out = java.nio.file.Files.createTempDirectory("graft_c36_out").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_c36_ckpt").toString
+    trackTmpDir(out); trackTmpDir(ckpt)
     val q = toParquetSink(tumblingAgg(ev), out, ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(out)
+    s.read.parquet(out)
       .select(col("hour_start").cast("timestamp_ntz").as("hour_start"),
         col("n_events"), col("sum_value"))
       .orderBy("hour_start")
@@ -264,8 +313,17 @@ object Streams {
     * horizon, the property that makes stream-stream joins survivable.
     */
   def streamEnrich(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = graft.Tables.t(spark, sfDir, "events").schema // sets nanosAsLong (see c25)
-    def src = spark.readStream.schema(schema)
+    // A stream-stream join keeps FOUR state stores per shuffle
+    // partition (two per side), each checkpointed every micro-batch —
+    // so the stateful-operator partition count must track STATE SIZE,
+    // not CPU count (it is pinned at query start and carried in the
+    // checkpoint). The fixture's join state is a few thousand rows, so
+    // 8 partitions; a 100 TB/day deployment raises it (or moves to the
+    // RocksDB provider) the same way. Pinned in an isolated child
+    // session ([[stateSession]]) so the caller's conf never drifts.
+    val s = stateSession(spark, statePartitions = 8)
+    val schema = graft.Tables.t(s, sfDir, "events").schema // sets nanosAsLong (see c25)
+    def src = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000"))) // session-TZ TIMESTAMP for watermarks
     val purchases = src.where(col("event_type") === "purchase")
@@ -275,23 +333,12 @@ object Streams {
     val joined = enrichJoin(purchases, clicks, "2 hours")
       .select(col("purchase_id"), col("click_id"))
     val tbl = s"c37_stream_sink_${sinkId.incrementAndGet()}"
-    // A stream-stream join keeps FOUR state stores per shuffle
-    // partition (two per side), each checkpointed every micro-batch —
-    // so the stateful-operator partition count must track STATE SIZE,
-    // not CPU count (it is pinned at query start and carried in the
-    // checkpoint). The fixture's join state is a few thousand rows, so
-    // 8 partitions; a 100 TB/day deployment raises it (or moves to the
-    // RocksDB provider) via the same conf before first start.
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = joined.writeStream.format("memory").queryName(tbl)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    spark.table(tbl).orderBy("purchase_id", "click_id")
+    val q = joined.writeStream.format("memory").queryName(tbl)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(tbl).orderBy("purchase_id", "click_id")
   }
 
   /** c44 — SLIDING windows through the streaming engine: b43's

@@ -253,4 +253,18 @@ class OperatorPropertiesSpec extends AnyFunSuite {
       "other apps' band tables must survive")
     ops.Llm.evictBands("liveapp")
   }
+
+  test("labelCache drops a stopped application's entries (listener eviction)") {
+    val df = Seq((1L, 1L)).toDF("doc_id", "cluster_id")
+    ops.NearDup.labelCache.put("deadapp:/tmp/corpusA", df)
+    ops.NearDup.labelCache.put("deadapp:/tmp/corpusB", df)
+    ops.NearDup.labelCache.put("liveapp:/tmp/corpusA", df)
+    new ops.NearDup.LabelEvictionListener("deadapp")
+      .onApplicationEnd(org.apache.spark.scheduler.SparkListenerApplicationEnd(0L))
+    assert(!ops.NearDup.labelCache.keys.exists(_.startsWith("deadapp:")),
+      "stopped app's label tables must be evicted")
+    assert(ops.NearDup.labelCache.keys.exists(_.startsWith("liveapp:")),
+      "other apps' label tables must survive")
+    ops.NearDup.evictLabels("liveapp")
+  }
 }

@@ -92,6 +92,29 @@ class StreamsApiSpec extends AnyFunSuite {
     assert(out.columns.toSet == Set("hour_start", "n_events", "sum_value"))
   }
 
+  test("c36/c37 leave no session-conf drift, no cached RDDs, and reap their temp dirs") {
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val dirsBefore = Streams.tmpDirs.size()
+    assert(Streams.streamAppend(spark, TestSpark.sf0001).count() > 0)
+    Streams.streamEnrich(spark, TestSpark.sf0001).count()
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == prevParts,
+      "streaming key mutated the caller session's shuffle partitions")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
+    assert(leaked.isEmpty, s"streaming keys leaked cached RDDs: $leaked")
+    assert(Streams.tmpDirs.size() == dirsBefore + 2,
+      "c36 sink/checkpoint dirs not registered for exit-time reaping")
+  }
+
+  test("deleteRecursively removes a nested directory tree") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_reap_test")
+    Files.createDirectories(root.resolve("a/b"))
+    Files.writeString(root.resolve("a/b/f.txt"), "x")
+    Streams.deleteRecursively(root.toString)
+    assert(!Files.exists(Paths.get(root.toString)), "tree not deleted")
+  }
+
   test("runningTotals accumulates state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Double)]
