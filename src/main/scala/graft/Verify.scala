@@ -39,6 +39,102 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // The two rows-only keys (b18/b50 — sketch internals aren't
+    // cross-engine comparable, SURVEY §2) ship MEASURED accuracy
+    // evidence instead of a DuckDB hash: approx vs exact on the same
+    // corpus, with the sketch's configured bound. Written next to the
+    // results (accuracy.json) and to the repo root (ACCURACY.json) so
+    // the driver's `no_oracle` rows carry proof, not a shrug.
+    try {
+      val acc = accuracyReport(spark, sfDir)
+      Files.writeString(Paths.get(s"$outDir/accuracy.json"), acc)
+      try Files.writeString(Paths.get("ACCURACY.json"), acc)
+      catch { case _: Throwable => () }
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] accuracy report failed: ${e.getMessage}")
+    }
     spark.stop()
+  }
+
+  /** Measured error of the sketch-based keys against exact answers on
+    * `sfDir` — one JSON object keyed like the queries map.
+    *
+    * b18: `approx_count_distinct` uses HLL++ at Spark's default
+    * relative standard deviation 0.05; we report each column's
+    * relative error against exact COUNT(DISTINCT) and check it against
+    * 3·rsd (the ~99.7% band). b50: `approx_percentile(…, 1000)`
+    * guarantees rank error ≤ n/1000 per group; we locate each approx
+    * value's rank displacement from the target rank and check the
+    * n/1000 (+1 for rank rounding) bound.
+    */
+  private[graft] def accuracyReport(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions._
+    val li = Tables.t(spark, sfDir, "lineitem")
+
+    // --- b18: HLL++ vs exact distinct ---
+    val hllRsd = 0.05
+    val b18 = SparkEntry.queries("b18_approx_distinct")(spark, sfDir).head()
+    val exact = li.agg(
+      countDistinct(col("l_partkey")).as("p"),
+      countDistinct(col("l_orderkey")).as("o")).head()
+    val b18Cols = Seq(
+      ("l_partkey", b18.getLong(b18.fieldIndex("approx_parts")), exact.getLong(0)),
+      ("l_orderkey", b18.getLong(b18.fieldIndex("approx_orders")), exact.getLong(1)))
+    val b18Metrics = b18Cols.map { case (c, ap, ex) =>
+      val rel = math.abs(ap - ex).toDouble / ex
+      (c, ap, ex, rel)
+    }
+    val b18Max = b18Metrics.map(_._4).max
+
+    // --- b50: approx_percentile rank error vs the n/1000 guarantee ---
+    val accParam = 1000
+    val b50 = SparkEntry.queries("b50_approx_quantiles")(spark, sfDir).collect()
+    val pcts = Seq(("p50_price", "l_extendedprice", 0.50),
+      ("p95_price", "l_extendedprice", 0.95),
+      ("p25_qty", "l_quantity", 0.25), ("p75_qty", "l_quantity", 0.75))
+    val b50Metrics = b50.toSeq.flatMap { row =>
+      val flag = row.getString(row.fieldIndex("l_returnflag"))
+      val vals = li.where(col("l_returnflag") === flag)
+      pcts.map { case (out, src, p) =>
+        val approx = row.getDouble(row.fieldIndex(out))
+        val n = row.getLong(row.fieldIndex("n"))
+        // The sketch guarantee is on the returned ELEMENT's rank
+        // interval: a value v occupies ranks (count(x<v), count(x<=v)]
+        // — on tied/discrete columns that interval is wide, and the
+        // error is the distance from the interval to the target rank
+        // (zero when the target falls inside it), not the distance
+        // from its upper end.
+        val bounds = vals.agg(
+          count(when(col(src) < approx, 1)).as("lt"),
+          count(when(col(src) <= approx, 1)).as("le")).head()
+        val (lt, le) = (bounds.getLong(0), bounds.getLong(1))
+        val target = math.ceil(p * n).toLong
+        val rankErr =
+          if (target > lt && target <= le) 0L
+          else math.min(math.abs(target - (lt + 1)), math.abs(target - le))
+        (s"$flag/$out", approx, n, rankErr, rankErr.toDouble / n)
+      }
+    }
+    val b50MaxFrac = b50Metrics.map(_._5).max
+    val b50Bound = 1.0 / accParam
+
+    def jNum(d: Double): String = if (d == d.floor && !d.isInfinite) d.toLong.toString
+      else f"$d%.6f"
+    val b18Json = b18Metrics.map { case (c, ap, ex, rel) =>
+      s"""{"column":"$c","approx":$ap,"exact":$ex,"rel_err":${jNum(rel)}}"""
+    }.mkString("[", ",", "]")
+    val b50Json = b50Metrics.map { case (k, ap, n, re, rf) =>
+      s"""{"group_pct":"$k","approx":${jNum(ap)},"n":$n,"rank_err":$re,"rank_err_frac":${jNum(rf)}}"""
+    }.mkString("[", ",", "]")
+    s"""{
+       |"sf_dir": "$sfDir",
+       |"b18_approx_distinct": {"sketch": "HLL++", "configured_rsd": $hllRsd,
+       |  "bound_rel_err_3sigma": ${jNum(3 * hllRsd)}, "max_rel_err": ${jNum(b18Max)},
+       |  "within_bound": ${b18Max <= 3 * hllRsd}, "columns": $b18Json},
+       |"b50_approx_quantiles": {"sketch": "KLL-style approx_percentile", "accuracy_param": $accParam,
+       |  "bound_rank_err_frac": ${jNum(b50Bound)}, "max_rank_err_frac": ${jNum(b50MaxFrac)},
+       |  "within_bound": ${b50Metrics.forall(m => m._4 <= math.max(m._3 / accParam, 1L))},
+       |  "groups": $b50Json}
+       |}""".stripMargin
   }
 }

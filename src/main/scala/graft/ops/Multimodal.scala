@@ -114,9 +114,17 @@ object Multimodal {
     * Pure per-row projection (codegen'd higher-order fold) — media
     * bytes never shuffle, only the digest and counters move.
     */
-  def frameSample(spark: SparkSession, sfDir: String): DataFrame = {
+  def frameSample(spark: SparkSession, sfDir: String): DataFrame =
+    frameSampleOf(mediaTable(spark, sfDir))
+
+  /** Frame sampling over any mediaTable-shaped frame (doc_id, content,
+    * meta) — split out so tests can drive it with synthetic blobs of
+    * arbitrary size (no fixture-size assumptions anywhere: the sampled
+    * frame count is derived per-row from `length(content)`).
+    */
+  def frameSampleOf(media: DataFrame): DataFrame = {
     val strideB = FrameBytes * FrameStride
-    mediaTable(spark, sfDir).select(
+    media.select(
       col("doc_id"),
       col("meta.lang").as("lang"),
       length(col("content")).cast("long").as("n_bytes"),
@@ -150,27 +158,24 @@ object Multimodal {
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
 
     // The fixture corpus is pure ASCII (verified), so char slices of
-    // `text` are byte slices of the UTF-8 blob — string_agg re-builds
-    // the same sampled byte stream the Spark side folds over binary.
+    // `text` are byte slices of the UTF-8 blob. The scalar list form
+    // range(0, hi) takes per-row column bounds, so the frame budget is
+    // derived from each document's own byte length — no constant cap,
+    // no truncation on large blobs (MultimodalSpec pins >64 KB docs).
     "c42_frame_sample" ->
       """WITH f AS (
         |  SELECT doc_id, lang, text,
         |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
         |  FROM documents
-        |), s AS (
-        |  -- range() cannot take lateral column bounds in DuckDB 1.0:
-        |  -- use a constant frame-budget and filter to the per-doc count.
-        |  SELECT doc_id,
-        |    string_agg(substr(text, 1 + CAST(t.f AS INT) * 64, 16), '' ORDER BY t.f) AS sampled
-        |  FROM f, range(1024) t(f)
-        |  WHERE t.f <= greatest(CAST(floor((n_bytes - 1) / 64.0) AS BIGINT), 0)
-        |  GROUP BY doc_id
         |)
-        |SELECT f.doc_id, lang, n_bytes,
+        |SELECT doc_id, lang, n_bytes,
         |  CAST(ceil(CAST(n_bytes AS DOUBLE) / 16) AS BIGINT) AS n_frames,
         |  greatest(CAST(floor((n_bytes - 1) / 64.0) AS BIGINT) + 1, 1) AS n_sampled,
-        |  md5(sampled) AS sampled_md5
-        |FROM f JOIN s USING (doc_id)
+        |  md5(array_to_string(
+        |    list_transform(
+        |      range(0, greatest(CAST(floor((n_bytes - 1) / 64.0) AS BIGINT), 0) + 1),
+        |      fr -> substr(text, 1 + CAST(fr AS INT) * 64, 16)), '')) AS sampled_md5
+        |FROM f
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
   )
 }

@@ -33,6 +33,39 @@ object NearDup {
   private val NearDupCos = 0.35 // fixture-calibrated (random 64-d vectors)
   private val IvfProbeCells = 2
 
+  /** IVF sign-plane sizing (c12): the number of random-hyperplane
+    * sign bits is DERIVED from the corpus size, not a constant —
+    * planes p are chosen so the grid has ~n/[[IvfCellBudget]] cells
+    * (expected occupancy ≈ [[IvfCellBudget]]/n_labels ≈ 8 vectors per
+    * (label, cell)), clamped to [4, 16]. p = bit-length of
+    * (n−1)/budget — pure integer math, so Spark's driver-side value
+    * and the oracle's SQL value (`length(bin(…))`) agree exactly at
+    * every corpus size; a float `ceil(log2(…))` could round apart at
+    * power-of-two boundaries. At 100 TB (n ≈ 10¹¹) the clamp keeps
+    * p = 16 (65k cells/label) — raise [[IvfMaxPlanes]] (≤ dim) to
+    * subdivide further; occupancy bounds are property-tested.
+    */
+  private[graft] val IvfCellBudget = 80L
+  private[graft] val IvfMinPlanes = 4
+  private[graft] val IvfMaxPlanes = 16
+
+  private[graft] def ivfPlanes(n: Long): Int = {
+    val k = math.max(1L, (n - 1L) / IvfCellBudget)
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(k)
+    math.min(IvfMaxPlanes, math.max(IvfMinPlanes, bits))
+  }
+
+  /** Corpus row count, memoized per (application, corpus dir) like the
+    * band/label caches — one metadata-cheap count job per corpus, used
+    * only to size the sign-plane grid (a production deployment would
+    * read catalog table stats instead of counting).
+    */
+  private val embCountCache = TrieMap[String, Long]()
+  private[graft] def embCount(spark: SparkSession, sfDir: String): Long =
+    embCountCache.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}:$sfDir",
+      Tables.t(spark, sfDir, "embeddings").count())
+
   /** c10 — SimHash fingerprint per document: each token votes ±1 on
     * each of 32 bits (high bit of its md5 hex nibbles); the sign of
     * the per-bit sum is the fingerprint bit.
@@ -107,18 +140,21 @@ object NearDup {
   /** c12 — embedding-cosine near-duplicates: pairs above threshold,
     * compared only within a bounded cell, the IVF discipline.
     *
-    * Cell = (label, 4-bit sign bucket): bit j is the sign of embedding
-    * component j (a 4-plane random-hyperplane SimHash — exact
-    * cross-engine, no arithmetic). Label alone has ~10 values, which
-    * caps join parallelism at 10 keys and lets pair-work grow O(cell²)
-    * with corpus size; the sign grid multiplies that to ~160 keys and
-    * divides expected cell occupancy 16×. Probing is multi-probe at
-    * Hamming distance ≤ 1 (side A emits its own bucket plus the 4
-    * one-bit flips; equi-join on (label, bucket)), so near-identical
-    * vectors that straddle one hyperplane are still compared. Pairs
-    * differing in ≥2 sign bits are not candidates — the documented
-    * recall trade every real IVF/LSH index makes (recall rises with
-    * cos: a cos≈1 pair agrees on all 4 signs w.h.p.).
+    * Cell = (label, p-bit sign bucket): bit j is the sign of embedding
+    * component j (a p-plane random-hyperplane SimHash — exact
+    * cross-engine, no arithmetic), with p DERIVED from the corpus size
+    * by [[ivfPlanes]] (p=4 → 160 cells on the small fixtures; p grows
+    * one bit per corpus doubling up to 16, holding expected cell
+    * occupancy ~constant — the property that keeps per-cell pair work
+    * O(1)·n instead of O(n²) as the corpus scales). Label alone has
+    * ~10 values, which caps join parallelism at 10 keys; the sign grid
+    * multiplies that to 10·2^p keys. Probing is multi-probe at Hamming
+    * distance ≤ 1 (side A emits its own bucket plus the p one-bit
+    * flips; equi-join on (label, bucket)), so near-identical vectors
+    * that straddle one hyperplane are still compared. Pairs differing
+    * in ≥2 sign bits are not candidates — the documented recall trade
+    * every real IVF/LSH index makes (recall rises with cos: a cos≈1
+    * pair agrees on all p signs w.h.p.).
     *
     * Each qualifying pair is matched exactly once: same-bucket pairs
     * via the tag-0 probe with vec_a < vec_b; Hamming-1 pairs via the
@@ -129,11 +165,13 @@ object NearDup {
     def dot(x: Column, y: Column) =
       aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
         lit(0.0), (acc, v) => acc + v)
-    val signBucket = expr(
-      """(CASE WHEN embedding[0] >= 0 THEN 8 ELSE 0 END) +
-        |(CASE WHEN embedding[1] >= 0 THEN 4 ELSE 0 END) +
-        |(CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) +
-        |(CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END)""".stripMargin)
+    val planes = ivfPlanes(embCount(spark, sfDir))
+    val signBucket = expr((0 until planes).map { j =>
+      s"(CASE WHEN embedding[$j] >= 0 THEN ${1L << (planes - 1 - j)} ELSE 0 END)"
+    }.mkString(" + "))
+    val probeArr = expr("array(bkt" + (0 until planes).map { j =>
+      s", bkt ^ ${1L << (planes - 1 - j)}"
+    }.mkString + ")")
     // Norms computed once per vector (not once per pair — at n vectors
     // per cell that's n·dim work instead of n²·dim).
     val e = Tables.t(spark, sfDir, "embeddings")
@@ -141,7 +179,7 @@ object NearDup {
       .withColumn("bkt", signBucket)
     val a = e.select(col("vec_id").as("vec_a"), col("label"),
         col("embedding").as("ea"), col("norm").as("na"),
-        explode(expr("array(bkt, bkt ^ 8, bkt ^ 4, bkt ^ 2, bkt ^ 1)")).as("bucket"))
+        explode(probeArr).as("bucket"))
     val b = e.select(col("vec_id").as("vec_b"), col("label").as("label2"),
       col("embedding").as("eb"), col("norm").as("nb"), col("bkt").as("bkt_b"))
     a.join(b, col("label") === col("label2") && col("bucket") === col("bkt_b") &&
@@ -799,19 +837,27 @@ object NearDup {
          |JOIN grams gb ON gb.doc_id = doc_b
          |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
 
+    // The sign-plane count is derived from COUNT(*) with the same
+    // integer bit-length formula as the Spark side (NearDup.ivfPlanes):
+    // p = clamp(len(bin((n-1)//budget)), 4, 16) — integer-exact in
+    // both engines at every corpus size, no float log2.
     "c12_embedding_near_dup" ->
-      s"""WITH e AS (
+      s"""WITH params AS (
+         |  SELECT least($IvfMaxPlanes, greatest($IvfMinPlanes,
+         |    length(bin(greatest((COUNT(*) - 1) // $IvfCellBudget, 1))))) AS p
+         |  FROM embeddings
+         |), e AS (
          |  SELECT vec_id, label, embedding,
          |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm,
-         |    (CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END) +
-         |    (CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END) +
-         |    (CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END) +
-         |    (CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bkt
-         |  FROM embeddings
+         |    CAST(list_sum(list_transform(range(0, p),
+         |      j -> CASE WHEN embedding[CAST(j AS INT) + 1] >= 0
+         |           THEN (CAST(1 AS BIGINT) << (p - 1 - CAST(j AS INT))) ELSE 0 END)) AS BIGINT) AS bkt
+         |  FROM embeddings, params
          |), probes AS (
          |  SELECT vec_id, label, embedding, norm,
-         |    unnest([bkt, xor(bkt, 8), xor(bkt, 4), xor(bkt, 2), xor(bkt, 1)]) AS bucket
-         |  FROM e
+         |    unnest(list_concat([bkt], list_transform(range(0, p),
+         |      j -> xor(bkt, CAST(1 AS BIGINT) << (p - 1 - CAST(j AS INT)))))) AS bucket
+         |  FROM e, params
          |)
          |SELECT vec_a, vec_b, label, cos FROM (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,

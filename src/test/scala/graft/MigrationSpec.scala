@@ -32,7 +32,9 @@ class MigrationSpec extends AnyFunSuite {
 
   test("A6: json and csv sources round-trip the documents table exactly") {
     import graft.sources._
-    val docs = Tables.t(spark, TestSpark.sf0001, "documents")
+    // sf0.01 — the same corpus the driver's oracle gate reads, so the
+    // round-trip covers every real cell the correctness run sees.
+    val docs = Tables.t(spark, TestSpark.sf001, "documents")
     val schemas = Map("documents" -> docs.schema)
     val dir = "/tmp/graft_fmt_roundtrip"
     new JsonSink(dir).write(docs, "documents")

@@ -46,4 +46,50 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.decodeImage(Array[Byte](1, 2, 3))
     }
   }
+
+  /** The c42 oracle formerly hard-capped the frame budget at 1024
+    * frames (64 KB of content); docs past that would silently diverge
+    * from Spark. Pin the uncapped semantics: for synthetic docs well
+    * past 64 KB (and the empty/tiny edge cases), frameSample must
+    * equal an independent reimplementation of the per-row slicing
+    * formula (frame=16 B, stride=4 frames → every 64th byte offset).
+    */
+  test("frame sampling has no frame-count cap (>64 KB docs, edge sizes)") {
+    def expected(text: String): (Long, Long, Long, String) = {
+      val bytes = text.getBytes("UTF-8")
+      val n = bytes.length
+      val nFrames = math.ceil(n / 16.0).toLong
+      val budget = math.max((n - 1) / 64, 0) + 1
+      val sampled = (0 until budget.toInt).flatMap { f =>
+        bytes.slice(f * 64, math.min(f * 64 + 16, n))
+      }.toArray
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(sampled).map("%02x".format(_)).mkString
+      (n.toLong, nFrames, budget.toLong, md5)
+    }
+    // 100k and 200k chars are 1.5x / 3x past the old 64 KB cap.
+    val docs = Seq(
+      1L -> "x" * 200000,
+      2L -> ("abcdefgh" * 12500),  // 100k
+      3L -> "short",
+      4L -> "",
+      5L -> "y" * 65536,           // exactly the old cap boundary
+      6L -> "z" * 65537)           // one past it
+    val media = docs.toDF("doc_id", "text").select(
+      $"doc_id",
+      to_binary($"text", lit("utf-8")).as("content"),
+      struct(lit("text/plain").as("mime"),
+        length($"text").cast("long").as("n_chars"),
+        lit("en").as("lang")).as("meta"))
+    val got = Multimodal.frameSampleOf(media)
+      .select($"doc_id", $"n_bytes", $"n_frames", $"n_sampled", $"sampled_md5")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got.length == docs.length)
+    docs.zip(got).foreach { case ((id, text), (gid, nb, nf, ns, md5)) =>
+      val (enb, enf, ens, emd5) = expected(text)
+      assert(gid == id)
+      assert((nb, nf, ns, md5) == (enb, enf, ens, emd5),
+        s"doc $id (${text.length} chars)")
+    }
+  }
 }

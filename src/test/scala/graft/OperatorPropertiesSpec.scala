@@ -254,6 +254,32 @@ class OperatorPropertiesSpec extends AnyFunSuite {
     ops.Llm.evictBands("liveapp")
   }
 
+  test("IVF sign-plane sizing keeps cell occupancy bounded as the corpus grows") {
+    import ops.NearDup.{ivfPlanes, IvfCellBudget, IvfMinPlanes, IvfMaxPlanes}
+    // Expected occupancy per sign-cell n / 2^p stays under 2× the cell
+    // budget for every corpus the planes can keep up with (i.e. until
+    // the [[IvfMaxPlanes]] clamp at n = budget·2^maxPlanes) — the
+    // invariant that makes per-cell pair work O(n), not O(n²).
+    val maxAdaptiveN = IvfCellBudget << IvfMaxPlanes
+    val ns = samples(Gen.chooseNum(1L, maxAdaptiveN), 8) ++
+      Seq(1L, 499L, 500L, 2000L, IvfCellBudget, IvfCellBudget + 1,
+        IvfCellBudget * 16, IvfCellBudget * 16 + 1, maxAdaptiveN)
+    ns.foreach { n =>
+      val p = ivfPlanes(n)
+      assert(p >= IvfMinPlanes && p <= IvfMaxPlanes, s"n=$n p=$p out of clamp")
+      assert(n.toDouble / (1L << p) <= 2.0 * IvfCellBudget,
+        s"n=$n p=$p expected occupancy ${n.toDouble / (1L << p)} > 2x budget")
+    }
+    // Monotone: more data never means fewer planes (coarser cells).
+    val sorted = ns.sorted
+    sorted.zip(sorted.tail).foreach { case (a, b) =>
+      assert(ivfPlanes(a) <= ivfPlanes(b), s"planes not monotone at $a -> $b")
+    }
+    // The fixture sizes pin the cross-engine contract: 500 rows
+    // (sf0.001/sf0.01) -> 4 planes, 2000 rows (sf0.1) -> 5.
+    assert(ivfPlanes(500L) == 4 && ivfPlanes(2000L) == 5)
+  }
+
   test("labelCache drops a stopped application's entries (listener eviction)") {
     val df = Seq((1L, 1L)).toDF("doc_id", "cluster_id")
     ops.NearDup.labelCache.put("deadapp:/tmp/corpusA", df)

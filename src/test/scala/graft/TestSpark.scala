@@ -20,4 +20,5 @@ object TestSpark {
   }
 
   val sf0001 = "/root/testdata/sf0.001"
+  val sf001 = "/root/testdata/sf0.01"
 }
