@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Deterministic ~10x scale-rehearsal corpus (dev tool only — uses the
+driver-side python stack, not part of the shipped library).
+
+Derives documents.parquet and embeddings.parquet at ~10x sf0.1 size by
+replication + perturbation, preserving the fixture schemas exactly:
+
+- documents: replica k of a doc drops every (k+2)-th token and appends
+  a replica marker token. The marker is PER-(doc, k) ("rep<k>d<id>"),
+  not per-k: a shared "rep<k>" token across all docs creates shingles
+  common to unrelated documents, which chains the whole corpus into
+  one giant slow-diameter component — the first rehearsal run hit
+  exactly that (CC labelSum still creeping at round 26). With
+  doc-local markers, near-dup edges stay within a doc's replica
+  family (plus any genuine fixture near-dups), which is what a real
+  duplicated corpus looks like: many small clusters, bounded diameter.
+- embeddings: replica k adds a deterministic per-component offset
+  sin(7*vec_id + 13*k + i) * 0.02 — replicas are near-identical
+  vectors (cos ~ 0.999+) landing in the same/adjacent IVF sign cells,
+  the near-dup load c12 is built for.
+
+No RNG anywhere: same input -> same corpus, byte for byte.
+
+Each table is written as a DIRECTORY of [[SHARDS]] part files (not one
+small file): a single 5 MB parquet file is ONE input split, which
+serializes every scan onto one core — the first rehearsal run made
+exactly that mistake and ran the 50k-doc LSH pass at ~1.5 cores. Real
+corpora are always multi-file; the sharded layout is what gives
+Spark's scheduler work to distribute.
+
+Usage: python scripts/gen_scale.py [src_sf_dir] [out_dir] [factor]
+Defaults: /root/testdata/sf0.1 /tmp/graft_scale10 10
+"""
+import math
+import os
+import shutil
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SHARDS = 32
+
+
+def write_sharded(cols, schema, path):
+    """Write dict-of-lists as <path>/part-NNNNN.parquet shards."""
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.makedirs(path)
+    n = len(next(iter(cols.values())))
+    per = (n + SHARDS - 1) // SHARDS
+    for s in range(SHARDS):
+        lo, hi = s * per, min((s + 1) * per, n)
+        if lo >= hi:
+            break
+        chunk = {k: v[lo:hi] for k, v in cols.items()}
+        pq.write_table(pa.table(chunk, schema=schema),
+                       f"{path}/part-{s:05d}.parquet")
+
+
+def gen_documents(src, out, factor):
+    t = pq.read_table(f"{src}/documents.parquet")
+    n = t.num_rows
+    max_id = max(t.column("doc_id").to_pylist())
+    cols = {name: t.column(name).to_pylist() for name in t.column_names}
+    out_cols = {name: [] for name in t.column_names}
+    for k in range(factor):
+        for i in range(n):
+            text = cols["text"][i]
+            if k > 0:
+                toks = text.split(" ")
+                kept = [w for j, w in enumerate(toks) if (j + 1) % (k + 2) != 0]
+                text = " ".join(kept + [f"rep{k}d{cols['doc_id'][i]}"])
+            out_cols["doc_id"].append(cols["doc_id"][i] + k * (max_id + 1))
+            out_cols["text"].append(text)
+            out_cols["lang"].append(cols["lang"][i])
+            out_cols["source"].append(cols["source"][i])
+            out_cols["n_chars"].append(len(text))
+    schema = pa.schema([(f.name, f.type) for f in t.schema])  # drop pandas metadata
+    write_sharded(out_cols, schema, f"{out}/documents.parquet")
+    return n, n * factor
+
+
+def gen_embeddings(src, out, factor):
+    t = pq.read_table(f"{src}/embeddings.parquet")
+    n = t.num_rows
+    max_id = max(t.column("vec_id").to_pylist())
+    vec_ids = t.column("vec_id").to_pylist()
+    embs = t.column("embedding").to_pylist()
+    labels = t.column("label").to_pylist()
+    out_ids, out_embs, out_labels = [], [], []
+    for k in range(factor):
+        for i in range(n):
+            vid = vec_ids[i]
+            if k == 0:
+                e = embs[i]
+            else:
+                e = [x + math.sin(7 * vid + 13 * k + j) * 0.02
+                     for j, x in enumerate(embs[i])]
+            out_ids.append(vid + k * (max_id + 1))
+            out_embs.append(e)
+            out_labels.append(labels[i])
+    schema = pa.schema([(f.name, f.type) for f in t.schema])
+    write_sharded({"vec_id": out_ids, "embedding": out_embs, "label": out_labels},
+                  schema, f"{out}/embeddings.parquet")
+    return n, n * factor
+
+
+def main():
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_scale10"
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    os.makedirs(out, exist_ok=True)
+    dn, dN = gen_documents(src, out, factor)
+    en, eN = gen_embeddings(src, out, factor)
+    print(f"documents: {dn} -> {dN} rows; embeddings: {en} -> {eN} rows -> {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -73,7 +73,17 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         Double.MaxValue
       }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated key filter (SPARK_GRAFT_BENCH_ONLY) for
+    // targeted runs — e.g. the scale rehearsal drives only the
+    // dedup/ANN family against a 10x corpus (scripts/gen_scale.py).
+    // Unset = the full surface; the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(keys) => SparkEntry.queries.filter { case (k, _) => keys(k) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> (1 to 2).map(_ => timeOnce(name, fn)).min
     }
     val (failed, ok) = results.partition(_._2 == Double.MaxValue)

@@ -389,28 +389,65 @@ object NearDup {
     * silently-wrong labels (round-5 ADVICE: the old 20-round linear
     * kernel would hand back partial labels on a diameter-20+ chain).
     */
+  /** Eagerly materialize a frame and cut BOTH its lineage and its
+    * inherited statistics. `localCheckpoint(true)` cuts lineage but
+    * carries the source plan's estimated stats into the new leaf
+    * (`LogicalRDD.rewriteStatsAndConstraints`) — and a join's
+    * size-in-bytes estimate is the PRODUCT of its children's, so in an
+    * iterative join loop the carried estimate SQUARES every round.
+    * By ~round 15 the driver is multiplying million-digit BigIntegers
+    * inside stats estimation and planning time, not execution, is the
+    * bottleneck — the 10x scale rehearsal (SCALE.md) caught the CC
+    * loop frozen exactly there. Rebuilding the frame from its
+    * ROW-RDD resets the leaf to default stats (constant-size numbers,
+    * never compounding) at the cost of one row deserialization pass
+    * over a label-table-sized frame; the RDD itself is
+    * `localCheckpoint`ed because a bare `persist` does NOT truncate
+    * RDD lineage for task serialization — the same rehearsal hit a
+    * task-deserialization StackOverflowError at round ~26 once
+    * planning no longer froze first. Returns the frame plus its
+    * backing RDD so the caller can unpersist superseded rounds
+    * promptly instead of waiting for the context cleaner.
+    */
+  private def cutLineage(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    val rdd = df.rdd
+    rdd.localCheckpoint() // persists MEMORY_AND_DISK + truncates lineage
+    rdd.count() // eager: materialize now, under the caller's timing
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+  }
+
   def connectedComponents(undirected: DataFrame): DataFrame = {
     val edges = undirected.select(col("u"), col("v"))
       .union(undirected.select(col("v").as("u"), col("u").as("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Each round's frame is cut from its lineage with an EAGER
-    // localCheckpoint: plain persist leaves the logical plan nested
+    // Each round's frame is cut from its lineage (and stats — see
+    // [[cutLineage]]): plain persist leaves the logical plan nested
     // one-round-deeper every iteration (InMemoryRelation embeds the
     // child plan), which grows planning cost per round and eventually
-    // overflows the tree-walk stack on long-diameter graphs. The
-    // checkpoint keeps every round's plan O(1) deep; on a real cluster
-    // with preemptible executors the reliable `checkpoint()` (HDFS)
-    // form of the same call is the drop-in hardening.
-    var labels = edges.select(col("u").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .localCheckpoint(true)
+    // overflows the tree-walk stack on long-diameter graphs; the
+    // rebuilt-from-RDD leaf keeps every round's plan O(1) deep AND its
+    // stats O(1) sized. On a real cluster with preemptible executors,
+    // persisting the round RDD to reliable storage is the drop-in
+    // hardening.
+    var (labels, labelsRdd) = cutLineage(
+      edges.select(col("u").as("doc_id")).distinct()
+        .select(col("doc_id"), col("doc_id").as("cluster_id")))
     // coalesce guards the empty-graph case (sum over 0 rows is NULL)
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum("cluster_id"), lit(0L))).head().getLong(0)
     var lastSum = labelSum(labels)
     var converged = false
     var rounds = 0
-    val maxRounds = 30
+    // Round cap SCALES with the vertex count: the doubling kernel is
+    // measured logarithmic on paths (CCRoundGrowthSpec: 10 rounds at
+    // 1000 vertices, 14 at 10000) but real LSH-pair topologies need
+    // ~1.5-2x the ideal path bound (the 10x rehearsal's graph took 24
+    // rounds where log2 says 17 — SCALE.md). A constant cap of 30
+    // would spuriously throw at ~10^10 vertices; 2*log2(n)+12 keeps
+    // the guard tight at every size (cheap: rounds cost O(|V|) each,
+    // and the count reads the already-materialized label RDD).
+    val nVerts = labels.count()
+    val maxRounds = 2 * (64 - java.lang.Long.numberOfLeadingZeros(math.max(nVerts, 1L))) + 12
     while (!converged && rounds < maxRounds) {
       // labels appears on both sides of the round; rename the aggregate
       // side so every column resolves unqualified (no ambiguous
@@ -418,29 +455,40 @@ object NearDup {
       val nbrMin = edges.join(labels, edges("v") === labels("doc_id"))
         .groupBy(col("u")).agg(min(col("cluster_id")).as("nbr_min"))
         .withColumnRenamed("u", "nm_u")
-      val prop = labels.join(nbrMin, col("doc_id") === col("nm_u"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"))
-        .localCheckpoint(true)
+      val (prop, propRdd) = cutLineage(
+        labels.join(nbrMin, col("doc_id") === col("nm_u"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+              .as("cluster_id")))
       // Pointer jump: every label is itself a vertex id present in the
       // label table (labels only ever take values of existing vertex
       // ids), so one self-join reads the label's label. Labels are
       // monotone non-increasing and stay inside the component, so this
       // is safe and doubles how far the component min has spread.
       val parents = prop.select(col("doc_id").as("p_id"), col("cluster_id").as("p_cluster"))
-      val next = prop.join(parents, col("cluster_id") === col("p_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("p_cluster"), col("cluster_id")))
-            .as("cluster_id"))
-        .localCheckpoint(true)
+      val (next, nextRdd) = cutLineage(
+        prop.join(parents, col("cluster_id") === col("p_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("p_cluster"), col("cluster_id")))
+              .as("cluster_id")))
       val nextSum = labelSum(next)
+      // Superseded rounds released NOW, not at context cleanup: the
+      // loop's peak footprint is two label tables, independent of
+      // round count.
+      labelsRdd.unpersist(blocking = false)
+      propRdd.unpersist(blocking = false)
       labels = next
+      labelsRdd = nextRdd
       converged = nextSum == lastSum
       lastSum = nextSum
       rounds += 1
+      System.err.println(s"[graft.cc] round=$rounds labelSum=$nextSum converged=$converged")
     }
     edges.unpersist(blocking = false)
+    // One line of evidence per CC pass: the scale rehearsal (SCALE.md)
+    // and any production run read round counts off stderr to confirm
+    // the doubling kernel converges in O(log diameter) as data grows.
+    System.err.println(s"[graft.cc] converged=$converged rounds=$rounds")
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxRounds doubling rounds " +
