@@ -241,7 +241,7 @@ object NearDup {
     */
   def annIvfAdaptive(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.t(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
-    val seeds = emb.where(col("vec_id") % KmSeedStride === 0)
+    val seeds = emb.where(col("vec_id") % kmSeedStride(embCount(spark, sfDir)) === 0)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cent"))
     val cents = kmUpdate(emb, kmAssign(emb, seeds)).localCheckpoint(true)
     val probe = emb.where(col("vec_id") === 0).select(col("embedding").as("probe"))
@@ -543,7 +543,29 @@ object NearDup {
             |CAST(0.0 AS DOUBLE), (a, e) -> greatest(a, e))""".stripMargin), 6).as("max_err"))
       .orderBy("vec_id")
 
-  private[graft] val KmSeedStride = 250
+  /** Deterministic k-means seed stride, sized so the SEED COUNT grows
+    * as ~sqrt(n) with the corpus (stride = 2^(ceil(bitlen(n)/2)) ≈
+    * sqrt(n)): 16 seeds at the 500-vector gate fixture, 32 at sf0.1,
+    * ~190k cells at a 10^11-vector corpus. A CONSTANT stride makes the
+    * cell count grow linearly with n and the n·k assignment pass
+    * quadratic overall — the 10x rehearsal measured exactly that on
+    * c38 (SCALE.md: 100x arithmetic at 10x data). sqrt-growth is the
+    * standard IVF sizing (cells ~ sqrt(n), candidates/cell ~ sqrt(n)).
+    * Same integer bit-length discipline as [[ivfPlanes]]: the oracle
+    * computes the identical stride in SQL from COUNT(*), no float
+    * drift possible.
+    */
+  private[graft] def kmSeedStride(n: Long): Long = {
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(math.max(n, 1L))
+    1L << ((bits + 1) / 2)
+  }
+
+  /** The oracle-side twin of [[kmSeedStride]] (scalar subquery over
+    * the same table, bit-length via bin()).
+    */
+  private[ops] val oSeedStride: String =
+    "(SELECT 1 << CAST(ceil(length(bin(COUNT(*))) / 2.0) AS INT) FROM embeddings)"
+
   private[graft] val KmIters = 2
 
   /** Lloyd ASSIGNMENT step (shared by c34/c35): each vector's nearest
@@ -586,12 +608,13 @@ object NearDup {
 
   /** c34 — the k-means ASSIGNMENT step in isolation: every vector joins
     * its nearest of k deterministic seed centroids (vec_id ≡ 0 mod
-    * [[KmSeedStride]] — no RNG, k scales with the corpus) by cosine;
+    * [[kmSeedStride]] — no RNG, k grows ~sqrt(n) with the corpus) by
+    * cosine;
     * reported per cluster as count + decimal-path average cosine.
     */
   def kmeansAssign(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.t(spark, sfDir, "embeddings")
-    val seeds = emb.where(col("vec_id") % KmSeedStride === 0)
+    val seeds = emb.where(col("vec_id") % kmSeedStride(embCount(spark, sfDir)) === 0)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cent"))
     kmAssign(emb, seeds)
       .groupBy(col("cluster"))
@@ -618,7 +641,7 @@ object NearDup {
     val emb = Tables.t(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var cents = emb.where(col("vec_id") % KmSeedStride === 0)
+    var cents = emb.where(col("vec_id") % kmSeedStride(embCount(spark, sfDir)) === 0)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cent"))
     for (_ <- 1 to KmIters)
       cents = kmUpdate(emb, kmAssign(emb, cents)).localCheckpoint(true)
@@ -733,7 +756,7 @@ object NearDup {
     "c38_ann_ivf_adaptive" ->
       s"""WITH seeds AS (
          |  SELECT vec_id AS centroid_id, embedding AS cent
-         |  FROM embeddings WHERE vec_id % $KmSeedStride = 0
+         |  FROM embeddings WHERE vec_id % $oSeedStride = 0
          |), scored0 AS (
          |  ${oKmScored("seeds")}
          |), best0 AS (
@@ -771,7 +794,7 @@ object NearDup {
     "c35_kmeans_iterate" ->
       s"""WITH seeds AS (
          |  SELECT vec_id AS centroid_id, embedding AS cent
-         |  FROM embeddings WHERE vec_id % $KmSeedStride = 0
+         |  FROM embeddings WHERE vec_id % $oSeedStride = 0
          |), scored0 AS (
          |  ${oKmScored("seeds")}
          |), best0 AS (
@@ -795,7 +818,7 @@ object NearDup {
     "c34_kmeans_assign" ->
       s"""WITH seeds AS (
          |  SELECT vec_id AS centroid_id, embedding AS cent
-         |  FROM embeddings WHERE vec_id % $KmSeedStride = 0
+         |  FROM embeddings WHERE vec_id % $oSeedStride = 0
          |), scored AS (
          |  SELECT e.vec_id, s.centroid_id,
          |    ROUND(
