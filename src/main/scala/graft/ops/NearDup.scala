@@ -66,6 +66,15 @@ object NearDup {
       s"${spark.sparkContext.applicationId}:$sfDir",
       Tables.t(spark, sfDir, "embeddings").count())
 
+  /** The p-bit sign bucket of an `embedding` column — bit j (MSB
+    * first) is the sign of component j. Shared by c12 and the
+    * occupancy pin in OperatorPropertiesSpec.
+    */
+  private[graft] def signBucketExpr(planes: Int): Column =
+    expr((0 until planes).map { j =>
+      s"(CASE WHEN embedding[$j] >= 0 THEN ${1L << (planes - 1 - j)} ELSE 0 END)"
+    }.mkString(" + "))
+
   /** c10 — SimHash fingerprint per document: each token votes ±1 on
     * each of 32 bits (high bit of its md5 hex nibbles); the sign of
     * the per-bit sum is the fingerprint bit.
@@ -166,9 +175,7 @@ object NearDup {
       aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
         lit(0.0), (acc, v) => acc + v)
     val planes = ivfPlanes(embCount(spark, sfDir))
-    val signBucket = expr((0 until planes).map { j =>
-      s"(CASE WHEN embedding[$j] >= 0 THEN ${1L << (planes - 1 - j)} ELSE 0 END)"
-    }.mkString(" + "))
+    val signBucket = signBucketExpr(planes)
     val probeArr = expr("array(bkt" + (0 until planes).map { j =>
       s", bkt ^ ${1L << (planes - 1 - j)}"
     }.mkString + ")")

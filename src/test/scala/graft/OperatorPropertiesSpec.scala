@@ -280,6 +280,25 @@ class OperatorPropertiesSpec extends AnyFunSuite {
     assert(ivfPlanes(500L) == 4 && ivfPlanes(2000L) == 5)
   }
 
+  test("IVF sign-bucket occupancy on real embeddings stays near the budget") {
+    // The formula bounds EXPECTED occupancy; this pins the MEASURED
+    // bucket expression on fixture vectors: with the derived plane
+    // count, no (label, cell) holds more than 4x the per-cell budget
+    // (duckdb-measured max is 9 at sf0.001, 13 at sf0.1 vs avg ~8) —
+    // a regression that collapsed vectors into few cells (sign bug,
+    // plane-count bug) trips this long before correctness notices.
+    import ops.NearDup
+    val n = NearDup.embCount(spark, TestSpark.sf0001)
+    val planes = NearDup.ivfPlanes(n)
+    val occ = Tables.t(spark, TestSpark.sf0001, "embeddings")
+      .select(col("label"), NearDup.signBucketExpr(planes).as("bkt"))
+      .groupBy("label", "bkt").count()
+      .agg(max("count")).head().getLong(0)
+    val perCellBudget = NearDup.IvfCellBudget / 10 // ~10 labels
+    assert(occ <= 4 * perCellBudget,
+      s"max cell occupancy $occ exceeds 4x budget ($perCellBudget) at planes=$planes")
+  }
+
   test("labelCache drops a stopped application's entries (listener eviction)") {
     val df = Seq((1L, 1L)).toDF("doc_id", "cluster_id")
     ops.NearDup.labelCache.put("deadapp:/tmp/corpusA", df)
