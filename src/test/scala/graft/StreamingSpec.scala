@@ -44,6 +44,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  /** The claim c36's production topology rests on, tested across REAL
+    * micro-batch boundaries: in append mode, the final emitted window
+    * set is the same whether the data arrives as one batch or sliced
+    * into several (arrival respecting event-time order up to the
+    * lateness bound, which AvailableNow's file slicing preserves for
+    * time-ordered files). Windows emit progressively as the watermark
+    * passes them, but the union over batches equals the single-batch
+    * result — the batching-invariance that lets the same topology run
+    * a backfill (one huge batch) and live ingest (many small ones)
+    * with identical output.
+    */
+  test("append-mode windowed agg emits the same final set under any batching") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows: Seq[(Timestamp, Long)] = Seq(
+      (ts("10:00"), 1L), (ts("10:07"), 2L), (ts("10:12"), 3L),
+      (ts("10:21"), 4L), (ts("10:33"), 5L), (ts("10:41"), 6L),
+      (ts("10:55"), 7L), (ts("11:05"), 8L))
+    def run(name: String, batches: Seq[Seq[(Timestamp, Long)]]): Map[Timestamp, Long] = {
+      val input = MemoryStream[(Timestamp, Long)]
+      val agg = input.toDF().toDF("ts", "v")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window($"ts", "10 minutes"))
+        .agg(sum($"v").as("s"))
+        .select($"window.start".as("wstart"), $"s")
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).as[(Timestamp, Long)].collect().toMap
+      } finally q.stop()
+    }
+    val oneBatch = run("mb_one", Seq(rows))
+    val threeBatches = run("mb_three", Seq(rows.take(3), rows.slice(3, 6), rows.drop(6)))
+    val eightBatches = run("mb_eight", rows.map(Seq(_)))
+    assert(oneBatch == threeBatches && oneBatch == eightBatches,
+      s"batching changed the emitted set: 1=$oneBatch 3=$threeBatches 8=$eightBatches")
+    // And the emitted set is exactly the watermark cut: windows whose
+    // end <= max(ts) - lateness (11:05 - 10min -> ends <= 10:55).
+    assert(oneBatch.keySet == Set(ts("10:00"), ts("10:10"), ts("10:20"), ts("10:30"), ts("10:40")),
+      s"watermark cut wrong: ${oneBatch.keySet}")
+  }
+
   test("B46: dropDuplicatesWithinWatermark suppresses re-arriving keys") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
