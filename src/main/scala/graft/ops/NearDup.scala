@@ -169,6 +169,16 @@ object NearDup {
     * via the tag-0 probe with vec_a < vec_b; Hamming-1 pairs via the
     * lower id's flip probe only (the reverse direction fails the id
     * ordering) — so no distinct/dedup pass is needed.
+    *
+    * Shuffle discipline (the 100× rehearsal's finding): the exploded
+    * probe side carries ONLY (vec_id, label, bucket) — never the
+    * embedding array. Exploding the array alongside the keys moves
+    * (p+1)× the embedding table through the candidate Exchange (13×
+    * at the 100× corpus, where p=12); instead the key-only join
+    * produces the candidate (vec_a, vec_b) pair set, and the two
+    * embedding sides re-join by id afterwards — the array crosses the
+    * wire exactly twice regardless of p. Pinned by PlanSpec (the
+    * Generate node's output must not include the embedding).
     */
   def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     def dot(x: Column, y: Column) =
@@ -179,18 +189,24 @@ object NearDup {
     val probeArr = expr("array(bkt" + (0 until planes).map { j =>
       s", bkt ^ ${1L << (planes - 1 - j)}"
     }.mkString + ")")
+    val keys = Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"), signBucket.as("bkt"))
+    val a = keys.select(col("vec_id").as("vec_a"), col("label"),
+      explode(probeArr).as("bucket"))
+    val b = keys.select(col("vec_id").as("vec_b"), col("label").as("label2"),
+      col("bkt").as("bkt_b"))
+    val cand = a.join(b, col("label") === col("label2") &&
+        col("bucket") === col("bkt_b") && col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("label"))
     // Norms computed once per vector (not once per pair — at n vectors
     // per cell that's n·dim work instead of n²·dim).
     val e = Tables.t(spark, sfDir, "embeddings")
       .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
-      .withColumn("bkt", signBucket)
-    val a = e.select(col("vec_id").as("vec_a"), col("label"),
-        col("embedding").as("ea"), col("norm").as("na"),
-        explode(probeArr).as("bucket"))
-    val b = e.select(col("vec_id").as("vec_b"), col("label").as("label2"),
-      col("embedding").as("eb"), col("norm").as("nb"), col("bkt").as("bkt_b"))
-    a.join(b, col("label") === col("label2") && col("bucket") === col("bkt_b") &&
-        col("vec_a") < col("vec_b"))
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("norm").as("na")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("norm").as("nb")), "vec_b")
       .select(col("vec_a"), col("vec_b"), col("label"),
         round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4).as("cos"))
       .where(col("cos") >= NearDupCos)

@@ -202,6 +202,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("c12: multi-probe explode carries keys only — the embedding array never rides a probe row") {
+    // SCALE.md 100×: exploding the array with the probes moves (p+1)×
+    // the embedding table through the candidate Exchange. The probe
+    // side must generate from a 3-column key projection and the array
+    // must enter the plan only via the two post-candidate id joins.
+    // (optimizedPlan, not executedPlan: AQE hides the inner tree from
+    // collect(); the optimizer has already run column pruning here.)
+    val plan = NearDup.embeddingNearDup(spark, sf).queryExecution.optimizedPlan
+    val gens = plan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(gens.nonEmpty, "expected the multi-probe explode in the plan")
+    for (g <- gens) {
+      val cols = g.output.map(_.name)
+      assert(!cols.exists(c => c.contains("embedding") || c == "ea" || c == "eb"),
+        s"probe explode carries the embedding array: $cols")
+      assert(g.child.output.size <= 3,
+        s"probe explode input is not the key-only projection: ${g.child.output.map(_.name)}")
+    }
+  }
+
   test("c5: corpus never explodes — centroids broadcast, cosine per row") {
     // The round-2 plan posexploded every embedding to 64 rows and
     // shuffle-joined on (label, idx): 64× corpus through an Exchange.
