@@ -211,9 +211,9 @@ object Llm {
     * cast to double first — §5.3 rule 7; caller rounds).
     */
   private def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+    // Codegen'd dot kernel — bit-identical to the zip_with/aggregate
+    // fold it replaces (graft.functions.ArrayDot).
+    val dot = graft.functions.ArrayDot.adot _
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 

@@ -140,9 +140,9 @@ object NearDup {
   }
 
   private def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+    // Codegen'd dot kernel — bit-identical to the zip_with/aggregate
+    // fold it replaces (graft.functions.ArrayDot).
+    val dot = graft.functions.ArrayDot.adot _
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
@@ -181,9 +181,7 @@ object NearDup {
     * Generate node's output must not include the embedding).
     */
   def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+    val dot = graft.functions.ArrayDot.adot _
     val planes = ivfPlanes(embCount(spark, sfDir))
     val signBucket = signBucketExpr(planes)
     val probeArr = expr("array(bkt" + (0 until planes).map { j =>
