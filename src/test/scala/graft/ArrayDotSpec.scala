@@ -62,6 +62,17 @@ class ArrayDotSpec extends AnyFunSuite {
     assert(df.count(_.isNullAt(0)) == 2)
   }
 
+  test("adot resolves in a fresh newSession whose plans come from Tables.t") {
+    // newSession() gets its own function registry; Tables.t (the seam
+    // every operator reads through) must have registered the kernel
+    // there, independent of which session is thread-active.
+    val s2 = spark.newSession()
+    val n = Tables.t(s2, TestSpark.sf0001, "embeddings")
+      .select(ArrayDot.adot(col("embedding"), col("embedding")).as("sq"))
+      .where(col("sq") > 0).count()
+    assert(n > 0)
+  }
+
   test("adot survives CODEGEN_ONLY (no silent interpreter fallback) and mixed float/double") {
     // factoryMode=CODEGEN_ONLY makes a broken doGenCode throw instead
     // of falling back to eval — proving the kernel really compiles.
