@@ -223,6 +223,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("c4/c12: cosine paths run the codegen'd dot kernel, not the interpreted fold") {
+    // A revert to aggregate(zip_with(...)) would keep results identical
+    // (ArrayDotSpec pins bit parity) but put a boxed per-element lambda
+    // back in the hottest loop of every embedding operator.
+    for (df <- Seq(Llm.cosineTopk(spark, sf), NearDup.embeddingNearDup(spark, sf))) {
+      val p = plan(df)
+      assert(p.contains("array_dot"), s"dot kernel missing from plan: $p")
+      assert(!p.contains("zip_with"), s"interpreted fold back in the cosine path: $p")
+    }
+  }
+
   test("c5: corpus never explodes — centroids broadcast, cosine per row") {
     // The round-2 plan posexploded every embedding to 64 rows and
     // shuffle-joined on (label, idx): 64× corpus through an Exchange.
