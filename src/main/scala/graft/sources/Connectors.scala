@@ -86,6 +86,25 @@ final class CsvSource(dir: String,
       .csv(s"$dir/$table.csv")
 }
 
+/** ORC source/sink pair — the second columnar interchange format
+  * (Spark ships the ORC reader/writer natively). Unlike the CSV/JSON
+  * text connectors, ORC keeps the full 100 TB read posture: it is
+  * splittable, self-describing (no schema manifest needed on read),
+  * column-pruned, and predicate-pushdown-capable — the right target
+  * when the downstream consumer is another engine that speaks ORC
+  * (Hive/Trino ecosystems) rather than parquet.
+  */
+final class OrcSink(dir: String) extends TableSink {
+  def write(df: DataFrame, table: String): Unit =
+    df.write.mode("overwrite").orc(s"$dir/$table.orc")
+}
+
+final class OrcSource(dir: String) extends TableSource {
+  def tableNames(spark: SparkSession): Seq[String] = graft.Tables.names
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.orc(s"$dir/$table.orc")
+}
+
 /** PRODUCTION-PATH DESIGN (not runnable here; kept out of the oracle
   * query map per SURVEY §7 hard-part 5).
   *

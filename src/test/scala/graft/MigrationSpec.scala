@@ -39,13 +39,36 @@ class MigrationSpec extends AnyFunSuite {
     val dir = "/tmp/graft_fmt_roundtrip"
     new JsonSink(dir).write(docs, "documents")
     new CsvSink(dir).write(docs, "documents")
-    Seq(new JsonSource(dir, schemas), new CsvSource(dir, schemas)).foreach { src =>
+    new OrcSink(dir).write(docs, "documents")
+    Seq(new JsonSource(dir, schemas), new CsvSource(dir, schemas),
+        new OrcSource(dir)).foreach { src =>
       val back = src.read(spark, "documents")
       assert(back.schema == docs.schema, s"schema drift via ${src.getClass.getSimpleName}")
       assert(back.count() == docs.count())
       assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty,
         s"rows drift via ${src.getClass.getSimpleName}")
     }
+  }
+
+  test("A6: orc round-trip preserves adversarial cells and binary columns") {
+    import graft.sources._
+    import spark.implicits._
+    // ORC is self-describing, so it must also carry what the text
+    // formats can't express natively: binary bytes and nested arrays.
+    val nasty = Seq(
+      (1L, "line one\nline two\r\nline three", Array[Byte](0, 1, -128, 127), Seq(1.5f, -2.5f)),
+      (2L, "quote \" comma, unicode é中文", Array[Byte](), Seq.empty[Float]),
+      (3L, "trailing space  ", null, Seq(0.0f))).toDF("id", "text", "blob", "vec")
+    val dir = "/tmp/graft_fmt_orc_nasty"
+    new OrcSink(dir).write(nasty, "nasty")
+    val back = new OrcSource(dir).read(spark, "nasty")
+    // ORC (like parquet) reads every field nullable — compare names
+    // and types modulo nullability; values are compared exactly below.
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => (f.name, f.dataType.sql)).toSeq
+    assert(shape(back.schema) == shape(nasty.schema), "orc schema drift")
+    assert(back.exceptAll(nasty).isEmpty && nasty.exceptAll(back).isEmpty,
+      s"orc round-trip drift: ${back.orderBy("id").collect().mkString("; ")}")
   }
 
   test("A6: csv/json round-trip survives newlines, quotes, backslashes in cells") {
