@@ -35,8 +35,9 @@ object Bench {
       catch { case _: Throwable => () }
     }
     // Pre-materialize the per-corpus one-time passes consumed by the
-    // whole dedup family: the LSH band table (c2/c3/c11/c21/c22/c31)
-    // and the CC cluster-label table (c21/c22/c31). Timed inside a
+    // whole dedup family: the LSH band table, the candidate-pair table
+    // (c2/c3/c11/c21/c22/c31/c43) and the CC cluster-label table
+    // (c21/c22/c31). Timed inside a
     // query they land on whichever key runs first and misread as that
     // key's cost (round-5 verdict #2; round-7 verdict: a SILENT warm-up
     // failure re-billed them to c11/c22 as an invisible 4-5x blow-up).
@@ -55,6 +56,7 @@ object Bench {
         Double.MaxValue
       }
     val setupBands = timeSetup("setup_lsh_bands")(ops.Llm.warmBands(spark, sfDir))
+    val setupPairs = timeSetup("setup_lsh_pairs")(ops.Llm.warmPairs(spark, sfDir))
     val setupLabels = timeSetup("setup_cc_labels")(ops.NearDup.warmLabels(spark, sfDir))
     // Every query runs twice, min taken (total runtime ~2 min permits
     // it): first-touch parquet footer reads + codegen compilation on
@@ -101,7 +103,7 @@ object Bench {
     def setupVal(v: Double) = if (v == Double.MaxValue) "null" else v.toString
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""setup_lsh_bands":${setupVal(setupBands)},"setup_cc_labels":${setupVal(setupLabels)},""" +
+        s""""setup_lsh_bands":${setupVal(setupBands)},"setup_lsh_pairs":${setupVal(setupPairs)},"setup_cc_labels":${setupVal(setupLabels)},""" +
         s""""failed":$failedJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outFile), json + "\n")
     // Stop Spark BEFORE printing: its shutdown logging must not be able

@@ -103,15 +103,17 @@ object Llm {
   private[graft] val bandCache = TrieMap[String, DataFrame]()
   private val evictionHooked = TrieMap[String, Boolean]()
 
-  /** Drop (and unpersist, best-effort) every cached band table of one
-    * application. Called by the application-end listener; exposed
-    * private[graft] so the eviction path is unit-testable without
-    * stopping the shared test SparkContext.
+  /** Drop (and unpersist, best-effort) every cached band AND pair
+    * table of one application. Called by the application-end listener;
+    * exposed private[graft] so the eviction path is unit-testable
+    * without stopping the shared test SparkContext.
     */
   private[graft] def evictBands(appId: String): Unit =
-    bandCache.keys.filter(_.startsWith(appId + ":")).foreach { k =>
-      bandCache.remove(k).foreach { df =>
-        try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    Seq(bandCache, pairCache).foreach { cache =>
+      cache.keys.filter(_.startsWith(appId + ":")).foreach { k =>
+        cache.remove(k).foreach { df =>
+          try df.unpersist(blocking = false) catch { case _: Throwable => () }
+        }
       }
     }
 
@@ -150,13 +152,13 @@ object Llm {
     lshBands(spark, sfDir); ()
   }
 
-  /** c2 — MinHash/LSH near-duplicate candidate pairs: docs sharing at
-    * least one band bucket. The join is per-bucket (equi on
-    * band_idx+band_val), so work scales with bucket occupancy, not n².
-    * Both join sides read the materialized band table ([[lshBands]]),
-    * so the plan shows one signature pipeline + InMemoryTableScans.
+  /** The LSH candidate-pair plan: docs sharing at least one band
+    * bucket. The join is per-bucket (equi on band_idx+band_val), so
+    * work scales with bucket occupancy, not n². Both join sides read
+    * the materialized band table ([[lshBands]]), so the plan shows one
+    * signature pipeline + InMemoryTableScans.
     */
-  def dedupMinhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def minhashPairsPlan(spark: SparkSession, sfDir: String): DataFrame = {
     val bands = lshBands(spark, sfDir)
     val a = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_val"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band_idx").as("bi2"), col("band_val").as("bv2"))
@@ -164,15 +166,58 @@ object Llm {
         col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-      .orderBy("doc_a", "doc_b")
   }
+
+  /** Materialized candidate-pair table, one per (application, corpus
+    * dir) — the third one-time pass of the dedup family (bands →
+    * pairs → cluster labels), same discipline as [[lshBands]].
+    *
+    * FIVE consumers read the pair set (c2 itself, the c3/c43 verify
+    * scores, the c11 char-level verify, and the CC edge list behind
+    * c21/c22/c31), and c11 alone references it under TWO join inputs
+    * (the broadcast candidate-id set and the pair spine), so an
+    * un-materialized plan replays the band self-join + distinct up to
+    * six times per bench pass — measured at sf0.1 as ~490 tasks for
+    * 826 result rows, with task overhead (deserialize + schedule) of
+    * the replayed stages dominating wall time 3–4×. The table is
+    * duplicate-sized (two longs per candidate pair — ≪ corpus at any
+    * scale), so MEMORY_AND_DISK for the application lifetime is
+    * bounded; entries ride the same eviction listener as the band
+    * cache.
+    */
+  private[graft] val pairCache = TrieMap[String, DataFrame]()
+
+  private[graft] def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val appId = spark.sparkContext.applicationId
+    if (evictionHooked.putIfAbsent(appId, true).isEmpty)
+      spark.sparkContext.addSparkListener(new BandEvictionListener(appId))
+    pairCache.getOrElseUpdate(s"$appId:$sfDir", {
+      val df = minhashPairsPlan(spark, sfDir).persist(StorageLevel.MEMORY_AND_DISK)
+      df.count() // materialize eagerly: exactly one pair join ever runs
+      df
+    })
+  }
+
+  /** Pre-materialize the pair table (and, transitively, the band
+    * table) — Bench times this as its own setup key so the shared
+    * pass is never billed to whichever consumer runs first.
+    */
+  private[graft] def warmPairs(spark: SparkSession, sfDir: String): Unit = {
+    minhashPairs(spark, sfDir); ()
+  }
+
+  /** c2 — MinHash/LSH near-duplicate candidate pairs, read from the
+    * memoized pair table ([[minhashPairs]]).
+    */
+  def dedupMinhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    minhashPairs(spark, sfDir).orderBy("doc_a", "doc_b")
 
   /** c3 — exact token-set Jaccard over the c2 candidate pairs (the
     * verify stage of the dedup pipeline: cheap LSH recall → exact
     * precision on the small candidate set).
     */
   def jaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = dedupMinhashPairs(spark, sfDir)
+    val pairs = minhashPairs(spark, sfDir)
     val toks = tokenized(spark, sfDir)
       .select(col("doc_id"), array_distinct(col("ws")).as("tset"))
     pairs
@@ -193,7 +238,7 @@ object Llm {
     * as c3: scores are computed only for pairs an LSH band proposed.
     */
   def containmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = dedupMinhashPairs(spark, sfDir)
+    val pairs = minhashPairs(spark, sfDir)
     val toks = tokenized(spark, sfDir)
       .select(col("doc_id"), array_distinct(col("ws")).as("tset"))
     pairs

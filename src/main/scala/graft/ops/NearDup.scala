@@ -121,7 +121,7 @@ object NearDup {
     * old shape shingled every document to serve a few thousand pairs).
     */
   def ngramJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = Llm.dedupMinhashPairs(spark, sfDir)
+    val pairs = Llm.minhashPairs(spark, sfDir)
     val cand = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id")))
       .distinct()
@@ -373,7 +373,7 @@ object NearDup {
     if (labelEvictionHooked.putIfAbsent(appId, true).isEmpty)
       spark.sparkContext.addSparkListener(new LabelEvictionListener(appId))
     labelCache.getOrElseUpdate(s"$appId:$sfDir", {
-      val pairs = Llm.dedupMinhashPairs(spark, sfDir)
+      val pairs = Llm.minhashPairs(spark, sfDir)
       connectedComponents(pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
     })
   }

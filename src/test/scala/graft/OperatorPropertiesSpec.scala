@@ -245,12 +245,18 @@ class OperatorPropertiesSpec extends AnyFunSuite {
     ops.Llm.bandCache.put("deadapp:/tmp/corpusA", df)
     ops.Llm.bandCache.put("deadapp:/tmp/corpusB", df)
     ops.Llm.bandCache.put("liveapp:/tmp/corpusA", df)
+    ops.Llm.pairCache.put("deadapp:/tmp/corpusA", df)
+    ops.Llm.pairCache.put("liveapp:/tmp/corpusA", df)
     new ops.Llm.BandEvictionListener("deadapp")
       .onApplicationEnd(org.apache.spark.scheduler.SparkListenerApplicationEnd(0L))
     assert(!ops.Llm.bandCache.keys.exists(_.startsWith("deadapp:")),
       "stopped app's band tables must be evicted")
+    assert(!ops.Llm.pairCache.keys.exists(_.startsWith("deadapp:")),
+      "stopped app's pair tables must be evicted")
     assert(ops.Llm.bandCache.keys.exists(_.startsWith("liveapp:")),
       "other apps' band tables must survive")
+    assert(ops.Llm.pairCache.keys.exists(_.startsWith("liveapp:")),
+      "other apps' pair tables must survive")
     ops.Llm.evictBands("liveapp")
   }
 

@@ -59,12 +59,46 @@ class PlanSpec extends AnyFunSuite {
     // plan STRING legitimately shows the cached pipeline as the
     // InMemoryRelation's provenance, but it must not be a live node of
     // the query tree — no Generate (shingle explode) may execute here.
-    val sp = Llm.dedupMinhashPairs(spark, sf).queryExecution.sparkPlan
+    // Target is the UNCACHED pair plan: the c2 query itself now reads
+    // the memoized pair table (next test), so this pins the plan that
+    // materializes it. Once the pair table itself is cached, the cache
+    // manager may substitute the WHOLE fragment with its
+    // InMemoryRelation (ims == 1); before that, both band sides must
+    // be InMemoryTableScans (ims == 2). Either way: no Generate
+    // (shingle explode) and no parquet re-scan may execute here.
+    val sp = Llm.minhashPairsPlan(spark, sf).queryExecution.sparkPlan
     val gens = sp.collect { case g: org.apache.spark.sql.execution.GenerateExec => g }
     val ims = sp.collect {
       case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s }
     assert(gens.isEmpty, s"signature subtree replayed inside the self-join: $sp")
-    assert(ims.size == 2, s"expected both join sides cached, got ${ims.size}: $sp")
+    assert(ims.size == 2 || ims.size == 1,
+      s"expected cached join sides (2) or the cached pair table (1), got ${ims.size}: $sp")
+    val files = sp.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(files.isEmpty, s"raw corpus rescanned under the pair join: $sp")
+  }
+
+  test("c2/c3/c11/c43: every pair consumer reads ONE memoized pair table") {
+    // The band self-join + distinct is the dedup family's second
+    // shared one-time pass; un-materialized it replayed up to six
+    // times per bench sweep (c11 alone holds it under two join
+    // inputs), costing ~490 tasks for 826 result rows at sf0.1 —
+    // task overhead, not data work. Same discipline as lshBands /
+    // clusterLabels: one persisted table per (app, corpus).
+    val p1 = Llm.minhashPairs(spark, sf)
+    assert(p1 eq Llm.minhashPairs(spark, sf),
+      "pair table must be memoized per (app, corpus)")
+    for (df <- Seq(Llm.dedupMinhashPairs(spark, sf),
+        Llm.jaccardPairs(spark, sf),
+        NearDup.ngramJaccardPairs(spark, sf),
+        Llm.containmentPairs(spark, sf))) {
+      val sp = df.queryExecution.sparkPlan
+      val joins = sp.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+            if j.joinType == org.apache.spark.sql.catalyst.plans.Inner &&
+              j.condition.exists(_.toString.contains("band")) => j }
+      assert(joins.isEmpty, s"band self-join replayed under a pair consumer: $sp")
+    }
   }
 
   test("c2 signature pass hash-aggregates (BIGINT minhash buffer, no sort)") {
