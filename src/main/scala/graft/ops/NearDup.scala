@@ -211,6 +211,53 @@ object NearDup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** c47 — SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540, public): partition the embedding space into
+    * k-means cells (the c34 kernel — deterministic seed centroids,
+    * rounded-cosine assignment), find in-cell pairs with cosine ≥
+    * [[NearDupCos]], and from each such pair remove the member that
+    * sits CLOSER to its cell centroid — the paper's keep-rule
+    * (retaining the low-centroid-similarity member preserves corpus
+    * diversity). Ties on the rounded centroid cosine break by higher
+    * vec_id, so the removal set is total and engine-deterministic.
+    * By construction at least one endpoint of every ≥τ pair is
+    * removed, so NO two survivors of the same cell are τ-similar
+    * (property-tested).
+    *
+    * Scale shape: assignment is the broadcast-centroid pass (no corpus
+    * shuffle); the pair join is an equi-join on the cell id, never
+    * cartesian, with work bounded by cell occupancy exactly like c12 —
+    * and the embedding rides the CELL join (2n arrays through one
+    * exchange), not a per-pair re-join (p× pair count); the loser list
+    * is duplicate-sized and broadcasts into a left-anti join, the c22
+    * discipline. At 100 TB you'd feed the c35 Lloyd-refined centroids
+    * and an ANN-accelerated assignment in place of the brute-force
+    * seed pass; the dedup semantics stay identical.
+    */
+  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val dot = graft.functions.ArrayDot.adot _
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val seeds = emb.where(col("vec_id") % kmSeedStride(embCount(spark, sfDir)) === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent"))
+    // (vec_id, cluster, cos) with cos ROUND(4) — membership and the
+    // keep-rule both read the rounded value, so every engine agrees.
+    val m = kmAssign(emb, seeds)
+      .join(emb.select(col("vec_id"),
+        col("embedding"), sqrt(dot(col("embedding"), col("embedding"))).as("norm")), "vec_id")
+    val a = m.select(col("vec_id").as("va"), col("cluster"),
+      col("cos").as("cos_a"), col("embedding").as("ea"), col("norm").as("na"))
+    val b = m.select(col("vec_id").as("vb"), col("cluster").as("cl2"),
+      col("cos").as("cos_b"), col("embedding").as("eb"), col("norm").as("nb"))
+    val losers = a.join(b, col("cluster") === col("cl2") && col("va") < col("vb"))
+      .where(round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4) >= NearDupCos)
+      .select(when(struct(col("cos_a"), col("va")) > struct(col("cos_b"), col("vb")),
+        col("va")).otherwise(col("vb")).as("loser_id"))
+      .distinct()
+    m.join(broadcast(losers), col("vec_id") === col("loser_id"), "left_anti")
+      .select(col("vec_id"), col("cluster"), col("cos").as("cent_cos"))
+      .orderBy("vec_id")
+  }
+
   /** c13 — IVF-style two-stage ANN: rank cells (label centroids) by
     * cosine to the probe, then brute-force only the nearest
     * `IvfProbeCells` cells. The centroid table is tiny (n_cells rows)
@@ -718,6 +765,7 @@ object NearDup {
     "c35_kmeans_iterate" -> (kmeansIterate(_, _)),
     "c11_ngram_jaccard_pairs" -> (ngramJaccardPairs(_, _)),
     "c12_embedding_near_dup" -> (embeddingNearDup(_, _)),
+    "c47_semantic_dedup" -> (semanticDedup(_, _)),
     "c13_ann_ivf" -> (annIvf(_, _)),
     "c38_ann_ivf_adaptive" -> (annIvfAdaptive(_, _)),
     "c19_batch_ann_topk" -> (batchAnnTopk(_, _))
@@ -836,6 +884,38 @@ object NearDup {
          |SELECT cluster, COUNT(*) AS n_assigned, ${Canon.oDavg("cos")} AS avg_cos
          |FROM best2 GROUP BY cluster
          |ORDER BY cluster ASC NULLS FIRST""".stripMargin,
+    // Same seeds/scored/best pipeline as c34, then: in-cell pairs ≥ τ
+    // → per-pair loser = the member with the lexicographically larger
+    // (rounded centroid cos, vec_id) — i.e. closer to the centroid,
+    // ties to the higher id — survivors = NOT IN losers. Row-value
+    // comparison (a.cos, a.vec_id) > (b.cos, b.vec_id) mirrors the
+    // Spark side's struct comparison exactly.
+    "c47_semantic_dedup" ->
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS centroid_id, embedding AS cent
+         |  FROM embeddings WHERE vec_id % $oSeedStride = 0
+         |), scored AS (
+         |  ${oKmScored("seeds")}
+         |), best AS (
+         |  ${oKmBest("scored")}
+         |), m AS (
+         |  SELECT b.vec_id, b.cluster, b.cos, e.embedding
+         |  FROM best b JOIN embeddings e ON e.vec_id = b.vec_id
+         |), losers AS (
+         |  SELECT DISTINCT CASE
+         |    WHEN (a.cos, a.vec_id) > (b.cos, b.vec_id) THEN a.vec_id
+         |    ELSE b.vec_id END AS loser_id
+         |  FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE ROUND(
+         |      list_sum(list_transform(range(1, len(a.embedding) + 1),
+         |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |        * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         |      4) >= $NearDupCos
+         |)
+         |SELECT vec_id, cluster, cos AS cent_cos FROM m
+         |WHERE vec_id NOT IN (SELECT loser_id FROM losers)
+         |ORDER BY vec_id ASC NULLS FIRST""".stripMargin,
     "c34_kmeans_assign" ->
       s"""WITH seeds AS (
          |  SELECT vec_id AS centroid_id, embedding AS cent

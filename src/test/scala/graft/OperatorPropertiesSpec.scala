@@ -305,6 +305,27 @@ class OperatorPropertiesSpec extends AnyFunSuite {
       s"max cell occupancy $occ exceeds 4x budget ($perCellBudget) at planes=$planes")
   }
 
+  test("c47: no two survivors of the same cell are tau-similar; removals are a partition") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    val dot = graft.functions.ArrayDot.adot _
+    val survivors = ops.NearDup.semanticDedup(spark, sf)
+    val emb = Tables.t(spark, sf, "embeddings")
+    val n = emb.count()
+    val kept = survivors.count()
+    assert(kept >= 1 && kept <= n, s"survivor count $kept outside [1, $n]")
+    // Every >= tau in-cell pair had one endpoint removed, so the
+    // surviving set contains no tau-similar pair within a cell.
+    val withEmb = survivors.join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+    val a = withEmb.select(col("vec_id").as("va"), col("cluster"), col("embedding").as("ea"))
+    val b = withEmb.select(col("vec_id").as("vb"), col("cluster").as("cl2"), col("embedding").as("eb"))
+    val similar = a.join(b, col("cluster") === col("cl2") && col("va") < col("vb"))
+      .where(round(dot(col("ea"), col("eb")) /
+        (sqrt(dot(col("ea"), col("ea"))) * sqrt(dot(col("eb"), col("eb")))), 4) >= 0.35)
+      .count()
+    assert(similar == 0, s"$similar tau-similar pairs survived semantic dedup")
+  }
+
   test("labelCache drops a stopped application's entries (listener eviction)") {
     val df = Seq((1L, 1L)).toDF("doc_id", "cluster_id")
     ops.NearDup.labelCache.put("deadapp:/tmp/corpusA", df)

@@ -168,6 +168,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("c47: cell pair join is equi on cluster; loser list broadcasts into the anti-join") {
+    val sp = NearDup.semanticDedup(spark, sf).queryExecution.sparkPlan
+    val p = sp.toString
+    assert(!p.contains("CartesianProduct"), s"in-cell pair join went cartesian: $p")
+    val antis = sp.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j }
+    assert(antis.nonEmpty, s"loser removal is not a broadcast anti-join: $p")
+  }
+
   test("c45: per-lang quality top-k prunes map-side via WindowGroupLimit") {
     val p = plan(TextAnalysis.qualityTopk(spark, sf))
     assert(p.contains("WindowGroupLimit"), p)
