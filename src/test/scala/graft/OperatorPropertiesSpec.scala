@@ -326,6 +326,33 @@ class OperatorPropertiesSpec extends AnyFunSuite {
     assert(similar == 0, s"$similar tau-similar pairs survived semantic dedup")
   }
 
+  test("c48: a shared run is reported at ANY alignment; disjoint texts and boilerplate are not") {
+    import org.apache.spark.sql.functions._
+    // 120-char run → ~101 interior grams, expected ~12.6 selected by
+    // the content-defined 1/8 sample; deterministic (md5), verified
+    // to select >= 2. The two carriers hold it at prefixes of length
+    // 6 and 5 — misaligned mod any stride, which is exactly the case
+    // a position-strided gram kernel misses (selection must depend on
+    // gram CONTENT only).
+    val run = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "green turtles watch quietly from a mossy log nearby"
+    val boiler = "COMMON LICENSE HEADER TEXT REPEATED EVERYWHERE OK" // in > cap docs
+    val docs = (
+      Seq(
+        (1L, s"alpha $run omega"),
+        (2L, s"beta $run gamma"),
+        (3L, "entirely unrelated content with no overlap at all zzz")
+      ) ++ (100L until 140L).map(i => (i, s"doc$i $boiler tail$i"))
+    ).toDF("doc_id", "text")
+    val out = ops.NearDup.substringDupSpansOf(docs)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(out.contains((1L, 2L)), s"misaligned shared run not detected: $out")
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L),
+      s"disjoint doc reported as duplicated: $out")
+    assert(!out.exists(p => p._1 >= 100L),
+      s"boilerplate gram (present in 40 docs > cap) produced pairs: $out")
+  }
+
   test("labelCache drops a stopped application's entries (listener eviction)") {
     val df = Seq((1L, 1L)).toDF("doc_id", "cluster_id")
     ops.NearDup.labelCache.put("deadapp:/tmp/corpusA", df)

@@ -178,6 +178,16 @@ class PlanSpec extends AnyFunSuite {
     assert(antis.nonEmpty, s"loser removal is not a broadcast anti-join: $p")
   }
 
+  test("c48: shared-gram set broadcasts into a semi-join that prunes the gram stream") {
+    val sp = NearDup.substringDupSpans(spark, sf).queryExecution.sparkPlan
+    val p = sp.toString
+    assert(!p.contains("CartesianProduct"), s"gram self-join went cartesian: $p")
+    val semis = sp.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j }
+    assert(semis.nonEmpty, s"gram stream not pruned by a broadcast semi-join: $p")
+  }
+
   test("c45: per-lang quality top-k prunes map-side via WindowGroupLimit") {
     val p = plan(TextAnalysis.qualityTopk(spark, sf))
     assert(p.contains("WindowGroupLimit"), p)
