@@ -266,12 +266,19 @@ object NearDup {
     * guarantee ("a ≥35-char shared run is always reported, disjoint
     * texts never are") is testable on constructed documents.
     */
-  private[graft] def substringDupSpansOf(docs: DataFrame): DataFrame = {
-    val grams = docs
+  /** The content-sampled distinct (doc_id, gram-md5) stream shared by
+    * c48 and c49 — see the knobs comment for why it slices bytes and
+    * selects on the digest.
+    */
+  private def sampledGrams(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("text").cast("binary").as("tb"))
       .select(col("doc_id"), explode(expr(
         s"array_distinct(filter(transform(sequence(1, greatest(length(tb) - ${SubstrGramLen - 1}, 1)), i -> md5(substring(tb, i, $SubstrGramLen))), h -> conv(substring(h, 32, 1), 16, 10) % $SubstrModP = 0))"))
         .as("h"))
+
+  private[graft] def substringDupSpansOf(docs: DataFrame): DataFrame = {
+    val grams = sampledGrams(docs)
     val shared = grams.groupBy(col("h"))
       .agg(count(lit(1)).as("nd"))
       .where(col("nd").between(2L, HotGramCap))
@@ -289,6 +296,36 @@ object NearDup {
       .agg(count(lit(1)).as("shared_grams"))
       .where(col("shared_grams") >= MinSharedGrams)
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** c49 — per-document duplicated-content fraction: of a doc's
+    * sampled grams (the c48 kernel), the share also present in at
+    * least one OTHER doc — the doc-level gate a curation pipeline
+    * filters on (drop documents that are mostly duplicated text), as
+    * distinct from c48's pair report. No [[HotGramCap]] here: for a
+    * doc-level signal, boilerplate IS duplicated content — the cap
+    * exists in c48 only to bound pair fan-out, which this op doesn't
+    * have (the shared-gram set stays duplicate-sized and broadcast;
+    * the per-doc aggregation is map-side combined).
+    *
+    * `nd >= 2` counts DOCS (the gram stream is distinct per (doc,
+    * gram)), so a gram repeated only inside one doc is not "shared".
+    */
+  def dupFraction(spark: SparkSession, sfDir: String): DataFrame =
+    dupFractionOf(Tables.t(spark, sfDir, "documents"))
+
+  private[graft] def dupFractionOf(docs: DataFrame): DataFrame = {
+    val grams = sampledGrams(docs)
+    val shared = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 2L)
+      .select(col("h"), lit(1).as("s"))
+    grams.join(broadcast(shared), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("s")).as("n_shared"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_grams"), 4).as("dup_frac"))
+      .orderBy("doc_id")
   }
 
   /** c47 — SemDeDup-style semantic deduplication (Abbas et al. 2023,
@@ -847,6 +884,7 @@ object NearDup {
     "c12_embedding_near_dup" -> (embeddingNearDup(_, _)),
     "c47_semantic_dedup" -> (semanticDedup(_, _)),
     "c48_substring_dup_spans" -> (substringDupSpans(_, _)),
+    "c49_dup_fraction" -> (dupFraction(_, _)),
     "c13_ann_ivf" -> (annIvf(_, _)),
     "c38_ann_ivf_adaptive" -> (annIvfAdaptive(_, _)),
     "c19_batch_ann_topk" -> (batchAnnTopk(_, _))
@@ -992,6 +1030,24 @@ object NearDup {
          |GROUP BY 1, 2
          |HAVING COUNT(*) >= $MinSharedGrams
          |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
+    // Same sampled gram stream; sharedness is nd >= 2 with NO upper
+    // cap (boilerplate counts as duplication for a doc-level gate).
+    "c49_dup_fraction" ->
+      s"""WITH grams AS (
+         |  SELECT DISTINCT doc_id, h FROM (
+         |    SELECT doc_id, unnest(list_filter(list_transform(
+         |      range(1, greatest(len(text) - ${SubstrGramLen - 1}, 1) + 1),
+         |      i -> md5(substr(text, CAST(i AS INT), $SubstrGramLen))),
+         |      h -> CAST('0x' || substr(h, 32, 1) AS BIGINT) % $SubstrModP = 0)) AS h
+         |    FROM documents)
+         |), shared AS (
+         |  SELECT h FROM grams GROUP BY h HAVING COUNT(*) >= 2
+         |)
+         |SELECT g.doc_id, COUNT(*) AS n_grams, COUNT(s.h) AS n_shared,
+         |  ROUND(CAST(COUNT(s.h) AS DOUBLE) / COUNT(*), 4) AS dup_frac
+         |FROM grams g LEFT JOIN shared s ON g.h = s.h
+         |GROUP BY g.doc_id
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     // Same seeds/scored/best pipeline as c34, then: in-cell pairs ≥ τ
     // → per-pair loser = the member with the lexicographically larger
     // (rounded centroid cos, vec_id) — i.e. closer to the centroid,

@@ -353,6 +353,35 @@ class OperatorPropertiesSpec extends AnyFunSuite {
       s"boilerplate gram (present in 40 docs > cap) produced pairs: $out")
   }
 
+  test("c49: dup_frac is 1-bounded, 0 for disjoint docs, and counts boilerplate (unlike c48)") {
+    import org.apache.spark.sql.functions._
+    // Same 120-char run as the c48 case (deterministically selects
+    // >= 2 sampled grams); docs 1/2 share it at misaligned offsets,
+    // doc 3 is disjoint, docs 100.. carry boilerplate present in 40
+    // docs — over c48's HotGramCap, but c49 has no cap: a doc-level
+    // duplication gate must count boilerplate as duplicated content.
+    val run = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "green turtles watch quietly from a mossy log nearby"
+    val boiler = "COMMON LICENSE HEADER TEXT REPEATED EVERYWHERE OK"
+    val docs = (
+      Seq(
+        (1L, s"alpha $run omega"),
+        (2L, s"beta $run gamma"),
+        (3L, "entirely unrelated content with no overlap at all zzz")
+      ) ++ (100L until 140L).map(i => (i, s"doc$i $boiler tail$i"))
+    ).toDF("doc_id", "text")
+    val out = ops.NearDup.dupFractionOf(docs)
+      .select($"doc_id", $"n_grams", $"n_shared", $"dup_frac")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out.values.forall(r => r._4 >= 0.0 && r._4 <= 1.0 && r._3 <= r._2),
+      s"dup_frac out of [0,1] or n_shared > n_grams: ${out.values}")
+    assert(out(1L)._4 > 0.0 && out(2L)._4 > 0.0,
+      s"shared-run docs scored 0: ${out(1L)} ${out(2L)}")
+    assert(out(3L)._4 == 0.0, s"disjoint doc scored > 0: ${out(3L)}")
+    assert((100L until 140L).forall(i => out(i)._4 > 0.0),
+      "boilerplate (present in 40 docs) must count as duplicated content for the doc-level gate")
+  }
+
   test("labelCache drops a stopped application's entries (listener eviction)") {
     val df = Seq((1L, 1L)).toDF("doc_id", "cluster_id")
     ops.NearDup.labelCache.put("deadapp:/tmp/corpusA", df)

@@ -188,6 +188,16 @@ class PlanSpec extends AnyFunSuite {
     assert(semis.nonEmpty, s"gram stream not pruned by a broadcast semi-join: $p")
   }
 
+  test("c49: shared-gram set joins broadcast; per-doc agg is partial (map-side combine)") {
+    val sp = NearDup.dupFraction(spark, sf).queryExecution.sparkPlan
+    val p = sp.toString
+    assert(!p.contains("CartesianProduct"), s"gram join went cartesian: $p")
+    assert(sp.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }.nonEmpty, s"shared-gram set not broadcast onto the gram stream: $p")
+    assert(!p.contains("SortMergeJoin"), s"gram-stream shuffle join: $p")
+  }
+
   test("c45: per-lang quality top-k prunes map-side via WindowGroupLimit") {
     val p = plan(TextAnalysis.qualityTopk(spark, sf))
     assert(p.contains("WindowGroupLimit"), p)
