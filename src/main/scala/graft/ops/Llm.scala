@@ -252,6 +252,78 @@ object Llm {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Incoming-batch membership: a deterministic 1-in-[[IncMod]] split
+    * of doc_ids via the same 60-bit md5-prefix hash the sampler (c20)
+    * uses — stands in for "the documents that arrived since the last
+    * dedup run". Content-independent (keyed on doc_id), so the split
+    * is stable under text edits, like a real ingest timestamp.
+    */
+  private val IncMod = 5L
+  private val IncTau = 0.5
+  private[graft] def isIncoming(id: Column): Column =
+    conv(substring(md5(concat(lit("inc:"), id.cast("string"))), 1, 15), 16, 10)
+      .cast("long") % IncMod === 0L
+
+  /** c50 — incremental dedup: gate an incoming batch against the
+    * EXISTING corpus without re-deduping the corpus side — the
+    * production shape at 100 TB, where signatures are computed once,
+    * persisted, and each ingest increment probes them (the
+    * [[minhashPairs]] memo IS that signature store here; a real
+    * deployment reads the same table from parquet). Candidates are
+    * the memoized LSH pairs restricted to MIXED (incoming, base)
+    * pairs — never incoming×incoming (intra-batch dups are c1/c2's
+    * job) and never base×base (the corpus was already deduped).
+    * Exact-Jaccard verify on the candidate set only (c3 discipline),
+    * best match per incoming doc via a rank window that prunes
+    * map-side (WindowGroupLimit), verdict = drop iff the best
+    * verified match reaches τ = [[IncTau]]. Every incoming doc gets a
+    * row (no-candidate docs keep) so the output is the complete gate
+    * decision for the batch.
+    */
+  def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame =
+    incrementalGateOf(minhashPairs(spark, sfDir),
+      Tables.t(spark, sfDir, "documents"))
+
+  /** The gate body, over an explicit candidate-pair table and corpus
+    * (unit-testable on constructed fixtures; [[incrementalDedup]]
+    * feeds it the memoized LSH pairs).
+    */
+  private[graft] def incrementalGateOf(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val cands = pairs
+      .where(isIncoming(col("doc_a")) =!= isIncoming(col("doc_b")))
+      .select(
+        when(isIncoming(col("doc_a")), col("doc_a")).otherwise(col("doc_b")).as("doc_new"),
+        when(isIncoming(col("doc_a")), col("doc_b")).otherwise(col("doc_a")).as("doc_base"))
+    val toks = docs
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("tset"))
+    val scored = cands
+      .join(toks.select(col("doc_id").as("doc_new"), col("tset").as("ta")), "doc_new")
+      .join(toks.select(col("doc_id").as("doc_base"), col("tset").as("tb")), "doc_base")
+      .select(col("doc_new"), col("doc_base"),
+        round(size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb"))), 4).as("jaccard"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_new"))
+      .orderBy(col("jaccard").desc, col("doc_base").asc)
+    val best = scored
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("doc_new").as("doc_id"), col("doc_base").as("best_base"),
+        col("jaccard").as("best_jaccard"))
+    val nCands = scored.groupBy(col("doc_new").as("doc_id"))
+      .agg(count(lit(1)).as("n_cands"))
+    docs
+      .where(isIncoming(col("doc_id")))
+      .select(col("doc_id"))
+      .join(nCands, Seq("doc_id"), "left")
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_cands"), lit(0L)).as("n_cands"),
+        col("best_base"), col("best_jaccard"),
+        when(col("best_jaccard") >= IncTau, lit("drop")).otherwise(lit("keep"))
+          .as("verdict"))
+      .orderBy("doc_id")
+  }
+
   /** Cosine similarity of two double-array columns (float elements
     * cast to double first — §5.3 rule 7; caller rounds).
     */
@@ -386,6 +458,7 @@ object Llm {
     "c2_dedup_minhash_pairs" -> (dedupMinhashPairs(_, _)),
     "c3_jaccard_pairs" -> (jaccardPairs(_, _)),
     "c43_containment_pairs" -> (containmentPairs(_, _)),
+    "c50_incremental_dedup" -> (incrementalDedup(_, _)),
     "c4_cosine_topk" -> (cosineTopk(_, _)),
     "c5_knn_per_label" -> (knnPerLabel(_, _)),
     "c6_label_centroids" -> (labelCentroids(_, _)),
@@ -460,6 +533,45 @@ object Llm {
          |JOIN (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tset
          |      FROM documents) tb ON tb.doc_id = doc_b
          |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
+
+    // Incoming split + candidate restriction + verify + best-match
+    // rank, all over the SAME pairs CTE — the incoming predicate is
+    // repeated inline (DuckDB has no plain-SQL named predicate).
+    "c50_incremental_dedup" ->
+      s"""$oraclePairsCte, cands AS (
+         |  SELECT CASE WHEN (CAST('0x' || substr(md5('inc:' || doc_a::VARCHAR), 1, 15) AS BIGINT) % $IncMod = 0)
+         |              THEN doc_a ELSE doc_b END AS doc_new,
+         |         CASE WHEN (CAST('0x' || substr(md5('inc:' || doc_a::VARCHAR), 1, 15) AS BIGINT) % $IncMod = 0)
+         |              THEN doc_b ELSE doc_a END AS doc_base
+         |  FROM pairs
+         |  WHERE (CAST('0x' || substr(md5('inc:' || doc_a::VARCHAR), 1, 15) AS BIGINT) % $IncMod = 0)
+         |     <> (CAST('0x' || substr(md5('inc:' || doc_b::VARCHAR), 1, 15) AS BIGINT) % $IncMod = 0)
+         |), scored AS (
+         |  SELECT c.doc_new, c.doc_base,
+         |    ROUND(CAST(len(list_intersect(ta.tset, tb.tset)) AS DOUBLE)
+         |          / len(list_distinct(list_concat(ta.tset, tb.tset))), 4) AS jaccard
+         |  FROM cands c
+         |  JOIN (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tset
+         |        FROM documents) ta ON ta.doc_id = c.doc_new
+         |  JOIN (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tset
+         |        FROM documents) tb ON tb.doc_id = c.doc_base
+         |), best AS (
+         |  SELECT doc_new, doc_base, jaccard,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_new ORDER BY jaccard DESC, doc_base ASC) AS rn
+         |  FROM scored
+         |), nc AS (
+         |  SELECT doc_new, COUNT(*) AS n_cands FROM scored GROUP BY doc_new
+         |)
+         |SELECT d.doc_id,
+         |  COALESCE(nc.n_cands, 0) AS n_cands,
+         |  b.doc_base AS best_base,
+         |  b.jaccard AS best_jaccard,
+         |  CASE WHEN b.jaccard >= $IncTau THEN 'drop' ELSE 'keep' END AS verdict
+         |FROM documents d
+         |LEFT JOIN nc ON nc.doc_new = d.doc_id
+         |LEFT JOIN best b ON b.doc_new = d.doc_id AND b.rn = 1
+         |WHERE CAST('0x' || substr(md5('inc:' || d.doc_id::VARCHAR), 1, 15) AS BIGINT) % $IncMod = 0
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
 
     "c4_cosine_topk" ->
       """WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)

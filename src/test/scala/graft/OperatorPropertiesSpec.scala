@@ -353,6 +353,39 @@ class OperatorPropertiesSpec extends AnyFunSuite {
       s"boilerplate gram (present in 40 docs > cap) produced pairs: $out")
   }
 
+  test("c50: incremental gate drops verified dups of BASE docs only; intra-batch dups and unique docs keep") {
+    import org.apache.spark.sql.functions._
+    // Derive the id split from the op's own hash predicate so the
+    // fixture can't drift from the implementation.
+    val ids = spark.range(0, 60).select(col("id"),
+      ops.Llm.isIncoming(col("id")).as("inc"))
+      .as[(Long, Boolean)].collect()
+    val incIds = ids.filter(_._2).map(_._1)
+    val baseIds = ids.filterNot(_._2).map(_._1)
+    assert(incIds.length >= 3 && baseIds.length >= 2, s"split too skewed: ${incIds.length}")
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (incIds(0), shared),                                   // dup of a BASE doc → drop
+      (baseIds(0), shared),
+      (incIds(1), "one two three four five six seven eight nine ten"), // dup ONLY of another INCOMING doc → keep
+      (incIds(2), "one two three four five six seven eight nine ten"),
+      (baseIds(1), "wholly different text with zero overlap anywhere here at all")
+    ).toDF("doc_id", "text")
+    // All band-colliding pairs (superset of LSH output) — the gate's
+    // mixed-pair restriction is what's under test.
+    val allPairs = docs.select(col("doc_id").as("doc_a"))
+      .crossJoin(docs.select(col("doc_id").as("doc_b")))
+      .where(col("doc_a") < col("doc_b"))
+    val out = ops.Llm.incrementalGateOf(allPairs, docs)
+      .select($"doc_id", $"n_cands", $"verdict")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(incIds(0), incIds(1), incIds(2)),
+      s"gate must emit exactly the incoming docs: ${out.keySet}")
+    assert(out(incIds(0))._3 == "drop", s"base-dup incoming doc not dropped: ${out(incIds(0))}")
+    assert(out(incIds(1))._3 == "keep" && out(incIds(2))._3 == "keep",
+      s"intra-batch dup must NOT drop (never incoming x incoming): ${out(incIds(1))} ${out(incIds(2))}")
+  }
+
   test("c49: dup_frac is 1-bounded, 0 for disjoint docs, and counts boilerplate (unlike c48)") {
     import org.apache.spark.sql.functions._
     // Same 120-char run as the c48 case (deterministically selects

@@ -188,6 +188,13 @@ class PlanSpec extends AnyFunSuite {
     assert(semis.nonEmpty, s"gram stream not pruned by a broadcast semi-join: $p")
   }
 
+  test("c50: incremental gate — best-match rank prunes map-side; no cartesian anywhere") {
+    val sp = Llm.incrementalDedup(spark, sf).queryExecution.sparkPlan
+    val p = sp.toString
+    assert(!p.contains("CartesianProduct"), s"incremental gate went cartesian: $p")
+    assert(p.contains("WindowGroupLimit"), s"best-match rank does not pre-prune map-side: $p")
+  }
+
   test("c49: shared-gram set joins broadcast; per-doc agg is partial (map-side combine)") {
     val sp = NearDup.dupFraction(spark, sf).queryExecution.sparkPlan
     val p = sp.toString
