@@ -72,6 +72,10 @@ object Plans {
         ("Shared-gram id set broadcasts into a LeftSemi that prunes the gram stream; pairs expand " +
           "from the capped per-gram collect (no self-join) — the gram projection appears exactly " +
           "twice (count pass + prune pass), not four times."),
+      "c50_incremental_dedup" ->
+        ("Candidates come from the memoized pair table (no signature recompute); verify joins " +
+          "carry only candidate rows; best-match rank pre-prunes map-side (WindowGroupLimit); " +
+          "no cartesian product anywhere."),
       "c49_dup_fraction" ->
         ("Shared-gram set (uncapped — doc-level signal counts boilerplate) broadcasts back onto " +
           "the gram stream; per-doc n_shared/n_grams is map-side-combined HashAggregate; no pair " +
