@@ -58,6 +58,7 @@ object Bench {
     val setupBands = timeSetup("setup_lsh_bands")(ops.Llm.warmBands(spark, sfDir))
     val setupPairs = timeSetup("setup_lsh_pairs")(ops.Llm.warmPairs(spark, sfDir))
     val setupLabels = timeSetup("setup_cc_labels")(ops.NearDup.warmLabels(spark, sfDir))
+    val setupGrams = timeSetup("setup_substr_grams")(ops.NearDup.warmGrams(spark, sfDir))
     // Every query runs twice, min taken (total runtime ~2 min permits
     // it): first-touch parquet footer reads + codegen compilation on
     // this shared machine add ±1-2 s of noise per query, and round 4's
@@ -103,7 +104,7 @@ object Bench {
     def setupVal(v: Double) = if (v == Double.MaxValue) "null" else v.toString
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""setup_lsh_bands":${setupVal(setupBands)},"setup_lsh_pairs":${setupVal(setupPairs)},"setup_cc_labels":${setupVal(setupLabels)},""" +
+        s""""setup_lsh_bands":${setupVal(setupBands)},"setup_lsh_pairs":${setupVal(setupPairs)},"setup_cc_labels":${setupVal(setupLabels)},"setup_substr_grams":${setupVal(setupGrams)},""" +
         s""""failed":$failedJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outFile), json + "\n")
     // Stop Spark BEFORE printing: its shutdown logging must not be able

@@ -260,12 +260,8 @@ object NearDup {
     * license-header gram is dropped, not exploded.
     */
   def substringDupSpans(spark: SparkSession, sfDir: String): DataFrame =
-    substringDupSpansOf(Tables.t(spark, sfDir, "documents"))
+    substringDupSpansFrom(sampledGramTable(spark, sfDir))
 
-  /** The c48 kernel over any (doc_id, text) frame — split out so the
-    * guarantee ("a ≥35-char shared run is always reported, disjoint
-    * texts never are") is testable on constructed documents.
-    */
   /** The content-sampled distinct (doc_id, gram-md5) stream shared by
     * c48 and c49 — see the knobs comment for why it slices bytes and
     * selects on the digest.
@@ -277,8 +273,49 @@ object NearDup {
         s"array_distinct(filter(transform(sequence(1, greatest(length(tb) - ${SubstrGramLen - 1}, 1)), i -> md5(substring(tb, i, $SubstrGramLen))), h -> conv(substring(h, 32, 1), 16, 10) % $SubstrModP = 0))"))
         .as("h"))
 
-  private[graft] def substringDupSpansOf(docs: DataFrame): DataFrame = {
-    val grams = sampledGrams(docs)
+  /** Materialized sampled-gram table, one per (application, corpus
+    * dir) — the fourth one-time pass of the dedup family (bands →
+    * pairs → labels → grams). FOUR subtree evaluations read it per
+    * bench pass (c48's count + prune sides, c49's shared + join
+    * sides), and the md5-per-byte-position projection is the dominant
+    * cost of both keys, so un-materialized it runs 4×. Unlike the
+    * band/pair/label tables this one is NOT duplicate-sized — it is
+    * ~1/[[SubstrModP]] of corpus bytes — so at 100 TB it is a
+    * parquet-materialized table next to the signature store, not RAM;
+    * MEMORY_AND_DISK (spilling, application-lifetime, evicted with
+    * the label cache's listener) models that seam at test scale.
+    */
+  private[graft] val gramCache = TrieMap[String, DataFrame]()
+
+  private[graft] def sampledGramTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val appId = spark.sparkContext.applicationId
+    if (labelEvictionHooked.putIfAbsent(appId, true).isEmpty)
+      spark.sparkContext.addSparkListener(new LabelEvictionListener(appId))
+    gramCache.getOrElseUpdate(s"$appId:$sfDir", {
+      val df = sampledGrams(Tables.t(spark, sfDir, "documents"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      df.count() // materialize eagerly: exactly one gram pass ever runs
+      df
+    })
+  }
+
+  /** Pre-materialize the gram table — Bench times this as its own
+    * setup key (same attribution discipline as the band/pair/label
+    * warm-ups) so the shared pass is never billed to whichever of
+    * c48/c49 runs first.
+    */
+  private[graft] def warmGrams(spark: SparkSession, sfDir: String): Unit = {
+    sampledGramTable(spark, sfDir); ()
+  }
+
+  /** The c48 kernel over any (doc_id, text) frame — split out so the
+    * guarantee ("a ≥35-char shared run is always reported, disjoint
+    * texts never are") is testable on constructed documents.
+    */
+  private[graft] def substringDupSpansOf(docs: DataFrame): DataFrame =
+    substringDupSpansFrom(sampledGrams(docs))
+
+  private def substringDupSpansFrom(grams: DataFrame): DataFrame = {
     val shared = grams.groupBy(col("h"))
       .agg(count(lit(1)).as("nd"))
       .where(col("nd").between(2L, HotGramCap))
@@ -312,10 +349,12 @@ object NearDup {
     * gram)), so a gram repeated only inside one doc is not "shared".
     */
   def dupFraction(spark: SparkSession, sfDir: String): DataFrame =
-    dupFractionOf(Tables.t(spark, sfDir, "documents"))
+    dupFractionFrom(sampledGramTable(spark, sfDir))
 
-  private[graft] def dupFractionOf(docs: DataFrame): DataFrame = {
-    val grams = sampledGrams(docs)
+  private[graft] def dupFractionOf(docs: DataFrame): DataFrame =
+    dupFractionFrom(sampledGrams(docs))
+
+  private def dupFractionFrom(grams: DataFrame): DataFrame = {
     val shared = grams.groupBy(col("h"))
       .agg(count(lit(1)).as("nd"))
       .where(col("nd") >= 2L)
@@ -518,8 +557,12 @@ object NearDup {
     * context itself at application end).
     */
   private[graft] def evictLabels(appId: String): Unit =
-    labelCache.keys.filter(_.startsWith(appId + ":")).foreach { k =>
-      labelCache.remove(k); ()
+    Seq(labelCache, gramCache).foreach { cache =>
+      cache.keys.filter(_.startsWith(appId + ":")).foreach { k =>
+        cache.remove(k).foreach { df =>
+          try df.unpersist(blocking = false) catch { case _: Throwable => () }
+        }
+      }
     }
 
   private[graft] final class LabelEvictionListener(appId: String)

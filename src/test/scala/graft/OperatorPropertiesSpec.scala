@@ -420,10 +420,13 @@ class OperatorPropertiesSpec extends AnyFunSuite {
     ops.NearDup.labelCache.put("deadapp:/tmp/corpusA", df)
     ops.NearDup.labelCache.put("deadapp:/tmp/corpusB", df)
     ops.NearDup.labelCache.put("liveapp:/tmp/corpusA", df)
+    ops.NearDup.gramCache.put("deadapp:/tmp/corpusA", df)
     new ops.NearDup.LabelEvictionListener("deadapp")
       .onApplicationEnd(org.apache.spark.scheduler.SparkListenerApplicationEnd(0L))
     assert(!ops.NearDup.labelCache.keys.exists(_.startsWith("deadapp:")),
       "stopped app's label tables must be evicted")
+    assert(!ops.NearDup.gramCache.keys.exists(_.startsWith("deadapp:")),
+      "stopped app's gram tables must ride the same eviction")
     assert(ops.NearDup.labelCache.keys.exists(_.startsWith("liveapp:")),
       "other apps' label tables must survive")
     ops.NearDup.evictLabels("liveapp")
