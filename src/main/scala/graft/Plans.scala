@@ -70,8 +70,8 @@ object Plans {
           "seed-centroid pass); the duplicate-sized loser list broadcasts into a LeftAnti."),
       "c48_substring_dup_spans" ->
         ("Shared-gram id set broadcasts into a LeftSemi that prunes the gram stream; pairs expand " +
-          "from the capped per-gram collect (no self-join) — the gram projection appears exactly " +
-          "twice (count pass + prune pass), not four times."),
+          "from the capped per-gram collect (no self-join) — both gram reads are InMemoryTableScans " +
+          "of the memoized sampled-gram table (the projection itself ran once, at setup)."),
       "c50_incremental_dedup" ->
         ("Candidates come from the memoized pair table (no signature recompute); verify joins " +
           "carry only candidate rows; best-match rank pre-prunes map-side (WindowGroupLimit); " +
@@ -79,7 +79,7 @@ object Plans {
       "c49_dup_fraction" ->
         ("Shared-gram set (uncapped — doc-level signal counts boilerplate) broadcasts back onto " +
           "the gram stream; per-doc n_shared/n_grams is map-side-combined HashAggregate; no pair " +
-          "fan-out, no SortMergeJoin."))
+          "fan-out, no SortMergeJoin; both gram reads are InMemoryTableScans of the memoized table."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans` on ")
       .append(sfDir).append(")\n\n")

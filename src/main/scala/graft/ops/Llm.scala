@@ -27,8 +27,8 @@ object Llm {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val MinhashSeeds = 8 // k signatures
-  private val Bands = 4 // b bands of r = k/b = 2 rows
+  private[graft] val MinhashSeeds = 8 // k signatures
+  private[graft] val Bands = 4 // b bands of r = k/b = 2 rows
 
   /** c1 — exact dedup: group identical texts, keep min doc_id (the
     * canonical survivor), count the duplicates.
@@ -258,8 +258,8 @@ object Llm {
     * dedup run". Content-independent (keyed on doc_id), so the split
     * is stable under text edits, like a real ingest timestamp.
     */
-  private val IncMod = 5L
-  private val IncTau = 0.5
+  private[graft] val IncMod = 5L
+  private[graft] val IncTau = 0.5
   private[graft] def isIncoming(id: Column): Column =
     conv(substring(md5(concat(lit("inc:"), id.cast("string"))), 1, 15), 16, 10)
       .cast("long") % IncMod === 0L
@@ -470,7 +470,7 @@ object Llm {
   /** Shared oracle CTE: the LSH candidate pairs in DuckDB's dialect
     * (1-based list indexing; same md5 formulas).
     */
-  private[ops] val oraclePairsCte: String =
+  private[graft] val oraclePairsCte: String =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
        |), sh AS (

@@ -368,7 +368,82 @@ object Streams {
       .orderBy("window_start")
   }
 
+  /** c51 — STREAMING incremental dedup: c50's ingest gate as a live
+    * topology. The incoming split arrives as a file stream; each doc's
+    * MinHash signature is computed STATELESSLY per row (the k min-hashes
+    * are `array_min` over higher-order transforms of the shingle array —
+    * no groupBy, so the plan needs no stream aggregation state and runs
+    * in append mode with zero state stores); its band hashes
+    * stream-static join the PERSISTED base band table (`Llm.lshBands`
+    * minus incoming docs — the production signature store, computed
+    * once, probed by every micro-batch); collisions verify by exact
+    * Jaccard against the static corpus and emit (doc_new, doc_base,
+    * band_idx, jaccard) rows for verified dups. Per-collision rows
+    * (band_idx kept) rather than per-doc verdicts keep the query
+    * STATELESS — deduplicating pairs across micro-batches would need a
+    * state store; the collision multiset is batching-invariant (each
+    * (new, base, band) collision exists exactly once in the input), so
+    * the result hash-matches the batch oracle however AvailableNow
+    * slices the files. Same signature family as the batch kernel —
+    * verified bit-identical by the shared oracle.
+    */
+  /** The per-row STATELESS form of `Llm.lshBandsPlan`'s signature: the
+    * k min-hashes as `array_min` over higher-order transforms instead
+    * of k `min` aggregate columns — same hash family, bit-identical
+    * output (pinned by StreamsApiSpec against the aggregate kernel),
+    * but expressible on an unbounded stream with zero state. Works on
+    * any (doc_id, text) frame, batch or streaming.
+    */
+  private[graft] def statelessBands(docs: DataFrame): DataFrame = {
+    import graft.ops.Llm
+    val withSh = docs
+      .withColumn("ws", split(col("text"), " "))
+      .where(size(col("ws")) >= 3)
+      .withColumn("sh", expr(
+        "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+    val mhCols = (0 until Llm.MinhashSeeds).map(s => expr(
+      s"array_min(transform(sh, x -> CAST(conv(substring(md5(concat('$s:', x)), 1, 15), 16, 10) AS BIGINT)))")
+      .as(s"mh$s"))
+    withSh.select((col("doc_id") +: mhCols): _*)
+      .select(col("doc_id"), posexplode(expr(
+        (0 until Llm.Bands).map(j =>
+          s"md5(concat(cast(mh${2 * j} as string), ':', cast(mh${2 * j + 1} as string)))")
+          .mkString("array(", ", ", ")"))).as(Seq("band_idx", "band_val")))
+  }
+
+  def streamIncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.Llm
+    val schema = graft.Tables.t(spark, sfDir, "documents").schema
+    val bands = statelessBands(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+        .where(Llm.isIncoming(col("doc_id"))))
+      .select(col("doc_id").as("doc_new"), col("band_idx"), col("band_val"))
+    val baseBands = Llm.lshBands(spark, sfDir)
+      .where(!Llm.isIncoming(col("doc_id")))
+      .select(col("doc_id").as("doc_base"), col("band_idx").as("bi"),
+        col("band_val").as("bv"))
+    val toks = graft.Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("tset"))
+    val verified = bands
+      .join(baseBands, col("band_idx") === col("bi") && col("band_val") === col("bv"))
+      .join(toks.select(col("doc_id").as("doc_new"), col("tset").as("ta")), "doc_new")
+      .join(toks.select(col("doc_id").as("doc_base"), col("tset").as("tb")), "doc_base")
+      .select(col("doc_new"), col("doc_base"), col("band_idx").cast("long").as("band_idx"),
+        round(size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb"))), 4).as("jaccard"))
+      .where(col("jaccard") >= Llm.IncTau)
+    val tbl = s"c51_stream_sink_${sinkId.incrementAndGet()}"
+    val q = verified.writeStream.format("memory").queryName(tbl)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(tbl).orderBy("doc_new", "doc_base", "band_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c51_stream_incremental_dedup" -> (streamIncrementalDedup(_, _)),
     "c25_stream_tumbling" -> (streamTumbling(_, _)),
     "c30_stream_sessions" -> (streamSessions(_, _)),
     "c36_stream_append" -> (streamAppend(_, _)),
@@ -403,6 +478,30 @@ object Streams {
          |FROM agg, wm
          |WHERE hour_start + INTERVAL 1 HOUR <= wm.cut
          |ORDER BY hour_start ASC NULLS FIRST""".stripMargin,
+    // The stateless collision multiset is batching-invariant, so the
+    // oracle is the plain batch form: band collisions (bands CTE from
+    // the shared LSH pipeline) restricted to incoming x base, verified
+    // by exact Jaccard at the c50 threshold, band_idx kept.
+    "c51_stream_incremental_dedup" ->
+      s"""${graft.ops.Llm.oraclePairsCte}, coll AS (
+         |  SELECT n.doc_id AS doc_new, b.doc_id AS doc_base, n.band_idx
+         |  FROM bands n JOIN bands b
+         |    ON n.band_idx = b.band_idx AND n.band_val = b.band_val
+         |  WHERE (CAST('0x' || substr(md5('inc:' || n.doc_id::VARCHAR), 1, 15) AS BIGINT) % ${graft.ops.Llm.IncMod} = 0)
+         |    AND NOT (CAST('0x' || substr(md5('inc:' || b.doc_id::VARCHAR), 1, 15) AS BIGINT) % ${graft.ops.Llm.IncMod} = 0)
+         |), scored AS (
+         |  SELECT c.doc_new, c.doc_base, c.band_idx,
+         |    ROUND(CAST(len(list_intersect(ta.tset, tb.tset)) AS DOUBLE)
+         |          / len(list_distinct(list_concat(ta.tset, tb.tset))), 4) AS jaccard
+         |  FROM coll c
+         |  JOIN (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tset
+         |        FROM documents) ta ON ta.doc_id = c.doc_new
+         |  JOIN (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tset
+         |        FROM documents) tb ON tb.doc_id = c.doc_base
+         |)
+         |SELECT doc_new, doc_base, band_idx, jaccard
+         |FROM scored WHERE jaccard >= ${graft.ops.Llm.IncTau}
+         |ORDER BY doc_new ASC NULLS FIRST, doc_base ASC NULLS FIRST, band_idx ASC NULLS FIRST""".stripMargin,
     // The streaming inner join over one input batch emits exactly the
     // batch-join result; the time-range condition is the state bound.
     "c37_stream_enrich" ->

@@ -92,6 +92,17 @@ class StreamsApiSpec extends AnyFunSuite {
     assert(out.columns.toSet == Set("hour_start", "n_events", "sum_value"))
   }
 
+  test("c51: stateless per-row signature is bit-identical to the aggregate band kernel") {
+    val sf = "/root/testdata/sf0.001"
+    val stateless = Streams.statelessBands(
+      Tables.t(spark, sf, "documents"))
+      .as[(Long, Int, String)].collect().toSet
+    val aggregate = ops.Llm.lshBandsPlan(spark, sf)
+      .as[(Long, Int, String)].collect().toSet
+    assert(stateless == aggregate,
+      s"stateless and aggregate signatures diverge: ${stateless.diff(aggregate).take(3)} / ${aggregate.diff(stateless).take(3)}")
+  }
+
   test("c36/c37 leave no session-conf drift, no cached RDDs, and reap their temp dirs") {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
