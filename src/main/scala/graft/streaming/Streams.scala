@@ -207,16 +207,31 @@ object Streams {
     * proves the streaming execution path computes the same answer the
     * batch path does.
     */
+  /** File-source stream over one fixture table, handling BOTH disk
+    * layouts: the driver fixtures store `<name>.parquet` as a single
+    * FILE (the source lists a directory, so stream the parent dir
+    * filtered down to that file), while Spark-written corpora (the
+    * scale-rehearsal 10×/100× dirs) store it as a DIRECTORY of
+    * part-files (stream the directory itself — a name glob on the
+    * parent would match no part-file and silently stream NOTHING;
+    * that empty-input failure mode is exactly why this helper exists).
+    * Schema comes from `Tables.t`, which sets the nanosAsLong conf
+    * the raw INT64(TIMESTAMP_NANOS) files need — a bare read here
+    * would only work when an earlier batch query already set it
+    * session-wide (round-5 ADVICE: queries must be order-independent).
+    */
+  private def streamTable(s: SparkSession, sfDir: String, name: String): DataFrame = {
+    val schema = graft.Tables.t(s, sfDir, name).schema
+    val path = s"$sfDir/$name.parquet"
+    if (new java.io.File(path).isDirectory)
+      s.readStream.schema(schema).parquet(path)
+    else
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", s"$name.parquet").parquet(sfDir)
+  }
+
   def streamTumbling(spark: SparkSession, sfDir: String): DataFrame = {
-    // Schema via Tables.t, which sets the nanosAsLong conf the raw
-    // INT64(TIMESTAMP_NANOS) file needs — a bare spark.read here would
-    // only work when an earlier batch query already set it session-wide
-    // (round-5 ADVICE: queries must be order-independent).
-    val schema = graft.Tables.t(spark, sfDir, "events").schema
-    // The file source lists a DIRECTORY; events.parquet is a single
-    // file, so stream the parent dir filtered down to that file.
-    val ev = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val ev = streamTable(spark, sfDir, "events")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
     val agg = ev.groupBy(window(col("ts"), "1 hour").as("w"))
       .agg(count(lit(1)).as("n_events"), graft.Canon.dsum(col("value")).as("sum_value"))
@@ -239,9 +254,7 @@ object Streams {
     * the result is batching-invariant and shares b44's oracle.
     */
   def streamSessions(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = graft.Tables.t(spark, sfDir, "events").schema // sets nanosAsLong (see c25)
-    val ev = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val ev = streamTable(spark, sfDir, "events")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
     val agg = ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
       .agg(count(lit(1)).as("n_events"), graft.Canon.dsum(col("value")).as("sum_value"))
@@ -284,9 +297,7 @@ object Streams {
     // count is pinned at query start and belongs to this query, not to
     // the caller's session (see [[stateSession]]).
     val s = stateSession(spark, statePartitions = 8)
-    val schema = graft.Tables.t(s, sfDir, "events").schema // sets nanosAsLong (see c25)
-    val ev = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val ev = streamTable(s, sfDir, "events")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     val out = java.nio.file.Files.createTempDirectory("graft_c36_out").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_c36_ckpt").toString
@@ -322,9 +333,7 @@ object Streams {
     // RocksDB provider) the same way. Pinned in an isolated child
     // session ([[stateSession]]) so the caller's conf never drifts.
     val s = stateSession(spark, statePartitions = 8)
-    val schema = graft.Tables.t(s, sfDir, "events").schema // sets nanosAsLong (see c25)
-    def src = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    def src = streamTable(s, sfDir, "events")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000"))) // session-TZ TIMESTAMP for watermarks
     val purchases = src.where(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("ts"), col("user_id").as("key"))
@@ -350,9 +359,7 @@ object Streams {
     * oracle-verified through the real incremental engine.
     */
   def streamSliding(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = graft.Tables.t(spark, sfDir, "events").schema // sets nanosAsLong (see c25)
-    val ev = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val ev = streamTable(spark, sfDir, "events")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
     val agg = ev.groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
       .agg(count(lit(1)).as("n_events"), graft.Canon.dsum(col("value")).as("sum_value"))
@@ -413,10 +420,8 @@ object Streams {
 
   def streamIncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.ops.Llm
-    val schema = graft.Tables.t(spark, sfDir, "documents").schema
     val bands = statelessBands(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      streamTable(spark, sfDir, "documents")
         .where(Llm.isIncoming(col("doc_id"))))
       .select(col("doc_id").as("doc_new"), col("band_idx"), col("band_val"))
     val baseBands = Llm.lshBands(spark, sfDir)
@@ -433,13 +438,21 @@ object Streams {
         round(size(array_intersect(col("ta"), col("tb"))).cast("double") /
           size(array_union(col("ta"), col("tb"))), 4).as("jaccard"))
       .where(col("jaccard") >= Llm.IncTau)
-    val tbl = s"c51_stream_sink_${sinkId.incrementAndGet()}"
-    val q = verified.writeStream.format("memory").queryName(tbl)
+    // Parquet sink, not a memory sink: the verified-collision set on a
+    // dup-dense corpus is unbounded relative to driver memory (the 100×
+    // rehearsal's is > 1 GiB — a memory sink is a driver-side collect
+    // and died on exactly that), and the production topology appends to
+    // storage anyway. Same tracked-temp-dir discipline as c36.
+    val out = java.nio.file.Files.createTempDirectory("graft_c51_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_c51_ckpt").toString
+    trackTmpDir(out); trackTmpDir(ckpt)
+    val q = verified.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(tbl).orderBy("doc_new", "doc_base", "band_idx")
+    spark.read.parquet(out).orderBy("doc_new", "doc_base", "band_idx")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
