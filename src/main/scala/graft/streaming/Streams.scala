@@ -145,9 +145,7 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
 
-  private val sinkId = new java.util.concurrent.atomic.AtomicInteger(0)
-
-  /** Temp sink/checkpoint dirs created by [[streamAppend]], reaped at
+  /** Temp sink/checkpoint dirs created by [[runToParquet]], reaped at
     * JVM exit (round-7 ADVICE: every run leaked two dirs). They cannot
     * be deleted at return time — the returned DataFrame lazily reads
     * the sink parquet — and a checkpoint dir cannot be reused across
@@ -177,6 +175,48 @@ object Streams {
     }
   }
 
+  /** Run a bounded streaming query (Trigger.AvailableNow) to a
+    * DISTRIBUTED parquet result directory and read it back — the one
+    * sink harness every verification key uses. Append mode goes
+    * through the parquet file sink directly (the production
+    * readStream→transform→writeStream shape). Complete mode — which
+    * the file sink rejects — goes through `foreachBatch` with an
+    * overwrite parquet write: each micro-batch of a complete-mode
+    * query IS the full result-so-far, so the last batch's snapshot is
+    * the finished table, and the write is an executor-side job both
+    * ways. A memory sink is a driver-side collect: c51's 100×
+    * rehearsal measured its collision set > 1 GiB and died at
+    * `driver.maxResultSize`, and c30's session count / c37's join
+    * output grow with the corpus the same way — so NO verification
+    * key may use one (StreamsApiSpec scans the main tree and fails on
+    * any memory-sink registration).
+    *
+    * Read-back pins the writer's schema explicitly: a result that is
+    * legitimately empty (e.g. a dup-free corpus in c51) writes zero
+    * part files, and schema inference over an empty directory throws
+    * AnalysisException where an empty frame is the right answer.
+    */
+  private[graft] def runToParquet(df: DataFrame, mode: String, tag: String): DataFrame = {
+    val s = df.sparkSession
+    val out = java.nio.file.Files.createTempDirectory(s"graft_${tag}_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft_${tag}_ckpt").toString
+    trackTmpDir(out); trackTmpDir(ckpt)
+    val writer = mode match {
+      case "complete" =>
+        df.writeStream.outputMode("complete")
+          .foreachBatch((batch: Dataset[Row], _: Long) =>
+            batch.write.mode("overwrite").parquet(out))
+          .option("checkpointLocation", ckpt)
+      case "append" => toParquetSink(df, out, ckpt)
+      case other => throw new IllegalArgumentException(s"unsupported sink mode: $other")
+    }
+    val q = writer
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.schema(df.schema).parquet(out)
+  }
+
   /** An isolated child session for stateful streaming queries: shares
     * the SparkContext (and thus executors + RDD cache) but has its own
     * SQLConf and catalog, so pinning the stateful-operator partition
@@ -195,7 +235,8 @@ object Streams {
     * aggregation executed through the STREAMING engine — file source →
     * incremental stateful plan → `Trigger.AvailableNow` (drain all
     * available input in micro-batches, then stop) → complete-mode
-    * memory sink — and returned as the finished result table. Because
+    * distributed parquet snapshot ([[runToParquet]]) — and the sink
+    * read back as the finished result table. Because
     * the result must be micro-batch-partitioning invariant, there is
     * deliberately no watermark: complete mode keeps every window, so
     * however AvailableNow slices the input files, the final table is
@@ -235,16 +276,9 @@ object Streams {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
     val agg = ev.groupBy(window(col("ts"), "1 hour").as("w"))
       .agg(count(lit(1)).as("n_events"), graft.Canon.dsum(col("value")).as("sum_value"))
-    val tbl = s"c25_stream_sink_${sinkId.incrementAndGet()}"
-    val q = agg.writeStream.format("memory").queryName(tbl)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(tbl)
       .select(col("w.start").cast("timestamp_ntz").as("hour_start"),
         col("n_events"), col("sum_value"))
-      .orderBy("hour_start")
+    runToParquet(agg, "complete", "c25").orderBy("hour_start")
   }
 
   /** c30 — session windows through the streaming engine, same harness
@@ -258,23 +292,16 @@ object Streams {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
     val agg = ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
       .agg(count(lit(1)).as("n_events"), graft.Canon.dsum(col("value")).as("sum_value"))
-    val tbl = s"c30_stream_sink_${sinkId.incrementAndGet()}"
-    val q = agg.writeStream.format("memory").queryName(tbl)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(tbl)
       .select(col("user_id"), col("w.start").cast("timestamp_ntz").as("session_start"),
         col("n_events"), col("sum_value"))
-      .orderBy("user_id", "session_start")
+    runToParquet(agg, "complete", "c30").orderBy("user_id", "session_start")
   }
 
   /** c36 — the PRODUCTION streaming topology, oracle-verified: file
     * source → [[tumblingAgg]] (watermark + 1-hour windows) →
     * [[toParquetSink]] (APPEND mode) under Trigger.AvailableNow, then
     * the sink directory read back as the result. Unlike c25's
-    * complete-mode memory sink (a driver-side verification harness),
+    * complete-mode snapshot harness,
     * this is the exact readStream→transform→writeStream shape a
     * 100 TB/day pipeline deploys: append mode emits each window once,
     * when the watermark passes its end, to a distributed file sink.
@@ -299,14 +326,7 @@ object Streams {
     val s = stateSession(spark, statePartitions = 8)
     val ev = streamTable(s, sfDir, "events")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    val out = java.nio.file.Files.createTempDirectory("graft_c36_out").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_c36_ckpt").toString
-    trackTmpDir(out); trackTmpDir(ckpt)
-    val q = toParquetSink(tumblingAgg(ev), out, ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.read.parquet(out)
+    runToParquet(tumblingAgg(ev), "append", "c36")
       .select(col("hour_start").cast("timestamp_ntz").as("hour_start"),
         col("n_events"), col("sum_value"))
       .orderBy("hour_start")
@@ -341,18 +361,12 @@ object Streams {
       .select(col("event_id").as("click_id"), col("ts").as("rts"), col("user_id").as("rkey"))
     val joined = enrichJoin(purchases, clicks, "2 hours")
       .select(col("purchase_id"), col("click_id"))
-    val tbl = s"c37_stream_sink_${sinkId.incrementAndGet()}"
-    val q = joined.writeStream.format("memory").queryName(tbl)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(tbl).orderBy("purchase_id", "click_id")
+    runToParquet(joined, "append", "c37").orderBy("purchase_id", "click_id")
   }
 
   /** c44 — SLIDING windows through the streaming engine: b43's
     * 1-hour/15-minute overlapping aggregation under the c25 harness
-    * (AvailableNow, complete-mode memory sink — batching-invariant, so
+    * (AvailableNow, complete-mode parquet snapshot — batching-invariant, so
     * it shares b43's oracle verbatim). With c25/c30/c36/c37 this
     * closes the streaming window family: tumbling, session, sliding,
     * append-mode production sink, and stream-stream join are all
@@ -363,16 +377,9 @@ object Streams {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
     val agg = ev.groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
       .agg(count(lit(1)).as("n_events"), graft.Canon.dsum(col("value")).as("sum_value"))
-    val tbl = s"c44_stream_sink_${sinkId.incrementAndGet()}"
-    val q = agg.writeStream.format("memory").queryName(tbl)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(tbl)
       .select(col("w.start").cast("timestamp_ntz").as("window_start"),
         col("n_events"), col("sum_value"))
-      .orderBy("window_start")
+    runToParquet(agg, "complete", "c44").orderBy("window_start")
   }
 
   /** c51 — STREAMING incremental dedup: c50's ingest gate as a live
@@ -442,17 +449,10 @@ object Streams {
     // dup-dense corpus is unbounded relative to driver memory (the 100×
     // rehearsal's is > 1 GiB — a memory sink is a driver-side collect
     // and died on exactly that), and the production topology appends to
-    // storage anyway. Same tracked-temp-dir discipline as c36.
-    val out = java.nio.file.Files.createTempDirectory("graft_c51_out").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_c51_ckpt").toString
-    trackTmpDir(out); trackTmpDir(ckpt)
-    val q = verified.writeStream.format("parquet")
-      .option("path", out).option("checkpointLocation", ckpt)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.read.parquet(out).orderBy("doc_new", "doc_base", "band_idx")
+    // storage anyway. The harness's explicit-schema read-back also makes
+    // a dup-free corpus (zero part files) an empty frame, not an
+    // AnalysisException.
+    runToParquet(verified, "append", "c51").orderBy("doc_new", "doc_base", "band_idx")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -113,8 +113,59 @@ class StreamsApiSpec extends AnyFunSuite {
       "streaming key mutated the caller session's shuffle partitions")
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
     assert(leaked.isEmpty, s"streaming keys leaked cached RDDs: $leaked")
-    assert(Streams.tmpDirs.size() == dirsBefore + 2,
-      "c36 sink/checkpoint dirs not registered for exit-time reaping")
+    assert(Streams.tmpDirs.size() == dirsBefore + 4,
+      "c36/c37 sink/checkpoint dirs not registered for exit-time reaping")
+  }
+
+  test("no verification key uses a memory sink (a memory sink is a driver-side collect)") {
+    // The c51 100x rehearsal measured its collision set > 1 GiB: a
+    // memory sink dies at driver.maxResultSize exactly where the
+    // parquet harness keeps flowing. Pin the whole main tree, not just
+    // Streams.scala, so the pattern cannot reappear elsewhere.
+    import scala.jdk.CollectionConverters._
+    val offenders = java.nio.file.Files.walk(java.nio.file.Paths.get("src/main"))
+      .iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .filter(p => java.nio.file.Files.readString(p).contains("format(\"memory\")"))
+      .toList
+    assert(offenders.isEmpty, s"memory sinks in the query surface: $offenders")
+  }
+
+  test("runToParquet reads an empty result back as an empty frame, not an inference error") {
+    // A dup-free corpus makes c51's verified-collision stream empty for
+    // every micro-batch: zero part files land in the sink, and a bare
+    // spark.read.parquet would throw AnalysisException on schema
+    // inference. The harness pins the writer's schema instead.
+    import java.nio.file.Files
+    val emptySrc = Files.createTempDirectory("graft_empty_src").toString
+    Streams.trackTmpDir(emptySrc)
+    val stream = spark.readStream
+      .schema("ts TIMESTAMP, user_id BIGINT, value DOUBLE")
+      .parquet(emptySrc)
+      .where($"value" > 0)
+    val out = Streams.runToParquet(stream, "append", "empty_test")
+    assert(out.isEmpty, "empty source produced rows")
+    assert(out.columns.toSeq == Seq("ts", "user_id", "value"),
+      "explicit read-back schema not applied")
+  }
+
+  test("runToParquet complete-mode snapshot equals the full-history aggregate") {
+    // The complete-mode path (foreachBatch + distributed overwrite) must
+    // deliver the same final table a memory sink used to — per-batch
+    // snapshots overwrite, so the last one is the finished aggregate
+    // even when the input arrives across several micro-batches.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    input.addData((ts("10:05"), 1L, 2.0), (ts("10:40"), 2L, 3.0))
+    input.addData((ts("11:10"), 1L, 4.0))
+    val agg = input.toDF().toDF("ts", "user_id", "value")
+      .groupBy(org.apache.spark.sql.functions.window($"ts", "1 hour").as("w"))
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .select($"w.start".as("h"), $"n")
+    val out = Streams.runToParquet(agg, "complete", "complete_test")
+      .as[(Timestamp, Long)].collect().toMap
+    assert(out == Map(ts("10:00") -> 2L, ts("11:00") -> 1L),
+      s"complete snapshot diverged: $out")
   }
 
   test("deleteRecursively removes a nested directory tree") {
