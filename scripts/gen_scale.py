@@ -58,7 +58,18 @@ def write_sharded(cols, schema, path):
                        f"{path}/part-{s:05d}.parquet")
 
 
-def gen_documents(src, out, factor):
+# The judge's boilerplate rehearsal (round-9 item #2): a fixed 200-byte
+# header shared by 100% of documents, the web-scale worst case for the
+# c48/c49 shared-gram family (every doc contributes the header's grams
+# to the >=2-docs shared set, and every doc pair shares them).
+BOILERPLATE = ("terms of service apply to this page all rights reserved "
+               "contact the webmaster for licensing information this "
+               "content is provided without warranty of any kind "
+               "express or implied navigation menu home w ")
+assert len(BOILERPLATE) == 200, len(BOILERPLATE)
+
+
+def gen_documents(src, out, factor, boilerplate=False):
     t = pq.read_table(f"{src}/documents.parquet")
     n = t.num_rows
     max_id = max(t.column("doc_id").to_pylist())
@@ -71,6 +82,8 @@ def gen_documents(src, out, factor):
                 toks = text.split(" ")
                 kept = [w for j, w in enumerate(toks) if (j + 1) % (k + 2) != 0]
                 text = " ".join(kept + [f"rep{k}d{cols['doc_id'][i]}"])
+            if boilerplate:
+                text = BOILERPLATE + text
             out_cols["doc_id"].append(cols["doc_id"][i] + k * (max_id + 1))
             out_cols["text"].append(text)
             out_cols["lang"].append(cols["lang"][i])
@@ -107,13 +120,16 @@ def gen_embeddings(src, out, factor):
 
 
 def main():
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_scale10"
-    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    args = [a for a in sys.argv[1:] if a != "--boilerplate"]
+    boilerplate = "--boilerplate" in sys.argv[1:]
+    src = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
+    out = args[1] if len(args) > 1 else "/tmp/graft_scale10"
+    factor = int(args[2]) if len(args) > 2 else 10
     os.makedirs(out, exist_ok=True)
-    dn, dN = gen_documents(src, out, factor)
+    dn, dN = gen_documents(src, out, factor, boilerplate)
     en, eN = gen_embeddings(src, out, factor)
-    print(f"documents: {dn} -> {dN} rows; embeddings: {en} -> {eN} rows -> {out}")
+    print(f"documents: {dn} -> {dN} rows; embeddings: {en} -> {eN} rows"
+          f"{' (+200B shared boilerplate header)' if boilerplate else ''} -> {out}")
 
 
 if __name__ == "__main__":

@@ -25,6 +25,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Rehearsal knob: cap for the size-aware broadcast hints
+    // (Skew.maybeBroadcast). SCALE.md's boilerplate corpus sets this
+    // low to drive the AQE no-hint path at test scale; unset = the
+    // 256 MiB default. The driver never sets it.
+    sys.env.get("SPARK_GRAFT_BROADCAST_CAP")
+      .foreach(spark.conf.set(ops.Skew.BroadcastCapConf, _))
     // JVM/codegen warmup outside any query's timing (one trivial job),
     // plus a footer/first-touch pass over every fixture table so the
     // alphabetically-first queries don't absorb the one-time parquet
@@ -59,6 +65,7 @@ object Bench {
     val setupPairs = timeSetup("setup_lsh_pairs")(ops.Llm.warmPairs(spark, sfDir))
     val setupLabels = timeSetup("setup_cc_labels")(ops.NearDup.warmLabels(spark, sfDir))
     val setupGrams = timeSetup("setup_substr_grams")(ops.NearDup.warmGrams(spark, sfDir))
+    val setupToks = timeSetup("setup_token_sets")(ops.Llm.warmTokenSets(spark, sfDir))
     // Every query runs twice, min taken (total runtime ~2 min permits
     // it): first-touch parquet footer reads + codegen compilation on
     // this shared machine add ±1-2 s of noise per query, and round 4's
@@ -104,7 +111,7 @@ object Bench {
     def setupVal(v: Double) = if (v == Double.MaxValue) "null" else v.toString
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""setup_lsh_bands":${setupVal(setupBands)},"setup_lsh_pairs":${setupVal(setupPairs)},"setup_cc_labels":${setupVal(setupLabels)},"setup_substr_grams":${setupVal(setupGrams)},""" +
+        s""""setup_lsh_bands":${setupVal(setupBands)},"setup_lsh_pairs":${setupVal(setupPairs)},"setup_cc_labels":${setupVal(setupLabels)},"setup_substr_grams":${setupVal(setupGrams)},"setup_token_sets":${setupVal(setupToks)},""" +
         s""""failed":$failedJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outFile), json + "\n")
     // Stop Spark BEFORE printing: its shutdown logging must not be able

@@ -17,6 +17,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // c48/c49 cross-engine precondition, enforced on the corpus being
+    // verified: the Spark kernel slices UTF-8 BYTES while the DuckDB
+    // oracle slices CHARACTERS, which coincide only on pure-ASCII
+    // text. A non-ASCII fixture must fail HERE, loudly, not silently
+    // hash-diverge in the gram keys.
+    locally {
+      import org.apache.spark.sql.functions.{col, length, octet_length}
+      val nonAscii = Tables.t(spark, sfDir, "documents")
+        .where(length(col("text")) =!= octet_length(col("text"))).count()
+      require(nonAscii == 0L,
+        s"$nonAscii non-ASCII documents in $sfDir break the c48/c49 " +
+          "byte-vs-char oracle equivalence (len != octet_length)")
+    }
     // Dev-only subset filter (comma-separated key list); the driver
     // sets nothing and gets the full map.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

@@ -109,7 +109,7 @@ object Llm {
     * without stopping the shared test SparkContext.
     */
   private[graft] def evictBands(appId: String): Unit =
-    Seq(bandCache, pairCache).foreach { cache =>
+    Seq(bandCache, pairCache, tokenCache).foreach { cache =>
       cache.keys.filter(_.startsWith(appId + ":")).foreach { k =>
         cache.remove(k).foreach { df =>
           try df.unpersist(blocking = false) catch { case _: Throwable => () }
@@ -212,14 +212,47 @@ object Llm {
   def dedupMinhashPairs(spark: SparkSession, sfDir: String): DataFrame =
     minhashPairs(spark, sfDir).orderBy("doc_a", "doc_b")
 
+  /** Materialized token-set table (doc_id, tset = distinct whitespace
+    * tokens) — the fifth one-time pass of the dedup family (bands →
+    * pairs → labels → grams → token sets). FOUR verify-stage keys read
+    * it under TWO join inputs each (c3/c43's pair scoring, c50's
+    * incremental gate, c51's streaming gate), so un-materialized the
+    * corpus-wide split+distinct projection runs 8× per bench pass
+    * (round-8 verdict #6). Like the gram table it is corpus-sized,
+    * not duplicate-sized: at 100 TB this is the tokenized corpus a
+    * real pipeline materializes ONCE next to the signature store, and
+    * MEMORY_AND_DISK models that seam at test scale. Rides the band
+    * cache's eviction listener.
+    */
+  private[graft] val tokenCache = TrieMap[String, DataFrame]()
+
+  private[graft] def tokenSets(spark: SparkSession, sfDir: String): DataFrame = {
+    val appId = spark.sparkContext.applicationId
+    if (evictionHooked.putIfAbsent(appId, true).isEmpty)
+      spark.sparkContext.addSparkListener(new BandEvictionListener(appId))
+    tokenCache.getOrElseUpdate(s"$appId:$sfDir", {
+      val df = tokenized(spark, sfDir)
+        .select(col("doc_id"), array_distinct(col("ws")).as("tset"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      df.count() // materialize eagerly: exactly one tokenize pass ever runs
+      df
+    })
+  }
+
+  /** Pre-materialize the token-set table — its own Bench setup key
+    * (same attribution discipline as bands/pairs/labels/grams).
+    */
+  private[graft] def warmTokenSets(spark: SparkSession, sfDir: String): Unit = {
+    tokenSets(spark, sfDir); ()
+  }
+
   /** c3 — exact token-set Jaccard over the c2 candidate pairs (the
     * verify stage of the dedup pipeline: cheap LSH recall → exact
     * precision on the small candidate set).
     */
   def jaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = minhashPairs(spark, sfDir)
-    val toks = tokenized(spark, sfDir)
-      .select(col("doc_id"), array_distinct(col("ws")).as("tset"))
+    val toks = tokenSets(spark, sfDir)
     pairs
       .join(toks.select(col("doc_id").as("doc_a"), col("tset").as("ta")), "doc_a")
       .join(toks.select(col("doc_id").as("doc_b"), col("tset").as("tb")), "doc_b")
@@ -239,8 +272,7 @@ object Llm {
     */
   def containmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = minhashPairs(spark, sfDir)
-    val toks = tokenized(spark, sfDir)
-      .select(col("doc_id"), array_distinct(col("ws")).as("tset"))
+    val toks = tokenSets(spark, sfDir)
     pairs
       .join(toks.select(col("doc_id").as("doc_a"), col("tset").as("ta")), "doc_a")
       .join(toks.select(col("doc_id").as("doc_b"), col("tset").as("tb")), "doc_b")
@@ -282,20 +314,23 @@ object Llm {
     */
   def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame =
     incrementalGateOf(minhashPairs(spark, sfDir),
-      Tables.t(spark, sfDir, "documents"))
+      Tables.t(spark, sfDir, "documents"),
+      Some(tokenSets(spark, sfDir)))
 
   /** The gate body, over an explicit candidate-pair table and corpus
     * (unit-testable on constructed fixtures; [[incrementalDedup]]
-    * feeds it the memoized LSH pairs).
+    * feeds it the memoized LSH pairs and the memoized token-set
+    * table — constructed fixtures omit `tokSets` and tokenize inline).
     */
-  private[graft] def incrementalGateOf(pairs: DataFrame, docs: DataFrame): DataFrame = {
+  private[graft] def incrementalGateOf(pairs: DataFrame, docs: DataFrame,
+      tokSets: Option[DataFrame] = None): DataFrame = {
     val cands = pairs
       .where(isIncoming(col("doc_a")) =!= isIncoming(col("doc_b")))
       .select(
         when(isIncoming(col("doc_a")), col("doc_a")).otherwise(col("doc_b")).as("doc_new"),
         when(isIncoming(col("doc_a")), col("doc_b")).otherwise(col("doc_a")).as("doc_base"))
-    val toks = docs
-      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("tset"))
+    val toks = tokSets.getOrElse(docs
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("tset")))
     val scored = cands
       .join(toks.select(col("doc_id").as("doc_new"), col("tset").as("ta")), "doc_new")
       .join(toks.select(col("doc_id").as("doc_base"), col("tset").as("tb")), "doc_base")

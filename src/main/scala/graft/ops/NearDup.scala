@@ -30,7 +30,9 @@ object NearDup {
   type Q = (SparkSession, String) => DataFrame
 
   private val SimhashBits = 32
-  private val NearDupCos = 0.35 // fixture-calibrated (random 64-d vectors)
+  // fixture-calibrated (random 64-d vectors); private[graft] so the
+  // c47 survivor property test tracks retunes instead of a stale copy
+  private[graft] val NearDupCos = 0.35
   private val IvfProbeCells = 2
 
   /** IVF sign-plane sizing (c12): the number of random-hyperplane
@@ -251,8 +253,10 @@ object NearDup {
     * map-side-combined per-gram doc count (constant-size agg buffer —
     * a boilerplate gram in a billion docs costs one long, never a
     * collected list); the surviving "shared gram" id set is
-    * duplicate-sized and BROADCASTS into a semi-join that prunes the
-    * stream; pairs then come from a per-gram sorted collect whose
+    * duplicate-sized and semi-joins the stream — broadcast when the
+    * gram-count bound proves it fits, AQE-decided when duplication
+    * makes it big ([[Skew.maybeBroadcast]]); pairs then come from a
+    * per-gram sorted collect whose
     * group size is ALREADY capped at [[HotGramCap]] by that filter —
     * no self-join, so the expensive gram projection exists twice in
     * the plan (count + prune), not four times. The cap is the same
@@ -260,7 +264,8 @@ object NearDup {
     * license-header gram is dropped, not exploded.
     */
   def substringDupSpans(spark: SparkSession, sfDir: String): DataFrame =
-    substringDupSpansFrom(sampledGramTable(spark, sfDir))
+    substringDupSpansFrom(sampledGramTable(spark, sfDir),
+      gramTableCount(spark, sfDir), spark)
 
   /** The content-sampled distinct (doc_id, gram-md5) stream shared by
     * c48 and c49 — see the knobs comment for why it slices bytes and
@@ -287,6 +292,18 @@ object NearDup {
     */
   private[graft] val gramCache = TrieMap[String, DataFrame]()
 
+  /** Gram-table row count, captured for free by the eager
+    * materialization count — the [[Skew.maybeBroadcast]] upper bound
+    * for c48/c49's shared-gram sets (distinct shared hashes can never
+    * exceed the (doc, gram)-distinct stream's row count).
+    */
+  private val gramCountCache = TrieMap[String, Long]()
+  private[graft] def gramTableCount(spark: SparkSession, sfDir: String): Long = {
+    val key = s"${spark.sparkContext.applicationId}:$sfDir"
+    val df = sampledGramTable(spark, sfDir)
+    gramCountCache.getOrElseUpdate(key, df.count()) // cached-scan fallback
+  }
+
   private[graft] def sampledGramTable(spark: SparkSession, sfDir: String): DataFrame = {
     val appId = spark.sparkContext.applicationId
     if (labelEvictionHooked.putIfAbsent(appId, true).isEmpty)
@@ -294,7 +311,9 @@ object NearDup {
     gramCache.getOrElseUpdate(s"$appId:$sfDir", {
       val df = sampledGrams(Tables.t(spark, sfDir, "documents"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      df.count() // materialize eagerly: exactly one gram pass ever runs
+      // materialize eagerly: exactly one gram pass ever runs; the count
+      // doubles as the broadcast-safety bound, so it is kept.
+      gramCountCache.put(s"$appId:$sfDir", df.count())
       df
     })
   }
@@ -312,17 +331,27 @@ object NearDup {
     * guarantee ("a ≥35-char shared run is always reported, disjoint
     * texts never are") is testable on constructed documents.
     */
-  private[graft] def substringDupSpansOf(docs: DataFrame): DataFrame =
-    substringDupSpansFrom(sampledGrams(docs))
+  private[graft] def substringDupSpansOf(docs: DataFrame): DataFrame = {
+    val grams = sampledGrams(docs)
+    substringDupSpansFrom(grams, grams.count(), docs.sparkSession)
+  }
 
-  private def substringDupSpansFrom(grams: DataFrame): DataFrame = {
-    val shared = grams.groupBy(col("h"))
-      .agg(count(lit(1)).as("nd"))
-      .where(col("nd").between(2L, HotGramCap))
-      .select(col("h"))
+  private def substringDupSpansFrom(grams: DataFrame, gramRows: Long,
+      session: SparkSession): DataFrame = {
+    // The shared set scales with corpus DUPLICATION (every distinct
+    // gram seen in ≥2 docs), so the hint is size-aware: gramRows — the
+    // materialization count of the gram table, a free upper bound on
+    // distinct shared hashes — must prove the broadcast fits, else the
+    // equi-join goes to AQE ([[Skew.maybeBroadcast]]).
+    val shared = Skew.maybeBroadcast(
+      grams.groupBy(col("h"))
+        .agg(count(lit(1)).as("nd"))
+        .where(col("nd").between(2L, HotGramCap))
+        .select(col("h")),
+      gramRows, rowBytes = 64L, session)
     // Group size is bounded by the cap, so the sorted per-gram doc
     // list is tiny and in-group pairs expand WITHOUT a self-join.
-    grams.join(broadcast(shared), Seq("h"), "left_semi")
+    grams.join(shared, Seq("h"), "left_semi")
       .groupBy(col("h"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .select(explode(expr(
@@ -342,24 +371,35 @@ object NearDup {
     * distinct from c48's pair report. No [[HotGramCap]] here: for a
     * doc-level signal, boilerplate IS duplicated content — the cap
     * exists in c48 only to bound pair fan-out, which this op doesn't
-    * have (the shared-gram set stays duplicate-sized and broadcast;
-    * the per-doc aggregation is map-side combined).
+    * have (the shared-gram set is duplicate-sized — size-aware-hinted,
+    * never unconditionally broadcast; the per-doc aggregation is
+    * map-side combined).
     *
     * `nd >= 2` counts DOCS (the gram stream is distinct per (doc,
     * gram)), so a gram repeated only inside one doc is not "shared".
     */
   def dupFraction(spark: SparkSession, sfDir: String): DataFrame =
-    dupFractionFrom(sampledGramTable(spark, sfDir))
+    dupFractionFrom(sampledGramTable(spark, sfDir),
+      gramTableCount(spark, sfDir), spark)
 
-  private[graft] def dupFractionOf(docs: DataFrame): DataFrame =
-    dupFractionFrom(sampledGrams(docs))
+  private[graft] def dupFractionOf(docs: DataFrame): DataFrame = {
+    val grams = sampledGrams(docs)
+    dupFractionFrom(grams, grams.count(), docs.sparkSession)
+  }
 
-  private def dupFractionFrom(grams: DataFrame): DataFrame = {
-    val shared = grams.groupBy(col("h"))
-      .agg(count(lit(1)).as("nd"))
-      .where(col("nd") >= 2L)
-      .select(col("h"), lit(1).as("s"))
-    grams.join(broadcast(shared), Seq("h"), "left")
+  private def dupFractionFrom(grams: DataFrame, gramRows: Long,
+      session: SparkSession): DataFrame = {
+    // Uncapped (no HotGramCap), so on boilerplate-heavy web data this
+    // set is the terabyte-class worst case of the family — the
+    // size-aware hint matters MOST here ([[Skew.maybeBroadcast]]; over
+    // the bound, AQE joins on measured sizes).
+    val shared = Skew.maybeBroadcast(
+      grams.groupBy(col("h"))
+        .agg(count(lit(1)).as("nd"))
+        .where(col("nd") >= 2L)
+        .select(col("h"), lit(1).as("s")),
+      gramRows, rowBytes = 64L, session)
+    grams.join(shared, Seq("h"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"), count(col("s")).as("n_shared"))
       .select(col("doc_id"), col("n_grams"), col("n_shared"),
@@ -385,7 +425,8 @@ object NearDup {
     * cartesian, with work bounded by cell occupancy exactly like c12 —
     * and the embedding rides the CELL join (2n arrays through one
     * exchange), not a per-pair re-join (p× pair count); the loser list
-    * is duplicate-sized and broadcasts into a left-anti join, the c22
+    * is duplicate-sized and anti-joins under a size-aware hint
+    * (corpus-count bound, [[Skew.maybeBroadcast]]), the c22
     * discipline. At 100 TB you'd feed the c35 Lloyd-refined centroids
     * and an ANN-accelerated assignment in place of the brute-force
     * seed pass; the dedup semantics stay identical.
@@ -404,12 +445,14 @@ object NearDup {
       col("cos").as("cos_a"), col("embedding").as("ea"), col("norm").as("na"))
     val b = m.select(col("vec_id").as("vb"), col("cluster").as("cl2"),
       col("cos").as("cos_b"), col("embedding").as("eb"), col("norm").as("nb"))
-    val losers = a.join(b, col("cluster") === col("cl2") && col("va") < col("vb"))
-      .where(round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4) >= NearDupCos)
-      .select(when(struct(col("cos_a"), col("va")) > struct(col("cos_b"), col("vb")),
-        col("va")).otherwise(col("vb")).as("loser_id"))
-      .distinct()
-    m.join(broadcast(losers), col("vec_id") === col("loser_id"), "left_anti")
+    val losers = Skew.maybeBroadcast(
+      a.join(b, col("cluster") === col("cl2") && col("va") < col("vb"))
+        .where(round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4) >= NearDupCos)
+        .select(when(struct(col("cos_a"), col("va")) > struct(col("cos_b"), col("vb")),
+          col("va")).otherwise(col("vb")).as("loser_id"))
+        .distinct(),
+      embCount(spark, sfDir), rowBytes = 32L, spark)
+    m.join(losers, col("vec_id") === col("loser_id"), "left_anti")
       .select(col("vec_id"), col("cluster"), col("cos").as("cent_cos"))
       .orderBy("vec_id")
   }
@@ -595,12 +638,28 @@ object NearDup {
   }
 
   /** The duplicate-sized loser list (docs that are NOT their cluster's
-    * canonical min) — the broadcast-able input shared by c22 and c31.
+    * canonical min) — the input shared by c22 and c31, hinted
+    * broadcast only when [[labelTableCount]] proves it fits
+    * ([[Skew.maybeBroadcast]]): the loser count is bounded by the
+    * label-table row count, which the memoized CC pass already
+    * materialized.
     */
   private[graft] def clusterLosers(spark: SparkSession, sfDir: String): DataFrame =
-    clusterLabels(spark, sfDir)
-      .where(col("doc_id") =!= col("cluster_id"))
-      .select(col("doc_id").as("loser_id"))
+    Skew.maybeBroadcast(
+      clusterLabels(spark, sfDir)
+        .where(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id").as("loser_id")),
+      labelTableCount(spark, sfDir), rowBytes = 32L, spark)
+
+  /** Label-table row count over the checkpointed cache — the
+    * broadcast-safety bound for the loser list, one cached-scan job
+    * per (application, corpus).
+    */
+  private val labelCountCache = TrieMap[String, Long]()
+  private[graft] def labelTableCount(spark: SparkSession, sfDir: String): Long =
+    labelCountCache.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}:$sfDir",
+      clusterLabels(spark, sfDir).count())
 
   /** The reusable CC kernel behind c21: undirected edges (u, v) →
     * (doc_id, cluster_id = component min). Vertices not on any edge are
@@ -731,14 +790,15 @@ object NearDup {
     * and the only corpus-wide work is one scan with a map-side-combined
     * per-lang aggregate: the cheap final step of a dedup pipeline.
     * Degenerate case: at a pathological duplication rate the removal
-    * list approaches corpus size and the broadcast hint should be
-    * dropped (AQE then picks a shuffle join keyed on doc_id — still
-    * one shuffle of ids, never of text).
+    * list approaches corpus size — [[clusterLosers]] then withholds
+    * the hint ([[Skew.maybeBroadcast]] on the label-count bound) and
+    * AQE picks the join on measured sizes (still one shuffle of ids,
+    * never of text).
     */
   def dedupSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
     val losers = clusterLosers(spark, sfDir)
     val docs = Tables.t(spark, sfDir, "documents")
-    docs.join(broadcast(losers), docs("doc_id") === col("loser_id"), "left")
+    docs.join(losers, docs("doc_id") === col("loser_id"), "left")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("total_docs"),
         count(when(col("loser_id").isNull, 1)).as("kept_docs"),
@@ -1051,9 +1111,9 @@ object NearDup {
     // gram) mirrors the Spark side's array_distinct-before-explode;
     // the SQL self-join is the semantics the Spark side's capped
     // collect-and-expand computes. The Spark side slices UTF-8 BYTES
-    // (O(1) byte addressing); this char-based SQL coincides because
-    // the fixture text is pure ASCII at every SF (asserted:
-    // len(text) = octet_length(encode(text)) on all fixtures).
+    // (O(1) byte addressing); this char-based SQL coincides only on
+    // pure-ASCII text — Verify.main enforces the precondition on every
+    // corpus it dumps (len(text) = octet_length(text), loud failure).
     "c48_substring_dup_spans" ->
       s"""WITH grams AS (
          |  SELECT DISTINCT doc_id, h FROM (

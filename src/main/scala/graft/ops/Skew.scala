@@ -47,4 +47,44 @@ object Skew {
         bigKey === smallKey && salted("_salt") === replicated("_salt"))
       .drop("_salt")
   }
+
+  /** Executor/driver budget an unconditional `broadcast()` hint must
+    * provably fit before [[maybeBroadcast]] applies it. Overridable per
+    * session (`spark.graft.broadcastCapBytes`) — the rehearsal corpus
+    * sets it low to drive the no-hint path at test scale, and a real
+    * deployment tunes it to its driver memory exactly like
+    * `autoBroadcastJoinThreshold`.
+    */
+  private[graft] val BroadcastCapConf = "spark.graft.broadcastCapBytes"
+  private[graft] val BroadcastCapDefault: Long = 256L << 20
+
+  /** Size-aware broadcast hint for DUPLICATE-scaled build sides (loser
+    * lists, shared-gram sets). These scale with corpus *duplication*,
+    * not with a dimension table: on boilerplate-heavy web data the
+    * c49 shared-gram set is terabyte-class, and an unconditional
+    * `broadcast()` hint then breaches Spark's 8 GiB broadcast limit
+    * outright where AQE would have picked a shuffle join.
+    *
+    * The hint is applied only when `boundRows * rowBytes` — a cheap
+    * UPPER BOUND from an already-materialized table (gram-table rows,
+    * label-table rows, corpus count), never a re-execution of the
+    * aggregate being hinted — fits under the cap, making the broadcast
+    * provably safe. Over the cap the frame is returned unhinted and
+    * AQE decides at runtime: if the actual set turns out small, AQE
+    * converts the shuffle join back to a broadcast join on measured
+    * sizes, so a loose bound costs one shuffle stage of a
+    * duplicate-sized table, never an OOM — the hint is an
+    * optimization, not a correctness cliff.
+    *
+    * The cap is read from the CALLING session (not `df.sparkSession`):
+    * frames derived from the per-application memoized tables are bound
+    * to whichever session first materialized them, and the cap is a
+    * property of the query being planned, not of the cache.
+    */
+  def maybeBroadcast(df: DataFrame, boundRows: Long, rowBytes: Long,
+      session: org.apache.spark.sql.SparkSession): DataFrame = {
+    val cap = session.conf.getOption(BroadcastCapConf)
+      .map(_.toLong).getOrElse(BroadcastCapDefault)
+    if (rowBytes > 0 && boundRows <= cap / rowBytes) broadcast(df) else df
+  }
 }

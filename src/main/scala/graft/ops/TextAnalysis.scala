@@ -269,15 +269,16 @@ object TextAnalysis {
     * floor (c15's score ≥ 0.8) → per-language doc/token/avg-quality
     * accounting. One corpus scan carries every per-row step (sample
     * predicate, quality projection, filters are all codegen'd in one
-    * stage); the only extra input is the broadcast loser-id list from
-    * the dedup family. This is the proof the operators COMPOSE — the
+    * stage); the only extra input is the loser-id list from the dedup
+    * family (broadcast under [[graft.ops.Skew.maybeBroadcast]]'s
+    * size bound, AQE-decided above it). This is the proof the operators COMPOSE — the
     * whole pipeline is one declarative plan, and the oracle replays
     * the identical pipeline as one SQL statement.
     */
   def curateCorpus(spark: SparkSession, sfDir: String): DataFrame = {
-    val losers = NearDup.clusterLosers(spark, sfDir)
+    val losers = NearDup.clusterLosers(spark, sfDir) // size-aware hint inside
     val docs = Tables.t(spark, sfDir, "documents")
-      .join(broadcast(losers), col("doc_id") === col("loser_id"), "left_anti")
+      .join(losers, col("doc_id") === col("loser_id"), "left_anti")
       .where(substring(md5(concat(lit("curate:"), col("doc_id").cast("string"))), 1, 1)
         .isin("0", "1", "2", "3", "4", "5", "6", "7"))
     qualityBase(docs)

@@ -435,8 +435,10 @@ object Streams {
       .where(!Llm.isIncoming(col("doc_id")))
       .select(col("doc_id").as("doc_base"), col("band_idx").as("bi"),
         col("band_val").as("bv"))
-    val toks = graft.Tables.t(spark, sfDir, "documents")
-      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("tset"))
+    // Static side of the stream-static token join: the memoized
+    // token-set table (the materialized-next-to-the-band-store seam),
+    // not a per-key re-tokenization of the corpus.
+    val toks = Llm.tokenSets(spark, sfDir)
     val verified = bands
       .join(baseBands, col("band_idx") === col("bi") && col("band_val") === col("bv"))
       .join(toks.select(col("doc_id").as("doc_new"), col("tset").as("ta")), "doc_new")

@@ -321,7 +321,8 @@ class OperatorPropertiesSpec extends AnyFunSuite {
     val b = withEmb.select(col("vec_id").as("vb"), col("cluster").as("cl2"), col("embedding").as("eb"))
     val similar = a.join(b, col("cluster") === col("cl2") && col("va") < col("vb"))
       .where(round(dot(col("ea"), col("eb")) /
-        (sqrt(dot(col("ea"), col("ea"))) * sqrt(dot(col("eb"), col("eb")))), 4) >= 0.35)
+        (sqrt(dot(col("ea"), col("ea"))) * sqrt(dot(col("eb"), col("eb")))), 4)
+        >= ops.NearDup.NearDupCos)
       .count()
     assert(similar == 0, s"$similar tau-similar pairs survived semantic dedup")
   }

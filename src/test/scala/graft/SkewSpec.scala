@@ -74,4 +74,58 @@ class SkewSpec extends AnyFunSuite {
     assert(salted < unsalted / 4,
       s"salting did not narrow the spread: unsalted=$unsalted salted=$salted")
   }
+
+  // Hints live as ResolvedHint in the ANALYZED plan; the optimizer
+  // folds them into Join nodes, so the analyzed tree is the place a
+  // forced hint is unambiguously visible.
+  private def hasBroadcastHint(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+          if h.hints.strategy.contains(
+            org.apache.spark.sql.catalyst.plans.logical.BROADCAST) => h
+    }.nonEmpty
+
+  test("maybeBroadcast hints under the bound, defers to AQE over it") {
+    // Duplicate-scaled sets (loser lists, shared grams) must never
+    // carry an UNCONDITIONAL broadcast hint: at web scale the c49
+    // shared-gram set is terabyte-class and a forced broadcast
+    // breaches the 8 GiB limit where AQE would have shuffle-joined.
+    val dim = (0L to 10L).map(k => (k, s"name$k")).toDF("dk", "name")
+    assert(hasBroadcastHint(
+      skewed.join(Skew.maybeBroadcast(dim, boundRows = 11L, rowBytes = 32L, spark),
+        $"k" === $"dk")),
+      "provably-small side was not hinted")
+    assert(!hasBroadcastHint(
+      skewed.join(
+        Skew.maybeBroadcast(dim, boundRows = Long.MaxValue / 16, rowBytes = 32L,
+          spark),
+        $"k" === $"dk")),
+      "over-bound side still carries a forced broadcast hint")
+  }
+
+  test("maybeBroadcast cap is session-tunable and 0 disables every hint") {
+    val s2 = spark.newSession()
+    s2.conf.set(Skew.BroadcastCapConf, "0")
+    import s2.implicits._
+    val dim2 = (0L to 10L).map(k => (k, s"name$k")).toDF("dk", "name")
+    assert(!hasBroadcastHint(
+      dim2.join(Skew.maybeBroadcast(dim2.select($"dk".as("d2")),
+        boundRows = 1L, rowBytes = 1L, s2), $"dk" === $"d2")),
+      "cap=0 session still produced a broadcast hint")
+  }
+
+  test("c49 without the broadcast hint returns the identical result") {
+    // The rehearsal posture: drive the AQE path (cap=0 simulates a
+    // boilerplate-heavy corpus whose shared-gram set cannot
+    // broadcast) and require bit-identical output to the hinted plan.
+    val s2 = spark.newSession()
+    s2.conf.set(Skew.BroadcastCapConf, "0")
+    val sfd = TestSpark.sf0001
+    val hinted = graft.ops.NearDup.dupFraction(spark, sfd)
+    val aqe = graft.ops.NearDup.dupFraction(s2, sfd)
+    assert(hasBroadcastHint(hinted), "fixture-scale plan lost its hint")
+    assert(!hasBroadcastHint(aqe), "cap=0 plan still hinted")
+    assert(hinted.collect().toSeq == aqe.collect().toSeq,
+      "hinted and AQE plans diverged")
+  }
 }
