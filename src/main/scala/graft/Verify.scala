@@ -136,6 +136,7 @@ object Verify {
     val b50MaxFrac = b50Metrics.map(_._5).max
     val b50Bound = 1.0 / accParam
 
+
     def jNum(d: Double): String = if (d == d.floor && !d.isInfinite) d.toLong.toString
       else f"$d%.6f"
     val b18Json = b18Metrics.map { case (c, ap, ex, rel) =>
@@ -152,7 +153,123 @@ object Verify {
        |"b50_approx_quantiles": {"sketch": "KLL-style approx_percentile", "accuracy_param": $accParam,
        |  "bound_rank_err_frac": ${jNum(b50Bound)}, "max_rank_err_frac": ${jNum(b50MaxFrac)},
        |  "within_bound": ${b50Metrics.forall(m => m._4 <= math.max(m._3 / accParam, 1L))},
-       |  "groups": $b50Json}
+       |  "groups": $b50Json},
+       |${annRecallReport(spark, sfDir)}
        |}""".stripMargin
+  }
+
+  /** The three ANN-recall entries of ACCURACY.json, measured against
+    * the exact brute-force oracle — its own method so the scale
+    * rehearsal can run it on corpora that carry only
+    * documents/embeddings (the 10× derivation has no lineitem for the
+    * b18/b50 sections). Returns the JSON fragment without braces.
+    *
+    * Targets: the IVF top-k keys must find at least 4 of the exact
+    * top-5 at nprobe=4; c12 must find ≥ 0.9 of the sampled exact
+    * pairs in the near-dup band (cos ≥ 0.9 — the replica load the
+    * operator exists for). The sub-0.9 bands are reported without a
+    * target: sign-grid recall decays toward τ by design, and the
+    * numbers document the trade instead of hiding it.
+    */
+  private[graft] def annRecallReport(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions._
+    // --- ANN recall vs the exact brute-force oracle (the c4 kernel) ---
+    // The IVF/multi-probe keys (c13/c38/c12) hash-match a DuckDB
+    // replay of the SAME algorithm, which proves determinism, not
+    // retrieval quality — the recall trade they make vs exhaustive
+    // search was documented but unquantified (round-8 verdict #4).
+    // c13/c38: exact top-5 for the probe over the whole corpus
+    // (n cosines, cheap at any scale) vs the returned 5 ids.
+    // c12: exact ≥τ pair set restricted to a deterministic query
+    // sample (vec_id ≡ 0 mod ⌈n/1000⌉ — brute force over ALL pairs is
+    // O(n²) and the sample keeps the oracle O(1000·n), the same
+    // bounded-oracle trick as c42's per-row range) vs the c12 pairs
+    // touching a sampled endpoint.
+    val dot = graft.functions.ArrayDot.adot _
+    def cosTo(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 4)
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val annK = 5
+    val probe = emb.where(col("vec_id") === 0).select(col("embedding").as("probe"))
+    val bfTop = emb.crossJoin(broadcast(probe))
+      .select(col("vec_id"), cosTo(col("embedding"), col("probe")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(annK).select("vec_id").collect().map(_.getLong(0)).toSet
+    def recallAt(key: String): (Int, Double) = {
+      val got = SparkEntry.queries(key)(spark, sfDir)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val hit = (got & bfTop).size
+      (hit, hit.toDouble / annK)
+    }
+    val (c13Hits, c13Recall) = recallAt("c13_ann_ivf")
+    val (c38Hits, c38Recall) = recallAt("c38_ann_ivf_adaptive")
+    // c13's cells are the LABEL partition. On fixtures whose labels
+    // are geometrically uninformative (random labels → every label
+    // centroid ≈ the global mean), centroid ranking is noise and the
+    // expected global recall is just nprobe/n_cells — measured 0.2-1.0
+    // across SFs, straddling that expectation. Its CONTRACT (exact
+    // top-k within the probed cells) is what the DuckDB oracle pins
+    // hash-green every round; global recall is reported against the
+    // nprobe/n_cells expectation so an uninformative-label corpus
+    // reads as "cells carry no signal here — use c38", not as a
+    // kernel bug. c38 learns ~√n cells from the vectors themselves
+    // and takes the real ≥0.8 global-recall target.
+    val nCells13 = emb.select(col("label")).distinct().count()
+    val c13Expected = math.min(1.0, ops.NearDup.IvfProbeCells.toDouble / nCells13)
+    val nEmb = emb.count()
+    val sampleMod = math.max(1L, nEmb / 1000L)
+    val qs_ = emb.where(col("vec_id") % sampleMod === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val tau = ops.NearDup.NearDupCos
+    // (pa, pb) -> cos for every sampled exact pair ≥ τ. Recall is
+    // reported PER COSINE BAND: the sign-grid's recall rises with cos
+    // (a cos≈1 pair agrees on all p sign bits w.h.p.; a cos≈0.4 pair
+    // straddles many hyperplanes), so one flat number would average
+    // the near-dup regime the operator exists for (cos ≥ 0.9, the
+    // replica/boilerplate load) with the low-band tail it documents
+    // as out of scope. The target binds on the near-dup band.
+    val bfScored = emb.crossJoin(broadcast(qs_))
+      .where(col("vec_id") =!= col("qid"))
+      .select(least(col("vec_id"), col("qid")).as("pa"),
+        greatest(col("vec_id"), col("qid")).as("pb"),
+        cosTo(col("embedding"), col("qe")).as("cos"))
+      .where(col("cos") >= tau)
+      .groupBy("pa", "pb").agg(max("cos").as("cos")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val c12Got = SparkEntry.queries("c12_embedding_near_dup")(spark, sfDir)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a % sampleMod == 0 || b % sampleMod == 0 }
+      .toSet
+    val c12Bands = Seq(("cos_ge_0.90", 0.90, 2.0), ("cos_0.50_0.90", 0.50, 0.90),
+      (f"cos_${tau}%.2f_0.50", tau, 0.50)).map { case (name, lo, hi) =>
+      // .iterator: collect on a Map whose transform yields a pair
+      // REBUILDS a Map, silently collapsing pairs that share a pa —
+      // measured as 80 lost pairs before the fix.
+      val bf = bfScored.iterator.collect { case (p, c) if c >= lo && c < hi => p }.toSet
+      val hit = (c12Got & bf).size
+      (name, bf.size, hit, if (bf.isEmpty) 1.0 else hit.toDouble / bf.size)
+    }
+    val (_, nearN, nearHit, nearRecall) = c12Bands.head
+    def jNum(d: Double): String = if (d == d.floor && !d.isInfinite) d.toLong.toString
+      else f"$d%.6f"
+    val topKTarget = 0.8
+    val pairTarget = 0.9
+    s""""c13_ann_ivf": {"kind": "recall_at_k_vs_brute_force", "k": $annK,
+       |  "hits": $c13Hits, "recall": ${jNum(c13Recall)},
+       |  "n_cells": $nCells13, "nprobe": ${ops.NearDup.IvfProbeCells},
+       |  "uninformative_cell_expectation": ${jNum(c13Expected)},
+       |  "contract": "exact top-k within probed cells (oracle-verified); global recall is corpus-dependent when label cells carry no geometric signal - the learned-cell variant c38 holds the global target",
+       |  "within_probed_cells_exact": true},
+       |"c38_ann_ivf_adaptive": {"kind": "recall_at_k_vs_brute_force", "k": $annK,
+       |  "hits": $c38Hits, "recall": ${jNum(c38Recall)},
+       |  "target": ${jNum(topKTarget)}, "within_target": ${c38Recall >= topKTarget}},
+       |"c12_embedding_near_dup": {"kind": "banded_pair_recall_vs_sampled_brute_force",
+       |  "tau": ${jNum(tau)}, "sample_mod": $sampleMod,
+       |  "bands": ${c12Bands.map { case (n, bf, hit, r) =>
+            s"""{"band":"$n","bf_pairs":$bf,"found":$hit,"recall":${jNum(r)}}"""
+          }.mkString("[", ",", "]")},
+       |  "near_dup_band": {"bf_pairs": $nearN, "found": $nearHit, "recall": ${jNum(nearRecall)},
+       |    "target": ${jNum(pairTarget)}, "within_target": ${nearRecall >= pairTarget}}}""".stripMargin
   }
 }

@@ -33,7 +33,15 @@ object NearDup {
   // fixture-calibrated (random 64-d vectors); private[graft] so the
   // c47 survivor property test tracks retunes instead of a stale copy
   private[graft] val NearDupCos = 0.35
-  private val IvfProbeCells = 2
+  // nprobe. c38's LEARNED cells measure 5/5 recall@5 vs exact brute
+  // force at every tested SF with 2 probes; 4 keeps headroom. c13's
+  // ~10 LABEL cells are semantic, not geometric — on fixtures with
+  // random labels every centroid ≈ the global mean, cell ranking is
+  // noise, and c13's global recall is just ~nprobe/n_cells (measured
+  // 0.2–1.0 across SFs; its oracle-pinned contract is exact top-k
+  // within the probed cells). ACCURACY.json carries the measured
+  // numbers and the expectation per round.
+  private[graft] val IvfProbeCells = 4
 
   /** IVF sign-plane sizing (c12): the number of random-hyperplane
     * sign bits is DERIVED from the corpus size, not a constant —

@@ -112,7 +112,9 @@ class AlgebraicInvariantsSpec extends AnyFunSuite {
       .as[(Long, Int, Double)].collect()
     assert(rows.length == 5)
     // candidates come from at most IvfProbeCells distinct cells
-    assert(rows.map(_._2).distinct.length <= 2)
+    // (reference the constant, not a copy — nprobe was retuned 2→4
+    // by the round-9 recall measurement)
+    assert(rows.map(_._2).distinct.length <= NearDup.IvfProbeCells)
     // ranking is by descending cosine with vec_id tiebreak
     assert(rows.map(_._3).sameElements(rows.map(_._3).sortBy(-_)))
     // if the probe's own cell was probed, the probe itself (cos=1) wins;
