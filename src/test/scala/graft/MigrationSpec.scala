@@ -129,4 +129,89 @@ class MigrationSpec extends AnyFunSuite {
     val conf = spark.conf.get("spark.sql.files.maxPartitionBytes")
     assert(conf.nonEmpty)
   }
+
+  test("A8/A10: WriteConf seam — batching bounds output units, writetime/ttl ride and round-trip") {
+    import graft.sources._
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = spark.range(100).select($"id",
+      (lit(1700000000000000L) + $"id").as("wt_micros"),
+      (lit(86400L) + $"id").as("ttl_secs"),
+      concat(lit("v"), $"id").as("payload"))
+    val dir = "/tmp/graft_writeconf_parquet"
+    val sink = new ConfiguredSink(new ParquetSink(dir),
+      WriteConf(batchRows = 10, timestampCol = Some("wt_micros"), ttlCol = Some("ttl_secs")))
+    sink.write(df, "t")
+    // batchRows -> maxRecordsPerFile: no output unit exceeds the batch
+    val files = new java.io.File(s"$dir/t.parquet").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 10, s"expected >=10 batch files, got ${files.length}")
+    files.foreach { f =>
+      val n = spark.read.parquet(f.getPath).count()
+      assert(n <= 10, s"${f.getName} holds $n rows > batchRows=10")
+    }
+    // the per-cell companions are ordinary columns: full round-trip
+    val back = spark.read.parquet(s"$dir/t.parquet")
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+    // the session conf is restored after the write (no leak)
+    assert(spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
+      .forall(_ == "0"), "maxRecordsPerFile leaked from ConfiguredSink")
+  }
+
+  test("A8: WriteConf rejects a missing or mistyped writetime/ttl column at submit time") {
+    import graft.sources._
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("id", "payload")
+    val sink = new ConfiguredSink(new ParquetSink("/tmp/graft_writeconf_bad"),
+      WriteConf(timestampCol = Some("wt_micros")))
+    val e = intercept[IllegalArgumentException] { sink.write(df, "t") }
+    assert(e.getMessage.contains("wt_micros"))
+    val typed = Seq((1L, "2024-01-01")).toDF("id", "wt_micros") // string, not BIGINT
+    val e2 = intercept[IllegalArgumentException] {
+      new ConfiguredSink(new ParquetSink("/tmp/graft_writeconf_bad"),
+        WriteConf(timestampCol = Some("wt_micros"))).write(typed, "t")
+    }
+    assert(e2.getMessage.contains("BIGINT"))
+  }
+
+  test("A10: WriteConf retries a flaky sink and succeeds within maxRetries; exhausts loudly") {
+    import graft.sources._
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("id", "payload")
+    final class Flaky(failures: Int) extends TableSink {
+      var calls = 0
+      def write(d: org.apache.spark.sql.DataFrame, t: String): Unit = {
+        calls += 1
+        if (calls <= failures) throw new RuntimeException(s"transient #$calls")
+      }
+    }
+    val flaky = new Flaky(2)
+    new ConfiguredSink(flaky, WriteConf(maxRetries = 3)).write(df, "t")
+    assert(flaky.calls == 3, s"expected 2 failures + 1 success, saw ${flaky.calls} calls")
+    val dead = new Flaky(Int.MaxValue)
+    val e = intercept[RuntimeException] {
+      new ConfiguredSink(dead, WriteConf(maxRetries = 2)).write(df, "t")
+    }
+    assert(e.getMessage.startsWith("transient"), e.getMessage)
+    assert(dead.calls == 3, s"maxRetries=2 should stop after 3 attempts, saw ${dead.calls}")
+  }
+
+  test("A8/A10: the knob surface also drives the ORC connector unchanged") {
+    import graft.sources._
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = spark.range(40).select($"id", (lit(1000L) + $"id").as("wt"), lit(60L).as("ttl"))
+    val dir = "/tmp/graft_writeconf_orc"
+    new ConfiguredSink(new OrcSink(dir),
+      WriteConf(batchRows = 8, timestampCol = Some("wt"), ttlCol = Some("ttl")))
+      .write(df, "t")
+    val back = new OrcSource(dir).read(spark, "t")
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+    val files = new java.io.File(s"$dir/t.orc").listFiles()
+      .filter(_.getName.endsWith(".orc"))
+    files.foreach { f =>
+      val n = spark.read.orc(f.getPath).count()
+      assert(n <= 8, s"${f.getName} holds $n rows > batchRows=8")
+    }
+  }
 }
