@@ -19,6 +19,24 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE plans every exchange from a HIGH initial partition count
+      // and coalesces down on measured sizes: at fixture scale this is
+      // a no-op (coalesced back to ~cpus), at 100x it is what keeps
+      // per-task sorts small enough to merge within executor memory.
+      // The 4g memory rehearsal found the cliff: with
+      // shuffle.partitions = cpus alone, a 100x sort-merge join spills
+      // hundreds of files per task and the merge phase's UNMANAGED
+      // read-ahead buffers (1 MiB per spill file) OOM the heap before
+      // managed memory ever gets a say (SCALE.md round 9).
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+      // Advisory post-shuffle partition size is measured on COMPRESSED
+      // shuffle bytes; embedding-array rows decompress ~5-10x worse
+      // than scalar columns, so the 64 MiB default hands a 4 GiB
+      // executor ~0.5 GiB-heap tasks in the pair joins (c47's OOM in
+      // the 4g rehearsal). 16 MiB keeps the widest rows' tasks inside
+      // a sane per-core budget; scalar-only shuffles just get a few
+      // more (cheap) tasks.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
@@ -74,20 +92,29 @@ object Bench {
     // it). The listener bus is async, so the counter is read only
     // after it goes quiet for one polling window.
     val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    // Spill bytes (memory+disk) ride the same listener: the
+    // memory-pressure rehearsal (SPARK_DRIVER_MEM=4g at 100×) needs
+    // per-key evidence that the MEMORY_AND_DISK caches and hash-agg
+    // paths DEGRADE (spill > 0) instead of OOM.
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val m = te.taskMetrics
-        if (m != null) { cpuNs.addAndGet(m.executorCpuTime); () }
+        if (m != null) {
+          cpuNs.addAndGet(m.executorCpuTime)
+          spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+          ()
+        }
       }
     })
     def drainedCpu(): Long = {
       var prev = -1L
-      var cur = cpuNs.get()
+      var cur = cpuNs.get() + spillBytes.get()
       var spins = 0
       while (prev != cur && spins < 40) {
-        Thread.sleep(25); prev = cur; cur = cpuNs.get(); spins += 1
+        Thread.sleep(25); prev = cur; cur = cpuNs.get() + spillBytes.get(); spins += 1
       }
-      cur
+      cpuNs.get()
     }
     // Every query runs twice, min taken (total runtime ~2 min permits
     // it): first-touch parquet footer reads + codegen compilation on
@@ -97,17 +124,18 @@ object Bench {
     // scores Double.MaxValue so it can never win the min and is
     // surfaced in the JSON "failed" list, never silently deflating the
     // total (round-4 ADVICE).
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) =
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double, Long) =
       try {
         val c0 = drainedCpu()
+        val s0 = spillBytes.get()
         val t0 = System.nanoTime()
         fn(spark, sfDir).queryExecution.toRdd.count()
         val wall = (System.nanoTime() - t0) / 1e9
         val cpu = (drainedCpu() - c0) / 1e9
-        (wall, cpu)
+        (wall, cpu, spillBytes.get() - s0)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        (Double.MaxValue, 0.0)
+        (Double.MaxValue, 0.0, 0L)
       }
     // Optional comma-separated key filter (SPARK_GRAFT_BENCH_ONLY) for
     // targeted runs — e.g. the scale rehearsal drives only the
@@ -132,10 +160,14 @@ object Bench {
       name -> (if (s1._1 <= s2._1) s1 else s2)
     }
     val (failed, okPairs) = results.partition(_._2._1 == Double.MaxValue)
-    val ok = okPairs.map { case (k, (wall, _)) => k -> wall }
+    val ok = okPairs.map { case (k, (wall, _, _)) => k -> wall }
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val cpuJson = okPairs.map { case (k, (_, cpu)) => "\"" + k + "\":" + cpu }
+    val cpuJson = okPairs.map { case (k, (_, cpu, _)) => "\"" + k + "\":" + cpu }
+      .mkString("{", ",", "}")
+    // Spill of the reported (min-wall) run per key, plus the run-wide
+    // total (setup passes included) — the memory-pressure evidence.
+    val spillJson = okPairs.map { case (k, (_, _, sp)) => "\"" + k + "\":" + sp }
       .mkString("{", ",", "}")
     // value is NULL (not a partial sum) when any query or setup step
     // failed: a total over fewer queries reads as a speedup to anything
@@ -152,7 +184,7 @@ object Bench {
     // a plan regression.
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_sec":$cpuJson,""" +
-        s""""setup_lsh_bands":${setupVal(setupBands)},"setup_lsh_pairs":${setupVal(setupPairs)},"setup_cc_labels":${setupVal(setupLabels)},"setup_substr_grams":${setupVal(setupGrams)},"setup_token_sets":${setupVal(setupToks)},""" +
+        s""""spilled_bytes":$spillJson,"spilled_bytes_total":${spillBytes.get()},"setup_lsh_bands":${setupVal(setupBands)},"setup_lsh_pairs":${setupVal(setupPairs)},"setup_cc_labels":${setupVal(setupLabels)},"setup_substr_grams":${setupVal(setupGrams)},"setup_token_sets":${setupVal(setupToks)},""" +
         s""""failed":$failedJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outFile), json + "\n")
     // Stop Spark BEFORE printing: its shutdown logging must not be able
