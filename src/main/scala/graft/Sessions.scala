@@ -6,24 +6,51 @@ import org.apache.spark.sql.SparkSession
   * cannot drift between them:
   *
   *  - `shuffle.partitions = cpus` as the non-AQE floor;
-  *  - AQE ON, planning every exchange from
-  *    `initialPartitionNum = 256` and coalescing on measured sizes —
-  *    a no-op at fixture scale, the thing that keeps 100× sorts
-  *    mergeable inside executor memory (the 4g rehearsal's OOM was
-  *    the spill READERS' unmanaged read-ahead buffers once a task
-  *    had spilled hundreds of files — SCALE.md round 9);
+  *  - AQE ON, planning every exchange WIDE
+  *    (`initialPartitionNum` = [[initialPartitions]], an
+  *    unconditional 256) and coalescing on measured sizes. The
+  *    protection matters: the 4g rehearsal's OOM was the spill
+  *    READERS' unmanaged read-ahead buffers once an 8-bucket 100×
+  *    sort had spilled hundreds of files (SCALE.md round 9); see
+  *    [[initialPartitions]] for why the width is NOT input-sized;
   *  - `advisoryPartitionSizeInBytes = 16m`, because the advisory is
   *    measured on COMPRESSED shuffle bytes and embedding-array rows
   *    decompress ~5-10× worse than scalars (c47's 4g OOM);
   *  - UTC + ns-as-long (events.parquet carries ns timestamps) + no UI.
   */
 object Sessions {
+
+  /** Initial shuffle-bucket count: a flat 256, floored at the core
+    * count. Planning wide is UNCONDITIONAL by design — input-sized
+    * bucketing was built and rejected in round 9 because every cheap
+    * input-side estimate is an unsafe lower bound on shuffle volume:
+    *
+    *  - on-disk bytes: the 100× rehearsal corpus holds its rows in
+    *    131 MiB of parquet (near-identical replicas
+    *    dictionary-compress ~40×) — sized from disk it got 15
+    *    buckets, right back in the spill-reader OOM regime;
+    *  - parquet footer `totalByteSize`: post-encoding, so dictionary
+    *    pages hide the same 40× on duplicated text;
+    *  - row counts: no input-side stat anticipates OPERATOR fan-out —
+    *    c11's trigram explosion shuffles ~400× its input rows
+    *    (241 GB spilled at 100× on a ~5 GiB-logical corpus).
+    *
+    * The measured insurance premium is ~3 s across the whole 98-key
+    * sf0.1 bench (89.4 s at the cpus floor vs 92.1 s at 256 — mostly
+    * c11's many tiny map-side bucket files); the payout is the whole
+    * dedup family completing on a 4 GiB executor at 100× instead of
+    * OOM-ing (SCALE.md round 9). A real cluster raises it with its
+    * executor count — this is a local[] helper.
+    */
+  private[graft] def initialPartitions(cpus: Int): Int = math.max(cpus, 256)
+
   def local(cpus: String): SparkSession.Builder =
     SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        initialPartitions(cpus.toInt).toString)
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
