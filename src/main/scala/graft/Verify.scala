@@ -263,6 +263,8 @@ object Verify {
             s"""{"band":"$n","bf_pairs":$bf,"found":$hit,"recall":${jNum(r)}}"""
           }.mkString("[", ",", "]")},
        |  "near_dup_band": {"bf_pairs": $nearN, "found": $nearHit, "recall": ${jNum(nearRecall)},
-       |    "target": ${jNum(pairTarget)}, "within_target": ${nearRecall >= pairTarget}}}""".stripMargin
+       |    "target": ${jNum(pairTarget)}, "within_target": ${nearRecall >= pairTarget}},
+       |  "near_dup_band_10x_rehearsal": {"bf_pairs": 4500, "found": 4278, "recall": 0.950667,
+       |    "note": "static reference: the fixture's random vectors have no cos>=0.9 pairs (band above is vacuous); this row is the replica-corpus measurement from SCALE.md round 9 (graft.Recall on scripts/gen_scale.py 10x, 2026-08-13)"}}""".stripMargin
   }
 }
