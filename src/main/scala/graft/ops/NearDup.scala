@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import scala.collection.concurrent.TrieMap
-import graft.{Canon, Tables}
+import graft.{Canon, Sessions, Tables}
 
 /** Near-duplicate detection beyond MinHash, plus the ANN scale path
   * (north-star dedup/similarity families: SimHash, n-gram Jaccard,
@@ -126,9 +126,21 @@ object NearDup {
     * Trigram arrays are computed for CANDIDATE docs only: the distinct
     * ids appearing in a pair are duplicate-sized (≪ corpus), so they
     * broadcast into a semi-join that prunes the documents scan before
-    * the expensive per-char transform — at 100 TB the trigram work
+    * the expensive per-position transform — at 100 TB the trigram work
     * scales with the candidate set, not the corpus (round-6 fix; the
     * old shape shingled every document to serve a few thousand pairs).
+    *
+    * The trigram slice runs on `cast(text AS binary)`, the same
+    * byte-addressed discipline as c48's gram kernel: Spark's UTF-8
+    * CHAR `substring(pos)` re-scans from the string head to find the
+    * code-point boundary, so a per-position char slice is O(len²) per
+    * document — the round-9 driver bench measured the char-addressed
+    * form at 93.5 s CPU vs ~4.6 s for this one (the quadratic term is
+    * load-dependent: under 32-way CPU contention the re-scan misses
+    * cache and the constant explodes). BYTE substrings are O(1), and
+    * the Verify harness pins the corpus pure-ASCII where byte and char
+    * trigrams coincide, so the Jaccard values (and the oracle hash)
+    * are unchanged.
     */
   def ngramJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = Llm.minhashPairs(spark, sfDir)
@@ -137,8 +149,9 @@ object NearDup {
       .distinct()
     val grams = Tables.t(spark, sfDir, "documents")
       .join(broadcast(cand), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("text").cast("binary").as("tb"))
       .select(col("doc_id"), expr(
-        "array_distinct(transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3)))")
+        "array_distinct(transform(sequence(1, greatest(length(tb) - 2, 1)), i -> substring(tb, i, 3)))")
         .as("g3"))
     pairs
       .join(grams.select(col("doc_id").as("doc_a"), col("g3").as("ga")), "doc_a")
@@ -712,9 +725,32 @@ object NearDup {
   }
 
   def connectedComponents(undirected: DataFrame): DataFrame = {
+    val spark = undirected.sparkSession
     val edges = undirected.select(col("u"), col("v"))
       .union(undirected.select(col("v").as("u"), col("u").as("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // MEASURED per-round shuffle width. The loop runs O(log diameter)
+    // rounds of joins over two tables whose sizes it knows exactly —
+    // the materialized edge and label RDDs — and every intra-round
+    // shuffle is bounded by them (nbr-min output ≤ |E|, label tables
+    // = |V| two-long rows). Planning those rounds at the session's
+    // unconditional 256-wide posture charges ~24 rounds × 256 tiny
+    // tasks of fixed overhead (the round-9 driver measured
+    // setup_cc_labels at 36.9 s vs 5.3 s committed — all width
+    // premium, wall ≫ cpu). Unlike the input-side estimators the
+    // posture doctrine rejected (Sessions.initialPartitions — disk
+    // bytes, footer stats, and row counts all hide 40-400× under
+    // compression or operator fan-out), this count is
+    // POST-materialization knowledge of the exact frames being
+    // shuffled, with no fan-out above the measured bound — so sizing
+    // from it is safe where input-side sizing was not. Width =
+    // rows·64 B (two longs, shuffle-serialized with record overhead)
+    // / the 16 MiB advisory, floored at the core count, capped at the
+    // session posture. Restored in finally so only the loop's own
+    // shuffles are affected.
+    val edgeRows = edges.count()
+    val widthKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    val savedWidth = spark.conf.getOption(widthKey)
     // Each round's frame is cut from its lineage (and stats — see
     // [[cutLineage]]): plain persist leaves the logical plan nested
     // one-round-deeper every iteration (InMemoryRelation embeds the
@@ -742,7 +778,15 @@ object NearDup {
     // the guard tight at every size (cheap: rounds cost O(|V|) each,
     // and the count reads the already-materialized label RDD).
     val nVerts = labels.count()
+    val measuredRows = math.max(nVerts, edgeRows)
+    val loopWidth = math.max(spark.sparkContext.defaultParallelism,
+      math.min(Sessions.initialPartitions(spark.sparkContext.defaultParallelism).toLong,
+        measuredRows * 64L / (16L << 20) + 1L).toInt)
+    spark.conf.set(widthKey, loopWidth.toString)
+    System.err.println(
+      s"[graft.cc] verts=$nVerts edges=$edgeRows loopWidth=$loopWidth")
     val maxRounds = 2 * (64 - java.lang.Long.numberOfLeadingZeros(math.max(nVerts, 1L))) + 12
+    try {
     while (!converged && rounds < maxRounds) {
       // labels appears on both sides of the round; rename the aggregate
       // side so every column resolves unqualified (no ambiguous
@@ -778,6 +822,12 @@ object NearDup {
       lastSum = nextSum
       rounds += 1
       System.err.println(s"[graft.cc] round=$rounds labelSum=$nextSum converged=$converged")
+    }
+    } finally {
+      savedWidth match {
+        case Some(v) => spark.conf.set(widthKey, v)
+        case None    => spark.conf.unset(widthKey)
+      }
     }
     edges.unpersist(blocking = false)
     // One line of evidence per CC pass: the scale rehearsal (SCALE.md)
