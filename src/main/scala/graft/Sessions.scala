@@ -44,15 +44,24 @@ object Sessions {
     */
   private[graft] def initialPartitions(cpus: Int): Int = math.max(cpus, 256)
 
+  /** The posture as data: the builder consumes exactly this map and
+    * SessionsSpec asserts against exactly this map, so the pinned
+    * values and the running session cannot drift apart (round-9
+    * ADVICE: the old spec asserted a constant, not the posture).
+    */
+  private[graft] def posture(cpus: Int): Map[String, String] = Map(
+    "spark.sql.shuffle.partitions" -> cpus.toString,
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum" ->
+      initialPartitions(cpus).toString,
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16m",
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.ui.enabled" -> "false")
+
   def local(cpus: String): SparkSession.Builder =
-    SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        initialPartitions(cpus.toInt).toString)
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
+    posture(cpus.toInt).foldLeft(
+      SparkSession.builder().master(s"local[$cpus]")) {
+      case (b, (k, v)) => b.config(k, v)
+    }
 }

@@ -248,6 +248,21 @@ object Verify {
       else f"$d%.6f"
     val topKTarget = 0.8
     val pairTarget = 0.9
+    // The replica-corpus rehearsal row (graft.Recall on
+    // scripts/gen_scale.py output, recorded in SCALE.md) is emitted
+    // ONLY when the live near-dup band is vacuous (the fixture's
+    // random vectors usually have zero cos>=0.9 pairs, which would
+    // otherwise report a meaningless recall=1.0 over 0 pairs). When
+    // the live band has pairs, the live number stands alone — a
+    // static literal must never shadow a measurable regression
+    // (round-9 ADVICE: the unconditional row would silently go stale
+    // on a retune).
+    val rehearsalRow =
+      if (nearN == 0)
+        """,
+          |  "near_dup_band_scale_rehearsal": {"scale": "10x", "bf_pairs": 4500, "found": 4278, "recall": 0.950667,
+          |    "note": "static reference: live band above is vacuous (0 brute-force pairs on the random fixture); this row is the replica-corpus measurement from SCALE.md round 9 (graft.Recall on scripts/gen_scale.py 10x, 2026-08-13)"}""".stripMargin
+      else ""
     s""""c13_ann_ivf": {"kind": "recall_at_k_vs_brute_force", "k": $annK,
        |  "hits": $c13Hits, "recall": ${jNum(c13Recall)},
        |  "n_cells": $nCells13, "nprobe": ${ops.NearDup.IvfProbeCells},
@@ -263,8 +278,6 @@ object Verify {
             s"""{"band":"$n","bf_pairs":$bf,"found":$hit,"recall":${jNum(r)}}"""
           }.mkString("[", ",", "]")},
        |  "near_dup_band": {"bf_pairs": $nearN, "found": $nearHit, "recall": ${jNum(nearRecall)},
-       |    "target": ${jNum(pairTarget)}, "within_target": ${nearRecall >= pairTarget}},
-       |  "near_dup_band_10x_rehearsal": {"bf_pairs": 4500, "found": 4278, "recall": 0.950667,
-       |    "note": "static reference: the fixture's random vectors have no cos>=0.9 pairs (band above is vacuous); this row is the replica-corpus measurement from SCALE.md round 9 (graft.Recall on scripts/gen_scale.py 10x, 2026-08-13)"}}""".stripMargin
+       |    "target": ${jNum(pairTarget)}, "within_target": ${nearRecall >= pairTarget}}$rehearsalRow}""".stripMargin
   }
 }

@@ -149,8 +149,64 @@ object Llm {
     * c11's 9.45 s was ~9 s of this shared cost).
     */
   private[graft] def warmBands(spark: SparkSession, sfDir: String): Unit = {
-    lshBands(spark, sfDir); ()
+    lshBands(spark, sfDir)
+    writeBandStore(spark, sfDir)
+    ()
   }
+
+  /** On-disk LSH signature store — the durable form of the signature
+    * seam [[lshBands]] models in memory: bands computed ONCE, written
+    * to parquet through the ConfiguredSink knob surface (A8/A10), and
+    * probed by every later job or PROCESS — c51's streaming gate
+    * reads this table, so a fresh session probes signatures it never
+    * computed (the production ingest shape: one signature job, many
+    * probe jobs). Root: `spark.graft.bandStoreDir` (default
+    * `<java.io.tmpdir>/graft-bandstore`). The store key hashes the
+    * corpus dir's canonical path PLUS the documents file's
+    * (name, size, mtime) fingerprint, so a regenerated corpus can
+    * never silently serve a stale store. Write-once: the parquet
+    * `_SUCCESS` marker gates the write; the write flushes the
+    * memoized table with a 4M-row file bound (band rows are ~50 B —
+    * ~200 MB files, a handful per 100× corpus, not thousands of
+    * batchRows-default shards).
+    */
+  private[graft] val BandStoreDirConf = "spark.graft.bandStoreDir"
+
+  private[graft] def bandStorePath(spark: SparkSession, sfDir: String): String = {
+    val root = spark.conf.getOption(BandStoreDirConf)
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft-bandstore")
+    val src = new java.io.File(sfDir, "documents.parquet")
+    val files =
+      if (src.isDirectory) src.listFiles().toSeq.sortBy(_.getName) else Seq(src)
+    val fp = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest((new java.io.File(sfDir).getCanonicalPath + "|" + fp)
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    s"$root/bands-$key"
+  }
+
+  /** Ensure the store exists for `sfDir` (writing it iff absent) and
+    * return its directory.
+    */
+  private[graft] def writeBandStore(spark: SparkSession, sfDir: String): String = {
+    val dir = bandStorePath(spark, sfDir)
+    if (!new java.io.File(s"$dir/bands.parquet/_SUCCESS").exists()) {
+      new graft.sources.ConfiguredSink(new graft.sources.ParquetSink(dir),
+        graft.sources.WriteConf(batchRows = 1 << 22))
+        .write(lshBands(spark, sfDir), "bands")
+    }
+    dir
+  }
+
+  /** The store as a frame: a parquet SCAN of the persisted signature
+    * table — never the in-memory memo — so every consumer takes the
+    * cross-process read path (pinned by StreamsApiSpec: bit-identical
+    * to [[lshBandsPlan]] after the memos are evicted).
+    */
+  private[graft] def bandStore(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${writeBandStore(spark, sfDir)}/bands.parquet")
 
   /** The LSH candidate-pair plan: docs sharing at least one band
     * bucket. The join is per-bucket (equi on band_idx+band_val), so
@@ -300,8 +356,10 @@ object Llm {
     * EXISTING corpus without re-deduping the corpus side — the
     * production shape at 100 TB, where signatures are computed once,
     * persisted, and each ingest increment probes them (the
-    * [[minhashPairs]] memo IS that signature store here; a real
-    * deployment reads the same table from parquet). Candidates are
+    * [[minhashPairs]] memo plays that signature store role here, and
+    * its band table now has the real durable form — [[bandStore]],
+    * the on-disk parquet store c51's streaming gate probes across
+    * processes). Candidates are
     * the memoized LSH pairs restricted to MIXED (incoming, base)
     * pairs — never incoming×incoming (intra-batch dups are c1/c2's
     * job) and never base×base (the corpus was already deduped).

@@ -171,6 +171,28 @@ object Migration {
       s"  ${f.name} ${duckType(f.dataType)}${if (f.nullable) "" else " NOT NULL"}")
       .mkString(s"CREATE TABLE $table (\n", ",\n", "\n)")
 
+  /** A11 as an oracle-verified KEY: one `CREATE TABLE` statement per
+    * fixture table, each engine generating the DDL from its own
+    * independent schema discovery (Spark: parquet footers through
+    * [[createTableDdl]]; DuckDB: `DESCRIBE` + string_agg) — so the
+    * hash compare proves the full manifest→DDL pipeline agrees
+    * cross-engine, not just the type names (A2). Columns are emitted
+    * in NAME order: DDL column order carries no semantics, and
+    * alphabetical is the one ordering two independent discovery
+    * implementations agree on deterministically. Nullability is
+    * normalized to nullable — parquet `required` is an encoding
+    * detail DuckDB's DESCRIBE-on-SELECT does not surface, and
+    * Cassandra columns are nullable by model.
+    */
+  def ddlRecreate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.names.map { n =>
+      val schema = Tables.canonical(spark, sfDir, n).schema
+      (n, createTableDdl(n,
+        StructType(schema.fields.sortBy(_.name).map(_.copy(nullable = true)))))
+    }.toDF("table_name", "ddl").orderBy("table_name")
+  }
+
   private def unionCounts(sel: String => String): String =
     Tables.names.map(sel).mkString("\nUNION ALL ")
 
@@ -213,6 +235,7 @@ object Migration {
     "a7_verify_counts" -> (verifyCounts(_, _)),
     "a9_counter_merge" -> (counterMerge(_, _)),
     "a12_profile_columns" -> (profileColumns(_, _)),
+    "a11_ddl_recreate" -> (ddlRecreate(_, _)),
     "b2_ns_ts_ingest" -> (nsTsIngest(_, _))
   )
 
@@ -252,6 +275,21 @@ object Migration {
       s"""SELECT * FROM (
          |${unionCounts(n => s"SELECT '$n' AS table_name, column_name, column_type FROM (DESCRIBE SELECT * FROM $n)")}
          |) ORDER BY table_name ASC NULLS FIRST, column_name ASC NULLS FIRST""".stripMargin,
+
+    // DuckDB builds each CREATE TABLE from its OWN schema discovery
+    // (DESCRIBE), mirroring the Spark side's footer-derived build —
+    // two independent manifest→DDL pipelines must emit byte-identical
+    // statements.
+    "a11_ddl_recreate" ->
+      s"""SELECT table_name,
+         |  'CREATE TABLE ' || table_name || ' (' || chr(10) ||
+         |  string_agg('  ' || column_name || ' ' || column_type, ',' || chr(10) ORDER BY column_name) ||
+         |  chr(10) || ')' AS ddl
+         |FROM (
+         |${unionCounts(n => s"SELECT '$n' AS table_name, column_name, column_type FROM (DESCRIBE SELECT * FROM $n)")}
+         |)
+         |GROUP BY table_name
+         |ORDER BY table_name ASC NULLS FIRST""".stripMargin,
 
     "a4_type_roundtrip" ->
       """SELECT event_id, ts, user_id, event_type, value,

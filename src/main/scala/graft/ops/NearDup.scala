@@ -202,14 +202,44 @@ object NearDup {
     * embedding sides re-join by id afterwards — the array crosses the
     * wire exactly twice regardless of p. Pinned by PlanSpec (the
     * Generate node's output must not include the embedding).
+    *
+    * CONTRACT (what τ = [[NearDupCos]] = 0.35 does and does not
+    * promise): τ is the REPORTING floor — no pair below it is
+    * emitted — not a recall target. The operator's retrieval target
+    * is the NEAR-DUP BAND (cos ≥ 0.9, the replica/boilerplate load a
+    * dedup pipeline exists for), where the default Hamming≤1
+    * multi-probe measures 0.95 recall on the 10× replica rehearsal
+    * (ACCURACY.json). Recall decays toward τ by construction — a
+    * cos≈0.4 pair straddles many hyperplanes (measured 0.03 in the
+    * 0.35–0.50 band at sf0.1) — the trade every sign-grid LSH makes.
+    * Callers who need the low band can widen probing to Hamming≤2
+    * via `spark.graft.c12ProbeHamming=2`: +p(p−1)/2 KEY-ONLY probes
+    * per vector (the embedding still crosses the wire exactly twice),
+    * with the measured low-band recall reported in ACCURACY.json's
+    * `bands_probe_hamming2` rows. The DuckDB oracle replays the
+    * DEFAULT width; the knob is a session-scoped recall/cost dial for
+    * callers, not part of the verified key.
     */
+  private[graft] val C12ProbeHammingConf = "spark.graft.c12ProbeHamming"
+
   def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     val dot = graft.functions.ArrayDot.adot _
     val planes = ivfPlanes(embCount(spark, sfDir))
     val signBucket = signBucketExpr(planes)
-    val probeArr = expr("array(bkt" + (0 until planes).map { j =>
-      s", bkt ^ ${1L << (planes - 1 - j)}"
-    }.mkString + ")")
+    val hamming = spark.conf.getOption(C12ProbeHammingConf)
+      .map(_.toInt).getOrElse(1)
+    require(hamming == 1 || hamming == 2,
+      s"$C12ProbeHammingConf must be 1 or 2, got $hamming")
+    val masks = (0 until planes).map(j => 1L << (planes - 1 - j))
+    // Each qualifying pair still matches EXACTLY once: a pair at
+    // Hamming distance d is found by the single probe of the lower id
+    // that flips precisely the d differing bits (d ≤ width), and by
+    // no other probe.
+    val flips = masks.map(m => s"bkt ^ $m") ++
+      (if (hamming >= 2)
+        masks.combinations(2).map { case Seq(a, b) => s"bkt ^ ${a | b}" }
+       else Nil)
+    val probeArr = expr(("bkt" +: flips).mkString("array(", ", ", ")"))
     val keys = Tables.t(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("label"), signBucket.as("bkt"))
     val a = keys.select(col("vec_id").as("vec_a"), col("label"),

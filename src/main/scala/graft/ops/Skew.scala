@@ -83,8 +83,17 @@ object Skew {
     */
   def maybeBroadcast(df: DataFrame, boundRows: Long, rowBytes: Long,
       session: org.apache.spark.sql.SparkSession): DataFrame = {
+    // Parsed with the same byte-string parser Spark's own size confs
+    // use, so "256m"/"1g" — the idiom of the analogous
+    // autoBroadcastJoinThreshold — work instead of throwing a lazy
+    // NumberFormatException at plan time of every hinted query.
     val cap = session.conf.getOption(BroadcastCapConf)
-      .map(_.toLong).getOrElse(BroadcastCapDefault)
+      .map(v => try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v)
+        catch { case e: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"$BroadcastCapConf='$v' is not a byte size (use e.g. 268435456, '256m', '1g')", e)
+        })
+      .getOrElse(BroadcastCapDefault)
     if (rowBytes > 0 && boundRows <= cap / rowBytes) broadcast(df) else df
   }
 }

@@ -18,7 +18,14 @@ trait TableSource {
 }
 
 trait TableSink {
-  def write(df: DataFrame, table: String): Unit
+  /** `options` pass through to the underlying `DataFrameWriter` for
+    * this write only (e.g. `maxRecordsPerFile`) — per-write scope, so
+    * two concurrent writes on one session can't clobber each other
+    * the way a mutated session conf can. Sink-critical options
+    * (quoting, headers) are applied after and win.
+    */
+  def write(df: DataFrame, table: String,
+    options: Map[String, String] = Map.empty): Unit
 }
 
 /** The runnable source: one parquet file per table under a scale-factor
@@ -31,8 +38,8 @@ final class ParquetSource(dir: String) extends TableSource {
 }
 
 final class ParquetSink(dir: String) extends TableSink {
-  def write(df: DataFrame, table: String): Unit =
-    df.write.mode("overwrite").parquet(s"$dir/$table.parquet")
+  def write(df: DataFrame, table: String, options: Map[String, String]): Unit =
+    df.write.mode("overwrite").options(options).parquet(s"$dir/$table.parquet")
 }
 
 /** JSON-lines source/sink pair — the same `TableSource` contract on a
@@ -43,8 +50,8 @@ final class ParquetSink(dir: String) extends TableSink {
   * the source of truth.
   */
 final class JsonSink(dir: String) extends TableSink {
-  def write(df: DataFrame, table: String): Unit =
-    df.write.mode("overwrite").json(s"$dir/$table.json")
+  def write(df: DataFrame, table: String, options: Map[String, String]): Unit =
+    df.write.mode("overwrite").options(options).json(s"$dir/$table.json")
 }
 
 final class JsonSource(dir: String,
@@ -64,8 +71,8 @@ final class JsonSource(dir: String,
   * task, so read parallelism = write parallelism, preserved at scale.
   */
 final class CsvSink(dir: String) extends TableSink {
-  def write(df: DataFrame, table: String): Unit =
-    df.write.mode("overwrite").option("header", "true")
+  def write(df: DataFrame, table: String, options: Map[String, String]): Unit =
+    df.write.mode("overwrite").options(options).option("header", "true")
       .option("quote", "\"").option("escape", "\"")
       // Spark's CSV WRITER trims cell whitespace by default
       // (ignore*WhiteSpace=true on write, unlike read) — that silently
@@ -95,8 +102,8 @@ final class CsvSource(dir: String,
   * (Hive/Trino ecosystems) rather than parquet.
   */
 final class OrcSink(dir: String) extends TableSink {
-  def write(df: DataFrame, table: String): Unit =
-    df.write.mode("overwrite").orc(s"$dir/$table.orc")
+  def write(df: DataFrame, table: String, options: Map[String, String]): Unit =
+    df.write.mode("overwrite").options(options).orc(s"$dir/$table.orc")
 }
 
 final class OrcSource(dir: String) extends TableSource {
@@ -112,9 +119,10 @@ final class OrcSource(dir: String) extends TableSource {
   * counterpart (README "Cassandra write path"):
   *
   *  - `batchRows` — connector `output.batch.size.rows`; here the
-  *    file-sink analog `spark.sql.files.maxRecordsPerFile`, so a
-  *    batch is a bounded output unit either way (testable: no output
-  *    file exceeds the batch size).
+  *    file-sink analog is the per-write `DataFrameWriter` option
+  *    `maxRecordsPerFile` (write-scoped, never a session-conf
+  *    mutation), so a batch is a bounded output unit either way
+  *    (testable: no output file exceeds the batch size).
   *  - `timestampCol`/`ttlCol` — `WriteConf(timestamp =
   *    TimestampOption.perRow(...), ttl = TTLOption.perRow(...))`: the
   *    per-cell WRITETIME/TTL companions ride the frame as ordinary
@@ -146,29 +154,29 @@ final class ConfiguredSink(underlying: TableSink, conf: WriteConf) extends Table
       s"$role column '$name' must be BIGINT (micros since epoch / seconds), got ${f.dataType}")
   }
 
-  def write(df: DataFrame, table: String): Unit = {
+  def write(df: DataFrame, table: String, options: Map[String, String]): Unit = {
     conf.timestampCol.foreach(requireBigint(df, "writetime", _))
     conf.ttlCol.foreach(requireBigint(df, "ttl", _))
-    val sess = df.sparkSession
-    val key = "spark.sql.files.maxRecordsPerFile"
-    val saved = sess.conf.getOption(key)
-    sess.conf.set(key, conf.batchRows.toString)
-    try {
-      var attempt = 0
-      var done = false
-      while (!done) {
-        try { underlying.write(df, table); done = true }
-        catch {
-          case e: Throwable if attempt < conf.maxRetries =>
-            attempt += 1
-            System.err.println(
-              s"[sink] $table write attempt $attempt/${conf.maxRetries} failed: ${e.getMessage}")
-        }
-      }
-    } finally {
-      saved match {
-        case Some(v) => sess.conf.set(key, v)
-        case None => sess.conf.unset(key)
+    // batchRows rides as a PER-WRITE DataFrameWriter option, not a
+    // session-conf mutation: two ConfiguredSink writes on one session
+    // used to race on spark.sql.files.maxRecordsPerFile (the second
+    // restore clobbered the first's override — round-9 ADVICE).
+    val writeOpts = options +
+      ("maxRecordsPerFile" -> conf.batchRows.toString)
+    var attempt = 0
+    var done = false
+    while (!done) {
+      // NonFatal only: a fatal JVM error (OutOfMemoryError, stack
+      // overflow) must propagate, not be retried into a tight loop.
+      // Linear backoff between attempts gives a transient sink fault
+      // (throttled object store, flaky NFS) time to clear.
+      try { underlying.write(df, table, writeOpts); done = true }
+      catch {
+        case scala.util.control.NonFatal(e) if attempt < conf.maxRetries =>
+          attempt += 1
+          System.err.println(
+            s"[sink] $table write attempt $attempt/${conf.maxRetries} failed: ${e.getMessage}")
+          Thread.sleep(math.min(1000L, 100L * attempt))
       }
     }
   }

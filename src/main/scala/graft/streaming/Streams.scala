@@ -388,9 +388,10 @@ object Streams {
     * are `array_min` over higher-order transforms of the shingle array —
     * no groupBy, so the plan needs no stream aggregation state and runs
     * in append mode with zero state stores); its band hashes
-    * stream-static join the PERSISTED base band table (`Llm.lshBands`
-    * minus incoming docs — the production signature store, computed
-    * once, probed by every micro-batch); collisions verify by exact
+    * stream-static join the ON-DISK signature store (`Llm.bandStore` —
+    * a parquet scan of the persisted band table, written once and
+    * probed by every micro-batch of every later PROCESS, never the
+    * in-memory memo — minus incoming docs); collisions verify by exact
     * Jaccard against the static corpus and emit (doc_new, doc_base,
     * band_idx, jaccard) rows for verified dups. Per-collision rows
     * (band_idx kept) rather than per-doc verdicts keep the query
@@ -431,7 +432,7 @@ object Streams {
       streamTable(spark, sfDir, "documents")
         .where(Llm.isIncoming(col("doc_id"))))
       .select(col("doc_id").as("doc_new"), col("band_idx"), col("band_val"))
-    val baseBands = Llm.lshBands(spark, sfDir)
+    val baseBands = Llm.bandStore(spark, sfDir)
       .where(!Llm.isIncoming(col("doc_id")))
       .select(col("doc_id").as("doc_base"), col("band_idx").as("bi"),
         col("band_val").as("bv"))

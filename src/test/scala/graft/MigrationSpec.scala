@@ -153,7 +153,8 @@ class MigrationSpec extends AnyFunSuite {
     // the per-cell companions are ordinary columns: full round-trip
     val back = spark.read.parquet(s"$dir/t.parquet")
     assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
-    // the session conf is restored after the write (no leak)
+    // batching is a per-write option: the session conf is never touched,
+    // so concurrent ConfiguredSink writes cannot race on it
     assert(spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
       .forall(_ == "0"), "maxRecordsPerFile leaked from ConfiguredSink")
   }
@@ -180,7 +181,8 @@ class MigrationSpec extends AnyFunSuite {
     val df = Seq((1L, "x")).toDF("id", "payload")
     final class Flaky(failures: Int) extends TableSink {
       var calls = 0
-      def write(d: org.apache.spark.sql.DataFrame, t: String): Unit = {
+      def write(d: org.apache.spark.sql.DataFrame, t: String,
+          o: Map[String, String]): Unit = {
         calls += 1
         if (calls <= failures) throw new RuntimeException(s"transient #$calls")
       }
@@ -194,6 +196,22 @@ class MigrationSpec extends AnyFunSuite {
     }
     assert(e.getMessage.startsWith("transient"), e.getMessage)
     assert(dead.calls == 3, s"maxRetries=2 should stop after 3 attempts, saw ${dead.calls}")
+    // Fatal JVM errors are NOT retried: an OOM must propagate on the
+    // first attempt, never spin the sink in a tight retry loop
+    // (round-9 ADVICE: the old loop caught Throwable).
+    final class Fatal extends TableSink {
+      var calls = 0
+      def write(d: org.apache.spark.sql.DataFrame, t: String,
+          o: Map[String, String]): Unit = {
+        calls += 1
+        throw new OutOfMemoryError("simulated")
+      }
+    }
+    val fatal = new Fatal
+    intercept[OutOfMemoryError] {
+      new ConfiguredSink(fatal, WriteConf(maxRetries = 5)).write(df, "t")
+    }
+    assert(fatal.calls == 1, s"fatal error was retried ${fatal.calls - 1} times")
   }
 
   test("A8/A10: the knob surface also drives the ORC connector unchanged") {

@@ -19,12 +19,21 @@ class SessionsSpec extends AnyFunSuite {
   }
 
   test("the session posture carries the wide planning and the array-safe advisory size") {
-    val b = Sessions.local("4")
-    // Builder internals are private; assert via a throwaway config dump
-    // on a child session of the shared context instead.
+    // Sessions.local folds exactly this map into the builder, so
+    // asserting the map IS asserting the session posture (no separate
+    // constant that could drift from what a real session gets).
+    val p = Sessions.posture(4)
+    assert(p("spark.sql.adaptive.coalescePartitions.initialPartitionNum") == "256")
+    assert(p("spark.sql.adaptive.advisoryPartitionSizeInBytes") == "16m")
+    assert(p("spark.sql.adaptive.enabled") == "true")
+    assert(p("spark.sql.shuffle.partitions") == "4")
+    assert(p("spark.sql.legacy.parquet.nanosAsLong") == "true")
+    // and a session built from the posture actually carries it: apply
+    // the SQL-conf subset to a child session of the shared context
+    // (master/core settings are fixed by the running context).
     val s2 = TestSpark.spark.newSession()
-    // the posture constants the 4g rehearsal depends on
-    assert(Sessions.initialPartitions(4) >= 256)
-    assert(b != null && s2 != null)
+    p.filter(_._1.startsWith("spark.sql.")).foreach { case (k, v) => s2.conf.set(k, v) }
+    assert(s2.conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum") == "256")
+    assert(s2.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes") == "16m")
   }
 }

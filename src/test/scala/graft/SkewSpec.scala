@@ -114,6 +114,27 @@ class SkewSpec extends AnyFunSuite {
       "cap=0 session still produced a broadcast hint")
   }
 
+  test("maybeBroadcast cap accepts byte-string sizes and rejects junk loudly") {
+    // "256m"/"1g" is the idiom of the autoBroadcastJoinThreshold conf
+    // this cap is documented as analogous to — parsed with Spark's own
+    // byte-string parser, not a bare toLong (round-9 ADVICE: "256m"
+    // threw a lazy NumberFormatException at plan time of every hinted
+    // query).
+    val s2 = spark.newSession()
+    import s2.implicits._
+    val dim = (0L to 10L).map(k => (k, s"n$k")).toDF("dk", "name")
+    s2.conf.set(Skew.BroadcastCapConf, "256m")
+    assert(hasBroadcastHint(
+      dim.join(Skew.maybeBroadcast(dim.select($"dk".as("d2")),
+        boundRows = 11L, rowBytes = 32L, s2), $"dk" === $"d2")),
+      "a '256m' cap should hint an 11-row side")
+    s2.conf.set(Skew.BroadcastCapConf, "lots")
+    val e = intercept[IllegalArgumentException] {
+      Skew.maybeBroadcast(dim, boundRows = 1L, rowBytes = 1L, s2)
+    }
+    assert(e.getMessage.contains(Skew.BroadcastCapConf))
+  }
+
   test("c49 without the broadcast hint returns the identical result") {
     // The rehearsal posture: drive the AQE path (cap=0 simulates a
     // boilerplate-heavy corpus whose shared-gram set cannot

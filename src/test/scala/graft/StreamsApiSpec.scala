@@ -103,6 +103,29 @@ class StreamsApiSpec extends AnyFunSuite {
       s"stateless and aggregate signatures diverge: ${stateless.diff(aggregate).take(3)} / ${aggregate.diff(stateless).take(3)}")
   }
 
+  test("c51's signature store is a cross-process artifact: disk read after eviction, bit-identical") {
+    import graft.ops.Llm
+    val sfd = TestSpark.sf0001
+    val dir = Llm.writeBandStore(spark, sfd)
+    assert(new java.io.File(s"$dir/bands.parquet/_SUCCESS").exists())
+    // Simulate a fresh process: drop every in-memory memo for this
+    // app. A later bandStore() call must serve from DISK (the
+    // _SUCCESS gate skips the write; the frame is a parquet scan of
+    // the store path, visible in the plan), not recompute from
+    // documents.
+    Llm.evictBands(spark.sparkContext.applicationId)
+    val fromDisk = Llm.bandStore(spark, sfd)
+    val leaves = fromDisk.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(leaves.contains("bands-") && !leaves.contains("documents"),
+      s"store read should scan the band store, not the corpus:\n$leaves")
+    // and the stored signatures are bit-identical to a fresh kernel run
+    val recomputed = Llm.lshBandsPlan(spark, sfd)
+    assert(fromDisk.exceptAll(recomputed).isEmpty
+      && recomputed.exceptAll(fromDisk).isEmpty,
+      "band store drifted from the signature kernel")
+  }
+
   test("c36/c37 leave no session-conf drift, no cached RDDs, and reap their temp dirs") {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
