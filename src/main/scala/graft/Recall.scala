@@ -15,6 +15,12 @@ object Recall {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.local(cpus).getOrCreate()
+    // SPARK_GRAFT_C12_HAMMING=2 widens c12's multi-probe for the run
+    // (the recall/cost dial of ops.NearDup.C12ProbeHammingConf), so
+    // the ladder can measure the low-band recall the wider probing
+    // buys — the knob's advertised trade, quantified.
+    sys.env.get("SPARK_GRAFT_C12_HAMMING")
+      .foreach(spark.conf.set(ops.NearDup.C12ProbeHammingConf, _))
     spark.sparkContext.setLogLevel("WARN")
     val report = "{\n\"sf_dir\": \"" + sfDir + "\",\n" +
       Verify.annRecallReport(spark, sfDir) + "\n}"

@@ -260,8 +260,14 @@ object Verify {
     val rehearsalRow =
       if (nearN == 0)
         """,
-          |  "near_dup_band_scale_rehearsal": {"scale": "10x", "bf_pairs": 4500, "found": 4278, "recall": 0.950667,
-          |    "note": "static reference: live band above is vacuous (0 brute-force pairs on the random fixture); this row is the replica-corpus measurement from SCALE.md round 9 (graft.Recall on scripts/gen_scale.py 10x, 2026-08-13)"}""".stripMargin
+          |  "near_dup_band_scale_rehearsal": [
+          |    {"scale": "10x", "bf_pairs": 4500, "found": 4278, "recall": 0.950667},
+          |    {"scale": "100x", "bf_pairs": 49500, "found": 45025, "recall": 0.909596},
+          |    {"scale": "100x", "probe_hamming": 2, "bf_pairs": 49500, "found": 48514, "recall": 0.980081}],
+          |  "bands_probe_hamming2": [
+          |    {"scale": "sf0.1", "band": "cos_0.35_0.50", "bf_pairs": 3109, "found": 182, "recall": 0.058540, "recall_default_probe": 0.027662},
+          |    {"scale": "100x", "band": "cos_0.35_0.50", "bf_pairs": 443491, "found": 2679, "recall": 0.006041, "recall_default_probe": 0}],
+          |  "rehearsal_note": "static reference rows: the live near-dup band above is vacuous (0 brute-force pairs on the random fixture), so the replica-corpus ladder (graft.Recall on scripts/gen_scale.py 10x/100x, SCALE.md rounds 9-10, 2026-08-13) is quoted; bands_probe_hamming2 is the spark.graft.c12ProbeHamming=2 widening measured on the same ladder"""".stripMargin
       else ""
     s""""c13_ann_ivf": {"kind": "recall_at_k_vs_brute_force", "k": $annK,
        |  "hits": $c13Hits, "recall": ${jNum(c13Recall)},

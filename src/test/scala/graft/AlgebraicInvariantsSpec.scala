@@ -106,6 +106,40 @@ class AlgebraicInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("c12's Hamming<=2 probe knob widens to a strict superset, each extra pair at distance exactly 2") {
+    val sfDir = TestSpark.sf0001
+    val emb = Tables.t(spark, sfDir, "embeddings")
+      .select($"vec_id", expr(
+        """(CASE WHEN embedding[0] >= 0 THEN 8 ELSE 0 END) +
+          |(CASE WHEN embedding[1] >= 0 THEN 4 ELSE 0 END) +
+          |(CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) +
+          |(CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END)""".stripMargin).as("bkt"))
+      .as[(Long, Int)].collect().toMap
+    val narrow = NearDup.embeddingNearDup(spark, sfDir)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    // The knob is read from the session at plan time: a child session
+    // carries the widened width without touching the shared session.
+    val s2 = spark.newSession()
+    s2.conf.set(NearDup.C12ProbeHammingConf, "2")
+    import s2.implicits._
+    val wide = NearDup.embeddingNearDup(s2, sfDir)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    assert(narrow.subsetOf(wide),
+      s"widening the probe lost pairs: ${(narrow -- wide).take(3)}")
+    (wide -- narrow).foreach { case (a, b) =>
+      val hamming = Integer.bitCount(emb(a) ^ emb(b))
+      assert(hamming == 2, s"extra pair ($a,$b) differs in $hamming sign bits, expected 2")
+    }
+    // each pair matches exactly once — no duplicate rows from the
+    // wider probe array
+    assert(wide.size == NearDup.embeddingNearDup(s2, sfDir).count())
+    val e = intercept[IllegalArgumentException] {
+      s2.conf.set(NearDup.C12ProbeHammingConf, "3")
+      NearDup.embeddingNearDup(s2, sfDir)
+    }
+    assert(e.getMessage.contains(NearDup.C12ProbeHammingConf))
+  }
+
   test("IVF (c13) searches only the probed cells, ranked correctly") {
     val rows = NearDup.annIvf(spark, sf)
       .select($"vec_id", $"label", $"cos")
