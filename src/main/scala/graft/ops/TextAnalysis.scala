@@ -117,6 +117,77 @@ object TextAnalysis {
         .as("fingerprint"))
       .orderBy("doc_id")
 
+  private val ChunkW = 32
+  private val ChunkStride = 24
+
+  /** c52 — token-window CHUNKING with overlap: split each document's
+    * token stream into windows of [[ChunkW]] tokens starting every
+    * [[ChunkStride]] (overlap = W−S = 8 tokens of shared context) —
+    * the chunking step that feeds embedding/RAG indexing and
+    * fixed-context pretraining. Window starts are
+    * `1, 1+S, … ≤ max(n−(W−S), 1)`: the bound drops any start whose
+    * window would add no new token (a pure suffix of its
+    * predecessor), so every token is covered exactly once by a chunk
+    * tail and interior chunks overlap by exactly W−S — pinned in
+    * TextAnalysisSpec. Each chunk is addressed content-first
+    * (md5 of the re-joined window) so downstream chunk dedup/indexing
+    * is content-addressable, plus (doc_id, chunk_idx) provenance.
+    * Scale shape: one corpus scan, a per-row `sequence`+`explode`
+    * fan-out of ~n/S rows per doc and a codegen'd projection — no
+    * shuffle, no state; at 100 TB chunking stays embarrassingly
+    * parallel and output size is input×(W/S) tokens by construction.
+    */
+  def chunkTokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n", size(col("ws")).cast("long"))
+      .withColumn("start", explode(sequence(lit(1L),
+        greatest(col("n") - lit((ChunkW - ChunkStride).toLong), lit(1L)),
+        lit(ChunkStride.toLong))))
+      .withColumn("chunk", expr(s"slice(ws, cast(start as int), $ChunkW)"))
+      .select(col("doc_id"),
+        expr(s"(start - 1) div $ChunkStride + 1").as("chunk_idx"),
+        col("start").as("start_token"),
+        size(col("chunk")).cast("long").as("chunk_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
+  private val BpeTopK = 20
+
+  /** c53 — BPE merge candidates: the pair-counting step of one
+    * byte-pair-encoding merge iteration — for every adjacent character
+    * pair inside a word, the corpus-weighted occurrence count; the
+    * top-[[BpeTopK]] ranked pairs are the merges a tokenizer trainer
+    * would apply next. Counting runs on the VOCABULARY, not the
+    * corpus: one corpus scan collapses to (word, count) with map-side
+    * combine, then the per-character fan-out (≤ len(w)−1 rows per
+    * vocab entry) touches each distinct word once — at 100 TB the
+    * corpus-sized pass is a counting scan and the string work is
+    * vocab-sized, which is why production BPE trainers are feasible
+    * at all. Multiplicity is preserved ("aaa" contributes "aa"
+    * twice), matching the textbook BPE count. Deterministic global
+    * top-k: full (count DESC, pair ASC) tiebreak; the rank window
+    * runs AFTER the limit so it orders 20 rows, not the pair table.
+    */
+  def bpeMergePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val vocab = Tables.t(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .where(length(col("w")) >= 2)
+    vocab
+      .select(col("w"), col("wc"),
+        explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("wc")).as("n_occurrences"),
+        countDistinct(col("w")).as("n_words"))
+      .orderBy(col("n_occurrences").desc, col("pair").asc)
+      .limit(BpeTopK)
+      .withColumn("merge_rank", row_number().over(
+        Window.orderBy(col("n_occurrences").desc, col("pair").asc)).cast("long"))
+      .select(col("merge_rank"), col("pair"), col("n_occurrences"), col("n_words"))
+      .orderBy("merge_rank")
+  }
+
   /** c20 — deterministic hash sampling: keep a document iff the first
     * hex nibble of md5("sample:" ++ doc_id) falls in a fixed set — a
     * 4/16 = 25% sample that is reproducible across runs, engines and
