@@ -1,7 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Fixture table access (SURVEY §1.3).
   *
@@ -21,10 +22,11 @@ object Tables {
   /** Read one fixture table.
     *
     * Sets `spark.sql.legacy.parquet.nanosAsLong` defensively at read
-    * time (it is a runtime SQL conf): `events.ts` is parquet
-    * INT64 TIMESTAMP(NANOS) which Spark 4.x otherwise refuses to read
-    * (SURVEY §1.3, verified). With the flag, `ts` arrives as LongType
-    * nanos-since-epoch; use [[events]] for the canonical µs timestamp.
+    * time (it is a runtime SQL conf): an INT64 TIMESTAMP(NANOS)
+    * `events.ts` vintage (pre-round-10 fixtures) is unreadable in
+    * Spark 4.x without it, arriving as LongType nanos with it; the
+    * round-10 native-µs vintage ignores the flag. Use [[events]] /
+    * [[tsTimestamp]] for the vintage-independent timestamp.
     */
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -36,18 +38,49 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** `events` with `ts` converted nanos → µs TIMESTAMP_NTZ.
+  /** `events.ts` normalized to a session-TZ TIMESTAMP at µs
+    * resolution, branched on the dtype the scan actually produced —
+    * the driver fixtures have shipped the column in two vintages:
     *
-    * Integer division (`DIV`) is mandatory: nanos ≈ 1.7e18 exceeds
-    * double's 2^53 mantissa, so `/ 1000` would corrupt low digits.
-    * DuckDB reads the same file natively as µs-truncated TIMESTAMP —
-    * verified byte-equal (SURVEY §1.3). Cast to TIMESTAMP_NTZ so the
-    * written parquet is isAdjustedToUTC=false, matching how DuckDB
-    * sees every other fixture timestamp (session TZ pinned UTC).
+    *  - raw INT64 TIMESTAMP(NANOS): arrives as LongType nanos under
+    *    the nanosAsLong conf; integer `DIV 1000` is mandatory (nanos
+    *    ≈ 1.7e18 exceeds double's 2^53 mantissa, `/ 1000` would
+    *    corrupt low digits), then `timestamp_micros`.
+    *  - native TIMESTAMP(MICROS) isAdjustedToUTC=false (round 10
+    *    regeneration): arrives as TIMESTAMP_NTZ; the ntz→timestamp
+    *    cast is exact because every session pins UTC (Sessions.scala,
+    *    TestSpark) — DuckDB reads the same file as naive TIMESTAMP,
+    *    so both engines see identical instants either way (verified
+    *    via scripts/check.py on all ts-bearing keys).
+    *
+    * Branching on the READ dtype (not the path) keeps every consumer
+    * correct against either vintage without re-coding the sites.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    t(spark, sfDir, "events").withColumn(
-      "ts", timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
+  def tsTimestamp(ev: DataFrame): Column = ev.schema("ts").dataType match {
+    case LongType => timestamp_micros(expr("ts DIV 1000"))
+    case org.apache.spark.sql.types.TimestampNTZType => col("ts").cast("timestamp")
+    case _ => col("ts")
+  }
+
+  /** `events.ts` as epoch-µs LONG (the canon total-order key for
+    * window specs), dtype-branched like [[tsTimestamp]].
+    */
+  def tsUs(ev: DataFrame): Column = ev.schema("ts").dataType match {
+    case LongType => expr("ts DIV 1000")
+    case _ => unix_micros(tsTimestamp(ev))
+  }
+
+  /** `events.ts` as µs TIMESTAMP_NTZ — the form the written parquet
+    * must carry (isAdjustedToUTC=false) so DuckDB sees it like every
+    * other fixture timestamp (session TZ pinned UTC).
+    */
+  def tsNtz(ev: DataFrame): Column = tsTimestamp(ev).cast("timestamp_ntz")
+
+  /** `events` with `ts` already normalized per [[tsNtz]]. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+    ev.withColumn("ts", tsNtz(ev))
+  }
 
   /** Canonical read: like [[t]] but with `events.ts` already converted
     * to the µs TIMESTAMP_NTZ every engine agrees on — the form all

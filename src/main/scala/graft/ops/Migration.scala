@@ -148,17 +148,20 @@ object Migration {
         count(lit(1)).as("merge_count"))
       .orderBy("user_id")
 
-  /** B2 — ns-timestamp ingestion: the raw INT64(TIMESTAMP_NANOS)
-    * column read and converted to µs timestamps (SURVEY §1.3 verified
-    * path), emitted alongside the epoch-µs integer (µs is the finest
-    * cross-engine-visible resolution — DuckDB truncates ns on read).
+  /** B2 — raw-timestamp ingestion: `events.ts` read in whatever
+    * physical form the fixture ships (INT64 ns or native µs — see
+    * [[Tables.tsTimestamp]]) and normalized to µs timestamps, emitted
+    * alongside the epoch-µs integer (µs is the finest cross-engine-
+    * visible resolution — DuckDB truncates ns on read).
     */
-  def nsTsIngest(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.t(spark, sfDir, "events").select(
+  def nsTsIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.t(spark, sfDir, "events")
+    ev.select(
       col("event_id"),
-      expr("ts DIV 1000").as("ts_us"),
-      timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz").as("ts"))
+      Tables.tsUs(ev).as("ts_us"),
+      Tables.tsNtz(ev).as("ts"))
       .orderBy("event_id")
+  }
 
   /** A11 — keyspace DDL re-create: generate the target-side
     * `CREATE TABLE` from a discovered schema (the `system_schema` →

@@ -27,10 +27,11 @@ object Windows {
   /** Events with the canon µs-integer event time: window specs order
     * by (`ts_us`, `event_id`) — a provably total order (§5.3 rule 1).
     */
-  private def eventsUs(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.t(spark, sfDir, "events")
-      .withColumn("ts_us", expr("ts DIV 1000"))
+  private def eventsUs(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.t(spark, sfDir, "events")
+    ev.withColumn("ts_us", Tables.tsUs(ev))
       .drop("ts")
+  }
 
   /** b24 — ranking windows: top-3 orders per customer by value.
     * row_number with an explicit o_orderkey tiebreak (total order),

@@ -256,10 +256,13 @@ object Streams {
     * part-files (stream the directory itself — a name glob on the
     * parent would match no part-file and silently stream NOTHING;
     * that empty-input failure mode is exactly why this helper exists).
-    * Schema comes from `Tables.t`, which sets the nanosAsLong conf
-    * the raw INT64(TIMESTAMP_NANOS) files need — a bare read here
+    * Schema comes from `Tables.t`, which sets the nanosAsLong conf a
+    * raw INT64(TIMESTAMP_NANOS) `ts` vintage needs — a bare read
     * would only work when an earlier batch query already set it
     * session-wide (round-5 ADVICE: queries must be order-independent).
+    * Downstream `ts` conversions go through the dtype-branched
+    * `Tables.tsNtz`/`tsTimestamp` so either fixture vintage streams
+    * correctly.
     */
   private def streamTable(s: SparkSession, sfDir: String, name: String): DataFrame = {
     val schema = graft.Tables.t(s, sfDir, name).schema
@@ -273,7 +276,7 @@ object Streams {
 
   def streamTumbling(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = streamTable(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
+      .transform(ev => ev.withColumn("ts", graft.Tables.tsNtz(ev)))
     val agg = ev.groupBy(window(col("ts"), "1 hour").as("w"))
       .agg(count(lit(1)).as("n_events"), graft.Canon.dsum(col("value")).as("sum_value"))
       .select(col("w.start").cast("timestamp_ntz").as("hour_start"),
@@ -289,7 +292,7 @@ object Streams {
     */
   def streamSessions(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = streamTable(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
+      .transform(ev => ev.withColumn("ts", graft.Tables.tsNtz(ev)))
     val agg = ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
       .agg(count(lit(1)).as("n_events"), graft.Canon.dsum(col("value")).as("sum_value"))
       .select(col("user_id"), col("w.start").cast("timestamp_ntz").as("session_start"),
@@ -325,7 +328,7 @@ object Streams {
     // the caller's session (see [[stateSession]]).
     val s = stateSession(spark, statePartitions = 8)
     val ev = streamTable(s, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .transform(ev => ev.withColumn("ts", graft.Tables.tsTimestamp(ev)))
     runToParquet(tumblingAgg(ev), "append", "c36")
       .select(col("hour_start").cast("timestamp_ntz").as("hour_start"),
         col("n_events"), col("sum_value"))
@@ -354,7 +357,7 @@ object Streams {
     // session ([[stateSession]]) so the caller's conf never drifts.
     val s = stateSession(spark, statePartitions = 8)
     def src = streamTable(s, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000"))) // session-TZ TIMESTAMP for watermarks
+      .transform(ev => ev.withColumn("ts", graft.Tables.tsTimestamp(ev))) // session-TZ TIMESTAMP for watermarks
     val purchases = src.where(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("ts"), col("user_id").as("key"))
     val clicks = src.where(col("event_type") === "click")
@@ -374,7 +377,7 @@ object Streams {
     */
   def streamSliding(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = streamTable(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
+      .transform(ev => ev.withColumn("ts", graft.Tables.tsNtz(ev)))
     val agg = ev.groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
       .agg(count(lit(1)).as("n_events"), graft.Canon.dsum(col("value")).as("sum_value"))
       .select(col("w.start").cast("timestamp_ntz").as("window_start"),
