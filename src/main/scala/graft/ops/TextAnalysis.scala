@@ -138,7 +138,13 @@ object TextAnalysis {
     * parallel and output size is input×(W/S) tokens by construction.
     */
   def chunkTokens(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.t(spark, sfDir, "documents")
+    chunkTokensFrom(Tables.t(spark, sfDir, "documents"))
+
+  /** Kernel of [[chunkTokens]] over any (doc_id, text) frame — split
+    * out so the spec can pin the window arithmetic on hand-built docs.
+    */
+  private[graft] def chunkTokensFrom(docs: DataFrame): DataFrame =
+    docs
       .withColumn("ws", split(col("text"), " "))
       .withColumn("n", size(col("ws")).cast("long"))
       .withColumn("start", explode(sequence(lit(1L),
@@ -169,8 +175,14 @@ object TextAnalysis {
     * top-k: full (count DESC, pair ASC) tiebreak; the rank window
     * runs AFTER the limit so it orders 20 rows, not the pair table.
     */
-  def bpeMergePairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val vocab = Tables.t(spark, sfDir, "documents")
+  def bpeMergePairs(spark: SparkSession, sfDir: String): DataFrame =
+    bpeMergePairsFrom(Tables.t(spark, sfDir, "documents"))
+
+  /** Kernel of [[bpeMergePairs]] over any (text) frame — split out so
+    * the spec can pin pair multiplicity ("aaa" → "aa" twice) directly.
+    */
+  private[graft] def bpeMergePairsFrom(docs: DataFrame): DataFrame = {
+    val vocab = docs
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
       .where(length(col("w")) >= 2)
@@ -517,7 +529,9 @@ object TextAnalysis {
     "c15_quality_score" -> (qualityScore(_, _)),
     "c16_token_count" -> (tokenCount(_, _)),
     "c17_doc_fingerprint" -> (docFingerprint(_, _)),
-    "c20_hash_sample" -> (hashSample(_, _))
+    "c20_hash_sample" -> (hashSample(_, _)),
+    "c52_chunk_tokens" -> (chunkTokens(_, _)),
+    "c53_bpe_merge_pairs" -> (bpeMergePairs(_, _))
   )
 
   val oracle: Map[String, String] = Map(
@@ -780,6 +794,52 @@ object TextAnalysis {
         |  array_to_string(list_sort(list_transform(range(1, greatest(len(text) - 4, 1) + 1, 4),
         |    i -> md5(substr(text, i, 5))))[1:4], '|') AS fingerprint
         |FROM documents
-        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    // DuckDB range(a, b, s) is end-EXCLUSIVE (Spark sequence is
+    // inclusive) — hence the `+ 1` on the start bound, same idiom as
+    // the c17 oracle. List slice ws[a:b] is 1-based inclusive, so
+    // [start : start+W-1] mirrors Spark's slice(ws, start, W).
+    "c52_chunk_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST((start - 1) // $ChunkStride + 1 AS BIGINT) AS chunk_idx,
+         |  CAST(start AS BIGINT) AS start_token,
+         |  CAST(len(chunk) AS BIGINT) AS chunk_tokens,
+         |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+         |FROM (
+         |  SELECT doc_id, start, ws[start:start + ${ChunkW - 1}] AS chunk
+         |  FROM (
+         |    SELECT doc_id, ws,
+         |      unnest(range(1, greatest(len(ws) - ${ChunkW - ChunkStride}, 1) + 1,
+         |                   $ChunkStride)) AS start
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+         |  )
+         |)
+         |ORDER BY doc_id ASC NULLS FIRST, chunk_idx ASC NULLS FIRST""".stripMargin,
+
+    // SUM(BIGINT) is HUGEINT in DuckDB — cast back to BIGINT to match
+    // Spark's long sum (same rule as the c33 oracle).
+    "c53_bpe_merge_pairs" ->
+      s"""WITH vocab AS (
+         |  SELECT w, COUNT(*) AS wc
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  GROUP BY w
+         |  HAVING length(w) >= 2
+         |), pairs AS (
+         |  SELECT pair, CAST(SUM(wc) AS BIGINT) AS n_occurrences,
+         |    COUNT(DISTINCT w) AS n_words
+         |  FROM (
+         |    SELECT w, wc,
+         |      unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair
+         |    FROM vocab
+         |  )
+         |  GROUP BY pair
+         |)
+         |SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair ASC) AS BIGINT)
+         |    AS merge_rank,
+         |  pair, n_occurrences, n_words
+         |FROM pairs
+         |ORDER BY n_occurrences DESC NULLS LAST, pair ASC NULLS FIRST
+         |LIMIT $BpeTopK""".stripMargin
   )
 }

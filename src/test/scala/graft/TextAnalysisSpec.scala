@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.TextAnalysis
+
+/** Pinned-value tests for the chunking (c52) and BPE pair-count (c53)
+  * kernels on hand-built documents, where the expected window
+  * arithmetic and pair multiplicities can be stated exactly.
+  */
+class TextAnalysisSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toSeq.toDF("doc_id", "text")
+
+  // --- c52 chunking: W=32, S=24, overlap W-S=8 ---
+
+  test("c52: an 80-token doc yields starts 1/25/49 — the redundant tail start 73 is dropped") {
+    val text = (1 to 80).map(i => s"t$i").mkString(" ")
+    val out = TextAnalysis.chunkTokensFrom(docs(1L -> text))
+      .select("chunk_idx", "start_token", "chunk_tokens").as[(Long, Long, Long)].collect()
+    // start 73 would cover tokens 73..80, a pure suffix of chunk 49..80
+    // (49+31 = 80): bound max(n-(W-S),1) = 72 excludes it.
+    assert(out.toSeq == Seq((1L, 1L, 32L), (2L, 25L, 32L), (3L, 49L, 32L)))
+  }
+
+  test("c52: every token is covered — the last chunk's tail reaches n exactly") {
+    for (n <- Seq(1, 8, 31, 32, 33, 56, 57, 80, 100)) {
+      val text = (1 to n).map(i => s"w$i").mkString(" ")
+      val out = TextAnalysis.chunkTokensFrom(docs(1L -> text))
+        .select("start_token", "chunk_tokens").as[(Long, Long)].collect()
+      val tail = out.map { case (s, c) => s + c - 1 }.max
+      assert(tail == n.toLong, s"n=$n: last covered token $tail != $n")
+      // interior chunks are full-width; starts step by exactly S
+      val starts = out.map(_._1).sorted
+      assert(starts.head == 1L)
+      starts.sliding(2).foreach {
+        case Array(a, b) => assert(b - a == 24L, s"n=$n: stride ${b - a}")
+        case _ =>
+      }
+      out.dropRight(1).foreach { case (s, c) =>
+        if (out.length > 1) assert(c == 32L, s"n=$n: interior chunk at $s has $c tokens")
+      }
+    }
+  }
+
+  test("c52: a short doc (n < W) is one chunk of all n tokens") {
+    val out = TextAnalysis.chunkTokensFrom(docs(7L -> "only five tokens right here"))
+      .select("chunk_idx", "start_token", "chunk_tokens").as[(Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 1L, 5L)))
+  }
+
+  test("c52: chunk_md5 is content-addressed — identical windows hash identically across docs") {
+    val text = (1 to 40).map(i => s"t$i").mkString(" ")
+    val out = TextAnalysis.chunkTokensFrom(docs(1L -> text, 2L -> text))
+      .select("doc_id", "chunk_idx", "chunk_md5").as[(Long, Long, String)].collect()
+    val byDoc = out.groupBy(_._1).map { case (d, rs) =>
+      d -> rs.sortBy(_._2).map(_._3).toSeq
+    }
+    assert(byDoc(1L) == byDoc(2L))
+  }
+
+  // --- c53 BPE pair counting ---
+
+  test("c53: multiplicity is preserved — 'aaa' contributes 'aa' twice per occurrence") {
+    val out = TextAnalysis.bpeMergePairsFrom(docs(1L -> "aaa bb aaa"))
+      .select("merge_rank", "pair", "n_occurrences", "n_words")
+      .as[(Long, String, Long, Long)].collect()
+    // vocab: aaa (wc=2), bb (wc=1). aaa has positions 1,2 -> "aa","aa":
+    // 2 per occurrence x 2 occurrences = 4. bb -> "bb": 1.
+    assert(out.toSeq == Seq((1L, "aa", 4L, 1L), (2L, "bb", 1L, 1L)))
+  }
+
+  test("c53: single-char and empty tokens are excluded from the vocabulary") {
+    val out = TextAnalysis.bpeMergePairsFrom(docs(1L -> "a b  cd"))
+      .select("pair", "n_occurrences").as[(String, Long)].collect()
+    assert(out.toSeq == Seq(("cd", 1L)))
+  }
+
+  test("c53: rank is dense 1..k and counts are non-increasing with pair-asc tiebreak") {
+    val out = TextAnalysis.bpeMergePairsFrom(
+      docs(1L -> "zz zz yy xx", 2L -> "yy xx ww"))
+      .select("merge_rank", "pair", "n_occurrences").as[(Long, String, Long)].collect()
+    assert(out.map(_._1).toSeq == (1L to out.length.toLong))
+    out.sliding(2).foreach {
+      case Array((_, pa, ca), (_, pb, cb)) =>
+        assert(ca > cb || (ca == cb && pa < pb))
+      case _ =>
+    }
+  }
+}
