@@ -64,7 +64,7 @@ object TextAnalysis {
     * first manufactures exact .00005 half-way cases where Spark
     * (decimal HALF_UP) and DuckDB (binary rounding) disagree.
     */
-  private def qualityBase(d: DataFrame): DataFrame = d
+  private[graft] def qualityBase(d: DataFrame): DataFrame = d
     .withColumn("ws", split(col("text"), " "))
     .withColumn("n_tokens", size(col("ws")).cast("long"))
     .withColumn("n_stop",
@@ -344,7 +344,7 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
-  private val CurateQuality = 0.8
+  private[graft] val CurateQuality = 0.8
 
   /** c31 — the composed CURATION pipeline, end-to-end: dedup survivors
     * (c21/c22's cluster losers anti-joined away) ∘ deterministic 50%
@@ -513,7 +513,54 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** c54 — bigram LM SURPRISE: per-doc average −ln p(b|a) under the
+    * corpus's own maximum-likelihood bigram model — the KenLM/CCNet-
+    * style perplexity filter (Wenzek et al. 2019, arXiv:1911.00359,
+    * public) that separates fluent text from boilerplate/garbage, in
+    * self-trained form (no external model artifact, engine-exact).
+    * p(b|a) = count(a,b) / count(a-as-context), both counted over the
+    * corpus bigram stream, so the estimate is the textbook conditional
+    * MLE and every quantity is integer-derived (cross-engine exact
+    * until the final −ln, which canon-rounds via [[Canon.davg]]).
+    * Docs with fewer than 2 tokens have no bigrams and produce no row
+    * (the MLE score is undefined for them) — same as the oracle's
+    * empty-join behavior.
+    *
+    * Scale shape: one corpus scan fans out to the bigram stream
+    * (≈ token count), which feeds two map-side-combined aggregations
+    * (bigram counts, context counts) and one shuffle join back on the
+    * (a,b) key. The bigram table is vocabulary²-bounded but corpus-
+    * bounded in practice — NOT assumed broadcastable (unlike c46's
+    * unigram table); the probability join shuffles both sides on
+    * (a,b), which AQE sizes from measured bytes. At 100 TB this is
+    * three shuffles of token-stream scale with no all-pairs step.
+    */
+  def bigramSurprise(spark: SparkSession, sfDir: String): DataFrame =
+    bigramSurpriseFrom(Tables.t(spark, sfDir, "documents"))
+
+  /** Kernel of [[bigramSurprise]] over any (doc_id, text) frame. */
+  private[graft] def bigramSurpriseFrom(docs: DataFrame): DataFrame = {
+    val pairs = docs
+      .withColumn("ws", split(col("text"), " "))
+      .where(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+          |  i -> struct(element_at(ws, i) AS a, element_at(ws, i + 1) AS b))""".stripMargin))
+        .as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val cb = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cb"))
+    val ca = pairs.groupBy(col("a").as("ca_a")).agg(count(lit(1)).as("ca"))
+    val probs = cb.join(ca, cb("a") === ca("ca_a"))
+      .select(col("a"), col("b"), (col("cb").cast("double") / col("ca")).as("p"))
+    pairs.join(probs, Seq("a", "b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        davg(-log(col("p"))).as("avg_surprise"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "c54_bigram_surprise" -> (bigramSurprise(_, _)),
     "c46_unigram_surprise" -> (unigramSurprise(_, _)),
     "c45_quality_topk" -> (qualityTopk(_, _)),
     "c41_stratified_sample" -> (stratifiedSample(_, _)),
@@ -535,6 +582,27 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    // DuckDB zips equal-length unnests in one SELECT, so the bigram
+    // stream is (ws[1:n-1], ws[2:n]) zipped positionally — empty for
+    // single-token docs, mirroring the Spark-side `size(ws) >= 2`
+    // filter.
+    "c54_bigram_surprise" ->
+      s"""WITH pairs AS (
+         |  SELECT doc_id, unnest(ws[1:len(ws) - 1]) AS a, unnest(ws[2:len(ws)]) AS b
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+         |), cb AS (
+         |  SELECT a, b, COUNT(*) AS cb FROM pairs GROUP BY a, b
+         |), ca AS (
+         |  SELECT a AS ca_a, COUNT(*) AS ca FROM pairs GROUP BY a
+         |), probs AS (
+         |  SELECT a, b, CAST(cb AS DOUBLE) / ca AS p
+         |  FROM cb JOIN ca ON cb.a = ca.ca_a
+         |)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  ${Canon.oDavg("-ln(p)")} AS avg_surprise
+         |FROM pairs JOIN probs ON pairs.a = probs.a AND pairs.b = probs.b
+         |GROUP BY doc_id
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     "c46_unigram_surprise" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents

@@ -79,6 +79,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("cd", 1L)))
   }
 
+  // --- c54 bigram surprise ---
+
+  test("c54: conditional MLE on a hand-computable corpus") {
+    // doc 1 "a b a b": bigrams (a,b) (b,a) (a,b); doc 2 "a b": (a,b).
+    // Corpus bigrams: (a,b)x3, (b,a)x1; context counts a->3, b->1.
+    // p(b|a)=3/3=1 and p(a|b)=1/1=1, so every -ln is exactly 0.
+    val out = TextAnalysis.bigramSurpriseFrom(docs(1L -> "a b a b", 2L -> "a b"))
+      .select("doc_id", "n_bigrams", "avg_surprise").as[(Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((1L, 3L, 0.0), (2L, 1L, 0.0)))
+  }
+
+  test("c54: a surprising continuation scores higher than a deterministic one") {
+    // "x y" twice and "x z" once: p(y|x)=2/3, p(z|x)=1/3.
+    // doc 3 (the rare continuation) must out-surprise docs 1/2.
+    val out = TextAnalysis.bigramSurpriseFrom(
+      docs(1L -> "x y", 2L -> "x y", 3L -> "x z"))
+      .select("doc_id", "avg_surprise").as[(Long, Double)].collect().toMap
+    assert(out(3L) > out(1L))
+    assert(out(1L) == out(2L))
+    assert(math.abs(out(1L) - (-math.log(2.0 / 3.0))) < 1e-3)
+    assert(math.abs(out(3L) - (-math.log(1.0 / 3.0))) < 1e-3)
+  }
+
+  test("c54: single-token docs produce no row") {
+    val out = TextAnalysis.bigramSurpriseFrom(docs(1L -> "solo", 2L -> "a b"))
+      .select("doc_id").as[Long].collect()
+    assert(out.toSeq == Seq(2L))
+  }
+
   test("c53: rank is dense 1..k and counts are non-increasing with pair-asc tiebreak") {
     val out = TextAnalysis.bpeMergePairsFrom(
       docs(1L -> "zz zz yy xx", 2L -> "yy xx ww"))
