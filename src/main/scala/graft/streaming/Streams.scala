@@ -385,6 +385,38 @@ object Streams {
     runToParquet(agg, "complete", "c44").orderBy("window_start")
   }
 
+  /** c55 — STREAMING corpus curation: c31's composed batch pipeline
+    * (dedup survivors ∘ deterministic 50% hash sample ∘ quality floor
+    * → per-language accounting) as a live ingest topology. Documents
+    * arrive as a file stream; the dedup loser list is the STATIC side
+    * of a stream-static left-anti join (supported with the static
+    * frame on the right — the loser table is the batch dedup family's
+    * output, computed once per corpus like the c51 band store); the
+    * sample predicate and the quality projection are per-row codegen'd
+    * stages on the stream; the per-language aggregate runs in complete
+    * mode (counts, long sums and the decimal-sum/count pair behind
+    * [[graft.Canon.davg]] are all associative, so the final snapshot
+    * is batching-invariant and hash-matches c31's batch oracle however
+    * AvailableNow slices the input). With c51 this closes the second
+    * production ingest shape: not just "is the new doc a dup" but the
+    * full quality-gated, sampled, per-language corpus accounting,
+    * maintained live.
+    */
+  def streamCurate(spark: SparkSession, sfDir: String): DataFrame = {
+    val losers = graft.ops.NearDup.clusterLosers(spark, sfDir)
+    val docs = streamTable(spark, sfDir, "documents")
+      .join(losers, col("doc_id") === col("loser_id"), "left_anti")
+      .where(substring(md5(concat(lit("curate:"), col("doc_id").cast("string"))), 1, 1)
+        .isin("0", "1", "2", "3", "4", "5", "6", "7"))
+    val agg = graft.ops.TextAnalysis.qualityBase(docs)
+      .where(col("quality") >= graft.ops.TextAnalysis.CurateQuality)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        graft.Canon.davg(col("quality")).as("avg_quality"))
+    runToParquet(agg, "complete", "c55").orderBy("lang")
+  }
+
   /** c51 — STREAMING incremental dedup: c50's ingest gate as a live
     * topology. The incoming split arrives as a file stream; each doc's
     * MinHash signature is computed STATELESSLY per row (the k min-hashes
@@ -467,7 +499,8 @@ object Streams {
     "c30_stream_sessions" -> (streamSessions(_, _)),
     "c36_stream_append" -> (streamAppend(_, _)),
     "c37_stream_enrich" -> (streamEnrich(_, _)),
-    "c44_stream_sliding" -> (streamSliding(_, _)))
+    "c44_stream_sliding" -> (streamSliding(_, _)),
+    "c55_stream_curate" -> (streamCurate(_, _)))
 
   /** Identical to b42's oracle: the streaming path must agree with
     * both the batch path and DuckDB on the same input.
@@ -483,6 +516,10 @@ object Streams {
     "c30_stream_sessions" -> graft.ops.Windows.oracle("b44_session_window"),
     // Streaming sliding must agree with batch b43 — same oracle text.
     "c44_stream_sliding" -> graft.ops.Windows.oracle("b43_sliding_window"),
+    // Streaming curation must agree with the batch c31 pipeline —
+    // same oracle text (the complete-mode snapshot is the batch
+    // result by associativity).
+    "c55_stream_curate" -> graft.ops.TextAnalysis.oracle("c31_curate_corpus"),
     // b42's aggregate restricted to the watermark-finalized windows:
     // append mode emits exactly the windows whose end the final
     // watermark (max event time − lateness) has passed.
