@@ -196,6 +196,21 @@ object Verify {
     }
     val (c13Hits, c13Recall) = recallAt("c13_ann_ivf")
     val (c38Hits, c38Recall) = recallAt("c38_ann_ivf_adaptive")
+    // c57 (PQ shortlist → exact re-rank) approximates the INNER
+    // PRODUCT, so its exact counterpart is the brute-force dot top-k
+    // with the probe excluded (the key excludes vec 0). The random
+    // fixture is PQ's worst case — no cluster structure for the seed
+    // codebook — so the honest baseline is the shortlist/n random
+    // expectation, not an absolute target: signal means recall ≫ L/n.
+    val bfIpTop = emb.crossJoin(broadcast(probe))
+      .where(col("vec_id") =!= 0)
+      .select(col("vec_id"), round(dot(col("embedding"), col("probe")), 4).as("ip"))
+      .orderBy(col("ip").desc, col("vec_id"))
+      .limit(annK).select("vec_id").collect().map(_.getLong(0)).toSet
+    val adcGot = SparkEntry.queries("c57_pq_adc_topk")(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val adcHits = (adcGot & bfIpTop).size
+    val adcRecall = adcHits.toDouble / annK
     // c13's cells are the LABEL partition. On fixtures whose labels
     // are geometrically uninformative (random labels → every label
     // centroid ≈ the global mean), centroid ranking is noise and the
@@ -278,6 +293,11 @@ object Verify {
        |"c38_ann_ivf_adaptive": {"kind": "recall_at_k_vs_brute_force", "k": $annK,
        |  "hits": $c38Hits, "recall": ${jNum(c38Recall)},
        |  "target": ${jNum(topKTarget)}, "within_target": ${c38Recall >= topKTarget}},
+       |"c57_pq_adc_topk": {"kind": "recall_at_k_vs_brute_force_inner_product", "k": $annK,
+       |  "hits": $adcHits, "recall": ${jNum(adcRecall)},
+       |  "shortlist": ${ops.NearDup.PqShortlist},
+       |  "random_baseline": ${jNum(math.min(1.0, ops.NearDup.PqShortlist.toDouble / math.max(1L, nEmb - 1)))},
+       |  "contract": "two-stage PQ search (ADC shortlist, exact re-rank, oracle-verified); the uniform-random fixture is PQ's worst case - no cluster structure for the codebook - so the evidence bar is recall far above the shortlist/n random baseline, and the shortlist size is the recall-vs-cost knob"},
        |"c12_embedding_near_dup": {"kind": "banded_pair_recall_vs_sampled_brute_force",
        |  "tau": ${jNum(tau)}, "sample_mod": $sampleMod,
        |  "bands": ${c12Bands.map { case (n, bf, hit, r) =>

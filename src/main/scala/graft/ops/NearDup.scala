@@ -1064,7 +1064,138 @@ object NearDup {
     (cents, rounds)
   }
 
+  /** Subspace count for product quantization (c56/c57): the embedding
+    * splits into [[PqM]] contiguous sub-vectors, each encoded
+    * independently against its own sub-codebook.
+    */
+  private[graft] val PqM = 4
+
+  /** Per-(vector, subspace) PQ building blocks shared by c56/c57:
+    * `subs` = each vector's [[PqM]] sub-vectors, `csubs` = the seed
+    * codebook's sub-vectors (same deterministic [[kmSeedStride]] seed
+    * rule as c34/c47 — the oracle computes the identical stride from
+    * COUNT(*)). The codebook is M×k sub-vectors — KBs at any corpus
+    * size — and always broadcast.
+    */
+  private def pqParts(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val seeds = emb.where(col("vec_id") % kmSeedStride(embCount(spark, sfDir)) === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent"))
+    val subs = emb
+      .select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("j"), col("embedding"))
+      .select(col("vec_id"), col("j"),
+        expr(s"slice(embedding, j * (size(embedding) div $PqM) + 1, size(embedding) div $PqM)")
+          .as("sub"))
+    val csubs = seeds
+      .select(col("centroid_id"), explode(sequence(lit(0), lit(PqM - 1))).as("j"), col("cent"))
+      .select(col("centroid_id"), col("j"),
+        expr(s"slice(cent, j * (size(cent) div $PqM) + 1, size(cent) div $PqM)").as("csub"))
+    (subs, csubs)
+  }
+
+  /** Per-(vector, subspace) nearest sub-centroid: (vec_id, j, code,
+    * d2). Squared L2 in the dot-product form |a|²+|c|²−2a·c — three
+    * calls into the codegen'd [[graft.functions.ArrayDot]] kernel, the
+    * float→double discipline the c34 oracle already hash-matches.
+    * Argmin is over the ROUNDED distance with centroid-id tiebreak, so
+    * code assignment is engine-deterministic.
+    */
+  private def pqCodes(spark: SparkSession, sfDir: String): DataFrame = {
+    val dot = graft.functions.ArrayDot.adot _
+    val (subs, csubs) = pqParts(spark, sfDir)
+    subs.join(broadcast(csubs), "j")
+      .select(col("vec_id"), col("j"), col("centroid_id"),
+        round(dot(col("sub"), col("sub")) + dot(col("csub"), col("csub"))
+          - lit(2.0) * dot(col("sub"), col("csub")), 4).as("d2"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min(struct(col("d2"), col("centroid_id"))).as("s"))
+      .select(col("vec_id"), col("j"),
+        col("s.centroid_id").as("code"), col("s.d2").as("d2"))
+  }
+
+  /** c56 — PRODUCT-QUANTIZATION encode (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search", IEEE TPAMI — public):
+    * each embedding becomes [[PqM]] sub-codebook ids plus its
+    * reconstruction error. This is THE memory-bounded ANN shape at
+    * corpus scale: a 64-dim float vector (256 bytes) compresses to M
+    * small ints, so the search-time working set shrinks ~16× and the
+    * code table for 10^11 vectors fits a cluster's RAM where raw
+    * vectors cannot.
+    *
+    * Scale shape: one scan fans each vector into M sub-rows, the
+    * broadcast sub-codebook joins map-side (k·M rows — KBs), argmin
+    * collapses with map-side combine, and the code pivot is a second
+    * map-side-combined agg on vec_id — no shuffle carries an
+    * embedding, only (id, j, code, d2) quads. Codes are
+    * recomputable-deterministic: same seed rule, same rounding, any
+    * engine.
+    */
+  def pqEncode(spark: SparkSession, sfDir: String): DataFrame =
+    pqCodes(spark, sfDir)
+      .groupBy(col("vec_id"))
+      .agg(
+        max(when(col("j") === 0, col("code"))).as("code_0"),
+        max(when(col("j") === 1, col("code"))).as("code_1"),
+        max(when(col("j") === 2, col("code"))).as("code_2"),
+        max(when(col("j") === 3, col("code"))).as("code_3"),
+        round(sqrt(sum(col("d2"))), 4).as("recon_err"))
+      .orderBy("vec_id")
+
+  private[graft] val PqTopK = 5
+  private[graft] val PqShortlist = 50
+
+  /** c57 — two-stage PQ search: ADC shortlist → exact re-rank
+    * (Jégou et al. 2011 §IV). Stage 1: the probe builds a lookup
+    * table dot(probe_sub_j, centroid_sub_j) per (subspace, code) —
+    * M×k doubles, broadcast — and every vector's APPROXIMATE inner
+    * product is the sum of M table lookups over its codes, never a
+    * d-dim arithmetic pass; the top-[[PqShortlist]] by ADC score form
+    * the shortlist. Stage 2: only the shortlist's raw embeddings are
+    * fetched and exactly re-ranked (the c4 kernel) to the final
+    * top-[[PqTopK]] — the standard production IVF-PQ shape, because
+    * ADC error is a quantization artifact the cheap exact pass on L
+    * candidates removes.
+    *
+    * Scale shape: stage 1 touches only the CODE table (M small ints
+    * per vector) against a broadcast LUT — at 10^11 vectors the probe
+    * reads no raw embedding; stage 2 fetches exactly L=50 vectors by
+    * id. Recall on THIS corpus (uniform random vectors — PQ's worst
+    * case, no cluster structure for the codebook to exploit) is
+    * measured in ACCURACY.json against the exact top-k: the shortlist
+    * carries real signal (≫ the L/n random-baseline), and L is the
+    * knob that buys recall linearly in candidate cost.
+    */
+  def pqAdcTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val dot = graft.functions.ArrayDot.adot _
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val (_, csubs) = pqParts(spark, sfDir)
+    val probe = emb.where(col("vec_id") === 0).select(col("embedding").as("probe"))
+    val psubs = emb.where(col("vec_id") === 0)
+      .select(explode(sequence(lit(0), lit(PqM - 1))).as("j"), col("embedding"))
+      .select(col("j"),
+        expr(s"slice(embedding, j * (size(embedding) div $PqM) + 1, size(embedding) div $PqM)")
+          .as("psub"))
+    val lut = psubs.join(csubs, "j")
+      .select(col("j").as("lj"), col("centroid_id").as("lcode"),
+        dot(col("psub"), col("csub")).as("pdot"))
+    val shortlist = pqCodes(spark, sfDir)
+      .join(broadcast(lut), col("j") === col("lj") && col("code") === col("lcode"))
+      .groupBy(col("vec_id"))
+      .agg(round(sum(col("pdot")), 4).as("adc_score"))
+      .where(col("vec_id") =!= 0)
+      .orderBy(col("adc_score").desc, col("vec_id").asc)
+      .limit(PqShortlist)
+    emb.join(broadcast(shortlist.select(col("vec_id"), col("adc_score"))), "vec_id")
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("adc_score"),
+        round(dot(col("embedding"), col("probe")), 4).as("ip"))
+      .orderBy(col("ip").desc, col("vec_id").asc)
+      .limit(PqTopK)
+  }
+
   val queries: Map[String, Q] = Map(
+    "c56_pq_encode" -> (pqEncode(_, _)),
+    "c57_pq_adc_topk" -> (pqAdcTopk(_, _)),
     "c10_simhash_fingerprint" -> (simhashFingerprint(_, _)),
     "c21_dedup_clusters" -> (dedupClusters(_, _)),
     "c22_dedup_survivors" -> (dedupSurvivors(_, _)),
@@ -1131,7 +1262,77 @@ object NearDup {
        |    GROUP BY b.cluster, i
        |  ) GROUP BY cluster""".stripMargin
 
+  /** Shared DuckDB CTE for c56/c57: per-(vector, subspace) nearest
+    * sub-centroid (`best`: vec_id, j, code, d2) over the seed
+    * sub-codebook — the SQL twin of [[pqCodes]] (same stride, same
+    * |a|²+|c|²−2a·c form, same ROUND(4)+id-asc argmin).
+    */
+  private[ops] val oraclePqBestCte: String =
+    s"""WITH seeds AS (
+       |  SELECT vec_id AS centroid_id, embedding AS cent
+       |  FROM embeddings WHERE vec_id % $oSeedStride = 0
+       |), subs AS (
+       |  SELECT vec_id, j,
+       |    embedding[(j * (len(embedding) // $PqM) + 1):((j + 1) * (len(embedding) // $PqM))] AS sub
+       |  FROM embeddings, range($PqM) t(j)
+       |), csubs AS (
+       |  SELECT centroid_id, j,
+       |    cent[(j * (len(cent) // $PqM) + 1):((j + 1) * (len(cent) // $PqM))] AS csub
+       |  FROM seeds, range($PqM) t(j)
+       |), scored AS (
+       |  SELECT u.vec_id, u.j, c.centroid_id,
+       |    ROUND(
+       |      list_sum(list_transform(range(1, len(u.sub) + 1),
+       |        i -> CAST(u.sub[i] AS DOUBLE) * CAST(u.sub[i] AS DOUBLE)))
+       |      + list_sum(list_transform(range(1, len(c.csub) + 1),
+       |        i -> CAST(c.csub[i] AS DOUBLE) * CAST(c.csub[i] AS DOUBLE)))
+       |      - 2 * list_sum(list_transform(range(1, len(u.sub) + 1),
+       |        i -> CAST(u.sub[i] AS DOUBLE) * CAST(c.csub[i] AS DOUBLE))), 4) AS d2
+       |  FROM subs u JOIN csubs c ON u.j = c.j
+       |), best AS (
+       |  SELECT vec_id, j, centroid_id AS code, d2 FROM (
+       |    SELECT vec_id, j, centroid_id, d2,
+       |      row_number() OVER (PARTITION BY vec_id, j
+       |        ORDER BY d2 ASC NULLS LAST, centroid_id ASC) AS rn
+       |    FROM scored
+       |  ) WHERE rn = 1
+       |)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "c56_pq_encode" ->
+      s"""$oraclePqBestCte
+         |SELECT vec_id,
+         |  MAX(CASE WHEN j = 0 THEN code END) AS code_0,
+         |  MAX(CASE WHEN j = 1 THEN code END) AS code_1,
+         |  MAX(CASE WHEN j = 2 THEN code END) AS code_2,
+         |  MAX(CASE WHEN j = 3 THEN code END) AS code_3,
+         |  ROUND(sqrt(SUM(d2)), 4) AS recon_err
+         |FROM best GROUP BY vec_id
+         |ORDER BY vec_id ASC NULLS FIRST""".stripMargin,
+    "c57_pq_adc_topk" ->
+      s"""$oraclePqBestCte, lut AS (
+         |  SELECT c.j AS lj, c.centroid_id AS lcode,
+         |    list_sum(list_transform(range(1, len(p.psub) + 1),
+         |      i -> CAST(p.psub[i] AS DOUBLE) * CAST(c.csub[i] AS DOUBLE))) AS pdot
+         |  FROM (
+         |    SELECT j,
+         |      embedding[(j * (len(embedding) // $PqM) + 1):((j + 1) * (len(embedding) // $PqM))] AS psub
+         |    FROM embeddings, range($PqM) t(j) WHERE vec_id = 0
+         |  ) p JOIN csubs c ON p.j = c.j
+         |), shortlist AS (
+         |  SELECT b.vec_id, ROUND(SUM(l.pdot), 4) AS adc_score
+         |  FROM best b JOIN lut l ON b.j = l.lj AND b.code = l.lcode
+         |  WHERE b.vec_id != 0
+         |  GROUP BY b.vec_id
+         |  ORDER BY adc_score DESC NULLS LAST, b.vec_id ASC
+         |  LIMIT $PqShortlist
+         |), probe AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0)
+         |SELECT s.vec_id, s.adc_score,
+         |  ROUND(list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.pe[i] AS DOUBLE))), 4) AS ip
+         |FROM shortlist s JOIN embeddings e ON s.vec_id = e.vec_id, probe p
+         |ORDER BY ip DESC NULLS LAST, s.vec_id ASC
+         |LIMIT $PqTopK""".stripMargin,
     "c38_ann_ivf_adaptive" ->
       s"""WITH seeds AS (
          |  SELECT vec_id AS centroid_id, embedding AS cent

@@ -286,6 +286,43 @@ class OperatorPropertiesSpec extends AnyFunSuite {
     assert(ivfPlanes(500L) == 4 && ivfPlanes(2000L) == 5)
   }
 
+  test("c56: PQ codes come from the seed set, seeds reconstruct exactly, errors are non-negative") {
+    val sf = TestSpark.sf0001
+    val n = ops.NearDup.embCount(spark, sf)
+    val stride = ops.NearDup.kmSeedStride(n)
+    val seedIds = graft.Tables.t(spark, sf, "embeddings")
+      .where(col("vec_id") % stride === 0).select("vec_id").as[Long].collect().toSet
+    val out = ops.NearDup.pqEncode(spark, sf)
+      .select("vec_id", "code_0", "code_1", "code_2", "code_3", "recon_err")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(out.length == n)
+    out.foreach { case (v, c0, c1, c2, c3, err) =>
+      Seq(c0, c1, c2, c3).foreach(c => assert(seedIds(c), s"vec $v code $c not a seed"))
+      assert(err >= 0.0, s"vec $v recon_err $err < 0")
+    }
+    // A seed vector's sub-distance to its own sub-centroid is EXACTLY
+    // 0 (x + x - 2x in IEEE), so the argmin for a seed finds d2 = 0 in
+    // every subspace and its reconstruction error is exactly 0 — the
+    // quantizer is lossless on the codebook itself.
+    out.filter(r => seedIds(r._1)).foreach { case (v, _, _, _, _, err) =>
+      assert(err == 0.0, s"seed $v recon_err $err != 0")
+    }
+  }
+
+  test("c57: the two-stage PQ search returns exactly the exact-re-ranked ADC shortlist") {
+    val sf = TestSpark.sf0001
+    val out = ops.NearDup.pqAdcTopk(spark, sf)
+      .select("vec_id", "adc_score", "ip").as[(Long, Double, Double)].collect()
+    assert(out.length == ops.NearDup.PqTopK.toLong.toInt)
+    assert(!out.map(_._1).contains(0L), "probe must be excluded")
+    // final ordering is by the EXACT re-ranked inner product
+    out.sliding(2).foreach {
+      case Array((va, _, ia), (vb, _, ib)) =>
+        assert(ia > ib || (ia == ib && va < vb))
+      case _ =>
+    }
+  }
+
   test("IVF sign-bucket occupancy on real embeddings stays near the budget") {
     // The formula bounds EXPECTED occupancy; this pins the MEASURED
     // bucket expression on fixture vectors: with the derived plane
