@@ -79,7 +79,18 @@ object Plans {
       "c49_dup_fraction" ->
         ("Shared-gram set (uncapped — doc-level signal counts boilerplate) broadcasts back onto " +
           "the gram stream; per-doc n_shared/n_grams is map-side-combined HashAggregate; no pair " +
-          "fan-out, no SortMergeJoin; both gram reads are InMemoryTableScans of the memoized table."))
+          "fan-out, no SortMergeJoin; both gram reads are InMemoryTableScans of the memoized table."),
+      "c52_chunk_tokens" ->
+        "Per-row sequence+explode fan-out with zero hash exchanges — the canon sort is the only shuffle.",
+      "c54_bigram_surprise" ->
+        ("Bigram stream feeds two map-side-combined HashAggregates; the probability join shuffles " +
+          "on the (a,b) key (bigram table NOT assumed broadcastable, unlike c46's unigram table)."),
+      "c56_pq_encode" ->
+        ("Sub-codebook broadcasts (M×k rows); argmin and the code pivot are map-side-combined " +
+          "HashAggregates; no shuffle carries an embedding — only (id, j, code, d2) quads."),
+      "c57_pq_adc_topk" ->
+        ("ADC LUT (M×k doubles) broadcasts onto the code table; shortlist broadcasts into the " +
+          "re-rank fetch; final top-k fuses to TakeOrderedAndProject; no cartesian product."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans` on ")
       .append(sfDir).append(")\n\n")

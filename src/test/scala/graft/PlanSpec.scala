@@ -139,6 +139,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("c52: chunking is a shuffle-free fan-out (canon sort is the only exchange)") {
+    val p = plan(TextAnalysis.chunkTokens(spark, sf))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"per-row chunk fan-out grew a hash shuffle: $p")
+  }
+
+  test("c56/c57: PQ codebook and LUT broadcast; no cartesian; c57 top-k fuses") {
+    val p56 = plan(NearDup.pqEncode(spark, sf))
+    assert(p56.contains("BroadcastHashJoin"), p56)
+    assert(!p56.contains("CartesianProduct"), p56)
+    val p57 = plan(NearDup.pqAdcTopk(spark, sf))
+    assert(p57.contains("BroadcastHashJoin"), p57)
+    assert(p57.contains("TakeOrderedAndProject"), p57)
+  }
+
   test("c22: removal list broadcasts; corpus joins without shuffling") {
     val p = plan(NearDup.dedupSurvivors(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)
