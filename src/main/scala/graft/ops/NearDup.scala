@@ -1072,15 +1072,21 @@ object NearDup {
 
   /** Per-(vector, subspace) PQ building blocks shared by c56/c57:
     * `subs` = each vector's [[PqM]] sub-vectors, `csubs` = the seed
-    * codebook's sub-vectors (same deterministic [[kmSeedStride]] seed
-    * rule as c34/c47 — the oracle computes the identical stride from
-    * COUNT(*)). The codebook is M×k sub-vectors — KBs at any corpus
-    * size — and always broadcast.
+    * codebook's sub-vectors (deterministic [[pqSeedStride]] seed
+    * rule — ~256 entries at any corpus size; the oracle computes the
+    * identical stride from COUNT(*)). Codebook ids are DENSE
+    * (`vec_id div stride` — exact
+    * because every multiple of the stride in [0, n) is a vec_id), so a
+    * code fits log₂ k bits, which is the entire point of PQ and what
+    * lets the argmin pack into one primitive long (see [[pqCodes]]).
+    * The codebook is M×k sub-vectors — KBs at any corpus size — and
+    * always broadcast.
     */
   private def pqParts(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val emb = Tables.t(spark, sfDir, "embeddings")
-    val seeds = emb.where(col("vec_id") % kmSeedStride(embCount(spark, sfDir)) === 0)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent"))
+    val stride = pqSeedStride(embCount(spark, sfDir))
+    val seeds = emb.where(col("vec_id") % stride === 0)
+      .select(expr(s"vec_id div $stride").as("centroid_id"), col("embedding").as("cent"))
     val subs = emb
       .select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("j"), col("embedding"))
       .select(col("vec_id"), col("j"),
@@ -1093,12 +1099,50 @@ object NearDup {
     (subs, csubs)
   }
 
+  /** PQ codebook stride: the smallest power of two that caps the
+    * codebook at ~256 entries (`2^(bits(n)−8)`, floor 1) — the
+    * standard 8-BIT PQ codebook (Jégou et al. §II use k = 256
+    * throughout). Unlike [[kmSeedStride]]'s √n growth (right for IVF
+    * cell counts, where cells must multiply to keep per-cell work
+    * bounded), a FIXED k keeps the n·M·k encode pass LINEAR in the
+    * corpus: at 10^9 vectors a √n codebook is ~31k entries and the
+    * encode is 120× the 8-bit cost for marginal recall. Same integer
+    * bit-length discipline as the other strides — the oracle computes
+    * the identical value from COUNT(*), no float drift.
+    */
+  private[graft] def pqSeedStride(n: Long): Long = {
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(math.max(n, 1L))
+    1L << math.max(bits - 8, 0)
+  }
+
+  /** Oracle twin of [[pqSeedStride]]. */
+  private[ops] val oPqSeedStride: String =
+    "(SELECT 1 << greatest(length(bin(COUNT(*))) - 8, 0) FROM embeddings)"
+
+  /** The argmin's long-packing shift: a packed candidate is
+    * `d2_scaled · 2^20 + code`, so codes must fit 20 bits (k ≤ ~2^9
+    * by [[pqSeedStride]], far under) and the scaled distance
+    * (`round(d2·10⁴)`, exact because d2 is already ROUND(4)) must fit
+    * 43 bits (d2 < ~8.8e8 — any sanely-scaled embedding). Packing
+    * matters because `min(struct(d2, code))` is NOT a hash-aggregable
+    * buffer: Spark plans it as SortAggregate, which SORTS the full
+    * n·M·k scored stream — measured at the 100× / 4 GiB rehearsal as
+    * 17 GiB of spill and ~7× CPU on c56/c57 before this fix. A
+    * primitive `min(long)` keeps the argmin inside whole-stage-
+    * codegen'd HashAggregate with map-side combine.
+    */
+  private val PqCodeShift = 1L << 20
+
   /** Per-(vector, subspace) nearest sub-centroid: (vec_id, j, code,
     * d2). Squared L2 in the dot-product form |a|²+|c|²−2a·c — three
     * calls into the codegen'd [[graft.functions.ArrayDot]] kernel, the
     * float→double discipline the c34 oracle already hash-matches.
-    * Argmin is over the ROUNDED distance with centroid-id tiebreak, so
-    * code assignment is engine-deterministic.
+    * Argmin is over the ROUNDED distance with code tiebreak, packed
+    * into one long (see [[PqCodeShift]]) so the aggregation never
+    * leaves codegen'd HashAggregate; the decode is exact (the scaled
+    * distance is an integer, and `long/10⁴ → double` reproduces
+    * Spark's ROUND(4) double bit-for-bit), so code assignment is
+    * engine-deterministic.
     */
   private def pqCodes(spark: SparkSession, sfDir: String): DataFrame = {
     val dot = graft.functions.ArrayDot.adot _
@@ -1107,10 +1151,14 @@ object NearDup {
       .select(col("vec_id"), col("j"), col("centroid_id"),
         round(dot(col("sub"), col("sub")) + dot(col("csub"), col("csub"))
           - lit(2.0) * dot(col("sub"), col("csub")), 4).as("d2"))
-      .groupBy(col("vec_id"), col("j"))
-      .agg(min(struct(col("d2"), col("centroid_id"))).as("s"))
       .select(col("vec_id"), col("j"),
-        col("s.centroid_id").as("code"), col("s.d2").as("d2"))
+        (round(col("d2") * 10000).cast("long") * PqCodeShift + col("centroid_id"))
+          .as("packed"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min(col("packed")).as("p"))
+      .select(col("vec_id"), col("j"),
+        (col("p") % PqCodeShift).as("code"),
+        (expr(s"p div ${PqCodeShift}L").cast("double") / 10000.0).as("d2"))
   }
 
   /** c56 — PRODUCT-QUANTIZATION encode (Jégou et al. 2011, "Product
@@ -1269,8 +1317,8 @@ object NearDup {
     */
   private[ops] val oraclePqBestCte: String =
     s"""WITH seeds AS (
-       |  SELECT vec_id AS centroid_id, embedding AS cent
-       |  FROM embeddings WHERE vec_id % $oSeedStride = 0
+       |  SELECT vec_id // $oPqSeedStride AS centroid_id, embedding AS cent
+       |  FROM embeddings WHERE vec_id % $oPqSeedStride = 0
        |), subs AS (
        |  SELECT vec_id, j,
        |    embedding[(j * (len(embedding) // $PqM) + 1):((j + 1) * (len(embedding) // $PqM))] AS sub

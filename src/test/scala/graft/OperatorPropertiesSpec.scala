@@ -286,25 +286,33 @@ class OperatorPropertiesSpec extends AnyFunSuite {
     assert(ivfPlanes(500L) == 4 && ivfPlanes(2000L) == 5)
   }
 
-  test("c56: PQ codes come from the seed set, seeds reconstruct exactly, errors are non-negative") {
+  test("c56: PQ codes are dense [0,k), seeds reconstruct exactly as their own code, errors are non-negative") {
     val sf = TestSpark.sf0001
     val n = ops.NearDup.embCount(spark, sf)
-    val stride = ops.NearDup.kmSeedStride(n)
-    val seedIds = graft.Tables.t(spark, sf, "embeddings")
-      .where(col("vec_id") % stride === 0).select("vec_id").as[Long].collect().toSet
+    val stride = ops.NearDup.pqSeedStride(n)
+    // the 8-bit codebook contract: k is capped at ~256 at ANY corpus
+    // size (this is what keeps the n·M·k encode pass linear in n)
+    assert(Seq(1L, 100L, 500L, 200000L, 1L << 30).forall(m =>
+      (m + ops.NearDup.pqSeedStride(m) - 1) / ops.NearDup.pqSeedStride(m) <= 512))
+    val k = graft.Tables.t(spark, sf, "embeddings")
+      .where(col("vec_id") % stride === 0).count()
     val out = ops.NearDup.pqEncode(spark, sf)
       .select("vec_id", "code_0", "code_1", "code_2", "code_3", "recon_err")
       .as[(Long, Long, Long, Long, Long, Double)].collect()
     assert(out.length == n)
     out.foreach { case (v, c0, c1, c2, c3, err) =>
-      Seq(c0, c1, c2, c3).foreach(c => assert(seedIds(c), s"vec $v code $c not a seed"))
+      Seq(c0, c1, c2, c3).foreach(c =>
+        assert(c >= 0 && c < k, s"vec $v code $c outside dense [0,$k)"))
       assert(err >= 0.0, s"vec $v recon_err $err < 0")
     }
     // A seed vector's sub-distance to its own sub-centroid is EXACTLY
     // 0 (x + x - 2x in IEEE), so the argmin for a seed finds d2 = 0 in
-    // every subspace and its reconstruction error is exactly 0 — the
-    // quantizer is lossless on the codebook itself.
-    out.filter(r => seedIds(r._1)).foreach { case (v, _, _, _, _, err) =>
+    // every subspace, its codes are its own dense id (vec_id/stride)
+    // and its reconstruction error is exactly 0 — the quantizer is
+    // lossless on the codebook itself.
+    out.filter(_._1 % stride == 0).foreach { case (v, c0, c1, c2, c3, err) =>
+      assert(Seq(c0, c1, c2, c3).forall(_ == v / stride),
+        s"seed $v codes (${Seq(c0, c1, c2, c3)}) != ${v / stride}")
       assert(err == 0.0, s"seed $v recon_err $err != 0")
     }
   }

@@ -149,9 +149,15 @@ class PlanSpec extends AnyFunSuite {
     val p56 = plan(NearDup.pqEncode(spark, sf))
     assert(p56.contains("BroadcastHashJoin"), p56)
     assert(!p56.contains("CartesianProduct"), p56)
+    // The packed-long argmin must stay a HashAggregate: min(struct)
+    // planned as SortAggregate and SORTED the n·M·k scored stream —
+    // 17 GiB of spill and ~7× CPU at the 100×/4 GiB rehearsal.
+    assert(!p56.contains("SortAggregate"),
+      s"PQ argmin fell out of hash aggregation: $p56")
     val p57 = plan(NearDup.pqAdcTopk(spark, sf))
     assert(p57.contains("BroadcastHashJoin"), p57)
     assert(p57.contains("TakeOrderedAndProject"), p57)
+    assert(!p57.contains("SortAggregate"), p57)
   }
 
   test("c22: removal list broadcasts; corpus joins without shuffling") {
