@@ -59,7 +59,13 @@ object Tables {
   def tsTimestamp(ev: DataFrame): Column = ev.schema("ts").dataType match {
     case LongType => timestamp_micros(expr("ts DIV 1000"))
     case org.apache.spark.sql.types.TimestampNTZType => col("ts").cast("timestamp")
-    case _ => col("ts")
+    case org.apache.spark.sql.types.TimestampType => col("ts")
+    // A THIRD vintage must fail here, loudly and by name — a silent
+    // pass-through would hand consumers values off by TZ semantics or
+    // a unit factor and only surface as oracle hash mismatches.
+    case other => throw new IllegalStateException(
+      s"events.ts arrived as $other — unknown fixture vintage; " +
+        "extend Tables.tsTimestamp for it (see FIXTURES.md)")
   }
 
   /** `events.ts` as epoch-µs LONG (the canon total-order key for

@@ -202,15 +202,18 @@ object Verify {
     // fixture is PQ's worst case — no cluster structure for the seed
     // codebook — so the honest baseline is the shortlist/n random
     // expectation, not an absolute target: signal means recall ≫ L/n.
+    val pqK = ops.NearDup.PqTopK // the key's own k, NOT annK — a
+    // PqTopK retune must move the denominator and the exact top set
+    // together or the reported recall silently measures the wrong k.
     val bfIpTop = emb.crossJoin(broadcast(probe))
       .where(col("vec_id") =!= 0)
       .select(col("vec_id"), round(dot(col("embedding"), col("probe")), 4).as("ip"))
       .orderBy(col("ip").desc, col("vec_id"))
-      .limit(annK).select("vec_id").collect().map(_.getLong(0)).toSet
+      .limit(pqK).select("vec_id").collect().map(_.getLong(0)).toSet
     val adcGot = SparkEntry.queries("c57_pq_adc_topk")(spark, sfDir)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val adcHits = (adcGot & bfIpTop).size
-    val adcRecall = adcHits.toDouble / annK
+    val adcRecall = adcHits.toDouble / pqK
     // c13's cells are the LABEL partition. On fixtures whose labels
     // are geometrically uninformative (random labels → every label
     // centroid ≈ the global mean), centroid ranking is noise and the
@@ -293,7 +296,7 @@ object Verify {
        |"c38_ann_ivf_adaptive": {"kind": "recall_at_k_vs_brute_force", "k": $annK,
        |  "hits": $c38Hits, "recall": ${jNum(c38Recall)},
        |  "target": ${jNum(topKTarget)}, "within_target": ${c38Recall >= topKTarget}},
-       |"c57_pq_adc_topk": {"kind": "recall_at_k_vs_brute_force_inner_product", "k": $annK,
+       |"c57_pq_adc_topk": {"kind": "recall_at_k_vs_brute_force_inner_product", "k": $pqK,
        |  "hits": $adcHits, "recall": ${jNum(adcRecall)},
        |  "shortlist": ${ops.NearDup.PqShortlist},
        |  "random_baseline": ${jNum(math.min(1.0, ops.NearDup.PqShortlist.toDouble / math.max(1L, nEmb - 1)))},

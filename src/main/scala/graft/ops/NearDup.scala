@@ -1144,9 +1144,9 @@ object NearDup {
     * Spark's ROUND(4) double bit-for-bit), so code assignment is
     * engine-deterministic.
     */
-  private def pqCodes(spark: SparkSession, sfDir: String): DataFrame = {
+  private def pqCodes(parts: (DataFrame, DataFrame)): DataFrame = {
     val dot = graft.functions.ArrayDot.adot _
-    val (subs, csubs) = pqParts(spark, sfDir)
+    val (subs, csubs) = parts
     subs.join(broadcast(csubs), "j")
       .select(col("vec_id"), col("j"), col("centroid_id"),
         round(dot(col("sub"), col("sub")) + dot(col("csub"), col("csub"))
@@ -1178,16 +1178,21 @@ object NearDup {
     * recomputable-deterministic: same seed rule, same rounding, any
     * engine.
     */
-  def pqEncode(spark: SparkSession, sfDir: String): DataFrame =
-    pqCodes(spark, sfDir)
+  def pqEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    // Pivot columns generated from PqM (a hardcoded 0..3 would
+    // silently truncate the schema on a PqM retune); the d2 sum rides
+    // Canon.dsum — d2 has exactly 4 decimal digits, so the decimal
+    // sum is EXACT and order-insensitive, where a raw double sum is
+    // merge-order-dependent and can flip the ROUND(4) boundary
+    // (the repo determinism canon, Canon.scala).
+    val codeCols = (0 until PqM).map(j =>
+      max(when(col("j") === j, col("code"))).as(s"code_$j"))
+    val aggs = codeCols :+ round(sqrt(Canon.dsum(col("d2"))), 4).as("recon_err")
+    pqCodes(pqParts(spark, sfDir))
       .groupBy(col("vec_id"))
-      .agg(
-        max(when(col("j") === 0, col("code"))).as("code_0"),
-        max(when(col("j") === 1, col("code"))).as("code_1"),
-        max(when(col("j") === 2, col("code"))).as("code_2"),
-        max(when(col("j") === 3, col("code"))).as("code_3"),
-        round(sqrt(sum(col("d2"))), 4).as("recon_err"))
+      .agg(aggs.head, aggs.tail: _*)
       .orderBy("vec_id")
+  }
 
   private[graft] val PqTopK = 5
   private[graft] val PqShortlist = 50
@@ -1216,7 +1221,8 @@ object NearDup {
   def pqAdcTopk(spark: SparkSession, sfDir: String): DataFrame = {
     val dot = graft.functions.ArrayDot.adot _
     val emb = Tables.t(spark, sfDir, "embeddings")
-    val (_, csubs) = pqParts(spark, sfDir)
+    val parts = pqParts(spark, sfDir) // ONE build shared by codes + LUT
+    val csubs = parts._2
     val probe = emb.where(col("vec_id") === 0).select(col("embedding").as("probe"))
     val psubs = emb.where(col("vec_id") === 0)
       .select(explode(sequence(lit(0), lit(PqM - 1))).as("j"), col("embedding"))
@@ -1226,10 +1232,13 @@ object NearDup {
     val lut = psubs.join(csubs, "j")
       .select(col("j").as("lj"), col("centroid_id").as("lcode"),
         dot(col("psub"), col("csub")).as("pdot"))
-    val shortlist = pqCodes(spark, sfDir)
+    // adc_score via Canon.dsum: a raw double sum's merge order is
+    // nondeterministic and an ulp flip at the ROUND(4) boundary would
+    // change shortlist membership (determinism canon, Canon.scala).
+    val shortlist = pqCodes(parts)
       .join(broadcast(lut), col("j") === col("lj") && col("code") === col("lcode"))
       .groupBy(col("vec_id"))
-      .agg(round(sum(col("pdot")), 4).as("adc_score"))
+      .agg(round(Canon.dsum(col("pdot")), 4).as("adc_score"))
       .where(col("vec_id") =!= 0)
       .orderBy(col("adc_score").desc, col("vec_id").asc)
       .limit(PqShortlist)
@@ -1350,11 +1359,9 @@ object NearDup {
     "c56_pq_encode" ->
       s"""$oraclePqBestCte
          |SELECT vec_id,
-         |  MAX(CASE WHEN j = 0 THEN code END) AS code_0,
-         |  MAX(CASE WHEN j = 1 THEN code END) AS code_1,
-         |  MAX(CASE WHEN j = 2 THEN code END) AS code_2,
-         |  MAX(CASE WHEN j = 3 THEN code END) AS code_3,
-         |  ROUND(sqrt(SUM(d2)), 4) AS recon_err
+         |${(0 until PqM).map(j =>
+             s"  MAX(CASE WHEN j = $j THEN code END) AS code_$j,").mkString("\n")}
+         |  ROUND(sqrt(${Canon.oDsum("d2")}), 4) AS recon_err
          |FROM best GROUP BY vec_id
          |ORDER BY vec_id ASC NULLS FIRST""".stripMargin,
     "c57_pq_adc_topk" ->
@@ -1368,7 +1375,7 @@ object NearDup {
          |    FROM embeddings, range($PqM) t(j) WHERE vec_id = 0
          |  ) p JOIN csubs c ON p.j = c.j
          |), shortlist AS (
-         |  SELECT b.vec_id, ROUND(SUM(l.pdot), 4) AS adc_score
+         |  SELECT b.vec_id, ROUND(${Canon.oDsum("l.pdot")}, 4) AS adc_score
          |  FROM best b JOIN lut l ON b.j = l.lj AND b.code = l.lcode
          |  WHERE b.vec_id != 0
          |  GROUP BY b.vec_id

@@ -358,20 +358,28 @@ object TextAnalysis {
     * whole pipeline is one declarative plan, and the oracle replays
     * the identical pipeline as one SQL statement.
     */
-  def curateCorpus(spark: SparkSession, sfDir: String): DataFrame = {
-    val losers = NearDup.clusterLosers(spark, sfDir) // size-aware hint inside
-    val docs = Tables.t(spark, sfDir, "documents")
-      .join(losers, col("doc_id") === col("loser_id"), "left_anti")
-      .where(substring(md5(concat(lit("curate:"), col("doc_id").cast("string"))), 1, 1)
-        .isin("0", "1", "2", "3", "4", "5", "6", "7"))
-    qualityBase(docs)
+  def curateCorpus(spark: SparkSession, sfDir: String): DataFrame =
+    curateAgg(Tables.t(spark, sfDir, "documents"),
+      NearDup.clusterLosers(spark, sfDir) /* size-aware hint inside */)
+      .orderBy("lang")
+
+  /** The one curation pipeline, over any (batch OR streaming)
+    * documents frame: dedup-loser anti-join ∘ deterministic 50% hash
+    * sample (salt 'curate:') ∘ quality floor → per-language
+    * accounting. Shared by c31 (batch) and c55 (streaming) so the
+    * gate predicates can never drift apart — they hash against the
+    * same oracle.
+    */
+  private[graft] def curateAgg(docs: DataFrame, losers: DataFrame): DataFrame =
+    qualityBase(
+      docs.join(losers, col("doc_id") === col("loser_id"), "left_anti")
+        .where(substring(md5(concat(lit("curate:"), col("doc_id").cast("string"))), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7")))
       .where(col("quality") >= CurateQuality)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
         davg(col("quality")).as("avg_quality"))
-      .orderBy("lang")
-  }
 
   /** c32 — deterministic train/val/test SPLIT (~80/10/10): assign each
     * document by its first md5 byte (salt 'split:'; fixed-width hex

@@ -403,17 +403,12 @@ object Streams {
     * maintained live.
     */
   def streamCurate(spark: SparkSession, sfDir: String): DataFrame = {
-    val losers = graft.ops.NearDup.clusterLosers(spark, sfDir)
-    val docs = streamTable(spark, sfDir, "documents")
-      .join(losers, col("doc_id") === col("loser_id"), "left_anti")
-      .where(substring(md5(concat(lit("curate:"), col("doc_id").cast("string"))), 1, 1)
-        .isin("0", "1", "2", "3", "4", "5", "6", "7"))
-    val agg = graft.ops.TextAnalysis.qualityBase(docs)
-      .where(col("quality") >= graft.ops.TextAnalysis.CurateQuality)
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("total_tokens"),
-        graft.Canon.davg(col("quality")).as("avg_quality"))
+    // The SAME kernel as batch c31 (TextAnalysis.curateAgg) over the
+    // streaming frame — the gate predicates cannot drift between the
+    // batch and streaming forms because there is only one copy.
+    val agg = graft.ops.TextAnalysis.curateAgg(
+      streamTable(spark, sfDir, "documents"),
+      graft.ops.NearDup.clusterLosers(spark, sfDir))
     runToParquet(agg, "complete", "c55").orderBy("lang")
   }
 
