@@ -291,6 +291,44 @@ object TextAnalysis {
       .withColumn("actual_rate", round(col("n_kept").cast("double") / col("n_total"), 4))
       .orderBy("source")
 
+  private val MixAlpha = 0.3
+
+  /** c58 — TEMPERATURE language sampling: the multilingual training-
+    * mix re-weighting q_l ∝ p_l^α (α = [[MixAlpha]] = 0.3, the
+    * mT5/XLM-R setting — Xue et al. 2020, arXiv:2010.11934; Conneau
+    * et al. 2019, arXiv:1911.02116; both public) that up-samples
+    * low-resource languages without letting any language dominate.
+    * Per language: corpus share p_l, sampling weight q_l and the
+    * boost factor q_l/p_l a sampler would apply. p_l is an exact
+    * count ratio; p^α is intrinsically FP (pow), so the emitted
+    * columns tolerance-round at 1e-4 ([[Canon.r4]], the stddev/corr
+    * rule) — far above pow's ulp-level cross-engine drift but fine
+    * enough to pin the mix.
+    *
+    * Scale shape: one counting scan with map-side combine to n_langs
+    * rows, then arithmetic on the driver-sized aggregate — nothing
+    * here changes at any corpus size.
+    */
+  def temperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.t(spark, sfDir, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    // zn rides Canon.dsum: a raw double sum's merge order is
+    // nondeterministic (determinism canon); the 1e-6 decimal cast is
+    // far above pow's ulp-level cross-engine drift.
+    val tot = counts.agg(sum(col("n_docs")).as("total"),
+      dsum(pow(col("n_docs"), MixAlpha)).as("zn"))
+    // zn = Σ n^α: dividing n^α/N^α by Σ (n/N)^α cancels the N^α, so
+    // weights can be computed from raw counts without the share
+    // intermediate — fewer FP steps for the oracle to mirror.
+    counts.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("total"), 4).as("share"),
+        round(pow(col("n_docs"), MixAlpha) / col("zn"), 4).as("weight"),
+        round((pow(col("n_docs"), MixAlpha) / col("zn")) /
+          (col("n_docs").cast("double") / col("total")), 4).as("boost"))
+      .orderBy("lang")
+  }
+
   /** c27 — sequence PACKING accounting: assign documents to fixed
     * token-budget bins (the context-window packing step before
     * training) by running token count within each language, bin =
@@ -586,10 +624,25 @@ object TextAnalysis {
     "c17_doc_fingerprint" -> (docFingerprint(_, _)),
     "c20_hash_sample" -> (hashSample(_, _)),
     "c52_chunk_tokens" -> (chunkTokens(_, _)),
-    "c53_bpe_merge_pairs" -> (bpeMergePairs(_, _))
+    "c53_bpe_merge_pairs" -> (bpeMergePairs(_, _)),
+    "c58_temperature_mix" -> (temperatureMix(_, _))
   )
 
   val oracle: Map[String, String] = Map(
+    "c58_temperature_mix" ->
+      s"""WITH counts AS (
+         |  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+         |), tot AS (
+         |  SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+         |    ${Canon.oDsum(s"pow(n_docs, $MixAlpha)")} AS zn
+         |  FROM counts
+         |)
+         |SELECT lang, n_docs,
+         |  ROUND(CAST(n_docs AS DOUBLE) / total, 4) AS share,
+         |  ROUND(pow(n_docs, $MixAlpha) / zn, 4) AS weight,
+         |  ROUND((pow(n_docs, $MixAlpha) / zn) / (CAST(n_docs AS DOUBLE) / total), 4) AS boost
+         |FROM counts, tot
+         |ORDER BY lang ASC NULLS FIRST""".stripMargin,
     // DuckDB zips equal-length unnests in one SELECT, so the bigram
     // stream is (ws[1:n-1], ws[2:n]) zipped positionally — empty for
     // single-token docs, mirroring the Spark-side `size(ws) >= 2`

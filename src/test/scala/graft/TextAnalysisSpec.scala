@@ -62,6 +62,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(byDoc(1L) == byDoc(2L))
   }
 
+  // --- c58 temperature sampling ---
+
+  test("c58: alpha=0.3 up-weights the rare language and weights sum to 1") {
+    val out = ops.TextAnalysis.temperatureMix(TestSpark.spark, TestSpark.sf0001)
+      .select("lang", "n_docs", "share", "weight", "boost")
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(out.nonEmpty)
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-2)
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-2)
+    // temperature flattening: the rarest language's boost >= the most
+    // common language's boost, with equality only on equal counts
+    val byCount = out.sortBy(_._2)
+    assert(byCount.head._5 >= byCount.last._5)
+    // boost crosses 1.0: below-average-share langs boosted, above damped
+    out.foreach { case (l, _, share, weight, boost) =>
+      assert(math.abs(boost - weight / share) < 2e-3, s"$l boost != weight/share")
+    }
+  }
+
   // --- c53 BPE pair counting ---
 
   test("c53: multiplicity is preserved — 'aaa' contributes 'aa' twice per occurrence") {
