@@ -97,8 +97,18 @@ object NearDup {
     * compares) per token — ~8× the string work; this was the heaviest
     * query in the round-4 judge run (7.4 s → target <½).
     */
-  def simhashFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
-    val words = Tables.t(spark, sfDir, "documents")
+  def simhashFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    simhashBitSums(Tables.t(spark, sfDir, "documents"))
+      .select(col("doc_id"),
+        concat((0 until SimhashBits).map(j =>
+          when(col(s"s$j") > 0, "1").otherwise("0")): _*).as("simhash"))
+      .orderBy("doc_id")
+
+  /** The per-(doc, bit) ±1 vote sums behind the SimHash fingerprint —
+    * shared by c10 (string form) and c59 (integer form).
+    */
+  private def simhashBitSums(docs: DataFrame): DataFrame = {
+    val words = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"), md5(col("w")).as("h"))
     val toks = words.select(col("doc_id") +: (0 until SimhashBits / 8).map(q =>
@@ -111,12 +121,78 @@ object NearDup {
       sum(when(expr(s"(shiftright(v$q, ${31 - 4 * n}) & 1) = 1"), 1).otherwise(-1))
         .as(s"s$j")
     }
-    toks.groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
+    toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+  }
+
+  /** The fingerprint as ONE long (bit j of c10's string = bit
+    * SimhashBits−1−j of the value) — integer-exact in both engines.
+    */
+  private[graft] def simhashValues(spark: SparkSession, sfDir: String): DataFrame =
+    simhashBitSums(Tables.t(spark, sfDir, "documents"))
       .select(col("doc_id"),
-        concat((0 until SimhashBits).map(j =>
-          when(col(s"s$j") > 0, "1").otherwise("0")): _*).as("simhash"))
-      .orderBy("doc_id")
+        (0 until SimhashBits).map(j =>
+          when(col(s"s$j") > 0, lit(1L << (SimhashBits - 1 - j)))
+            .otherwise(lit(0L))).reduce(_ + _).as("v"))
+
+  // c59 knobs — the Manku/Jarvelin pigeonhole: a Hamming budget of
+  // k bit flips can touch at most k of k+1 disjoint blocks, so every
+  // qualifying pair shares at least one block VERBATIM. Candidates are
+  // therefore an equi-join on (block index, block value) with ZERO
+  // recall loss — the bucket trick is pure cost, not approximation,
+  // which is also why the DuckDB oracle can be the brute-force
+  // all-pairs Hamming filter and still match exactly.
+  private[graft] val SimhashBlocks = 4
+  private[graft] val SimhashHammingMax = SimhashBlocks - 1
+
+  /** c59 — SimHash near-dup PAIRS at Hamming distance ≤ 3, the
+    * fingerprint-side complement of the shingle-side c2: Manku,
+    * Jain & Sarma, "Detecting Near-Duplicates for Web Crawling"
+    * (WWW 2007, public) reduced to its block-pigeonhole core. The
+    * 32-bit c10 fingerprint splits into [[SimhashBlocks]] disjoint
+    * 8-bit blocks; docs sharing a block value are candidates
+    * (equi-join on (block, value) — never all-pairs), and candidates
+    * verify with one integer `bit_count(va ^ vb)`.
+    *
+    * Each qualifying pair is emitted exactly once without a distinct
+    * pass: a pair sharing several blocks is kept only at its FIRST
+    * matching block (the `NOT exists` guard on earlier blocks), the
+    * same once-only discipline as c12's flip probes.
+    *
+    * Scale posture: per-(block, value) bucket occupancy is n/2^w
+    * (w = block width, 8 here to match c10's 32-bit print), and
+    * within-bucket pairing is quadratic in occupancy — the paper's
+    * production setting grows the FINGERPRINT (64 bits) and the block
+    * width with the corpus exactly like [[ivfPlanes]] grows the sign
+    * grid, holding occupancy ~constant; the block COUNT stays pinned
+    * at hamming budget + 1. The verify is integer-only on two longs —
+    * no text is rehashed and no embedding/array crosses the wire.
+    */
+  def simhashHammingPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val blockW = SimhashBits / SimhashBlocks
+    val mask = (1L << blockW) - 1
+    // Block j (MSB-first) of fingerprint value v, as a SQL fragment;
+    // j may be a literal index or a lambda variable.
+    def blockOf(v: String, j: String) =
+      s"(shiftright($v, $SimhashBits - $blockW * ($j + 1)) & $mask)"
+    val probes = simhashValues(spark, sfDir)
+      .select(col("doc_id"), col("v"),
+        explode(expr((0 until SimhashBlocks).map(j =>
+          s"struct($j AS blk, ${blockOf("v", j.toString)} AS bval)")
+          .mkString("array(", ", ", ")"))).as("p"))
+      .select(col("doc_id"), col("v"), col("p.blk").as("blk"),
+        col("p.bval").as("bval"))
+    val a = probes.select(col("doc_id").as("doc_a"), col("v").as("va"),
+      col("blk"), col("bval"))
+    val b = probes.select(col("doc_id").as("doc_b"), col("v").as("vb"),
+      col("blk").as("blk_b"), col("bval").as("bval_b"))
+    a.join(b, col("blk") === col("blk_b") && col("bval") === col("bval_b") &&
+        col("doc_a") < col("doc_b"))
+      .where(expr(s"NOT exists(sequence(0, ${SimhashBlocks - 1}), " +
+        s"j -> j < blk AND ${blockOf("va", "j")} = ${blockOf("vb", "j")})"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(bit_count(va ^ vb) AS BIGINT)").as("hamming"))
+      .where(col("hamming") <= SimhashHammingMax)
+      .orderBy("doc_a", "doc_b")
   }
 
   /** c11 — character-trigram Jaccard over the MinHash/LSH candidate
@@ -1254,6 +1330,7 @@ object NearDup {
     "c56_pq_encode" -> (pqEncode(_, _)),
     "c57_pq_adc_topk" -> (pqAdcTopk(_, _)),
     "c10_simhash_fingerprint" -> (simhashFingerprint(_, _)),
+    "c59_simhash_hamming_pairs" -> (simhashHammingPairs(_, _)),
     "c21_dedup_clusters" -> (dedupClusters(_, _)),
     "c22_dedup_survivors" -> (dedupSurvivors(_, _)),
     "c24_embedding_quantize" -> (embeddingQuantize(_, _)),
@@ -1563,6 +1640,29 @@ object NearDup {
          |)
          |GROUP BY doc_id
          |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    // Brute-force all-pairs Hamming — a DIFFERENT algorithm than the
+    // Spark side's block-bucket join, exact because the pigeonhole
+    // makes the bucket trick lossless at hamming ≤ blocks − 1.
+    "c59_simhash_hamming_pairs" ->
+      s"""WITH sims AS (
+         |  SELECT doc_id,
+         |    SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << ($SimhashBits - 1 - pos))
+         |        ELSE 0 END) AS v
+         |  FROM (
+         |    SELECT doc_id, pos, SUM(CASE WHEN substr(h, pos + 1, 1)
+         |        IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s
+         |    FROM (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents),
+         |         range($SimhashBits) t(pos)
+         |    GROUP BY doc_id, pos
+         |  )
+         |  GROUP BY doc_id
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.v, b.v)) AS BIGINT) AS hamming
+         |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.v, b.v)) <= $SimhashHammingMax
+         |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
 
     // Independent clustering formulation: full transitive closure via a
     // recursive CTE (set-semantics UNION terminates), then min over the

@@ -200,6 +200,116 @@ object TextAnalysis {
       .orderBy("merge_rank")
   }
 
+  // c61 — the merge-application side of one BPE training iteration.
+  private[graft] val BpeMergeMark = "_"
+
+  /** c61 — APPLY the winning BPE merge (c53's rank-1 pair) to the
+    * corpus, closing the count → select → apply loop of one tokenizer-
+    * training iteration: every left-to-right non-overlapping occurrence
+    * of the pair inside a word becomes one merged symbol, and the
+    * per-language symbol-count reduction is reported (the quantity BPE
+    * training greedily maximizes). Greedy left-to-right is exactly
+    * `replace(w, pair, mark)` in both engines ("aaa" under pair "aa"
+    * merges ONCE — the application semantics — while c53 counts it
+    * twice — the counting semantics; both are the textbook behavior,
+    * pinned by spec), and each merge shortens the word by exactly one
+    * char, so merges = len(w) − len(replace(w, pair, mark)).
+    *
+    * Scale shape: all string work runs on the (lang, word) VOCABULARY
+    * (c53's discipline — the corpus-sized pass is a counting scan with
+    * map-side combine); the winning pair is a 1-row broadcast. At
+    * 100 TB a full BPE train is this plan iterated |vocab|-of-merges
+    * times over the shrinking vocab table — each round is one
+    * vocab-sized projection plus one corpus-free aggregation.
+    */
+  def bpeApplyMerge(spark: SparkSession, sfDir: String): DataFrame =
+    bpeApplyMergeFrom(Tables.t(spark, sfDir, "documents"))
+
+  /** Kernel of [[bpeApplyMerge]] over any (lang, text) frame — split
+    * out so the spec can pin the greedy left-to-right application
+    * semantics ("aaaa" merges twice, "aaa" once) directly.
+    */
+  private[graft] def bpeApplyMergeFrom(docs: DataFrame): DataFrame = {
+    val top = bpeMergePairsFrom(docs)
+      .where(col("merge_rank") === 1).select(col("pair"))
+    val vocab = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("wc"))
+    vocab.crossJoin(broadcast(top))
+      .withColumn("merges",
+        (length(col("w")) - length(expr(s"replace(w, pair, '$BpeMergeMark')")))
+          .cast("long"))
+      .groupBy(col("lang"), col("pair"))
+      .agg(
+        sum(when(col("merges") > 0, col("wc")).otherwise(0L)).as("n_carrier_tokens"),
+        sum(col("wc") * length(col("w"))).as("n_symbols_before"),
+        sum(col("wc") * col("merges")).as("n_merges"))
+      .select(col("lang"), col("pair"), col("n_carrier_tokens"),
+        col("n_symbols_before"), col("n_merges"),
+        (col("n_symbols_before") - col("n_merges")).as("n_symbols_after"),
+        round((col("n_symbols_before") - col("n_merges")).cast("double") /
+          col("n_symbols_before"), 4).as("compression"))
+      .orderBy("lang")
+  }
+
+  // c60 — the "curated domain" stand-in for DSIR's target corpus.
+  private[graft] val TargetSources = Seq("src0", "src1")
+
+  /** c60 — importance weighting for data selection, the deterministic
+    * unigram form of DSIR (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169,
+    * public): score every document by how much more likely its tokens
+    * are under the TARGET domain's unigram distribution than under the
+    * full corpus's — log w(d) = Σ_tokens ln p̂_target(w) − ln p̂_corpus(w),
+    * add-1 smoothed over the corpus vocabulary so target-unseen tokens
+    * penalize rather than zero out. DSIR proper hashes n-gram features
+    * into buckets and resamples via Gumbel noise; this reduction keeps
+    * the importance-weight core exact and RNG-free (selection =
+    * deterministic log w > 0, the "more target-like than corpus-
+    * average" cut), which is what makes it oracle-verifiable.
+    *
+    * Scale shape: one token-stream scan feeds two map-side-combined
+    * vocabulary aggregations (corpus counts; target counts — the
+    * target filter is a pushed-down source predicate); the per-token
+    * log-ratio table is vocabulary-sized and broadcasts like c46's
+    * unigram table (past broadcast size the same plan is a shuffle
+    * join on the token). Per-token log-ratios ride the decimal canon
+    * ([[Canon.dsum]]) so the per-doc sum is partition- and engine-
+    * invariant; every probability is an exact integer ratio until the
+    * final ln.
+    */
+  def importanceWeights(spark: SparkSession, sfDir: String): DataFrame =
+    importanceWeightsFrom(Tables.t(spark, sfDir, "documents"))
+
+  /** Kernel of [[importanceWeights]] over any (doc_id, source, text)
+    * frame — split out so the spec can pin the sign behavior on a
+    * hand-built two-domain corpus.
+    */
+  private[graft] def importanceWeightsFrom(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("w"))
+    val corpus = toks.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val target = toks.where(col("source").isin(TargetSources: _*))
+      .groupBy(col("w").as("tw_w")).agg(count(lit(1)).as("tw"))
+    val totals = corpus.agg(sum(col("cw")).as("c_total"),
+        count(lit(1)).as("v"))
+      .crossJoin(target.agg(sum(col("tw")).as("t_total")))
+    val lam = corpus.join(target, col("w") === col("tw_w"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("w").as("lw"),
+        (log((coalesce(col("tw"), lit(0L)) + 1).cast("double") /
+           (col("t_total") + col("v")).cast("double")) -
+         log((col("cw") + 1).cast("double") /
+           (col("c_total") + col("v")).cast("double"))).as("lam"))
+    toks.join(broadcast(lam), col("w") === col("lw"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(Canon.dsum(col("lam")), 4).as("log_weight"))
+      .select(col("doc_id"), col("n_tokens"), col("log_weight"),
+        (col("log_weight") > 0).cast("long").as("selected"))
+      .orderBy("doc_id")
+  }
+
   /** c20 — deterministic hash sampling: keep a document iff the first
     * hex nibble of md5("sample:" ++ doc_id) falls in a fixed set — a
     * 4/16 = 25% sample that is reproducible across runs, engines and
@@ -625,7 +735,9 @@ object TextAnalysis {
     "c20_hash_sample" -> (hashSample(_, _)),
     "c52_chunk_tokens" -> (chunkTokens(_, _)),
     "c53_bpe_merge_pairs" -> (bpeMergePairs(_, _)),
-    "c58_temperature_mix" -> (temperatureMix(_, _))
+    "c58_temperature_mix" -> (temperatureMix(_, _)),
+    "c60_importance_weights" -> (importanceWeights(_, _)),
+    "c61_bpe_apply_merge" -> (bpeApplyMerge(_, _))
   )
 
   val oracle: Map[String, String] = Map(
@@ -969,6 +1081,76 @@ object TextAnalysis {
          |  pair, n_occurrences, n_words
          |FROM pairs
          |ORDER BY n_occurrences DESC NULLS LAST, pair ASC NULLS FIRST
-         |LIMIT $BpeTopK""".stripMargin
+         |LIMIT $BpeTopK""".stripMargin,
+
+    // Same pair-counting CTEs as c53, then the rank-1 pair applied to
+    // the per-language vocabulary with the same left-to-right
+    // non-overlapping `replace` the Spark side uses.
+    "c61_bpe_apply_merge" ->
+      s"""WITH vocab AS (
+         |  SELECT w, COUNT(*) AS wc
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  GROUP BY w
+         |  HAVING length(w) >= 2
+         |), pcounts AS (
+         |  SELECT pair, CAST(SUM(wc) AS BIGINT) AS n_occurrences
+         |  FROM (
+         |    SELECT w, wc,
+         |      unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair
+         |    FROM vocab
+         |  )
+         |  GROUP BY pair
+         |), top AS (
+         |  SELECT pair FROM pcounts
+         |  ORDER BY n_occurrences DESC NULLS LAST, pair ASC NULLS FIRST LIMIT 1
+         |), lv AS (
+         |  SELECT lang, w, COUNT(*) AS wc
+         |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+         |  GROUP BY lang, w
+         |), merged AS (
+         |  SELECT lang, top.pair AS pair, wc, length(w) AS lw,
+         |    length(w) - length(replace(w, top.pair, '$BpeMergeMark')) AS merges
+         |  FROM lv, top
+         |)
+         |SELECT lang, pair,
+         |  CAST(SUM(CASE WHEN merges > 0 THEN wc ELSE 0 END) AS BIGINT) AS n_carrier_tokens,
+         |  CAST(SUM(wc * lw) AS BIGINT) AS n_symbols_before,
+         |  CAST(SUM(wc * merges) AS BIGINT) AS n_merges,
+         |  CAST(SUM(wc * lw) - SUM(wc * merges) AS BIGINT) AS n_symbols_after,
+         |  ROUND(CAST(SUM(wc * lw) - SUM(wc * merges) AS DOUBLE) / SUM(wc * lw), 4)
+         |    AS compression
+         |FROM merged
+         |GROUP BY lang, pair
+         |ORDER BY lang ASC NULLS FIRST""".stripMargin,
+
+    "c60_importance_weights" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w FROM documents
+         |), corpus AS (
+         |  SELECT w, COUNT(*) AS cw FROM toks GROUP BY w
+         |), target AS (
+         |  SELECT w AS tw_w, COUNT(*) AS tw FROM toks
+         |  WHERE source IN (${TargetSources.map(s => s"'$s'").mkString(", ")})
+         |  GROUP BY w
+         |), tot AS (
+         |  SELECT CAST(SUM(cw) AS BIGINT) AS c_total, CAST(COUNT(*) AS BIGINT) AS v
+         |  FROM corpus
+         |), ttot AS (
+         |  SELECT CAST(SUM(tw) AS BIGINT) AS t_total FROM target
+         |), lam AS (
+         |  SELECT w AS lw,
+         |    ln(CAST(COALESCE(tw, 0) + 1 AS DOUBLE) / CAST(t_total + v AS DOUBLE))
+         |      - ln(CAST(cw + 1 AS DOUBLE) / CAST(c_total + v AS DOUBLE)) AS lam
+         |  FROM corpus LEFT JOIN target ON corpus.w = target.tw_w, tot, ttot
+         |), scored AS (
+         |  SELECT doc_id, COUNT(*) AS n_tokens,
+         |    ROUND(${Canon.oDsum("lam")}, 4) AS log_weight
+         |  FROM toks JOIN lam ON toks.w = lam.lw
+         |  GROUP BY doc_id
+         |)
+         |SELECT doc_id, n_tokens, log_weight,
+         |  CAST(CASE WHEN log_weight > 0 THEN 1 ELSE 0 END AS BIGINT) AS selected
+         |FROM scored
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
   )
 }

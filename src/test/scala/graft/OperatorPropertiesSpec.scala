@@ -461,6 +461,30 @@ class OperatorPropertiesSpec extends AnyFunSuite {
       "boilerplate (present in 40 docs) must count as duplicated content for the doc-level gate")
   }
 
+  test("c59: block-bucket pairing equals brute-force Hamming<=3 exactly, each pair once") {
+    // The Manku pigeonhole claim: a pair within the Hamming budget
+    // shares >=1 of the 4 disjoint blocks verbatim, so the bucket
+    // equi-join loses NOTHING — the operator's result must equal the
+    // all-pairs filter, not approximate it. Also pins once-only
+    // emission (the first-matching-block guard): no (a,b) appears
+    // twice even when fingerprints share several blocks.
+    val vals = ops.NearDup.simhashValues(spark, TestSpark.sf0001)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val bf = (for {
+      i <- vals.indices.iterator
+      j <- (i + 1) until vals.length
+      h = java.lang.Long.bitCount(vals(i)._2 ^ vals(j)._2)
+      if h <= ops.NearDup.SimhashHammingMax
+    } yield ((vals(i)._1, vals(j)._1), h.toLong)).toMap
+    val got = ops.NearDup.simhashHammingPairs(spark, TestSpark.sf0001)
+      .select($"doc_a", $"doc_b", $"hamming")
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(r => (r._1, r._2)).distinct.length == got.length,
+      "a pair sharing several blocks must be emitted exactly once")
+    assert(got.map(r => ((r._1, r._2), r._3)).toMap == bf,
+      s"bucketed pair set (${got.length}) != brute force (${bf.size})")
+  }
+
   test("labelCache drops a stopped application's entries (listener eviction)") {
     val df = Seq((1L, 1L)).toDF("doc_id", "cluster_id")
     ops.NearDup.labelCache.put("deadapp:/tmp/corpusA", df)

@@ -138,4 +138,63 @@ class TextAnalysisSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  // --- c61 merge application ---
+
+  private def langDocs(rows: (String, String)*) =
+    rows.toSeq.toDF("lang", "text")
+
+  test("c61: greedy left-to-right application — 'aaaa' merges twice, 'aaa' once") {
+    // Vocab: aaab×2 (pairs aa:4, ab:2), aaaa×1 (aa:3), aaa×1 (aa:2) →
+    // top pair "aa" with 9 occurrences. Application (non-overlapping):
+    // aaab → _ab (1 merge), aaaa → __ (2), aaa → _a (1).
+    val out = TextAnalysis.bpeApplyMergeFrom(
+        langDocs("en" -> "aaab aaab aaaa", "de" -> "aaa"))
+      .select($"lang", $"pair", $"n_carrier_tokens", $"n_symbols_before",
+        $"n_merges", $"n_symbols_after")
+      .as[(String, String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      ("de", "aa", 1L, 3L, 1L, 2L),
+      ("en", "aa", 3L, 12L, 4L, 8L)))
+  }
+
+  test("c61: words without the pair contribute symbols but no merges") {
+    val out = TextAnalysis.bpeApplyMergeFrom(langDocs("en" -> "aab aab cc"))
+      .select($"pair", $"n_carrier_tokens", $"n_symbols_before", $"n_merges")
+      .as[(String, Long, Long, Long)].head()
+    // top pair: aa (2 occurrences, beats ab on count? aa:2, ab:2, cc:1 —
+    // tie aa/ab broken pair-ascending → "aa"); cc carries no merge.
+    assert(out == (("aa", 2L, 8L, 2L)))
+  }
+
+  // --- c60 importance weights ---
+
+  test("c60: a target-vocabulary doc scores positive and selected; an out-domain doc negative") {
+    // Target sources carry 'x'-speak, the rest 'y'-speak. A pure-x doc
+    // must be more likely under the target model (selected=1), a
+    // pure-y doc less (selected=0).
+    val docs = Seq(
+      (1L, "src0", "x x x"), (2L, "src1", "x x"),
+      (3L, "src5", "y y y"), (4L, "src6", "y y x")
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.importanceWeightsFrom(docs)
+      .select($"doc_id", $"log_weight", $"selected")
+      .as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(out(0)._2 > 0 && out(0)._3 == 1L, s"pure-target doc must select: $out")
+    assert(out(2)._2 < 0 && out(2)._3 == 0L, s"out-domain doc must not: $out")
+    // Monotonicity: more x-share ⇒ higher weight per token; doc 4 sits
+    // between the pure docs.
+    assert(out(3)._2 > out(2)._2 && out(3)._2 < out(0)._2)
+  }
+
+  test("c60: weights are partition-invariant (decimal canon)") {
+    val docs = Seq((1L, "src0", "a b c a"), (2L, "src3", "b c d e"),
+      (3L, "src1", "a a e"), (4L, "src9", "d d d"))
+      .toDF("doc_id", "source", "text")
+    val one = TextAnalysis.importanceWeightsFrom(docs.repartition(1))
+      .select($"doc_id", $"log_weight").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    val many = TextAnalysis.importanceWeightsFrom(docs.repartition(32))
+      .select($"doc_id", $"log_weight").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(one == many)
+  }
 }
