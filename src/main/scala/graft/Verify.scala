@@ -214,6 +214,22 @@ object Verify {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val adcHits = (adcGot & bfIpTop).size
     val adcRecall = adcHits.toDouble / pqK
+    // c62 (prefix-truncated shortlist → exact re-rank) approximates
+    // COSINE, probe excluded like c57 — its exact counterpart is the
+    // brute-force cosine top-k without vec 0. The random fixture is
+    // also the truncation's worst case: nothing concentrates variance
+    // in the prefix (MRL training does that in production), so the
+    // bar is again recall ≫ shortlist/n, not an absolute target.
+    val prefK = ops.NearDup.PrefixTopK
+    val bfCosTopNoProbe = emb.crossJoin(broadcast(probe))
+      .where(col("vec_id") =!= 0)
+      .select(col("vec_id"), cosTo(col("embedding"), col("probe")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(prefK).select("vec_id").collect().map(_.getLong(0)).toSet
+    val prefGot = SparkEntry.queries("c62_ann_prefix_rerank")(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val prefHits = (prefGot & bfCosTopNoProbe).size
+    val prefRecall = prefHits.toDouble / prefK
     // c13's cells are the LABEL partition. On fixtures whose labels
     // are geometrically uninformative (random labels → every label
     // centroid ≈ the global mean), centroid ranking is noise and the
@@ -301,6 +317,11 @@ object Verify {
        |  "shortlist": ${ops.NearDup.PqShortlist},
        |  "random_baseline": ${jNum(math.min(1.0, ops.NearDup.PqShortlist.toDouble / math.max(1L, nEmb - 1)))},
        |  "contract": "two-stage PQ search (ADC shortlist, exact re-rank, oracle-verified); the uniform-random fixture is PQ's worst case - no cluster structure for the codebook - so the evidence bar is recall far above the shortlist/n random baseline, and the shortlist size is the recall-vs-cost knob"},
+       |"c62_ann_prefix_rerank": {"kind": "recall_at_k_vs_brute_force", "k": $prefK,
+       |  "hits": $prefHits, "recall": ${jNum(prefRecall)},
+       |  "prefix_dims": ${ops.NearDup.PrefixDims}, "shortlist": ${ops.NearDup.PrefixShortlist},
+       |  "random_baseline": ${jNum(math.min(1.0, ops.NearDup.PrefixShortlist.toDouble / math.max(1L, nEmb - 1)))},
+       |  "contract": "prefix-truncated shortlist (first 16 of 64 dims), exact cosine re-rank (oracle-verified); untrained random vectors are the truncation's worst case - MRL-trained embeddings concentrate variance in the prefix - so the evidence bar is recall far above the shortlist/n baseline, and prefix width/shortlist are the recall-vs-IO knobs"},
        |"c12_embedding_near_dup": {"kind": "banded_pair_recall_vs_sampled_brute_force",
        |  "tau": ${jNum(tau)}, "sample_mod": $sampleMod,
        |  "bands": ${c12Bands.map { case (n, bf, hit, r) =>

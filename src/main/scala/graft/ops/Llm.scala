@@ -64,7 +64,13 @@ object Llm {
     * forced a SortAggregate that SORTED the full exploded shingle
     * stream (round-4 verdict, "What's wrong" #2).
     */
-  private[graft] def lshBandsPlan(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Per-doc MinHash signature table (doc_id, mh0..mh{k−1}) — the
+    * shingle → per-seed min pass shared by the band builder and the
+    * c64 calibration audit. One shingle explode, k min-aggregate
+    * columns (map-side combined to one k-long row per (partition,
+    * doc) — see [[lshBandsPlan]] for why this beats a k× explosion).
+    */
+  private[graft] def minhashSigsPlan(spark: SparkSession, sfDir: String): DataFrame = {
     val shingles = tokenized(spark, sfDir)
       .where(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(expr(
@@ -73,8 +79,12 @@ object Llm {
     val minCols = (0 until MinhashSeeds).map(s =>
       min(conv(substring(md5(concat(lit(s"$s:"), col("shingle"))), 1, 15), 16, 10)
         .cast("long")).as(s"mh$s"))
-    val sigs = shingles.groupBy(col("doc_id"))
+    shingles.groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
+  }
+
+  private[graft] def lshBandsPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = minhashSigsPlan(spark, sfDir)
     sigs.select(col("doc_id"), posexplode(expr(
       (0 until Bands).map(j =>
         s"md5(concat(cast(mh${2 * j} as string), ':', cast(mh${2 * j + 1} as string)))")
@@ -340,6 +350,58 @@ object Llm {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** c64 — MinHash CALIBRATION audit: for every LSH candidate pair,
+    * the sketch's Jaccard estimate (matching signature positions / k)
+    * next to the exact 3-shingle-set Jaccard — the estimator's own
+    * target set (NOT c3's token-set score: the shingle-vs-token
+    * modeling gap is a separate, deliberate choice the sketch never
+    * promised to close) — with the absolute error,
+    * the measurement that tells an operator of the dedup pipeline
+    * whether k = [[MinhashSeeds]] is sized right for their corpus
+    * (E[est] = J; σ = √(J(1−J)/k), so k=8 carries ~±0.17 — visibly
+    * coarse, which is exactly what this audit surfaces) and whether
+    * the banding threshold matches the τ their gate uses. The same
+    * audit-as-a-query discipline as a12/a7: trust in the pipeline is
+    * itself a query over the pipeline's own tables.
+    *
+    * Determinism: the estimate is an integer count / k and the exact
+    * Jaccard an integer ratio — no FP accumulates anywhere before the
+    * final ROUND(4). Scale shape: candidates-only like c3 (never
+    * all-pairs); the signature side re-derives the k-column sig table
+    * ([[minhashSigsPlan]] — in production this reads the persisted
+    * signature store next to [[bandStore]]) and joins it twice by id
+    * onto the duplicate-sized pair spine.
+    */
+  def minhashCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashPairs(spark, sfDir)
+    val sigArr = minhashSigsPlan(spark, sfDir)
+      .select(col("doc_id"),
+        array((0 until MinhashSeeds).map(i => col(s"mh$i")): _*).as("sig"))
+    // The estimator's TARGET is the 3-SHINGLE-set Jaccard (that is
+    // the set the signatures minimize over) — comparing against c3's
+    // token-set score would charge the sketch with the
+    // shingle-vs-token modeling gap it never promised to close.
+    val shingleSets = tokenized(spark, sfDir)
+      .where(size(col("ws")) >= 3)
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))")
+        .as("sset"))
+    val matches = size(expr("filter(zip_with(sa, sb, (x, y) -> x = y), b -> b)"))
+    val est = matches.cast("double") / lit(MinhashSeeds.toDouble)
+    val exact = size(array_intersect(col("ta"), col("tb"))).cast("double") /
+      size(array_union(col("ta"), col("tb")))
+    pairs
+      .join(sigArr.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
+      .join(sigArr.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
+      .join(shingleSets.select(col("doc_id").as("doc_a"), col("sset").as("ta")), "doc_a")
+      .join(shingleSets.select(col("doc_id").as("doc_b"), col("sset").as("tb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(est, 4).as("est_jaccard"),
+        round(exact, 4).as("shingle_jaccard"),
+        round(abs(est - exact), 4).as("abs_err"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Incoming-batch membership: a deterministic 1-in-[[IncMod]] split
     * of doc_ids via the same 60-bit md5-prefix hash the sampler (c20)
     * uses — stands in for "the documents that arrived since the last
@@ -551,6 +613,7 @@ object Llm {
     "c2_dedup_minhash_pairs" -> (dedupMinhashPairs(_, _)),
     "c3_jaccard_pairs" -> (jaccardPairs(_, _)),
     "c43_containment_pairs" -> (containmentPairs(_, _)),
+    "c64_minhash_calibration" -> (minhashCalibration(_, _)),
     "c50_incremental_dedup" -> (incrementalDedup(_, _)),
     "c4_cosine_topk" -> (cosineTopk(_, _)),
     "c5_knn_per_label" -> (knnPerLabel(_, _)),
@@ -625,6 +688,36 @@ object Llm {
          |      FROM documents) ta ON ta.doc_id = doc_a
          |JOIN (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tset
          |      FROM documents) tb ON tb.doc_id = doc_b
+         |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
+
+    // est = matching signature positions / k over the sig CTE's
+    // seed-ordered list; exact = the 3-shingle-set Jaccard (the
+    // estimator's own target set). Integer counts and ratios
+    // end-to-end, ROUND(4) only at emission.
+    "c64_minhash_calibration" ->
+      s"""$oraclePairsCte, sset AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(ws) - 1),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sset
+         |  FROM toks WHERE len(ws) >= 3
+         |)
+         |SELECT doc_a, doc_b,
+         |  ROUND(CAST(len(list_filter(range(1, $MinhashSeeds + 1),
+         |        i -> sa.sigs[i] = sb.sigs[i])) AS DOUBLE) / $MinhashSeeds, 4)
+         |    AS est_jaccard,
+         |  ROUND(CAST(len(list_intersect(ta.sset, tb.sset)) AS DOUBLE)
+         |        / len(list_distinct(list_concat(ta.sset, tb.sset))), 4)
+         |    AS shingle_jaccard,
+         |  ROUND(abs(
+         |    CAST(len(list_filter(range(1, $MinhashSeeds + 1),
+         |        i -> sa.sigs[i] = sb.sigs[i])) AS DOUBLE) / $MinhashSeeds
+         |    - CAST(len(list_intersect(ta.sset, tb.sset)) AS DOUBLE)
+         |        / len(list_distinct(list_concat(ta.sset, tb.sset)))), 4) AS abs_err
+         |FROM pairs
+         |JOIN sig sa ON sa.doc_id = doc_a
+         |JOIN sig sb ON sb.doc_id = doc_b
+         |JOIN sset ta ON ta.doc_id = doc_a
+         |JOIN sset tb ON tb.doc_id = doc_b
          |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
 
     // Incoming split + candidate restriction + verify + best-match

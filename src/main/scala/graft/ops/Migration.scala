@@ -230,8 +230,50 @@ object Migration {
       .orderBy("status")
   }
 
+  /** A14 — UNSET-vs-NULL write merge: CQL distinguishes three write
+    * intents per cell — SET a value (overwrite), write NULL (a
+    * tombstone that DELETES the target cell), and leave the column
+    * UNSET (no-op: the target cell survives). A migrator replaying a
+    * write log MUST preserve the distinction: binding NULL where the
+    * source meant "unset" turns a no-op into a delete and silently
+    * drops data (the classic prepared-statement bug the CQL UNSET
+    * bind value exists to prevent). Demonstrated as the three-way
+    * merge over a deterministic simulated update batch against the
+    * orders table (same md5-nibble drift discipline as A13): per
+    * intent class, row counts and the decimal-exact checksum of the
+    * merged price column — tombstoned rows contribute NULL (dropped
+    * by SUM in both engines), unset rows contribute the target value,
+    * set rows the new value.
+    *
+    * Scale shape: one scan, pure per-row projection + a 4-group
+    * map-side-combined aggregate — the merge itself would be the A13
+    * key-equi-join at 100 TB; here source and batch share the scan so
+    * the classification is join-free.
+    */
+  def unsetMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    def nib(salt: String, c: org.apache.spark.sql.Column) =
+      substring(md5(concat(lit(salt), c.cast("string"))), 1, 1)
+    val key = col("o_orderkey")
+    val inBatch = nib("upd:", key) < "8" // hex nibble 0..7 → half the rows
+    val op = when(!inBatch, "untouched")
+      .when(nib("op:", key) <= "9", "set") // nibble 0..9
+      .when(nib("op:", key) <= "c", "unset") // nibble a..c
+      .otherwise("tombstone") // nibble d..f
+    val merged = when(op === "set", col("o_totalprice") + 10.0)
+      .when(op === "tombstone", lit(null).cast("double"))
+      .otherwise(col("o_totalprice"))
+    Tables.t(spark, sfDir, "orders")
+      .select(op.as("intent"), merged.as("merged_price"))
+      .groupBy(col("intent"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("merged_price")).as("n_cells"),
+        dsum(col("merged_price")).as("price_checksum"))
+      .orderBy("intent")
+  }
+
   val queries: Map[String, Q] = Map(
     "a13_migration_diff" -> (migrationDiff(_, _)),
+    "a14_unset_merge" -> (unsetMerge(_, _)),
     "a1_full_scan_count" -> (fullScanCount(_, _)),
     "a2_schema_manifest" -> (schemaManifest(_, _)),
     "a4_type_roundtrip" -> (typeRoundtrip(_, _)),
@@ -259,6 +301,33 @@ object Migration {
         |)
         |GROUP BY status
         |ORDER BY status ASC NULLS FIRST""".stripMargin,
+    // Same CASE tree, same hex-nibble thresholds (bytewise ASCII
+    // compare in both engines); SUM skips NULL in both, so the
+    // tombstone class checksums over zero cells → NULL.
+    "a14_unset_merge" ->
+      s"""WITH classified AS (
+         |  SELECT
+         |    CASE WHEN substr(md5('upd:' || CAST(o_orderkey AS VARCHAR)), 1, 1) >= '8'
+         |           THEN 'untouched'
+         |         WHEN substr(md5('op:' || CAST(o_orderkey AS VARCHAR)), 1, 1) <= '9'
+         |           THEN 'set'
+         |         WHEN substr(md5('op:' || CAST(o_orderkey AS VARCHAR)), 1, 1) <= 'c'
+         |           THEN 'unset'
+         |         ELSE 'tombstone' END AS intent,
+         |    o_totalprice
+         |  FROM orders
+         |), merged AS (
+         |  SELECT intent,
+         |    CASE WHEN intent = 'set' THEN o_totalprice + 10.0
+         |         WHEN intent = 'tombstone' THEN NULL
+         |         ELSE o_totalprice END AS merged_price
+         |  FROM classified
+         |)
+         |SELECT intent, COUNT(*) AS n_rows, COUNT(merged_price) AS n_cells,
+         |  ${oDsum("merged_price")} AS price_checksum
+         |FROM merged
+         |GROUP BY intent
+         |ORDER BY intent ASC NULLS FIRST""".stripMargin,
     "a12_profile_columns" ->
       OrdersCols.map(c =>
         s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,

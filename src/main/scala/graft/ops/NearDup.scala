@@ -1326,9 +1326,87 @@ object NearDup {
       .limit(PqTopK)
   }
 
+  /** c66 — per-DIMENSION standardization fit: mean and sample-stddev
+    * of every embedding coordinate across the corpus — the z-score
+    * scaler a pipeline fits before distance-based steps (k-means,
+    * PCA, outlier gates) so no dimension dominates by raw magnitude.
+    * The output is the 64-row scaler ARTIFACT itself (broadcastable
+    * at any corpus size — its width is the embedding dim, not n), the
+    * vector-space analog of c39's per-event_type moments.
+    *
+    * Determinism: Σv and Σv² ride [[graft.Canon.dsum]] (decimal-exact,
+    * order-insensitive); variance assembles from those exact sums in
+    * double — (Σv² − (Σv)²/n)/(n−1) — identically in both engines
+    * (the c39 discipline: stddev_samp's order-dependent streaming
+    * update could flip an ulp). Scale shape: the 64× posexplode
+    * fan-out collapses map-side to ≤64 rows per partition before the
+    * exchange; nothing corpus-sized shuffles.
+    */
+  def dimStandardize(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("i", "v")))
+      .select((col("i") + 1).cast("long").as("dim"), col("v").cast("double").as("v"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        graft.Canon.dsum(col("v")).as("s1"),
+        graft.Canon.dsum(col("v") * col("v")).as("s2"))
+      .select(col("dim"), col("n"),
+        round(col("s1") / col("n"), 4).as("mean"),
+        round(sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)), 4)
+          .as("std"))
+      .orderBy("dim")
+
+  private[graft] val PrefixDims = 16
+  private[graft] val PrefixShortlist = 50
+  private[graft] val PrefixTopK = 5
+
+  /** c62 — PREFIX-TRUNCATED two-stage search (Matryoshka-style —
+    * Kusupati et al. 2022, "Matryoshka Representation Learning",
+    * arXiv:2205.13147, public): shortlist by cosine over only the
+    * FIRST [[PrefixDims]] of 64 dimensions, then exactly re-rank the
+    * top-[[PrefixShortlist]] with the full vector. The third
+    * memory/IO-bounded ANN shape next to IVF (c13/c38: prune WHICH
+    * vectors) and PQ-ADC (c57: compress the vector): truncation reads
+    * a 4× narrower prefix and needs no trained codebook at all —
+    * MRL-trained embeddings put the information mass in the prefix,
+    * so the shortlist pass touches 25% of the bytes.
+    *
+    * Scale posture: in production the prefix lives as its OWN parquet
+    * column (the Layout bucketing discipline), so the shortlist scan
+    * prunes 75% of vector bytes at the reader — here it is sliced
+    * from the full array, which still keeps the shortlist exchange
+    * key-only: nothing wider than (vec_id, prefix_cos) crosses the
+    * TakeOrdered, and the full vectors are fetched by id for exactly
+    * [[PrefixShortlist]] rows. Recall on the UNTRAINED random fixture
+    * is the technique's worst case (no information concentration) —
+    * measured per-run in ACCURACY.json, same discipline as c57.
+    */
+  def annPrefixRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val probe = emb.where(col("vec_id") === 0)
+      .select(col("embedding").as("probe"),
+        expr(s"slice(embedding, 1, $PrefixDims)").as("probe_pref"))
+    val shortlist = emb
+      .select(col("vec_id"), expr(s"slice(embedding, 1, $PrefixDims)").as("pref"))
+      .crossJoin(broadcast(probe.select(col("probe_pref"))))
+      .where(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        round(cosine(col("pref"), col("probe_pref")), 4).as("prefix_cos"))
+      .orderBy(col("prefix_cos").desc, col("vec_id").asc)
+      .limit(PrefixShortlist)
+    emb.join(broadcast(shortlist), "vec_id")
+      .crossJoin(broadcast(probe.select(col("probe"))))
+      .select(col("vec_id"), col("prefix_cos"),
+        round(cosine(col("embedding"), col("probe")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(PrefixTopK)
+  }
+
   val queries: Map[String, Q] = Map(
     "c56_pq_encode" -> (pqEncode(_, _)),
     "c57_pq_adc_topk" -> (pqAdcTopk(_, _)),
+    "c62_ann_prefix_rerank" -> (annPrefixRerank(_, _)),
+    "c66_dim_standardize" -> (dimStandardize(_, _)),
     "c10_simhash_fingerprint" -> (simhashFingerprint(_, _)),
     "c59_simhash_hamming_pairs" -> (simhashHammingPairs(_, _)),
     "c21_dedup_clusters" -> (dedupClusters(_, _)),
@@ -1465,6 +1543,53 @@ object NearDup {
          |FROM shortlist s JOIN embeddings e ON s.vec_id = e.vec_id, probe p
          |ORDER BY ip DESC NULLS LAST, s.vec_id ASC
          |LIMIT $PqTopK""".stripMargin,
+    // Variance from the two decimal-exact sums, assembled in double
+    // with the identical expression — the c39 moments discipline.
+    "c66_dim_standardize" ->
+      s"""WITH vals AS (
+         |  SELECT unnest(range(1, len(embedding) + 1)) AS dim,
+         |    CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings
+         |), sums AS (
+         |  SELECT dim, COUNT(*) AS n,
+         |    ${graft.Canon.oDsum("v")} AS s1,
+         |    ${graft.Canon.oDsum("v * v")} AS s2
+         |  FROM vals GROUP BY dim
+         |)
+         |SELECT dim, n,
+         |  ROUND(s1 / n, 4) AS mean,
+         |  ROUND(sqrt((s2 - s1 * s1 / n) / (n - 1)), 4) AS std
+         |FROM sums
+         |ORDER BY dim ASC NULLS FIRST""".stripMargin,
+
+    // Prefix slice is embedding[1:PrefixDims] (1-based inclusive —
+    // mirrors Spark's slice(embedding, 1, PrefixDims)); cosine is the
+    // shared oKmScored formula over the sliced lists.
+    "c62_ann_prefix_rerank" ->
+      s"""WITH probe AS (
+         |  SELECT embedding AS pe, embedding[1:$PrefixDims] AS pp
+         |  FROM embeddings WHERE vec_id = 0
+         |), shortlist AS (
+         |  SELECT vec_id, ROUND(
+         |    list_sum(list_transform(range(1, $PrefixDims + 1),
+         |      i -> CAST(pref[i] AS DOUBLE) * CAST(pp[i] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform(pref, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform(pp, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         |    4) AS prefix_cos
+         |  FROM (SELECT vec_id, embedding[1:$PrefixDims] AS pref
+         |        FROM embeddings WHERE vec_id != 0), probe
+         |  ORDER BY prefix_cos DESC NULLS LAST, vec_id ASC
+         |  LIMIT $PrefixShortlist
+         |)
+         |SELECT s.vec_id, s.prefix_cos, ROUND(
+         |  list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.pe[i] AS DOUBLE)))
+         |  / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |     * sqrt(list_sum(list_transform(p.pe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         |  4) AS cos
+         |FROM shortlist s JOIN embeddings e ON s.vec_id = e.vec_id, probe p
+         |ORDER BY cos DESC NULLS LAST, s.vec_id ASC
+         |LIMIT $PrefixTopK""".stripMargin,
     "c38_ann_ivf_adaptive" ->
       s"""WITH seeds AS (
          |  SELECT vec_id AS centroid_id, embedding AS cent

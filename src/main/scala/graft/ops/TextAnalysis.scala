@@ -669,6 +669,87 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** c63 — token-distribution ENTROPY: per-doc Shannon entropy of the
+    * token frequency distribution, H = −Σ p·ln p with p = c/n — the
+    * information-density quality signal that separates natural text
+    * (high entropy) from stuck-loop/template spam (low entropy: a few
+    * tokens dominate). Complements c33's ratio heuristics with the
+    * proper information measure, and `norm_entropy` = H / ln(distinct)
+    * (∈ [0,1]) makes docs of different vocabulary sizes comparable.
+    *
+    * Determinism: H is computed as ln n − (Σ c·ln c)/n — c and n are
+    * exact integers, ln is IEEE-identical on both engines (the c46/c58
+    * rule), and the sum rides [[Canon.dsum]] so partial-aggregation
+    * order cannot perturb it; the final values tolerance-round at
+    * 1e-4. Scale shape: one token explode with map-side-combined
+    * (doc, token) counting, then a per-doc aggregate — the same
+    * two-level combine as c33, no joins, no corpus-sized shuffle
+    * beyond the (doc, token) key.
+    */
+  def tokenEntropy(spark: SparkSession, sfDir: String): DataFrame =
+    tokenEntropyFrom(Tables.t(spark, sfDir, "documents"))
+
+  /** Kernel of [[tokenEntropy]] over any (doc_id, lang, text) frame. */
+  private[graft] def tokenEntropyFrom(docs: DataFrame): DataFrame = {
+    val cnt = docs
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("lang"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val h = log(col("n_tokens")) - col("clogc") / col("n_tokens")
+    cnt.groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("distinct_tokens"),
+        dsum(col("c").cast("double") * log(col("c").cast("double"))).as("clogc"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("distinct_tokens"),
+        round(h, 4).as("entropy"),
+        round(when(col("distinct_tokens") > 1, h / log(col("distinct_tokens")))
+          .otherwise(lit(0.0)), 4).as("norm_entropy"))
+      .orderBy("doc_id")
+  }
+
+  /** c65 — VOCABULARY COVERAGE: per language, how many distinct
+    * tokens (ranked by frequency) are needed to cover 90% of all token
+    * occurrences — the tokenizer-sizing measurement (a vocab budget is
+    * chosen against exactly this curve) and the Zipf-shape audit of a
+    * corpus. `vocab_90` = the smallest frequency rank whose cumulative
+    * count reaches 90%, with the (count DESC, token ASC) tiebreak both
+    * engines share; the 90% cut compares integers (`cum·10 ≥ total·9`)
+    * so no FP boundary can straddle.
+    *
+    * Scale shape: the corpus pass is one map-side-combined (lang,
+    * token) count; the rank/cumulative window then runs over the
+    * VOCABULARY (≪ corpus — it is the same vocab-sized window family
+    * as c8's top-terms), partitioned by language so strata rank in
+    * parallel. Nothing corpus-sized crosses a window.
+    */
+  def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame =
+    vocabCoverageFrom(Tables.t(spark, sfDir, "documents"))
+
+  /** Kernel of [[vocabCoverage]] over any (lang, text) frame. */
+  private[graft] def vocabCoverageFrom(docs: DataFrame): DataFrame = {
+    val freq = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("c").desc, col("w"))
+    val ranked = freq
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = freq.groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab_size"))
+    ranked.join(tot, "lang")
+      .where(col("cum") * 10 >= col("n_tokens") * 9)
+      .groupBy(col("lang"))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        max(col("vocab_size")).as("vocab_size"),
+        min(col("r")).as("vocab_90"))
+      .select(col("lang"), col("n_tokens"), col("vocab_size"), col("vocab_90"),
+        round(col("vocab_90").cast("double") / col("vocab_size"), 4)
+          .as("vocab_90_frac"))
+      .orderBy("lang")
+  }
+
   /** c54 — bigram LM SURPRISE: per-doc average −ln p(b|a) under the
     * corpus's own maximum-likelihood bigram model — the KenLM/CCNet-
     * style perplexity filter (Wenzek et al. 2019, arXiv:1911.00359,
@@ -737,7 +818,9 @@ object TextAnalysis {
     "c53_bpe_merge_pairs" -> (bpeMergePairs(_, _)),
     "c58_temperature_mix" -> (temperatureMix(_, _)),
     "c60_importance_weights" -> (importanceWeights(_, _)),
-    "c61_bpe_apply_merge" -> (bpeApplyMerge(_, _))
+    "c61_bpe_apply_merge" -> (bpeApplyMerge(_, _)),
+    "c63_token_entropy" -> (tokenEntropy(_, _)),
+    "c65_vocab_coverage" -> (vocabCoverage(_, _))
   )
 
   val oracle: Map[String, String] = Map(
@@ -1151,6 +1234,61 @@ object TextAnalysis {
          |SELECT doc_id, n_tokens, log_weight,
          |  CAST(CASE WHEN log_weight > 0 THEN 1 ELSE 0 END AS BIGINT) AS selected
          |FROM scored
-         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    // H = ln n − (Σ c·ln c)/n: integers + IEEE ln + the decimal-sum
+    // canon, so the same algebra lands on the same rounded value in
+    // both engines. SUM(BIGINT)→HUGEINT cast rule as in c33/c53.
+    "c63_token_entropy" ->
+      s"""WITH cnt AS (
+         |  SELECT doc_id, lang, w, COUNT(*) AS c
+         |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+         |        FROM documents)
+         |  GROUP BY doc_id, lang, w
+         |), agg AS (
+         |  SELECT doc_id, lang,
+         |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |    COUNT(*) AS distinct_tokens,
+         |    ${Canon.oDsum("CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))")} AS clogc
+         |  FROM cnt GROUP BY doc_id, lang
+         |)
+         |SELECT doc_id, lang, n_tokens, distinct_tokens,
+         |  ROUND(ln(CAST(n_tokens AS DOUBLE)) - clogc / n_tokens, 4) AS entropy,
+         |  ROUND(CASE WHEN distinct_tokens > 1
+         |    THEN (ln(CAST(n_tokens AS DOUBLE)) - clogc / n_tokens)
+         |         / ln(CAST(distinct_tokens AS DOUBLE))
+         |    ELSE 0.0 END, 4) AS norm_entropy
+         |FROM agg
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    // The 90% cut compares integers (cum·10 ≥ total·9) and the rank
+    // window orders (count DESC, token ASC) — the frequency ranking is
+    // total-ordered, so MIN(r) is the same rank in both engines.
+    "c65_vocab_coverage" ->
+      """WITH freq AS (
+        |  SELECT lang, w, COUNT(*) AS c
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY lang, w
+        |), rk AS (
+        |  SELECT lang, c,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY c DESC NULLS LAST, w ASC NULLS FIRST) AS BIGINT) AS r,
+        |    CAST(SUM(c) OVER (PARTITION BY lang
+        |      ORDER BY c DESC NULLS LAST, w ASC NULLS FIRST
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM freq
+        |), tot AS (
+        |  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    COUNT(*) AS vocab_size
+        |  FROM freq GROUP BY lang
+        |)
+        |SELECT t.lang, MAX(t.n_tokens) AS n_tokens,
+        |  MAX(t.vocab_size) AS vocab_size,
+        |  MIN(rk.r) AS vocab_90,
+        |  ROUND(CAST(MIN(rk.r) AS DOUBLE) / MAX(t.vocab_size), 4) AS vocab_90_frac
+        |FROM rk JOIN tot t ON rk.lang = t.lang
+        |WHERE rk.cum * 10 >= t.n_tokens * 9
+        |GROUP BY t.lang
+        |ORDER BY t.lang ASC NULLS FIRST""".stripMargin
   )
 }

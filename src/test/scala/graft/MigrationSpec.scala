@@ -232,4 +232,24 @@ class MigrationSpec extends AnyFunSuite {
       assert(n <= 8, s"${f.getName} holds $n rows > batchRows=8")
     }
   }
+
+  test("A14: intent classes partition the table; only tombstones lose cells") {
+    val sf = TestSpark.sf0001
+    val total = Tables.t(spark, sf, "orders").count()
+    val out = ops.Migration.unsetMerge(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    val byIntent = out.map(r => r._1 -> r).toMap
+    assert(out.map(_._2).sum == total, "classes must partition every row")
+    assert(byIntent.keySet == Set("set", "unset", "tombstone", "untouched"))
+    // tombstone: every cell deleted (NULL), checksum over zero cells = NULL
+    val tomb = byIntent("tombstone")
+    assert(tomb._3 == 0L && tomb._4.isEmpty, s"tombstone: $tomb")
+    // set/unset/untouched: no cell lost
+    Seq("set", "unset", "untouched").foreach { i =>
+      val r = byIntent(i)
+      assert(r._3 == r._2, s"$i lost cells: $r")
+      assert(r._4.nonEmpty && r._4.get > 0.0, s"$i checksum: $r")
+    }
+  }
 }

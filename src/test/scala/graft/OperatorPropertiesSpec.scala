@@ -485,6 +485,77 @@ class OperatorPropertiesSpec extends AnyFunSuite {
       s"bucketed pair set (${got.length}) != brute force (${bf.size})")
   }
 
+  test("c62: prefix rerank emits exact full-dim cosines in rank order, probe excluded") {
+    val sf = TestSpark.sf0001
+    val out = ops.NearDup.annPrefixRerank(spark, sf)
+      .select("vec_id", "prefix_cos", "cos").as[(Long, Double, Double)].collect()
+    assert(out.length == ops.NearDup.PrefixTopK)
+    assert(!out.map(_._1).contains(0L), "probe must be excluded")
+    // the final ordering is by the EXACT re-ranked cosine
+    out.sliding(2).foreach {
+      case Array((va, _, ca), (vb, _, cb)) =>
+        assert(ca > cb || (ca == cb && va < vb))
+      case _ =>
+    }
+    // each emitted cos is the true full-dim cosine for that id (the
+    // re-rank stage is exact — truncation only limits the shortlist)
+    val dot = graft.functions.ArrayDot.adot _
+    val emb = Tables.t(spark, sf, "embeddings")
+    val probe = emb.where($"vec_id" === 0).select($"embedding".as("probe"))
+    val exact = emb.crossJoin(broadcast(probe))
+      .select($"vec_id",
+        round(dot($"embedding", $"probe") /
+          (sqrt(dot($"embedding", $"embedding")) * sqrt(dot($"probe", $"probe"))), 4)
+          .as("cos"))
+      .as[(Long, Double)].collect().toMap
+    out.foreach { case (v, _, c) => assert(c == exact(v), s"vec $v: $c != ${exact(v)}") }
+  }
+
+  test("c64: the estimate is a multiple of 1/k in [0,1], and exact-duplicate pairs estimate 1") {
+    val sf = TestSpark.sf0001
+    val k = ops.Llm.MinhashSeeds
+    val out = ops.Llm.minhashCalibration(spark, sf)
+      .select("est_jaccard", "shingle_jaccard", "abs_err")
+      .as[(Double, Double, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (est, j, err) =>
+      assert(est >= 0.0 && est <= 1.0)
+      val steps = est * k
+      assert(math.abs(steps - math.round(steps)) < 1e-9, s"est $est not a multiple of 1/$k")
+      assert(j >= 0.0 && j <= 1.0)
+      assert(math.abs(err - math.abs(est - j)) < 2e-4, s"err $err vs |$est - $j|")
+      // identical shingle sets hash to identical signatures — the
+      // calibration CANNOT miss an exact duplicate of its own target set
+      if (j == 1.0) assert(est == 1.0, s"exact-dup pair estimated $est")
+    }
+  }
+
+  test("c66: the scaler artifact covers every dimension once with positive spread") {
+    val sf = TestSpark.sf0001
+    val n = Tables.t(spark, sf, "embeddings").count()
+    val out = ops.NearDup.dimStandardize(spark, sf)
+      .select("dim", "n", "mean", "std").as[(Long, Long, Double, Double)].collect()
+    assert(out.map(_._1).toSeq == (1L to 64L), "one row per dimension, ordered")
+    out.foreach { case (d, cnt, m, s) =>
+      assert(cnt == n, s"dim $d counted $cnt != $n")
+      assert(s > 0.0, s"dim $d std $s")
+      assert(m.abs < 1.0, s"dim $d mean $m outside the fixture's [-1,1] domain")
+    }
+  }
+
+  test("c66: the fit is partition-invariant (decimal canon)") {
+    val sf = TestSpark.sf0001
+    val base = ops.NearDup.dimStandardize(spark, sf)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    val wide = {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "17")
+      ops.NearDup.dimStandardize(s2, sf)
+        .as[(Long, Long, Double, Double)].collect().toSeq
+    }
+    assert(base == wide)
+  }
+
   test("labelCache drops a stopped application's entries (listener eviction)") {
     val df = Seq((1L, 1L)).toDF("doc_id", "cluster_id")
     ops.NearDup.labelCache.put("deadapp:/tmp/corpusA", df)

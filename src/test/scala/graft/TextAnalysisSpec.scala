@@ -197,4 +197,63 @@ class TextAnalysisSpec extends AnyFunSuite {
       .select($"doc_id", $"log_weight").as[(Long, Double)].collect().sortBy(_._1).toSeq
     assert(one == many)
   }
+
+  // --- c63 token entropy ---
+
+  test("c63: all-distinct tokens give H = ln n and norm_entropy = 1; a one-token-type doc gives 0") {
+    val d = Seq((1L, "en", "a b c d"), (2L, "en", "x x x x x"))
+      .toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.tokenEntropyFrom(d)
+      .select($"doc_id", $"entropy", $"norm_entropy")
+      .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(math.abs(out(0)._2 - math.log(4.0)) < 1e-3, s"uniform H: ${out(0)}")
+    assert(out(0)._3 == 1.0, s"uniform norm: ${out(0)}")
+    assert(out(1)._2 == 0.0 && out(1)._3 == 0.0, s"degenerate: ${out(1)}")
+  }
+
+  test("c63: a stuck-loop doc scores below a varied doc of the same length") {
+    val d = Seq((1L, "en", "spam spam spam spam spam spam spam ham"),
+      (2L, "en", "one two three four five six seven eight"))
+      .toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.tokenEntropyFrom(d)
+      .select($"doc_id", $"entropy").as[(Long, Double)].collect().sortBy(_._1)
+    assert(out(0)._2 < out(1)._2)
+  }
+
+  test("c63: entropy is partition-invariant (decimal canon)") {
+    val d = (1L to 40L).map(i => (i, "en", s"t${i % 7} t${i % 3} t${i % 5} u$i"))
+      .toDF("doc_id", "lang", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.tokenEntropyFrom(df)
+        .select($"doc_id", $"entropy", $"norm_entropy")
+        .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(run(d.repartition(1)) == run(d.repartition(32)))
+  }
+
+  // --- c65 vocab coverage ---
+
+  test("c65: heavy skew needs few tokens; a uniform vocabulary needs 90% of it") {
+    // skewed: 'z' covers 18/20 = 90% alone → vocab_90 = 1
+    val skew = (1 to 18).map(_ => "z").mkString(" ") + " q r"
+    // uniform: 10 tokens once each → vocab_90 = 9
+    val flat = ('a' to 'j').mkString(" ")
+    val out = TextAnalysis.vocabCoverageFrom(
+      Seq(("sk", skew), ("fl", flat)).toDF("lang", "text"))
+      .select($"lang", $"n_tokens", $"vocab_size", $"vocab_90", $"vocab_90_frac")
+      .as[(String, Long, Long, Long, Double)].collect().sortBy(_._1).toMap2
+    assert(out("sk") == ((20L, 3L, 1L, 0.3333)), s"skew: $out")
+    assert(out("fl") == ((10L, 10L, 9L, 0.9)), s"flat: $out")
+  }
+
+  test("c65: vocab_90 never exceeds vocab_size on the fixture corpus") {
+    val out = TextAnalysis.vocabCoverage(TestSpark.spark, TestSpark.sf0001)
+      .select($"vocab_90", $"vocab_size").as[(Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (v90, vs) => assert(v90 >= 1L && v90 <= vs) }
+  }
+
+  private implicit class Map2Ops[A, B, C, D, E](rows: Array[(A, B, C, D, E)]) {
+    def toMap2: Map[A, (B, C, D, E)] =
+      rows.map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+  }
 }
