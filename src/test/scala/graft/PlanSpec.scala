@@ -358,4 +358,40 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
     assert(p.contains("partial_sum"), s"no map-side partial aggregation: $p")
   }
+
+  test("c62: prefix shortlist fuses to TakeOrderedAndProject; probe broadcasts; no cartesian blowup") {
+    val p = plan(NearDup.annPrefixRerank(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"shortlist top-k not fused: $p")
+    assert(p.contains("Broadcast"), s"probe/shortlist not broadcast: $p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"the 50-row shortlist must broadcast-join, never SMJ the corpus: $p")
+  }
+
+  test("c63/c66: entropy and scaler aggs stay in hash aggregation with map-side combine") {
+    Seq(TextAnalysis.tokenEntropy(spark, sf) -> "c63",
+      NearDup.dimStandardize(spark, sf) -> "c66").foreach { case (df, k) =>
+      val p = plan(df)
+      assert(p.contains("HashAggregate"), s"$k: $p")
+      assert(!p.contains("SortAggregate"),
+        s"$k: decimal-sum agg fell back to SortAggregate (full-stream sort): $p")
+      assert(p.contains("partial_"), s"$k: no map-side partial aggregation: $p")
+      assert(!p.contains("CartesianProduct"), s"$k: $p")
+    }
+  }
+
+  test("c65: the rank/cumsum window runs over the vocabulary, after a partial token count") {
+    val p = plan(TextAnalysis.vocabCoverage(spark, sf))
+    // the corpus-sized token stream must collapse (partial count) BEFORE
+    // any window — the window input is the vocab-sized freq table
+    assert(p.contains("partial_count") || p.contains("partial_"), p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("c64: calibration joins are id-equi over the pair spine; nothing cartesian") {
+    val p = plan(Llm.minhashCalibration(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
