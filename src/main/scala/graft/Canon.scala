@@ -36,6 +36,14 @@ object Canon {
     */
   def r4(c: Column): Column = round(c, 4)
 
+  /** Exact sum at DECIMAL(38,18) — for quantities far below the
+    * (38,6) grain (PageRank mass ~1/N, per-element centroid sums):
+    * a 1e-6 quantum would swallow them entirely. Oracle mirror:
+    * `CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)`.
+    */
+  def dsum18(c: Column): Column =
+    sum(c.cast(DecimalType(38, 18))).cast("double")
+
   /** Oracle-SQL fragments mirroring the helpers above, so the pair
     * cannot drift. Usage: s"${Canon.oDsum("x")} AS total".
     */
@@ -43,4 +51,6 @@ object Canon {
     s"CAST(SUM(CAST($x AS DECIMAL(38,6))) AS DOUBLE)"
   def oDavg(x: String): String =
     s"ROUND(CAST(SUM(CAST($x AS DECIMAL(38,6))) AS DOUBLE)/COUNT($x), 4)"
+  def oDsum18(x: String): String =
+    s"CAST(SUM(CAST($x AS DECIMAL(38,18))) AS DOUBLE)"
 }

@@ -70,8 +70,15 @@ object Llm {
     * columns (map-side combined to one k-long row per (partition,
     * doc) — see [[lshBandsPlan]] for why this beats a k× explosion).
     */
-  private[graft] def minhashSigsPlan(spark: SparkSession, sfDir: String): DataFrame = {
-    val shingles = tokenized(spark, sfDir)
+  private[graft] def minhashSigsPlan(spark: SparkSession, sfDir: String): DataFrame =
+    minhashSigsOf(tokenized(spark, sfDir))
+
+  /** The signature kernel over any (doc_id, ws) frame — so consumers
+    * that only need a SUBSET of signatures (c64 prunes to its audit
+    * sample) can pre-filter the frame instead of hashing the corpus.
+    */
+  private[graft] def minhashSigsOf(toks: DataFrame): DataFrame = {
+    val shingles = toks
       .where(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
@@ -366,22 +373,48 @@ object Llm {
     *
     * Determinism: the estimate is an integer count / k and the exact
     * Jaccard an integer ratio — no FP accumulates anywhere before the
-    * final ROUND(4). Scale shape: candidates-only like c3 (never
-    * all-pairs); the signature side re-derives the k-column sig table
-    * ([[minhashSigsPlan]] — in production this reads the persisted
-    * signature store next to [[bandStore]]) and joins it twice by id
-    * onto the duplicate-sized pair spine.
+    * final ROUND(4).
+    *
+    * Scale shape — the AUDIT-BUDGET discipline (added after the 100×
+    * rehearsal measured exact-verify-on-24.7M-candidates at 481 s /
+    * 139 GiB spill, SCALE.md round 10): an error audit needs a
+    * statistical sample, not every pair, so the candidate spine is
+    * cut to ≈[[CalBudget]] pairs by a deterministic md5-uniform on
+    * the PAIR key compared against the measured pair count (which
+    * rides the plan as a broadcast 1-row aggregate —
+    * post-materialization knowledge, per the no-input-side-estimates
+    * doctrine). Below the budget the cut keeps EVERYTHING
+    * (budget/n ≥ 1), so fixture-scale runs audit every candidate and
+    * the oracle replays the same arithmetic; above it the audit stays
+    * budget-bounded at any corpus size. The signature and shingle-set
+    * passes then hash only the ≤2·budget SAMPLED docs (broadcast
+    * semi-prune, the c11 discipline) instead of the corpus — in
+    * production the signature side reads the persisted store next to
+    * [[bandStore]].
     */
+  private[graft] val CalBudget = 4096L
+
   def minhashCalibration(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = minhashPairs(spark, sfDir)
-    val sigArr = minhashSigsPlan(spark, sfDir)
+    val tot = pairs.agg(count(lit(1)).as("npairs"))
+    val u = conv(substring(md5(concat(lit("cal:"), col("doc_a").cast("string"),
+      lit(":"), col("doc_b").cast("string"))), 1, 15), 16, 10)
+      .cast("double") / lit(math.pow(2, 60))
+    val samp = pairs.crossJoin(broadcast(tot))
+      .where(u < lit(CalBudget.toDouble) / col("npairs"))
+      .select(col("doc_a"), col("doc_b"))
+    val ids = samp.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val sampledToks = tokenized(spark, sfDir)
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+    val sigArr = minhashSigsOf(sampledToks)
       .select(col("doc_id"),
         array((0 until MinhashSeeds).map(i => col(s"mh$i")): _*).as("sig"))
     // The estimator's TARGET is the 3-SHINGLE-set Jaccard (that is
     // the set the signatures minimize over) — comparing against c3's
     // token-set score would charge the sketch with the
     // shingle-vs-token modeling gap it never promised to close.
-    val shingleSets = tokenized(spark, sfDir)
+    val shingleSets = sampledToks
       .where(size(col("ws")) >= 3)
       .select(col("doc_id"), expr(
         "array_distinct(transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))")
@@ -390,7 +423,7 @@ object Llm {
     val est = matches.cast("double") / lit(MinhashSeeds.toDouble)
     val exact = size(array_intersect(col("ta"), col("tb"))).cast("double") /
       size(array_union(col("ta"), col("tb")))
-    pairs
+    samp
       .join(sigArr.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
       .join(sigArr.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
       .join(shingleSets.select(col("doc_id").as("doc_a"), col("sset").as("ta")), "doc_a")
@@ -693,13 +726,22 @@ object Llm {
     // est = matching signature positions / k over the sig CTE's
     // seed-ordered list; exact = the 3-shingle-set Jaccard (the
     // estimator's own target set). Integer counts and ratios
-    // end-to-end, ROUND(4) only at emission.
+    // end-to-end, ROUND(4) only at emission. The samp CTE replays the
+    // audit-budget cut: md5-uniform on the pair key vs the measured
+    // pair count — a no-op below CalBudget pairs (this fixture), the
+    // bounded sample above it.
     "c64_minhash_calibration" ->
       s"""$oraclePairsCte, sset AS (
          |  SELECT doc_id,
          |    list_distinct(list_transform(range(1, len(ws) - 1),
          |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sset
          |  FROM toks WHERE len(ws) >= 3
+         |), tot AS (SELECT COUNT(*) AS npairs FROM pairs),
+         |samp AS (
+         |  SELECT doc_a, doc_b FROM pairs, tot
+         |  WHERE CAST(CAST('0x' || substr(md5('cal:' || doc_a::VARCHAR || ':' || doc_b::VARCHAR), 1, 15) AS BIGINT) AS DOUBLE)
+         |        / 1152921504606846976.0
+         |      < CAST($CalBudget AS DOUBLE) / npairs
          |)
          |SELECT doc_a, doc_b,
          |  ROUND(CAST(len(list_filter(range(1, $MinhashSeeds + 1),
@@ -713,7 +755,7 @@ object Llm {
          |        i -> sa.sigs[i] = sb.sigs[i])) AS DOUBLE) / $MinhashSeeds
          |    - CAST(len(list_intersect(ta.sset, tb.sset)) AS DOUBLE)
          |        / len(list_distinct(list_concat(ta.sset, tb.sset)))), 4) AS abs_err
-         |FROM pairs
+         |FROM samp
          |JOIN sig sa ON sa.doc_id = doc_a
          |JOIN sig sb ON sb.doc_id = doc_b
          |JOIN sset ta ON ta.doc_id = doc_a

@@ -271,9 +271,35 @@ object Migration {
       .orderBy("intent")
   }
 
+  /** A15 — token-range RESUME manifest: the checkpoint artifact of a
+    * resumable migration. A keyspace copy restarts at token-range
+    * granularity (the unit A3 parallelizes over and the A10 progress
+    * listener reports on), so the recovery state is exactly this
+    * table: per range, the row count, the key bounds (the range's
+    * restart cursor) and whether the range completed before the
+    * interruption. Ranges are the deterministic md5-nibble partition
+    * of the key space (16 ranges; the simulated watermark marks the
+    * first 8 complete), so two independent engines derive the same
+    * manifest — the property that lets a resumed run TRUST a manifest
+    * someone else wrote. One scan, 16-group map-side-combined agg.
+    */
+  def resumeManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    val rng = substring(md5(concat(lit("tok:"), col("o_orderkey").cast("string"))), 1, 1)
+    Tables.t(spark, sfDir, "orders")
+      .select(rng.as("token_range"), col("o_orderkey"))
+      .groupBy(col("token_range"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .select(col("token_range"), col("n_rows"), col("min_key"), col("max_key"),
+        (col("token_range") < "8").as("completed"))
+      .orderBy("token_range")
+  }
+
   val queries: Map[String, Q] = Map(
     "a13_migration_diff" -> (migrationDiff(_, _)),
     "a14_unset_merge" -> (unsetMerge(_, _)),
+    "a15_resume_manifest" -> (resumeManifest(_, _)),
     "a1_full_scan_count" -> (fullScanCount(_, _)),
     "a2_schema_manifest" -> (schemaManifest(_, _)),
     "a4_type_roundtrip" -> (typeRoundtrip(_, _)),
@@ -301,6 +327,16 @@ object Migration {
         |)
         |GROUP BY status
         |ORDER BY status ASC NULLS FIRST""".stripMargin,
+    "a15_resume_manifest" ->
+      """SELECT token_range, COUNT(*) AS n_rows,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+        |  token_range < '8' AS completed
+        |FROM (SELECT substr(md5('tok:' || CAST(o_orderkey AS VARCHAR)), 1, 1)
+        |        AS token_range, o_orderkey
+        |      FROM orders)
+        |GROUP BY token_range
+        |ORDER BY token_range ASC NULLS FIRST""".stripMargin,
+
     // Same CASE tree, same hex-nibble thresholds (bytewise ASCII
     // compare in both engines); SUM skips NULL in both, so the
     // tombstone class checksums over zero cells → NULL.

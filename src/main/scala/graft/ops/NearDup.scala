@@ -1326,6 +1326,61 @@ object NearDup {
       .limit(PqTopK)
   }
 
+  private[graft] val PrDamping = 0.85
+  // (1−d) as its OWN literal, not computed: 1.0−0.85 in IEEE is
+  // 0.15000000000000002, while a 0.15 source literal (both engines)
+  // is the nearest double to 0.15 — computing it here and writing
+  // 0.15 in the oracle would diverge below the canon round.
+  private[graft] val PrJump = 0.15
+  private[graft] val PrRounds = 2
+
+  /** c68 — PAGERANK over the near-dup candidate graph (Page et al.
+    * 1999, public): two damped power-iteration rounds from the
+    * uniform start, on the same symmetric edge set CC clusters (c21).
+    * In a web-scale corpus pipeline this is the authority-style
+    * quality prior (the CommonCrawl-lineage curation signal); on the
+    * dedup graph it ranks each cluster's most-connected member — a
+    * principled survivor choice where c22's min-id is arbitrary.
+    *
+    * Determinism: contribution sums ride DECIMAL(38,18)
+    * ([[graft.Canon.dsum18]] — PageRank mass is ~1/N, far below the
+    * (38,6) grain); damping constants are shared double literals;
+    * rounds are FIXED at [[PrRounds]] so the oracle unrolls the same
+    * algebra (production iterates to convergence with the c21
+    * driver-loop discipline). Every node of the symmetric graph has
+    * deg ≥ 1, so no dangling-mass term is needed.
+    *
+    * Scale shape: per round, one edge-table equi-join on the node id
+    * + one map-side-combined aggregation — the textbook distributed
+    * PageRank step; edges are duplicate-sized (the LSH candidate set,
+    * never all-pairs), and nothing wider than (node, double) crosses
+    * an exchange.
+    */
+  def pagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Llm.minhashPairs(spark, sfDir)
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .select(col("u").as("node"), col("deg"))
+    val nTbl = deg.agg(count(lit(1)).as("n"))
+    val pr0 = deg.crossJoin(broadcast(nTbl))
+      .select(col("node"), col("deg"), (lit(1.0) / col("n")).as("pr"))
+    val prFinal = (1 to PrRounds).foldLeft(pr0) { (pr, _) =>
+      edges
+        .join(pr.select(col("node").as("vn"), (col("pr") / col("deg")).as("c")),
+          col("v") === col("vn"))
+        .groupBy(col("u"))
+        .agg(graft.Canon.dsum18(col("c")).as("contrib"))
+        .join(deg, col("u") === col("node"))
+        .crossJoin(broadcast(nTbl))
+        .select(col("node"), col("deg"),
+          (lit(PrJump) / col("n") + lit(PrDamping) * col("contrib")).as("pr"))
+    }
+    prFinal.select(col("node").as("doc_id"), col("deg").as("n_neighbors"),
+      round(col("pr"), 4).as("pagerank"))
+      .orderBy("doc_id")
+  }
+
   /** c66 — per-DIMENSION standardization fit: mean and sample-stddev
     * of every embedding coordinate across the corpus — the z-score
     * scaler a pipeline fits before distance-based steps (k-means,
@@ -1355,6 +1410,77 @@ object NearDup {
         round(sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)), 4)
           .as("std"))
       .orderBy("dim")
+
+  private[graft] val PcaDim = 64
+  private[graft] val PcaRounds = 2
+
+  /** c67 — PCA top component by MATRIX-FREE power iteration: the
+    * dimensionality-reduction fit (feature extraction, whitening,
+    * low-rank ANN) missing between c66's per-dim scaler and the
+    * k-means family. Two power rounds v ← normalize(Σₖ xcₖ·(xcₖ·v))
+    * over the mean-centered corpus from the fixed uniform start
+    * (1/√64 per component), then the Rayleigh eigenvalue λ = Σs²/n
+    * and the explained-variance share λ/(tr C/n) = Σs²/Σ‖xc‖².
+    *
+    * The 100 TB design decision is MATRIX-FREE: C·v is computed as a
+    * corpus pass (per row: one dot and one scaled copy — n·d work),
+    * never by materializing the d×d covariance from data (n·d² work
+    * and a d²-sized shuffle). Only d-sized artifacts cross the wire:
+    * the mean vector, the iterate v, and the 64-row per-dim sums —
+    * all broadcast. Per round: one scan + one 64-group map-side-
+    * combined aggregation.
+    *
+    * Determinism: per-row dots ride the codegen'd [[graft.functions
+    * .ArrayDot]] fold (array-order sequential — DuckDB's
+    * list_sum/list_transform twin, the proven c4 equivalence);
+    * per-dim and λ/trace sums ride DECIMAL(38,18); the norm and the
+    * canonical sign (flip so Σvᵢ ≥ 0) fold over the 64-element array
+    * in order. Rounds are FIXED at [[PcaRounds]] so the oracle
+    * unrolls identically (production iterates to convergence with
+    * the c21/c35 driver-loop discipline).
+    */
+  def pcaPower(spark: SparkSession, sfDir: String): DataFrame = {
+    val dot = graft.functions.ArrayDot.adot _
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val nTbl = emb.agg(count(lit(1)).as("n"))
+    val mu = emb.select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg((graft.Canon.dsum(col("x")) / count(lit(1))).as("m"))
+      .agg(expr("transform(sort_array(collect_list(struct(i, m))), s -> s.m)").as("mu"))
+    val centered = emb.crossJoin(broadcast(mu))
+      .select(col("vec_id"),
+        expr("zip_with(embedding, mu, (x, m) -> cast(x as double) - m)").as("xc"))
+    val v0 = spark.range(1)
+      .select(expr(s"transform(sequence(1, $PcaDim), i -> cast(0.125 as double))").as("pv"))
+    val vFinal = (1 to PcaRounds).foldLeft(v0) { (v, _) =>
+      centered.crossJoin(broadcast(v))
+        .select(col("xc"), dot(col("xc"), col("pv")).as("s"))
+        .select(col("s"), posexplode(col("xc")).as(Seq("i", "x")))
+        .groupBy(col("i"))
+        .agg(graft.Canon.dsum18(col("x") * col("s")).as("w"))
+        .agg(expr("transform(sort_array(collect_list(struct(i, w))), s -> s.w)").as("warr"))
+        .select(expr(
+          "transform(warr, x -> x / sqrt(aggregate(transform(warr, y -> y * y), cast(0 as double), (a, b) -> a + b)))")
+          .as("pv"))
+    }
+    val signed = vFinal.select(expr(
+      "if(aggregate(pv, cast(0 as double), (a, b) -> a + b) < 0, transform(pv, x -> -x), pv)")
+      .as("pv"))
+    val ss = centered.crossJoin(broadcast(signed))
+      .select(dot(col("xc"), col("pv")).as("s"))
+      .agg(graft.Canon.dsum18(col("s") * col("s")).as("ss"))
+    val tr = centered.select(explode(col("xc")).as("x"))
+      .agg(graft.Canon.dsum18(col("x") * col("x")).as("tr"))
+    val lamShare = ss.crossJoin(tr).crossJoin(nTbl)
+      .select((col("ss") / col("n")).as("lambda"), (col("ss") / col("tr")).as("share"))
+    signed.select(posexplode(col("pv")).as(Seq("i", "loading")))
+      .crossJoin(broadcast(lamShare))
+      .select((col("i") + 1).cast("long").as("dim"),
+        round(col("loading"), 4).as("loading"),
+        round(col("lambda"), 4).as("eigenvalue"),
+        round(col("share"), 4).as("explained_share"))
+      .orderBy("dim")
+  }
 
   private[graft] val PrefixDims = 16
   private[graft] val PrefixShortlist = 50
@@ -1407,6 +1533,8 @@ object NearDup {
     "c57_pq_adc_topk" -> (pqAdcTopk(_, _)),
     "c62_ann_prefix_rerank" -> (annPrefixRerank(_, _)),
     "c66_dim_standardize" -> (dimStandardize(_, _)),
+    "c68_pagerank" -> (pagerank(_, _)),
+    "c67_pca_power" -> (pcaPower(_, _)),
     "c10_simhash_fingerprint" -> (simhashFingerprint(_, _)),
     "c59_simhash_hamming_pairs" -> (simhashHammingPairs(_, _)),
     "c21_dedup_clusters" -> (dedupClusters(_, _)),
@@ -1543,6 +1671,101 @@ object NearDup {
          |FROM shortlist s JOIN embeddings e ON s.vec_id = e.vec_id, probe p
          |ORDER BY ip DESC NULLS LAST, s.vec_id ASC
          |LIMIT $PqTopK""".stripMargin,
+    // Two unrolled power rounds; every per-row reduction is a
+    // list-order fold (the c4 list_sum twin of ArrayDot) and every
+    // cross-row sum rides DECIMAL(38,18). A PcaRounds retune must
+    // re-unroll the s/w/v chain.
+    "c67_pca_power" ->
+      s"""WITH vals AS (
+         |  SELECT vec_id, unnest(range(1, ${PcaDim + 1})) AS i,
+         |    CAST(unnest(embedding) AS DOUBLE) AS x
+         |  FROM embeddings
+         |), mu AS (
+         |  SELECT i, ${graft.Canon.oDsum("x")} / COUNT(*) AS m
+         |  FROM vals GROUP BY i
+         |), mul AS (SELECT list(m ORDER BY i) AS mu FROM mu),
+         |xc AS (
+         |  SELECT vec_id,
+         |    list_transform(range(1, ${PcaDim + 1}),
+         |      i -> CAST(embedding[i] AS DOUBLE) - mu[i]) AS xc
+         |  FROM embeddings, mul
+         |), nt AS (SELECT COUNT(*) AS n FROM embeddings),
+         |v0 AS (SELECT list_transform(range(1, ${PcaDim + 1}),
+         |  i -> CAST(0.125 AS DOUBLE)) AS pv),
+         |s1 AS (
+         |  SELECT vec_id, xc,
+         |    list_sum(list_transform(range(1, ${PcaDim + 1}), i -> xc[i] * pv[i])) AS s
+         |  FROM xc, v0
+         |), w1 AS (
+         |  SELECT i, ${graft.Canon.oDsum18("x * s")} AS w
+         |  FROM (SELECT s, unnest(range(1, ${PcaDim + 1})) AS i, unnest(xc) AS x FROM s1)
+         |  GROUP BY i
+         |), w1l AS (SELECT list(w ORDER BY i) AS warr FROM w1),
+         |v1 AS (
+         |  SELECT list_transform(warr,
+         |    x -> x / sqrt(list_sum(list_transform(warr, y -> y * y)))) AS pv
+         |  FROM w1l
+         |), s2 AS (
+         |  SELECT vec_id, xc,
+         |    list_sum(list_transform(range(1, ${PcaDim + 1}), i -> xc[i] * pv[i])) AS s
+         |  FROM xc, v1
+         |), w2 AS (
+         |  SELECT i, ${graft.Canon.oDsum18("x * s")} AS w
+         |  FROM (SELECT s, unnest(range(1, ${PcaDim + 1})) AS i, unnest(xc) AS x FROM s2)
+         |  GROUP BY i
+         |), w2l AS (SELECT list(w ORDER BY i) AS warr FROM w2),
+         |v2 AS (
+         |  SELECT list_transform(warr,
+         |    x -> x / sqrt(list_sum(list_transform(warr, y -> y * y)))) AS pv
+         |  FROM w2l
+         |), sv AS (
+         |  SELECT CASE WHEN list_sum(pv) < 0
+         |    THEN list_transform(pv, x -> -x) ELSE pv END AS pv FROM v2
+         |), ssq AS (
+         |  SELECT ${graft.Canon.oDsum18("s * s")} AS ss
+         |  FROM (SELECT list_sum(list_transform(range(1, ${PcaDim + 1}),
+         |          i -> xc.xc[i] * sv.pv[i])) AS s
+         |        FROM xc, sv)
+         |), tr AS (
+         |  SELECT ${graft.Canon.oDsum18("x * x")} AS tr
+         |  FROM (SELECT unnest(xc) AS x FROM xc)
+         |)
+         |SELECT i AS dim, ROUND(pv[i], 4) AS loading,
+         |  ROUND(ss / n, 4) AS eigenvalue, ROUND(ss / tr, 4) AS explained_share
+         |FROM sv, ssq, tr, nt, range(1, ${PcaDim + 1}) t(i)
+         |ORDER BY dim ASC NULLS FIRST""".stripMargin,
+
+    // Two unrolled damped rounds over the shared pairs CTE — a
+    // PrRounds retune must re-unroll this chain (the c35 discipline).
+    "c68_pagerank" ->
+      s"""${Llm.oraclePairsCte}, edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS u, doc_a AS v FROM pairs
+         |), deg AS (
+         |  SELECT u AS node, COUNT(*) AS deg FROM edges GROUP BY u
+         |), nt AS (SELECT COUNT(*) AS n FROM deg),
+         |pr0 AS (
+         |  SELECT node, deg, CAST(1.0 AS DOUBLE) / n AS pr FROM deg, nt
+         |), r1 AS (
+         |  SELECT e.u AS node, ${graft.Canon.oDsum18("p.pr / p.deg")} AS contrib
+         |  FROM edges e JOIN pr0 p ON e.v = p.node GROUP BY e.u
+         |), pr1 AS (
+         |  SELECT d.node, d.deg,
+         |    CAST($PrJump AS DOUBLE) / nt.n + CAST($PrDamping AS DOUBLE) * r1.contrib AS pr
+         |  FROM deg d JOIN r1 ON d.node = r1.node, nt
+         |), r2 AS (
+         |  SELECT e.u AS node, ${graft.Canon.oDsum18("p.pr / p.deg")} AS contrib
+         |  FROM edges e JOIN pr1 p ON e.v = p.node GROUP BY e.u
+         |), pr2 AS (
+         |  SELECT d.node, d.deg,
+         |    CAST($PrJump AS DOUBLE) / nt.n + CAST($PrDamping AS DOUBLE) * r2.contrib AS pr
+         |  FROM deg d JOIN r2 ON d.node = r2.node, nt
+         |)
+         |SELECT node AS doc_id, deg AS n_neighbors, ROUND(pr, 4) AS pagerank
+         |FROM pr2
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
     // Variance from the two decimal-exact sums, assembled in double
     // with the identical expression — the c39 moments discipline.
     "c66_dim_standardize" ->

@@ -233,6 +233,21 @@ class MigrationSpec extends AnyFunSuite {
     }
   }
 
+  test("A15: resume manifest partitions the key space into 16 trusted ranges") {
+    val sf = TestSpark.sf0001
+    val total = Tables.t(spark, sf, "orders").count()
+    val out = ops.Migration.resumeManifest(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    assert(out.map(_._1).sorted == out.map(_._1), "ordered by range")
+    assert(out.map(_._1).toSet.subsetOf("0123456789abcdef".map(_.toString).toSet))
+    assert(out.map(_._2).sum == total, "ranges must partition every row")
+    out.foreach { case (rng, n, lo, hi, done) =>
+      assert(n > 0 && lo <= hi, s"$rng bounds")
+      assert(done == (rng < "8"), s"$rng watermark flag")
+    }
+  }
+
   test("A14: intent classes partition the table; only tombstones lose cells") {
     val sf = TestSpark.sf0001
     val total = Tables.t(spark, sf, "orders").count()

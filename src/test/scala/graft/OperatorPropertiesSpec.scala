@@ -556,6 +556,45 @@ class OperatorPropertiesSpec extends AnyFunSuite {
     assert(base == wide)
   }
 
+  test("c67: the fitted component is unit-norm, sign-canonical, with a sane explained share") {
+    val sf = TestSpark.sf0001
+    val out = ops.NearDup.pcaPower(spark, sf)
+      .select("dim", "loading", "eigenvalue", "explained_share")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(out.map(_._1).toSeq == (1L to 64L))
+    val norm2 = out.map(r => r._2 * r._2).sum
+    assert(math.abs(norm2 - 1.0) < 0.01, s"loading norm^2 $norm2")
+    assert(out.map(_._2).sum >= -0.01, "canonical sign: component sum >= 0")
+    val (lam, share) = (out.head._3, out.head._4)
+    assert(out.forall(r => r._3 == lam && r._4 == share), "constant artifact columns")
+    assert(lam > 0.0)
+    assert(share > 0.0 && share <= 1.0, s"share $share")
+    // Rayleigh quotient of the 2-round iterate on a full-rank corpus
+    // must beat a token floor (exact top component explains >= 1/64)
+    assert(share > 0.01, s"share $share below any plausible top-component share")
+  }
+
+  test("c68: PageRank mass is conserved and covers exactly the graph's nodes") {
+    val sf = TestSpark.sf0001
+    val out = ops.NearDup.pagerank(spark, sf)
+      .select("doc_id", "n_neighbors", "pagerank")
+      .as[(Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    // node set = union of candidate-pair endpoints
+    val nodes = ops.Llm.minhashPairs(spark, sf)
+      .select(explode(array($"doc_a", $"doc_b")).as("d"))
+      .distinct().as[Long].collect().toSet
+    assert(out.map(_._1).toSet == nodes)
+    // (1-d)/N jump + d * conserved contributions => total mass 1 every
+    // round on a symmetric (dangling-free) graph
+    val mass = out.map(_._3).sum
+    assert(math.abs(mass - 1.0) < out.length * 1e-4 + 1e-6, s"mass $mass over ${out.length}")
+    out.foreach { case (d, deg, pr) =>
+      assert(deg >= 1L, s"$d")
+      assert(pr > 0.0, s"$d pr $pr")
+    }
+  }
+
   test("labelCache drops a stopped application's entries (listener eviction)") {
     val df = Seq((1L, 1L)).toDF("doc_id", "cluster_id")
     ops.NearDup.labelCache.put("deadapp:/tmp/corpusA", df)

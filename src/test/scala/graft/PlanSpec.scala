@@ -389,9 +389,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("c64: calibration joins are id-equi over the pair spine; nothing cartesian") {
+  test("c64: calibration joins are id-equi over the sampled pair spine; nothing cartesian") {
     val p = plan(Llm.minhashCalibration(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the only nested-loop is the 1-row broadcast pair-count feeding
+    // the audit-budget cut (the c6/c41 broadcast-total pattern); the
+    // sig/sset sides join the spine as broadcast equi-joins
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the signature/shingle passes are semi-pruned to sampled docs
+    assert(p.contains("LeftSemi"), s"sampled-doc semi-prune missing: $p")
   }
 }
