@@ -1326,6 +1326,34 @@ object NearDup {
       .limit(PqTopK)
   }
 
+  /** c69 — dedup CLUSTER-SIZE distribution: for every duplicate-
+    * cluster size, how many clusters and how many docs — the "how
+    * duplicated is this corpus" audit that sizes a dedup run's
+    * savings before running it (n_docs − n_clusters summed over the
+    * table = rows removable by c22) and exposes pathological
+    * boilerplate (one giant cluster) at a glance. Docs with no
+    * near-dup candidate are the cluster_size = 1 row (every labeled
+    * doc has ≥ 1 edge, so label-side clusters are always ≥ 2).
+    *
+    * Scale shape: reads the memoized cluster-label table (the c21
+    * setup pass), two label-sized aggregations + one corpus anti-join
+    * for the singleton count — nothing new is computed at corpus
+    * scale.
+    */
+  def clusterSizeDist(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = clusterLabels(spark, sfDir)
+    val grouped = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("sz").as("cluster_size"), col("n_clusters"),
+        (col("sz") * col("n_clusters")).as("n_docs"))
+    val singles = Tables.t(spark, sfDir, "documents")
+      .join(labels, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit(1L).as("cluster_size"), col("n").as("n_clusters"),
+        col("n").as("n_docs"))
+    singles.unionByName(grouped).orderBy("cluster_size")
+  }
+
   private[graft] val PrDamping = 0.85
   // (1−d) as its OWN literal, not computed: 1.0−0.85 in IEEE is
   // 0.15000000000000002, while a 0.15 source literal (both engines)
@@ -1535,6 +1563,7 @@ object NearDup {
     "c66_dim_standardize" -> (dimStandardize(_, _)),
     "c68_pagerank" -> (pagerank(_, _)),
     "c67_pca_power" -> (pcaPower(_, _)),
+    "c69_cluster_size_dist" -> (clusterSizeDist(_, _)),
     "c10_simhash_fingerprint" -> (simhashFingerprint(_, _)),
     "c59_simhash_hamming_pairs" -> (simhashHammingPairs(_, _)),
     "c21_dedup_clusters" -> (dedupClusters(_, _)),
@@ -1671,6 +1700,24 @@ object NearDup {
          |FROM shortlist s JOIN embeddings e ON s.vec_id = e.vec_id, probe p
          |ORDER BY ip DESC NULLS LAST, s.vec_id ASC
          |LIMIT $PqTopK""".stripMargin,
+    // Singletons = corpus minus the clustered docs; labeled clusters
+    // are always >= 2 so the two sides cannot collide on size 1.
+    "c69_cluster_size_dist" ->
+      s"""$oracleClustersCte, sizes AS (
+         |  SELECT cluster_id, COUNT(*) AS sz FROM clusters GROUP BY cluster_id
+         |), grouped AS (
+         |  SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+         |    CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+         |  FROM sizes GROUP BY sz
+         |), singles AS (
+         |  SELECT CAST(1 AS BIGINT) AS cluster_size, COUNT(*) AS n_clusters,
+         |    COUNT(*) AS n_docs
+         |  FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM clusters)
+         |)
+         |SELECT * FROM (
+         |  SELECT * FROM singles UNION ALL SELECT * FROM grouped
+         |) ORDER BY cluster_size ASC NULLS FIRST""".stripMargin,
+
     // Two unrolled power rounds; every per-row reduction is a
     // list-order fold (the c4 list_sum twin of ArrayDot) and every
     // cross-row sum rides DECIMAL(38,18). A PcaRounds retune must

@@ -595,6 +595,24 @@ class OperatorPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("c69: size rows partition the corpus and price the dedup savings exactly") {
+    val sf = TestSpark.sf0001
+    val out = ops.NearDup.clusterSizeDist(spark, sf)
+      .select("cluster_size", "n_clusters", "n_docs")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val total = Tables.t(spark, sf, "documents").count()
+    assert(out.map(_._3).sum == total, "every doc in exactly one size row")
+    assert(out.head._1 == 1L, "singleton row present")
+    out.tail.foreach { case (s, nc, nd) =>
+      assert(s >= 2L, "label-side clusters are never singletons")
+      assert(nd == s * nc)
+    }
+    // removable rows = sum(size-1) over clusters = the c22 loser count
+    val losers = ops.NearDup.clusterLosers(spark, sf).count()
+    assert(out.map(r => r._3 - r._2).sum == losers,
+      s"priced savings != actual loser count $losers")
+  }
+
   test("labelCache drops a stopped application's entries (listener eviction)") {
     val df = Seq((1L, 1L)).toDF("doc_id", "cluster_id")
     ops.NearDup.labelCache.put("deadapp:/tmp/corpusA", df)
