@@ -10,7 +10,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Migration.queries ++ Relational.queries ++ Windows.queries ++
       Functions.queries ++ Llm.queries ++ NearDup.queries ++
-      TextAnalysis.queries ++ Multimodal.queries ++
+      TextAnalysis.queries ++ Multimodal.queries ++ Retrieval.queries ++
       graft.streaming.Streams.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (b18_approx_distinct: HLL
@@ -19,6 +19,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Migration.oracle ++ Relational.oracle ++ Windows.oracle ++
       Functions.oracle ++ Llm.oracle ++ NearDup.oracle ++
-      TextAnalysis.oracle ++ Multimodal.oracle ++
+      TextAnalysis.oracle ++ Multimodal.oracle ++ Retrieval.oracle ++
       graft.streaming.Streams.oracle
 }
