@@ -167,16 +167,25 @@ object NearDup {
     * at hamming budget + 1. The verify is integer-only on two longs —
     * no text is rehashed and no embedding/array crosses the wire.
     */
-  def simhashHammingPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val blockW = SimhashBits / SimhashBlocks
+  def simhashHammingPairs(spark: SparkSession, sfDir: String): DataFrame =
+    simhashBlockJoin(simhashValues(spark, sfDir), SimhashBits, SimhashBlocks)
+
+  /** The block-pigeonhole candidate join shared by c59 (32-bit print)
+    * and c73 (60-bit print): equi-join on (block index, block value)
+    * over `blocks` disjoint MSB-first blocks of a `bits`-wide
+    * fingerprint column `v`, first-matching-block once-only emission,
+    * integer bit_count verify at Hamming ≤ blocks − 1.
+    */
+  private def simhashBlockJoin(values: DataFrame, bits: Int, blocks: Int): DataFrame = {
+    val blockW = bits / blocks
     val mask = (1L << blockW) - 1
     // Block j (MSB-first) of fingerprint value v, as a SQL fragment;
     // j may be a literal index or a lambda variable.
     def blockOf(v: String, j: String) =
-      s"(shiftright($v, $SimhashBits - $blockW * ($j + 1)) & $mask)"
-    val probes = simhashValues(spark, sfDir)
+      s"(shiftright($v, $bits - $blockW * ($j + 1)) & $mask)"
+    val probes = values
       .select(col("doc_id"), col("v"),
-        explode(expr((0 until SimhashBlocks).map(j =>
+        explode(expr((0 until blocks).map(j =>
           s"struct($j AS blk, ${blockOf("v", j.toString)} AS bval)")
           .mkString("array(", ", ", ")"))).as("p"))
       .select(col("doc_id"), col("v"), col("p.blk").as("blk"),
@@ -187,13 +196,65 @@ object NearDup {
       col("blk").as("blk_b"), col("bval").as("bval_b"))
     a.join(b, col("blk") === col("blk_b") && col("bval") === col("bval_b") &&
         col("doc_a") < col("doc_b"))
-      .where(expr(s"NOT exists(sequence(0, ${SimhashBlocks - 1}), " +
+      .where(expr(s"NOT exists(sequence(0, ${blocks - 1}), " +
         s"j -> j < blk AND ${blockOf("va", "j")} = ${blockOf("vb", "j")})"))
       .select(col("doc_a"), col("doc_b"),
         expr("CAST(bit_count(va ^ vb) AS BIGINT)").as("hamming"))
-      .where(col("hamming") <= SimhashHammingMax)
+      .where(col("hamming") <= blocks - 1)
       .orderBy("doc_a", "doc_b")
   }
+
+  // c73 knobs — the PRODUCTION print width. 60 bits = 4 disjoint
+  // 15-bit blocks (not 64: a 1L << 63 top bit overflows DuckDB's
+  // signed shift, and 60 keeps every fingerprint and block value a
+  // positive long in both engines).
+  private[graft] val SimhashWideBits = 60
+
+  /** The 60-bit fingerprint: positions 0–31 take the high bit of
+    * md5(w)'s first 32 nibbles (exactly c10's grid), positions 32–59
+    * the high bit of md5("w2:" ∥ w)'s first 28 — a second independent
+    * hyperplane batch from a salted hash, the standard way to widen a
+    * SimHash beyond one digest's supply of bits.
+    */
+  private[graft] def simhashValuesWide(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = graft.Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), md5(col("w")).as("h1"),
+        md5(concat(lit("w2:"), col("w"))).as("h2"))
+    // 8 hex-quads: v0..v3 from h1, v4..v7 from h2 — 4 convs per word
+    // per hash instead of 60 per-nibble substrings.
+    val toks = words.select(col("doc_id") +:
+      ((0 until 4).map(q =>
+        conv(substring(col("h1"), 8 * q + 1, 8), 16, 10).cast("long").as(s"v$q")) ++
+       (0 until 4).map(q =>
+        conv(substring(col("h2"), 8 * q + 1, 8), 16, 10).cast("long").as(s"v${q + 4}"))): _*)
+    val bitSums = (0 until SimhashWideBits).map { j =>
+      val (q, n) = (j / 8, j % 8)
+      sum(when(expr(s"(shiftright(v$q, ${31 - 4 * n}) & 1) = 1"), 1).otherwise(-1))
+        .as(s"s$j")
+    }
+    toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until SimhashWideBits).map(j =>
+          when(col(s"s$j") > 0, lit(1L << (SimhashWideBits - 1 - j)))
+            .otherwise(lit(0L))).reduce(_ + _).as("v"))
+  }
+
+  /** c73 — c59 at the PRODUCTION print width: the same Hamming ≤ 3
+    * block-pigeonhole pairing on a 60-bit fingerprint. This is the
+    * measured answer to c59's output-sized cost: at 32 bits the
+    * random-text fixture holds ~426k qualifying pairs at sf0.1
+    * (n²/2^32-scaled coincidences — output volume, not algorithm
+    * overhead), while at 60 bits a ≤3-bit disagreement is a
+    * 2^−57-per-pair coincidence, so surviving pairs are genuine
+    * near-duplicates and both the candidate-bucket occupancy
+    * (n/2^15 per block value vs n/2^8) and the output collapse.
+    * Same kernel ([[simhashBlockJoin]]), same zero-recall-loss
+    * pigeonhole — only the width dial moved, exactly how Manku et
+    * al. size production prints (64 bit) against corpus scale.
+    */
+  def simhashWidePairs(spark: SparkSession, sfDir: String): DataFrame =
+    simhashBlockJoin(simhashValuesWide(spark, sfDir), SimhashWideBits, SimhashBlocks)
 
   /** c11 — character-trigram Jaccard over the MinHash/LSH candidate
     * pairs (char-level near-dup verify — catches token-reordered
@@ -1566,6 +1627,7 @@ object NearDup {
     "c69_cluster_size_dist" -> (clusterSizeDist(_, _)),
     "c10_simhash_fingerprint" -> (simhashFingerprint(_, _)),
     "c59_simhash_hamming_pairs" -> (simhashHammingPairs(_, _)),
+    "c73_simhash_wide_pairs" -> (simhashWidePairs(_, _)),
     "c21_dedup_clusters" -> (dedupClusters(_, _)),
     "c22_dedup_survivors" -> (dedupSurvivors(_, _)),
     "c24_embedding_quantize" -> (embeddingQuantize(_, _)),
@@ -2049,6 +2111,32 @@ object NearDup {
          |        IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s
          |    FROM (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents),
          |         range($SimhashBits) t(pos)
+         |    GROUP BY doc_id, pos
+         |  )
+         |  GROUP BY doc_id
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.v, b.v)) AS BIGINT) AS hamming
+         |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.v, b.v)) <= $SimhashHammingMax
+         |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
+
+    // Same brute-force cross-check at the 60-bit production width —
+    // positions 0-31 from md5(w), 32-59 from the salted md5('w2:'||w).
+    "c73_simhash_wide_pairs" ->
+      s"""WITH sims AS (
+         |  SELECT doc_id,
+         |    SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << ($SimhashWideBits - 1 - pos))
+         |        ELSE 0 END) AS v
+         |  FROM (
+         |    SELECT doc_id, pos,
+         |      SUM(CASE WHEN substr(CASE WHEN pos < 32 THEN h1 ELSE h2 END,
+         |          (pos % 32) + 1, 1)
+         |        IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s
+         |    FROM (SELECT doc_id, md5(w) AS h1, md5('w2:' || w) AS h2
+         |          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |                FROM documents)),
+         |         range($SimhashWideBits) t(pos)
          |    GROUP BY doc_id, pos
          |  )
          |  GROUP BY doc_id

@@ -485,6 +485,32 @@ class OperatorPropertiesSpec extends AnyFunSuite {
       s"bucketed pair set (${got.length}) != brute force (${bf.size})")
   }
 
+  test("c73: the 60-bit pairing is lossless too, and its top 32 bits ARE the c10 print") {
+    val sf = TestSpark.sf0001
+    val wide = ops.NearDup.simhashValuesWide(spark, sf)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    // Positions 0-31 of the wide print use exactly c10's nibble grid,
+    // so wide >> 28 must reproduce the 32-bit fingerprint verbatim —
+    // the cross-kernel pin that the width dial only APPENDS planes.
+    val narrow = ops.NearDup.simhashValues(spark, sf)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(wide.map { case (id, v) => (id, v >>> 28) }.toSeq == narrow.toSeq)
+    assert(wide.forall { case (_, v) => v >= 0 && v < (1L << 60) })
+    // Same pigeonhole-losslessness claim as c59, at the 60-bit width.
+    val bf = (for {
+      i <- wide.indices.iterator
+      j <- (i + 1) until wide.length
+      h = java.lang.Long.bitCount(wide(i)._2 ^ wide(j)._2)
+      if h <= ops.NearDup.SimhashHammingMax
+    } yield ((wide(i)._1, wide(j)._1), h.toLong)).toMap
+    val got = ops.NearDup.simhashWidePairs(spark, sf)
+      .select($"doc_a", $"doc_b", $"hamming")
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(r => (r._1, r._2)).distinct.length == got.length)
+    assert(got.map(r => ((r._1, r._2), r._3)).toMap == bf,
+      s"bucketed pair set (${got.length}) != brute force (${bf.size})")
+  }
+
   test("c62: prefix rerank emits exact full-dim cosines in rank order, probe excluded") {
     val sf = TestSpark.sf0001
     val out = ops.NearDup.annPrefixRerank(spark, sf)
