@@ -1,0 +1,347 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Event-history analytics — the warehouse-side operator family a
+  * migration lands its event tables INTO: ordered-funnel conversion,
+  * cohort retention, SCD Type-2 interval compaction, and the
+  * bucketized interval-overlap join (the non-equi join shape that
+  * must never be a cross join at scale).
+  *
+  * All four keys run on the `events`/`orders` fixtures through the
+  * repo canon: timestamps travel as epoch-µs longs through
+  * [[Tables.tsUs]] (µs is the finest cross-engine-visible resolution,
+  * FIXTURES.md), ranks and runs are total-ordered with explicit
+  * `event_id` tiebreaks, and every emitted ratio is a single
+  * IEEE division of exact integers rounded at 1e-4 (SURVEY §5.3).
+  */
+object Analytics {
+
+  /** One µs-day — the integer-division grain for cohort/overlap days. */
+  private val DayUs = 86400000000L
+
+  // --- c74: ordered funnel conversion ------------------------------
+
+  /** The funnel's ordered stages. */
+  private[graft] val FunnelStages = Seq("view", "click", "purchase")
+
+  /** c74 — ordered funnel conversion over the event stream: how many
+    * users performed view → click → purchase IN THAT ORDER (each later
+    * stage strictly after the user's earliest qualifying prior stage —
+    * a click before any view does not convert). The standard product-
+    * analytics funnel, computed set-at-a-time instead of per-user
+    * imperative scans.
+    *
+    * Shape: three STACKED window aggregates over one
+    * `partitionBy(user_id)` — `v_ts` = min view ts, `c_ts` = min click
+    * ts strictly after `v_ts`, `p_ts` = min purchase ts strictly after
+    * `c_ts`. Each references the previous window's column, so Catalyst
+    * plans three Window operators over the SAME partitioning: one
+    * exchange + one sort serve all three at any corpus size — the
+    * funnel never re-shuffles per stage. The per-user frame then
+    * collapses to one row per user (map-side combinable) and the final
+    * 3-row stage table is a driver-sized `stack`.
+    *
+    * Determinism: stage timestamps are epoch-µs longs; "strictly
+    * after" is integer `>` in both engines; conversion ratios are one
+    * int/int division rounded at 1e-4 with a NULL guard on an empty
+    * prior stage.
+    */
+  def funnelConversion(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.t(spark, sfDir, "events")
+    funnelConversionFrom(
+      ev.select(col("user_id"), col("event_type"), Tables.tsUs(ev).as("ts_us")))
+  }
+
+  /** Kernel of [[funnelConversion]] over any (user_id, event_type,
+    * ts_us) frame — split out so the spec can pin the ordering
+    * semantics (a click BEFORE the first view must not count) on a
+    * hand-built history.
+    */
+  private[graft] def funnelConversionFrom(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val staged = e
+      .withColumn("v_ts",
+        min(when(col("event_type") === FunnelStages(0), col("ts_us"))).over(w))
+      .withColumn("c_ts",
+        min(when(col("event_type") === FunnelStages(1) &&
+          col("ts_us") > col("v_ts"), col("ts_us"))).over(w))
+      .withColumn("p_ts",
+        min(when(col("event_type") === FunnelStages(2) &&
+          col("ts_us") > col("c_ts"), col("ts_us"))).over(w))
+    val perUser = staged.groupBy(col("user_id"))
+      .agg(max(col("v_ts")).as("v"), max(col("c_ts")).as("c"),
+        max(col("p_ts")).as("p"))
+    val counts = perUser.agg(count(col("v")).as("u1"), count(col("c")).as("u2"),
+      count(col("p")).as("u3"))
+    counts
+      .select(expr(
+        s"""stack(3,
+           |  1L, '${FunnelStages(0)}', u1, u1,
+           |  2L, '${FunnelStages(1)}', u2, u1,
+           |  3L, '${FunnelStages(2)}', u3, u2)
+           |AS (stage_idx, stage, users, prev_users)""".stripMargin))
+      .select(col("stage_idx"), col("stage"), col("users"),
+        when(col("prev_users") > 0,
+          round(col("users").cast("double") / col("prev_users"), 4))
+          .as("conversion"))
+      .orderBy("stage_idx")
+  }
+
+  // --- c75: cohort retention ---------------------------------------
+
+  /** c75 — cohort retention: users grouped by the day of their FIRST
+    * event (the cohort), counted on every later day-offset they were
+    * active. The (cohort × offset) retention matrix behind every
+    * "day-N retention" metric.
+    *
+    * Shape: the corpus collapses to distinct (user, day) FIRST — one
+    * map-side-combinable aggregation, so the window below sorts
+    * activity days (≤ span per user), never raw events; the cohort
+    * day rides a `min` window over the same user partitioning; the
+    * final count groups by (cohort, offset) which is a second,
+    * output-sized shuffle. Integer day arithmetic throughout:
+    * day = ts_us div 86 400 000 000 — no calendar/TZ functions on the
+    * hot path (the date label is formatted once per OUTPUT row).
+    */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.t(spark, sfDir, "events")
+    cohortRetentionFrom(
+      ev.select(col("user_id"), Tables.tsUs(ev).as("ts_us")))
+  }
+
+  /** Kernel of [[cohortRetention]] over any (user_id, ts_us) frame. */
+  private[graft] def cohortRetentionFrom(e: DataFrame): DataFrame = {
+    val days = e
+      .select(col("user_id"), expr(s"ts_us div $DayUs").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id"))
+    days
+      .withColumn("cohort", min(col("day")).over(w))
+      .groupBy(col("cohort"), (col("day") - col("cohort")).as("day_offset"))
+      .agg(count(lit(1)).as("users"))
+      .select(
+        date_format(timestamp_micros(col("cohort") * DayUs), "yyyy-MM-dd")
+          .as("cohort_date"),
+        col("day_offset"), col("users"))
+      .orderBy("cohort_date", "day_offset")
+  }
+
+  // --- c76: SCD Type-2 interval compaction -------------------------
+
+  /** c76 — SCD Type-2 compaction of the event stream: per user, runs
+    * of consecutive identical states (event_type here) collapse to one
+    * versioned row with a validity interval [valid_from, valid_to),
+    * NULL valid_to marking the current version — the change-data-
+    * capture → dimension-history build every warehouse migration runs
+    * after landing a mutation log.
+    *
+    * Shape: the classic gaps-and-islands reduction — a `lag` change
+    * flag and its running sum (the version number) ride ONE
+    * `(user_id, ts_us, event_id)` sort, the groupBy(user, version)
+    * collapse is map-side combinable ON the same partitioning (no
+    * second exchange — Catalyst reuses the window's hash partitioning
+    * for the aggregate), and `valid_to` is a `lead` over versions
+    * (per-user version counts are run-length-bounded). Nothing in the
+    * plan is corpus-quadratic and the one shuffle is by user —
+    * exactly how a 100 TB mutation log compacts per key.
+    *
+    * Determinism: the sort tiebreaks equal-µs events by event_id;
+    * the change test is an explicit isNull ∨ ≠ (no engine-specific
+    * null-equality semantics on the path).
+    */
+  def scd2Intervals(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.t(spark, sfDir, "events")
+    scd2IntervalsFrom(ev.select(col("user_id"), col("event_id"),
+      col("event_type"), Tables.tsUs(ev).as("ts_us")))
+  }
+
+  /** Kernel of [[scd2Intervals]] over any (user_id, event_id,
+    * event_type, ts_us) frame — split out so the spec can pin the
+    * run-compaction semantics (A,A,B,A → 3 versions) directly.
+    */
+  private[graft] def scd2IntervalsFrom(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val marked = e
+      .withColumn("prev_state", lag(col("event_type"), 1).over(w))
+      .withColumn("chg",
+        when(col("prev_state").isNull ||
+          col("prev_state") =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("version",
+        sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runs = marked.groupBy(col("user_id"), col("version"))
+      .agg(min(col("event_type")).as("state"),
+        min(col("ts_us")).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+    val wv = Window.partitionBy(col("user_id")).orderBy(col("version").asc)
+    runs
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(wv))
+      .select(col("user_id"), col("version"), col("state"),
+        col("valid_from_us"), col("valid_to_us"), col("n_events"))
+      .orderBy("user_id", "version")
+  }
+
+  // --- c77: bucketized interval-overlap join -----------------------
+
+  /** Interval widths (days) of the two sides, and the equi-join
+    * bucket width. Buckets at least as wide as the WIDER side keep
+    * per-interval bucket fan-out ≤ 2 — each interval lands in at most
+    * ⌈width/bucket⌉ + 1 buckets.
+    */
+  private[graft] val OverlapDaysA = 7
+  private[graft] val OverlapDaysB = 14
+  private[graft] val BucketDays = 14
+
+  /** c77 — interval-overlap join WITHOUT a cross join: deterministic
+    * md5 samples of open ('O') and finished ('F') orders become
+    * 7-day and 14-day activity intervals, and every overlapping
+    * (A, B) pair is found through a BUCKETIZED equi-join — each
+    * interval explodes to its covering [[BucketDays]]-day buckets,
+    * candidates meet on the bucket key, and a pair is emitted exactly
+    * once at the bucket containing max(start_a, start_b) (which both
+    * sides provably cover whenever the intervals overlap, so the
+    * once-only guard loses nothing).
+    *
+    * This is THE scale shape for temporal/spatial overlap joins
+    * (DuckDB's IEJoin and Sedona's grid partitioning solve the same
+    * problem): a naive theta-join is corpus-quadratic and Spark would
+    * plan it as BroadcastNestedLoopJoin; the bucket explode costs
+    * ≤ 2 rows per interval and turns the join into a shuffled
+    * equi-join whose per-key work is bucket-occupancy-quadratic —
+    * bounded by the time-density of intervals, not the corpus. The
+    * oracle is DuckDB's native non-equi range join over the same
+    * samples, so the bucketization is verified to lose and invent
+    * nothing.
+    */
+  def intervalOverlapJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.t(spark, sfDir, "orders")
+    val base = orders.select(col("o_orderkey"), col("o_orderstatus"),
+      expr(s"unix_micros(cast(o_orderdate as timestamp)) div $DayUs").as("d"))
+    def side(status: String, widthDays: Int, pfx: String): DataFrame =
+      base
+        .where(col("o_orderstatus") === status &&
+          substring(md5(concat(lit("ivl:"), col("o_orderkey").cast("string"))), 1, 2)
+            .isin("00", "01", "02", "03"))
+        .select(col("o_orderkey").as(s"${pfx}_orderkey"),
+          col("d").as(s"${pfx}_start"),
+          (col("d") + widthDays).as(s"${pfx}_end"))
+    val a = side("O", OverlapDaysA, "a")
+    val b = side("F", OverlapDaysB, "b")
+    def buckets(df: DataFrame, pfx: String): DataFrame =
+      df.withColumn("bk", explode(expr(
+        s"sequence(${pfx}_start div $BucketDays, (${pfx}_end - 1) div $BucketDays)")))
+    buckets(a, "a").join(buckets(b, "b"), Seq("bk"))
+      .where(col("a_start") < col("b_end") && col("b_start") < col("a_end") &&
+        col("bk") === expr(s"greatest(a_start, b_start) div $BucketDays"))
+      .select(col("a_orderkey"), col("b_orderkey"),
+        (least(col("a_end"), col("b_end")) -
+          greatest(col("a_start"), col("b_start"))).as("overlap_days"))
+      .orderBy("a_orderkey", "b_orderkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c74_funnel_conversion" -> (funnelConversion(_, _)),
+    "c75_cohort_retention" -> (cohortRetention(_, _)),
+    "c76_scd2_intervals" -> (scd2Intervals(_, _)),
+    "c77_interval_overlap_join" -> (intervalOverlapJoin(_, _)))
+
+  val oracle: Map[String, String] = Map(
+    // Stacked windows mirror the Spark kernel: each stage's min-ts
+    // strictly after the previous stage's, then one 3-row stage table.
+    "c74_funnel_conversion" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+        |), w1 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'view' THEN ts_us END)
+        |    OVER (PARTITION BY user_id) AS v_ts FROM e
+        |), w2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts_us > v_ts THEN ts_us END)
+        |    OVER (PARTITION BY user_id) AS c_ts FROM w1
+        |), w3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_us > c_ts THEN ts_us END)
+        |    OVER (PARTITION BY user_id) AS p_ts FROM w2
+        |), per_user AS (
+        |  SELECT user_id, max(v_ts) AS v, max(c_ts) AS c, max(p_ts) AS p
+        |  FROM w3 GROUP BY user_id
+        |), counts AS (
+        |  SELECT count(v) AS u1, count(c) AS u2, count(p) AS u3 FROM per_user
+        |)
+        |SELECT stage_idx, stage, users,
+        |  CASE WHEN prev_users > 0
+        |       THEN ROUND(CAST(users AS DOUBLE) / prev_users, 4) END AS conversion
+        |FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage, u1 AS users, u1 AS prev_users FROM counts
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), 'click', u2, u1 FROM counts
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), 'purchase', u3, u2 FROM counts
+        |)
+        |ORDER BY stage_idx ASC NULLS FIRST""".stripMargin,
+
+    "c75_cohort_retention" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+        |), c AS (
+        |  SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS cohort FROM ud
+        |)
+        |SELECT strftime(make_timestamp(cohort * 86400000000), '%Y-%m-%d') AS cohort_date,
+        |  day - cohort AS day_offset, COUNT(*) AS users
+        |FROM c
+        |GROUP BY cohort, day - cohort
+        |ORDER BY cohort_date ASC NULLS FIRST, day_offset ASC NULLS FIRST""".stripMargin,
+
+    "c76_scd2_intervals" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+        |), marked AS (
+        |  SELECT *,
+        |    lag(event_type, 1) OVER w AS prev_state
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY ts_us ASC NULLS FIRST, event_id ASC NULLS FIRST)
+        |), flagged AS (
+        |  SELECT *,
+        |    CAST(SUM(CASE WHEN prev_state IS NULL OR prev_state <> event_type
+        |                  THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id
+        |            ORDER BY ts_us ASC NULLS FIRST, event_id ASC NULLS FIRST
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS version
+        |  FROM marked
+        |), runs AS (
+        |  SELECT user_id, version, min(event_type) AS state,
+        |    min(ts_us) AS valid_from_us, COUNT(*) AS n_events
+        |  FROM flagged GROUP BY user_id, version
+        |)
+        |SELECT user_id, version, state, valid_from_us,
+        |  lead(valid_from_us, 1) OVER (PARTITION BY user_id ORDER BY version ASC) AS valid_to_us,
+        |  n_events
+        |FROM runs
+        |ORDER BY user_id ASC NULLS FIRST, version ASC NULLS FIRST""".stripMargin,
+
+    // The oracle is the DIRECT non-equi overlap join (DuckDB plans
+    // IEJoin) over the same md5 samples — verifying the Spark-side
+    // bucketization loses and invents nothing.
+    "c77_interval_overlap_join" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    epoch_us(o_orderdate) // 86400000000 AS d
+        |  FROM orders
+        |  WHERE substr(md5('ivl:' || CAST(o_orderkey AS VARCHAR)), 1, 2)
+        |    IN ('00', '01', '02', '03')
+        |), a AS (
+        |  SELECT o_orderkey AS a_orderkey, d AS a_start, d + 7 AS a_end
+        |  FROM base WHERE o_orderstatus = 'O'
+        |), b AS (
+        |  SELECT o_orderkey AS b_orderkey, d AS b_start, d + 14 AS b_end
+        |  FROM base WHERE o_orderstatus = 'F'
+        |)
+        |SELECT a_orderkey, b_orderkey,
+        |  least(a_end, b_end) - greatest(a_start, b_start) AS overlap_days
+        |FROM a JOIN b ON a_start < b_end AND b_start < a_end
+        |ORDER BY a_orderkey ASC NULLS FIRST, b_orderkey ASC NULLS FIRST""".stripMargin)
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the event-analytics kernels' semantics (ops/Analytics.scala)
+  * on hand-built histories — the properties the fixture oracle can
+  * agree on by coincidence are asserted here by construction.
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // --- c74 funnel ---------------------------------------------------
+
+  private def funnel(rows: Seq[(Long, String, Long)]) =
+    ops.Analytics.funnelConversionFrom(
+      rows.toDF("user_id", "event_type", "ts_us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+
+  test("c74: a click BEFORE the first view does not convert") {
+    // user 1: click at t=1, view at t=2 — reached view only.
+    // user 2: view 1 → click 2 → purchase 3 — full conversion.
+    val out = funnel(Seq(
+      (1L, "click", 1L), (1L, "view", 2L),
+      (2L, "view", 1L), (2L, "click", 2L), (2L, "purchase", 3L)))
+    assert(out.toSeq == Seq((1L, "view", 2L), (2L, "click", 1L),
+      (3L, "purchase", 1L)))
+  }
+
+  test("c74: stage order is strict — equal timestamps do not advance") {
+    // view and click at the SAME µs: strictly-after fails, no convert.
+    val out = funnel(Seq((1L, "view", 5L), (1L, "click", 5L)))
+    assert(out.toSeq == Seq((1L, "view", 1L), (2L, "click", 0L),
+      (3L, "purchase", 0L)))
+  }
+
+  test("c74: the click must follow the EARLIEST view, not any view") {
+    // click at 3 follows view at 2 (earliest view 2) — converts; the
+    // purchase at 1 precedes everything and must not.
+    val out = funnel(Seq(
+      (1L, "purchase", 1L), (1L, "view", 2L), (1L, "click", 3L)))
+    assert(out.toSeq == Seq((1L, "view", 1L), (2L, "click", 1L),
+      (3L, "purchase", 0L)))
+  }
+
+  // --- c75 cohort retention ----------------------------------------
+
+  test("c75: cohort day is the first-active day; offsets count active days once") {
+    val day = 86400000000L
+    // user 1 first active day 0, active again day 2 (twice — counted
+    // once); user 2 first active day 2 only.
+    val e = Seq(
+      (1L, 0L * day + 5L), (1L, 2L * day + 1L), (1L, 2L * day + 2L),
+      (2L, 2L * day + 9L)).toDF("user_id", "ts_us")
+    val out = ops.Analytics.cohortRetentionFrom(e)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("1970-01-01", 0L, 1L), ("1970-01-01", 2L, 1L), ("1970-01-03", 0L, 1L)))
+  }
+
+  // --- c76 SCD2 -----------------------------------------------------
+
+  test("c76: consecutive runs compact, intervals chain, latest is open") {
+    // user 1: A,A,B,A → versions 1(A,[10,30)),2(B,[30,40)),3(A,[40,null))
+    val e = Seq(
+      (1L, 101L, "A", 10L), (1L, 102L, "A", 20L),
+      (1L, 103L, "B", 30L), (1L, 104L, "A", 40L))
+      .toDF("user_id", "event_id", "event_type", "ts_us")
+    val out = ops.Analytics.scd2IntervalsFrom(e).collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (1L, "A", 10L, 30L, 2L), (2L, "B", 30L, 40L, 1L),
+      (3L, "A", 40L, -1L, 1L)))
+  }
+
+  test("c76: equal-µs events break ties by event_id") {
+    val e = Seq((1L, 2L, "B", 10L), (1L, 1L, "A", 10L))
+      .toDF("user_id", "event_id", "event_type", "ts_us")
+    val out = ops.Analytics.scd2IntervalsFrom(e).collect()
+      .map(r => (r.getLong(1), r.getString(2)))
+    assert(out.toSeq == Seq((1L, "A"), (2L, "B")))
+  }
+
+  // --- c77 interval overlap ----------------------------------------
+
+  test("c77: bucketized pairs equal the direct overlap join, each exactly once") {
+    // Rebuild the key's pair set at sf0.001 with a brute-force quadratic
+    // join over the SAME sampled intervals and demand set equality —
+    // the no-loss/no-invention/no-duplicate property of the bucket trick.
+    // sf0.01: the sampled sides are ~80 intervals each with 46
+    // overlapping pairs (sf0.001's ~8-interval sides are vacuous).
+    val sfDir = "/root/testdata/sf0.01"
+    val out = ops.Analytics.intervalOverlapJoin(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == out.distinct.length, "duplicate pair emitted")
+    val base = Tables.t(spark, sfDir, "orders")
+      .where(substring(md5(concat(lit("ivl:"), col("o_orderkey").cast("string"))), 1, 2)
+        .isin("00", "01", "02", "03"))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("d"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val brute = for {
+      (ak, as_, ad) <- base if as_ == "O"
+      (bk, bs, bd) <- base if bs == "F"
+      if ad < bd + 14 && bd < ad + 7
+    } yield (ak, bk, math.min(ad + 7, bd + 14) - math.max(ad, bd))
+    assert(out.toSet == brute.toSet)
+    assert(out.nonEmpty, "vacuous fixture — no overlapping sampled intervals")
+  }
+}
