@@ -252,6 +252,117 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  // c78 — the iterative trainer closing c53 (count) + c61 (apply)
+  // into the actual BPE training loop.
+  private[graft] val BpeTrainRounds = 3
+
+  /** Round r's merge mark (0-based): one UPPERCASE char — disjoint
+    * from the lowercase corpus alphabet, so a merged pair stays ONE
+    * symbol = one char and later rounds can merge marks with letters
+    * or marks with marks (how real BPE symbols compose).
+    */
+  private[graft] def bpeMark(r: Int): String = ('A' + r).toChar.toString
+
+  /** c78 — BPE TRAINING, [[BpeTrainRounds]] greedy merge rounds: each
+    * round counts adjacent symbol pairs over the current vocabulary,
+    * picks the most frequent (count desc, pair asc — the spec
+    * tiebreak), rewrites every word's non-overlapping left-to-right
+    * occurrences to a fresh single-char mark, and re-collapses the
+    * vocabulary (distinct words CAN collide after a merge — their
+    * counts sum, exactly a symbol-sequence vocab). Emits one row per
+    * round: the winning pair, its count, and the post-merge vocabulary
+    * size / total symbol count (the quantities the greedy loop
+    * optimizes). Sennrich et al. 2016 (arXiv:1508.07909, public)
+    * reduced to its exact deterministic core.
+    *
+    * Scale shape: the ONE corpus-sized pass is the initial word-count
+    * aggregation (map-side combined); every round after that is
+    * VOCABULARY-sized — pair explode (≤ len−1 per word), a
+    * vocab-keyed agg, a 1-row `limit(1)` winner broadcast, and the
+    * rewrite projection. Per-round vocab tables are eagerly
+    * `localCheckpoint(true)`'d (the c35 Lloyd discipline): without the
+    * cut, round r's plan would embed round r−1's TWICE (once via the
+    * winner subtree, once via the rewrite), doubling plan size per
+    * round and re-running the corpus scan 2^K times.
+    *
+    * Counting semantics are c53's (overlaps counted: "aaa" → "aa"
+    * twice); application semantics are c61's (`replace` merges
+    * left-to-right non-overlapping: "aaa" merges once) — both
+    * textbook, both engine-identical.
+    */
+  def bpeTrainSteps(spark: SparkSession, sfDir: String): DataFrame =
+    bpeTrainStepsFrom(Tables.t(spark, sfDir, "documents"))
+
+  /** Kernel of [[bpeTrainSteps]] over any (text) frame — split out so
+    * the spec can pin the loop semantics (mark reuse across rounds,
+    * post-merge vocab collisions summing) on a hand-built corpus.
+    */
+  private[graft] def bpeTrainStepsFrom(docs: DataFrame): DataFrame = {
+    var vocab = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .localCheckpoint(true)
+    val rounds = (0 until BpeTrainRounds).map { r =>
+      val counts = vocab.where(length(col("w")) >= 2)
+        .select(col("wc"), explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wc")).as("n_occurrences"))
+      val winner = counts
+        .orderBy(col("n_occurrences").desc, col("pair").asc).limit(1)
+      vocab = vocab.crossJoin(broadcast(winner))
+        .select(expr(s"replace(w, pair, '${bpeMark(r)}')").as("w"), col("wc"))
+        .groupBy(col("w")).agg(sum(col("wc")).as("wc"))
+        .localCheckpoint(true)
+      val stats = vocab.agg(count(lit(1)).as("vocab_size_after"),
+        sum(col("wc") * length(col("w"))).as("n_symbols_after"))
+      winner.crossJoin(stats)
+        .select(lit(r + 1L).as("merge_round"), col("pair"),
+          col("n_occurrences"), col("vocab_size_after"),
+          col("n_symbols_after"))
+    }
+    rounds.reduce(_.unionAll(_)).orderBy("merge_round")
+  }
+
+  /** The c78 oracle, machine-generated for [[BpeTrainRounds]] rounds —
+    * the same count → select → apply chain as unrolled DuckDB CTEs, so
+    * the Spark loop and the SQL can never drift on round count or mark
+    * characters.
+    */
+  private[graft] def bpeTrainOracleSql: String = {
+    val v0 =
+      """v0 AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS wc
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w
+        |)""".stripMargin
+    val rounds = (0 until BpeTrainRounds).map { r =>
+      val (prev, cur, n) = (s"v$r", s"v${r + 1}", r + 1)
+      s"""p$n AS (
+         |  SELECT pair, CAST(SUM(wc) AS BIGINT) AS n_occurrences
+         |  FROM (SELECT wc,
+         |          unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair
+         |        FROM $prev WHERE length(w) >= 2)
+         |  GROUP BY pair
+         |), t$n AS (
+         |  SELECT pair, n_occurrences FROM p$n
+         |  ORDER BY n_occurrences DESC NULLS LAST, pair ASC NULLS FIRST LIMIT 1
+         |), $cur AS (
+         |  SELECT w, CAST(SUM(wc) AS BIGINT) AS wc
+         |  FROM (SELECT replace($prev.w, t$n.pair, '${bpeMark(r)}') AS w, wc
+         |        FROM $prev, t$n)
+         |  GROUP BY w
+         |), s$n AS (
+         |  SELECT CAST($n AS BIGINT) AS merge_round, t$n.pair, t$n.n_occurrences,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM $cur) AS vocab_size_after,
+         |    (SELECT CAST(SUM(wc * length(w)) AS BIGINT) FROM $cur) AS n_symbols_after
+         |  FROM t$n
+         |)""".stripMargin
+    }
+    val union = (1 to BpeTrainRounds)
+      .map(n => s"SELECT * FROM s$n").mkString("\nUNION ALL\n")
+    s"WITH ${(v0 +: rounds).mkString(", ")}\n$union\nORDER BY merge_round ASC NULLS FIRST"
+  }
+
   // c60 — the "curated domain" stand-in for DSIR's target corpus.
   private[graft] val TargetSources = Seq("src0", "src1")
 
@@ -819,11 +930,14 @@ object TextAnalysis {
     "c58_temperature_mix" -> (temperatureMix(_, _)),
     "c60_importance_weights" -> (importanceWeights(_, _)),
     "c61_bpe_apply_merge" -> (bpeApplyMerge(_, _)),
+    "c78_bpe_train_steps" -> (bpeTrainSteps(_, _)),
     "c63_token_entropy" -> (tokenEntropy(_, _)),
     "c65_vocab_coverage" -> (vocabCoverage(_, _))
   )
 
   val oracle: Map[String, String] = Map(
+    "c78_bpe_train_steps" -> bpeTrainOracleSql,
+
     "c58_temperature_mix" ->
       s"""WITH counts AS (
          |  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang

@@ -252,6 +252,41 @@ class TextAnalysisSpec extends AnyFunSuite {
     out.foreach { case (v90, vs) => assert(v90 >= 1L && v90 <= vs) }
   }
 
+  // --- c78 BPE training loop ---
+
+  test("c78: three greedy rounds compose marks — hand-traced on 'aaa aa b ab'") {
+    // vocab {aaa, aa, b, ab}. Round 1: pairs aa:3 (overlap-counted:
+    // "aaa" carries two), ab:1 → winner (aa,3); rewrite → {Aa, A, b,
+    // ab}, 4 words, 6 symbols. Round 2: pairs Aa:1, ab:1 — tie, pair
+    // asc picks "Aa" ('A' < 'a' in binary collation) → the MARK
+    // composes with a letter; → {B, A, b, ab}, 5 symbols. Round 3:
+    // only ab remains → (ab,1); → 4 symbols.
+    val out = TextAnalysis.bpeTrainStepsFrom(docs(1L -> "aaa aa b ab"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, "aa", 3L, 4L, 6L),
+      (2L, "Aa", 1L, 4L, 5L),
+      (3L, "ab", 1L, 4L, 4L)))
+  }
+
+  test("c78: post-merge vocabulary collisions sum their counts") {
+    // {ab, aab, Xb?} — after winner "ab" ('ab':2 beats 'aa':1) both
+    // "abb"→"Ab" and "aab"→"aA" stay distinct, but "ab"→"A" twice
+    // over two docs collapses to one vocab row with wc=2: round 2
+    // pair counts must see the SUMMED count, not duplicate rows.
+    val out = TextAnalysis.bpeTrainStepsFrom(
+      docs(1L -> "ab aab", 2L -> "ab abb"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // Round 1: ab:3 (two 'ab' + one in 'aab' + one in 'abb' = 4? no:
+    // 'aab' pairs aa,ab; 'abb' pairs ab,bb; 'ab' pair ab ×2 → ab:4.
+    assert(out.head == ((1L, "ab", 4L)))
+    // Vocab after round 1: {A:2, aA:1, Ab:1}. Round 2 pairs: aA:1,
+    // Ab:1 → tie → "Ab" ('A'+'b'=0x41 0x62) vs "aA" (0x61 0x41):
+    // 'A' < 'a' so "Ab" wins.
+    assert(out(1)._2 == "Ab" && out(1)._3 == 1L)
+  }
+
   private implicit class Map2Ops[A, B, C, D, E](rows: Array[(A, B, C, D, E)]) {
     def toMap2: Map[A, (B, C, D, E)] =
       rows.map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
