@@ -90,7 +90,21 @@ object Plans {
           "HashAggregates; no shuffle carries an embedding — only (id, j, code, d2) quads."),
       "c57_pq_adc_topk" ->
         ("ADC LUT (M×k doubles) broadcasts onto the code table; shortlist broadcasts into the " +
-          "re-rank fetch; final top-k fuses to TakeOrderedAndProject; no cartesian product."))
+          "re-rank fetch; final top-k fuses to TakeOrderedAndProject; no cartesian product."),
+      "c74_funnel_conversion" ->
+        ("ONE hashpartitioning(user_id) exchange serves all three stacked stage windows; " +
+          "the per-user collapse and the 3-row stage table add no per-stage re-shuffle."),
+      "c76_scd2_intervals" ->
+        ("One (user_id, ts, event_id) sort serves lag + running-sum; the (user, version) " +
+          "collapse reuses the window's user partitioning (ClusteredDistribution subset — " +
+          "exactly one Exchange in the whole plan)."),
+      "c77_interval_overlap_join" ->
+        ("Bucket EQUI-join (SMJ/SHJ), never BroadcastNestedLoopJoin/CartesianProduct — the " +
+          "bucket explode turns the interval theta-join into a shuffled equi-join."),
+      "c78_bpe_train_steps" ->
+        ("Final report plan contains NO documents scan — each BPE round reads the " +
+          "localCheckpoint'ed vocab, so the corpus is scanned once (at round-0 setup), " +
+          "not 2^K times."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans` on ")
       .append(sfDir).append(")\n\n")

@@ -389,6 +389,44 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("c74: one exchange serves all three funnel stage windows") {
+    val p = plan(Analytics.funnelConversion(spark, sf))
+    // Three stacked Window operators over the same partitionBy must
+    // share ONE hashpartitioning exchange — a per-stage re-shuffle
+    // would triple the funnel's network cost at any corpus size.
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("user_id"))
+    assert(exchanges == 1, s"expected 1 user_id exchange, got $exchanges:\n$p")
+    assert(p.linesIterator.count(_.contains("Window [min(")) >= 3, p)
+  }
+
+  test("c76: the (user, version) collapse reuses the window's user partitioning") {
+    val p = plan(Analytics.scd2Intervals(spark, sf))
+    // ClusteredDistribution(user_id, version) is satisfied by the
+    // window's hashpartitioning(user_id) — a second exchange before
+    // the run-collapse aggregate is the regression this pins against.
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
+  }
+
+  test("c77: interval overlap is a bucket EQUI-join — never a nested-loop theta join") {
+    val p = plan(Analytics.intervalOverlapJoin(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"theta join fell back to nested loop — the bucket equi-key is gone:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("c78: every BPE round reads the checkpointed vocab, not a replayed corpus scan") {
+    val p = plan(TextAnalysis.bpeTrainSteps(spark, sf))
+    // The plan lineage is cut per round: the documents parquet scan
+    // must not appear at all in the FINAL report plan (only vocab
+    // checkpoint scans do) — its presence would mean the 2^K-replay
+    // shape the localCheckpoint discipline exists to prevent.
+    assert(!p.contains("documents.parquet"), s"corpus scan leaked into round plan:\n$p")
+  }
+
   test("c64: calibration joins are id-equi over the sampled pair spine; nothing cartesian") {
     val p = plan(Llm.minhashCalibration(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
