@@ -740,6 +740,63 @@ object NearDup {
       .orderBy("probe_id", "rn")
   }
 
+  /** c79 — hard-example mining for contrastive training (the DPR /
+    * SimCSE negative-selection step — Karpukhin et al. 2020,
+    * arXiv:2004.04906; Gao et al. 2021, arXiv:2104.08821 — public):
+    * for a deterministic md5 1-in-16 anchor sample, the hardest
+    * NEGATIVE (most-similar vector with a DIFFERENT label) and the
+    * hardest POSITIVE (least-"obvious" is a training-recipe choice;
+    * here the most-similar SAME-label vector, the exact-match
+    * convention) plus the triplet margin pos_cos − neg_cos — the
+    * quantity a margin loss trains on and a curation pass thresholds.
+    *
+    * Scale shape: c19's batched-ANN plan, twice — the anchor batch
+    * broadcasts (KBs at any corpus size; the corpus never shuffles
+    * for the join), each branch filters its label predicate BEFORE
+    * its rank window, and the rn=1 cut executes as WindowGroupLimit
+    * (≤ 1 row per partition per anchor crosses the exchange). Two
+    * pruned corpus scans beat one unprunable one: a fused two-window
+    * variant cannot group-limit (each window would need the other's
+    * rows), so its exchange would carry the full n·anchors score
+    * table. The exact form IS the production shape for mining —
+    * practitioners run it over an ANN shortlist only to cut the scan
+    * constant; the c38 shortlist composes here unchanged.
+    *
+    * Determinism: cosines tolerance-round at 1e-4 with vec_id
+    * tiebreaks; the margin is arithmetic on the two ROUNDED values —
+    * identical doubles in both engines.
+    */
+  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val anchors = emb
+      .where(substring(md5(concat(lit("anchor:"), col("vec_id").cast("string"))), 1, 1)
+        === "0")
+      .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
+        col("embedding").as("ae"))
+    def best(sameLabel: Boolean, pfx: String): DataFrame = {
+      val pred = if (sameLabel) col("label") === col("anchor_label")
+        else col("label") =!= col("anchor_label")
+      val w = Window.partitionBy(col("anchor_id"))
+        .orderBy(col(s"${pfx}_cos").desc, col("vec_id").asc)
+      emb.join(broadcast(anchors), col("vec_id") =!= col("anchor_id") && pred)
+        .select(col("anchor_id"), col("anchor_label"), col("vec_id"),
+          col("label"),
+          round(cosine(col("embedding"), col("ae")), 4).as(s"${pfx}_cos"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("anchor_id"), col("anchor_label"),
+          col("vec_id").as(s"${pfx}_id"), col("label").as(s"${pfx}_label"),
+          col(s"${pfx}_cos"))
+    }
+    best(sameLabel = false, "neg")
+      .join(best(sameLabel = true, "pos").drop("anchor_label"), "anchor_id")
+      .select(col("anchor_id"), col("anchor_label"),
+        col("pos_id"), col("pos_cos"), col("neg_id"), col("neg_label"),
+        col("neg_cos"),
+        round(col("pos_cos") - col("neg_cos"), 4).as("margin"))
+      .orderBy("anchor_id")
+  }
+
   /** c21 — near-duplicate CLUSTERS: connected components over the LSH
     * candidate-pair graph (c2), labelling every involved doc with the
     * min doc_id of its component — the step that turns pairwise
@@ -1640,7 +1697,8 @@ object NearDup {
     "c49_dup_fraction" -> (dupFraction(_, _)),
     "c13_ann_ivf" -> (annIvf(_, _)),
     "c38_ann_ivf_adaptive" -> (annIvfAdaptive(_, _)),
-    "c19_batch_ann_topk" -> (batchAnnTopk(_, _))
+    "c19_batch_ann_topk" -> (batchAnnTopk(_, _)),
+    "c79_hard_negatives" -> (hardNegatives(_, _))
   )
 
   /** Shared DuckDB CTE: LSH candidate pairs (Llm.oraclePairsCte) →
@@ -1730,6 +1788,36 @@ object NearDup {
        |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "c79_hard_negatives" ->
+      """WITH anchors AS (
+        |  SELECT vec_id AS anchor_id, label AS anchor_label, embedding AS ae
+        |  FROM embeddings
+        |  WHERE substr(md5('anchor:' || CAST(vec_id AS VARCHAR)), 1, 1) = '0'
+        |), scored AS (
+        |  SELECT anchor_id, anchor_label, vec_id, label, ROUND(
+        |    list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(ae[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(ae, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos
+        |  FROM embeddings, anchors
+        |  WHERE vec_id != anchor_id
+        |), neg AS (
+        |  SELECT anchor_id, anchor_label, vec_id AS neg_id, label AS neg_label,
+        |    cos AS neg_cos
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+        |          ORDER BY cos DESC NULLS LAST, vec_id ASC NULLS FIRST) AS rn
+        |        FROM scored WHERE label <> anchor_label) WHERE rn = 1
+        |), pos AS (
+        |  SELECT anchor_id, vec_id AS pos_id, cos AS pos_cos
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+        |          ORDER BY cos DESC NULLS LAST, vec_id ASC NULLS FIRST) AS rn
+        |        FROM scored WHERE label = anchor_label) WHERE rn = 1
+        |)
+        |SELECT neg.anchor_id, anchor_label, pos_id, pos_cos, neg_id, neg_label,
+        |  neg_cos, ROUND(pos_cos - neg_cos, 4) AS margin
+        |FROM neg JOIN pos ON neg.anchor_id = pos.anchor_id
+        |ORDER BY neg.anchor_id ASC NULLS FIRST""".stripMargin,
+
     "c56_pq_encode" ->
       s"""$oraclePqBestCte
          |SELECT vec_id,

@@ -380,7 +380,132 @@ object Relational {
     all.except(buyers).orderBy("custkey")
   }
 
+  // --- c80: Z-order layout data-skipping audit ---------------------
+
+  /** Key-space modulus, probe box, and block widths of the c80 audit.
+    * The sx box sits at [4, 7] (not mirroring px's [64, 95]) so the
+    * probe is non-vacuous at EVERY fixture SF — sf0.001 has only 10
+    * suppliers, so sx never exceeds 10 there.
+    */
+  private[graft] val ZKeyMod = 256
+  private[graft] val ZBoxLo = 64
+  private[graft] val ZBoxHi = 95
+  private[graft] val SxBoxLo = 4
+  private[graft] val SxBoxHi = 7
+  private[graft] val ZBlockDiv = 1024 // 64 z-blocks = 32×32 (px,sx) tiles
+  private[graft] val LinBlockDiv = 4 // 64 px-ordered blocks
+
+  /** The 16-bit Morton code of (px, sx): px on odd bits, sx on even —
+    * pure integer div/mod arithmetic so the SAME formula (modulo the
+    * engines' div spelling) evaluates identically in Spark and DuckDB.
+    */
+  private[graft] def zMortonExpr(divOp: String): String =
+    (0 until 8).map { j =>
+      val p = 1L << j
+      s"((px $divOp $p) % 2) * ${1L << (2 * j + 1)} + ((sx $divOp $p) % 2) * ${1L << (2 * j)}"
+    }.mkString(" + ")
+
+  /** c80 — Z-ORDER clustering audit: measures, on real data, the
+    * data-skipping win the Morton-interleaved layout (Delta/Iceberg
+    * `OPTIMIZE ZORDER BY`; Morton 1966 — public) buys over a
+    * single-key linear layout. Both layouts partition the SAME rows
+    * into 64 blocks — `zorder` by the top 6 bits of the 16-bit Morton
+    * code of (l_partkey mod 256, l_suppkey mod 256), `linear` by
+    * px-range only — and both are probed with the same (px, sx) box
+    * predicate through standard min/max block statistics (the parquet
+    * rowgroup-pruning rule: a block is read iff its [min,max] ranges
+    * intersect the box on EVERY probed column). Emits per layout:
+    * blocks touched, rows scanned, and the scan amplification over
+    * the exact match count.
+    *
+    * Why an audit instead of a write: the WRITE side of z-ordering is
+    * one line on any engine — `repartitionByRange(z)` +
+    * `sortWithinPartitions(z)` before the sink (the A6 connector seam
+    * takes it unchanged) — while the VALUE is this measured skipping
+    * ratio, which is what justifies paying the layout sort at 100 TB.
+    * Block id = a z-PREFIX (`z div 1024`), not a global row_number —
+    * no single-partition window anywhere (the c28 rule); the audit is
+    * one scan + two block-sized (≤64-row) aggregates per layout.
+    *
+    * Expected contrast on uniform keys: the box's px span is exactly
+    * one 32-aligned tile, so zorder touches ~1 block (the px-tile ×
+    * the sx-tile containing [4, 7]) while linear touches all 8
+    * px-blocks × the full sx range — a scan-amplification gap the
+    * oracle verifies exactly, and the reason the layout sort is worth
+    * paying at 100 TB.
+    */
+  def zorderSkipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val rows = Tables.t(spark, sfDir, "lineitem")
+      .select((col("l_partkey") % ZKeyMod).as("px"),
+        (col("l_suppkey") % ZKeyMod).as("sx"))
+      .withColumn("z", expr(zMortonExpr("div")))
+    val matching = rows
+      .where(col("px").between(ZBoxLo, ZBoxHi) && col("sx").between(SxBoxLo, SxBoxHi))
+      .agg(count(lit(1)).as("rows_matching"))
+    def audit(name: String, blockExpr: String): DataFrame = {
+      val touched = col("pmax") >= ZBoxLo && col("pmin") <= ZBoxHi &&
+        col("smax") >= SxBoxLo && col("smin") <= SxBoxHi
+      rows.withColumn("blk", expr(blockExpr))
+        .groupBy(col("blk"))
+        .agg(count(lit(1)).as("n"), min(col("px")).as("pmin"),
+          max(col("px")).as("pmax"), min(col("sx")).as("smin"),
+          max(col("sx")).as("smax"))
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(when(touched, 1L).otherwise(0L)).as("blocks_touched"),
+          sum(when(touched, col("n")).otherwise(0L)).as("rows_scanned"))
+        .select(lit(name).as("layout"), col("n_blocks"),
+          col("blocks_touched"), col("rows_scanned"))
+    }
+    audit("linear", s"px div $LinBlockDiv")
+      .unionAll(audit("zorder", s"z div $ZBlockDiv"))
+      .crossJoin(broadcast(matching))
+      .select(col("layout"), col("n_blocks"), col("blocks_touched"),
+        col("rows_scanned"), col("rows_matching"),
+        when(col("rows_matching") > 0,
+          round(col("rows_scanned").cast("double") / col("rows_matching"), 4))
+          .as("scan_amplification"))
+      .orderBy("layout")
+  }
+
+  /** The c80 oracle, generated from the same constants/Morton formula
+    * as the Spark side (DuckDB spells integer division `//`).
+    */
+  private[graft] def zorderOracleSql: String = {
+    def auditSql(name: String, blockExpr: String): String =
+      s"""SELECT '$name' AS layout, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         |  CAST(SUM(CASE WHEN pmax >= $ZBoxLo AND pmin <= $ZBoxHi
+         |                 AND smax >= $SxBoxLo AND smin <= $SxBoxHi
+         |            THEN 1 ELSE 0 END) AS BIGINT) AS blocks_touched,
+         |  CAST(SUM(CASE WHEN pmax >= $ZBoxLo AND pmin <= $ZBoxHi
+         |                 AND smax >= $SxBoxLo AND smin <= $SxBoxHi
+         |            THEN n ELSE 0 END) AS BIGINT) AS rows_scanned
+         |FROM (
+         |  SELECT $blockExpr AS blk, COUNT(*) AS n, min(px) AS pmin,
+         |    max(px) AS pmax, min(sx) AS smin, max(sx) AS smax
+         |  FROM rows GROUP BY blk
+         |)""".stripMargin
+    s"""WITH rows AS (
+       |  SELECT px, sx, ${zMortonExpr("//")} AS z
+       |  FROM (SELECT l_partkey % $ZKeyMod AS px, l_suppkey % $ZKeyMod AS sx
+       |        FROM lineitem)
+       |), matching AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS rows_matching FROM rows
+       |  WHERE px BETWEEN $ZBoxLo AND $ZBoxHi AND sx BETWEEN $SxBoxLo AND $SxBoxHi
+       |), audits AS (
+       |${auditSql("linear", s"px // $LinBlockDiv")}
+       |UNION ALL
+       |${auditSql("zorder", s"z // $ZBlockDiv")}
+       |)
+       |SELECT layout, n_blocks, blocks_touched, rows_scanned, rows_matching,
+       |  CASE WHEN rows_matching > 0
+       |       THEN ROUND(CAST(rows_scanned AS DOUBLE) / rows_matching, 4) END
+       |    AS scan_amplification
+       |FROM audits, matching
+       |ORDER BY layout ASC NULLS FIRST""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "c80_zorder_skipping" -> (zorderSkipping(_, _)),
     "b16_q1_pricing_summary" -> (q1PricingSummary(_, _)),
     "b6_filter_complex" -> (filterComplex(_, _)),
     "b7_join_broadcast_dims" -> (joinBroadcastDims(_, _)),
@@ -407,6 +532,8 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "c80_zorder_skipping" -> zorderOracleSql,
+
     "b16_q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${oDsum("l_quantity")} AS sum_qty,

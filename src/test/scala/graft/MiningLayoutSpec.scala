@@ -1,0 +1,79 @@
+package graft
+
+import java.math.RoundingMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins c79 (hard-example mining) against an independent in-JVM
+  * brute force, and c80's Morton code / skipping invariants.
+  */
+class MiningLayoutSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def r4(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(4, RoundingMode.HALF_UP).doubleValue
+
+  test("c79: operator equals an independent brute force on sf0.001") {
+    val emb = Tables.t(spark, TestSpark.sf0001, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    // Same fold order as the ArrayDot kernel: sequential double acc.
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      r4(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+    val anchors = emb.filter { case (id, _, _) => md5Hex(s"anchor:$id").head == '0' }
+    assert(anchors.nonEmpty)
+    val expected = anchors.flatMap { case (aid, albl, ae) =>
+      def top1(pred: ((Long, Int, Array[Float])) => Boolean) =
+        emb.filter(v => v._1 != aid && pred(v))
+          .map { case (id, lbl, e) => (id, lbl, cos(e, ae)) }
+          // cos desc, vec_id asc — the operator's rank tiebreak
+          .sortBy { case (id, _, c) => (-c, id) }.headOption
+      for {
+        (nid, nlbl, ncos) <- top1(_._2 != albl)
+        (pid, _, pcos) <- top1(_._2 == albl)
+      } yield (aid, albl, pid, pcos, nid, nlbl, ncos, r4(pcos - ncos))
+    }.sortBy(_._1)
+    val got = ops.NearDup.hardNegatives(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getInt(5), r.getDouble(6),
+        r.getDouble(7)))
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("c80: the Morton expression interleaves bits (px odd, sx even)") {
+    def z(px: Int, sx: Int): Long =
+      Seq((px, sx)).toDF("px", "sx")
+        .select(expr(ops.Relational.zMortonExpr("div")).cast("long"))
+        .head().getLong(0)
+    assert(z(0, 0) == 0L)
+    assert(z(1, 0) == 2L) // px bit 0 lands on z bit 1
+    assert(z(0, 1) == 1L) // sx bit 0 lands on z bit 0
+    assert(z(255, 255) == 65535L)
+    // 0b10101010 / 0b01010101 → px on bits 3,7,11,15; sx on 0,4,8,12.
+    assert(z(170, 85) == ((8L + 128 + 2048 + 32768) + (1L + 16 + 256 + 4096)))
+  }
+
+  test("c80: both layouts partition the same rows; zorder never scans more than linear here") {
+    val out = ops.Relational.zorderSkipping(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(out.map(_._1).toSeq == Seq("linear", "zorder"))
+    val Seq(lin, zo) = out.toSeq
+    assert(lin._5 == zo._5, "rows_matching must be layout-independent")
+    assert(zo._4 <= lin._4, s"zorder scanned more than linear: $out")
+    assert(zo._6 >= 1.0 && lin._6 >= 1.0, "amplification below 1 is impossible")
+    // Every touched block really can contain matches: scanned ≥ matching.
+    assert(zo._4 >= zo._5 && lin._4 >= lin._5)
+  }
+}
