@@ -243,11 +243,103 @@ object Analytics {
       .orderBy("a_orderkey", "b_orderkey")
   }
 
+  // --- c81: last-touch attribution ---------------------------------
+
+  /** Attribution lookback window (µs): 7 days. */
+  private[graft] val AttrWindowUs = 7L * 86400000000L
+
+  /** c81 — last-touch marketing attribution: every purchase is
+    * credited to the user's most recent STRICTLY-EARLIER view/click
+    * within a 7-day lookback, reporting the winning channel and the
+    * gap — the conversion-credit assignment behind ad-spend reporting,
+    * and the single-stream complement of the two-table as-of join
+    * (b14): here the "quote" and "trade" sides interleave in ONE
+    * event stream, so the as-of lookup is a running window max, not a
+    * join at all.
+    *
+    * The channel rides the max through an integer PACKING trick:
+    * key = ts_us · 4 + channel_code (click=2 > view=1, the tiebreak
+    * for equal-µs touches) — one window max carries both the time and
+    * the argmax channel, decoded with div/mod after the frame. The
+    * frame is ROWS UNBOUNDED PRECEDING TO 1 PRECEDING over the
+    * (ts_us, event_id) sort, so "strictly earlier" inherits the
+    * canon's deterministic tiebreak. One exchange by user serves
+    * everything; purchases filter AFTER the window (the marketing
+    * rows must flow through the frame, not the output).
+    */
+  def lastTouchAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.t(spark, sfDir, "events")
+    lastTouchAttributionFrom(ev.select(col("user_id"), col("event_id"),
+      col("event_type"), Tables.tsUs(ev).as("ts_us")))
+  }
+
+  /** Kernel of [[lastTouchAttribution]] over any (user_id, event_id,
+    * event_type, ts_us) frame.
+    */
+  private[graft] def lastTouchAttributionFrom(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e
+      .withColumn("mkt_key", when(col("event_type") === "view", col("ts_us") * 4 + 1)
+        .when(col("event_type") === "click", col("ts_us") * 4 + 2))
+      .withColumn("last_mkt", max(col("mkt_key")).over(w))
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_us").as("purchase_ts_us"),
+        expr("last_mkt div 4").as("touch_ts_us"),
+        expr("last_mkt % 4").as("ch_code"))
+      .withColumn("in_window",
+        col("touch_ts_us").isNotNull &&
+          col("purchase_ts_us") - col("touch_ts_us") <= AttrWindowUs)
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts_us"),
+        when(col("in_window"),
+          when(col("ch_code") === 2, "click").otherwise("view")).as("channel"),
+        when(col("in_window"),
+          col("purchase_ts_us") - col("touch_ts_us")).as("gap_us"))
+      .orderBy("purchase_id")
+  }
+
+  // --- c82: join cardinality + skew forecast -----------------------
+
+  /** c82 — join-size and skew FORECAST without executing the join:
+    * |orders ⋈ lineitem on orderkey| = Σ_k c_orders(k) · c_lineitem(k),
+    * computed from two map-side-combined per-key count tables whose
+    * join is KEY-sized — never the fact-by-fact output. Per order
+    * status: predicted join rows, key count, and the max/avg per-key
+    * multiplicity (the skew indicator that decides salting or AQE
+    * skew-join before any shuffle is paid). This is the measured
+    * pre-flight a 100 TB join plan runs instead of trusting input-side
+    * estimates — the same post-materialization doctrine as the c64
+    * audit budget and the broadcast hint gates (Sessions.scala): count
+    * the keys, don't guess from file sizes.
+    */
+  def joinCardinality(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.t(spark, sfDir, "orders")
+      .groupBy(col("o_orderkey"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_o"))
+    val l = Tables.t(spark, sfDir, "lineitem")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_l"))
+    o.join(l, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderstatus"),
+        (col("n_o") * coalesce(col("n_l"), lit(0L))).as("prod"),
+        coalesce(col("n_l"), lit(0L)).as("n_l"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("prod")).as("join_rows"),
+        max(col("n_l")).as("max_rows_per_key"),
+        round(sum(col("prod")).cast("double") / count(lit(1)), 4)
+          .as("avg_rows_per_key"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c74_funnel_conversion" -> (funnelConversion(_, _)),
     "c75_cohort_retention" -> (cohortRetention(_, _)),
     "c76_scd2_intervals" -> (scd2Intervals(_, _)),
-    "c77_interval_overlap_join" -> (intervalOverlapJoin(_, _)))
+    "c77_interval_overlap_join" -> (intervalOverlapJoin(_, _)),
+    "c81_last_touch_attribution" -> (lastTouchAttribution(_, _)),
+    "c82_join_cardinality" -> (joinCardinality(_, _)))
 
   val oracle: Map[String, String] = Map(
     // Stacked windows mirror the Spark kernel: each stage's min-ts
@@ -343,5 +435,52 @@ object Analytics {
         |SELECT a_orderkey, b_orderkey,
         |  least(a_end, b_end) - greatest(a_start, b_start) AS overlap_days
         |FROM a JOIN b ON a_start < b_end AND b_start < a_end
-        |ORDER BY a_orderkey ASC NULLS FIRST, b_orderkey ASC NULLS FIRST""".stripMargin)
+        |ORDER BY a_orderkey ASC NULLS FIRST, b_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "c81_last_touch_attribution" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+         |), keyed AS (
+         |  SELECT *,
+         |    CASE WHEN event_type = 'view' THEN ts_us * 4 + 1
+         |         WHEN event_type = 'click' THEN ts_us * 4 + 2 END AS mkt_key
+         |  FROM e
+         |), touched AS (
+         |  SELECT *, max(mkt_key) OVER (PARTITION BY user_id
+         |    ORDER BY ts_us ASC NULLS FIRST, event_id ASC NULLS FIRST
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_mkt
+         |  FROM keyed
+         |), p AS (
+         |  SELECT event_id AS purchase_id, user_id, ts_us AS purchase_ts_us,
+         |    last_mkt // 4 AS touch_ts_us, last_mkt % 4 AS ch_code,
+         |    (last_mkt IS NOT NULL AND ts_us - last_mkt // 4 <= ${AttrWindowUs})
+         |      AS in_window
+         |  FROM touched WHERE event_type = 'purchase'
+         |)
+         |SELECT purchase_id, user_id, purchase_ts_us,
+         |  CASE WHEN in_window THEN
+         |    CASE WHEN ch_code = 2 THEN 'click' ELSE 'view' END END AS channel,
+         |  CASE WHEN in_window THEN purchase_ts_us - touch_ts_us END AS gap_us
+         |FROM p
+         |ORDER BY purchase_id ASC NULLS FIRST""".stripMargin,
+
+    "c82_join_cardinality" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_o
+        |  FROM orders GROUP BY o_orderkey, o_orderstatus
+        |), l AS (
+        |  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_l
+        |  FROM lineitem GROUP BY l_orderkey
+        |), keyed AS (
+        |  SELECT o_orderstatus, n_o * COALESCE(n_l, 0) AS prod,
+        |    COALESCE(n_l, 0) AS n_l
+        |  FROM o LEFT JOIN l ON o_orderkey = l_orderkey
+        |)
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(prod) AS BIGINT) AS join_rows,
+        |  CAST(MAX(n_l) AS BIGINT) AS max_rows_per_key,
+        |  ROUND(CAST(SUM(prod) AS DOUBLE) / COUNT(*), 4) AS avg_rows_per_key
+        |FROM keyed
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin)
 }

@@ -83,6 +83,50 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, "A"), (2L, "B")))
   }
 
+  // --- c81 last-touch attribution ----------------------------------
+
+  private def attrib(rows: Seq[(Long, Long, String, Long)]) =
+    ops.Analytics.lastTouchAttributionFrom(
+      rows.toDF("user_id", "event_id", "event_type", "ts_us"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) null else r.getString(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))
+
+  test("c81: credit goes to the latest prior touch; click outranks view at equal µs") {
+    val day = 86400000000L
+    val out = attrib(Seq(
+      (1L, 1L, "view", 10L), (1L, 2L, "click", 10L), (1L, 3L, "purchase", 20L),
+      (2L, 4L, "purchase", 10L), // no touch at all
+      (3L, 5L, "view", 0L), (3L, 6L, "purchase", 8L * day))) // outside 7d
+    assert(out.toSeq == Seq(
+      (3L, "click", 10L), (4L, null, -1L), (6L, null, -1L)))
+  }
+
+  test("c81: the frame is strictly-earlier — a same-µs touch counts only via event_id order") {
+    // click (event_id 1) sorts before the same-µs purchase (event_id 2)
+    // → inside the 1-PRECEDING frame; reversed ids → not.
+    val a = attrib(Seq((1L, 1L, "click", 5L), (1L, 2L, "purchase", 5L)))
+    assert(a.toSeq == Seq((2L, "click", 0L)))
+    val b = attrib(Seq((1L, 2L, "click", 5L), (1L, 1L, "purchase", 5L)))
+    assert(b.toSeq == Seq((1L, null, -1L)))
+  }
+
+  // --- c82 join cardinality forecast -------------------------------
+
+  test("c82: the forecast equals the executed join's row count, per status") {
+    val sfDir = TestSpark.sf0001
+    val predicted = ops.Analytics.joinCardinality(spark, sfDir)
+      .select("o_orderstatus", "join_rows").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val actual = Tables.t(spark, sfDir, "orders")
+      .join(Tables.t(spark, sfDir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(predicted.filter(_._2 > 0) == actual,
+      s"forecast $predicted != executed $actual")
+  }
+
   // --- c77 interval overlap ----------------------------------------
 
   test("c77: bucketized pairs equal the direct overlap join, each exactly once") {
