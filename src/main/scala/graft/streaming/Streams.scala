@@ -488,7 +488,80 @@ object Streams {
     runToParquet(verified, "append", "c51").orderBy("doc_new", "doc_base", "band_idx")
   }
 
+  /** SCD2 run compaction as a STATEFUL STREAM TRANSFORM: per user,
+    * consecutive identical states collapse to versioned runs; each
+    * CLOSED run emits exactly once (append semantics) and the OPEN
+    * run — the user's current version — lives in the state store,
+    * emitted only when a later state change closes it. Pure
+    * Dataset→DataFrame function so the spec drives it on a
+    * MemoryStream across micro-batches.
+    *
+    * Rows inside a micro-batch sort in memory by (ts_us, event_id)
+    * per user (the c76 canon order) — bounded by the batch, the same
+    * buffer bound every mapGroups consumer has. Across batches the
+    * carry state makes compaction exact when batches arrive in
+    * event-time order (a file stream of date-partitioned input, the
+    * production CDC layout); out-of-order ACROSS batches needs the
+    * watermark-buffered variant this function is the kernel of.
+    */
+  def scd2Runs(events: Dataset[(Long, Long, String, Long)]): DataFrame = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[(String, Long, Long, Long),
+        (Long, Long, String, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, String, Long)],
+         gs: GroupState[(String, Long, Long, Long)]) =>
+          // carry = the open run: (state, valid_from, n_events, version)
+          var carry = gs.getOption
+          val out = Seq.newBuilder[(Long, Long, String, Long, Long, Long)]
+          rows.toSeq.sortBy(r => (r._4, r._2)).foreach { case (_, _, et, ts) =>
+            carry match {
+              case None =>
+                carry = Some((et, ts, 1L, 1L))
+              case Some((st, from, n, v)) if st == et =>
+                carry = Some((st, from, n + 1, v))
+              case Some((st, from, n, v)) =>
+                out += ((user, v, st, from, ts, n))
+                carry = Some((et, ts, 1L, v + 1))
+            }
+          }
+          carry.foreach(gs.update)
+          out.result().iterator
+      }
+      .toDF("user_id", "version", "state", "valid_from_us", "valid_to_us",
+        "n_events")
+  }
+
+  /** c83 — STREAMING SCD Type-2 compaction, oracle-verified: the c76
+    * CDC-log → dimension-history build as a live stateful topology —
+    * file source → [[scd2Runs]] (flatMapGroupsWithState) → append
+    * parquet sink under Trigger.AvailableNow. Emits every CLOSED
+    * version interval; the open (current) version is state, not
+    * output — so the oracle is exactly c76's result minus its
+    * NULL-valid_to rows (derived from the same SQL text, drift-proof).
+    *
+    * The single fixture file arrives in one micro-batch (the c36/c37
+    * determinism argument), so the in-batch sort makes the emitted
+    * set exactly the batch compaction. State is ONE tuple per user —
+    * the minimal CDC state bound; at 100 TB/day the identical
+    * topology runs unbounded with the RocksDB provider and
+    * date-ordered input.
+    */
+  def streamScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = stateSession(spark, statePartitions = 8)
+    import s.implicits._
+    val ev = streamTable(s, sfDir, "events")
+    val typed = ev
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        graft.Tables.tsUs(ev).as("ts_us"))
+      .as[(Long, Long, String, Long)]
+    runToParquet(scd2Runs(typed), "append", "c83")
+      .orderBy("user_id", "version")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c83_stream_scd2" -> (streamScd2(_, _)),
     "c51_stream_incremental_dedup" -> (streamIncrementalDedup(_, _)),
     "c25_stream_tumbling" -> (streamTumbling(_, _)),
     "c30_stream_sessions" -> (streamSessions(_, _)),
@@ -501,6 +574,18 @@ object Streams {
     * both the batch path and DuckDB on the same input.
     */
   val oracle: Map[String, String] = Map(
+    // c76's SCD2 build minus its open (NULL valid_to) versions —
+    // derived from the SAME SQL text so the two cannot drift: append
+    // mode emits exactly the closed intervals.
+    "c83_stream_scd2" -> {
+      val c76 = graft.ops.Analytics.oracle("c76_scd2_intervals")
+      val body = c76.substring(0, c76.lastIndexOf("ORDER BY"))
+      s"""SELECT * FROM (
+         |$body
+         |) WHERE valid_to_us IS NOT NULL
+         |ORDER BY user_id ASC NULLS FIRST, version ASC NULLS FIRST""".stripMargin
+    },
+
     "c25_stream_tumbling" ->
       s"""SELECT date_trunc('hour', ts) AS hour_start, COUNT(*) AS n_events,
          |  ${graft.Canon.oDsum("value")} AS sum_value

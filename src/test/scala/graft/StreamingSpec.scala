@@ -133,6 +133,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("c83 kernel: a run spanning micro-batches closes exactly once, with carried counts") {
+    implicit val sqlCtx = spark.sqlContext
+    // (user_id, event_id, event_type, ts_us)
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val runs = graft.streaming.Streams.scd2Runs(input.toDS())
+    val q = runs.writeStream.format("memory").queryName("c83k")
+      .outputMode("append").start()
+    try {
+      // Batch 1: user 1 state A twice — nothing closes yet (A is open).
+      input.addData((1L, 1L, "A", 10L), (1L, 2L, "A", 20L))
+      q.processAllAvailable()
+      assert(spark.table("c83k").count() == 0L,
+        "open run must stay in state, not emit")
+      // Batch 2: B closes the carried A run (n=2 ACROSS batches, from=10),
+      // then A closes B — versions keep counting from the carry.
+      input.addData((1L, 3L, "B", 30L), (1L, 4L, "A", 40L))
+      q.processAllAvailable()
+      val out = spark.table("c83k")
+        .as[(Long, Long, String, Long, Long, Long)].collect().sortBy(_._2)
+      assert(out.toSeq == Seq(
+        (1L, 1L, "A", 10L, 30L, 2L), (1L, 2L, "B", 30L, 40L, 1L)))
+    } finally q.stop()
+  }
+
   test("stream-stream join matches keys only within the time horizon") {
     implicit val sqlCtx = spark.sqlContext
     val imps = MemoryStream[(Timestamp, String)]
