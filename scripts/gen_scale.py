@@ -119,17 +119,48 @@ def gen_embeddings(src, out, factor):
     return n, n * factor
 
 
+def gen_events(src, out, factor):
+    """Replica k shifts user_id and event_id by k·(max+1) and keeps ts
+    byte-for-byte: the corpus gains 100× USERS with identical per-user
+    history shapes — the scale axis of the event-analytics family
+    (funnel/retention/SCD2/attribution shuffle by user; per-user state
+    and sort runs stay fixture-sized while the key count grows)."""
+    t = pq.read_table(f"{src}/events.parquet")
+    n = t.num_rows
+    cols = {name: t.column(name).to_pylist() for name in t.column_names}
+    max_eid = max(cols["event_id"])
+    max_uid = max(cols["user_id"])
+    out_cols = {name: [] for name in t.column_names}
+    for k in range(factor):
+        for i in range(n):
+            for name in t.column_names:
+                v = cols[name][i]
+                if name == "event_id":
+                    v = v + k * (max_eid + 1)
+                elif name == "user_id":
+                    v = v + k * (max_uid + 1)
+                out_cols[name].append(v)
+    schema = pa.schema([(f.name, f.type) for f in t.schema])
+    write_sharded(out_cols, schema, f"{out}/events.parquet")
+    return n, n * factor
+
+
 def main():
-    args = [a for a in sys.argv[1:] if a != "--boilerplate"]
+    args = [a for a in sys.argv[1:] if a not in ("--boilerplate", "--events")]
     boilerplate = "--boilerplate" in sys.argv[1:]
+    with_events = "--events" in sys.argv[1:]
     src = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
     out = args[1] if len(args) > 1 else "/tmp/graft_scale10"
     factor = int(args[2]) if len(args) > 2 else 10
     os.makedirs(out, exist_ok=True)
     dn, dN = gen_documents(src, out, factor, boilerplate)
     en, eN = gen_embeddings(src, out, factor)
-    print(f"documents: {dn} -> {dN} rows; embeddings: {en} -> {eN} rows"
-          f"{' (+200B shared boilerplate header)' if boilerplate else ''} -> {out}")
+    msg = (f"documents: {dn} -> {dN} rows; embeddings: {en} -> {eN} rows"
+           f"{' (+200B shared boilerplate header)' if boilerplate else ''}")
+    if with_events:
+        vn, vN = gen_events(src, out, factor)
+        msg += f"; events: {vn} -> {vN} rows"
+    print(f"{msg} -> {out}")
 
 
 if __name__ == "__main__":

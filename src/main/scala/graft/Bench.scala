@@ -97,11 +97,30 @@ object Bench {
         setupFailed ::= name
         Double.MaxValue
       }
-    val setupBands = timeSetup("setup_lsh_bands")(ops.Llm.warmBands(spark, sfDir))
-    val setupPairs = timeSetup("setup_lsh_pairs")(ops.Llm.warmPairs(spark, sfDir))
-    val setupLabels = timeSetup("setup_cc_labels")(ops.NearDup.warmLabels(spark, sfDir))
-    val setupGrams = timeSetup("setup_substr_grams")(ops.NearDup.warmGrams(spark, sfDir))
-    val setupToks = timeSetup("setup_token_sets")(ops.Llm.warmTokenSets(spark, sfDir))
+    // Setups run only when a consumer key is selected: a
+    // SPARK_GRAFT_BENCH_ONLY run targeting, say, the event-analytics
+    // family on a 100×-events corpus must not pay (or OOM on) the
+    // dedup family's corpus-sized LSH/CC/gram warm-ups over documents
+    // it never reads. A skipped setup reports null, never "failed".
+    // Unset BENCH_ONLY (the driver's full run) keeps every setup.
+    val benchOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def wanted(consumers: String*): Boolean =
+      benchOnly.forall(sel => consumers.exists(c => sel.exists(_.startsWith(c))))
+    def setupIf(cond: Boolean, name: String)(fn: => Unit): Double =
+      if (cond) timeSetup(name)(fn) else Double.MaxValue
+    val dedupKeys = Seq("c2_", "c3_", "c11_", "c21_", "c22_", "c31_",
+      "c43_", "c50_", "c51_", "c55_", "c64_", "c68_", "c69_")
+    val setupBands = setupIf(wanted(dedupKeys: _*), "setup_lsh_bands")(
+      ops.Llm.warmBands(spark, sfDir))
+    val setupPairs = setupIf(wanted(dedupKeys: _*), "setup_lsh_pairs")(
+      ops.Llm.warmPairs(spark, sfDir))
+    val setupLabels = setupIf(wanted("c21_", "c22_", "c31_", "c55_", "c68_", "c69_"),
+      "setup_cc_labels")(ops.NearDup.warmLabels(spark, sfDir))
+    val setupGrams = setupIf(wanted("c48_", "c49_"), "setup_substr_grams")(
+      ops.NearDup.warmGrams(spark, sfDir))
+    val setupToks = setupIf(wanted("c3_", "c11_", "c43_", "c50_", "c51_", "c64_"),
+      "setup_token_sets")(ops.Llm.warmTokenSets(spark, sfDir))
     // Every query runs twice, min taken (total runtime ~2 min permits
     // it): first-touch parquet footer reads + codegen compilation on
     // this shared machine add ±1-2 s of noise per query, and round 4's
