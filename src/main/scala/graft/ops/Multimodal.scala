@@ -140,12 +140,126 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // c85 knobs: 32-byte patches, 8 groups of 4 bytes, top-5 retrieval.
+  private[graft] val PatchBytes = 32
+  private[graft] val EmbedGroups = 8
+  private[graft] val GroupW = PatchBytes / EmbedGroups
+  private[graft] val MediaTopK = 5
+
+  /** Per-group byte-position count, purely from the blob length: full
+    * patches contribute [[GroupW]] each; the tail contributes
+    * clamp(r − g·w, 0, w). Shared arithmetic for both engines
+    * (`divOp` = `div` in Spark SQL, `//` in DuckDB; `lenExpr` names
+    * the byte-length expression).
+    */
+  private[graft] def groupCountExpr(g: Int, lenExpr: String, divOp: String): String =
+    s"($lenExpr $divOp $PatchBytes) * $GroupW + " +
+      s"least(greatest($lenExpr % $PatchBytes - ${g * GroupW}, 0), $GroupW)"
+
+  /** c85 — the multimodal → EMBEDDING bridge: each media blob embeds
+    * to a dense [[EmbedGroups]]-dim vector (per-patch byte-group
+    * means — the deterministic stand-in for a CLIP-style media
+    * encoder; the decode seam is [[decodeImage]]'s documented stub),
+    * and the corpus is searched by cosine against the lowest-doc_id
+    * probe — c4's retrieval shape running on vectors DERIVED from the
+    * binary column instead of the embeddings fixture. This closes the
+    * ingest → embed → ANN-search pipeline over media: swap the group-
+    * mean kernel for a real encoder and everything downstream (the
+    * cosine, the top-k fusion, the c38 IVF shortlist) composes
+    * unchanged.
+    *
+    * Scale shape: the embedding is ONE per-row projection of
+    * [[EmbedGroups]] byte-addressed higher-order folds (BINARY
+    * `substring` is O(1) — the c11/c48 byte-addressing discipline; a
+    * per-position CHAR substring would be O(len²)) — blobs never
+    * shuffle, only the 8 means move; group counts come from the blob
+    * LENGTH arithmetically, so empty groups are exact, not sampled.
+    * The probe is a 1-row broadcast; top-k fuses to
+    * TakeOrderedAndProject; the rank window orders [[MediaTopK]]
+    * rows after the cut (the c70 discipline).
+    *
+    * Determinism: group sums are INTEGER byte sums (exact at any
+    * partitioning); each mean is one int/int division; the cosine is
+    * a fixed-order 8-term dot over those doubles, tolerance-rounded
+    * at 1e-4 with a doc_id tiebreak.
+    */
+  def mediaEmbedTopk(spark: SparkSession, sfDir: String): DataFrame =
+    mediaEmbedTopkOf(mediaTable(spark, sfDir))
+
+  /** Kernel of [[mediaEmbedTopk]] over any mediaTable-shaped frame. */
+  private[graft] def mediaEmbedTopkOf(media: DataFrame): DataFrame = {
+    val feats = media.select(
+      (col("doc_id") +: (0 until EmbedGroups).map { g =>
+        val cnt = groupCountExpr(g, "octet_length(content)", "div")
+        val sum =
+          s"""aggregate(sequence(1, octet_length(content)), 0L,
+             |  (acc, p) -> acc + IF(((p - 1) % $PatchBytes) div $GroupW = $g,
+             |    cast(conv(hex(substring(content, p, 1)), 16, 10) AS BIGINT), 0L))""".stripMargin
+        expr(s"CASE WHEN $cnt > 0 THEN ($sum) / cast(($cnt) AS DOUBLE) ELSE 0.0 END")
+          .as(s"m$g")
+      }): _*)
+    val probe = feats.orderBy("doc_id").limit(1)
+      .select(col("doc_id").as("probe_id") +:
+        (0 until EmbedGroups).map(g => col(s"m$g").as(s"p$g")): _*)
+    def dot(a: Int => String, b: Int => String): String =
+      (0 until EmbedGroups).map(g => s"${a(g)} * ${b(g)}").mkString(" + ")
+    feats.crossJoin(broadcast(probe))
+      .where(col("doc_id") =!= col("probe_id"))
+      .select(col("doc_id"), expr(
+        s"round((${dot(g => s"m$g", g => s"p$g")}) / " +
+          s"(sqrt(${dot(g => s"m$g", g => s"m$g")}) * " +
+          s"sqrt(${dot(g => s"p$g", g => s"p$g")})), 4)").as("cos"))
+      .orderBy(col("cos").desc, col("doc_id").asc)
+      .limit(MediaTopK)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cos").desc, col("doc_id").asc)).cast("long"))
+      .select(col("rn"), col("doc_id"), col("cos"))
+      .orderBy("rn")
+  }
+
+  /** The c85 oracle, generated from the same patch/group constants. */
+  private[graft] def mediaEmbedOracleSql: String = {
+    val means = (0 until EmbedGroups).map { g =>
+      val cnt = groupCountExpr(g, "octet_length(CAST(text AS BLOB))", "//")
+      val sum =
+        s"""list_sum(list_transform(range(1, octet_length(CAST(text AS BLOB)) + 1),
+           |    p -> CASE WHEN ((p - 1) % $PatchBytes) // $GroupW = $g
+           |              THEN ascii(substr(text, CAST(p AS INT), 1)) ELSE 0 END))""".stripMargin
+      s"CASE WHEN $cnt > 0 THEN ($sum) / CAST(($cnt) AS DOUBLE) ELSE 0.0 END AS m$g"
+    }
+    def dot(a: Int => String, b: Int => String): String =
+      (0 until EmbedGroups).map(g => s"${a(g)} * ${b(g)}").mkString(" + ")
+    s"""WITH feats AS (
+       |  SELECT doc_id,
+       |  ${means.mkString(",\n")}
+       |  FROM documents
+       |), probe AS (
+       |  SELECT doc_id AS probe_id,
+       |    ${(0 until EmbedGroups).map(g => s"m$g AS p$g").mkString(", ")}
+       |  FROM feats ORDER BY doc_id ASC NULLS FIRST LIMIT 1
+       |), scored AS (
+       |  SELECT feats.doc_id, ROUND((${dot(g => s"m$g", g => s"p$g")}) /
+       |    (sqrt(${dot(g => s"m$g", g => s"m$g")}) *
+       |     sqrt(${dot(g => s"p$g", g => s"p$g")})), 4) AS cos
+       |  FROM feats, probe WHERE feats.doc_id != probe.probe_id
+       |)
+       |SELECT CAST(row_number() OVER (ORDER BY cos DESC NULLS LAST, doc_id ASC NULLS FIRST) AS BIGINT) AS rn,
+       |  doc_id, cos
+       |FROM scored
+       |ORDER BY cos DESC NULLS LAST, doc_id ASC NULLS FIRST
+       |LIMIT $MediaTopK""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "c18_multimodal_binary" -> (binaryFeatures(_, _)),
-    "c42_frame_sample" -> (frameSample(_, _))
+    "c42_frame_sample" -> (frameSample(_, _)),
+    "c85_media_embed_topk" -> (mediaEmbedTopk(_, _))
   )
 
   val oracle: Map[String, String] = Map(
+    "c85_media_embed_topk" -> mediaEmbedOracleSql,
+
     // DuckDB sees the same bytes by casting the text to BLOB (UTF-8).
     "c18_multimodal_binary" ->
       """SELECT doc_id,

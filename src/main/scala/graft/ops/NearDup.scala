@@ -1557,6 +1557,50 @@ object NearDup {
           .as("std"))
       .orderBy("dim")
 
+  /** c84 — robust per-dimension scaler fit: EXACT median/quartiles +
+    * Tukey-fence outlier counts per embedding coordinate — the
+    * order-statistic complement of c66's moment scaler (mean/std are
+    * outlier-sensitive; median/IQR are the robust pair sklearn's
+    * RobustScaler fits) and the exact-quantile counterpart of b50's
+    * sketch (approx_percentile is the 100 TB default; THIS key is the
+    * exact fit you run on a dimension-sized value stream where the
+    * group count is tiny and the per-group sort is affordable — 64
+    * groups here, one shuffle of (dim, v) pairs with the percentile
+    * aggregate's map-side partial merge).
+    *
+    * Pass 2 broadcasts the 64-row fit back onto the value stream and
+    * counts |v − med| > 1.5·IQR per dimension map-side — the scaler's
+    * own outlier audit, on ROUNDED (1e-4) thresholds so both engines
+    * compare against identical cut points. Spark's exact `percentile`
+    * and DuckDB's `quantile_cont` share the linear-interpolation
+    * definition (index p·(n−1), lower + frac·(upper−lower)); the
+    * emitted quantiles tolerance-round like every FP column.
+    */
+  def robustScaler(spark: SparkSession, sfDir: String): DataFrame =
+    robustScalerFrom(Tables.t(spark, sfDir, "embeddings"))
+
+  /** Kernel of [[robustScaler]] over any (embedding) frame — split out
+    * so the spec can pin the quartile interpolation and the Tukey
+    * fence on hand-built values.
+    */
+  private[graft] def robustScalerFrom(emb: DataFrame): DataFrame = {
+    val vals = emb
+      .select(posexplode(col("embedding")).as(Seq("i", "v")))
+      .select((col("i") + 1).cast("long").as("dim"), col("v").cast("double").as("v"))
+    val stats = vals.groupBy(col("dim"))
+      .agg(expr("percentile(v, array(0.25, 0.5, 0.75))").as("q"))
+      .select(col("dim"), round(col("q")(0), 4).as("q1"),
+        round(col("q")(1), 4).as("med"), round(col("q")(2), 4).as("q3"))
+      .withColumn("iqr", round(col("q3") - col("q1"), 4))
+    vals.join(broadcast(stats), "dim")
+      .groupBy(col("dim"))
+      .agg(min(col("q1")).as("q1"), min(col("med")).as("med"),
+        min(col("q3")).as("q3"), min(col("iqr")).as("iqr"),
+        sum(when(abs(col("v") - col("med")) > lit(1.5) * col("iqr"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy("dim")
+  }
+
   private[graft] val PcaDim = 64
   private[graft] val PcaRounds = 2
 
@@ -1679,6 +1723,7 @@ object NearDup {
     "c57_pq_adc_topk" -> (pqAdcTopk(_, _)),
     "c62_ann_prefix_rerank" -> (annPrefixRerank(_, _)),
     "c66_dim_standardize" -> (dimStandardize(_, _)),
+    "c84_robust_scaler" -> (robustScaler(_, _)),
     "c68_pagerank" -> (pagerank(_, _)),
     "c67_pca_power" -> (pcaPower(_, _)),
     "c69_cluster_size_dist" -> (clusterSizeDist(_, _)),
@@ -1965,6 +2010,26 @@ object NearDup {
 
     // Variance from the two decimal-exact sums, assembled in double
     // with the identical expression — the c39 moments discipline.
+    "c84_robust_scaler" ->
+      """WITH vals AS (
+        |  SELECT unnest(range(1, len(embedding) + 1)) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings
+        |), raw AS (
+        |  SELECT dim, ROUND(quantile_cont(v, 0.25), 4) AS q1,
+        |    ROUND(quantile_cont(v, 0.5), 4) AS med,
+        |    ROUND(quantile_cont(v, 0.75), 4) AS q3
+        |  FROM vals GROUP BY dim
+        |), stats AS (
+        |  SELECT dim, q1, med, q3, ROUND(q3 - q1, 4) AS iqr FROM raw
+        |)
+        |SELECT vals.dim, q1, med, q3, iqr,
+        |  CAST(SUM(CASE WHEN abs(v - med) > 1.5 * iqr THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM vals JOIN stats ON vals.dim = stats.dim
+        |GROUP BY vals.dim, q1, med, q3, iqr
+        |ORDER BY vals.dim ASC NULLS FIRST""".stripMargin,
+
     "c66_dim_standardize" ->
       s"""WITH vals AS (
          |  SELECT unnest(range(1, len(embedding) + 1)) AS dim,

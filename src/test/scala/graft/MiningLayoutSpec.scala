@@ -51,6 +51,25 @@ class MiningLayoutSpec extends AnyFunSuite {
     assert(got.toSeq == expected.toSeq)
   }
 
+  test("c84: quartiles interpolate and the Tukey fence counts outliers") {
+    // dim 1: {1,2,3,4,100} → q1=2, med=3, q3=4, iqr=2; |100−3| > 3 → 1
+    // outlier. dim 2: {10,10,10,10,10} → iqr=0; every |v−med|=0 → 0.
+    // Then 4 values {0,1,2,3} in dim 3 pin the p·(n−1) interpolation:
+    // q1 = 0.75, med = 1.5, q3 = 2.25.
+    val emb = Seq(
+      Array(1f, 10f, 0f), Array(2f, 10f, 1f), Array(3f, 10f, 2f),
+      Array(4f, 10f, 3f), Array(100f, 10f, 3f))
+      .toDF("embedding")
+    val out = ops.NearDup.robustScalerFrom(emb).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5)))
+    assert(out(0) == ((1L, 2.0, 3.0, 4.0, 2.0, 1L)), s"dim1: ${out(0)}")
+    assert(out(1) == ((2L, 10.0, 10.0, 10.0, 0.0, 0L)), s"dim2: ${out(1)}")
+    // dim 3 has five values {0,1,2,3,3}: index p·4 → q1 at 1.0 → 1,
+    // med at 2.0 → 2, q3 at 3.0 → 3.
+    assert(out(2) == ((3L, 1.0, 2.0, 3.0, 2.0, 0L)), s"dim3: ${out(2)}")
+  }
+
   test("c80: the Morton expression interleaves bits (px odd, sx even)") {
     def z(px: Int, sx: Int): Long =
       Seq((px, sx)).toDF("px", "sx")

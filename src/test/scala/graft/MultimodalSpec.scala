@@ -92,4 +92,33 @@ class MultimodalSpec extends AnyFunSuite {
         s"doc $id (${text.length} chars)")
     }
   }
+
+  test("c85: group counts from length arithmetic match a positional brute force") {
+    // cnt(g, n) must equal |{p in 1..n : ((p-1) % 32) div 4 == g}|.
+    for (n <- Seq(0, 1, 4, 6, 31, 32, 36, 63, 64, 100); g <- 0 until 8) {
+      val expected = (1 to n).count(p => ((p - 1) % 32) / 4 == g)
+      val got = spark.range(1)
+        .select(expr(Multimodal.groupCountExpr(g, n.toString, "div")).cast("long"))
+        .head().getLong(0)
+      assert(got == expected, s"cnt(g=$g, n=$n): got $got expected $expected")
+    }
+  }
+
+  test("c85: an identical-distribution blob ranks first with cos 1.0") {
+    // Probe = doc 1. Doc 2 has the same byte in every position → every
+    // group mean equal → cos exactly 1.0 and rank 1. Doc 3's means
+    // differ across groups → cos < 1.
+    val docs = Seq(
+      1L -> ("a" * 40), 2L -> ("a" * 72),
+      3L -> ("ab" * 20 + "zzzz" * 9))
+    val media = docs.toDF("doc_id", "text").select(
+      $"doc_id", to_binary($"text", lit("utf-8")).as("content"),
+      struct(lit("text/plain").as("mime"),
+        length($"text").cast("long").as("n_chars"),
+        lit("en").as("lang")).as("meta"))
+    val out = Multimodal.mediaEmbedTopkOf(media)
+      .as[(Long, Long, Double)].collect()
+    assert(out.head == ((1L, 2L, 1.0)), s"top hit: ${out.head}")
+    assert(out(1)._2 == 3L && out(1)._3 < 1.0, s"second: ${out(1)}")
+  }
 }
