@@ -356,6 +356,84 @@ object Relational {
       .limit(10)
   }
 
+  /** b53 — TPC-H Q5 (local supplier volume): revenue per nation for
+    * one region-year, where the supplier and the customer share the
+    * nation — the canonical 6-table join chain and the planner's
+    * star-vs-chain stress test. Join shape at 100 TB: region⋈nation
+    * collapse to a ≤25-row broadcast dim; lineitem⋈orders and
+    * ⋈customer shuffle on their keys with the date/region filters
+    * PUSHED below the joins (scan-level pruning); supplier joins by
+    * suppkey; the cross-table c_nationkey = s_nationkey predicate
+    * applies as a post-join filter (it is not an equi-key of any
+    * single join). Revenue rides the decimal canon; ordering is
+    * revenue desc with the n_name tiebreak.
+    */
+  def q5LocalSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val natRegion = Tables.t(spark, sfDir, "nation")
+      .join(Tables.t(spark, sfDir, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "ASIA")
+      .select(col("n_nationkey"), col("n_name"))
+    val o = Tables.t(spark, sfDir, "orders")
+      .where(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+    Tables.t(spark, sfDir, "lineitem")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.t(spark, sfDir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.t(spark, sfDir, "supplier"),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(natRegion), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  /** c86 — INCREMENTAL aggregate maintenance: b16's pricing summary
+    * maintained as base ⊕ delta instead of recomputed — the algebraic
+    * mergeability contract every production incremental ETL depends
+    * on. The corpus splits deterministically (md5 1-in-5 = the
+    * "new arrivals" increment, the c50 id-split convention); each
+    * side reduces to PARTIAL aggregates (decimal sums + counts — the
+    * mergeable form; averages are NOT mergeable and are derived only
+    * after the merge), the two partial tables (6 rows each) union,
+    * and one final 6-group re-aggregation merges them. The oracle is
+    * b16's own SQL — proving base ⊕ delta ≡ full recompute exactly,
+    * which is the whole point: at 100 TB the base partials are a
+    * materialized artifact and each increment costs one delta scan +
+    * a group-sized merge, never a full-history pass.
+    */
+  def incrementalAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.t(spark, sfDir, "lineitem")
+    val isDelta = substring(md5(concat(lit("inc:"),
+      col("l_orderkey").cast("string"), lit(":"),
+      col("l_linenumber").cast("string"))), 1, 1).isin("0", "1", "2")
+    def partials(rows: DataFrame): DataFrame = rows
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(38, 6))).as("p_qty"),
+        sum(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(38, 6))).as("p_base"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 6))).as("p_disc"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 6))).as("p_charge"),
+        sum(col("l_discount").cast(org.apache.spark.sql.types.DecimalType(38, 6))).as("p_discsum"),
+        count(lit(1)).as("p_n"))
+    partials(li.where(!isDelta)).unionAll(partials(li.where(isDelta)))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("p_qty")).cast("double").as("sum_qty"),
+        sum(col("p_base")).cast("double").as("sum_base_price"),
+        sum(col("p_disc")).cast("double").as("sum_disc_price"),
+        sum(col("p_charge")).cast("double").as("sum_charge"),
+        round(sum(col("p_qty")).cast("double") / sum(col("p_n")), 4).as("avg_qty"),
+        round(sum(col("p_base")).cast("double") / sum(col("p_n")), 4).as("avg_price"),
+        round(sum(col("p_discsum")).cast("double") / sum(col("p_n")), 4).as("avg_disc"),
+        sum(col("p_n")).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   /** b31 — distinct union of two id universes (buyers ∪ event users). */
   def unionQ(spark: SparkSession, sfDir: String): DataFrame = {
     val buyers = Tables.t(spark, sfDir, "orders").select(col("o_custkey").as("id"))
@@ -528,10 +606,30 @@ object Relational {
     "c28_hist_quantiles" -> (histQuantiles(_, _)),
     "b31_union" -> (unionQ(_, _)),
     "b32_intersect" -> (intersectQ(_, _)),
-    "b33_except" -> (exceptQ(_, _))
+    "b33_except" -> (exceptQ(_, _)),
+    "b53_q5_local_supplier" -> (q5LocalSupplier(_, _)),
+    "c86_incremental_agg" -> (incrementalAgg(_, _))
   )
 
-  val oracle: Map[String, String] = Map(
+  val oracle: Map[String, String] = oracleBase +
+    // c86 must equal b16 EXACTLY — base ⊕ delta ≡ full recompute is
+    // the key's whole claim, so they share one oracle text.
+    ("c86_incremental_agg" -> oracleBase("b16_q1_pricing_summary"))
+
+  private def oracleBase: Map[String, String] = Map(
+    "b53_q5_local_supplier" ->
+      s"""SELECT n_name,
+         |  ${oDsum("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM customer, orders, lineitem, supplier, nation, region
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC NULLS LAST, n_name ASC NULLS FIRST""".stripMargin,
+
     "c80_zorder_skipping" -> zorderOracleSql,
 
     "b16_q1_pricing_summary" ->

@@ -427,6 +427,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("documents.parquet"), s"corpus scan leaked into round plan:\n$p")
   }
 
+  test("b53: Q5 broadcasts the nation-region dim and pushes the date filter to the scan") {
+    val p = plan(Relational.q5LocalSupplier(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("o_orderdate"), s"date filter not pushed:\n$pushed")
+  }
+
+  test("c86: the incremental merge re-aggregates two partial scans, never a third") {
+    val p = plan(Relational.incrementalAgg(spark, sf))
+    val scans = p.linesIterator.count(_.contains("lineitem.parquet"))
+    assert(scans == 2, s"expected exactly 2 lineitem scans (base + delta), got $scans:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("c64: calibration joins are id-equi over the sampled pair spine; nothing cartesian") {
     val p = plan(Llm.minhashCalibration(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
