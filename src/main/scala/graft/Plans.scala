@@ -104,7 +104,19 @@ object Plans {
       "c78_bpe_train_steps" ->
         ("Final report plan contains NO documents scan — each BPE round reads the " +
           "localCheckpoint'ed vocab, so the corpus is scanned once (at round-0 setup), " +
-          "not 2^K times."))
+          "not 2^K times."),
+      "c79_hard_negatives" ->
+        ("Anchor batch broadcasts into both branches; each branch's rn=1 cut executes " +
+          "as WindowGroupLimit below its exchange; no cartesian product."),
+      "c85_media_embed_topk" ->
+        ("Embedding = one per-row projection of byte-addressed folds (blobs never " +
+          "shuffle); 1-row probe broadcasts; top-k fuses to TakeOrderedAndProject."),
+      "b53_q5_local_supplier" ->
+        ("Nation-region dim broadcasts; the 1996 year filter is in PushedFilters on " +
+          "the orders scan; fact joins are shuffle equi-joins, nothing nested-loop."),
+      "c86_incremental_agg" ->
+        ("Exactly two lineitem scans (base + delta partials) union into one 6-group " +
+          "merge re-aggregation — the mergeability contract, visible in the plan."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans` on ")
       .append(sfDir).append(")\n\n")

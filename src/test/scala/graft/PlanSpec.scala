@@ -427,6 +427,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("documents.parquet"), s"corpus scan leaked into round plan:\n$p")
   }
 
+  test("c79: anchors broadcast and both rank branches pre-prune via WindowGroupLimit") {
+    val p = plan(NearDup.hardNegatives(spark, sf))
+    assert(p.contains("Broadcast"), p)
+    assert(p.linesIterator.count(_.contains("WindowGroupLimit")) >= 2,
+      s"both mining branches must group-limit below their exchange:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("c85: media blobs never shuffle — probe broadcasts, top-k fuses") {
+    val p = plan(Multimodal.mediaEmbedTopk(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("Broadcast"), p)
+    // The binary column must not appear in any Exchange's input row —
+    // only doc_id and the 8 mean doubles cross the wire.
+    val exchangeInputs = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchangeInputs.contains("content"), s"blob crossed an exchange:\n$exchangeInputs")
+  }
+
   test("b53: Q5 broadcasts the nation-region dim and pushes the date filter to the scan") {
     val p = plan(Relational.q5LocalSupplier(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)
