@@ -12,6 +12,10 @@ object Plans {
     val out = if (args.length > 1) args(1) else "PLANS.md"
     val spark = SparkSession.builder()
       .master("local[4]")
+      // Static conf — must be set on EVERY entry point's builder, or
+      // the c88 bucketed-table write lands in ./spark-warehouse
+      // inside the repo (exactly what happened on first regen).
+      .config("spark.sql.warehouse.dir", Sessions.warehouseDir)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -116,7 +120,13 @@ object Plans {
           "the orders scan; fact joins are shuffle equi-joins, nothing nested-loop."),
       "c86_incremental_agg" ->
         ("Exactly two lineitem scans (base + delta partials) union into one 6-group " +
-          "merge re-aggregation — the mergeability contract, visible in the plan."))
+          "merge re-aggregation — the mergeability contract, visible in the plan."),
+      "c87_salted_join" ->
+        ("Both SMJ sides exchange on (orderkey, salt) — the hot-key spread; the plain " +
+          "join oracle proves the salt changes partitioning only."),
+      "c88_bucketed_join" ->
+        ("Bucketed: true scans feed the SMJ with no exchange and no sort on either " +
+          "side; the only hash exchange in the plan is the final 3-group aggregate."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans` on ")
       .append(sfDir).append(")\n\n")

@@ -49,7 +49,15 @@ object Sessions {
     * values and the running session cannot drift apart (round-9
     * ADVICE: the old spec asserted a constant, not the posture).
     */
+  /** Catalog warehouse under the system tmpdir (one per JVM): the
+    * bucketed-table seam (c88) writes managed tables, which must
+    * never land in the default `./spark-warehouse` inside the repo.
+    */
+  private[graft] lazy val warehouseDir: String =
+    java.nio.file.Files.createTempDirectory("graft_warehouse").toString
+
   private[graft] def posture(cpus: Int): Map[String, String] = Map(
+    "spark.sql.warehouse.dir" -> warehouseDir,
     "spark.sql.shuffle.partitions" -> cpus.toString,
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.adaptive.coalescePartitions.initialPartitionNum" ->

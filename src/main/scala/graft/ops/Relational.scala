@@ -434,6 +434,96 @@ object Relational {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  // --- c87/c88: the two join co-location strategies ---------------
+
+  /** Salt width of the c87 skew-mitigation join. */
+  private[graft] val SaltWidth = 4
+
+  /** c87 — SALTED join, the skew-mitigation pattern as an operator
+    * whose output provably equals the plain join: the many-rows-per-
+    * key side (lineitem) takes a DETERMINISTIC salt
+    * (l_linenumber % [[SaltWidth]] — data-derived, engine-identical,
+    * never an RNG), the one-row-per-key side (orders) explodes ×S
+    * over all salts, and the join key becomes (orderkey, salt) — a
+    * hot key's rows now spread over S shuffle partitions instead of
+    * hammering one. The oracle is the PLAIN join's aggregate, which
+    * is the pattern's correctness contract: salting must change the
+    * partitioning and nothing else.
+    *
+    * When to reach for it at 100 TB: AQE's skew-join split handles
+    * skew it can SEE (post-shuffle partition sizes); salting is the
+    * plan-level answer when one key exceeds what any single task can
+    * hold even after splitting, or when the skew is in a grouping
+    * key AQE doesn't rebalance. The ×S replication of the thin side
+    * is the measured price.
+    */
+  def saltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .withColumn("salt", explode(expr(s"sequence(0, ${SaltWidth - 1})")))
+    val l = Tables.t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+        (col("l_linenumber") % SaltWidth).as("salt"))
+    // hint("merge"): pins the SHUFFLE join the pattern exists for —
+    // at fixture SF Spark would broadcast the exploded orders side and
+    // the salt would never reach an exchange; at 100 TB neither fact
+    // side broadcasts and this IS the strategy.
+    o.hint("merge")
+      .join(l, col("o_orderkey") === col("l_orderkey") && o("salt") === l("salt"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Bucket count of the c88 co-located join tables. */
+  private[graft] val BucketN = 8
+
+  /** c88 — BUCKETED (co-located) join: both fact tables are written
+    * ONCE as managed tables bucketed AND sorted by the join key
+    * (`bucketBy(8, key).sortBy(key)`), and the join then runs with
+    * ZERO exchanges and ZERO sorts on either side — bucket i joins
+    * bucket i directly (PlanSpec pins the exchange-free plan). This
+    * is the third co-location strategy the engine demonstrates
+    * end-to-end, completing broadcast (b7: dim ≪ fact) and salting
+    * (c87: skewed keys): bucketing pays the shuffle ONCE at write
+    * time and amortizes it over every subsequent join/aggregation on
+    * the bucket key — the layout a 100 TB fact table that is joined
+    * daily should be stored in.
+    *
+    * The bucketed tables are session-catalog artifacts memoized per
+    * (session, sfDir) — `tableExists` gates the one-time write (the
+    * c2 band-store discipline), and the warehouse lives under the
+    * system tmpdir ([[graft.Sessions.warehouseDir]]), never the
+    * repo. The oracle is the plain join aggregate: like c87, the
+    * layout must change the plan, never the answer.
+    */
+  def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val (to, tl) = (s"graft_bkt_orders_$tag", s"graft_bkt_lineitem_$tag")
+    if (!spark.catalog.tableExists(to)) {
+      Tables.t(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .write.bucketBy(BucketN, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(to)
+      Tables.t(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .write.bucketBy(BucketN, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(tl)
+    }
+    // hint("merge"): a bucketed fact-fact join IS a sort-merge join —
+    // that is what the sorted-bucket layout feeds exchange- and
+    // sort-free. At fixture SF Spark would broadcast the small side
+    // instead and the co-location would never engage.
+    spark.table(to).hint("merge")
+      .join(spark.table(tl), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
   /** b31 — distinct union of two id universes (buyers ∪ event users). */
   def unionQ(spark: SparkSession, sfDir: String): DataFrame = {
     val buyers = Tables.t(spark, sfDir, "orders").select(col("o_custkey").as("id"))
@@ -608,7 +698,9 @@ object Relational {
     "b32_intersect" -> (intersectQ(_, _)),
     "b33_except" -> (exceptQ(_, _)),
     "b53_q5_local_supplier" -> (q5LocalSupplier(_, _)),
-    "c86_incremental_agg" -> (incrementalAgg(_, _))
+    "c86_incremental_agg" -> (incrementalAgg(_, _)),
+    "c87_salted_join" -> (saltedJoin(_, _)),
+    "c88_bucketed_join" -> (bucketedJoin(_, _))
   )
 
   val oracle: Map[String, String] = oracleBase +
@@ -616,7 +708,20 @@ object Relational {
     // the key's whole claim, so they share one oracle text.
     ("c86_incremental_agg" -> oracleBase("b16_q1_pricing_summary"))
 
+  /** Shared by c87/c88: the PLAIN join aggregate — the correctness
+    * contract that salting/bucketing change the plan, not the answer.
+    */
+  private def plainJoinAggSql: String =
+    s"""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  ${oDsum("l_extendedprice * (1 - l_discount)")} AS revenue
+       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |GROUP BY o_orderstatus
+       |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin
+
   private def oracleBase: Map[String, String] = Map(
+    "c87_salted_join" -> plainJoinAggSql,
+    "c88_bucketed_join" -> plainJoinAggSql,
+
     "b53_q5_local_supplier" ->
       s"""SELECT n_name,
          |  ${oDsum("l_extendedprice * (1 - l_discount)")} AS revenue

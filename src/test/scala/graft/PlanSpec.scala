@@ -460,6 +460,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("c87: the join key carries the salt — hot keys spread over SaltWidth partitions") {
+    val p = plan(Relational.saltedJoin(spark, sf))
+    val saltExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("salt"))
+    assert(saltExchanges >= 2, s"both join sides must partition by (key, salt):\n$p")
+  }
+
+  test("c88: the bucketed join runs with zero exchanges and zero sorts on its inputs") {
+    val p = plan(Relational.bucketedJoin(spark, TestSpark.sf0001))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("Bucketed: true"), s"scan is not bucket-aware:\n$p")
+    // The ONLY hash exchange permitted is the final 3-group aggregate;
+    // the join itself must be exchange-free (bucket i ⋈ bucket i).
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"bucketed join still shuffles:\n$p")
+  }
+
   test("c64: calibration joins are id-equi over the sampled pair spine; nothing cartesian") {
     val p = plan(Llm.minhashCalibration(spark, sf))
     assert(!p.contains("CartesianProduct"), p)

@@ -32,7 +32,12 @@ class SessionsSpec extends AnyFunSuite {
     // the SQL-conf subset to a child session of the shared context
     // (master/core settings are fixed by the running context).
     val s2 = TestSpark.spark.newSession()
-    p.filter(_._1.startsWith("spark.sql.")).foreach { case (k, v) => s2.conf.set(k, v) }
+    // warehouse.dir is a STATIC conf — builder-time only (TestSpark
+    // already pins it to Sessions.warehouseDir); the runtime subset
+    // excludes it.
+    p.filter { case (k, _) =>
+      k.startsWith("spark.sql.") && k != "spark.sql.warehouse.dir"
+    }.foreach { case (k, v) => s2.conf.set(k, v) }
     assert(s2.conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum") == "256")
     assert(s2.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes") == "16m")
   }
