@@ -296,7 +296,51 @@ object Migration {
       .orderBy("token_range")
   }
 
+  /** A16 — LATEST-wins snapshot compaction: the mutation log (events,
+    * keyed by user) collapsed to each key's current state — the READ
+    * side of an upsert store, and exactly what a keyspace copy's
+    * target must serve after replaying a mutation feed (Cassandra's
+    * last-write-wins cell semantics at row grain; A9 is the counter
+    * column's SUM twin, c76 the full SCD2 history this snapshot is
+    * the head of). Latest = max (ts_us, event_id) — the canon total
+    * order, so ties are deterministic in both engines — carrying the
+    * WHOLE row (state and value travel together; a per-column max
+    * would stitch cells from different mutations, the classic
+    * compaction bug).
+    *
+    * Scale shape: NO window and no full-log shuffle — the whole-row
+    * argmax is `max(struct(ts_us, event_id, event_type, value))`
+    * (struct comparison is lexicographic, and (ts_us, event_id) is
+    * unique per key, so the payload fields never decide an order),
+    * which is a MERGEABLE aggregate: map-side combine reduces every
+    * partition to ≤1 row per key BEFORE the exchange, and the
+    * mutation count rides the same aggregation. A window rn=1 form
+    * was built first and rejected: its per-key count window blocks
+    * WindowGroupLimit, so the entire log crosses the exchange.
+    */
+  def latestSnapshot(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.t(spark, sfDir, "events")
+    latestSnapshotFrom(ev.select(col("user_id"), col("event_id"),
+      col("event_type"), col("value"), Tables.tsUs(ev).as("ts_us")))
+  }
+
+  /** Kernel of [[latestSnapshot]] over any (user_id, event_id,
+    * event_type, value, ts_us) frame — split out so the spec can pin
+    * whole-row latest-wins and the (ts, event_id) tie semantics.
+    */
+  private[graft] def latestSnapshotFrom(e: DataFrame): DataFrame =
+    e.groupBy(col("user_id"))
+      .agg(max(struct(col("ts_us"), col("event_id"), col("event_type"),
+          col("value"))).as("m"),
+        count(lit(1)).as("n_mutations"))
+      .select(col("user_id"), col("m.event_type").as("state"),
+        col("m.ts_us").as("last_ts_us"),
+        round(col("m.value"), 4).as("last_value"),
+        col("n_mutations"))
+      .orderBy("user_id")
+
   val queries: Map[String, Q] = Map(
+    "a16_latest_snapshot" -> (latestSnapshot(_, _)),
     "a13_migration_diff" -> (migrationDiff(_, _)),
     "a14_unset_merge" -> (unsetMerge(_, _)),
     "a15_resume_manifest" -> (resumeManifest(_, _)),
@@ -311,6 +355,22 @@ object Migration {
   )
 
   val oracle: Map[String, String] = Map(
+    "a16_latest_snapshot" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+        |  FROM events
+        |), ranked AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts_us DESC NULLS LAST, event_id DESC NULLS LAST) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_mutations
+        |  FROM e
+        |)
+        |SELECT user_id, event_type AS state, ts_us AS last_ts_us,
+        |  ROUND(value, 4) AS last_value, n_mutations
+        |FROM ranked WHERE rn = 1
+        |ORDER BY user_id ASC NULLS FIRST""".stripMargin,
+
     "a13_migration_diff" ->
       """WITH tgt AS (
         |  SELECT o_orderkey AS t_key,

@@ -434,6 +434,35 @@ object Relational {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** b54 — TPC-H Q18 (large-volume customers): orders whose total
+    * line quantity exceeds 300, with customer context — the
+    * agg-derived SEMI-JOIN shape (the qualifying-key set comes from
+    * an aggregation, not a stored dimension). Plan at 100 TB: the
+    * qualifying orderkeys are an aggregate of lineitem (map-side
+    * combined; output is duplicate-free keys ≪ lineitem), joined
+    * back — Spark plans the key set as the build side; the final
+    * top-100 fuses to TakeOrderedAndProject. One lineitem scan feeds
+    * BOTH the qualifier and the final quantity sum via the self-join
+    * on the qualified keys.
+    */
+  def q18LargeOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.t(spark, sfDir, "lineitem")
+    val qualifying = li.groupBy(col("l_orderkey").as("qk"))
+      .agg(sum(col("l_quantity")).as("qsum"))
+      .where(col("qsum") > 300).select(col("qk"))
+    li.join(qualifying, col("l_orderkey") === col("qk"))
+      .join(Tables.t(spark, sfDir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.t(spark, sfDir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      .agg(dsum(col("l_quantity")).as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate").asc,
+        col("o_orderkey").asc)
+      .limit(100)
+  }
+
   // --- c87/c88: the two join co-location strategies ---------------
 
   /** Salt width of the c87 skew-mitigation join. */
@@ -698,6 +727,7 @@ object Relational {
     "b32_intersect" -> (intersectQ(_, _)),
     "b33_except" -> (exceptQ(_, _)),
     "b53_q5_local_supplier" -> (q5LocalSupplier(_, _)),
+    "b54_q18_large_orders" -> (q18LargeOrders(_, _)),
     "c86_incremental_agg" -> (incrementalAgg(_, _)),
     "c87_salted_join" -> (saltedJoin(_, _)),
     "c88_bucketed_join" -> (bucketedJoin(_, _))
@@ -719,6 +749,19 @@ object Relational {
        |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin
 
   private def oracleBase: Map[String, String] = Map(
+    "b54_q18_large_orders" ->
+      s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+         |  ${oDsum("l_quantity")} AS total_qty
+         |FROM customer, orders, lineitem
+         |WHERE o_orderkey IN (
+         |    SELECT l_orderkey FROM lineitem
+         |    GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+         |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+         |ORDER BY o_totalprice DESC NULLS LAST, o_orderdate ASC NULLS FIRST,
+         |  o_orderkey ASC NULLS FIRST
+         |LIMIT 100""".stripMargin,
+
     "c87_salted_join" -> plainJoinAggSql,
     "c88_bucketed_join" -> plainJoinAggSql,
 

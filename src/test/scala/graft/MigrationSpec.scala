@@ -267,4 +267,20 @@ class MigrationSpec extends AnyFunSuite {
       assert(r._4.nonEmpty && r._4.get > 0.0, s"$i checksum: $r")
     }
   }
+
+  test("A16: latest-wins carries the WHOLE winning row; equal-µs ties break by event_id") {
+    import spark.implicits._
+    // user 1: the event_id-2 mutation wins the equal-ts tie (higher
+    // id), and its VALUE must travel with its state — a per-column
+    // max would emit (B, 9.0), stitching two mutations.
+    val e = Seq(
+      (1L, 1L, "A", 9.0, 10L), (1L, 2L, "B", 3.0, 10L),
+      (2L, 3L, "C", 5.0, 7L), (2L, 4L, "D", 1.0, 6L))
+      .toDF("user_id", "event_id", "event_type", "value", "ts_us")
+    val out = ops.Migration.latestSnapshotFrom(e).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, "B", 10L, 3.0, 2L), (2L, "C", 7L, 5.0, 2L)))
+  }
 }

@@ -445,6 +445,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!exchangeInputs.contains("content"), s"blob crossed an exchange:\n$exchangeInputs")
   }
 
+  test("b54: Q18's top-100 fuses to TakeOrderedAndProject; nothing cartesian") {
+    val p = plan(Relational.q18LargeOrders(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("a16: latest-wins is a mergeable struct-max aggregate — no window, partial combine") {
+    val p = plan(Migration.latestSnapshot(spark, sf))
+    assert(!p.contains("Window"), s"snapshot must not need a window:\n$p")
+    assert(p.contains("partial_max") || p.contains("partial_"),
+      s"struct-max must combine map-side:\n$p")
+  }
+
   test("b53: Q5 broadcasts the nation-region dim and pushes the date filter to the scan") {
     val p = plan(Relational.q5LocalSupplier(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)
