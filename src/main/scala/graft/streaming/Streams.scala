@@ -208,6 +208,16 @@ object Streams {
             batch.write.mode("overwrite").parquet(out))
           .option("checkpointLocation", ckpt)
       case "append" => toParquetSink(df, out, ckpt)
+      // Update-mode queries (transformWithState emissions) cannot use
+      // the file sink directly (file sinks are append-only); each
+      // micro-batch's emissions append via foreachBatch — a
+      // DISTRIBUTED write, never a driver-side memory sink. The sink
+      // is then an emission LOG; readers compact it (the A16 rule).
+      case "update_log" =>
+        df.writeStream.outputMode("update")
+          .foreachBatch((batch: Dataset[Row], _: Long) =>
+            batch.write.mode("append").parquet(out))
+          .option("checkpointLocation", ckpt)
       case other => throw new IllegalArgumentException(s"unsupported sink mode: $other")
     }
     val q = writer
@@ -560,7 +570,78 @@ object Streams {
       .orderBy("user_id", "version")
   }
 
+  /** The `StatefulProcessor` behind [[streamLatestSnapshot]]: one
+    * ValueState holding the running whole-row argmax (ts_us,
+    * event_id, state, value) + mutation count per user — the A16
+    * compaction as LIVE state. Monotone in both components: the
+    * argmax never regresses and the count only grows, so the last
+    * emission per key is the global snapshot under ANY batching
+    * (unlike c83, which needs event-time-ordered batches).
+    */
+  class LatestSnapshotProcessor
+      extends StatefulProcessor[Long, (Long, Long, String, Double, Long),
+        (Long, Long, Long, String, Double, Long)] {
+    @transient private var snap: ValueState[(Long, Long, String, Double, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      snap = getHandle.getValueState[(Long, Long, String, Double, Long)](
+        "snap", Encoders.product[(Long, Long, String, Double, Long)], TTLConfig.NONE)
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Long, String, Double, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long, String, Double, Long)] = {
+      // state = (ts_us, event_id, event_type, value, n_mutations)
+      var cur = if (snap.exists()) snap.get() else (Long.MinValue, Long.MinValue, "", 0.0, 0L)
+      rows.foreach { case (_, eid, et, v, ts) =>
+        val newer = ts > cur._1 || (ts == cur._1 && eid > cur._2)
+        cur = (if (newer) (ts, eid, et, v) else (cur._1, cur._2, cur._3, cur._4)) match {
+          case (a, b, c, d) => (a, b, c, d, cur._5 + 1)
+        }
+      }
+      snap.update(cur)
+      Iterator((user, cur._1, cur._2, cur._3, cur._4, cur._5))
+    }
+  }
+
+  /** c89 — STREAMING latest-wins snapshot, oracle-verified on the
+    * Spark 4.x `transformWithState` API (RocksDB state store — the
+    * provider a 100 TB/day deployment runs, state on disk not heap;
+    * the legacy-API twins B47/c83 use flatMapGroupsWithState): the
+    * A16 upsert-store compaction maintained LIVE. Each micro-batch
+    * folds into one ValueState row per user and emits the updated
+    * snapshot (Update mode → foreachBatch append log — file sinks
+    * are append-only, so update emissions LOG and the read side
+    * compacts, which is itself exactly the A16 rule applied over
+    * (n_mutations, ts, id): both components are monotone, so the
+    * max-struct row IS the final state under any batching). Shares
+    * A16's oracle text — the stream must converge to the batch
+    * snapshot exactly.
+    */
+  def streamLatestSnapshot(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = stateSession(spark, statePartitions = 8)
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    val ev = streamTable(s, sfDir, "events")
+    val typed = ev
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), graft.Tables.tsUs(ev).as("ts_us"))
+      .as[(Long, Long, String, Double, Long)]
+    val emissions = typed.groupByKey(_._1)
+      .transformWithState(new LatestSnapshotProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "ts_us", "event_id", "state", "value", "n_mutations")
+    runToParquet(emissions, "update_log", "c89")
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_mutations"), col("ts_us"), col("event_id"),
+        col("state"), col("value"))).as("m"))
+      .select(col("user_id"), col("m.state").as("state"),
+        col("m.ts_us").as("last_ts_us"),
+        round(col("m.value"), 4).as("last_value"),
+        col("m.n_mutations").as("n_mutations"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c89_stream_latest_snapshot" -> (streamLatestSnapshot(_, _)),
     "c83_stream_scd2" -> (streamScd2(_, _)),
     "c51_stream_incremental_dedup" -> (streamIncrementalDedup(_, _)),
     "c25_stream_tumbling" -> (streamTumbling(_, _)),
@@ -574,6 +655,11 @@ object Streams {
     * both the batch path and DuckDB on the same input.
     */
   val oracle: Map[String, String] = Map(
+    // The stream must converge to the BATCH snapshot exactly — same
+    // oracle text as a16.
+    "c89_stream_latest_snapshot" ->
+      graft.ops.Migration.oracle("a16_latest_snapshot"),
+
     // c76's SCD2 build minus its open (NULL valid_to) versions —
     // derived from the SAME SQL text so the two cannot drift: append
     // mode emits exactly the closed intervals.

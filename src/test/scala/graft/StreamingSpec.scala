@@ -133,6 +133,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("c89 kernel: the snapshot argmax never regresses when OLDER events arrive in later batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // (user_id, event_id, event_type, value, ts_us)
+    val input = MemoryStream[(Long, Long, String, Double, Long)]
+    val snaps = input.toDS().groupByKey(_._1)
+      .transformWithState(new graft.streaming.Streams.LatestSnapshotProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF("user_id", "ts_us", "event_id", "state", "value", "n_mutations")
+    val q = snaps.writeStream.format("memory").queryName("c89k")
+      .outputMode("update").start()
+    try {
+      input.addData((1L, 2L, "B", 2.0, 20L))
+      q.processAllAvailable()
+      // An OLDER mutation arrives in a LATER batch: the argmax must
+      // hold (state B, ts 20) while the count still advances — the
+      // monotonicity that makes the emission log batching-invariant.
+      input.addData((1L, 1L, "A", 9.0, 10L))
+      q.processAllAvailable()
+      val out = spark.table("c89k")
+        .as[(Long, Long, Long, String, Double, Long)].collect().sortBy(_._6)
+      assert(out.toSeq == Seq(
+        (1L, 20L, 2L, "B", 2.0, 1L), (1L, 20L, 2L, "B", 2.0, 2L)))
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("c83 kernel: a run spanning micro-batches closes exactly once, with carried counts") {
     implicit val sqlCtx = spark.sqlContext
     // (user_id, event_id, event_type, ts_us)
