@@ -27,6 +27,14 @@ import org.apache.spark.sql.Row
   */
 object Streams {
 
+  /** The state-store provider `transformWithState` requires (and the
+    * one a 100 TB/day stream runs — state on disk, not executor
+    * heap). One constant: Spark instantiates it reflectively, so a
+    * typo in a copied literal would fail only at runtime.
+    */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   /** Tumbling-window counts+sums per hour with late-data bound.
     * Batch twin: ops/Windows.tumblingWindow (oracle'd as b42). The sum
     * goes through the decimal canon (graft.Canon.dsum) like every batch
@@ -592,9 +600,7 @@ object Streams {
       var cur = if (snap.exists()) snap.get() else (Long.MinValue, Long.MinValue, "", 0.0, 0L)
       rows.foreach { case (_, eid, et, v, ts) =>
         val newer = ts > cur._1 || (ts == cur._1 && eid > cur._2)
-        cur = (if (newer) (ts, eid, et, v) else (cur._1, cur._2, cur._3, cur._4)) match {
-          case (a, b, c, d) => (a, b, c, d, cur._5 + 1)
-        }
+        cur = if (newer) (ts, eid, et, v, cur._5 + 1) else cur.copy(_5 = cur._5 + 1)
       }
       snap.update(cur)
       Iterator((user, cur._1, cur._2, cur._3, cur._4, cur._5))
@@ -617,8 +623,7 @@ object Streams {
     */
   def streamLatestSnapshot(spark: SparkSession, sfDir: String): DataFrame = {
     val s = stateSession(spark, statePartitions = 8)
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
     import s.implicits._
     val ev = streamTable(s, sfDir, "events")
     val typed = ev

@@ -137,8 +137,7 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prior = spark.conf.getOption(providerKey)
-    spark.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(providerKey, graft.streaming.Streams.RocksDbProvider)
     // (user_id, event_id, event_type, value, ts_us)
     val input = MemoryStream[(Long, Long, String, Double, Long)]
     val snaps = input.toDS().groupByKey(_._1)
@@ -161,11 +160,13 @@ class StreamingSpec extends AnyFunSuite {
       assert(out.toSeq == Seq(
         (1L, 20L, 2L, "B", 2.0, 1L), (1L, 20L, 2L, "B", 2.0, 2L)))
     } finally {
-      q.stop()
+      // Restore BEFORE stop: a rethrowing stop() must not leak the
+      // provider override into the shared session's later tests.
       prior match {
         case Some(v) => spark.conf.set(providerKey, v)
         case None => spark.conf.unset(providerKey)
       }
+      q.stop()
     }
   }
 
@@ -220,8 +221,7 @@ class StreamingSpec extends AnyFunSuite {
     val prior = spark.conf.getOption(providerKey)
     // transformWithState requires the RocksDB provider (also the one a
     // large deployment runs: state on disk, not executor heap).
-    spark.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(providerKey, graft.streaming.Streams.RocksDbProvider)
     val input = MemoryStream[(Long, Double)]
     val totals = graft.streaming.Streams.runningTotalsTws(input.toDS())
     val q = totals.writeStream.format("memory").queryName("b47b")
@@ -236,11 +236,13 @@ class StreamingSpec extends AnyFunSuite {
       assert(byKey(1L)._2 == 3L && byKey(1L)._3 == 6.0)
       assert(byKey(2L)._2 == 1L && byKey(2L)._3 == 5.0)
     } finally {
-      q.stop()
+      // Restore BEFORE stop: a rethrowing stop() must not leak the
+      // provider override into the shared session's later tests.
       prior match {
         case Some(v) => spark.conf.set(providerKey, v)
         case None => spark.conf.unset(providerKey)
       }
+      q.stop()
     }
   }
 }
