@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -333,7 +333,102 @@ object Analytics {
       .orderBy("o_orderstatus")
   }
 
+  // --- c90: Welch's t-test (A/B experiment readout) ----------------
+
+  /** c90 — two-sample Welch's t-test per event_type: the A/B
+    * experiment readout (difference of means, unequal variances —
+    * Welch 1947, public) over a deterministic md5 assignment
+    * (nibble 0-7 → arm A), the same RNG-free split discipline as c32.
+    * Emits per metric group: arm sizes, means, the t statistic and
+    * the Welch–Satterthwaite degrees of freedom — the numbers an
+    * experimentation platform computes for every metric every day.
+    *
+    * Shape: ONE scan, one map-side-combined aggregate — both arms'
+    * moments (n, Σ, Σ²) ride conditional DECIMAL sums in the same
+    * groupBy, so adding arms or metrics never adds passes. All
+    * moments are partition-invariant exact decimals; t and dof are a
+    * fixed dag of double arithmetic on those, tolerance-rounded at
+    * 1e-4 (identical in DuckDB).
+    */
+  def abWelchT(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.t(spark, sfDir, "events")
+    val isA = substring(md5(concat(lit("arm:"), col("event_id").cast("string"))), 1, 1) < "8"
+    def dsumIf(cond: Column, c: Column) =
+      sum(when(cond, c).otherwise(lit(0.0))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 6))).cast("double")
+    val m = ev
+      .select(col("event_type"), col("value"), isA.as("a"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("n_b"),
+        dsumIf(col("a"), col("value")).as("s1a"),
+        dsumIf(col("a"), col("value") * col("value")).as("s2a"),
+        dsumIf(!col("a"), col("value")).as("s1b"),
+        dsumIf(!col("a"), col("value") * col("value")).as("s2b"))
+    m.select(col("event_type"), col("n_a"), col("n_b"),
+        round(col("s1a") / col("n_a"), 4).as("mean_a"),
+        round(col("s1b") / col("n_b"), 4).as("mean_b"),
+        ((col("s2a") - col("s1a") * col("s1a") / col("n_a")) / (col("n_a") - 1) / col("n_a"))
+          .as("sea2"),
+        ((col("s2b") - col("s1b") * col("s1b") / col("n_b")) / (col("n_b") - 1) / col("n_b"))
+          .as("seb2"),
+        (col("s1a") / col("n_a") - col("s1b") / col("n_b")).as("diff"))
+      // Squares via explicit multiplication, never pow(x, 2): libm pow
+      // is not bit-specified and the two engines may differ in the
+      // last ulp; x*x is exact IEEE in both.
+      .select(col("event_type"), col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        round(col("diff") / sqrt(col("sea2") + col("seb2")), 4).as("t_stat"),
+        round((col("sea2") + col("seb2")) * (col("sea2") + col("seb2")) /
+          (col("sea2") * col("sea2") / (col("n_a") - 1) +
+            col("seb2") * col("seb2") / (col("n_b") - 1)), 4)
+          .as("welch_dof"))
+      .orderBy("event_type")
+  }
+
+  // --- c91: per-group OLS trend ------------------------------------
+
+  /** c91 — simple OLS trend per event_type: slope/intercept/R² of
+    * value over time (days), closed-form from five moment sums — the
+    * metric-trend regression behind every "is this KPI drifting"
+    * dashboard, and the moment-sum pattern that scales to any
+    * closed-form GLM: ONE scan, one map-side-combined aggregate,
+    * slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) as a fixed double dag over
+    * DECIMAL-exact sums (partition-invariant), rounded at 1e-4.
+    * x = ts_us/86.4e9 (fractional days — one double division,
+    * engine-identical); products cast to DECIMAL(38,6) BEFORE
+    * summing, the repo canon.
+    */
+  def olsTrend(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.t(spark, sfDir, "events")
+    def d(c: Column) = c.cast(org.apache.spark.sql.types.DecimalType(38, 6))
+    val m = ev
+      .select(col("event_type"),
+        (Tables.tsUs(ev) / lit(86400000000.0)).as("x"), col("value").as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(d(col("x"))).cast("double").as("sx"),
+        sum(d(col("y"))).cast("double").as("sy"),
+        sum(d(col("x") * col("y"))).cast("double").as("sxy"),
+        sum(d(col("x") * col("x"))).cast("double").as("sxx"),
+        sum(d(col("y") * col("y"))).cast("double").as("syy"))
+    m.select(col("event_type"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("den"),
+        col("sx"), col("sy"), col("syy"))
+      .select(col("event_type"), col("n"),
+        round(col("num") / col("den"), 4).as("slope_per_day"),
+        round((col("sy") - col("num") / col("den") * col("sx")) / col("n"), 4)
+          .as("intercept"),
+        round(col("num") * col("num") /
+          (col("den") * (col("n") * col("syy") - col("sy") * col("sy"))), 4)
+          .as("r2"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c90_ab_welch_t" -> (abWelchT(_, _)),
+    "c91_ols_trend" -> (olsTrend(_, _)),
     "c74_funnel_conversion" -> (funnelConversion(_, _)),
     "c75_cohort_retention" -> (cohortRetention(_, _)),
     "c76_scd2_intervals" -> (scd2Intervals(_, _)),
@@ -436,6 +531,59 @@ object Analytics {
         |  least(a_end, b_end) - greatest(a_start, b_start) AS overlap_days
         |FROM a JOIN b ON a_start < b_end AND b_start < a_end
         |ORDER BY a_orderkey ASC NULLS FIRST, b_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "c90_ab_welch_t" ->
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |    substr(md5('arm:' || CAST(event_id AS VARCHAR)), 1, 1) < '8' AS a
+        |  FROM events
+        |), m AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CAST(CASE WHEN a THEN value ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS s1a,
+        |    CAST(SUM(CAST(CASE WHEN a THEN value * value ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS s2a,
+        |    CAST(SUM(CAST(CASE WHEN NOT a THEN value ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS s1b,
+        |    CAST(SUM(CAST(CASE WHEN NOT a THEN value * value ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS s2b
+        |  FROM e GROUP BY event_type
+        |), i AS (
+        |  SELECT event_type, n_a, n_b,
+        |    ROUND(s1a / n_a, 4) AS mean_a, ROUND(s1b / n_b, 4) AS mean_b,
+        |    (s2a - s1a * s1a / n_a) / (n_a - 1) / n_a AS sea2,
+        |    (s2b - s1b * s1b / n_b) / (n_b - 1) / n_b AS seb2,
+        |    s1a / n_a - s1b / n_b AS diff
+        |  FROM m
+        |)
+        |SELECT event_type, n_a, n_b, mean_a, mean_b,
+        |  ROUND(diff / sqrt(sea2 + seb2), 4) AS t_stat,
+        |  ROUND((sea2 + seb2) * (sea2 + seb2) /
+        |    (sea2 * sea2 / (n_a - 1) + seb2 * seb2 / (n_b - 1)), 4) AS welch_dof
+        |FROM i
+        |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+
+    "c91_ols_trend" ->
+      """WITH pts AS (
+        |  SELECT event_type, epoch_us(ts) / 86400000000.0 AS x, value AS y
+        |  FROM events
+        |), m AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+        |  FROM pts GROUP BY event_type
+        |), i AS (
+        |  SELECT event_type, n,
+        |    n * sxy - sx * sy AS num, n * sxx - sx * sx AS den, sx, sy, syy
+        |  FROM m
+        |)
+        |SELECT event_type, n,
+        |  ROUND(num / den, 4) AS slope_per_day,
+        |  ROUND((sy - num / den * sx) / n, 4) AS intercept,
+        |  ROUND(num * num / (den * (n * syy - sy * sy)), 4) AS r2
+        |FROM i
+        |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
 
     "c81_last_touch_attribution" ->
       s"""WITH e AS (

@@ -127,6 +127,43 @@ class AnalyticsSpec extends AnyFunSuite {
       s"forecast $predicted != executed $actual")
   }
 
+  // --- c90/c91 experiment statistics -------------------------------
+
+  test("c90: arms partition the events; Welch dof sits in its algebraic bounds") {
+    val sfDir = TestSpark.sf0001
+    val rows = ops.Analytics.abWelchT(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(5),
+        r.getDouble(6)))
+    val total = Tables.t(spark, sfDir, "events").count()
+    assert(rows.map(r => r._2 + r._3).sum == total, "arms must partition events")
+    rows.foreach { case (et, na, nb, t, dof) =>
+      // Welch–Satterthwaite dof ∈ [min(n_a,n_b) − 1, n_a + n_b − 2].
+      assert(dof >= math.min(na, nb) - 1 - 1e-9 && dof <= na + nb - 2 + 1e-9,
+        s"$et dof $dof outside [${math.min(na, nb) - 1}, ${na + nb - 2}]")
+      assert(!t.isNaN && !t.isInfinite, s"$et t-stat: $t")
+    }
+  }
+
+  test("c91: R² lies in [0,1] and the fit reproduces a hand-built exact line") {
+    ops.Analytics.olsTrend(spark, TestSpark.sf0001).collect().foreach { r =>
+      val r2 = r.getDouble(4)
+      assert(r2 >= 0.0 && r2 <= 1.0 + 1e-9, s"${r.getString(0)} r2: $r2")
+    }
+    // Exact line y = 2x + 1 through the same moment dag → slope 2,
+    // intercept 1, r2 1 (validates the closed form itself, not the
+    // fixture): recompute with the oracle's arithmetic in Scala.
+    val xs = Seq(0.0, 1.0, 2.0, 3.0)
+    val ys = xs.map(x => 2.0 * x + 1.0)
+    val (n, sx, sy) = (xs.size.toDouble, xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum
+    val syy = ys.map(b => b * b).sum
+    val num = n * sxy - sx * sy
+    val den = n * sxx - sx * sx
+    assert(num / den == 2.0 && (sy - num / den * sx) / n == 1.0)
+    assert(num * num / (den * (n * syy - sy * sy)) == 1.0)
+  }
+
   // --- c77 interval overlap ----------------------------------------
 
   test("c77: bucketized pairs equal the direct overlap join, each exactly once") {
