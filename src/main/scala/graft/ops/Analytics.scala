@@ -426,7 +426,150 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  // --- c92: Kaplan–Meier survival curve ----------------------------
+
+  /** c92 — Kaplan–Meier survival estimate of user lifetime (Kaplan &
+    * Meier 1958 — public; the churn/survival curve behind retention
+    * forecasting): lifetime = last-active − first-active day per
+    * user; users still active on the corpus's final observed day are
+    * CENSORED (they leave the risk set without counting as churn —
+    * the estimator's whole point). S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ).
+    *
+    * Shape: the corpus collapses to a USER-sized (lifetime, censored)
+    * table (one map-side-combined agg); event-time grouping and the
+    * at-risk/cumulative-product windows then run over ≤ span-days
+    * rows — never the corpus (the c65 vocabulary-window discipline).
+    * The product rides exp(Σ ln(1 − d/n)) over the ordered frame —
+    * a sequential running sum, same accumulation order in both
+    * engines; a terminal d=n step yields ln 0 = −∞ → S = 0 exactly,
+    * identically in both.
+    */
+  def kaplanMeier(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.t(spark, sfDir, "events")
+    kaplanMeierFrom(ev
+      .select(col("user_id"), Tables.tsUs(ev).as("ts_us"))
+      .select(col("user_id"), expr(s"ts_us div $DayUs").as("day")))
+  }
+
+  /** Kernel of [[kaplanMeier]] over any (user_id, day) activity frame
+    * — split out so the spec can pin the censoring and product
+    * semantics on hand-built lifetimes.
+    */
+  private[graft] def kaplanMeierFrom(days: DataFrame): DataFrame = {
+    val perUser = days
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("f"), max(col("day")).as("l"))
+    val horizon = perUser.agg(max(col("l")).as("maxday"))
+    val lifetimes = perUser.crossJoin(broadcast(horizon))
+      .select((col("l") - col("f")).as("t"),
+        (col("l") === col("maxday")).as("censored"))
+    val byT = lifetimes.groupBy(col("t"))
+      .agg(sum(when(!col("censored"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("censored"), 1L).otherwise(0L)).as("c"))
+    val w = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byT
+      .withColumn("left_before", coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+      .crossJoin(broadcast(lifetimes.agg(count(lit(1)).as("n_total"))))
+      .withColumn("n_at_risk", col("n_total") - col("left_before"))
+      .withColumn("survival", round(exp(sum(
+        log(lit(1.0) - col("d").cast("double") / col("n_at_risk"))).over(w)), 4))
+      .select(col("t").as("t_days"), col("n_at_risk"), col("d").as("deaths"),
+        col("c").as("censored"), col("survival"))
+      .orderBy("t_days")
+  }
+
+  // --- c93: Markov transition matrix -------------------------------
+
+  /** c93 — first-order Markov transition matrix over per-user event
+    * sequences: P(next = b | current = a) with transition counts —
+    * the behavioral model fit behind next-action prediction and
+    * anomalous-session scoring (the event-stream twin of c54's token
+    * bigram LM). One (user, ts, event_id) sort produces the lag
+    * pairs; the matrix is |types|² rows — a broadcastable artifact at
+    * any corpus size. Probabilities are exact integer ratios rounded
+    * at 1e-4.
+    */
+  def markovTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.t(spark, sfDir, "events")
+    markovTransitionsFrom(ev.select(col("user_id"), col("event_id"),
+      col("event_type"), Tables.tsUs(ev).as("ts_us")))
+  }
+
+  /** Kernel of [[markovTransitions]] over any (user_id, event_id,
+    * event_type, ts_us) frame.
+    */
+  private[graft] def markovTransitionsFrom(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val pairs = e
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .where(col("from_type").isNotNull)
+      .select(col("from_type"), col("event_type").as("to_type"))
+    val counts = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val rowTotals = counts.groupBy(col("from_type").as("ft"))
+      .agg(sum(col("n")).as("row_n"))
+    counts.join(broadcast(rowTotals), col("from_type") === col("ft"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("row_n"), 4).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
+  // --- c94: RFM segmentation ---------------------------------------
+
+  /** c94 — RFM customer segmentation (recency / frequency / monetary
+    * — the classic CRM scoring): per user, days since last activity,
+    * event count, decimal-exact value sum; each dimension scored 1–4
+    * by EXACT quartile cut points fitted over the user table (the
+    * c84 percentile idiom — never a global ntile, which would funnel
+    * every user through one window partition; the c28 rule). Scoring
+    * is `1 + (v > q1) + (v > q2) + (v > q3)` — pure comparisons
+    * against three broadcast constants, deterministic under ties in
+    * both engines. Recency scores INVERT (recent = high), the CRM
+    * convention.
+    *
+    * Shape: one corpus scan → user-sized frame; one 3-quantile fit
+    * per dimension over users (broadcast back); one output row per
+    * user with the composite `rfm` code.
+    */
+  def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.t(spark, sfDir, "events")
+    val users = ev
+      .select(col("user_id"), Tables.tsUs(ev).as("ts_us"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(expr(s"max(ts_us) div $DayUs").as("lastday"),
+        count(lit(1)).as("frequency"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+          .cast("double").as("monetary"))
+    val withR = users
+      .crossJoin(broadcast(users.agg(max(col("lastday")).as("refday"))))
+      .select(col("user_id"), (col("refday") - col("lastday")).as("recency_days"),
+        col("frequency"), col("monetary"))
+    val cuts = withR.agg(
+      expr("percentile(recency_days, array(0.25, 0.5, 0.75))").as("rq"),
+      expr("percentile(frequency, array(0.25, 0.5, 0.75))").as("fq"),
+      expr("percentile(monetary, array(0.25, 0.5, 0.75))").as("mq"))
+    def score(v: Column, q: Column): Column =
+      (lit(1) + (v > q(0)).cast("int") + (v > q(1)).cast("int") +
+        (v > q(2)).cast("int")).cast("long")
+    withR.crossJoin(broadcast(cuts))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        round(col("monetary"), 4).as("monetary"),
+        (lit(5L) - score(col("recency_days").cast("double"), col("rq"))).as("r_score"),
+        score(col("frequency").cast("double"), col("fq")).as("f_score"),
+        score(col("monetary"), col("mq")).as("m_score"))
+      .withColumn("rfm",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c92_kaplan_meier" -> (kaplanMeier(_, _)),
+    "c93_markov_transitions" -> (markovTransitions(_, _)),
+    "c94_rfm_segments" -> (rfmSegments(_, _)),
     "c90_ab_welch_t" -> (abWelchT(_, _)),
     "c91_ols_trend" -> (olsTrend(_, _)),
     "c74_funnel_conversion" -> (funnelConversion(_, _)),
@@ -531,6 +674,88 @@ object Analytics {
         |  least(a_end, b_end) - greatest(a_start, b_start) AS overlap_days
         |FROM a JOIN b ON a_start < b_end AND b_start < a_end
         |ORDER BY a_orderkey ASC NULLS FIRST, b_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "c92_kaplan_meier" ->
+      """WITH peruser AS (
+        |  SELECT user_id, min(epoch_us(ts) // 86400000000) AS f,
+        |    max(epoch_us(ts) // 86400000000) AS l
+        |  FROM events GROUP BY user_id
+        |), horizon AS (SELECT max(l) AS maxday FROM peruser),
+        |lifetimes AS (
+        |  SELECT l - f AS t, l = maxday AS censored FROM peruser, horizon
+        |), by_t AS (
+        |  SELECT t,
+        |    CAST(SUM(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(SUM(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM lifetimes GROUP BY t
+        |), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM lifetimes),
+        |risk AS (
+        |  SELECT t, d, c,
+        |    CAST(n_total - COALESCE(SUM(d + c) OVER (ORDER BY t ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS n_at_risk
+        |  FROM by_t, tot
+        |)
+        |SELECT t AS t_days, n_at_risk, d AS deaths, c AS censored,
+        |  ROUND(exp(SUM(ln(1.0 - CAST(d AS DOUBLE) / n_at_risk)) OVER (
+        |    ORDER BY t ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4)
+        |    AS survival
+        |FROM risk
+        |ORDER BY t_days ASC NULLS FIRST""".stripMargin,
+
+    "c93_markov_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) ASC NULLS FIRST, event_id ASC NULLS FIRST)
+        |      AS from_type
+        |  FROM events
+        |), pairs AS (
+        |  SELECT from_type, event_type AS to_type FROM seq WHERE from_type IS NOT NULL
+        |), counts AS (
+        |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM pairs GROUP BY from_type, to_type
+        |), rowt AS (
+        |  SELECT from_type AS ft, CAST(SUM(n) AS BIGINT) AS row_n
+        |  FROM counts GROUP BY from_type
+        |)
+        |SELECT from_type, to_type, n, ROUND(CAST(n AS DOUBLE) / row_n, 4) AS p
+        |FROM counts JOIN rowt ON from_type = ft
+        |ORDER BY from_type ASC NULLS FIRST, to_type ASC NULLS FIRST""".stripMargin,
+
+    "c94_rfm_segments" ->
+      """WITH u AS (
+        |  SELECT user_id, max(epoch_us(ts) // 86400000000) AS lastday,
+        |    CAST(COUNT(*) AS BIGINT) AS frequency,
+        |    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS monetary
+        |  FROM events GROUP BY user_id
+        |), ref AS (SELECT max(lastday) AS refday FROM u),
+        |w AS (
+        |  SELECT user_id, refday - lastday AS recency_days, frequency, monetary
+        |  FROM u, ref
+        |), cuts AS (
+        |  SELECT quantile_cont(CAST(recency_days AS DOUBLE), [0.25, 0.5, 0.75]) AS rq,
+        |    quantile_cont(CAST(frequency AS DOUBLE), [0.25, 0.5, 0.75]) AS fq,
+        |    quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mq
+        |  FROM w
+        |), scored AS (
+        |  SELECT user_id, recency_days, frequency, ROUND(monetary, 4) AS monetary,
+        |    CAST(5 - (1 + CAST(CAST(recency_days AS DOUBLE) > rq[1] AS INT)
+        |                + CAST(CAST(recency_days AS DOUBLE) > rq[2] AS INT)
+        |                + CAST(CAST(recency_days AS DOUBLE) > rq[3] AS INT)) AS BIGINT)
+        |      AS r_score,
+        |    CAST(1 + CAST(CAST(frequency AS DOUBLE) > fq[1] AS INT)
+        |           + CAST(CAST(frequency AS DOUBLE) > fq[2] AS INT)
+        |           + CAST(CAST(frequency AS DOUBLE) > fq[3] AS INT) AS BIGINT) AS f_score,
+        |    CAST(1 + CAST(monetary > mq[1] AS INT)
+        |           + CAST(monetary > mq[2] AS INT)
+        |           + CAST(monetary > mq[3] AS INT) AS BIGINT) AS m_score
+        |  FROM w, cuts
+        |)
+        |SELECT user_id, recency_days, frequency, monetary, r_score, f_score, m_score,
+        |  r_score * 100 + f_score * 10 + m_score AS rfm
+        |FROM scored
+        |ORDER BY user_id ASC NULLS FIRST""".stripMargin,
 
     "c90_ab_welch_t" ->
       """WITH e AS (

@@ -164,6 +164,73 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(num * num / (den * (n * syy - sy * sy)) == 1.0)
   }
 
+  // --- c92 Kaplan–Meier --------------------------------------------
+
+  test("c92: censored users leave the risk set without counting as churn") {
+    // Users: A active days 0-2 (lifetime 2, dies), B day 0 only
+    // (lifetime 0, dies), C active through the horizon day 5
+    // (lifetime 5, CENSORED). Hand trace: t=0: n=3, d=1 → S=2/3;
+    // t=2: n=2, d=1 → S=1/3; t=5: n=1, d=0, c=1 → S stays 1/3.
+    val days = Seq(
+      (1L, 0L), (1L, 1L), (1L, 2L),
+      (2L, 0L),
+      (3L, 0L), (3L, 5L)).toDF("user_id", "day")
+    val out = ops.Analytics.kaplanMeierFrom(days).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (0L, 3L, 1L, 0L, 0.6667), (2L, 2L, 1L, 0L, 0.3333),
+      (5L, 1L, 0L, 1L, 0.3333)))
+  }
+
+  test("c92: everyone dying at once drives survival to exactly zero") {
+    val days = Seq((1L, 0L), (2L, 0L), (3L, 10L), (3L, 11L))
+      .toDF("user_id", "day")
+    // horizon = 11 → user 3 censored at t=1; users 1,2 die at t=0.
+    val out = ops.Analytics.kaplanMeierFrom(days).collect()
+      .map(r => (r.getLong(0), r.getDouble(4)))
+    assert(out.toSeq == Seq((0L, 0.3333), (1L, 0.3333)))
+    // A mixed death/censor tail keeps the curve flat after the last
+    // death.
+    val out2 = ops.Analytics.kaplanMeierFrom(
+      Seq((1L, 0L), (2L, 0L), (2L, 3L)).toDF("user_id", "day")).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // t=0: user 1 dies (n=2) → S=0.5; t=3: user 2 censored → S=0.5.
+    assert(out2.toSeq == Seq((0L, 1L, 0L, 0.5), (3L, 0L, 1L, 0.5)))
+  }
+
+  // --- c93 Markov transitions --------------------------------------
+
+  test("c93: transitions count within users only; rows normalize to 1") {
+    val e = Seq(
+      (1L, 1L, "A", 10L), (1L, 2L, "B", 20L), (1L, 3L, "A", 30L),
+      (2L, 4L, "A", 5L), (2L, 5L, "B", 6L))
+      .toDF("user_id", "event_id", "event_type", "ts_us")
+    val out = ops.Analytics.markovTransitionsFrom(e).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // A→B twice (u1, u2), B→A once (u1); no cross-user A(u1,30)→A(u2).
+    assert(out.toSeq == Seq(("A", "B", 2L, 1.0), ("B", "A", 1L, 1.0)))
+  }
+
+  // --- c94 RFM -------------------------------------------------------
+
+  test("c94: scores stay in 1..4, compose into rfm, and recency inverts") {
+    val rows = ops.Analytics.rfmSegments(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, rec, rs, fs, ms, rfm) =>
+      assert(rs >= 1 && rs <= 4 && fs >= 1 && fs <= 4 && ms >= 1 && ms <= 4,
+        s"user $u scores out of range: $rs $fs $ms")
+      assert(rfm == rs * 100 + fs * 10 + ms, s"user $u rfm: $rfm")
+    }
+    // The most-recent users (recency 0) must carry the TOP recency
+    // score — the CRM inversion.
+    val freshest = rows.filter(_._2 == 0L)
+    assert(freshest.nonEmpty && freshest.forall(_._3 == 4L),
+      s"recency-0 users not scored 4: ${freshest.take(3).toSeq}")
+  }
+
   // --- c77 interval overlap ----------------------------------------
 
   test("c77: bucketized pairs equal the direct overlap join, each exactly once") {
