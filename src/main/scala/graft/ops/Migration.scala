@@ -339,7 +339,56 @@ object Migration {
         col("n_mutations"))
       .orderBy("user_id")
 
+  /** A17 — SCHEMA-EVOLUTION merged read: a long-lived keyspace ships
+    * parquet in VINTAGES (early files lack columns later ones carry),
+    * and the migration must read them as one table without rewriting
+    * history. Demonstrated end-to-end with real files: the orders
+    * table splits deterministically (md5 nibble) into a v1 vintage
+    * WITHOUT o_orderstatus and a v2 vintage WITH it, both written to
+    * a per-(session, sfDir) temp dir once (tableExists-style memo via
+    * the marker file; reaped at JVM exit through the shared tmp-dir
+    * tracker), then read back in one `mergeSchema=true` scan — v1
+    * rows surface the missing column as NULL, the evolution contract.
+    * The audit reports per vintage: rows, status-bearing cells, and
+    * the decimal price checksum — proving no row or cell was lost or
+    * invented across the schema boundary.
+    *
+    * Scale note: mergeSchema costs a footer read per file at plan
+    * time (at 100 TB: enable per-table, not globally, or pin the
+    * merged schema explicitly once discovered — A2's manifest is
+    * exactly that artifact).
+    */
+  def schemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val base = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_evo_$tag")
+    val (v1, v2) = (new java.io.File(base, "v1"), new java.io.File(base, "v2"))
+    val vintage = substring(md5(concat(lit("evo:"),
+      col("o_orderkey").cast("string"))), 1, 1) < "8"
+    if (!new java.io.File(base, "_done").exists()) {
+      graft.streaming.Streams.trackTmpDir(base.toString)
+      val o = Tables.t(spark, sfDir, "orders")
+      o.where(vintage).select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(v1.toString)
+      o.where(!vintage)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .write.mode("overwrite").parquet(v2.toString)
+      new java.io.File(base, "_done").createNewFile()
+    }
+    spark.read.option("mergeSchema", "true")
+      .parquet(v1.toString, v2.toString)
+      .select(when(col("o_orderstatus").isNull, "v1").otherwise("v2").as("vintage"),
+        col("o_orderstatus"), col("o_totalprice"))
+      .groupBy(col("vintage"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("o_orderstatus")).as("n_status_cells"),
+        dsum(col("o_totalprice")).as("price_checksum"))
+      .orderBy("vintage")
+  }
+
   val queries: Map[String, Q] = Map(
+    "a17_schema_evolution" -> (schemaEvolution(_, _)),
     "a16_latest_snapshot" -> (latestSnapshot(_, _)),
     "a13_migration_diff" -> (migrationDiff(_, _)),
     "a14_unset_merge" -> (unsetMerge(_, _)),
@@ -355,6 +404,21 @@ object Migration {
   )
 
   val oracle: Map[String, String] = Map(
+    // The merged-read audit re-derived from the SOURCE table: vintage
+    // membership is the same md5 cut, v1 rows carry no status cell.
+    "a17_schema_evolution" ->
+      s"""SELECT vintage, COUNT(*) AS n_rows,
+         |  CAST(SUM(CASE WHEN vintage = 'v2' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_status_cells,
+         |  ${graft.Canon.oDsum("o_totalprice")} AS price_checksum
+         |FROM (
+         |  SELECT CASE WHEN substr(md5('evo:' || CAST(o_orderkey AS VARCHAR)), 1, 1) < '8'
+         |              THEN 'v1' ELSE 'v2' END AS vintage, o_totalprice
+         |  FROM orders
+         |)
+         |GROUP BY vintage
+         |ORDER BY vintage ASC NULLS FIRST""".stripMargin,
+
     "a16_latest_snapshot" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us

@@ -553,6 +553,30 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** b55 — arbitrary GROUPING SETS (the general form b19's rollup and
+    * b20's cube are fixed lattices of): the four explicitly chosen
+    * aggregation levels (status), (priority), (status, priority), ()
+    * in ONE pass — Spark expands the sets into a single Expand +
+    * hash-aggregate plan, reading the fact exactly once however many
+    * levels are requested. Aggregated-away keys emit as the literal
+    * `(all)` marker instead of engine-specific grouping_id bitmasks
+    * (both columns are non-null in the data, so the COALESCE is
+    * unambiguous and the output is engine-portable by construction).
+    */
+  def groupingSetsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val view = "graft_b55_orders"
+    Tables.t(spark, sfDir, "orders").createOrReplaceTempView(view)
+    spark.sql(
+      s"""SELECT coalesce(o_orderstatus, '(all)') AS status,
+         |  coalesce(o_orderpriority, '(all)') AS priority,
+         |  COUNT(*) AS n_rows,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+         |FROM $view
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+         |  (o_orderstatus, o_orderpriority), ())
+         |ORDER BY status ASC NULLS FIRST, priority ASC NULLS FIRST""".stripMargin)
+  }
+
   /** b31 — distinct union of two id universes (buyers ∪ event users). */
   def unionQ(spark: SparkSession, sfDir: String): DataFrame = {
     val buyers = Tables.t(spark, sfDir, "orders").select(col("o_custkey").as("id"))
@@ -728,6 +752,7 @@ object Relational {
     "b33_except" -> (exceptQ(_, _)),
     "b53_q5_local_supplier" -> (q5LocalSupplier(_, _)),
     "b54_q18_large_orders" -> (q18LargeOrders(_, _)),
+    "b55_grouping_sets" -> (groupingSetsQ(_, _)),
     "c86_incremental_agg" -> (incrementalAgg(_, _)),
     "c87_salted_join" -> (saltedJoin(_, _)),
     "c88_bucketed_join" -> (bucketedJoin(_, _))
@@ -749,6 +774,16 @@ object Relational {
        |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin
 
   private def oracleBase: Map[String, String] = Map(
+    "b55_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |  coalesce(o_orderpriority, '(all)') AS priority,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        |  (o_orderstatus, o_orderpriority), ())
+        |ORDER BY status ASC NULLS FIRST, priority ASC NULLS FIRST""".stripMargin,
+
     "b54_q18_large_orders" ->
       s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
          |  ${oDsum("l_quantity")} AS total_qty
