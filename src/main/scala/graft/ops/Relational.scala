@@ -655,37 +655,131 @@ object Relational {
     * oracle verifies exactly, and the reason the layout sort is worth
     * paying at 100 TB.
     */
-  def zorderSkipping(spark: SparkSession, sfDir: String): DataFrame = {
-    val rows = Tables.t(spark, sfDir, "lineitem")
+  /** The (px, sx) key stream feeding the c80/c95 layout audits. */
+  private def skipRows(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "lineitem")
       .select((col("l_partkey") % ZKeyMod).as("px"),
         (col("l_suppkey") % ZKeyMod).as("sx"))
-      .withColumn("z", expr(zMortonExpr("div")))
+
+  /** One layout's block-pruning audit over a keyed-row stream (shared
+    * by c80's morton/linear rows and c95's hilbert row): per-block
+    * min/max stats, the standard intersect rule, totals.
+    */
+  private def skipAudit(rows: DataFrame, name: String,
+      blockExpr: String): DataFrame = {
+    val touched = col("pmax") >= ZBoxLo && col("pmin") <= ZBoxHi &&
+      col("smax") >= SxBoxLo && col("smin") <= SxBoxHi
+    rows.withColumn("blk", expr(blockExpr))
+      .groupBy(col("blk"))
+      .agg(count(lit(1)).as("n"), min(col("px")).as("pmin"),
+        max(col("px")).as("pmax"), min(col("sx")).as("smin"),
+        max(col("sx")).as("smax"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(touched, 1L).otherwise(0L)).as("blocks_touched"),
+        sum(when(touched, col("n")).otherwise(0L)).as("rows_scanned"))
+      .select(lit(name).as("layout"), col("n_blocks"),
+        col("blocks_touched"), col("rows_scanned"))
+  }
+
+  /** Attach the exact-match denominator and the amplification ratio. */
+  private def skipFinish(audits: DataFrame, rows: DataFrame): DataFrame = {
     val matching = rows
       .where(col("px").between(ZBoxLo, ZBoxHi) && col("sx").between(SxBoxLo, SxBoxHi))
       .agg(count(lit(1)).as("rows_matching"))
-    def audit(name: String, blockExpr: String): DataFrame = {
-      val touched = col("pmax") >= ZBoxLo && col("pmin") <= ZBoxHi &&
-        col("smax") >= SxBoxLo && col("smin") <= SxBoxHi
-      rows.withColumn("blk", expr(blockExpr))
-        .groupBy(col("blk"))
-        .agg(count(lit(1)).as("n"), min(col("px")).as("pmin"),
-          max(col("px")).as("pmax"), min(col("sx")).as("smin"),
-          max(col("sx")).as("smax"))
-        .agg(count(lit(1)).as("n_blocks"),
-          sum(when(touched, 1L).otherwise(0L)).as("blocks_touched"),
-          sum(when(touched, col("n")).otherwise(0L)).as("rows_scanned"))
-        .select(lit(name).as("layout"), col("n_blocks"),
-          col("blocks_touched"), col("rows_scanned"))
-    }
-    audit("linear", s"px div $LinBlockDiv")
-      .unionAll(audit("zorder", s"z div $ZBlockDiv"))
-      .crossJoin(broadcast(matching))
+    audits.crossJoin(broadcast(matching))
       .select(col("layout"), col("n_blocks"), col("blocks_touched"),
         col("rows_scanned"), col("rows_matching"),
         when(col("rows_matching") > 0,
           round(col("rows_scanned").cast("double") / col("rows_matching"), 4))
           .as("scan_amplification"))
       .orderBy("layout")
+  }
+
+  def zorderSkipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val rows = skipRows(spark, sfDir).withColumn("z", expr(zMortonExpr("div")))
+    skipFinish(
+      skipAudit(rows, "linear", s"px div $LinBlockDiv")
+        .unionAll(skipAudit(rows, "zorder", s"z div $ZBlockDiv")),
+      rows)
+  }
+
+  /** c95 — the HILBERT-curve counterpart of c80, closing the layout
+    * family with the strictly-better-locality space-filling curve
+    * (Hilbert 1891; the Layout.hilbertBy write path's index, here
+    * oracle-verified cross-engine): consecutive Hilbert cells are
+    * always grid neighbours (no Morton "seams"), and because 1024 =
+    * 4^5, each `div 1024` block of the order-8 curve is EXACTLY one
+    * aligned 32×32 subsquare — contiguous on disk AND compact in key
+    * space, the property that keeps min/max pruning tight for box
+    * probes at any alignment. Audited with c80's identical block
+    * model and box so the two curves' numbers are directly
+    * comparable.
+    *
+    * The index runs as [[Layout.hilbertKey]]'s constant-size runtime
+    * fold on the Spark side; the DuckDB oracle unrolls the SAME
+    * bit-level walk into machine-generated per-level CTEs from the
+    * same constants (the c78 discipline — loop and SQL cannot
+    * drift). DuckDB spells bitwise xor `xor()` (its `^` is
+    * exponentiation — a silent wrong-answer trap the generator
+    * encodes exactly once).
+    */
+  def hilbertSkipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val rows = skipRows(spark, sfDir)
+      .withColumn("q1", col("px")).withColumn("q2", col("sx"))
+      .withColumn("z", expr(Layout.hilbertKey(8)))
+    skipFinish(skipAudit(rows, "hilbert", s"z div $ZBlockDiv"), rows)
+  }
+
+  /** The c95 oracle: unrolled Hilbert walk (h0..h8 CTEs) + the same
+    * audit SQL as c80, all generated from shared constants.
+    */
+  private[graft] def hilbertOracleSql: String = {
+    val bits = 8
+    val nm1 = (1L << bits) - 1
+    val levels = (1 to bits).map { i =>
+      val s = 1L << (bits - i)
+      val rx = s"CASE WHEN (x & $s) != 0 THEN 1 ELSE 0 END"
+      val ry = s"CASE WHEN (y & $s) != 0 THEN 1 ELSE 0 END"
+      s"""h$i AS (
+         |  SELECT * REPLACE (
+         |    CASE WHEN $ry = 0 THEN CASE WHEN $rx = 1 THEN $nm1 - y ELSE y END
+         |         ELSE x END AS x,
+         |    CASE WHEN $ry = 0 THEN CASE WHEN $rx = 1 THEN $nm1 - x ELSE x END
+         |         ELSE y END AS y,
+         |    d + ${1L << (2 * (bits - i))} * xor(3 * $rx, $ry) AS d)
+         |  FROM h${i - 1}
+         |)""".stripMargin
+    }
+    s"""WITH h0 AS (
+       |  SELECT l_partkey % $ZKeyMod AS px, l_suppkey % $ZKeyMod AS sx,
+       |    l_partkey % $ZKeyMod AS x, l_suppkey % $ZKeyMod AS y,
+       |    CAST(0 AS BIGINT) AS d
+       |  FROM lineitem
+       |), ${levels.mkString(", ")}, rows AS (
+       |  SELECT px, sx, d AS z FROM h$bits
+       |), matching AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS rows_matching FROM rows
+       |  WHERE px BETWEEN $ZBoxLo AND $ZBoxHi AND sx BETWEEN $SxBoxLo AND $SxBoxHi
+       |), audits AS (
+       |  SELECT 'hilbert' AS layout, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       |    CAST(SUM(CASE WHEN pmax >= $ZBoxLo AND pmin <= $ZBoxHi
+       |                   AND smax >= $SxBoxLo AND smin <= $SxBoxHi
+       |              THEN 1 ELSE 0 END) AS BIGINT) AS blocks_touched,
+       |    CAST(SUM(CASE WHEN pmax >= $ZBoxLo AND pmin <= $ZBoxHi
+       |                   AND smax >= $SxBoxLo AND smin <= $SxBoxHi
+       |              THEN n ELSE 0 END) AS BIGINT) AS rows_scanned
+       |  FROM (
+       |    SELECT z // $ZBlockDiv AS blk, COUNT(*) AS n, min(px) AS pmin,
+       |      max(px) AS pmax, min(sx) AS smin, max(sx) AS smax
+       |    FROM rows GROUP BY blk
+       |  )
+       |)
+       |SELECT layout, n_blocks, blocks_touched, rows_scanned, rows_matching,
+       |  CASE WHEN rows_matching > 0
+       |       THEN ROUND(CAST(rows_scanned AS DOUBLE) / rows_matching, 4) END
+       |    AS scan_amplification
+       |FROM audits, matching
+       |ORDER BY layout ASC NULLS FIRST""".stripMargin
   }
 
   /** The c80 oracle, generated from the same constants/Morton formula
@@ -753,6 +847,7 @@ object Relational {
     "b53_q5_local_supplier" -> (q5LocalSupplier(_, _)),
     "b54_q18_large_orders" -> (q18LargeOrders(_, _)),
     "b55_grouping_sets" -> (groupingSetsQ(_, _)),
+    "c95_hilbert_skipping" -> (hilbertSkipping(_, _)),
     "c86_incremental_agg" -> (incrementalAgg(_, _)),
     "c87_salted_join" -> (saltedJoin(_, _)),
     "c88_bucketed_join" -> (bucketedJoin(_, _))
@@ -814,6 +909,7 @@ object Relational {
          |ORDER BY revenue DESC NULLS LAST, n_name ASC NULLS FIRST""".stripMargin,
 
     "c80_zorder_skipping" -> zorderOracleSql,
+    "c95_hilbert_skipping" -> hilbertOracleSql,
 
     "b16_q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,

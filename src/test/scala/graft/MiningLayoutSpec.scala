@@ -83,6 +83,26 @@ class MiningLayoutSpec extends AnyFunSuite {
     assert(z(170, 85) == ((8L + 128 + 2048 + 32768) + (1L + 16 + 256 + 4096)))
   }
 
+  test("c95: every div-1024 hilbert block is one aligned 32x32 subsquare") {
+    // 1024 = 4^5, so each block of the order-8 curve must cover
+    // exactly one aligned 32×32 tile — the compactness that keeps
+    // min/max pruning tight. Verified on real keys.
+    val rows = Tables.t(spark, TestSpark.sf0001, "lineitem")
+      .select((col("l_partkey") % 256).as("q1"), (col("l_suppkey") % 256).as("q2"))
+      .withColumn("z", expr(ops.Layout.hilbertKey(8)))
+      .groupBy(expr("z div 1024").as("blk"))
+      .agg(min("q1").as("pmin"), max("q1").as("pmax"),
+        min("q2").as("smin"), max("q2").as("smax"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (pmin, pmax, smin, smax) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(pmin / 32 == pmax / 32 && smin / 32 == smax / 32,
+        s"block ${r.getLong(0)} spans tiles: px [$pmin,$pmax] sx [$smin,$smax]")
+    }
+  }
+
   test("c80: both layouts partition the same rows; zorder never scans more than linear here") {
     val out = ops.Relational.zorderSkipping(spark, TestSpark.sf0001)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
