@@ -641,7 +641,76 @@ object Llm {
       .limit(10)
   }
 
+  // c96 knobs — τ = PfxTauNum/PfxTauDen, kept RATIONAL end-to-end.
+  private[graft] val PfxTauNum = 4
+  private[graft] val PfxTauDen = 5
+
+  /** c96 — EXACT set-similarity self-join by PREFIX FILTERING
+    * (Chaudhuri, Ganti & Kaushik, ICDE 2006; Bayardo et al., WWW 2007
+    * — public): every pair of documents whose 3-shingle-set Jaccard
+    * is ≥ τ = 4/5, with ZERO recall loss — the deterministic
+    * complement of the MinHash/LSH family (c2 trades recall for
+    * cost; this key trades cost for certainty, the pairing a
+    * compliance-grade dedup run needs).
+    *
+    * The lemma: order every shingle by one GLOBAL (frequency asc,
+    * shingle asc) rank; if J(A,B) ≥ τ then A and B must share an
+    * element inside each one's first |·| − ⌈τ·|·|⌉ + 1 rare-first
+    * shingles — so an equi-join on PREFIX shingles proposes every
+    * qualifying pair, and rare-first ordering keeps the proposal list
+    * small exactly when the corpus is discriminative. The threshold
+    * stays RATIONAL throughout: prefix length uses the integer
+    * ⌈4·sz/5⌉ = (4·sz + 4) div 5 (a double 0.8·sz would round the
+    * prefix SHORT on exact multiples — a silent recall hole), and the
+    * verify is the cross-multiplied 5·|∩| ≥ 4·|∪| — no FP compare
+    * anywhere.
+    *
+    * Scale shape: the frequency table is shingle-vocabulary-sized
+    * (shuffle-joined, NOT assumed broadcastable — the c54 rule); the
+    * per-doc rank window sorts each doc's own shingles; candidates
+    * meet on the prefix-shingle equi-key and dedup once; exact
+    * verification touches candidates only. The oracle is the full
+    * brute-force quadratic join in DuckDB, so any missed pair fails
+    * the hash — the zero-loss claim is verified, not asserted.
+    */
+  def prefixFilterJoin(spark: SparkSession, sfDir: String): DataFrame =
+    prefixFilterJoinOf(tokenized(spark, sfDir))
+
+  /** Kernel of [[prefixFilterJoin]] over any (doc_id, ws) frame. */
+  private[graft] def prefixFilterJoinOf(toks: DataFrame): DataFrame = {
+    val ssets = toks
+      .where(size(col("ws")) >= 3)
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(0, size(ws) - 3), " +
+          "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))").as("sset"))
+    val ex = ssets.select(col("doc_id"), size(col("sset")).as("sz"),
+      explode(col("sset")).as("s"))
+    val freq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val pfx = ex.join(freq, "s")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("s").asc)))
+      .where(col("rn") <=
+        col("sz") - expr(s"($PfxTauNum * sz + ${PfxTauDen - 1}) div $PfxTauDen") + 1)
+      .select(col("doc_id"), col("s"))
+    val cands = pfx.as("pa")
+      .join(pfx.as("pb"), col("pa.s") === col("pb.s") &&
+        col("pa.doc_id") < col("pb.doc_id"))
+      .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(ssets.select(col("doc_id").as("doc_a"), col("sset").as("ta")), "doc_a")
+      .join(ssets.select(col("doc_id").as("doc_b"), col("sset").as("tb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ta"), col("tb"))).as("inter"),
+        size(array_union(col("ta"), col("tb"))).as("uni"))
+      .where(col("inter") * PfxTauDen >= col("uni") * PfxTauNum)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "c96_prefix_filter_join" -> (prefixFilterJoin(_, _)),
     "c1_dedup_exact" -> (dedupExact(_, _)),
     "c2_dedup_minhash_pairs" -> (dedupMinhashPairs(_, _)),
     "c3_jaccard_pairs" -> (jaccardPairs(_, _)),
@@ -686,6 +755,26 @@ object Llm {
        |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // The FULL brute-force quadratic join — deliberately ignorant of
+    // the prefix filter, so a single pair the filter loses (or
+    // invents) fails the hash. Integer cross-multiplied threshold,
+    // mirroring the Spark side's rational τ.
+    "c96_prefix_filter_join" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(w) - 1),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sset
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         |  WHERE len(w) >= 3
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  ROUND(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.sset, b.sset))), 4) AS jaccard
+         |FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |WHERE $PfxTauDen * len(list_intersect(a.sset, b.sset))
+         |  >= $PfxTauNum * len(list_distinct(list_concat(a.sset, b.sset)))
+         |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
+
     "c1_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents

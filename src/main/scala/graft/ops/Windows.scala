@@ -99,6 +99,34 @@ object Windows {
       .orderBy("user_id", "ts_us", "event_id")
   }
 
+  /** b56 — RANGE window frame (the VALUE-bounded frame b27's ROWS
+    * frame deliberately sidestepped): per customer, the trailing
+    * 30-day order count and spend — "how much did this customer buy
+    * in the month up to and including this order". RANGE frames are
+    * engine-portable EXACTLY when the order column and offsets are
+    * plain integers (here: epoch DAYS and a literal 30) — the
+    * INTERVAL-over-timestamp form differs across engines and stays
+    * excluded (the B27 rule); equal-day orders are frame PEERS (all
+    * included) in both engines by the SQL standard. Spend rides the
+    * decimal canon, so within-frame accumulation order is
+    * irrelevant.
+    */
+  def rangeFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+      .rangeBetween(-30, Window.currentRow)
+    Tables.t(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("day"),
+        col("o_totalprice"))
+      .withColumn("n_30d", count(lit(1)).over(w))
+      .withColumn("spend_30d",
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+          .over(w).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("day"),
+        col("n_30d"), col("spend_30d"))
+      .orderBy("o_custkey", "day", "o_orderkey")
+  }
+
   /** b13 — range (theta) join: same-user event pairs within 5 minutes.
     * Equi-join on user_id first (shuffle co-location), temporal band
     * predicate within the group — the scalable range-join shape.
@@ -182,6 +210,7 @@ object Windows {
     "b25_window_lag_gap" -> (lagGap(_, _)),
     "b26_window_running_sum" -> (runningSum(_, _)),
     "b27_window_moving_avg" -> (movingAvg(_, _)),
+    "b56_window_range_frame" -> (rangeFrame(_, _)),
     "b13_join_range" -> (rangeJoin(_, _)),
     "b14_join_asof" -> (asofJoin(_, _)),
     "b42_tumbling_window" -> (tumblingWindow(_, _)),
@@ -190,6 +219,18 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "b56_window_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  epoch_us(o_orderdate) // 86400000000 AS day,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_30d,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE) AS spend_30d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY epoch_us(o_orderdate) // 86400000000 ASC
+        |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey ASC NULLS FIRST, day ASC NULLS FIRST,
+        |  o_orderkey ASC NULLS FIRST""".stripMargin,
+
     "b24_window_topk_per_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, tile FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -655,4 +655,38 @@ class OperatorPropertiesSpec extends AnyFunSuite {
       "other apps' label tables must survive")
     ops.NearDup.evictLabels("liveapp")
   }
+
+  test("c96: the rational τ boundary includes J = 4/5 exactly and excludes just below") {
+    // A = 7 words → 5 shingles; B = A minus its last word → 4
+    // shingles ⊂ A: J = 4/5 EXACTLY — must be included (a double
+    // 0.8·sz threshold would teeter here; the integer cross-multiply
+    // cannot). C = A minus its last two words → J(A,C) = 3/5 and
+    // J(B,C) = 3/4 — both excluded.
+    val docs = Seq(
+      (1L, "a b c d e f g"), (2L, "a b c d e f"), (3L, "a b c d e"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", split($"text", " ").as("ws"))
+    val out = ops.Llm.prefixFilterJoinOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 2L, 0.8)), s"got: ${out.toSeq}")
+  }
+
+  test("c96: prefix-filter candidates lose nothing vs brute force on the fixture") {
+    val sf = TestSpark.sf0001
+    val got = ops.Llm.prefixFilterJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sets = Tables.t(spark, sf, "documents")
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .where(size($"ws") >= 3)
+      .select($"doc_id", expr(
+        "array_distinct(transform(sequence(0, size(ws) - 3), " +
+          "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))").as("sset"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toSet))
+    val brute = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size; uni = (sa | sb).size
+      if inter * 5 >= uni * 4
+    } yield (a, b)).toSet
+    assert(got == brute, s"missing: ${(brute -- got).take(5)}; invented: ${(got -- brute).take(5)}")
+  }
 }
