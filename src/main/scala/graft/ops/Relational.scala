@@ -463,6 +463,143 @@ object Relational {
       .limit(100)
   }
 
+  /** b57 — TPC-H Q4 (order-priority checking), adapted to this
+    * fixture's columns: orders from 1996-H2 that had at least one
+    * LATE line (shipped > 90 days after the order date — the fixture
+    * carries no commit/receipt dates, so lateness is measured against
+    * the order date), counted per priority. The shape under test is
+    * the correlated-EXISTS semi-join: Spark plans the `left_semi`
+    * with the non-equi lateness predicate as a residual on the hash
+    * join, so lineitem is scanned once, never duplicated per match —
+    * the row-explosion-proof way to spell EXISTS at 100 TB. Both
+    * engines add the interval to a timestamp with exact day
+    * arithmetic (no DST on UTC timestamps), so the predicate is
+    * engine-identical.
+    */
+  def q4OrderPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.t(spark, sfDir, "orders")
+      .where(col("o_orderdate") >= lit("1996-07-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+    val li = Tables.t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(li, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** b58 — TPC-H Q7 (volume shipping): bilateral trade revenue
+    * between two nations by ship year. The shape under test is the
+    * DISJUNCTIVE nation-pair predicate over two independent dimension
+    * chains (supplier→nation and orders→customer→nation): the filter
+    * cannot be pushed to either chain alone, so it runs as a residual
+    * after both joins — but both nation legs broadcast (25 rows), so
+    * only the two fact joins (lineitem⋈orders on orderkey) shuffle.
+    * At 100 TB the plan is one lineitem scan, one orders/customer
+    * shuffle join, and broadcast nation decorations — the disjunction
+    * costs nothing extra.
+    */
+  def q7VolumeShipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val n1 = Tables.t(spark, sfDir, "nation")
+      .select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation"))
+    val n2 = Tables.t(spark, sfDir, "nation")
+      .select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))
+    Tables.t(spark, sfDir, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .join(Tables.t(spark, sfDir, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("nk1"))
+      .join(Tables.t(spark, sfDir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.t(spark, sfDir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("nk2"))
+      .where((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+        (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** b59 — TPC-H Q10 (returned-item reporting): the top 20 customers
+    * by revenue LOST to returns in one quarter, with nation context —
+    * the classic "who should account management call" query. Shape:
+    * the `l_returnflag = 'R'` filter and the quarter window both push
+    * to their scans (PushedFilters), nation broadcasts, and the final
+    * top-20 fuses to TakeOrderedAndProject (per-partition heaps — no
+    * global sort of the customer aggregate at any scale). Tie-break
+    * on c_custkey makes the cut deterministic.
+    */
+  def q10ReturnedRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.t(spark, sfDir, "orders")
+      .where(col("o_orderdate") >= lit("1996-10-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+    Tables.t(spark, sfDir, "lineitem")
+      .where(col("l_returnflag") === "R")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.t(spark, sfDir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.t(spark, sfDir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  /** b60 — TPC-H Q14 (promotion effect), adapted: the share of one
+    * month's discounted revenue earned by ECONOMY-type parts (the
+    * fixture's stand-in for the PROMO% prefix class). The shape is a
+    * conditional-aggregate ratio over a fact⋈dimension join — both
+    * sums ride one scan, the month window pushes down, and part joins
+    * on partkey (broadcastable while part ≪ lineitem; at 100 TB part
+    * grows with SF, so no hint is forced and AQE picks the side).
+    * Numerator and denominator are exact decimal sums; only the final
+    * ratio is double, rounded at the canon tolerance.
+    */
+  def q14PromoRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.t(spark, sfDir, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-09-01") &&
+        col("l_shipdate") < lit("1996-10-01"))
+      .join(Tables.t(spark, sfDir, "part"), col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(lit(100.0) *
+          dsum(when(col("p_type") === "ECONOMY", disc).otherwise(lit(0.0))) /
+          dsum(disc), 4).as("promo_revenue_pct"),
+        dsum(disc).as("total_revenue"))
+  }
+
+  /** b61 — TPC-H Q22 (global sales opportunity), adapted: customers
+    * whose balance beats the positive-balance average but who have
+    * gone DORMANT (no orders on/after 2000-01-01 — the fixture has no
+    * order-less customers, so dormancy replaces "never ordered"),
+    * grouped by market segment. Two shapes under test: the SCALAR
+    * subquery threshold (a one-row aggregate broadcast into the
+    * filter — never recomputed per row) and the NOT-EXISTS anti-join
+    * against a filtered fact. The threshold assembles from an exact
+    * decimal sum ÷ count so both engines compare against the
+    * bit-identical double.
+    */
+  def q22DormantCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.t(spark, sfDir, "customer")
+    val thresh = c.where(col("c_acctbal") > 0)
+      .agg((dsum(col("c_acctbal")) / count(col("c_acctbal"))).as("avg_bal"))
+    val recent = Tables.t(spark, sfDir, "orders")
+      .where(col("o_orderdate") >= lit("2000-01-01"))
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(thresh))
+      .where(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
   // --- c87/c88: the two join co-location strategies ---------------
 
   /** Salt width of the c87 skew-mitigation join. */
@@ -846,6 +983,11 @@ object Relational {
     "b33_except" -> (exceptQ(_, _)),
     "b53_q5_local_supplier" -> (q5LocalSupplier(_, _)),
     "b54_q18_large_orders" -> (q18LargeOrders(_, _)),
+    "b57_q4_order_priority" -> (q4OrderPriority(_, _)),
+    "b58_q7_volume_shipping" -> (q7VolumeShipping(_, _)),
+    "b59_q10_returned_revenue" -> (q10ReturnedRevenue(_, _)),
+    "b60_q14_promo_revenue" -> (q14PromoRevenue(_, _)),
+    "b61_q22_dormant_customers" -> (q22DormantCustomers(_, _)),
     "b55_grouping_sets" -> (groupingSetsQ(_, _)),
     "c95_hilbert_skipping" -> (hilbertSkipping(_, _)),
     "c86_incremental_agg" -> (incrementalAgg(_, _)),
@@ -878,6 +1020,74 @@ object Relational {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
         |  (o_orderstatus, o_orderpriority), ())
         |ORDER BY status ASC NULLS FIRST, priority ASC NULLS FIRST""".stripMargin,
+
+    "b57_q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "b58_q7_volume_shipping" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |  ${oDsum("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+         |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+         |GROUP BY 1, 2, 3
+         |ORDER BY supp_nation ASC NULLS FIRST, cust_nation ASC NULLS FIRST,
+         |  l_year ASC NULLS FIRST""".stripMargin,
+
+    "b59_q10_returned_revenue" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         |  ${oDsum("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1996-10-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC NULLS LAST, c_custkey ASC NULLS FIRST
+         |LIMIT 20""".stripMargin,
+
+    "b60_q14_promo_revenue" ->
+      s"""SELECT
+         |  ROUND(100.0 *
+         |    ${oDsum("CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")} /
+         |    ${oDsum("l_extendedprice * (1 - l_discount)")}, 4) AS promo_revenue_pct,
+         |  ${oDsum("l_extendedprice * (1 - l_discount)")} AS total_revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+         |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
+
+    "b61_q22_dormant_customers" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_cust,
+         |  ${oDsum("c_acctbal")} AS total_bal
+         |FROM customer
+         |WHERE c_acctbal > (
+         |    SELECT ${oDsum("c_acctbal")} / COUNT(c_acctbal)
+         |    FROM customer WHERE c_acctbal > 0)
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM orders
+         |    WHERE o_custkey = c_custkey
+         |      AND o_orderdate >= TIMESTAMP '2000-01-01')
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin,
 
     "b54_q18_large_orders" ->
       s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
