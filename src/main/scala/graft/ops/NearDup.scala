@@ -1527,6 +1527,110 @@ object NearDup {
       .orderBy("doc_id")
   }
 
+  /** LPA round count — FIXED so the oracle unrolls the same algebra
+    * (the c35/c68 discipline; production iterates to a stable-label
+    * fraction with the c21 driver-loop discipline).
+    */
+  private[graft] val LpaRounds = 2
+
+  /** c98 — TRIANGLE COUNT + local clustering coefficient over the
+    * near-dup candidate graph (the third classic graph kernel after
+    * c21's components and c68's PageRank): per node, its degree, the
+    * number of triangles through it, and 2T/(deg·(deg−1)) — the local
+    * density signal that separates tight duplicate CLIQUES (coeff → 1:
+    * mutual near-copies, safe to collapse to one survivor) from hub-
+    * and-spoke template families (coeff → 0: one boilerplate shell
+    * matching many mutually-unrelated docs — collapsing those loses
+    * real content), a distinction c69's size histogram cannot see.
+    *
+    * Algorithm: DEGREE-ORDERED edge orientation (Chiba & Nishizeki
+    * 1985 / the "compact-forward" discipline — public): each edge
+    * points from its lower-(deg, id) endpoint to the higher, every
+    * wedge is enumerated only at its lowest-rank apex, and the closing
+    * edge is probed with one equi-join. On a power-law graph this
+    * bounds per-node wedge work by the ARBORICITY (out-degree ≤
+    * O(√m)), not the raw degree — the hub that would generate deg²
+    * wedges under naive enumeration generates almost none, which is
+    * the difference between finishing and not at 100 TB. The triangle
+    * SET is orientation-invariant, so the oracle brute-forces the
+    * id-ordered form and the per-node counts still match exactly.
+    */
+  def triangleCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Llm.minhashPairs(spark, sfDir)
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .select(col("u").as("node"), col("deg"))
+    val withDegs = pairs
+      .join(deg.select(col("node").as("doc_a"), col("deg").as("da")), "doc_a")
+      .join(deg.select(col("node").as("doc_b"), col("deg").as("db")), "doc_b")
+    val aLower = col("da") < col("db") ||
+      (col("da") === col("db") && col("doc_a") < col("doc_b"))
+    val oriented = withDegs.select(
+      when(aLower, col("doc_a")).otherwise(col("doc_b")).as("src"),
+      when(aLower, col("doc_b")).otherwise(col("doc_a")).as("dst"),
+      when(aLower, col("db")).otherwise(col("da")).as("ddeg"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.src") === col("e2.src") &&
+        (col("e1.ddeg") < col("e2.ddeg") ||
+          (col("e1.ddeg") === col("e2.ddeg") && col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+    val tris = wedges.join(
+      oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+    val perNode = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("t"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node").as("doc_id"), col("deg").as("degree"),
+        coalesce(col("t"), lit(0L)).as("n_triangles"),
+        when(col("deg") >= 2,
+          round(lit(2.0) * coalesce(col("t"), lit(0L)) /
+            (col("deg") * (col("deg") - 1)), 4))
+          .otherwise(lit(0.0)).as("clustering_coeff"))
+      .orderBy("doc_id")
+  }
+
+  /** c99 — synchronous LABEL PROPAGATION over the near-dup candidate
+    * graph (Raghavan, Albert & Kumara 2007, arXiv:0709.2938 —
+    * public), made deterministic: every node starts as its own label;
+    * each round every node adopts its neighbors' MODE label with ties
+    * broken toward the smallest label (the paper's random tie-break is
+    * the one non-determinism, and min-label replaces it exactly).
+    * Where c21's components give reachability (one bridge edge merges
+    * two clusters), LPA's majority vote yields DENSITY communities —
+    * a chain of weak bridges does not propagate a label through, so
+    * template families split from genuine duplicate cliques.
+    *
+    * Scale shape per round: one edge⋈label equi-join, one map-side-
+    * combined (node, label) count, one per-node arg-max window whose
+    * (cnt DESC, label ASC) total order executes as WindowGroupLimit
+    * (top-1 per node pre-pruned map-side) — nothing wider than
+    * (node, label, count) crosses an exchange, and rounds are fixed
+    * at [[LpaRounds]] so the oracle unrolls the identical algebra.
+    */
+  def labelPropagation(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Llm.minhashPairs(spark, sfDir)
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    val lab0 = edges.select(col("u").as("node")).distinct()
+      .withColumn("lab", col("node"))
+    val labN = (1 to LpaRounds).foldLeft(lab0) { (lab, _) =>
+      edges
+        .join(lab.select(col("node").as("vn"), col("lab")), col("v") === col("vn"))
+        .groupBy(col("u"), col("lab")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+            .orderBy(col("cnt").desc, col("lab").asc)))
+        .where(col("rn") === 1)
+        .select(col("u").as("node"), col("lab"))
+    }
+    val sizes = labN.groupBy(col("lab")).agg(count(lit(1)).as("community_size"))
+    labN.join(sizes, "lab")
+      .select(col("node").as("doc_id"), col("lab").as("label"),
+        col("community_size"))
+      .orderBy("doc_id")
+  }
+
   /** c66 — per-DIMENSION standardization fit: mean and sample-stddev
     * of every embedding coordinate across the corpus — the z-score
     * scaler a pipeline fits before distance-based steps (k-means,
@@ -1725,6 +1829,8 @@ object NearDup {
     "c66_dim_standardize" -> (dimStandardize(_, _)),
     "c84_robust_scaler" -> (robustScaler(_, _)),
     "c68_pagerank" -> (pagerank(_, _)),
+    "c98_triangle_count" -> (triangleCount(_, _)),
+    "c99_label_propagation" -> (labelPropagation(_, _)),
     "c67_pca_power" -> (pcaPower(_, _)),
     "c69_cluster_size_dist" -> (clusterSizeDist(_, _)),
     "c10_simhash_fingerprint" -> (simhashFingerprint(_, _)),
@@ -1977,8 +2083,72 @@ object NearDup {
          |FROM sv, ssq, tr, nt, range(1, ${PcaDim + 1}) t(i)
          |ORDER BY dim ASC NULLS FIRST""".stripMargin,
 
-    // Two unrolled damped rounds over the shared pairs CTE — a
-    // PrRounds retune must re-unroll this chain (the c35 discipline).
+    // Brute-force id-ordered triangle listing — the triangle SET is
+    // orientation-invariant, so the Spark side's degree-ordered
+    // orientation must produce the identical per-node counts.
+    "c98_triangle_count" ->
+      s"""${Llm.oraclePairsCte}, e AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |), tri AS (
+         |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM e e1
+         |  JOIN e e2 ON e2.u = e1.v
+         |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+         |), tn AS (
+         |  SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM (
+         |    SELECT a AS node FROM tri
+         |    UNION ALL SELECT b FROM tri
+         |    UNION ALL SELECT c FROM tri)
+         |  GROUP BY node
+         |), deg AS (
+         |  SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |    SELECT doc_a AS u FROM pairs
+         |    UNION ALL SELECT doc_b FROM pairs)
+         |  GROUP BY u
+         |)
+         |SELECT deg.node AS doc_id, deg AS degree,
+         |  coalesce(t, 0) AS n_triangles,
+         |  CASE WHEN deg >= 2
+         |    THEN ROUND(CAST(2.0 AS DOUBLE) * coalesce(t, 0) / (deg * (deg - 1)), 4)
+         |    ELSE 0.0 END AS clustering_coeff
+         |FROM deg LEFT JOIN tn ON deg.node = tn.node
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    // Two unrolled synchronous mode-label rounds (min-label
+    // tie-break) — an LpaRounds retune must re-unroll this chain.
+    "c99_label_propagation" ->
+      s"""${Llm.oraclePairsCte}, edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS u, doc_a AS v FROM pairs
+         |), l0 AS (
+         |  SELECT DISTINCT u AS node, u AS lab FROM edges
+         |), n1 AS (
+         |  SELECT e.u, l.lab, COUNT(*) AS cnt
+         |  FROM edges e JOIN l0 l ON e.v = l.node GROUP BY e.u, l.lab
+         |), l1 AS (
+         |  SELECT u AS node, lab FROM (
+         |    SELECT u, lab, row_number() OVER (PARTITION BY u
+         |      ORDER BY cnt DESC NULLS LAST, lab ASC NULLS FIRST) AS rn
+         |    FROM n1
+         |  ) WHERE rn = 1
+         |), n2 AS (
+         |  SELECT e.u, l.lab, COUNT(*) AS cnt
+         |  FROM edges e JOIN l1 l ON e.v = l.node GROUP BY e.u, l.lab
+         |), l2 AS (
+         |  SELECT u AS node, lab FROM (
+         |    SELECT u, lab, row_number() OVER (PARTITION BY u
+         |      ORDER BY cnt DESC NULLS LAST, lab ASC NULLS FIRST) AS rn
+         |    FROM n2
+         |  ) WHERE rn = 1
+         |), cs AS (
+         |  SELECT lab, CAST(COUNT(*) AS BIGINT) AS community_size
+         |  FROM l2 GROUP BY lab
+         |)
+         |SELECT node AS doc_id, l2.lab AS label, community_size
+         |FROM l2 JOIN cs ON l2.lab = cs.lab
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
     "c68_pagerank" ->
       s"""${Llm.oraclePairsCte}, edges AS (
          |  SELECT doc_a AS u, doc_b AS v FROM pairs

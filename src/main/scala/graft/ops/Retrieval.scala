@@ -108,6 +108,89 @@ object Retrieval {
       .orderBy("qrank", "rn")
   }
 
+  // --- c97: reciprocal-rank fusion ---------------------------------
+
+  /** RRF constant (Cormack et al. 2009's k = 60), per-ranker list cap,
+    * and emitted top-k.
+    */
+  private val RrfK = 60
+  private val RrfCap = 50
+  private val RrfTopK = 5
+
+  /** c97 — RECIPROCAL-RANK FUSION of two rankers (Cormack, Clarke &
+    * Buettcher, SIGIR 2009 — public): the standard hybrid-retrieval
+    * merge, score(d) = Σ_r 1/(k + rank_r(d)) over each ranker's capped
+    * list. Fused here: Okapi BM25 (c70's exact scorer — saturating tf,
+    * length-normalized) and classic TF-IDF (tf · ln(N/df) — linear tf,
+    * no length norm), two genuinely different orderings of the same
+    * candidate set, for the same data-derived query terms as c70. RRF
+    * is ranker-agnostic — swap either input for an ANN distance rank
+    * (c38) and the fusion stage is unchanged, which is exactly why RAG
+    * stacks standardize on it.
+    *
+    * Scale shape: both rankers ride ONE (doc, term) count table (no
+    * second corpus pass); each ranker's list is CAPPED at [[RrfCap]]
+    * per query BEFORE the fusion join — the rank windows execute as
+    * WindowGroupLimit (per-partition top-cap pre-prune), so the
+    * full-outer fusion join touches ≤ 2·cap rows per query at any
+    * corpus size — the production shape where each ranker ships its
+    * top-1000 and fusion never sees the scored corpus.
+    *
+    * Determinism: ranks are row_numbers over (1e-4-rounded score,
+    * doc_id) total orders; the RRF sum is two exact-rational
+    * reciprocals added in fixed order, rounded at 1e-6; absent-in-one-
+    * list docs contribute only their present term (coalesce 0) — both
+    * engines evaluate the identical expression.
+    */
+  def rrfFusion(spark: SparkSession, sfDir: String): DataFrame =
+    rrfFusionFrom(Tables.t(spark, sfDir, "documents"))
+
+  /** Kernel of [[rrfFusion]] over any (doc_id, text) frame. */
+  private[graft] def rrfFusionFrom(docs: DataFrame): DataFrame = {
+    val tf = toks(docs).groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_toks"))
+    val dfq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"), sum(col("tf")).as("cnt"))
+    val queries = dfq
+      .orderBy(col("cnt").desc, col("w").asc)
+      .limit(Bm25Queries)
+      .withColumn("qrank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("w").asc)).cast("long"))
+      .select(col("w").as("q"), col("qrank"), col("df"))
+    val scored = tf
+      .join(broadcast(queries), col("w") === col("q"))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("q"), col("qrank"), col("doc_id"),
+        round(log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(Bm25K1 + 1.0)) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") /
+              (col("total_toks").cast("double") / col("n_docs")))), 4).as("s_bm25"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4).as("s_tfidf"))
+    def rankedBy(scoreCol: String, rankName: String): DataFrame = scored
+      .withColumn(rankName, row_number().over(
+        Window.partitionBy(col("q"))
+          .orderBy(col(scoreCol).desc, col("doc_id").asc)).cast("long"))
+      .where(col(rankName) <= RrfCap)
+      .select(col("q"), col("qrank"), col("doc_id"), col(rankName))
+    val fused = rankedBy("s_bm25", "rank_bm25")
+      .join(rankedBy("s_tfidf", "rank_tfidf"),
+        Seq("q", "qrank", "doc_id"), "full_outer")
+      .withColumn("rrf_score", round(
+        coalesce(lit(1.0) / (lit(RrfK) + col("rank_bm25")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(RrfK) + col("rank_tfidf")), lit(0.0)), 6))
+    fused
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q"))
+          .orderBy(col("rrf_score").desc, col("doc_id").asc)).cast("long"))
+      .where(col("rn") <= RrfTopK)
+      .select(col("q"), col("qrank"), col("rn"), col("doc_id"),
+        col("rank_bm25"), col("rank_tfidf"), col("rrf_score"))
+      .orderBy("qrank", "rn")
+  }
+
   // --- c71: weighted sampling without replacement ------------------
 
   /** Sample size of the c71 key. */
@@ -213,7 +296,8 @@ object Retrieval {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c70_bm25_topk" -> (bm25Topk(_, _)),
     "c71_weighted_sample" -> (weightedSample(_, _)),
-    "c72_gopher_gate" -> (gopherGate(_, _)))
+    "c72_gopher_gate" -> (gopherGate(_, _)),
+    "c97_rrf_fusion" -> (rrfFusion(_, _)))
 
   val oracle: Map[String, String] = Map(
     "c70_bm25_topk" ->
@@ -248,6 +332,60 @@ object Retrieval {
          |      ORDER BY score DESC NULLS LAST, doc_id ASC NULLS FIRST) AS BIGINT) AS rn
          |  FROM scored
          |) WHERE rn <= $Bm25TopK
+         |ORDER BY qrank ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin,
+
+    "c97_rrf_fusion" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, w, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |  GROUP BY doc_id, w
+         |), dl AS (
+         |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+         |), stats AS (
+         |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_toks FROM dl
+         |), dfreq AS (
+         |  SELECT w, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY w
+         |), queries AS (
+         |  SELECT w AS q, qrank, df FROM (
+         |    SELECT w, df, CAST(row_number() OVER
+         |      (ORDER BY cnt DESC NULLS LAST, w ASC NULLS FIRST) AS BIGINT) AS qrank
+         |    FROM dfreq
+         |  ) WHERE qrank <= $Bm25Queries
+         |), scored AS (
+         |  SELECT q, qrank, tf.doc_id,
+         |    ROUND(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         |      * (tf.tf * ${Bm25K1 + 1.0})
+         |      / (tf.tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl.dl
+         |          / (CAST(total_toks AS DOUBLE) / n_docs))), 4) AS s_bm25,
+         |    ROUND(tf.tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS s_tfidf
+         |  FROM tf JOIN queries ON tf.w = queries.q
+         |       JOIN dl ON tf.doc_id = dl.doc_id, stats
+         |), ra AS (
+         |  SELECT q, qrank, doc_id, rank_bm25 FROM (
+         |    SELECT q, qrank, doc_id, CAST(row_number() OVER (PARTITION BY q
+         |      ORDER BY s_bm25 DESC NULLS LAST, doc_id ASC NULLS FIRST) AS BIGINT) AS rank_bm25
+         |    FROM scored
+         |  ) WHERE rank_bm25 <= $RrfCap
+         |), rb AS (
+         |  SELECT q, qrank, doc_id, rank_tfidf FROM (
+         |    SELECT q, qrank, doc_id, CAST(row_number() OVER (PARTITION BY q
+         |      ORDER BY s_tfidf DESC NULLS LAST, doc_id ASC NULLS FIRST) AS BIGINT) AS rank_tfidf
+         |    FROM scored
+         |  ) WHERE rank_tfidf <= $RrfCap
+         |), fused AS (
+         |  SELECT coalesce(ra.q, rb.q) AS q, coalesce(ra.qrank, rb.qrank) AS qrank,
+         |    coalesce(ra.doc_id, rb.doc_id) AS doc_id, rank_bm25, rank_tfidf,
+         |    ROUND(coalesce(CAST(1.0 AS DOUBLE) / ($RrfK + rank_bm25), 0.0)
+         |      + coalesce(CAST(1.0 AS DOUBLE) / ($RrfK + rank_tfidf), 0.0), 6) AS rrf_score
+         |  FROM ra FULL OUTER JOIN rb
+         |    ON ra.q = rb.q AND ra.doc_id = rb.doc_id
+         |)
+         |SELECT q, qrank, rn, doc_id, rank_bm25, rank_tfidf, rrf_score FROM (
+         |  SELECT q, qrank, doc_id, rank_bm25, rank_tfidf, rrf_score,
+         |    CAST(row_number() OVER (PARTITION BY q
+         |      ORDER BY rrf_score DESC NULLS LAST, doc_id ASC NULLS FIRST) AS BIGINT) AS rn
+         |  FROM fused
+         |) WHERE rn <= $RrfTopK
          |ORDER BY qrank ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin,
 
     "c71_weighted_sample" ->
