@@ -387,7 +387,93 @@ object Migration {
       .orderBy("vintage")
   }
 
+  /** The a18 per-table checksum column spec, shared by the Spark side
+    * and the machine-generated oracle (the c78 no-drift discipline):
+    * name-ordered columns, each tagged `d` (double → DECIMAL(38,6)
+    * render) or `s` (direct string cast — ints, strings, timestamps).
+    * `embeddings.embedding` is excluded: float-array rendering is not
+    * engine-portable; a production checksum hashes the array's binary
+    * encoding instead (the A6 connector seam).
+    */
+  private[graft] val ChecksumCols: Seq[(String, Seq[(String, Char)])] = Seq(
+    "region" -> Seq("r_name" -> 's', "r_regionkey" -> 's'),
+    "nation" -> Seq("n_name" -> 's', "n_nationkey" -> 's', "n_regionkey" -> 's'),
+    "customer" -> Seq("c_acctbal" -> 'd', "c_custkey" -> 's',
+      "c_mktsegment" -> 's', "c_name" -> 's', "c_nationkey" -> 's'),
+    "supplier" -> Seq("s_acctbal" -> 'd', "s_name" -> 's',
+      "s_nationkey" -> 's', "s_suppkey" -> 's'),
+    "part" -> Seq("p_brand" -> 's', "p_name" -> 's', "p_partkey" -> 's',
+      "p_retailprice" -> 'd', "p_size" -> 's', "p_type" -> 's'),
+    "orders" -> Seq("o_custkey" -> 's', "o_orderdate" -> 's',
+      "o_orderkey" -> 's', "o_orderpriority" -> 's', "o_orderstatus" -> 's',
+      "o_totalprice" -> 'd'),
+    "lineitem" -> Seq("l_discount" -> 'd', "l_extendedprice" -> 'd',
+      "l_linenumber" -> 's', "l_linestatus" -> 's', "l_orderkey" -> 's',
+      "l_partkey" -> 's', "l_quantity" -> 'd', "l_returnflag" -> 's',
+      "l_shipdate" -> 's', "l_suppkey" -> 's', "l_tax" -> 'd'),
+    "events" -> Seq("event_id" -> 's', "event_type" -> 's', "props" -> 's',
+      "ts" -> 's', "user_id" -> 's', "value" -> 'd'),
+    "documents" -> Seq("doc_id" -> 's', "lang" -> 's', "n_chars" -> 's',
+      "source" -> 's', "text" -> 's'),
+    "embeddings" -> Seq("label" -> 's', "vec_id" -> 's'))
+
+  /** A18 — CONTENT checksum verification, the row-value counterpart of
+    * A7's count parity: per table, an order-insensitive checksum of
+    * every row's canonical string rendering — n_rows plus the exact
+    * integer SUM of each row's 32-bit md5 prefix over the name-ordered
+    * column concatenation. This is the check a migrator runs when
+    * "same row count" is not enough evidence: a single flipped value
+    * anywhere in 100 TB moves the sum. The DuckDB oracle recomputes
+    * the identical checksum from its own read of the data — two
+    * INDEPENDENT engines agreeing on the rendered-content sum is
+    * exactly the source-cluster / target-cluster verification story
+    * (A7's scaladoc seam), with the canonical rendering (doubles via
+    * DECIMAL(38,6), timestamps via ISO text, nulls via coalesce-empty)
+    * pinned so the comparison is engine-portable by construction.
+    *
+    * Scale shape: one scan per table, a per-row codegen'd md5, and a
+    * map-side-combined (count, sum) — the shuffle carries ONE row per
+    * (partition, table). The sum rides DECIMAL(38,0): 1e12 rows ×
+    * 2^32 overflows a long, and DuckDB's SUM(BIGINT) is a hugeint
+    * anyway — (38,0) is the type both engines agree on at any scale.
+    * Reads go through [[Tables.canonical]] so the events timestamp
+    * vintage cannot skew the rendering.
+    */
+  def contentChecksum(spark: SparkSession, sfDir: String): DataFrame =
+    ChecksumCols.map { case (tname, cols) =>
+      val frags = cols.map {
+        case (c, 'd') => s"coalesce(CAST(CAST($c AS DECIMAL(38,6)) AS STRING), '')"
+        case (c, _) => s"coalesce(CAST($c AS STRING), '')"
+      }
+      val rowHash =
+        s"CAST(conv(substring(md5(concat_ws('|', ${frags.mkString(", ")})), 1, 8), 16, 10) AS BIGINT)"
+      Tables.canonical(spark, sfDir, tname)
+        .select(expr(rowHash).as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("h")).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            .as("checksum"))
+        .select(lit(tname).as("table_name"), col("n_rows"), col("checksum"))
+    }.reduce(_ unionByName _).orderBy("table_name")
+
+  /** The a18 oracle: the same checksum machine-generated for DuckDB
+    * from [[ChecksumCols]] — one UNION ALL branch per table.
+    */
+  private[graft] def contentChecksumOracleSql: String =
+    ChecksumCols.map { case (tname, cols) =>
+      val frags = cols.map {
+        case (c, 'd') => s"coalesce(CAST(CAST($c AS DECIMAL(38,6)) AS VARCHAR), '')"
+        case (c, _) => s"coalesce(CAST($c AS VARCHAR), '')"
+      }
+      val rowHash =
+        s"CAST(('0x' || substr(md5(concat_ws('|', ${frags.mkString(", ")})), 1, 8)) AS BIGINT)"
+      s"""SELECT '$tname' AS table_name, COUNT(*) AS n_rows,
+         |  CAST(SUM($rowHash) AS DECIMAL(38,0)) AS checksum
+         |FROM $tname""".stripMargin
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+      "\n) ORDER BY table_name ASC NULLS FIRST")
+
   val queries: Map[String, Q] = Map(
+    "a18_content_checksum" -> (contentChecksum(_, _)),
     "a17_schema_evolution" -> (schemaEvolution(_, _)),
     "a16_latest_snapshot" -> (latestSnapshot(_, _)),
     "a13_migration_diff" -> (migrationDiff(_, _)),
@@ -404,6 +490,7 @@ object Migration {
   )
 
   val oracle: Map[String, String] = Map(
+    "a18_content_checksum" -> contentChecksumOracleSql,
     // The merged-read audit re-derived from the SOURCE table: vintage
     // membership is the same md5 cut, v1 rows carry no status cell.
     "a17_schema_evolution" ->

@@ -600,6 +600,29 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** b63 — UNPIVOT/melt (the inverse of b23's pivot): lineitem's four
+    * measure columns melted to (metric, val) rows via the native
+    * `Dataset.unpivot` — ONE Expand pass over one scan (exactly
+    * b19/b20/b55's lattice machinery), never four scans unioned —
+    * then a per-metric (count, exact-decimal sum) profile. The
+    * wide→long reshape is the first step of every column-agnostic
+    * audit (a12's stack is its string-typed cousin); at 100 TB the
+    * Expand's ×4 row fan-out collapses map-side to 4 rows per
+    * partition before the exchange. The oracle spells the same
+    * reshape as UNION ALL branches — engine-equivalent because
+    * unpivot drops nothing here (no nulls in the measures).
+    */
+  def unpivotMetrics(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "lineitem")
+      .unpivot(
+        Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax")),
+        "metric", "val")
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n"), dsum(col("val")).as("total"))
+      .orderBy("metric")
+
   // --- c87/c88: the two join co-location strategies ---------------
 
   /** Salt width of the c87 skew-mitigation join. */
@@ -988,6 +1011,7 @@ object Relational {
     "b59_q10_returned_revenue" -> (q10ReturnedRevenue(_, _)),
     "b60_q14_promo_revenue" -> (q14PromoRevenue(_, _)),
     "b61_q22_dormant_customers" -> (q22DormantCustomers(_, _)),
+    "b63_unpivot" -> (unpivotMetrics(_, _)),
     "b55_grouping_sets" -> (groupingSetsQ(_, _)),
     "c95_hilbert_skipping" -> (hilbertSkipping(_, _)),
     "c86_incremental_agg" -> (incrementalAgg(_, _)),
@@ -1020,6 +1044,19 @@ object Relational {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
         |  (o_orderstatus, o_orderpriority), ())
         |ORDER BY status ASC NULLS FIRST, priority ASC NULLS FIRST""".stripMargin,
+
+    "b63_unpivot" ->
+      s"""SELECT * FROM (
+         |  SELECT 'l_quantity' AS metric, COUNT(*) AS n,
+         |    ${oDsum("l_quantity")} AS total FROM lineitem
+         |  UNION ALL
+         |  SELECT 'l_extendedprice', COUNT(*), ${oDsum("l_extendedprice")}
+         |  FROM lineitem
+         |  UNION ALL
+         |  SELECT 'l_discount', COUNT(*), ${oDsum("l_discount")} FROM lineitem
+         |  UNION ALL
+         |  SELECT 'l_tax', COUNT(*), ${oDsum("l_tax")} FROM lineitem
+         |) ORDER BY metric ASC NULLS FIRST""".stripMargin,
 
     "b57_q4_order_priority" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count

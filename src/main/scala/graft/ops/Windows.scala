@@ -127,6 +127,31 @@ object Windows {
       .orderBy("o_custkey", "day", "o_orderkey")
   }
 
+  /** b62 — DISTRIBUTION window functions (percent_rank, cume_dist,
+    * ntile — the relative-position family b24's rank left out): each
+    * order's price position within its priority class. Portable
+    * because the window's (o_totalprice, o_orderkey) order is a
+    * TOTAL order — no peers, so percent_rank = (rn−1)/(n−1) and
+    * cume_dist = rn/n are exact integer ratios evaluated identically
+    * in double, and ntile's bucket-boundary rule sees the same row
+    * sequence in both engines; all three emit canon-rounded. The
+    * output filters to the price tail AFTER the windows (frames span
+    * FULL partitions; the filter only trims the emitted rows), the
+    * audit shape that keeps result size constant while the window
+    * work scales with the table.
+    */
+  def windowDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.t(spark, sfDir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .where(col("o_totalprice") > 495000)
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
   /** b13 — range (theta) join: same-user event pairs within 5 minutes.
     * Equi-join on user_id first (shuffle co-location), temporal band
     * predicate within the group — the scalable range-join shape.
@@ -211,6 +236,7 @@ object Windows {
     "b26_window_running_sum" -> (runningSum(_, _)),
     "b27_window_moving_avg" -> (movingAvg(_, _)),
     "b56_window_range_frame" -> (rangeFrame(_, _)),
+    "b62_window_distribution" -> (windowDistribution(_, _)),
     "b13_join_range" -> (rangeJoin(_, _)),
     "b14_join_asof" -> (asofJoin(_, _)),
     "b42_tumbling_window" -> (tumblingWindow(_, _)),
@@ -219,6 +245,17 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "b62_window_distribution" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  ROUND(percent_rank() OVER w, 6) AS pct_rank,
+        |  ROUND(cume_dist() OVER w, 6) AS cume,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice ASC NULLS FIRST, o_orderkey ASC NULLS FIRST)
+        |QUALIFY o_totalprice > 495000
+        |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin,
+
     "b56_window_range_frame" ->
       """SELECT o_custkey, o_orderkey,
         |  epoch_us(o_orderdate) // 86400000000 AS day,
