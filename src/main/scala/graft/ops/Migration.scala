@@ -472,7 +472,55 @@ object Migration {
     }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
       "\n) ORDER BY table_name ASC NULLS FIRST")
 
+  /** A19 — CDC/MERGE apply: a derived insert/update/delete changelog
+    * applied to the base table in ONE pass — the `MERGE INTO` shape
+    * every warehouse-bound migration ends in once the bulk copy is
+    * done and deltas start flowing (A16 compacts a self-contained
+    * log; THIS key merges a log into existing state). The changelog
+    * derives deterministically from the md5 'cdc:' id split (the
+    * c50/c86 convention): of the selected keys, the second nibble
+    * deals UPDATE (price +10.00) / DELETE / INSERT (fresh negative
+    * key — guaranteed disjoint from the base id space).
+    *
+    * Apply = one FULL OUTER join on the key: base-only rows pass
+    * through, U rows take the changelog's values, D rows drop, I rows
+    * (changelog-only) append. At 100 TB this is one shuffle of base ∪
+    * changelog on the key — no per-op passes, no driver loop; with a
+    * bucketed base (c88) the shuffle collapses to the changelog side
+    * only. The emitted audit is the post-merge per-status (count,
+    * decimal-exact spend) — constant-size evidence the merge applied
+    * every op class exactly once.
+    */
+  def cdcApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.t(spark, sfDir, "orders")
+    val h = md5(concat(lit("cdc:"), col("o_orderkey").cast("string")))
+    val selected = substring(h, 1, 1).isin("0", "1", "2")
+    val opNib = substring(h, 2, 1)
+    val chg = o.where(selected).select(
+      when(opNib < "6", lit("U"))
+        .when(opNib < "a", lit("D"))
+        .otherwise(lit("I")).as("op"),
+      when(substring(h, 2, 1) >= "a", -col("o_orderkey"))
+        .otherwise(col("o_orderkey")).as("key"),
+      col("o_orderstatus").as("c_status"),
+      // +10.00, not ×1.1: a 2-decimal price × 1.1 lands EXACTLY on
+      // .005 decimal-round ties where Spark's HALF_UP BigDecimal and
+      // DuckDB's double-space round disagree; one IEEE addition has
+      // no rounding call at all and is engine-identical.
+      (col("o_totalprice") + lit(10.0)).as("c_price"))
+    val applied = o.join(chg, col("o_orderkey") === col("key"), "full_outer")
+      .where(col("op").isNull || col("op") =!= "D")
+      .select(
+        coalesce(col("c_status"), col("o_orderstatus")).as("status"),
+        when(col("op") === "U", col("c_price"))
+          .otherwise(coalesce(col("o_totalprice"), col("c_price"))).as("price"))
+    applied.groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("price")).as("total_spend"))
+      .orderBy("status")
+  }
+
   val queries: Map[String, Q] = Map(
+    "a19_cdc_apply" -> (cdcApply(_, _)),
     "a18_content_checksum" -> (contentChecksum(_, _)),
     "a17_schema_evolution" -> (schemaEvolution(_, _)),
     "a16_latest_snapshot" -> (latestSnapshot(_, _)),
@@ -490,6 +538,31 @@ object Migration {
   )
 
   val oracle: Map[String, String] = Map(
+    "a19_cdc_apply" ->
+      """WITH chg AS (
+        |  SELECT CASE WHEN substr(h, 2, 1) < '6' THEN 'U'
+        |              WHEN substr(h, 2, 1) < 'a' THEN 'D'
+        |              ELSE 'I' END AS op,
+        |    CASE WHEN substr(h, 2, 1) >= 'a' THEN -o_orderkey
+        |         ELSE o_orderkey END AS key,
+        |    o_orderstatus AS c_status,
+        |    o_totalprice + 10.0 AS c_price
+        |  FROM (SELECT *, md5('cdc:' || CAST(o_orderkey AS VARCHAR)) AS h
+        |        FROM orders)
+        |  WHERE substr(h, 1, 1) IN ('0', '1', '2')
+        |), applied AS (
+        |  SELECT coalesce(c_status, o_orderstatus) AS status,
+        |    CASE WHEN op = 'U' THEN c_price
+        |         ELSE coalesce(o_totalprice, c_price) END AS price
+        |  FROM orders FULL OUTER JOIN chg ON o_orderkey = chg.key
+        |  WHERE op IS NULL OR op != 'D'
+        |)
+        |SELECT status, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE) AS total_spend
+        |FROM applied
+        |GROUP BY status
+        |ORDER BY status ASC NULLS FIRST""".stripMargin,
+
     "a18_content_checksum" -> contentChecksumOracleSql,
     // The merged-read audit re-derived from the SOURCE table: vintage
     // membership is the same md5 cut, v1 rows carry no status cell.

@@ -907,7 +907,51 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** c100 feature-hash width — the classifier's weight-vector size. */
+  private[graft] val LqBuckets = 64
+
+  /** c100 — HASHED LINEAR quality classifier gate: the model-based
+    * document filter (the fastText-style quality scorer of the
+    * CCNet/RefinedWeb lineage — Joulin et al. 2016, arXiv:1607.01759,
+    * public) in its deployable Spark shape. Each token hashes into one
+    * of [[LqBuckets]] feature buckets (feature hashing — Weinberger et
+    * al. 2009, public); the doc's score is the mean bucket weight over
+    * its tokens; the gate keeps score > 0.
+    *
+    * The WEIGHTS are a deterministic md5-derived stand-in (uniform in
+    * [−1/2, 1/2), dyadic — computed inline per token, no weight table
+    * to join or broadcast); a production run swaps ONE expression for
+    * a lookup in a trained 64-float artifact and every other line —
+    * hashing, scan shape, exact accumulation, the gate — ships as-is.
+    * That seam discipline is the multimodal decode-stub rule
+    * (SURVEY D10) applied to model-based scoring.
+    *
+    * Scale shape: ONE token scan; (doc, Σweight, n) accumulates with
+    * map-side combine — nothing vocabulary- or corpus-sized shuffles
+    * and there is no join at all. Determinism: weights are exact
+    * 32-bit dyadic rationals summed in DECIMAL(38,18) (order-free),
+    * so the score and the >0 cut are engine-identical — no sigmoid
+    * (exp's cross-engine rounding is not pinned; the gate is monotone
+    * in the linear score, so the sigmoid adds nothing the cut needs).
+    */
+  def linearQualityGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+    val bucket = expr(s"CAST(conv(substring(md5(concat('feat:', w)), 1, 4), 16, 10) AS BIGINT) % $LqBuckets")
+    val weight = expr("(CAST(conv(substring(md5(concat('wgt:', CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT) / 4294967296.0) - 0.5")
+    toks
+      .withColumn("b", bucket)
+      .withColumn("wt", weight)
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), dsum18(col("wt")).as("wsum"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        round(col("wsum") / col("n_tokens"), 6).as("score"),
+        (col("wsum") > 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "c100_linear_quality_gate" -> (linearQualityGate(_, _)),
     "c54_bigram_surprise" -> (bigramSurprise(_, _)),
     "c46_unigram_surprise" -> (unigramSurprise(_, _)),
     "c45_quality_topk" -> (qualityTopk(_, _)),
@@ -936,6 +980,25 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "c100_linear_quality_gate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+         |  FROM documents
+         |), feat AS (
+         |  SELECT doc_id, lang,
+         |    (CAST(('0x' || substr(md5('wgt:' || CAST(
+         |        CAST(('0x' || substr(md5('feat:' || w), 1, 4)) AS BIGINT) % $LqBuckets
+         |      AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0) - 0.5 AS wt
+         |  FROM toks
+         |)
+         |SELECT doc_id, lang, COUNT(*) AS n_tokens,
+         |  ROUND(CAST(SUM(CAST(wt AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 6)
+         |    AS score,
+         |  (CAST(SUM(CAST(wt AS DECIMAL(38,18))) AS DOUBLE) > 0) AS keep
+         |FROM feat
+         |GROUP BY doc_id, lang
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
     "c78_bpe_train_steps" -> bpeTrainOracleSql,
 
     "c58_temperature_mix" ->
