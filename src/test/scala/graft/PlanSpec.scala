@@ -490,6 +490,58 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"bucketed join still shuffles:\n$p")
   }
 
+  test("b57: EXISTS plans as a left-semi join — lineitem rows never duplicate matches") {
+    val p = plan(Relational.q4OrderPriority(spark, sf))
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("b59: returnflag + quarter filters push to their scans; top-20 fuses; nation broadcasts") {
+    val p = plan(Relational.q10ReturnedRevenue(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("l_returnflag"), s"returnflag not pushed:\n$pushed")
+    assert(pushed.contains("o_orderdate"), s"quarter window not pushed:\n$pushed")
+  }
+
+  test("b61: the scalar threshold broadcasts once; dormancy is a hash anti-join") {
+    val p = plan(Relational.q22DormantCustomers(spark, sf))
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("b63: unpivot is ONE Expand over ONE lineitem scan, never four unioned scans") {
+    val p = plan(Relational.unpivotMetrics(spark, sf))
+    assert(p.linesIterator.count(_.contains("Expand")) == 1, p)
+    val scans = p.linesIterator.count(_.contains("lineitem.parquet"))
+    assert(scans == 1, s"expected exactly 1 lineitem scan, got $scans:\n$p")
+  }
+
+  test("c97: both capped rank lists pre-prune via WindowGroupLimit before the fusion join") {
+    val p = plan(Retrieval.rrfFusion(spark, sf))
+    assert(p.linesIterator.count(_.contains("WindowGroupLimit")) >= 2,
+      s"capped rank windows must pre-prune map-side:\n$p")
+  }
+
+  test("c98: wedge enumeration and closure are equi-joins — nothing cartesian") {
+    val p = plan(NearDup.triangleCount(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("a19: the merge is ONE full-outer join on the key — no per-op passes") {
+    val p = plan(Migration.cdcApply(spark, sf))
+    assert(p.contains("FullOuter"), p)
+    val orderScans = p.linesIterator.count(_.contains("orders.parquet"))
+    assert(orderScans == 2, s"expected base + changelog scans only, got $orderScans:\n$p")
+  }
+
+  test("c100: the classifier gate has NO join — weights compute inline per token") {
+    val p = plan(TextAnalysis.linearQualityGate(spark, sf))
+    assert(!p.contains("Join"), s"weight lookup must be an inline expression:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("c64: calibration joins are id-equi over the sampled pair spine; nothing cartesian") {
     val p = plan(Llm.minhashCalibration(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
