@@ -600,6 +600,55 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** KMV sketch size — the estimator's space/accuracy dial. */
+  private[graft] val KmvK = 64
+
+  /** c101 — KMV (k-minimum-values) distinct-count sketch
+    * (Bar-Yossef et al., RANDOM 2002 — public), the DETERMINISTIC
+    * sketch b18's HLL cannot be: per language, hash every token to a
+    * uniform dyadic u ∈ (0,1), keep the [[KmvK]] smallest distinct
+    * values, and estimate the vocabulary as (k−1)/u_(k) — the
+    * classic order-statistics estimator. Because the hash is md5 (not
+    * an engine-private seed), the sketch IS reproducible
+    * cross-engine: the oracle recomputes the identical k-th minimum
+    * and the identical estimate, so this key hash-verifies a sketch's
+    * ALGEBRA end-to-end where b18 can only rows-check (its HLL
+    * internals are engine-private; ACCURACY.json carries its error
+    * bound instead).
+    *
+    * Mergeability at 100 TB: the union of two KMV sketches is the k
+    * smallest of the concatenation — an associative, map-side-
+    * combinable reduction; here the per-partition WindowGroupLimit
+    * prunes each partition to its local k before the exchange, so
+    * only (groups × k) rows ever shuffle. The exact distinct count
+    * rides along as the audit column, making the emitted relative
+    * error measured, not asserted.
+    */
+  def kmvDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val hashed = Tables.t(spark, sfDir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .select(col("lang"), col("w"),
+        ((conv(substring(md5(col("w")), 1, 8), 16, 10).cast("double") + lit(0.5)) /
+          lit(4294967296.0)).as("u"))
+      .groupBy(col("lang"), col("u")).agg(count(lit(1)).as("dummy"))
+      .select(col("lang"), col("u"))
+    val kth = hashed
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+          .orderBy(col("u").asc)).cast("long"))
+      .where(col("rn") === KmvK)
+      .select(col("lang"), col("u").as("uk"))
+    val exact = Tables.t(spark, sfDir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("lang")).agg(countDistinct(col("w")).as("n_exact"))
+    exact.join(kth, Seq("lang"), "left")
+      .select(col("lang"), col("n_exact"),
+        round((lit(KmvK - 1) / col("uk")), 2).as("kmv_estimate"),
+        round(abs(lit(KmvK - 1) / col("uk") - col("n_exact")) / col("n_exact"), 4)
+          .as("rel_err"))
+      .orderBy("lang")
+  }
+
   /** b63 — UNPIVOT/melt (the inverse of b23's pivot): lineitem's four
     * measure columns melted to (metric, val) rows via the native
     * `Dataset.unpivot` — ONE Expand pass over one scan (exactly
@@ -707,6 +756,63 @@ object Relational {
     // instead and the co-location would never engage.
     spark.table(to).hint("merge")
       .join(spark.table(tl), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** c102 bloom geometry: 256 bits (4 longs), 2 hash functions. */
+  private[graft] val BloomBits = 256
+  private[graft] val BloomWords = BloomBits / 64
+
+  /** c102 — BLOOM-filter semi-join pruning (Bloom 1970 — public; the
+    * runtime-filter pattern Spark injects natively when stats allow,
+    * here built explicitly so the mechanism is visible and pinned):
+    * the urgent-orders build side compresses its join-key set into a
+    * [[BloomBits]]-bit filter (two md5-derived hash functions,
+    * `bit_or`-aggregated — associative, map-side combined); the
+    * filter broadcasts as ONE 4-long row and prunes the lineitem
+    * probe BEFORE the exchange; surviving rows (members + the bloom's
+    * false positives) then join exactly, so the output provably
+    * equals the plain join — the oracle IS the plain SQL, which is
+    * the pattern's correctness contract (c87/c88's discipline applied
+    * to the probe side).
+    *
+    * When to reach for it at 100 TB: the build side's key SET is too
+    * big to broadcast (a broadcast hash join would OOM) but its BLOOM
+    * fits in kilobytes — the probe shuffles only rows that can match,
+    * cutting the exchange by ~the build's selectivity at a false-
+    * positive cost this 256-bit demo geometry makes visible (m/n ≈
+    * bits per key and k=2 set the fp rate; production sizes m from
+    * the measured build count, the AQE-over-measured-sizes doctrine).
+    */
+  def bloomSemiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    def h(pref: String, c: String) =
+      s"CAST(conv(substring(md5(concat('$pref', CAST($c AS STRING))), 1, 8), 16, 10) AS BIGINT) % $BloomBits"
+    val build = Tables.t(spark, sfDir, "orders")
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val wordAggs = (0 until BloomWords).map { wd =>
+      expr(s"""bit_or(
+        CASE WHEN h1 div 64 = $wd THEN shiftleft(1L, CAST(h1 % 64 AS INT)) ELSE 0L END |
+        CASE WHEN h2 div 64 = $wd THEN shiftleft(1L, CAST(h2 % 64 AS INT)) ELSE 0L END)""")
+        .as(s"w$wd")
+    }
+    val bloom = build
+      .select(expr(h("bf1:", "o_orderkey")).as("h1"),
+        expr(h("bf2:", "o_orderkey")).as("h2"))
+      .agg(wordAggs.head, wordAggs.tail: _*)
+    def member(hExpr: String) = {
+      val word = s"CASE ($hExpr) div 64 WHEN 0 THEN w0 WHEN 1 THEN w1 WHEN 2 THEN w2 ELSE w3 END"
+      s"($word & shiftleft(1L, CAST(($hExpr) % 64 AS INT))) != 0L"
+    }
+    val probe = Tables.t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .crossJoin(broadcast(bloom))
+      .where(expr(member(h("bf1:", "l_orderkey"))) &&
+        expr(member(h("bf2:", "l_orderkey"))))
+    probe.join(build, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_rows"),
         dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
@@ -1012,6 +1118,8 @@ object Relational {
     "b60_q14_promo_revenue" -> (q14PromoRevenue(_, _)),
     "b61_q22_dormant_customers" -> (q22DormantCustomers(_, _)),
     "b63_unpivot" -> (unpivotMetrics(_, _)),
+    "c101_kmv_distinct" -> (kmvDistinct(_, _)),
+    "c102_bloom_semi_join" -> (bloomSemiJoin(_, _)),
     "b55_grouping_sets" -> (groupingSetsQ(_, _)),
     "c95_hilbert_skipping" -> (hilbertSkipping(_, _)),
     "c86_incremental_agg" -> (incrementalAgg(_, _)),
@@ -1044,6 +1152,38 @@ object Relational {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
         |  (o_orderstatus, o_orderpriority), ())
         |ORDER BY status ASC NULLS FIRST, priority ASC NULLS FIRST""".stripMargin,
+
+    // The PLAIN filtered join — bloom pruning must change the probe
+    // volume, never the answer (the c87/c88 contract, probe-side).
+    "c102_bloom_semi_join" ->
+      s"""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  ${oDsum("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE o_orderpriority = '1-URGENT'
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+    "c101_kmv_distinct" ->
+      s"""WITH hashed AS (
+         |  SELECT DISTINCT lang,
+         |    (CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) + 0.5) / 4294967296.0 AS u
+         |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+         |), kth AS (
+         |  SELECT lang, u AS uk FROM (
+         |    SELECT lang, u, CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY u ASC NULLS FIRST) AS BIGINT) AS rn
+         |    FROM hashed
+         |  ) WHERE rn = $KmvK
+         |), exact AS (
+         |  SELECT lang, COUNT(DISTINCT w) AS n_exact
+         |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+         |  GROUP BY lang
+         |)
+         |SELECT exact.lang, n_exact,
+         |  ROUND(${KmvK - 1} / uk, 2) AS kmv_estimate,
+         |  ROUND(abs(${KmvK - 1} / uk - n_exact) / n_exact, 4) AS rel_err
+         |FROM exact LEFT JOIN kth ON exact.lang = kth.lang
+         |ORDER BY exact.lang ASC NULLS FIRST""".stripMargin,
 
     "b63_unpivot" ->
       s"""SELECT * FROM (

@@ -191,6 +191,47 @@ object Retrieval {
       .orderBy("qrank", "rn")
   }
 
+  // --- c103: NDCG ranking evaluation -------------------------------
+
+  /** c103 — NDCG@k offline ranking evaluation (Järvelin & Kekäläinen,
+    * TOIS 2002 — public): the quality metric every retrieval change
+    * ships behind, computed over c97's fused top-[[RrfTopK]] lists.
+    * Graded relevance is a deterministic md5-derived {0,1,2} stand-in
+    * per (query, doc) — the seam a human-judgment or click-model
+    * table plugs into (ONE expression swaps for a join against the
+    * judgment artifact; the metric algebra ships as-is, the c100
+    * discipline). DCG = Σ (2^rel − 1)/log2(rank+1); IDCG re-ranks the
+    * SAME k gains ideally (rel DESC, doc_id tiebreak); NDCG = ratio.
+    *
+    * Scale shape: the eval runs on the top-k lists, never the corpus
+    * — per query it touches k rows, and the per-query sums are
+    * k-term decimal-exact aggregates (order-free; ln-ratio log2 is
+    * IEEE-identical cross-engine, the c46 rule). The ideal-rank
+    * window partitions by query over k rows — WindowGroupLimit-sized
+    * by construction.
+    */
+  def ndcgEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val ranked = rrfFusionFrom(Tables.t(spark, sfDir, "documents"))
+      .select(col("q"), col("qrank"), col("rn"), col("doc_id"))
+      .withColumn("rel", expr(
+        "CAST(conv(substring(md5(concat('rel:', q, ':', CAST(doc_id AS STRING))), 1, 2), 16, 10) AS BIGINT) % 3"))
+      .withColumn("gain", expr("CAST(shiftleft(1L, CAST(rel AS INT)) - 1 AS DOUBLE)"))
+    val ideal = ranked.withColumn("irank", row_number().over(
+      Window.partitionBy(col("q"))
+        .orderBy(col("rel").desc, col("doc_id").asc)).cast("long"))
+    ideal
+      .groupBy(col("q"), col("qrank"))
+      .agg(
+        Canon.dsum18(col("gain") / (log(col("rn") + 1) / log(lit(2.0)))).as("dcg_raw"),
+        Canon.dsum18(col("gain") / (log(col("irank") + 1) / log(lit(2.0)))).as("idcg_raw"))
+      .select(col("q"), col("qrank"),
+        round(col("dcg_raw"), 6).as("dcg"),
+        round(col("idcg_raw"), 6).as("idcg"),
+        when(col("idcg_raw") > 0, round(col("dcg_raw") / col("idcg_raw"), 6))
+          .otherwise(lit(0.0)).as("ndcg"))
+      .orderBy("qrank")
+  }
+
   // --- c71: weighted sampling without replacement ------------------
 
   /** Sample size of the c71 key. */
@@ -297,7 +338,63 @@ object Retrieval {
     "c70_bm25_topk" -> (bm25Topk(_, _)),
     "c71_weighted_sample" -> (weightedSample(_, _)),
     "c72_gopher_gate" -> (gopherGate(_, _)),
-    "c97_rrf_fusion" -> (rrfFusion(_, _)))
+    "c97_rrf_fusion" -> (rrfFusion(_, _)),
+    "c103_ndcg_eval" -> (ndcgEval(_, _)))
+
+  /** Shared c97/c103 oracle CTE chain: both rankers, capped rank
+    * lists, the RRF fusion, and the fused rank — ends at `ranked`.
+    */
+  private def rrfOracleCte: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, w, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY doc_id, w
+       |), dl AS (
+       |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+       |), stats AS (
+       |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_toks FROM dl
+       |), dfreq AS (
+       |  SELECT w, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY w
+       |), queries AS (
+       |  SELECT w AS q, qrank, df FROM (
+       |    SELECT w, df, CAST(row_number() OVER
+       |      (ORDER BY cnt DESC NULLS LAST, w ASC NULLS FIRST) AS BIGINT) AS qrank
+       |    FROM dfreq
+       |  ) WHERE qrank <= $Bm25Queries
+       |), scored AS (
+       |  SELECT q, qrank, tf.doc_id,
+       |    ROUND(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |      * (tf.tf * ${Bm25K1 + 1.0})
+       |      / (tf.tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl.dl
+       |          / (CAST(total_toks AS DOUBLE) / n_docs))), 4) AS s_bm25,
+       |    ROUND(tf.tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS s_tfidf
+       |  FROM tf JOIN queries ON tf.w = queries.q
+       |       JOIN dl ON tf.doc_id = dl.doc_id, stats
+       |), ra AS (
+       |  SELECT q, qrank, doc_id, rank_bm25 FROM (
+       |    SELECT q, qrank, doc_id, CAST(row_number() OVER (PARTITION BY q
+       |      ORDER BY s_bm25 DESC NULLS LAST, doc_id ASC NULLS FIRST) AS BIGINT) AS rank_bm25
+       |    FROM scored
+       |  ) WHERE rank_bm25 <= $RrfCap
+       |), rb AS (
+       |  SELECT q, qrank, doc_id, rank_tfidf FROM (
+       |    SELECT q, qrank, doc_id, CAST(row_number() OVER (PARTITION BY q
+       |      ORDER BY s_tfidf DESC NULLS LAST, doc_id ASC NULLS FIRST) AS BIGINT) AS rank_tfidf
+       |    FROM scored
+       |  ) WHERE rank_tfidf <= $RrfCap
+       |), fused AS (
+       |  SELECT coalesce(ra.q, rb.q) AS q, coalesce(ra.qrank, rb.qrank) AS qrank,
+       |    coalesce(ra.doc_id, rb.doc_id) AS doc_id, rank_bm25, rank_tfidf,
+       |    ROUND(coalesce(CAST(1.0 AS DOUBLE) / ($RrfK + rank_bm25), 0.0)
+       |      + coalesce(CAST(1.0 AS DOUBLE) / ($RrfK + rank_tfidf), 0.0), 6) AS rrf_score
+       |  FROM ra FULL OUTER JOIN rb
+       |    ON ra.q = rb.q AND ra.doc_id = rb.doc_id
+       |), ranked AS (
+       |  SELECT q, qrank, doc_id, rank_bm25, rank_tfidf, rrf_score,
+       |    CAST(row_number() OVER (PARTITION BY q
+       |      ORDER BY rrf_score DESC NULLS LAST, doc_id ASC NULLS FIRST) AS BIGINT) AS rn
+       |  FROM fused
+       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "c70_bm25_topk" ->
@@ -335,58 +432,33 @@ object Retrieval {
          |ORDER BY qrank ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin,
 
     "c97_rrf_fusion" ->
-      s"""WITH tf AS (
-         |  SELECT doc_id, w, COUNT(*) AS tf
-         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
-         |  GROUP BY doc_id, w
-         |), dl AS (
-         |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
-         |), stats AS (
-         |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_toks FROM dl
-         |), dfreq AS (
-         |  SELECT w, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY w
-         |), queries AS (
-         |  SELECT w AS q, qrank, df FROM (
-         |    SELECT w, df, CAST(row_number() OVER
-         |      (ORDER BY cnt DESC NULLS LAST, w ASC NULLS FIRST) AS BIGINT) AS qrank
-         |    FROM dfreq
-         |  ) WHERE qrank <= $Bm25Queries
-         |), scored AS (
-         |  SELECT q, qrank, tf.doc_id,
-         |    ROUND(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-         |      * (tf.tf * ${Bm25K1 + 1.0})
-         |      / (tf.tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl.dl
-         |          / (CAST(total_toks AS DOUBLE) / n_docs))), 4) AS s_bm25,
-         |    ROUND(tf.tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS s_tfidf
-         |  FROM tf JOIN queries ON tf.w = queries.q
-         |       JOIN dl ON tf.doc_id = dl.doc_id, stats
-         |), ra AS (
-         |  SELECT q, qrank, doc_id, rank_bm25 FROM (
-         |    SELECT q, qrank, doc_id, CAST(row_number() OVER (PARTITION BY q
-         |      ORDER BY s_bm25 DESC NULLS LAST, doc_id ASC NULLS FIRST) AS BIGINT) AS rank_bm25
-         |    FROM scored
-         |  ) WHERE rank_bm25 <= $RrfCap
-         |), rb AS (
-         |  SELECT q, qrank, doc_id, rank_tfidf FROM (
-         |    SELECT q, qrank, doc_id, CAST(row_number() OVER (PARTITION BY q
-         |      ORDER BY s_tfidf DESC NULLS LAST, doc_id ASC NULLS FIRST) AS BIGINT) AS rank_tfidf
-         |    FROM scored
-         |  ) WHERE rank_tfidf <= $RrfCap
-         |), fused AS (
-         |  SELECT coalesce(ra.q, rb.q) AS q, coalesce(ra.qrank, rb.qrank) AS qrank,
-         |    coalesce(ra.doc_id, rb.doc_id) AS doc_id, rank_bm25, rank_tfidf,
-         |    ROUND(coalesce(CAST(1.0 AS DOUBLE) / ($RrfK + rank_bm25), 0.0)
-         |      + coalesce(CAST(1.0 AS DOUBLE) / ($RrfK + rank_tfidf), 0.0), 6) AS rrf_score
-         |  FROM ra FULL OUTER JOIN rb
-         |    ON ra.q = rb.q AND ra.doc_id = rb.doc_id
-         |)
-         |SELECT q, qrank, rn, doc_id, rank_bm25, rank_tfidf, rrf_score FROM (
-         |  SELECT q, qrank, doc_id, rank_bm25, rank_tfidf, rrf_score,
-         |    CAST(row_number() OVER (PARTITION BY q
-         |      ORDER BY rrf_score DESC NULLS LAST, doc_id ASC NULLS FIRST) AS BIGINT) AS rn
-         |  FROM fused
-         |) WHERE rn <= $RrfTopK
+      s"""$rrfOracleCte
+         |SELECT q, qrank, rn, doc_id, rank_bm25, rank_tfidf, rrf_score
+         |FROM ranked WHERE rn <= $RrfTopK
          |ORDER BY qrank ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin,
+
+    "c103_ndcg_eval" ->
+      s"""$rrfOracleCte, rel AS (
+         |  SELECT q, qrank, rn, doc_id,
+         |    CAST(('0x' || substr(md5('rel:' || q || ':' || CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT) % 3 AS rel
+         |  FROM ranked WHERE rn <= $RrfTopK
+         |), gains AS (
+         |  SELECT q, qrank, rn,
+         |    CAST((1 << rel) - 1 AS DOUBLE) AS gain, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY q
+         |      ORDER BY rel DESC NULLS LAST, doc_id ASC NULLS FIRST) AS BIGINT) AS irank
+         |  FROM rel
+         |)
+         |SELECT q, qrank,
+         |  ROUND(CAST(SUM(CAST(gain / (ln(rn + 1) / ln(2)) AS DECIMAL(38,18))) AS DOUBLE), 6) AS dcg,
+         |  ROUND(CAST(SUM(CAST(gain / (ln(irank + 1) / ln(2)) AS DECIMAL(38,18))) AS DOUBLE), 6) AS idcg,
+         |  CASE WHEN CAST(SUM(CAST(gain / (ln(irank + 1) / ln(2)) AS DECIMAL(38,18))) AS DOUBLE) > 0
+         |    THEN ROUND(CAST(SUM(CAST(gain / (ln(rn + 1) / ln(2)) AS DECIMAL(38,18))) AS DOUBLE)
+         |      / CAST(SUM(CAST(gain / (ln(irank + 1) / ln(2)) AS DECIMAL(38,18))) AS DOUBLE), 6)
+         |    ELSE 0.0 END AS ndcg
+         |FROM gains
+         |GROUP BY q, qrank
+         |ORDER BY qrank ASC NULLS FIRST""".stripMargin,
 
     "c71_weighted_sample" ->
       s"""WITH keyed AS (

@@ -542,6 +542,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("c101: per-partition KMV prune via WindowGroupLimit — only groups×k rows shuffle") {
+    val p = plan(Relational.kmvDistinct(spark, sf))
+    assert(p.contains("WindowGroupLimit"), s"KMV k-min must pre-prune map-side:\n$p")
+  }
+
+  test("c102: the bloom broadcasts as one row and prunes the probe before its exchange") {
+    val p = plan(Relational.bloomSemiJoin(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the membership test must sit UNDER the probe's exchange (filter
+    // before shuffle): the Filter node carrying the bit test appears
+    // below the join's Exchange in the plan tree — pinned by the
+    // bit-mask fragment appearing in a Filter, not a join condition
+    assert(p.contains("shiftleft"), s"bloom bit test missing from plan:\n$p")
+  }
+
   test("c64: calibration joins are id-equi over the sampled pair spine; nothing cartesian") {
     val p = plan(Llm.minhashCalibration(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
