@@ -566,7 +566,172 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  // --- c104: MAD outlier gate --------------------------------------
+
+  /** c104 — MEDIAN/MAD robust outlier gate per event_type (Iglewicz &
+    * Hoaglin 1993's modified z-score, |0.6745·(v−med)/MAD| > 3.5 —
+    * public): the order-statistic complement of c39's moment z-score,
+    * which a single extreme value can blind (it inflates the very σ
+    * it is judged against); the median/MAD pair is 50%-breakdown
+    * robust. Two exact-percentile passes (Spark `percentile` and
+    * DuckDB `quantile_cont` share the interpolation — the c84
+    * precedent): per-group median, then median of |v − med|; the cut
+    * compares against ROUNDED (1e-4) med/MAD so the threshold is
+    * bit-identical cross-engine and a boundary value cannot straddle
+    * (the c84 fence discipline). Event-type groups are tiny (≤10), so
+    * the fit broadcasts back onto one counting scan — the c39 join
+    * shape.
+    */
+  def madOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.t(spark, sfDir, "events")
+      .select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("med"))
+    val mad = ev.join(broadcast(med), "event_type")
+      .groupBy(col("event_type"), col("med"))
+      .agg(round(expr("percentile(abs(value - med), 0.5)"), 4).as("mad"))
+      .withColumn("cut", round(lit(3.5) * col("mad") / lit(0.6745), 4))
+    ev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs(col("value") - col("med")) > col("cut"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col("event_type"), col("n"), col("med"), col("mad"),
+        col("n_outliers"),
+        round(col("n_outliers").cast("double") / col("n"), 4).as("outlier_frac"))
+      .orderBy("event_type")
+  }
+
+  // --- c105: feature correlation matrix ----------------------------
+
+  /** How many leading embedding dims the correlation audit covers. */
+  private[graft] val CorrDims = 8
+
+  /** c105 — pairwise Pearson CORRELATION MATRIX of the leading
+    * [[CorrDims]] embedding dimensions — the feature-redundancy audit
+    * run before any distance-based step (two near-duplicate
+    * dimensions double-count their signal in every cosine/k-means
+    * pass; the fix is c67's PCA, and THIS is the evidence that
+    * triggers it). One posexplode pass restricted to the leading dims
+    * self-joins on vec_id (×d fan-out of an 8-row-per-vector stream,
+    * never the corpus), then each of the d·(d−1)/2 cells reduces to
+    * the five moment sums and assembles corr in a fixed double dag
+    * over DECIMAL-exact sums (the c91 pattern; squares are explicit
+    * products, never pow — the c90/c91 rule). Spark's native `corr`
+    * is the one-pass streaming update — order-dependent in its last
+    * ulp, exactly what the canon bans (the c39/stddev precedent).
+    */
+  def corrMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    def d(c: Column) = c.cast(org.apache.spark.sql.types.DecimalType(38, 6))
+    val vals = Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .where(col("i") < CorrDims)
+      .select(col("vec_id"), (col("i") + 1).cast("long").as("dim"),
+        col("v").cast("double").as("v"))
+    val pairs = vals.as("a")
+      .join(vals.as("b"), col("a.vec_id") === col("b.vec_id") &&
+        col("a.dim") < col("b.dim"))
+      .select(col("a.dim").as("dim_i"), col("b.dim").as("dim_j"),
+        col("a.v").as("x"), col("b.v").as("y"))
+    pairs.groupBy(col("dim_i"), col("dim_j"))
+      .agg(count(lit(1)).as("n"),
+        sum(d(col("x"))).cast("double").as("sx"),
+        sum(d(col("y"))).cast("double").as("sy"),
+        sum(d(col("x") * col("x"))).cast("double").as("sxx"),
+        sum(d(col("y") * col("y"))).cast("double").as("syy"),
+        sum(d(col("x") * col("y"))).cast("double").as("sxy"))
+      .select(col("dim_i"), col("dim_j"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 4).as("corr"))
+      .orderBy("dim_i", "dim_j")
+  }
+
+  // --- c106: categorical mutual information ------------------------
+
+  /** c106 — MUTUAL INFORMATION between two categorical columns
+    * (lang × source), with marginal entropies and the normalized
+    * MI/√(H_x·H_y) — the dependence audit behind stratification
+    * decisions (if source determines lang, stratifying on both
+    * double-stratifies) and leakage checks (a split column with high
+    * NMI against a label leaks it). Three counting aggregates of ONE
+    * scan (cells, then the two marginals as re-aggregations of the
+    * cell table — never a second corpus pass); every probability is
+    * an exact-integer ratio and each Σ p·ln(…) runs over ≤|X|·|Y|
+    * cell terms summed DECIMAL(38,18)-exact, so the emitted bits are
+    * engine-identical (the c46 `ln` rule).
+    */
+  def mutualInformation(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.t(spark, sfDir, "documents")
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("cxy"))
+    val mx = cells.groupBy(col("lang")).agg(sum(col("cxy")).as("cx"))
+    val my = cells.groupBy(col("source")).agg(sum(col("cxy")).as("cy"))
+    val tot = cells.agg(sum(col("cxy")).as("n"))
+    val joined = cells.join(broadcast(mx), "lang").join(broadcast(my), "source")
+      .crossJoin(broadcast(tot))
+    val mi = joined.agg(
+      graft.Canon.dsum18((col("cxy") / col("n")) *
+        log((col("cxy") * col("n")) / (col("cx") * col("cy")))).as("mi_raw"))
+    val hx = mx.crossJoin(broadcast(tot))
+      .agg(graft.Canon.dsum18(-(col("cx") / col("n")) *
+        log(col("cx") / col("n"))).as("h_lang"))
+    val hy = my.crossJoin(broadcast(tot))
+      .agg(graft.Canon.dsum18(-(col("cy") / col("n")) *
+        log(col("cy") / col("n"))).as("h_source"))
+    mi.crossJoin(broadcast(hx)).crossJoin(broadcast(hy)).crossJoin(broadcast(tot))
+      .select(col("n"), round(col("mi_raw"), 6).as("mi_nats"),
+        round(col("h_lang"), 6).as("h_lang"),
+        round(col("h_source"), 6).as("h_source"),
+        round(col("mi_raw") / sqrt(col("h_lang") * col("h_source")), 6).as("nmi"))
+  }
+
+  // --- c107: PSI distribution drift ---------------------------------
+
+  /** PSI value-bin width and count (values span ~[0, 500]). */
+  private[graft] val PsiBinW = 50
+  private[graft] val PsiBins = 10
+
+  /** c107 — POPULATION STABILITY INDEX drift monitor per event_type:
+    * PSI = Σ_bins (p_a − p_b)·ln(p_a/p_b) between the base corpus and
+    * the md5 1-in-5 increment (the c50/c86 split convention standing
+    * in for "this week's data") — the standard production gate for
+    * "has the feature distribution moved" (PSI > 0.2 = investigate),
+    * i.e. the MONITORING op a 100 TB pipeline runs after every c86
+    * increment. Fixed-width value bins (floor(v/[[PsiBinW]]) clamped
+    * to [[PsiBins]]) — integer-derived, engine-identical; add-one
+    * smoothing keeps empty bins finite DETERMINISTICALLY (no ε
+    * literal to disagree on); ONE scan reduces to (type, bin, side)
+    * counts map-side, the per-type Σ runs over ≤10 bin terms
+    * DECIMAL(38,18)-exact.
+    */
+  def psiDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.t(spark, sfDir, "events")
+    val isDelta = substring(md5(concat(lit("psi:"),
+      col("event_id").cast("string"))), 1, 1).isin("0", "1", "2")
+    val binned = ev.select(col("event_type"),
+      least(floor(col("value") / PsiBinW).cast("long"), lit(PsiBins - 1L)).as("bin"),
+      isDelta.as("delta"))
+    val counts = binned.groupBy(col("event_type"), col("bin"))
+      .agg(sum(when(!col("delta"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("delta"), 1L).otherwise(0L)).as("cb"))
+    val totals = counts.groupBy(col("event_type"))
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    counts.join(broadcast(totals), "event_type")
+      .select(col("event_type"), col("na"), col("nb"),
+        (((col("ca") + 1) / (col("na") + PsiBins)) -
+          ((col("cb") + 1) / (col("nb") + PsiBins))).as("pdiff"),
+        log(((col("ca") + 1) / (col("na") + PsiBins)) /
+          ((col("cb") + 1) / (col("nb") + PsiBins))).as("lr"))
+      .groupBy(col("event_type"), col("na"), col("nb"))
+      .agg(round(graft.Canon.dsum18(col("pdiff") * col("lr")), 6).as("psi"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c104_mad_outliers" -> (madOutliers(_, _)),
+    "c105_corr_matrix" -> (corrMatrix(_, _)),
+    "c106_mutual_information" -> (mutualInformation(_, _)),
+    "c107_psi_drift" -> (psiDrift(_, _)),
     "c92_kaplan_meier" -> (kaplanMeier(_, _)),
     "c93_markov_transitions" -> (markovTransitions(_, _)),
     "c94_rfm_segments" -> (rfmSegments(_, _)),
@@ -580,6 +745,102 @@ object Analytics {
     "c82_join_cardinality" -> (joinCardinality(_, _)))
 
   val oracle: Map[String, String] = Map(
+    "c104_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, ROUND(quantile_cont(value, 0.5), 4) AS med
+        |  FROM events GROUP BY event_type
+        |), mad AS (
+        |  SELECT e.event_type, m.med,
+        |    ROUND(quantile_cont(abs(e.value - m.med), 0.5), 4) AS mad
+        |  FROM events e JOIN med m ON e.event_type = m.event_type
+        |  GROUP BY e.event_type, m.med
+        |), cuts AS (
+        |  SELECT event_type, med, mad, ROUND(3.5 * mad / 0.6745, 4) AS cut
+        |  FROM mad
+        |)
+        |SELECT e.event_type, COUNT(*) AS n, c.med, c.mad,
+        |  CAST(SUM(CASE WHEN abs(e.value - c.med) > c.cut THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  ROUND(CAST(SUM(CASE WHEN abs(e.value - c.med) > c.cut THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 4) AS outlier_frac
+        |FROM events e JOIN cuts c ON e.event_type = c.event_type
+        |GROUP BY e.event_type, c.med, c.mad
+        |ORDER BY e.event_type ASC NULLS FIRST""".stripMargin,
+
+    "c105_corr_matrix" ->
+      s"""WITH vals AS (
+         |  SELECT vec_id, CAST(i AS BIGINT) AS dim, CAST(embedding[i] AS DOUBLE) AS v
+         |  FROM embeddings, range(1, ${CorrDims + 1}) t(i)
+         |), p AS (
+         |  SELECT a.dim AS dim_i, b.dim AS dim_j, a.v AS x, b.v AS y
+         |  FROM vals a JOIN vals b ON a.vec_id = b.vec_id AND a.dim < b.dim
+         |), m AS (
+         |  SELECT dim_i, dim_j, COUNT(*) AS n,
+         |    CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+         |    CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+         |    CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+         |    CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+         |    CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+         |  FROM p GROUP BY dim_i, dim_j
+         |)
+         |SELECT dim_i, dim_j, n,
+         |  ROUND((n * sxy - sx * sy)
+         |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS corr
+         |FROM m
+         |ORDER BY dim_i ASC NULLS FIRST, dim_j ASC NULLS FIRST""".stripMargin,
+
+    "c106_mutual_information" ->
+      """WITH cells AS (
+        |  SELECT lang, source, COUNT(*) AS cxy FROM documents GROUP BY lang, source
+        |), mx AS (
+        |  SELECT lang, CAST(SUM(cxy) AS BIGINT) AS cx FROM cells GROUP BY lang
+        |), my AS (
+        |  SELECT source, CAST(SUM(cxy) AS BIGINT) AS cy FROM cells GROUP BY source
+        |), tot AS (
+        |  SELECT CAST(SUM(cxy) AS BIGINT) AS n FROM cells
+        |), mi AS (
+        |  SELECT CAST(SUM(CAST((cxy / n) * ln((cxy * n) / (cx * cy))
+        |      AS DECIMAL(38,18))) AS DOUBLE) AS mi_raw
+        |  FROM cells JOIN mx USING (lang) JOIN my USING (source), tot
+        |), hx AS (
+        |  SELECT CAST(SUM(CAST(-(cx / n) * ln(cx / n) AS DECIMAL(38,18))) AS DOUBLE)
+        |    AS h_lang
+        |  FROM mx, tot
+        |), hy AS (
+        |  SELECT CAST(SUM(CAST(-(cy / n) * ln(cy / n) AS DECIMAL(38,18))) AS DOUBLE)
+        |    AS h_source
+        |  FROM my, tot
+        |)
+        |SELECT n, ROUND(mi_raw, 6) AS mi_nats, ROUND(h_lang, 6) AS h_lang,
+        |  ROUND(h_source, 6) AS h_source,
+        |  ROUND(mi_raw / sqrt(h_lang * h_source), 6) AS nmi
+        |FROM mi, hx, hy, tot""".stripMargin,
+
+    "c107_psi_drift" ->
+      s"""WITH binned AS (
+         |  SELECT event_type,
+         |    least(CAST(floor(value / $PsiBinW) AS BIGINT), ${PsiBins - 1}) AS bin,
+         |    (substr(md5('psi:' || CAST(event_id AS VARCHAR)), 1, 1)
+         |      IN ('0', '1', '2')) AS delta
+         |  FROM events
+         |), counts AS (
+         |  SELECT event_type, bin,
+         |    CAST(SUM(CASE WHEN NOT delta THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |    CAST(SUM(CASE WHEN delta THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         |  FROM binned GROUP BY event_type, bin
+         |), totals AS (
+         |  SELECT event_type, CAST(SUM(ca) AS BIGINT) AS na,
+         |    CAST(SUM(cb) AS BIGINT) AS nb
+         |  FROM counts GROUP BY event_type
+         |)
+         |SELECT c.event_type, na, nb,
+         |  ROUND(CAST(SUM(CAST(
+         |    (((ca + 1) / (na + $PsiBins)) - ((cb + 1) / (nb + $PsiBins)))
+         |    * ln(((ca + 1) / (na + $PsiBins)) / ((cb + 1) / (nb + $PsiBins)))
+         |    AS DECIMAL(38,18))) AS DOUBLE), 6) AS psi
+         |FROM counts c JOIN totals USING (event_type)
+         |GROUP BY c.event_type, na, nb
+         |ORDER BY c.event_type ASC NULLS FIRST""".stripMargin,
     // Stacked windows mirror the Spark kernel: each stage's min-ts
     // strictly after the previous stage's, then one 3-row stage table.
     "c74_funnel_conversion" ->
