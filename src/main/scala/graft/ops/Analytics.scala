@@ -704,16 +704,29 @@ object Analytics {
     * counts map-side, the per-type Σ runs over ≤10 bin terms
     * DECIMAL(38,18)-exact.
     */
-  def psiDrift(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.t(spark, sfDir, "events")
+  def psiDrift(spark: SparkSession, sfDir: String): DataFrame =
+    psiFromCounts(psiCounts(Tables.t(spark, sfDir, "events")))
+
+  /** The corpus-sized stage of c107/c108: one scan reduced to
+    * (event_type, bin) base/delta counts — works on any batch OR
+    * streaming (event_id, event_type, value) frame, so the streaming
+    * twin cannot drift from the batch kernel (only one copy exists).
+    */
+  private[graft] def psiCounts(ev: DataFrame): DataFrame = {
     val isDelta = substring(md5(concat(lit("psi:"),
       col("event_id").cast("string"))), 1, 1).isin("0", "1", "2")
-    val binned = ev.select(col("event_type"),
+    ev.select(col("event_type"),
       least(floor(col("value") / PsiBinW).cast("long"), lit(PsiBins - 1L)).as("bin"),
       isDelta.as("delta"))
-    val counts = binned.groupBy(col("event_type"), col("bin"))
+      .groupBy(col("event_type"), col("bin"))
       .agg(sum(when(!col("delta"), 1L).otherwise(0L)).as("ca"),
         sum(when(col("delta"), 1L).otherwise(0L)).as("cb"))
+  }
+
+  /** The constant-size PSI assembly over a (type, bin, ca, cb) count
+    * table (≤ types × [[PsiBins]] rows).
+    */
+  private[graft] def psiFromCounts(counts: DataFrame): DataFrame = {
     val totals = counts.groupBy(col("event_type"))
       .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
     counts.join(broadcast(totals), "event_type")

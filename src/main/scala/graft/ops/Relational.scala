@@ -762,6 +762,27 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** b64 — TPC-H Q6 (forecasting revenue change): the pure
+    * scan-and-aggregate query — one year of lineitem, a discount band
+    * and a quantity cap, one conditional revenue sum. Deliberately
+    * join-free: it isolates the scan path, so ALL three predicates
+    * must reach the parquet reader (PushedFilters — pinned) and the
+    * whole plan is one WholeStageCodegen span over one scan + a
+    * 1-row partial/final aggregate; at 100 TB this query IS the
+    * measured scan throughput. The discount band compares stored
+    * doubles against the same literals in both engines — no
+    * arithmetic before the comparison, so no FP divergence is
+    * possible.
+    */
+  def q6ForecastRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
   /** c102 bloom geometry: 256 bits (4 longs), 2 hash functions. */
   private[graft] val BloomBits = 256
   private[graft] val BloomWords = BloomBits / 64
@@ -1120,6 +1141,7 @@ object Relational {
     "b63_unpivot" -> (unpivotMetrics(_, _)),
     "c101_kmv_distinct" -> (kmvDistinct(_, _)),
     "c102_bloom_semi_join" -> (bloomSemiJoin(_, _)),
+    "b64_q6_forecast_revenue" -> (q6ForecastRevenue(_, _)),
     "b55_grouping_sets" -> (groupingSetsQ(_, _)),
     "c95_hilbert_skipping" -> (hilbertSkipping(_, _)),
     "c86_incremental_agg" -> (incrementalAgg(_, _)),
@@ -1152,6 +1174,15 @@ object Relational {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
         |  (o_orderstatus, o_orderpriority), ())
         |ORDER BY status ASC NULLS FIRST, priority ASC NULLS FIRST""".stripMargin,
+
+    "b64_q6_forecast_revenue" ->
+      s"""SELECT ${oDsum("l_extendedprice * l_discount")} AS revenue,
+         |  COUNT(*) AS n_rows
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND l_discount BETWEEN 0.05 AND 0.07
+         |  AND l_quantity < 24""".stripMargin,
 
     // The PLAIN filtered join — bloom pruning must change the probe
     // volume, never the answer (the c87/c88 contract, probe-side).

@@ -420,6 +420,27 @@ object Streams {
     * full quality-gated, sampled, per-language corpus accounting,
     * maintained live.
     */
+  /** c108 — STREAMING PSI drift monitor: c107's distribution gate as
+    * a live topology — events stream through the SAME binning/count
+    * kernel ([[graft.ops.Analytics.psiCounts]] — one copy, so the
+    * streaming twin cannot drift from the batch algebra), aggregated
+    * in complete mode; the monitor's PSI assembly then runs on the
+    * emitted SNAPSHOT, which is bins-sized (types × 10 rows), not
+    * corpus-sized — a second streaming aggregation level would be an
+    * unsupported nested stateful op, and at any scale the assembly's
+    * input is constant, so batch-finishing it is the production shape
+    * (the drift dashboard reads the count snapshot). Counts are
+    * associative, so the final snapshot is batching-invariant and the
+    * result hash-matches c107's batch oracle verbatim (the c55/c86
+    * shared-oracle discipline).
+    */
+  def streamPsiDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = graft.ops.Analytics.psiCounts(
+      streamTable(spark, sfDir, "events"))
+    graft.ops.Analytics.psiFromCounts(
+      runToParquet(counts, "complete", "c108"))
+  }
+
   def streamCurate(spark: SparkSession, sfDir: String): DataFrame = {
     // The SAME kernel as batch c31 (TextAnalysis.curateAgg) over the
     // streaming frame — the gate predicates cannot drift between the
@@ -654,7 +675,8 @@ object Streams {
     "c36_stream_append" -> (streamAppend(_, _)),
     "c37_stream_enrich" -> (streamEnrich(_, _)),
     "c44_stream_sliding" -> (streamSliding(_, _)),
-    "c55_stream_curate" -> (streamCurate(_, _)))
+    "c55_stream_curate" -> (streamCurate(_, _)),
+    "c108_stream_psi_drift" -> (streamPsiDrift(_, _)))
 
   /** Identical to b42's oracle: the streaming path must agree with
     * both the batch path and DuckDB on the same input.
@@ -691,6 +713,8 @@ object Streams {
     // same oracle text (the complete-mode snapshot is the batch
     // result by associativity).
     "c55_stream_curate" -> graft.ops.TextAnalysis.oracle("c31_curate_corpus"),
+    // The streaming PSI must converge to the batch monitor exactly.
+    "c108_stream_psi_drift" -> graft.ops.Analytics.oracle("c107_psi_drift"),
     // b42's aggregate restricted to the watermark-finalized windows:
     // append mode emits exactly the windows whose end the final
     // watermark (max event time − lateness) has passed.
