@@ -740,7 +740,84 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  // --- c109: binned two-sample KS drift test -----------------------
+
+  /** c109 — binned two-sample KOLMOGOROV–SMIRNOV drift test per
+    * event_type, over the SAME base/increment split and value bins as
+    * c107 (one shared [[psiCounts]] kernel — the two monitors cannot
+    * disagree about what they measured): D = max |F_a − F_b| over the
+    * binned ECDFs, with the 95% critical value 1.36·√((n_a+n_b)/
+    * (n_a·n_b)) and the drift verdict. PSI and KS fail differently —
+    * PSI is mass-weighted (sensitive to body shifts, saturated by
+    * empty bins), KS is a sup-norm (sensitive to the single worst
+    * CDF gap) — production monitors run both, which is why both keys
+    * exist. The binned form is the 100 TB shape: the exact KS needs a
+    * global per-type sort of the corpus; the binned ECDF needs the
+    * (type, bin) count table that one map-side-combined scan already
+    * produced, and the cumulative window runs over ≤10 rows per
+    * type. Every ECDF value is an exact integer ratio; D is a max of
+    * comparisons (no accumulation), and the verdict compares
+    * 1e-6-rounded values so the cut cannot straddle engines.
+    */
+  def ksDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = psiCounts(Tables.t(spark, sfDir, "events"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("cca", sum(col("ca")).over(w))
+      .withColumn("ccb", sum(col("cb")).over(w))
+    val totals = counts.groupBy(col("event_type"))
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    cum.join(broadcast(totals), "event_type")
+      .groupBy(col("event_type"), col("na"), col("nb"))
+      .agg(round(max(abs(col("cca") / col("na") - col("ccb") / col("nb"))), 6)
+        .as("ks_d"))
+      .withColumn("crit_95",
+        round(lit(1.36) * sqrt((col("na") + col("nb")) /
+          (col("na") * col("nb")).cast("double")), 6))
+      .withColumn("drift", col("ks_d") > col("crit_95"))
+      .orderBy("event_type")
+  }
+
+  // --- c110: Gini concentration audit ------------------------------
+
+  /** c110 — GINI COEFFICIENT of value concentration per event_type
+    * (Gini 1912; the rank-weighted form G = (2·Σi·x_i − (n+1)·Σx_i)
+    * / (n·Σx_i) over ascending-sorted values — public): the
+    * inequality audit behind "is this metric dominated by a few
+    * rows" (revenue concentration, duplicate-mass concentration —
+    * c69's size histogram shows the distribution, THIS compresses it
+    * to the standard scalar). The rank is a per-type window with an
+    * event_id tiebreak — deterministic, and mathematically
+    * tie-order-invariant (swapping equal values leaves Σi·x_i
+    * unchanged); Σi·x_i and Σx_i ride DECIMAL(38,6) so the assembly
+    * is partition-order-free. Per-type sort is the honest cost: the
+    * exact Gini is an order statistic; at 100 TB the binned
+    * approximation (c107's bins) is the cheap fallback, and THIS key
+    * is the exact fit you run where per-group volumes allow (the
+    * c84-vs-b50 positioning).
+    */
+  def giniConcentration(spark: SparkSession, sfDir: String): DataFrame = {
+    def d(c: Column) = c.cast(org.apache.spark.sql.types.DecimalType(38, 6))
+    val ranked = Tables.t(spark, sfDir, "events")
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("i", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("value").asc, col("event_id").asc)).cast("long"))
+    ranked.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(d(col("value"))).cast("double").as("sx"),
+        sum(d(col("i") * col("value"))).cast("double").as("six"))
+      .select(col("event_type"), col("n"),
+        round(col("sx") / col("n"), 4).as("mean_value"),
+        round((lit(2.0) * col("six") - (col("n") + 1) * col("sx")) /
+          (col("n") * col("sx")), 6).as("gini"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c109_ks_drift" -> (ksDrift(_, _)),
+    "c110_gini_concentration" -> (giniConcentration(_, _)),
     "c104_mad_outliers" -> (madOutliers(_, _)),
     "c105_corr_matrix" -> (corrMatrix(_, _)),
     "c106_mutual_information" -> (mutualInformation(_, _)),
@@ -758,6 +835,58 @@ object Analytics {
     "c82_join_cardinality" -> (joinCardinality(_, _)))
 
   val oracle: Map[String, String] = Map(
+    "c109_ks_drift" ->
+      s"""WITH binned AS (
+         |  SELECT event_type,
+         |    least(CAST(floor(value / $PsiBinW) AS BIGINT), ${PsiBins - 1}) AS bin,
+         |    (substr(md5('psi:' || CAST(event_id AS VARCHAR)), 1, 1)
+         |      IN ('0', '1', '2')) AS delta
+         |  FROM events
+         |), counts AS (
+         |  SELECT event_type, bin,
+         |    CAST(SUM(CASE WHEN NOT delta THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |    CAST(SUM(CASE WHEN delta THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         |  FROM binned GROUP BY event_type, bin
+         |), cum AS (
+         |  SELECT event_type, bin, ca, cb,
+         |    CAST(SUM(ca) OVER w AS BIGINT) AS cca,
+         |    CAST(SUM(cb) OVER w AS BIGINT) AS ccb
+         |  FROM counts
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY bin ASC NULLS FIRST
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |), totals AS (
+         |  SELECT event_type, CAST(SUM(ca) AS BIGINT) AS na,
+         |    CAST(SUM(cb) AS BIGINT) AS nb
+         |  FROM counts GROUP BY event_type
+         |), d AS (
+         |  SELECT c.event_type, na, nb,
+         |    ROUND(MAX(abs(cca / na - ccb / nb)), 6) AS ks_d
+         |  FROM cum c JOIN totals USING (event_type)
+         |  GROUP BY c.event_type, na, nb
+         |)
+         |SELECT event_type, na, nb, ks_d,
+         |  ROUND(1.36 * sqrt((na + nb) / CAST(na * nb AS DOUBLE)), 6) AS crit_95,
+         |  (ks_d > ROUND(1.36 * sqrt((na + nb) / CAST(na * nb AS DOUBLE)), 6)) AS drift
+         |FROM d
+         |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+
+    "c110_gini_concentration" ->
+      """WITH ranked AS (
+        |  SELECT event_type, value,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value ASC NULLS FIRST, event_id ASC NULLS FIRST) AS BIGINT) AS i
+        |  FROM events
+        |), m AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(i * value AS DECIMAL(38,6))) AS DOUBLE) AS six
+        |  FROM ranked GROUP BY event_type
+        |)
+        |SELECT event_type, n, ROUND(sx / n, 4) AS mean_value,
+        |  ROUND((2.0 * six - (n + 1) * sx) / (n * sx), 6) AS gini
+        |FROM m
+        |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+
     "c104_mad_outliers" ->
       """WITH med AS (
         |  SELECT event_type, ROUND(quantile_cont(value, 0.5), 4) AS med
