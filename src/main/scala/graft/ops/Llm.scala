@@ -584,6 +584,60 @@ object Llm {
       .orderBy("label", "rn")
   }
 
+  /** c111 neighborhood size for the label-prediction eval. */
+  private[graft] val KnnEvalK = 5
+
+  /** c111 — kNN LABEL-PREDICTION EVALUATION: leave-one-out accuracy
+    * of "predict a vector's label from its [[KnnEvalK]] nearest
+    * neighbors' majority vote" on a deterministic md5 1-in-16 probe
+    * sample — the standard embedding-quality probe (if labels aren't
+    * kNN-predictable, the embedding carries no label signal and every
+    * downstream label-conditioned step — c5, c6, c47's cells — is
+    * built on noise). Completes the eval family: c103 scores a
+    * RANKING, this scores the SPACE.
+    *
+    * Shape: the probe sample broadcasts (rows × 64 floats — KB at
+    * any corpus size at this rate); candidates score with the
+    * codegen'd [[graft.functions.ArrayDot]] kernel; the top-k window
+    * partitions by probe with a (cos, vec_id) total order →
+    * WindowGroupLimit pre-prunes map-side; votes and the majority
+    * arg-max (count DESC, label ASC — deterministic) are probe-sized.
+    * Brute-force scoring is the eval's POINT (ground-truth
+    * neighbors); a production run at 100 TB swaps the candidate
+    * stage for the c38 IVF shortlist and measures recall loss
+    * separately (ACCURACY.json's ladder).
+    */
+  def knnLabelEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val probes = emb
+      .where(substring(md5(concat(lit("knn:"), col("vec_id").cast("string"))), 1, 1) === "0")
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"),
+        col("label").as("plabel"))
+    val scored = emb.join(broadcast(probes), col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("plabel"), col("label"), col("vec_id"),
+        round(cosine(col("embedding"), col("pe")), 4).as("cos"))
+    val topk = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("pid"))
+          .orderBy(col("cos").desc, col("vec_id").asc)))
+      .where(col("rn") <= KnnEvalK)
+    val votes = topk.groupBy(col("pid"), col("plabel"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+    val predicted = votes
+      .withColumn("vr", row_number().over(
+        Window.partitionBy(col("pid"))
+          .orderBy(col("cnt").desc, col("label").asc)))
+      .where(col("vr") === 1)
+      .select(col("pid"), col("plabel"),
+        (col("label") === col("plabel")).as("correct"))
+    predicted.groupBy(col("plabel").as("label"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("correct"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("label"), col("n_probes"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_probes"), 4).as("accuracy"))
+      .orderBy("label")
+  }
+
   /** c7 — text stats per language: doc counts, exact-mean lengths,
     * vocabulary size.
     */
@@ -718,6 +772,7 @@ object Llm {
     "c64_minhash_calibration" -> (minhashCalibration(_, _)),
     "c50_incremental_dedup" -> (incrementalDedup(_, _)),
     "c4_cosine_topk" -> (cosineTopk(_, _)),
+    "c111_knn_label_eval" -> (knnLabelEval(_, _)),
     "c5_knn_per_label" -> (knnPerLabel(_, _)),
     "c6_label_centroids" -> (labelCentroids(_, _)),
     "c7_text_stats_by_lang" -> (textStatsByLang(_, _)),
@@ -889,6 +944,44 @@ object Llm {
          |LEFT JOIN best b ON b.doc_new = d.doc_id AND b.rn = 1
          |WHERE CAST('0x' || substr(md5('inc:' || d.doc_id::VARCHAR), 1, 15) AS BIGINT) % $IncMod = 0
          |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "c111_knn_label_eval" ->
+      s"""WITH probes AS (
+         |  SELECT vec_id AS pid, embedding AS pe, label AS plabel
+         |  FROM embeddings
+         |  WHERE substr(md5('knn:' || CAST(vec_id AS VARCHAR)), 1, 1) = '0'
+         |), scored AS (
+         |  SELECT pid, plabel, e.label, e.vec_id, ROUND(
+         |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(pe[i] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform(pe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos
+         |  FROM embeddings e JOIN probes ON e.vec_id != probes.pid
+         |), topk AS (
+         |  SELECT pid, plabel, label FROM (
+         |    SELECT pid, plabel, label,
+         |      row_number() OVER (PARTITION BY pid
+         |        ORDER BY cos DESC NULLS LAST, vec_id ASC NULLS FIRST) AS rn
+         |    FROM scored
+         |  ) WHERE rn <= $KnnEvalK
+         |), votes AS (
+         |  SELECT pid, plabel, label, COUNT(*) AS cnt
+         |  FROM topk GROUP BY pid, plabel, label
+         |), predicted AS (
+         |  SELECT pid, plabel, (label = plabel) AS correct FROM (
+         |    SELECT pid, plabel, label,
+         |      row_number() OVER (PARTITION BY pid
+         |        ORDER BY cnt DESC NULLS LAST, label ASC NULLS FIRST) AS vr
+         |    FROM votes
+         |  ) WHERE vr = 1
+         |)
+         |SELECT plabel AS label, COUNT(*) AS n_probes,
+         |  CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |  ROUND(CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*), 4) AS accuracy
+         |FROM predicted
+         |GROUP BY plabel
+         |ORDER BY plabel ASC NULLS FIRST""".stripMargin,
 
     "c4_cosine_topk" ->
       """WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)

@@ -519,7 +519,46 @@ object Migration {
       .orderBy("status")
   }
 
+  /** How many parallel-read splits the a20 planner emits. */
+  private[graft] val PlanSplits = 16
+
+  /** A20 — PARALLEL-READ SPLIT PLANNER: the token-range planning
+    * artifact behind A3's parallel scan, emitted as data — split the
+    * orders key space into [[PlanSplits]] ranges of ~equal ROW volume
+    * (not equal key width: a skewed id space would starve half the
+    * readers) and report each split's bounds + actual row count. This
+    * is the planning step every bulk migration runs FIRST: the
+    * emitted manifest is what a15's resume cursor checkpoints
+    * against, and the per-split counts are the skew audit that says
+    * whether the plan is balanced before 1000 executors commit to it.
+    *
+    * Boundaries are the exact key quantiles at i/[[PlanSplits]]
+    * (Spark `percentile` ≡ DuckDB `quantile_cont`, the c84/c104
+    * precedent), rounded at 1e-4 so both engines assign boundary keys
+    * identically; assignment is a ≤16-arm comparison against the
+    * broadcast 1-row boundary artifact — one scan, no shuffle wider
+    * than the 16-group count. At 100 TB the exact percentile becomes
+    * `approx_percentile` (the b50 sketch — a split boundary needs no
+    * exactness) and nothing else changes.
+    */
+  def splitPlanner(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.t(spark, sfDir, "orders")
+    val fracs = (1 until PlanSplits).map(i =>
+      i.toDouble / PlanSplits).mkString("array(", ", ", ")")
+    val bounds = o.agg(expr(
+      s"transform(percentile(o_orderkey, $fracs), b -> round(b, 4))").as("bs"))
+    val assigned = o.crossJoin(broadcast(bounds))
+      .select(col("o_orderkey"),
+        expr("CAST(size(filter(bs, b -> b < o_orderkey)) AS BIGINT)").as("split_id"))
+    assigned.groupBy(col("split_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_orderkey")).as("lo_key"),
+        max(col("o_orderkey")).as("hi_key"))
+      .orderBy("split_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "a20_split_planner" -> (splitPlanner(_, _)),
     "a19_cdc_apply" -> (cdcApply(_, _)),
     "a18_content_checksum" -> (contentChecksum(_, _)),
     "a17_schema_evolution" -> (schemaEvolution(_, _)),
@@ -538,6 +577,25 @@ object Migration {
   )
 
   val oracle: Map[String, String] = Map(
+    "a20_split_planner" -> {
+      val fracs = (1 until PlanSplits).map(i =>
+        (i.toDouble / PlanSplits).toString).mkString("[", ", ", "]")
+      s"""WITH bounds AS (
+         |  SELECT list_transform(quantile_cont(o_orderkey, $fracs),
+         |    b -> round(b, 4)) AS bs
+         |  FROM orders
+         |), assigned AS (
+         |  SELECT o_orderkey,
+         |    CAST(len(list_filter(bs, b -> b < o_orderkey)) AS BIGINT) AS split_id
+         |  FROM orders, bounds
+         |)
+         |SELECT split_id, COUNT(*) AS n_rows,
+         |  MIN(o_orderkey) AS lo_key, MAX(o_orderkey) AS hi_key
+         |FROM assigned
+         |GROUP BY split_id
+         |ORDER BY split_id ASC NULLS FIRST""".stripMargin
+    },
+
     "a19_cdc_apply" ->
       """WITH chg AS (
         |  SELECT CASE WHEN substr(h, 2, 1) < '6' THEN 'U'
