@@ -557,7 +557,55 @@ object Migration {
       .orderBy("split_id")
   }
 
+  /** How many target shards the a21 balancer plans for. */
+  private[graft] val BalanceShards = 16
+
+  /** A21 — SHARD-BALANCE PLANNER: assign key GROUPS (customers, by
+    * order volume) to [[BalanceShards]] shards so per-shard load is
+    * near-uniform — the write-side complement of a20's read splits
+    * (a20 cuts a sorted key SPACE; this packs unordered, unequal
+    * GROUPS, the shape of a custkey-bucketed target or a Cassandra
+    * partition re-map where one hot customer must not land atop
+    * another). Deterministic SERPENTINE packing: groups rank by
+    * (rows DESC, key) and deal boustrophedon (row i of the deal
+    * reverses direction), so each shard gets one group per deal round
+    * and big groups pair with small ones — the classic zig-zag
+    * balance heuristic, deterministic where LPT's tie behavior is
+    * implementation-defined. The emitted audit (per-shard group
+    * count, row load, load/ideal ratio) is the evidence the plan is
+    * balanced BEFORE the copy commits to it.
+    *
+    * Scale note: the global rank runs on the KEY-SIZED count table
+    * (one row per customer — ≪ corpus, the c82 count-table
+    * discipline), never the fact table; the one-partition window on
+    * that table is the honest cost of a global order and its input
+    * is millions of rows at 100 TB, not billions.
+    */
+  def shardBalancePlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val groups = Tables.t(spark, sfDir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("g_rows"))
+    val ranked = groups.withColumn("rk",
+      (row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("g_rows").desc, col("o_custkey").asc)) - 1).cast("long"))
+    // `div`, not `/`: Column./ on longs is double division and a
+    // fractional block index would mis-deal every odd row.
+    val assigned = ranked.select(col("g_rows"),
+      when(expr(s"(rk div $BalanceShards) % 2 = 0"),
+        col("rk") % BalanceShards)
+        .otherwise(lit(BalanceShards - 1) - col("rk") % BalanceShards)
+        .as("shard_id"))
+    val tot = groups.agg(sum(col("g_rows")).as("total"))
+    assigned.groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("g_rows")).as("shard_rows"))
+      .crossJoin(broadcast(tot))
+      .select(col("shard_id"), col("n_groups"), col("shard_rows"),
+        round(col("shard_rows") * BalanceShards / col("total").cast("double"), 4)
+          .as("load_ratio"))
+      .orderBy("shard_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "a21_shard_balance_plan" -> (shardBalancePlan(_, _)),
     "a20_split_planner" -> (splitPlanner(_, _)),
     "a19_cdc_apply" -> (cdcApply(_, _)),
     "a18_content_checksum" -> (contentChecksum(_, _)),
@@ -577,6 +625,28 @@ object Migration {
   )
 
   val oracle: Map[String, String] = Map(
+    "a21_shard_balance_plan" ->
+      s"""WITH groups AS (
+         |  SELECT o_custkey, COUNT(*) AS g_rows FROM orders GROUP BY o_custkey
+         |), ranked AS (
+         |  SELECT g_rows, CAST(row_number() OVER
+         |    (ORDER BY g_rows DESC NULLS LAST, o_custkey ASC NULLS FIRST) - 1
+         |    AS BIGINT) AS rk
+         |  FROM groups
+         |), assigned AS (
+         |  SELECT g_rows,
+         |    CASE WHEN (rk // $BalanceShards) % 2 = 0 THEN rk % $BalanceShards
+         |         ELSE ${BalanceShards - 1} - rk % $BalanceShards END AS shard_id
+         |  FROM ranked
+         |), tot AS (SELECT CAST(SUM(g_rows) AS BIGINT) AS total FROM groups)
+         |SELECT shard_id, COUNT(*) AS n_groups,
+         |  CAST(SUM(g_rows) AS BIGINT) AS shard_rows,
+         |  ROUND(CAST(SUM(g_rows) AS BIGINT) * $BalanceShards
+         |    / CAST(total AS DOUBLE), 4) AS load_ratio
+         |FROM assigned, tot
+         |GROUP BY shard_id, total
+         |ORDER BY shard_id ASC NULLS FIRST""".stripMargin,
+
     "a20_split_planner" -> {
       val fracs = (1 until PlanSplits).map(i =>
         (i.toDouble / PlanSplits).toString).mkString("[", ", ", "]")

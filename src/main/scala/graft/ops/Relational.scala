@@ -624,14 +624,21 @@ object Relational {
     * rides along as the audit column, making the emitted relative
     * error measured, not asserted.
     */
-  def kmvDistinct(spark: SparkSession, sfDir: String): DataFrame = {
-    val hashed = Tables.t(spark, sfDir, "documents")
+  /** The distinct per-lang dyadic hash stream behind c101 — exposed
+    * so the mergeability invariant (min-k of a union == min-k of the
+    * min-k's) can be spec-checked on corpus halves.
+    */
+  private[graft] def kmvHashedU(docs: DataFrame): DataFrame =
+    docs
       .select(col("lang"), explode(split(col("text"), " ")).as("w"))
       .select(col("lang"), col("w"),
         ((conv(substring(md5(col("w")), 1, 8), 16, 10).cast("double") + lit(0.5)) /
           lit(4294967296.0)).as("u"))
       .groupBy(col("lang"), col("u")).agg(count(lit(1)).as("dummy"))
       .select(col("lang"), col("u"))
+
+  def kmvDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val hashed = kmvHashedU(Tables.t(spark, sfDir, "documents"))
     val kth = hashed
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))

@@ -140,6 +140,68 @@ class AlgebraicInvariantsSpec extends AnyFunSuite {
     assert(e.getMessage.contains(NearDup.C12ProbeHammingConf))
   }
 
+  test("KMV (c101): min-k of two shard sketches equals min-k of the whole corpus") {
+    // The mergeability claim the SURVEY row makes: union two shards'
+    // k-minimum sets, keep the k smallest — identical to sketching
+    // the union directly. This is what lets a 100 TB sketch reduce
+    // map-side.
+    val docs = Tables.t(spark, sf, "documents")
+    val k = 64
+    def mins(d: org.apache.spark.sql.DataFrame): Map[String, Seq[Double]] =
+      Relational.kmvHashedU(d).as[(String, Double)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.take(k).toSeq).toMap
+    val whole = mins(docs)
+    val a = mins(docs.where($"doc_id" % 2 === 0))
+    val b = mins(docs.where($"doc_id" % 2 === 1))
+    val merged = (a.keySet ++ b.keySet).map { lang =>
+      lang -> (a.getOrElse(lang, Nil) ++ b.getOrElse(lang, Nil))
+        .distinct.sorted.take(k)
+    }.toMap
+    assert(merged == whole)
+  }
+
+  test("triangles (c98): degree-ordered counts equal a naive in-JVM enumeration") {
+    // Orientation-invariance made concrete: brute-force the triangle
+    // set from the collected pair list (tiny at sf0.001) and compare
+    // per-node counts with the operator's arboricity-bounded plan.
+    val pairs = Llm.minhashPairs(spark, sf)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    val adj = (pairs.map(p => p._1 -> p._2) ++ pairs.map(p => p._2 -> p._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val naive = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((a, b) <- pairs; c <- adj(a) if c > b && adj(b).contains(c)) {
+      naive(a) += 1; naive(b) += 1; naive(c) += 1
+    }
+    val op = NearDup.triangleCount(spark, sf)
+      .select($"doc_id", $"n_triangles").as[(Long, Long)].collect().toMap
+    assert(op.filter(_._2 > 0) == naive.toMap.filter(_._2 > 0))
+    assert(adj.keySet == op.keySet)
+  }
+
+  test("split planner (a20): splits conserve rows and tile the key space in order") {
+    val splits = Migration.splitPlanner(spark, sf)
+      .select($"split_id", $"n_rows", $"lo_key", $"hi_key")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val total = Tables.t(spark, sf, "orders").count()
+    assert(splits.map(_._2).sum == total)
+    splits.sliding(2).foreach {
+      case Array(lo, hi) => assert(lo._4 < hi._3,
+        s"splits ${lo._1}/${hi._1} overlap: ${lo._4} >= ${hi._3}")
+      case _ =>
+    }
+  }
+
+  test("shard balance (a21): shards conserve rows and no shard is pathologically loaded") {
+    val shards = Migration.shardBalancePlan(spark, sf)
+      .select($"shard_id", $"shard_rows", $"load_ratio")
+      .as[(Long, Long, Double)].collect()
+    val total = Tables.t(spark, sf, "orders").count()
+    assert(shards.map(_._2).sum == total)
+    assert(shards.length == 16)
+    // serpentine keeps every shard within 2x of ideal on the fixture
+    assert(shards.forall(s => s._3 < 2.0), shards.mkString(","))
+  }
+
   test("IVF (c13) searches only the probed cells, ranked correctly") {
     val rows = NearDup.annIvf(spark, sf)
       .select($"vec_id", $"label", $"cos")
