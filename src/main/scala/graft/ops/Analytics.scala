@@ -815,7 +815,97 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  // --- c112: lag-k autocorrelation ---------------------------------
+
+  /** Autocorrelation lags the c112 audit emits. */
+  private[graft] val AcfLags = 3
+
+  /** c112 — lag-k AUTOCORRELATION of the per-type value series (the
+    * ACF, Box & Jenkins — public): corr(v_t, v_{t−k}) for k = 1..3
+    * over each event_type's time-ordered series — the "is this metric
+    * serially dependent" audit that decides whether c91's iid-ish
+    * trend residuals and c107's batch-to-batch comparisons are even
+    * meaningful (high ACF ⇒ drift monitors need longer windows).
+    * Series order is the canon (ts_us, event_id) total order; each
+    * lag pairs via ONE `lag` window over the per-type sort, then
+    * reduces to the five moment sums — decimal-exact, assembled in
+    * the fixed c105 Pearson dag. The per-type sort is the honest cost
+    * of an ordered statistic (the c110 positioning); lags share one
+    * window pass.
+    */
+  def autocorrelation(spark: SparkSession, sfDir: String): DataFrame = {
+    def d(c: Column) = c.cast(org.apache.spark.sql.types.DecimalType(38, 6))
+    val ev = Tables.t(spark, sfDir, "events")
+    val ordered = ev.select(col("event_type"), col("value"),
+      Tables.tsUs(ev).as("ts_us"), col("event_id"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val lagged = ordered.select(
+      (col("event_type") +: col("value").as("x") +:
+        (1 to AcfLags).map(k => lag(col("value"), k).over(w).as(s"l$k"))): _*)
+    val perLag = (1 to AcfLags).map { k =>
+      lagged.where(col(s"l$k").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(d(col("x"))).cast("double").as("sx"),
+          sum(d(col(s"l$k"))).cast("double").as("sy"),
+          sum(d(col("x") * col("x"))).cast("double").as("sxx"),
+          sum(d(col(s"l$k") * col(s"l$k"))).cast("double").as("syy"),
+          sum(d(col("x") * col(s"l$k"))).cast("double").as("sxy"))
+        .select(col("event_type"), lit(k.toLong).as("lag"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))), 4).as("acf"))
+    }
+    perLag.reduce(_ unionByName _).orderBy("event_type", "lag")
+  }
+
+  // --- c113: CUSUM changepoint scan --------------------------------
+
+  /** c113 — CUSUM CHANGEPOINT scan per event_type (Page 1954 —
+    * public): the cumulative sum of (v − global type mean) over the
+    * time-ordered series; its extreme deviation marks the most likely
+    * single changepoint (the max-|CUSUM| estimator), and the emitted
+    * (max deviation, when, how far in) is the "did this metric shift
+    * mid-stream" audit — PSI/KS (c107/c109) compare two POPULATIONS,
+    * this locates WHERE a single series broke. The running sum is a
+    * DECIMAL window aggregate over the (ts_us, event_id) total order
+    * (order-exact by construction); the arg-extreme is one
+    * `max(struct(dev, ts, id))` — the a16 whole-row-argmax
+    * discipline, no second pass; the mean is the exact decimal
+    * ratio broadcast back (the c39 shape).
+    */
+  def cusumChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.t(spark, sfDir, "events")
+    val ordered = ev.select(col("event_type"), col("value"),
+      Tables.tsUs(ev).as("ts_us"), col("event_id"))
+    val stats = ordered.groupBy(col("event_type"))
+      .agg(graft.Canon.dsum(col("value")).as("sv"), count(lit(1)).as("n"))
+      .select(col("event_type"), col("n"), (col("sv") / col("n")).as("mean"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wRank = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val cusum = ordered.join(broadcast(stats), "event_type")
+      .withColumn("cs",
+        sum((col("value") - col("mean"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 6))).over(w)
+          .cast("double"))
+      .withColumn("pos", row_number().over(wRank).cast("long"))
+    cusum.groupBy(col("event_type"), col("n"))
+      .agg(max(struct(round(abs(col("cs")), 4).as("dev"), col("ts_us"),
+        col("event_id"), col("pos"))).as("m"))
+      .select(col("event_type"), col("n"),
+        col("m.dev").as("max_cusum_dev"),
+        col("m.ts_us").as("change_ts_us"),
+        round(col("m.pos").cast("double") / col("n"), 4).as("frac_through"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c112_autocorrelation" -> (autocorrelation(_, _)),
+    "c113_cusum_changepoint" -> (cusumChangepoint(_, _)),
     "c109_ks_drift" -> (ksDrift(_, _)),
     "c110_gini_concentration" -> (giniConcentration(_, _)),
     "c104_mad_outliers" -> (madOutliers(_, _)),
@@ -835,6 +925,65 @@ object Analytics {
     "c82_join_cardinality" -> (joinCardinality(_, _)))
 
   val oracle: Map[String, String] = Map(
+    "c112_autocorrelation" -> {
+      // One UNION ALL branch per lag, machine-generated from AcfLags
+      // (the c78 no-drift discipline).
+      val branches = (1 to AcfLags).map { k =>
+        s"""SELECT event_type, CAST($k AS BIGINT) AS lag, COUNT(*) AS n,
+           |  ROUND((COUNT(*) * CAST(SUM(CAST(x * l$k AS DECIMAL(38,6))) AS DOUBLE)
+           |      - CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)
+           |        * CAST(SUM(CAST(l$k AS DECIMAL(38,6))) AS DOUBLE))
+           |    / sqrt((COUNT(*) * CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE)
+           |        - CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)
+           |          * CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE))
+           |      * (COUNT(*) * CAST(SUM(CAST(l$k * l$k AS DECIMAL(38,6))) AS DOUBLE)
+           |        - CAST(SUM(CAST(l$k AS DECIMAL(38,6))) AS DOUBLE)
+           |          * CAST(SUM(CAST(l$k AS DECIMAL(38,6))) AS DOUBLE))), 4) AS acf
+           |FROM lagged WHERE l$k IS NOT NULL GROUP BY event_type""".stripMargin
+      }
+      s"""WITH ordered AS (
+         |  SELECT event_type, value, epoch_us(ts) AS ts_us, event_id FROM events
+         |), lagged AS (
+         |  SELECT event_type, value AS x,
+         |    ${(1 to AcfLags).map(k => s"lag(value, $k) OVER w AS l$k").mkString(", ")}
+         |  FROM ordered
+         |  WINDOW w AS (PARTITION BY event_type
+         |    ORDER BY ts_us ASC NULLS FIRST, event_id ASC NULLS FIRST)
+         |)
+         |SELECT * FROM (
+         |${branches.mkString("\nUNION ALL\n")}
+         |) ORDER BY event_type ASC NULLS FIRST, lag ASC NULLS FIRST""".stripMargin
+    },
+
+    "c113_cusum_changepoint" ->
+      """WITH ordered AS (
+        |  SELECT event_type, value, epoch_us(ts) AS ts_us, event_id FROM events
+        |), stats AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mean
+        |  FROM ordered GROUP BY event_type
+        |), cusum AS (
+        |  SELECT o.event_type, n,
+        |    ROUND(abs(CAST(SUM(CAST(o.value - mean AS DECIMAL(38,6))) OVER w
+        |      AS DOUBLE)), 4) AS dev,
+        |    ts_us, event_id, CAST(row_number() OVER w2 AS BIGINT) AS pos
+        |  FROM ordered o JOIN stats USING (event_type)
+        |  WINDOW w AS (PARTITION BY o.event_type
+        |      ORDER BY ts_us ASC NULLS FIRST, event_id ASC NULLS FIRST
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    w2 AS (PARTITION BY o.event_type
+        |      ORDER BY ts_us ASC NULLS FIRST, event_id ASC NULLS FIRST)
+        |)
+        |SELECT event_type, n, dev AS max_cusum_dev, ts_us AS change_ts_us,
+        |  ROUND(CAST(pos AS DOUBLE) / n, 4) AS frac_through
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY dev DESC NULLS LAST, ts_us DESC NULLS LAST,
+        |      event_id DESC NULLS LAST, pos DESC NULLS LAST) AS rr
+        |  FROM cusum
+        |) WHERE rr = 1
+        |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+
     "c109_ks_drift" ->
       s"""WITH binned AS (
          |  SELECT event_type,
