@@ -903,7 +903,65 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  // --- c114: Poisson bootstrap confidence intervals -----------------
+
+  /** Bootstrap replicate count. */
+  private[graft] val BootReps = 20
+
+  /** Cumulative Poisson(1) CDF literals P(X ≤ k), k = 0..5 — written
+    * as decimal literals (NOT computed via exp) so both engines
+    * compare against bit-identical doubles; P(X > 5) ≈ 6e-4 truncates
+    * to multiplicity 6.
+    */
+  private[graft] val PoisCdf = Seq(
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238462", "0.9963401531726563", "0.9994058151824183")
+
+  /** c114 — POISSON BOOTSTRAP confidence interval for the per-type
+    * mean (Efron's bootstrap in the distributed form — each row's
+    * per-replicate multiplicity drawn Poisson(1) independently, the
+    * one-pass approximation to multinomial resampling that needs no
+    * global coordination; Chamandy et al., "Estimating Uncertainty
+    * for Massive Data Streams", Google 2012 — public): the standard
+    * way to put error bars on ANY pipeline statistic at 100 TB,
+    * where closed-form variance (c90) exists only for means.
+    *
+    * Determinism: the multiplicity is the inverse-CDF of an md5
+    * dyadic u per (replicate, event) against PRECOMPUTED Poisson(1)
+    * CDF literals (never `exp` at query time — the c100 no-exp
+    * rule); replicate means are exact decimal ratios; the 2.5/97.5%
+    * CI over [[BootReps]] replicate means uses the shared
+    * linear-interpolation percentile (c84 precedent). Scale shape:
+    * the ×B fan-out collapses map-side to (type, replicate) partials
+    * — B×types rows cross the exchange, the corpus is scanned ONCE.
+    */
+  def poissonBootstrapCi(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.t(spark, sfDir, "events")
+    val cdfCase = PoisCdf.zipWithIndex
+      .map { case (p, k) => s"WHEN u < $p THEN ${k}L" }
+      .mkString("CASE ", " ", " ELSE 6L END")
+    val reps = ev
+      .select(col("event_type"), col("value"), col("event_id"),
+        explode(expr(s"sequence(0, ${BootReps - 1})")).as("rep"))
+      .withColumn("u", expr(
+        "(CAST(conv(substring(md5(concat('boot:', CAST(rep AS STRING), ':', CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT) + 0.5) / 4294967296.0"))
+      .withColumn("m", expr(cdfCase))
+    val repMeans = reps.groupBy(col("event_type"), col("rep"))
+      .agg((graft.Canon.dsum(col("m") * col("value")) /
+        sum(col("m")).cast("double")).as("rmean"))
+    val base = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), graft.Canon.davg(col("value")).as("mean"))
+    repMeans.groupBy(col("event_type"))
+      .agg(round(expr("percentile(rmean, 0.025)"), 4).as("ci_lo"),
+        round(expr("percentile(rmean, 0.975)"), 4).as("ci_hi"))
+      .join(base, "event_type")
+      .select(col("event_type"), col("n"), col("mean"),
+        col("ci_lo"), col("ci_hi"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c114_poisson_bootstrap_ci" -> (poissonBootstrapCi(_, _)),
     "c112_autocorrelation" -> (autocorrelation(_, _)),
     "c113_cusum_changepoint" -> (cusumChangepoint(_, _)),
     "c109_ks_drift" -> (ksDrift(_, _)),
@@ -925,6 +983,40 @@ object Analytics {
     "c82_join_cardinality" -> (joinCardinality(_, _)))
 
   val oracle: Map[String, String] = Map(
+    "c114_poisson_bootstrap_ci" -> {
+      val cdfCase = PoisCdf.zipWithIndex
+        .map { case (p, k) => s"WHEN u < $p THEN $k" }
+        .mkString("CASE ", " ", " ELSE 6 END")
+      s"""WITH reps AS (
+         |  SELECT event_type, value, event_id, rep,
+         |    (CAST(('0x' || substr(md5('boot:' || CAST(rep AS VARCHAR) || ':'
+         |        || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+         |      / 4294967296.0 AS u
+         |  FROM events, range($BootReps) t(rep)
+         |), weighted AS (
+         |  SELECT event_type, rep, CAST($cdfCase AS BIGINT) AS m, value
+         |  FROM reps
+         |), repmeans AS (
+         |  SELECT event_type, rep,
+         |    CAST(SUM(CAST(m * value AS DECIMAL(38,6))) AS DOUBLE)
+         |      / CAST(SUM(m) AS DOUBLE) AS rmean
+         |  FROM weighted GROUP BY event_type, rep
+         |), ci AS (
+         |  SELECT event_type,
+         |    ROUND(quantile_cont(rmean, 0.025), 4) AS ci_lo,
+         |    ROUND(quantile_cont(rmean, 0.975), 4) AS ci_hi
+         |  FROM repmeans GROUP BY event_type
+         |), base AS (
+         |  SELECT event_type, COUNT(*) AS n,
+         |    ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+         |      / COUNT(value), 4) AS mean
+         |  FROM events GROUP BY event_type
+         |)
+         |SELECT event_type, n, mean, ci_lo, ci_hi
+         |FROM ci JOIN base USING (event_type)
+         |ORDER BY event_type ASC NULLS FIRST""".stripMargin
+    },
+
     "c112_autocorrelation" -> {
       // One UNION ALL branch per lag, machine-generated from AcfLags
       // (the c78 no-drift discipline).
