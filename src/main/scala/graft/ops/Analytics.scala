@@ -829,9 +829,20 @@ object Analytics {
     * Series order is the canon (ts_us, event_id) total order; each
     * lag pairs via ONE `lag` window over the per-type sort, then
     * reduces to the five moment sums — decimal-exact, assembled in
-    * the fixed c105 Pearson dag. The per-type sort is the honest cost
-    * of an ordered statistic (the c110 positioning); lags share one
-    * window pass.
+    * the fixed c105 Pearson dag. Lags share ONE window pass and ONE
+    * aggregate (conditional moment columns per lag, reshaped after —
+    * the union-of-aggregates form measured 3 recomputed windows at
+    * 100×).
+    *
+    * Measured 100× posture (SCALE.md): the window partitions by
+    * event_type — FIVE partitions, so parallelism floors at the type
+    * count and the decimal moment sums dominate CPU. The 100 TB
+    * shape is chunked: bucket each series by (type, day), window
+    * within chunks, and stitch the k boundary rows per chunk through
+    * a second small pass — lag-k needs only k rows of cross-chunk
+    * context, so the stitch table is (chunks × k) rows. Kept simple
+    * here because the fixture's 5-partition floor is the measured,
+    * documented trade.
     */
   def autocorrelation(spark: SparkSession, sfDir: String): DataFrame = {
     def d(c: Column) = c.cast(org.apache.spark.sql.types.DecimalType(38, 6))
@@ -843,19 +854,30 @@ object Analytics {
     val lagged = ordered.select(
       (col("event_type") +: col("value").as("x") +:
         (1 to AcfLags).map(k => lag(col("value"), k).over(w).as(s"l$k"))): _*)
+    // ONE aggregate computes all lags' moment sums as conditional
+    // columns (sum-if on l_k non-null), then a row-per-lag reshape —
+    // the 100× rehearsal measured the union-of-3-aggregates form
+    // recomputing the lag window per branch at 3× the cost.
+    def sIf(k: Int, c: Column) =
+      sum(when(col(s"l$k").isNotNull, d(c)).otherwise(lit(null))).cast("double")
+    val momentCols = (1 to AcfLags).flatMap { k =>
+      Seq(
+        sum(when(col(s"l$k").isNotNull, 1L).otherwise(0L)).as(s"n$k"),
+        sIf(k, col("x")).as(s"sx$k"),
+        sIf(k, col(s"l$k")).as(s"sy$k"),
+        sIf(k, col("x") * col("x")).as(s"sxx$k"),
+        sIf(k, col(s"l$k") * col(s"l$k")).as(s"syy$k"),
+        sIf(k, col("x") * col(s"l$k")).as(s"sxy$k"))
+    }
+    val moments = lagged.groupBy(col("event_type"))
+      .agg(momentCols.head, momentCols.tail: _*)
     val perLag = (1 to AcfLags).map { k =>
-      lagged.where(col(s"l$k").isNotNull)
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(d(col("x"))).cast("double").as("sx"),
-          sum(d(col(s"l$k"))).cast("double").as("sy"),
-          sum(d(col("x") * col("x"))).cast("double").as("sxx"),
-          sum(d(col(s"l$k") * col(s"l$k"))).cast("double").as("syy"),
-          sum(d(col("x") * col(s"l$k"))).cast("double").as("sxy"))
-        .select(col("event_type"), lit(k.toLong).as("lag"), col("n"),
-          round((col("n") * col("sxy") - col("sx") * col("sy")) /
-            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
-              (col("n") * col("syy") - col("sy") * col("sy"))), 4).as("acf"))
+      moments.select(col("event_type"), lit(k.toLong).as("lag"),
+        col(s"n$k").as("n"),
+        round((col(s"n$k") * col(s"sxy$k") - col(s"sx$k") * col(s"sy$k")) /
+          sqrt((col(s"n$k") * col(s"sxx$k") - col(s"sx$k") * col(s"sx$k")) *
+            (col(s"n$k") * col(s"syy$k") - col(s"sy$k") * col(s"sy$k"))), 4)
+          .as("acf"))
     }
     perLag.reduce(_ unionByName _).orderBy("event_type", "lag")
   }
