@@ -44,6 +44,35 @@ object Canon {
   def dsum18(c: Column): Column =
     sum(c.cast(DecimalType(38, 18))).cast("double")
 
+  /** FLOORED exact average at the 1e-6 grain — the zero-tie form for
+    * small-count averages of decimal-quantized terms. Round-tie
+    * hazard (measured, sf0.1 round 10: c54 1/5000 docs, c60 3/5000):
+    * a sum of 1e-6-quantized terms is an EXACT 1e-6 rational, and
+    * sum/count can land EXACTLY on a round(…, k) midpoint, where
+    * Spark's shortest-string HALF_UP and DuckDB's binary-double
+    * rounding disagree — the probability is ~1/(100·count) per
+    * group, so per-DOC averages (small counts × thousands of groups)
+    * flake while per-table averages never do. This form has no
+    * rounding call at all: the decimal sum scales to integer micro
+    * units (exact long), floor-divides by the count in double
+    * (exact: the quotient gap to the nearest integer is ≥ 1/count ≫
+    * double error), and the integer quotient maps to the identical
+    * double in both engines. Mirror: [[oDavgFloor6]].
+    */
+  def davgFloor6(c: Column, n: Column): Column =
+    floor((sum(c.cast(DecimalType(38, 6))) * 1000000).cast("long")
+      .cast("double") / n) / 1000000.0
+
+  /** Identity-safe rounding for a 1e-6-exact PURE SUM: round at the
+    * quantization grain itself — the value is ON the 1e-6 grid, so
+    * no midpoint can occur and round(x, 6) recovers the exact value
+    * in both engines (round at any coarser grain has midpoint ties
+    * with probability ~1/(grid ratio) per row — the c57/c60/c113
+    * hazard). Use for emitted decimal sums; averages need
+    * [[davgFloor6]].
+    */
+  def rsum6(c: Column): Column = round(c, 6)
+
   /** Oracle-SQL fragments mirroring the helpers above, so the pair
     * cannot drift. Usage: s"${Canon.oDsum("x")} AS total".
     */
@@ -53,4 +82,6 @@ object Canon {
     s"ROUND(CAST(SUM(CAST($x AS DECIMAL(38,6))) AS DOUBLE)/COUNT($x), 4)"
   def oDsum18(x: String): String =
     s"CAST(SUM(CAST($x AS DECIMAL(38,18))) AS DOUBLE)"
+  def oDavgFloor6(x: String, n: String): String =
+    s"floor(CAST(CAST(SUM(CAST($x AS DECIMAL(38,6))) * 1000000 AS BIGINT) AS DOUBLE) / $n) / 1000000.0"
 }

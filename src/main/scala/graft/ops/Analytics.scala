@@ -916,7 +916,7 @@ object Analytics {
           .cast("double"))
       .withColumn("pos", row_number().over(wRank).cast("long"))
     cusum.groupBy(col("event_type"), col("n"))
-      .agg(max(struct(round(abs(col("cs")), 4).as("dev"), col("ts_us"),
+      .agg(max(struct(round(abs(col("cs")), 6).as("dev"), col("ts_us"),
         col("event_id"), col("pos"))).as("m"))
       .select(col("event_type"), col("n"),
         col("m.dev").as("max_cusum_dev"),
@@ -1079,7 +1079,7 @@ object Analytics {
         |), cusum AS (
         |  SELECT o.event_type, n,
         |    ROUND(abs(CAST(SUM(CAST(o.value - mean AS DECIMAL(38,6))) OVER w
-        |      AS DOUBLE)), 4) AS dev,
+        |      AS DOUBLE)), 6) AS dev,
         |    ts_us, event_id, CAST(row_number() OVER w2 AS BIGINT) AS pos
         |  FROM ordered o JOIN stats USING (event_type)
         |  WINDOW w AS (PARTITION BY o.event_type

@@ -1188,7 +1188,7 @@ object NearDup {
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cent"))
     kmAssign(emb, seeds)
       .groupBy(col("cluster"))
-      .agg(count(lit(1)).as("n_assigned"), Canon.davg(col("cos")).as("avg_cos"))
+      .agg(count(lit(1)).as("n_assigned"), Canon.davgFloor6(col("cos"), count(lit(1))).as("avg_cos"))
       .orderBy("cluster")
   }
 
@@ -1224,7 +1224,7 @@ object NearDup {
     emb.unpersist(blocking = false)
     kmAssign(emb, cents)
       .groupBy(col("cluster"))
-      .agg(count(lit(1)).as("n_assigned"), Canon.davg(col("cos")).as("avg_cos"))
+      .agg(count(lit(1)).as("n_assigned"), Canon.davgFloor6(col("cos"), count(lit(1))).as("avg_cos"))
       .orderBy("cluster")
   }
 
@@ -1432,7 +1432,7 @@ object NearDup {
     val shortlist = pqCodes(parts)
       .join(broadcast(lut), col("j") === col("lj") && col("code") === col("lcode"))
       .groupBy(col("vec_id"))
-      .agg(round(Canon.dsum(col("pdot")), 4).as("adc_score"))
+      .agg(Canon.rsum6(Canon.dsum(col("pdot"))).as("adc_score"))
       .where(col("vec_id") =!= 0)
       .orderBy(col("adc_score").desc, col("vec_id").asc)
       .limit(PqShortlist)
@@ -1988,7 +1988,7 @@ object NearDup {
          |    FROM embeddings, range($PqM) t(j) WHERE vec_id = 0
          |  ) p JOIN csubs c ON p.j = c.j
          |), shortlist AS (
-         |  SELECT b.vec_id, ROUND(${Canon.oDsum("l.pdot")}, 4) AS adc_score
+         |  SELECT b.vec_id, ROUND(${Canon.oDsum("l.pdot")}, 6) AS adc_score
          |  FROM best b JOIN lut l ON b.j = l.lj AND b.code = l.lcode
          |  WHERE b.vec_id != 0
          |  GROUP BY b.vec_id
@@ -2304,7 +2304,7 @@ object NearDup {
          |), best2 AS (
          |  ${oKmBest("scored2")}
          |)
-         |SELECT cluster, COUNT(*) AS n_assigned, ${Canon.oDavg("cos")} AS avg_cos
+         |SELECT cluster, COUNT(*) AS n_assigned, ${Canon.oDavgFloor6("cos", "COUNT(*)")} AS avg_cos
          |FROM best2 GROUP BY cluster
          |ORDER BY cluster ASC NULLS FIRST""".stripMargin,
     // md5-selected gram stream → shared-gram filter (2..cap docs) →
@@ -2405,7 +2405,7 @@ object NearDup {
          |    FROM scored
          |  ) WHERE rn = 1
          |)
-         |SELECT cluster, COUNT(*) AS n_assigned, ${Canon.oDavg("cos")} AS avg_cos
+         |SELECT cluster, COUNT(*) AS n_assigned, ${Canon.oDavgFloor6("cos", "COUNT(*)")} AS avg_cos
          |FROM best GROUP BY cluster
          |ORDER BY cluster ASC NULLS FIRST""".stripMargin,
     "c10_simhash_fingerprint" ->

@@ -415,7 +415,7 @@ object TextAnalysis {
     toks.join(broadcast(lam), col("w") === col("lw"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
-        round(Canon.dsum(col("lam")), 4).as("log_weight"))
+        Canon.rsum6(Canon.dsum(col("lam"))).as("log_weight"))
       .select(col("doc_id"), col("n_tokens"), col("log_weight"),
         (col("log_weight") > 0).cast("long").as("selected"))
       .orderBy("doc_id")
@@ -776,7 +776,7 @@ object TextAnalysis {
     toks.join(broadcast(probs), col("w") === col("pw"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
-        davg(-log(col("p"))).as("avg_surprise"))
+        Canon.davgFloor6(-log(col("p")), count(lit(1))).as("avg_surprise"))
       .orderBy("doc_id")
   }
 
@@ -903,7 +903,7 @@ object TextAnalysis {
     pairs.join(probs, Seq("a", "b"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
-        davg(-log(col("p"))).as("avg_surprise"))
+        Canon.davgFloor6(-log(col("p")), count(lit(1))).as("avg_surprise"))
       .orderBy("doc_id")
   }
 
@@ -1032,7 +1032,7 @@ object TextAnalysis {
          |  FROM cb JOIN ca ON cb.a = ca.ca_a
          |)
          |SELECT doc_id, COUNT(*) AS n_bigrams,
-         |  ${Canon.oDavg("-ln(p)")} AS avg_surprise
+         |  ${Canon.oDavgFloor6("-ln(p)", "COUNT(*)")} AS avg_surprise
          |FROM pairs JOIN probs ON pairs.a = probs.a AND pairs.b = probs.b
          |GROUP BY doc_id
          |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
@@ -1045,7 +1045,7 @@ object TextAnalysis {
          |  SELECT pw, CAST(cnt AS DOUBLE) / (SELECT SUM(cnt) FROM freq) AS p FROM freq
          |)
          |SELECT doc_id, COUNT(*) AS n_tokens,
-         |  ${Canon.oDavg("-ln(p)")} AS avg_surprise
+         |  ${Canon.oDavgFloor6("-ln(p)", "COUNT(*)")} AS avg_surprise
          |FROM toks JOIN probs ON toks.w = probs.pw
          |GROUP BY doc_id
          |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
@@ -1404,7 +1404,7 @@ object TextAnalysis {
          |  FROM corpus LEFT JOIN target ON corpus.w = target.tw_w, tot, ttot
          |), scored AS (
          |  SELECT doc_id, COUNT(*) AS n_tokens,
-         |    ROUND(${Canon.oDsum("lam")}, 4) AS log_weight
+         |    ROUND(${Canon.oDsum("lam")}, 6) AS log_weight
          |  FROM toks JOIN lam ON toks.w = lam.lw
          |  GROUP BY doc_id
          |)
