@@ -982,7 +982,97 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  // --- c115: time-weighted average ---------------------------------
+
+  /** c115 — TIME-WEIGHTED AVERAGE per user (the trapezoidal integral
+    * ∫v dt / ∫dt — the industrial-telemetry standard for irregularly
+    * sampled series, where the plain mean over-weights bursts: a
+    * sensor read 1000× during one hot minute and once an hour
+    * otherwise must not average like 1001 equal samples). Per user,
+    * consecutive events pair via ONE lag window over the (ts_us,
+    * event_id) total order; each segment contributes
+    * (v_prev + v)/2 · Δt; the average is the decimal-exact segment
+    * sum over the exact integer µs span. Single-event users carry no
+    * span and emit NULL — the honest answer, mirrored exactly.
+    * Round-tie posture: the emitted ratio's denominator is a
+    * user-sized µs span (~10¹⁰), putting midpoint ties at measure
+    * ~1e-12 (the davg large-count class, documented in SCALE.md).
+    */
+  def timeWeightedAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.t(spark, sfDir, "events")
+    val ordered = ev.select(col("user_id"), col("value"),
+      Tables.tsUs(ev).as("ts_us"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val seg = ordered
+      .withColumn("pv", lag(col("value"), 1).over(w))
+      .withColumn("pt", lag(col("ts_us"), 1).over(w))
+      .where(col("pt").isNotNull)
+      .select(col("user_id"),
+        (col("ts_us") - col("pt")).as("dt"),
+        ((col("pv") + col("value")) / 2 * (col("ts_us") - col("pt"))).as("contrib"))
+    val base = ordered.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    seg.groupBy(col("user_id"))
+      .agg(sum(col("dt")).as("span_us"),
+        sum(col("contrib").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+          .cast("double").as("csum"))
+      .join(base, Seq("user_id"), "right")
+      .select(col("user_id"), col("n_events"), col("span_us"),
+        when(col("span_us") > 0, round(col("csum") / col("span_us"), 4))
+          .as("time_weighted_avg"))
+      .orderBy("user_id")
+  }
+
+  // --- c116: inter-event burstiness --------------------------------
+
+  /** c116 — inter-event BURSTINESS per user (Goh & Barabási 2008,
+    * EPL — public): B = (σ−μ)/(σ+μ) over the inter-arrival gaps,
+    * with CV² = σ²/μ² alongside — −1 = metronome, 0 = Poisson, →1 =
+    * extreme bursts. The traffic-shape audit behind rate-limit and
+    * capacity planning (a19's changelog arriving B≈0.9 needs very
+    * different provisioning than B≈0), and the behavioral-bot signal
+    * (humans are bursty; cron is periodic). Gaps are EXACT integer
+    * µs from one lag window; Σg and Σg² ride the decimal canon
+    * (g² ≤ 1e20 ≪ the (38,6) range), variance assembles from exact
+    * sums in the fixed c90 dag (squares explicit, never pow), and
+    * sqrt's irrational output makes the 1e-4 rounding tie-free.
+    */
+  def burstiness(spark: SparkSession, sfDir: String): DataFrame = {
+    def d(c: Column) = c.cast(org.apache.spark.sql.types.DecimalType(38, 6))
+    val ev = Tables.t(spark, sfDir, "events")
+    val ordered = ev.select(col("user_id"),
+      Tables.tsUs(ev).as("ts_us"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val gaps = ordered
+      .withColumn("pt", lag(col("ts_us"), 1).over(w))
+      .where(col("pt").isNotNull)
+      .select(col("user_id"), (col("ts_us") - col("pt")).as("g"))
+    // g² squares in DOUBLE before the decimal cast: µs gaps reach
+    // ~1e10, so a long×long square (1e20) would wrap past 2^63
+    // silently; the double square is the same IEEE value in both
+    // engines (exact below 2^53, identically rounded above).
+    gaps.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(d(col("g"))).cast("double").as("s1"),
+        sum(d(col("g").cast("double") * col("g").cast("double")))
+          .cast("double").as("s2"))
+      .where(col("n_gaps") >= 2)
+      .select(col("user_id"), col("n_gaps"),
+        round(col("s1") / col("n_gaps") / 1000000.0, 4).as("mean_gap_s"),
+        round(sqrt((col("s2") - col("s1") * col("s1") / col("n_gaps")) /
+          (col("n_gaps") - 1)) / (col("s1") / col("n_gaps")), 4).as("cv"),
+        round((sqrt((col("s2") - col("s1") * col("s1") / col("n_gaps")) /
+            (col("n_gaps") - 1)) - col("s1") / col("n_gaps")) /
+          (sqrt((col("s2") - col("s1") * col("s1") / col("n_gaps")) /
+            (col("n_gaps") - 1)) + col("s1") / col("n_gaps")), 4).as("burstiness"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c115_time_weighted_avg" -> (timeWeightedAvg(_, _)),
+    "c116_burstiness" -> (burstiness(_, _)),
     "c114_poisson_bootstrap_ci" -> (poissonBootstrapCi(_, _)),
     "c112_autocorrelation" -> (autocorrelation(_, _)),
     "c113_cusum_changepoint" -> (cusumChangepoint(_, _)),
@@ -1005,6 +1095,59 @@ object Analytics {
     "c82_join_cardinality" -> (joinCardinality(_, _)))
 
   val oracle: Map[String, String] = Map(
+    "c115_time_weighted_avg" ->
+      """WITH ordered AS (
+        |  SELECT user_id, value, epoch_us(ts) AS ts_us, event_id FROM events
+        |), seg AS (
+        |  SELECT user_id, ts_us - pt AS dt,
+        |    (pv + value) / 2 * (ts_us - pt) AS contrib
+        |  FROM (
+        |    SELECT user_id, value, ts_us,
+        |      lag(value, 1) OVER w AS pv, lag(ts_us, 1) OVER w AS pt
+        |    FROM ordered
+        |    WINDOW w AS (PARTITION BY user_id
+        |      ORDER BY ts_us ASC NULLS FIRST, event_id ASC NULLS FIRST)
+        |  ) WHERE pt IS NOT NULL
+        |), agg AS (
+        |  SELECT user_id, CAST(SUM(dt) AS BIGINT) AS span_us,
+        |    CAST(SUM(CAST(contrib AS DECIMAL(38,6))) AS DOUBLE) AS csum
+        |  FROM seg GROUP BY user_id
+        |), base AS (
+        |  SELECT user_id, COUNT(*) AS n_events FROM ordered GROUP BY user_id
+        |)
+        |SELECT b.user_id, n_events, span_us,
+        |  CASE WHEN span_us > 0 THEN ROUND(csum / span_us, 4) END
+        |    AS time_weighted_avg
+        |FROM base b LEFT JOIN agg USING (user_id)
+        |ORDER BY user_id ASC NULLS FIRST""".stripMargin,
+
+    "c116_burstiness" ->
+      """WITH ordered AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+        |), gaps AS (
+        |  SELECT user_id, ts_us - pt AS g FROM (
+        |    SELECT user_id, ts_us, lag(ts_us, 1) OVER w AS pt
+        |    FROM ordered
+        |    WINDOW w AS (PARTITION BY user_id
+        |      ORDER BY ts_us ASC NULLS FIRST, event_id ASC NULLS FIRST)
+        |  ) WHERE pt IS NOT NULL
+        |), m AS (
+        |  SELECT user_id, COUNT(*) AS n_gaps,
+        |    CAST(SUM(CAST(g AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(CAST(g AS DOUBLE) * CAST(g AS DOUBLE)
+        |      AS DECIMAL(38,6))) AS DOUBLE) AS s2
+        |  FROM gaps GROUP BY user_id HAVING COUNT(*) >= 2
+        |)
+        |SELECT user_id, n_gaps,
+        |  ROUND(s1 / n_gaps / 1000000.0, 4) AS mean_gap_s,
+        |  ROUND(sqrt((s2 - s1 * s1 / n_gaps) / (n_gaps - 1)) / (s1 / n_gaps), 4)
+        |    AS cv,
+        |  ROUND((sqrt((s2 - s1 * s1 / n_gaps) / (n_gaps - 1)) - s1 / n_gaps)
+        |    / (sqrt((s2 - s1 * s1 / n_gaps) / (n_gaps - 1)) + s1 / n_gaps), 4)
+        |    AS burstiness
+        |FROM m
+        |ORDER BY user_id ASC NULLS FIRST""".stripMargin,
+
     "c114_poisson_bootstrap_ci" -> {
       val cdfCase = PoisCdf.zipWithIndex
         .map { case (p, k) => s"WHEN u < $p THEN $k" }
