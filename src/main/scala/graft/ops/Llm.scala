@@ -335,6 +335,37 @@ object Llm {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** c117 — LEVENSHTEIN edit-distance verification over the LSH
+    * candidate pairs: the CHARACTER-level near-dup measure closing
+    * the verification triple (c3 = token-set Jaccard, c11 =
+    * char-trigram Jaccard, THIS = true edit distance — the only one
+    * of the three that sees order: "a b c" vs "c b a" are Jaccard-1
+    * but edit-distant). Unit-cost Levenshtein is definition-identical
+    * in Spark (`levenshtein`, codegen'd) and DuckDB (`levenshtein`),
+    * so the distances are EXACT integers and the normalized
+    * similarity 1 − d/max(len) is one exact ratio.
+    *
+    * Scale shape: the candidates-only discipline is what makes an
+    * O(len²)-per-pair metric affordable at all — edit distance runs
+    * ONLY on pairs an LSH band proposed (the memoized pair table —
+    * never all-pairs), and text crosses the wire once per side via
+    * the same doc-keyed joins as c3. At 100 TB the per-pair cost is
+    * the dial: band-gate first (cheap), verify the survivors here.
+    */
+  def editDistancePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashPairs(spark, sfDir)
+    val docs = Tables.t(spark, sfDir, "documents")
+    pairs
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
+        round(lit(1.0) - levenshtein(col("ta"), col("tb")) /
+          greatest(length(col("ta")), length(col("tb"))).cast("double"), 4)
+          .as("edit_sim"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** c43 — token-set CONTAINMENT over the LSH candidate pairs:
     * containment(A→B) = |A∩B| / |A| is the ASYMMETRIC near-dup
     * measure — a short doc quoted whole inside a long one scores
@@ -768,6 +799,7 @@ object Llm {
     "c1_dedup_exact" -> (dedupExact(_, _)),
     "c2_dedup_minhash_pairs" -> (dedupMinhashPairs(_, _)),
     "c3_jaccard_pairs" -> (jaccardPairs(_, _)),
+    "c117_edit_distance_pairs" -> (editDistancePairs(_, _)),
     "c43_containment_pairs" -> (containmentPairs(_, _)),
     "c64_minhash_calibration" -> (minhashCalibration(_, _)),
     "c50_incremental_dedup" -> (incrementalDedup(_, _)),
@@ -839,6 +871,18 @@ object Llm {
     "c2_dedup_minhash_pairs" ->
       s"""$oraclePairsCte
          |SELECT doc_a, doc_b FROM pairs
+         |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
+
+    "c117_edit_distance_pairs" ->
+      s"""$oraclePairsCte
+         |SELECT doc_a, doc_b,
+         |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+         |  ROUND(1.0 - levenshtein(da.text, db.text)
+         |    / CAST(greatest(length(da.text), length(db.text)) AS DOUBLE), 4)
+         |    AS edit_sim
+         |FROM pairs
+         |JOIN documents da ON da.doc_id = doc_a
+         |JOIN documents db ON db.doc_id = doc_b
          |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
 
     "c3_jaccard_pairs" ->

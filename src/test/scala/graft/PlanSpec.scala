@@ -558,6 +558,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("shiftleft"), s"bloom bit test missing from plan:\n$p")
   }
 
+  test("c105: dim pairing is an equi self-join on vec_id — never a cartesian") {
+    val p = plan(Analytics.corrMatrix(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("c114: the bootstrap is ONE events scan through a Generate fan-out") {
+    val p = plan(Analytics.poissonBootstrapCi(spark, sf))
+    val scans = p.linesIterator.count(_.contains("events.parquet"))
+    assert(scans == 2, s"replicate + base scans only, got $scans:\n$p")
+    assert(p.contains("Generate"), s"sequence explode missing:\n$p")
+  }
+
+  test("a20: quantile bounds broadcast as one row onto the assignment scan") {
+    val p = plan(Migration.splitPlanner(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), s"the 1-row bounds must never shuffle-join:\n$p")
+  }
+
+  test("c117: edit distance runs only on the memoized LSH pair table") {
+    val p = plan(Llm.editDistancePairs(spark, sf))
+    assert(p.contains("InMemoryTableScan"), s"pair memo not reused:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("c64: calibration joins are id-equi over the sampled pair spine; nothing cartesian") {
     val p = plan(Llm.minhashCalibration(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
