@@ -126,7 +126,39 @@ object Plans {
           "join oracle proves the salt changes partitioning only."),
       "c88_bucketed_join" ->
         ("Bucketed: true scans feed the SMJ with no exchange and no sort on either " +
-          "side; the only hash exchange in the plan is the final 3-group aggregate."))
+          "side; the only hash exchange in the plan is the final 3-group aggregate."),
+      "b57_q4_order_priority" ->
+        ("EXISTS plans as LeftSemi with the non-equi lateness predicate as a " +
+          "hash-join residual — lineitem never duplicates matches."),
+      "b59_q10_returned_revenue" ->
+        ("returnflag + quarter window both in PushedFilters; nation broadcasts; " +
+          "top-20 fuses to TakeOrderedAndProject."),
+      "b63_unpivot" ->
+        "ONE Expand node over ONE lineitem scan — never four unioned scans.",
+      "a19_cdc_apply" ->
+        ("ONE FullOuter join on the key applies all three op classes; exactly two " +
+          "orders scans (base + changelog) in the plan."),
+      "a20_split_planner" ->
+        ("The 1-row quantile-bounds artifact broadcasts onto the assignment scan " +
+          "(BroadcastNestedLoopJoin of one row — never a shuffle join)."),
+      "c97_rrf_fusion" ->
+        ("Both rankers' capped rank lists pre-prune map-side via WindowGroupLimit " +
+          "BEFORE the full-outer fusion join — fusion never sees the scored corpus."),
+      "c98_triangle_count" ->
+        ("Degree-ordered wedge enumeration and closure are equi-joins — no " +
+          "cartesian product anywhere on the graph side."),
+      "c101_kmv_distinct" ->
+        ("Per-partition k-min prune via WindowGroupLimit — only groups × k rows " +
+          "cross the exchange; the sketch reduces map-side."),
+      "c102_bloom_semi_join" ->
+        ("The 256-bit filter bit_or-aggregates map-side and broadcasts as ONE " +
+          "4-long row; the membership Filter sits UNDER the probe's exchange."),
+      "c114_poisson_bootstrap_ci" ->
+        ("ONE events scan through a Generate (sequence explode) fan-out; replicate " +
+          "means collapse map-side to (type, replicate) partials."),
+      "c117_edit_distance_pairs" ->
+        ("Levenshtein runs ONLY on the memoized LSH pair table (InMemoryTableScan) " +
+          "— the candidates-only discipline for an O(len^2)-per-pair metric."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans` on ")
       .append(sfDir).append(")\n\n")
