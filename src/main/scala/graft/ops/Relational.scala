@@ -656,6 +656,133 @@ object Relational {
       .orderBy("lang")
   }
 
+  /** CMS geometry: 3 hash rows × 64 counters; top-k eval tokens. */
+  private[graft] val CmsDepth = 3
+  private[graft] val CmsWidth = 64
+  private[graft] val CmsEvalK = 10
+
+  /** c118 — COUNT-MIN SKETCH frequency estimation (Cormode &
+    * Muthukrishnan 2005 — public), md5-hashed so the sketch is
+    * DETERMINISTIC and its full algebra hash-verifies cross-engine
+    * (the c101 discipline; Spark's own sketches are engine-private).
+    * Build: every token occurrence increments one counter per hash
+    * row — a (row, bucket) grouped count, 192 cells total at any
+    * corpus size, merged map-side (CMS union = cell-wise add: the
+    * distributed-build property that makes it THE streaming
+    * frequency sketch). Query: estimate(w) = min over rows of w's
+    * cell — evaluated for the 10 most frequent tokens with the exact
+    * count alongside, so the emitted `overestimate` (≥ 0 ALWAYS —
+    * CMS never undercounts, a one-sided bound the spec pins) is
+    * measured, not asserted.
+    */
+  def countMinSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    def bucket(j: Int, c: String) =
+      s"CAST(conv(substring(md5(concat('cms$j:', $c)), 1, 8), 16, 10) AS BIGINT) % $CmsWidth"
+    val toks = Tables.t(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+    val cells = toks
+      .select(explode(expr((0 until CmsDepth).map(j =>
+        s"struct(${j}L AS j, ${bucket(j, "w")} AS b)")
+        .mkString("array(", ", ", ")"))).as("c"))
+      .groupBy(col("c.j").as("j"), col("c.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val evalToks = toks.groupBy(col("w")).agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("w").asc).limit(CmsEvalK)
+    val probes = evalToks
+      .select(col("w"), col("exact"),
+        explode(expr((0 until CmsDepth).map(j =>
+          s"struct(${j}L AS j, ${bucket(j, "w")} AS b)")
+          .mkString("array(", ", ", ")"))).as("p"))
+      .select(col("w"), col("exact"), col("p.j").as("j"), col("p.b").as("b"))
+    probes.join(broadcast(cells), Seq("j", "b"))
+      .groupBy(col("w"), col("exact"))
+      .agg(min(col("cnt")).as("cms_estimate"))
+      .select(col("w").as("token"), col("exact"), col("cms_estimate"),
+        (col("cms_estimate") - col("exact")).as("overestimate"))
+      .orderBy(col("exact").desc, col("token").asc)
+  }
+
+  /** HLL geometry: 64 buckets (6 index bits, 26 suffix bits). */
+  private[graft] val HllBuckets = 64
+  private[graft] val HllSuffixBits = 26
+  /** α₆₄ — the HLL paper's constant for m = 64 (Flajolet et al. 2007,
+    * §4: α_m = 0.7213/(1 + 1.079/m), tabulated 0.709 for m = 64) —
+    * a shared LITERAL, never computed (the c68 PrJump rule).
+    */
+  private[graft] val HllAlpha = "0.709"
+
+  /** c119 — HAND-BUILT HYPERLOGLOG (Flajolet, Fusy, Gandouet &
+    * Meunier 2007 — public): the estimator behind b18's
+    * `approx_count_distinct`, re-derived from first principles on
+    * md5 so the ENTIRE register algebra hash-verifies cross-engine —
+    * b18's builtin is engine-private (rows-only + measured error);
+    * THIS key proves the mathematics. Per (language, scope): 32-bit
+    * hash → 6-bit bucket + 26-bit suffix; register = max rho
+    * (1 + leading zeros of the suffix, via `length(bin(v))` — an
+    * exact INTEGER path in both engines, never floor(log2) whose FP
+    * boundary at exact powers of two silently off-by-ones); the
+    * harmonic sum Σ2^(−M_j) scales by 2^27 to an exact integer
+    * (dyadic terms at decimal scale 18 would quantize — designed
+    * out); the raw estimate αm²·2^27/S applies the paper's
+    * small-range linear-counting correction when E ≤ 2.5m with
+    * empty buckets present.
+    *
+    * Two cardinality SCOPES so BOTH estimator branches execute on
+    * the fixtures: the 31-token vocabulary exercises linear
+    * counting, the ~31² bigram space the raw harmonic estimator — a
+    * single-scope key would ship one branch dead on every fixture.
+    * Registers merge by MAX — the map-side-combinable reduction that
+    * lets 1000 executors sketch 100 TB in one pass.
+    */
+  def hllDeterministic(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = HllBuckets
+    val cap = HllSuffixBits + 1
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select(col("lang"), split(col("text"), " ").as("ws"))
+    val items = docs
+      .select(col("lang"), lit("tokens").as("scope"), explode(col("ws")).as("item"))
+      .unionByName(docs
+        .where(size(col("ws")) >= 2)
+        .select(col("lang"), lit("bigrams").as("scope"),
+          explode(expr(
+            "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+            .as("item")))
+    val hashed = items
+      .select(col("lang"), col("scope"),
+        expr("CAST(conv(substring(md5(item), 1, 8), 16, 10) AS BIGINT)").as("v"))
+      .select(col("lang"), col("scope"),
+        expr(s"v div ${1L << HllSuffixBits}").as("bkt"),
+        expr(s"v % ${1L << HllSuffixBits}").as("sfx"))
+    val regs = hashed
+      .select(col("lang"), col("scope"), col("bkt"),
+        when(col("sfx") === 0, lit(cap))
+          .otherwise(lit(cap) - length(expr("bin(sfx)"))).as("rho"))
+      .groupBy(col("lang"), col("scope"), col("bkt"))
+      .agg(max(col("rho")).as("reg"))
+    val est = regs.groupBy(col("lang"), col("scope"))
+      // shiftleft, not pow(2, k): exact integer powers by
+      // construction — the repo's no-libm-pow rule.
+      .agg(count(lit(1)).as("n_filled"),
+        sum(expr(s"CAST(shiftleft(1L, CAST($cap - reg AS INT)) AS BIGINT)"))
+          .as("s_filled"))
+      .select(col("lang"), col("scope"),
+        (lit(m) - col("n_filled")).as("v_empty"),
+        (col("s_filled") + (lit(m) - col("n_filled")) * (1L << cap)).as("s"))
+      .select(col("lang"), col("scope"), col("v_empty"),
+        (expr(s"CAST($HllAlpha AS DOUBLE) * $m * $m * ${1L << cap}") / col("s"))
+          .as("e_raw"))
+    val exact = items.groupBy(col("lang"), col("scope"))
+      .agg(countDistinct(col("item")).as("n_exact"))
+    val corrected = when(col("e_raw") <= 2.5 * m && col("v_empty") > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / col("v_empty")))
+      .otherwise(col("e_raw"))
+    exact.join(est, Seq("lang", "scope"))
+      .select(col("lang"), col("scope"), col("n_exact"),
+        round(corrected, 2).as("hll_estimate"),
+        round(abs(corrected - col("n_exact")) / col("n_exact"), 4).as("rel_err"))
+      .orderBy("lang", "scope")
+  }
+
   /** b63 — UNPIVOT/melt (the inverse of b23's pivot): lineitem's four
     * measure columns melted to (metric, val) rows via the native
     * `Dataset.unpivot` — ONE Expand pass over one scan (exactly
@@ -1149,6 +1276,8 @@ object Relational {
     "c101_kmv_distinct" -> (kmvDistinct(_, _)),
     "c102_bloom_semi_join" -> (bloomSemiJoin(_, _)),
     "b64_q6_forecast_revenue" -> (q6ForecastRevenue(_, _)),
+    "c118_count_min_sketch" -> (countMinSketch(_, _)),
+    "c119_hll_deterministic" -> (hllDeterministic(_, _)),
     "b55_grouping_sets" -> (groupingSetsQ(_, _)),
     "c95_hilbert_skipping" -> (hilbertSkipping(_, _)),
     "c86_incremental_agg" -> (incrementalAgg(_, _)),
@@ -1200,6 +1329,80 @@ object Relational {
          |WHERE o_orderpriority = '1-URGENT'
          |GROUP BY o_orderstatus
          |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+    "c118_count_min_sketch" -> {
+      def bucket(j: Int, c: String) =
+        s"CAST(('0x' || substr(md5('cms$j:' || $c), 1, 8)) AS BIGINT) % $CmsWidth"
+      val cellBranches = (0 until CmsDepth).map(j =>
+        s"SELECT CAST($j AS BIGINT) AS j, ${bucket(j, "w")} AS b, w FROM toks")
+        .mkString("\nUNION ALL\n")
+      val probeBranches = (0 until CmsDepth).map(j =>
+        s"SELECT w, exact, CAST($j AS BIGINT) AS j, ${bucket(j, "w")} AS b FROM evaltoks")
+        .mkString("\nUNION ALL\n")
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+         |), cells AS (
+         |  SELECT j, b, COUNT(*) AS cnt FROM (
+         |$cellBranches
+         |  ) GROUP BY j, b
+         |), evaltoks AS (
+         |  SELECT w, COUNT(*) AS exact FROM toks GROUP BY w
+         |  ORDER BY exact DESC NULLS LAST, w ASC NULLS FIRST LIMIT $CmsEvalK
+         |), probes AS (
+         |$probeBranches
+         |)
+         |SELECT w AS token, exact, MIN(cnt) AS cms_estimate,
+         |  CAST(MIN(cnt) - exact AS BIGINT) AS overestimate
+         |FROM probes JOIN cells USING (j, b)
+         |GROUP BY w, exact
+         |ORDER BY exact DESC NULLS LAST, token ASC NULLS FIRST""".stripMargin
+    },
+
+    "c119_hll_deterministic" -> {
+      val cap = HllSuffixBits + 1
+      val m = HllBuckets
+      s"""WITH docs2 AS (
+         |  SELECT lang, string_split(text, ' ') AS ws FROM documents
+         |), items AS (
+         |  SELECT lang, 'tokens' AS scope, unnest(ws) AS item FROM docs2
+         |  UNION ALL
+         |  SELECT lang, 'bigrams' AS scope,
+         |    unnest(list_transform(range(1, len(ws)),
+         |      i -> ws[i] || ' ' || ws[i + 1])) AS item
+         |  FROM docs2 WHERE len(ws) >= 2
+         |), parts AS (
+         |  SELECT lang, scope,
+         |    CAST(('0x' || substr(md5(item), 1, 8)) AS BIGINT) // ${1L << HllSuffixBits} AS bkt,
+         |    CAST(('0x' || substr(md5(item), 1, 8)) AS BIGINT) % ${1L << HllSuffixBits} AS sfx
+         |  FROM items
+         |), regs AS (
+         |  SELECT lang, scope, bkt,
+         |    MAX(CASE WHEN sfx = 0 THEN $cap
+         |             ELSE $cap - length(bin(sfx)) END) AS reg
+         |  FROM parts GROUP BY lang, scope, bkt
+         |), agg AS (
+         |  SELECT lang, scope, COUNT(*) AS n_filled,
+         |    CAST(SUM(CAST(1 AS BIGINT) << ($cap - reg)) AS BIGINT) AS s_filled
+         |  FROM regs GROUP BY lang, scope
+         |), est AS (
+         |  SELECT lang, scope, ($m - n_filled) AS v_empty,
+         |    CAST($HllAlpha AS DOUBLE) * $m * $m * ${1L << cap}
+         |      / (s_filled + ($m - n_filled) * ${1L << cap}) AS e_raw
+         |  FROM agg
+         |), exact AS (
+         |  SELECT lang, scope, COUNT(DISTINCT item) AS n_exact
+         |  FROM items GROUP BY lang, scope
+         |)
+         |SELECT exact.lang, exact.scope, n_exact,
+         |  ROUND(CASE WHEN e_raw <= 160.0 AND v_empty > 0
+         |    THEN CAST($m AS DOUBLE) * ln(CAST($m AS DOUBLE) / v_empty)
+         |    ELSE e_raw END, 2) AS hll_estimate,
+         |  ROUND(abs(CASE WHEN e_raw <= 160.0 AND v_empty > 0
+         |    THEN CAST($m AS DOUBLE) * ln(CAST($m AS DOUBLE) / v_empty)
+         |    ELSE e_raw END - n_exact) / n_exact, 4) AS rel_err
+         |FROM exact JOIN est USING (lang, scope)
+         |ORDER BY exact.lang ASC NULLS FIRST, exact.scope ASC NULLS FIRST""".stripMargin
+    },
 
     "c101_kmv_distinct" ->
       s"""WITH hashed AS (
