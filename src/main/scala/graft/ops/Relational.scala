@@ -734,9 +734,51 @@ object Relational {
     * Registers merge by MAX — the map-side-combinable reduction that
     * lets 1000 executors sketch 100 TB in one pass.
     */
-  def hllDeterministic(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The stateless per-item (keys…, bkt, rho) projection behind c119
+    * and the streaming c120 — one shared copy, so the streaming twin
+    * cannot drift from the batch hash geometry.
+    */
+  private[graft] def hllRho(items: DataFrame, keys: Seq[String]): DataFrame = {
+    val cap = HllSuffixBits + 1
+    items
+      .select(keys.map(col) :+
+        expr("CAST(conv(substring(md5(item), 1, 8), 16, 10) AS BIGINT)").as("v"): _*)
+      .select(keys.map(col) :+
+        expr(s"v div ${1L << HllSuffixBits}").as("bkt") :+
+        expr(s"v % ${1L << HllSuffixBits}").as("sfx"): _*)
+      .select(keys.map(col) :+ col("bkt") :+
+        when(col("sfx") === 0, lit(cap))
+          .otherwise(lit(cap) - length(expr("bin(sfx)"))).as("rho"): _*)
+  }
+
+  /** The estimator assembly over a (keys…, bkt, reg) register table:
+    * harmonic sum scaled to an exact 2^27 integer, α·m²·2^27/S, and
+    * the paper's small-range linear-counting branch. Register tables
+    * are the MERGEABLE artifact (max per bucket) — batch partials
+    * and streaming state both reduce to this same input.
+    */
+  private[graft] def hllEstimate(regs: DataFrame, keys: Seq[String]): DataFrame = {
     val m = HllBuckets
     val cap = HllSuffixBits + 1
+    val est = regs.groupBy(keys.map(col): _*)
+      // shiftleft, not pow(2, k): exact integer powers by
+      // construction — the repo's no-libm-pow rule.
+      .agg(count(lit(1)).as("n_filled"),
+        sum(expr(s"CAST(shiftleft(1L, CAST($cap - reg AS INT)) AS BIGINT)"))
+          .as("s_filled"))
+      .select(keys.map(col) :+
+        (lit(m) - col("n_filled")).as("v_empty") :+
+        (col("s_filled") + (lit(m) - col("n_filled")) * (1L << cap)).as("s"): _*)
+      .select(keys.map(col) :+ col("v_empty") :+
+        (expr(s"CAST($HllAlpha AS DOUBLE) * $m * $m * ${1L << cap}") / col("s"))
+          .as("e_raw"): _*)
+    val corrected = when(col("e_raw") <= 2.5 * m && col("v_empty") > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / col("v_empty")))
+      .otherwise(col("e_raw"))
+    est.select(keys.map(col) :+ corrected.as("est"): _*)
+  }
+
+  def hllDeterministic(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.t(spark, sfDir, "documents")
       .select(col("lang"), split(col("text"), " ").as("ws"))
     val items = docs
@@ -747,39 +789,16 @@ object Relational {
           explode(expr(
             "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
             .as("item")))
-    val hashed = items
-      .select(col("lang"), col("scope"),
-        expr("CAST(conv(substring(md5(item), 1, 8), 16, 10) AS BIGINT)").as("v"))
-      .select(col("lang"), col("scope"),
-        expr(s"v div ${1L << HllSuffixBits}").as("bkt"),
-        expr(s"v % ${1L << HllSuffixBits}").as("sfx"))
-    val regs = hashed
-      .select(col("lang"), col("scope"), col("bkt"),
-        when(col("sfx") === 0, lit(cap))
-          .otherwise(lit(cap) - length(expr("bin(sfx)"))).as("rho"))
-      .groupBy(col("lang"), col("scope"), col("bkt"))
+    val keys = Seq("lang", "scope")
+    val regs = hllRho(items, keys)
+      .groupBy(keys.map(col) :+ col("bkt"): _*)
       .agg(max(col("rho")).as("reg"))
-    val est = regs.groupBy(col("lang"), col("scope"))
-      // shiftleft, not pow(2, k): exact integer powers by
-      // construction — the repo's no-libm-pow rule.
-      .agg(count(lit(1)).as("n_filled"),
-        sum(expr(s"CAST(shiftleft(1L, CAST($cap - reg AS INT)) AS BIGINT)"))
-          .as("s_filled"))
-      .select(col("lang"), col("scope"),
-        (lit(m) - col("n_filled")).as("v_empty"),
-        (col("s_filled") + (lit(m) - col("n_filled")) * (1L << cap)).as("s"))
-      .select(col("lang"), col("scope"), col("v_empty"),
-        (expr(s"CAST($HllAlpha AS DOUBLE) * $m * $m * ${1L << cap}") / col("s"))
-          .as("e_raw"))
-    val exact = items.groupBy(col("lang"), col("scope"))
+    val exact = items.groupBy(keys.map(col): _*)
       .agg(countDistinct(col("item")).as("n_exact"))
-    val corrected = when(col("e_raw") <= 2.5 * m && col("v_empty") > 0,
-      lit(m.toDouble) * log(lit(m.toDouble) / col("v_empty")))
-      .otherwise(col("e_raw"))
-    exact.join(est, Seq("lang", "scope"))
+    exact.join(hllEstimate(regs, keys), keys)
       .select(col("lang"), col("scope"), col("n_exact"),
-        round(corrected, 2).as("hll_estimate"),
-        round(abs(corrected - col("n_exact")) / col("n_exact"), 4).as("rel_err"))
+        round(col("est"), 2).as("hll_estimate"),
+        round(abs(col("est") - col("n_exact")) / col("n_exact"), 4).as("rel_err"))
       .orderBy("lang", "scope")
   }
 

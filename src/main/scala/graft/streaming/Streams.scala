@@ -441,6 +441,40 @@ object Streams {
       runToParquet(counts, "complete", "c108"))
   }
 
+  /** c120 — STREAMING HyperLogLog: c119's distinct-vocabulary
+    * estimator as a live topology, and the cleanest possible
+    * demonstration that a sketch IS streaming state — the per-(lang,
+    * bucket) register MAX is associative and insensitive to both
+    * order and duplication, so the complete-mode aggregate over the
+    * stream converges to exactly the batch registers however
+    * AvailableNow slices the files. The stateless rho projection is
+    * [[graft.ops.Relational.hllRho]] (one shared copy — the hash
+    * geometry cannot drift), the state is 64 integers per language
+    * (the whole point of HLL at 100 TB/day: distinct-counting state
+    * that does NOT grow with the stream), and the estimator assembly
+    * runs batch-side on the emitted 64-row-per-lang snapshot (the
+    * c108 bins-sized-snapshot discipline). The exact count joins
+    * from a batch pass over the same corpus; the result must equal
+    * c119's tokens scope exactly.
+    */
+  def streamHll(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.Relational
+    val items = streamTable(spark, sfDir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("item"))
+    val regs = Relational.hllRho(items, Seq("lang"))
+      .groupBy(col("lang"), col("bkt"))
+      .agg(max(col("rho")).as("reg"))
+    val snapshot = runToParquet(regs, "complete", "c120")
+    val exact = graft.Tables.t(spark, sfDir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("item"))
+      .groupBy(col("lang")).agg(countDistinct(col("item")).as("n_exact"))
+    exact.join(Relational.hllEstimate(snapshot, Seq("lang")), Seq("lang"))
+      .select(col("lang"), col("n_exact"),
+        round(col("est"), 2).as("hll_estimate"),
+        round(abs(col("est") - col("n_exact")) / col("n_exact"), 4).as("rel_err"))
+      .orderBy("lang")
+  }
+
   def streamCurate(spark: SparkSession, sfDir: String): DataFrame = {
     // The SAME kernel as batch c31 (TextAnalysis.curateAgg) over the
     // streaming frame — the gate predicates cannot drift between the
@@ -676,7 +710,8 @@ object Streams {
     "c37_stream_enrich" -> (streamEnrich(_, _)),
     "c44_stream_sliding" -> (streamSliding(_, _)),
     "c55_stream_curate" -> (streamCurate(_, _)),
-    "c108_stream_psi_drift" -> (streamPsiDrift(_, _)))
+    "c108_stream_psi_drift" -> (streamPsiDrift(_, _)),
+    "c120_stream_hll" -> (streamHll(_, _)))
 
   /** Identical to b42's oracle: the streaming path must agree with
     * both the batch path and DuckDB on the same input.
@@ -715,6 +750,47 @@ object Streams {
     "c55_stream_curate" -> graft.ops.TextAnalysis.oracle("c31_curate_corpus"),
     // The streaming PSI must converge to the batch monitor exactly.
     "c108_stream_psi_drift" -> graft.ops.Analytics.oracle("c107_psi_drift"),
+    // The tokens scope of c119's estimator, recomputed independently
+    // — the stream's max-merged registers must converge to the batch
+    // sketch exactly.
+    "c120_stream_hll" -> {
+      import graft.ops.Relational
+      val cap = Relational.HllSuffixBits + 1
+      val m = Relational.HllBuckets
+      s"""WITH items AS (
+         |  SELECT lang, unnest(string_split(text, ' ')) AS item FROM documents
+         |), parts AS (
+         |  SELECT lang,
+         |    CAST(('0x' || substr(md5(item), 1, 8)) AS BIGINT) // ${1L << Relational.HllSuffixBits} AS bkt,
+         |    CAST(('0x' || substr(md5(item), 1, 8)) AS BIGINT) % ${1L << Relational.HllSuffixBits} AS sfx
+         |  FROM items
+         |), regs AS (
+         |  SELECT lang, bkt,
+         |    MAX(CASE WHEN sfx = 0 THEN $cap
+         |             ELSE $cap - length(bin(sfx)) END) AS reg
+         |  FROM parts GROUP BY lang, bkt
+         |), agg AS (
+         |  SELECT lang, COUNT(*) AS n_filled,
+         |    CAST(SUM(CAST(1 AS BIGINT) << ($cap - reg)) AS BIGINT) AS s_filled
+         |  FROM regs GROUP BY lang
+         |), est AS (
+         |  SELECT lang, ($m - n_filled) AS v_empty,
+         |    CAST(${Relational.HllAlpha} AS DOUBLE) * $m * $m * ${1L << cap}
+         |      / (s_filled + ($m - n_filled) * ${1L << cap}) AS e_raw
+         |  FROM agg
+         |), exact AS (
+         |  SELECT lang, COUNT(DISTINCT item) AS n_exact FROM items GROUP BY lang
+         |)
+         |SELECT exact.lang, n_exact,
+         |  ROUND(CASE WHEN e_raw <= 160.0 AND v_empty > 0
+         |    THEN CAST($m AS DOUBLE) * ln(CAST($m AS DOUBLE) / v_empty)
+         |    ELSE e_raw END, 2) AS hll_estimate,
+         |  ROUND(abs(CASE WHEN e_raw <= 160.0 AND v_empty > 0
+         |    THEN CAST($m AS DOUBLE) * ln(CAST($m AS DOUBLE) / v_empty)
+         |    ELSE e_raw END - n_exact) / n_exact, 4) AS rel_err
+         |FROM exact JOIN est USING (lang)
+         |ORDER BY exact.lang ASC NULLS FIRST""".stripMargin
+    },
     // b42's aggregate restricted to the watermark-finalized windows:
     // append mode emits exactly the windows whose end the final
     // watermark (max event time − lateness) has passed.
