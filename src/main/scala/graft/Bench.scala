@@ -110,7 +110,12 @@ object Bench {
     def setupIf(cond: Boolean, name: String)(fn: => Unit): Double =
       if (cond) timeSetup(name)(fn) else Double.MaxValue
     val dedupKeys = Seq("c2_", "c3_", "c11_", "c21_", "c22_", "c31_",
-      "c43_", "c50_", "c51_", "c55_", "c64_", "c68_", "c69_")
+      "c43_", "c50_", "c51_", "c55_", "c64_", "c68_", "c69_",
+      // round-10 pair-memo consumers: the graph kernels and the
+      // edit-distance verifier — without the setup posture a
+      // BENCH_ONLY subset run computes the pair table inline and at
+      // 100×/4 GiB that livelocked in GC (measured, SCALE.md).
+      "c98_", "c99_", "c117_")
     val setupBands = setupIf(wanted(dedupKeys: _*), "setup_lsh_bands")(
       ops.Llm.warmBands(spark, sfDir))
     val setupPairs = setupIf(wanted(dedupKeys: _*), "setup_lsh_pairs")(

@@ -615,8 +615,9 @@ object Llm {
       .orderBy("label", "rn")
   }
 
-  /** c111 neighborhood size for the label-prediction eval. */
+  /** c111 neighborhood size and probe-panel budget. */
   private[graft] val KnnEvalK = 5
+  private[graft] val KnnEvalPanel = 128
 
   /** c111 — kNN LABEL-PREDICTION EVALUATION: leave-one-out accuracy
     * of "predict a vector's label from its [[KnnEvalK]] nearest
@@ -640,8 +641,17 @@ object Llm {
     */
   def knnLabelEval(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.t(spark, sfDir, "embeddings")
+    // FIXED-SIZE probe panel, not a fixed fraction: eval precision
+    // depends on the panel's absolute size, so a 1-in-16 sample that
+    // was 125 probes at sf0.1 becomes 12.5k at 100× and the
+    // brute-force eval grows quadratically — the 100× rehearsal
+    // measured exactly that failure. The md5 threshold derives from
+    // the corpus COUNT (the kmSeedStride discipline, mirrored as a
+    // scalar subquery in the oracle): ~[[KnnEvalPanel]] probes at any
+    // corpus size, so eval cost stays linear in n.
+    val t = (KnnEvalPanel.toLong << 32) / NearDup.embCount(spark, sfDir)
     val probes = emb
-      .where(substring(md5(concat(lit("knn:"), col("vec_id").cast("string"))), 1, 1) === "0")
+      .where(expr("CAST(conv(substring(md5(concat('knn:', CAST(vec_id AS STRING))), 1, 8), 16, 10) AS BIGINT)") < t)
       .select(col("vec_id").as("pid"), col("embedding").as("pe"),
         col("label").as("plabel"))
     val scored = emb.join(broadcast(probes), col("vec_id") =!= col("pid"))
@@ -993,7 +1003,8 @@ object Llm {
       s"""WITH probes AS (
          |  SELECT vec_id AS pid, embedding AS pe, label AS plabel
          |  FROM embeddings
-         |  WHERE substr(md5('knn:' || CAST(vec_id AS VARCHAR)), 1, 1) = '0'
+         |  WHERE CAST(('0x' || substr(md5('knn:' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |    < (($KnnEvalPanel * 4294967296) // (SELECT COUNT(*) FROM embeddings))
          |), scored AS (
          |  SELECT pid, plabel, e.label, e.vec_id, ROUND(
          |    list_sum(list_transform(range(1, len(e.embedding) + 1),
