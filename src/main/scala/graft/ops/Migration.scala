@@ -390,7 +390,12 @@ object Migration {
   /** The a18 per-table checksum column spec, shared by the Spark side
     * and the machine-generated oracle (the c78 no-drift discipline):
     * name-ordered columns, each tagged `d` (double → DECIMAL(38,6)
-    * render) or `s` (direct string cast — ints, strings, timestamps).
+    * render), `t` (timestamp → epoch-µs integer render: engine string
+    * rendering of timestamps is NOT portable — fractional-digit counts
+    * differ across engines and fixture vintages, which is exactly how
+    * the r10 driver gate caught a18 red — so the canonical rendering
+    * is the integer both engines compute exactly), or `s` (direct
+    * string cast — ints, strings).
     * `embeddings.embedding` is excluded: float-array rendering is not
     * engine-portable; a production checksum hashes the array's binary
     * encoding instead (the A6 connector seam).
@@ -412,7 +417,7 @@ object Migration {
       "l_partkey" -> 's', "l_quantity" -> 'd', "l_returnflag" -> 's',
       "l_shipdate" -> 's', "l_suppkey" -> 's', "l_tax" -> 'd'),
     "events" -> Seq("event_id" -> 's', "event_type" -> 's', "props" -> 's',
-      "ts" -> 's', "user_id" -> 's', "value" -> 'd'),
+      "ts" -> 't', "user_id" -> 's', "value" -> 'd'),
     "documents" -> Seq("doc_id" -> 's', "lang" -> 's', "n_chars" -> 's',
       "source" -> 's', "text" -> 's'),
     "embeddings" -> Seq("label" -> 's', "vec_id" -> 's'))
@@ -428,14 +433,21 @@ object Migration {
     * INDEPENDENT engines agreeing on the rendered-content sum is
     * exactly the source-cluster / target-cluster verification story
     * (A7's scaladoc seam), with the canonical rendering (doubles via
-    * DECIMAL(38,6), timestamps via ISO text, nulls via coalesce-empty)
-    * pinned so the comparison is engine-portable by construction.
+    * DECIMAL(38,6), timestamps via epoch-µs INTEGERS, nulls via
+    * coalesce-empty) pinned so the comparison is engine-portable by
+    * construction. Timestamps deliberately never pass through an
+    * engine's string formatter: Spark renders µs-precision text,
+    * DuckDB renders ns-precision text under a TIMESTAMP_NS vintage —
+    * `unix_micros` / `epoch_us` yield the same integer from either
+    * vintage of the same instant.
     *
     * Scale shape: one scan per table, a per-row codegen'd md5, and a
     * map-side-combined (count, sum) — the shuffle carries ONE row per
-    * (partition, table). The sum rides DECIMAL(38,0): 1e12 rows ×
-    * 2^32 overflows a long, and DuckDB's SUM(BIGINT) is a hugeint
-    * anyway — (38,0) is the type both engines agree on at any scale.
+    * (partition, table). Each 32-bit row hash is cast to
+    * DECIMAL(38,0) BEFORE the sum: 1e12 rows × 2^32 overflows a
+    * long, and Spark's SUM(BIGINT) stays a (wrapping) long, while
+    * DuckDB's SUM(BIGINT) promotes to hugeint — summing in decimal on
+    * both sides is the only algebra that agrees at any scale.
     * Reads go through [[Tables.canonical]] so the events timestamp
     * vintage cannot skew the rendering.
     */
@@ -443,12 +455,13 @@ object Migration {
     ChecksumCols.map { case (tname, cols) =>
       val frags = cols.map {
         case (c, 'd') => s"coalesce(CAST(CAST($c AS DECIMAL(38,6)) AS STRING), '')"
+        case (c, 't') => s"coalesce(CAST(unix_micros(CAST($c AS TIMESTAMP)) AS STRING), '')"
         case (c, _) => s"coalesce(CAST($c AS STRING), '')"
       }
       val rowHash =
         s"CAST(conv(substring(md5(concat_ws('|', ${frags.mkString(", ")})), 1, 8), 16, 10) AS BIGINT)"
       Tables.canonical(spark, sfDir, tname)
-        .select(expr(rowHash).as("h"))
+        .select(expr(rowHash).cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("h"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("h")).cast(org.apache.spark.sql.types.DecimalType(38, 0))
             .as("checksum"))
@@ -462,12 +475,13 @@ object Migration {
     ChecksumCols.map { case (tname, cols) =>
       val frags = cols.map {
         case (c, 'd') => s"coalesce(CAST(CAST($c AS DECIMAL(38,6)) AS VARCHAR), '')"
+        case (c, 't') => s"coalesce(CAST(epoch_us($c) AS VARCHAR), '')"
         case (c, _) => s"coalesce(CAST($c AS VARCHAR), '')"
       }
       val rowHash =
         s"CAST(('0x' || substr(md5(concat_ws('|', ${frags.mkString(", ")})), 1, 8)) AS BIGINT)"
       s"""SELECT '$tname' AS table_name, COUNT(*) AS n_rows,
-         |  CAST(SUM($rowHash) AS DECIMAL(38,0)) AS checksum
+         |  CAST(SUM(CAST($rowHash AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS checksum
          |FROM $tname""".stripMargin
     }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
       "\n) ORDER BY table_name ASC NULLS FIRST")
