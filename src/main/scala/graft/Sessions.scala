@@ -65,6 +65,17 @@ object Sessions {
     "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16m",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // State-store background maintenance (snapshot + cleanup) is
+    // sized for LONG-RUNNING queries; a verify/bench session instead
+    // drains dozens of bounded AvailableNow streams whose providers
+    // stay loaded after their query stops, so the default 60 s sweep
+    // walks an ever-growing provider list doing tmp-dir I/O under the
+    // later keys (measured: the 11-key streaming family costs 16.9 s
+    // in isolation but 26.9 s at the tail of the full 188-key r10
+    // bench). One 600 s interval means zero background sweeps inside
+    // a session; an unbounded production stream — one query per
+    // cluster, providers actually reused — keeps the default.
+    "spark.sql.streaming.stateStore.maintenanceInterval" -> "600s",
     "spark.ui.enabled" -> "false")
 
   def local(cpus: String): SparkSession.Builder =

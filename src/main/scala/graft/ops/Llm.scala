@@ -343,7 +343,12 @@ object Llm {
     * but edit-distant). Unit-cost Levenshtein is definition-identical
     * in Spark (`levenshtein`, codegen'd) and DuckDB (`levenshtein`),
     * so the distances are EXACT integers and the normalized
-    * similarity 1 − d/max(len) is one exact ratio.
+    * similarity 1 − d/max(len) is one exact ratio. Convention pinned
+    * for the max(len) = 0 corner (two empty texts): edit_sim = 1.0 —
+    * identical strings — guarded explicitly in BOTH engines, because
+    * an unguarded 0/0 is NULL under Spark's non-ANSI division but an
+    * error/NaN path in DuckDB double division (latent on the shipped
+    * all-non-empty fixtures; the contract must not depend on that).
     *
     * Scale shape: the candidates-only discipline is what makes an
     * O(len²)-per-pair metric affordable at all — edit distance runs
@@ -352,6 +357,16 @@ object Llm {
     * the same doc-keyed joins as c3. At 100 TB the per-pair cost is
     * the dial: band-gate first (cheap), verify the survivors here.
     */
+  /** The c117 normalized similarity with its pinned empty-empty
+    * convention — split out so the corner is unit-testable without a
+    * band store.
+    */
+  private[graft] def editSimExpr(ta: Column, tb: Column): Column =
+    when(greatest(length(ta), length(tb)) > 0,
+      round(lit(1.0) - levenshtein(ta, tb) /
+        greatest(length(ta), length(tb)).cast("double"), 4))
+      .otherwise(lit(1.0))
+
   def editDistancePairs(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = minhashPairs(spark, sfDir)
     val docs = Tables.t(spark, sfDir, "documents")
@@ -360,9 +375,7 @@ object Llm {
       .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
-        round(lit(1.0) - levenshtein(col("ta"), col("tb")) /
-          greatest(length(col("ta")), length(col("tb"))).cast("double"), 4)
-          .as("edit_sim"))
+        editSimExpr(col("ta"), col("tb")).as("edit_sim"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -887,9 +900,10 @@ object Llm {
       s"""$oraclePairsCte
          |SELECT doc_a, doc_b,
          |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
-         |  ROUND(1.0 - levenshtein(da.text, db.text)
-         |    / CAST(greatest(length(da.text), length(db.text)) AS DOUBLE), 4)
-         |    AS edit_sim
+         |  CASE WHEN greatest(length(da.text), length(db.text)) > 0
+         |    THEN ROUND(1.0 - levenshtein(da.text, db.text)
+         |      / CAST(greatest(length(da.text), length(db.text)) AS DOUBLE), 4)
+         |    ELSE 1.0 END AS edit_sim
          |FROM pairs
          |JOIN documents da ON da.doc_id = doc_a
          |JOIN documents db ON db.doc_id = doc_b

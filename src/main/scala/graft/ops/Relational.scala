@@ -600,8 +600,17 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
-  /** KMV sketch size — the estimator's space/accuracy dial. */
-  private[graft] val KmvK = 64
+  /** KMV sketch size — the estimator's space/accuracy dial. Sized
+    * BELOW the fixture vocabulary (31 distinct tokens per language)
+    * on purpose: the (k−1)/u_(k) order-statistics branch must
+    * actually execute against the shipped corpus — at k = 64 every
+    * fixture language had fewer than k distinct hashes, u_(k) never
+    * existed, and the estimator (plus its oracle and mergeability
+    * spec) passed vacuously on NULLs (round-10 advisor finding). A
+    * production corpus dials k back up for accuracy (rel err
+    * ~1/√(k−2)); the ALGEBRA under test is k-invariant.
+    */
+  private[graft] val KmvK = 16
 
   /** c101 — KMV (k-minimum-values) distinct-count sketch
     * (Bar-Yossef et al., RANDOM 2002 — public), the DETERMINISTIC

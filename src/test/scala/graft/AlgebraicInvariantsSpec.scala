@@ -146,7 +146,7 @@ class AlgebraicInvariantsSpec extends AnyFunSuite {
     // the union directly. This is what lets a 100 TB sketch reduce
     // map-side.
     val docs = Tables.t(spark, sf, "documents")
-    val k = 64
+    val k = Relational.KmvK
     def mins(d: org.apache.spark.sql.DataFrame): Map[String, Seq[Double]] =
       Relational.kmvHashedU(d).as[(String, Double)].collect()
         .groupBy(_._1).view.mapValues(_.map(_._2).sorted.take(k).toSeq).toMap
@@ -158,6 +158,12 @@ class AlgebraicInvariantsSpec extends AnyFunSuite {
         .distinct.sorted.take(k)
     }.toMap
     assert(merged == whole)
+    // Non-vacuity guard (round-10 advisor): every language must hold a
+    // FULL k-sketch, i.e. the u_(k) the estimator divides by exists —
+    // otherwise this test and the c101 oracle compare NULLs.
+    assert(whole.nonEmpty && whole.values.forall(_.size == k),
+      s"a language's vocabulary fell below KmvK=$k — the estimator " +
+        s"branch is dead on this fixture: ${whole.view.mapValues(_.size).toMap}")
   }
 
   test("triangles (c98): degree-ordered counts equal a naive in-JVM enumeration") {

@@ -121,4 +121,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.head == ((1L, 2L, 1.0)), s"top hit: ${out.head}")
     assert(out(1)._2 == 3L && out(1)._3 < 1.0, s"second: ${out(1)}")
   }
+
+  test("c85: the encoder swap seam reproduces the SQL kernel bit-for-bit, any batch size") {
+    // The worked swap (SCALE.md round 11): encodedFeatures is the one
+    // function a real model replaces; handing it the JVM reference
+    // encoder must reproduce the codegen'd SQL features EXACTLY (both
+    // sides are integer byte sums over the same patch grid, then one
+    // int/int double division), and the downstream top-k must be the
+    // unchanged c85 answer. Batch size 1 and 7 exercise the batching
+    // path including the ragged tail.
+    val media = Multimodal.mediaTable(spark, TestSpark.sf0001)
+    val sql = Multimodal.sqlFeatures(media).orderBy("doc_id").collect().toSeq
+    for (bs <- Seq(1, 7, 64)) {
+      val swapped = Multimodal.encodedFeatures(media, batchSize = bs)(
+        Multimodal.groupMeanEncode).orderBy("doc_id").collect().toSeq
+      assert(swapped == sql, s"batchSize=$bs: seam diverges from SQL kernel")
+    }
+    val viaSeam = Multimodal.topkFromFeatures(
+      Multimodal.encodedFeatures(media)(Multimodal.groupMeanEncode))
+      .as[(Long, Long, Double)].collect().toSeq
+    val direct = Multimodal.mediaEmbedTopk(spark, TestSpark.sf0001)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(viaSeam == direct, "top-k through the seam diverges from c85")
+  }
+
+  test("c85: the seam rejects an encoder that breaks the 8-dim contract") {
+    val media = Multimodal.mediaTable(spark, TestSpark.sf0001)
+    val bad = Multimodal.encodedFeatures(media)(blobs => blobs.map(_ => Array(1.0)))
+    val e = intercept[org.apache.spark.SparkException] { bad.collect() }
+    assert(e.getMessage != null)
+  }
 }

@@ -711,4 +711,18 @@ class OperatorPropertiesSpec extends AnyFunSuite {
     } yield (a, b)).toSet
     assert(got == brute, s"missing: ${(brute -- got).take(5)}; invented: ${(got -- brute).take(5)}")
   }
+
+  test("c117: edit_sim pins the empty-empty corner to 1.0, never NULL/NaN") {
+    // Two empty texts as an LSH candidate pair would hit 0/0: Spark's
+    // non-ANSI division yields NULL, DuckDB double division diverges —
+    // the convention (identical strings → similarity 1.0) is guarded
+    // in both engines' expressions, not left to the fixtures having no
+    // empty text.
+    val rows = Seq(("", ""), ("", "ab"), ("abc", "abc"), ("abc", "axc"))
+      .toDF("ta", "tb")
+      .select(ops.Llm.editSimExpr($"ta", $"tb").as("s")).as[Double].collect()
+    assert(rows(0) == 1.0, s"empty-empty must be 1.0, got ${rows(0)}")
+    assert(rows(1) == 0.0 && rows(2) == 1.0)
+    assert(rows(3) > 0.6 && rows(3) < 0.7)
+  }
 }

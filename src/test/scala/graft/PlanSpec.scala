@@ -505,6 +505,20 @@ class PlanSpec extends AnyFunSuite {
     assert(pushed.contains("o_orderdate"), s"quarter window not pushed:\n$pushed")
   }
 
+  test("b58: both nation legs broadcast; the disjunctive pair residual never goes cartesian") {
+    // Q7's shape promise: the (supp_nation, cust_nation) disjunction is
+    // a residual AFTER two broadcast nation decorations — 25-row dims
+    // must never shuffle, and the residual must never degrade the join
+    // graph to a cross product. The shipdate window pushes to the
+    // lineitem scan so the fact read is already windowed.
+    val p = plan(Relational.q7VolumeShipping(spark, sf))
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      s"both nation legs must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("l_shipdate"), s"ship window not pushed:\n$pushed")
+  }
+
   test("b61: the scalar threshold broadcasts once; dormancy is a hash anti-join") {
     val p = plan(Relational.q22DormantCustomers(spark, sf))
     assert(p.contains("LeftAnti"), p)
