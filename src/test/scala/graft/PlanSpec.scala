@@ -519,6 +519,49 @@ class PlanSpec extends AnyFunSuite {
     assert(pushed.contains("l_shipdate"), s"ship window not pushed:\n$pushed")
   }
 
+  test("b65: Q2's correlated min decorrelates to aggregates + equi-joins, dims broadcast") {
+    // The scalar-subquery shape must never plan as a per-part probe:
+    // one offers aggregate, one part-keyed min aggregate, equi-joined.
+    val p = plan(ops.TpchSuite.q2MinCostSupplier(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), s"euro dim must broadcast:\n$p")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4,
+      s"offers + correlated-min aggregates must be hash aggs (partial+final):\n$p")
+  }
+
+  test("b68/b71: the global scalar threshold costs one fact scan (window over the group table)") {
+    // The tempting two-branch form (aggregate once for groups, again
+    // for the scalar, cross-join back) re-scans the FACT table: AQE
+    // cannot stage-reuse the branches because the outer join infers a
+    // not-null constraint into only one branch's scan, breaking
+    // canonical equality (measured round 11). The window form makes
+    // one fact pass structural — this pin keeps it that way.
+    for (df <- Seq(ops.TpchSuite.q11ImportantStock(spark, sf),
+      ops.TpchSuite.q15TopSupplier(spark, sf))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(p.contains("Window"), s"threshold must be a window over the group table:\n$p")
+      assert(p.linesIterator.count(_.contains("lineitem.parquet")) == 1,
+        s"fact table must be scanned once:\n$p")
+    }
+  }
+
+  test("b74: Q19's disjunction is one residual on one partkey join, one lineitem scan") {
+    val p = plan(ops.TpchSuite.q19DisjunctiveRevenue(spark, sf))
+    assert(p.linesIterator.count(_.contains("lineitem.parquet")) == 1,
+      s"the OR must not union scans:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("l_quantity"), s"qty prefix of the disjunction not pushed:\n$pushed")
+  }
+
+  test("b76: Q21's double EXISTS is one grouped pass — lineitem scanned once, no cartesian") {
+    val p = plan(ops.TpchSuite.q21WaitingSuppliers(spark, sf))
+    assert(p.linesIterator.count(_.contains("lineitem.parquet")) == 1,
+      s"the two correlated EXISTS must fold into the grouped pass:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("b61: the scalar threshold broadcasts once; dormancy is a hash anti-join") {
     val p = plan(Relational.q22DormantCustomers(spark, sf))
     assert(p.contains("LeftAnti"), p)
