@@ -158,7 +158,28 @@ object Plans {
           "means collapse map-side to (type, replicate) partials."),
       "c117_edit_distance_pairs" ->
         ("Levenshtein runs ONLY on the memoized LSH pair table (InMemoryTableScan) " +
-          "— the candidates-only discipline for an O(len^2)-per-pair metric."))
+          "— the candidates-only discipline for an O(len^2)-per-pair metric."),
+      "b77_interval_coalesce" ->
+        ("EXACTLY ONE hash exchange (user_id): the island window and both " +
+          "downstream aggregations all run on the same partitioning — " +
+          "grouping keys are supersets of the window partition key."),
+      "b78_resample_ffill" ->
+        ("Events collapse to (user, day) grain BEFORE any join; the date " +
+          "spine is a per-user sequence explode (Generate), never a " +
+          "global-calendar cross join; forward fill is one user window."),
+      "c121_kmv_pair_overlap" ->
+        ("Per-source sketch rank runs as WindowGroupLimit (partition-local " +
+          "k before the exchange); the pair stage joins k-row sketches only " +
+          "— the gram streams are never pair-joined for the estimator " +
+          "(the exact audit join is the fixture-affordable exception)."),
+      "c125_basket_lift" ->
+        ("Part dimension broadcasts into the lineitem scan; pair generation " +
+          "is an orderkey equi-join (within-basket, no cartesian); brand " +
+          "marginals and the basket total broadcast."),
+      "c126_window_funnel" ->
+        ("Both stage joins are user_id equi-joins with the 7-day window as " +
+          "residual; each collapses map-side to the earliest qualifying " +
+          "next stage; no cartesian product."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans` on ")
       .append(sfDir).append(")\n\n")

@@ -11,7 +11,7 @@ object SparkEntry {
     Migration.queries ++ Relational.queries ++ Windows.queries ++
       Functions.queries ++ Llm.queries ++ NearDup.queries ++
       TextAnalysis.queries ++ Multimodal.queries ++ Retrieval.queries ++
-      Analytics.queries ++ TpchSuite.queries ++
+      Analytics.queries ++ TpchSuite.queries ++ Insights.queries ++
       graft.streaming.Streams.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (b18_approx_distinct: HLL
@@ -21,6 +21,6 @@ object SparkEntry {
     Migration.oracle ++ Relational.oracle ++ Windows.oracle ++
       Functions.oracle ++ Llm.oracle ++ NearDup.oracle ++
       TextAnalysis.oracle ++ Multimodal.oracle ++ Retrieval.oracle ++
-      Analytics.oracle ++ TpchSuite.oracle ++
+      Analytics.oracle ++ TpchSuite.oracle ++ Insights.oracle ++
       graft.streaming.Streams.oracle
 }

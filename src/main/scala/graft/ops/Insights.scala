@@ -1,0 +1,922 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.{Canon, Tables}
+
+/** Round-11 decision-analytics family: the operators an analytics
+  * engine grows once the warehouse basics (Relational), event
+  * histories (Analytics) and curation pipelines (TextAnalysis) are in
+  * place — interval algebra, time-series resampling, cross-corpus
+  * sketch comparison, the nonparametric/categorical halves of the A/B
+  * toolkit, rule mining, budget allocation, and skyline queries.
+  *
+  * House canon throughout (SURVEY §5.3): timestamps travel as epoch-µs
+  * longs ([[Tables.tsUs]]); every count/interval is exact integer
+  * arithmetic; stored doubles travel untouched (bit-exact cross-
+  * engine); derived ratios are ONE IEEE expression over exact inputs
+  * rounded at 1e-4; deterministic hashing is md5 (never an
+  * engine-private seed). Deterministic total orders everywhere a
+  * window or emission needs one.
+  */
+object Insights {
+
+  private val DayUs = 86400000000L
+
+  // --- b77: interval coalescing (gaps-and-islands merge) -----------
+
+  /** Half-open activity interval width: each event opens 30 min. */
+  private[graft] val IntervalUs = 1800000000L
+
+  /** b77 — interval coalescing: give every event a half-open activity
+    * interval `[ts, ts+30min)` and merge each user's overlapping or
+    * touching intervals into maximal islands — the gaps-and-islands
+    * operator behind availability windows, on-call coverage, and
+    * session stitching (the inverse view of b44's gap sessions: there
+    * the GAP defines the boundary, here the OVERLAP defines the
+    * merge).
+    *
+    * Shape: one hash shuffle on `user_id` serves everything — the
+    * running `max(end)` window detects island starts
+    * (`start > max(end) over preceding`), the running sum numbers
+    * islands, and both downstream aggregations group by
+    * `(user_id, island)` / `user_id`, which `HashPartitioning(user_id)`
+    * already satisfies (grouping keys ⊇ partitioning keys), so
+    * Catalyst inserts NO second exchange. At 100 TB this is one
+    * shuffle of the events table, then map-local work.
+    *
+    * Determinism: pure integer µs arithmetic end-to-end; the window
+    * order `(start, event_id)` is total (event_id unique).
+    */
+  def intervalCoalesce(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.t(spark, sfDir, "events")
+    val iv = ev.select(col("user_id"), col("event_id"),
+      Tables.tsUs(ev).as("s"),
+      (Tables.tsUs(ev) + lit(IntervalUs)).as("e"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("s").asc, col("event_id").asc)
+    val withIsland = iv
+      .withColumn("prev_max_e",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max_e").isNull || col("s") > col("prev_max_e"), 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum(col("new_island")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    withIsland
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("s")).as("istart"), max(col("e")).as("iend"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("iend") - col("istart")).as("covered_us"),
+        max(col("iend") - col("istart")).as("longest_us"))
+      .orderBy("user_id")
+  }
+
+  // --- b78: daily resample + forward fill --------------------------
+
+  /** b78 — time-series resampling: snap each user's irregular event
+    * stream to a DAILY grid from their first to last active day,
+    * carry the day's closing `value` (last observation by
+    * `(ts, event_id)`), and forward-fill silent days from the prior
+    * close — the gap-filling step every downstream window/trend
+    * operator (b26/b27, c91, c112) implicitly assumes has already
+    * happened on calendar-gridded data.
+    *
+    * Shape built for 100 TB: raw events collapse to `(user, day)`
+    * grain FIRST (one map-side-combinable max-of-struct aggregate —
+    * the struct's `(ts_us, event_id)` prefix is a total order, so
+    * `max` IS "last observation"), and only day-grain rows ever reach
+    * the spine join and the forward-fill window. The date spine is
+    * `sequence(min_day, max_day)` exploded per user — output rows =
+    * Σ user spans, never a cross join against a global calendar.
+    *
+    * Determinism: days are integer µs-div; `value` is a STORED double
+    * carried untouched (bit-exact cross-engine); the fill window's
+    * `last(ignore nulls)` over `ORDER BY day` is total per user.
+    */
+  def resampleFfill(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.t(spark, sfDir, "events")
+    val e = ev.select(col("user_id"), col("event_id"), col("value"),
+        Tables.tsUs(ev).as("ts_us"))
+      .withColumn("day", expr(s"ts_us div $DayUs"))
+    val closes = e
+      .groupBy(col("user_id"), col("day"))
+      .agg(max(struct(col("ts_us"), col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("day"), col("m.value").as("close"))
+    val spine = closes
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+      .select(col("user_id"),
+        explode(sequence(col("dmin"), col("dmax"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(closes, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        last(col("close"), ignoreNulls = true).over(w).as("value"),
+        when(col("close").isNotNull, 1).otherwise(0).as("observed"))
+      .orderBy("user_id", "day")
+  }
+
+  // --- c121: KMV pairwise set-overlap sketches ---------------------
+
+  /** Sketch size for the pairwise overlap estimator (rel err
+    * ~1/√(k−2) ≈ 18%; the fixture trigram vocabularies are in the
+    * thousands, so the order-statistics branch always executes —
+    * the c101/round-10 lesson). */
+  private[graft] val PairK = 32
+
+  /** The md5 dyadic hash shared with c101's KMV (Relational.scala):
+    * first 8 hex digits → uniform u ∈ (0,1). */
+  private def mdU(c: Column): Column =
+    (conv(substring(md5(c), 1, 8), 16, 10).cast("double") + lit(0.5)) /
+      lit(4294967296.0)
+
+  /** Distinct (source, trigram-shingle) stream over `documents` —
+    * word TRIgrams, because the fixture's 20 sources share one
+    * ~31-word pool: unigram and bigram vocabularies saturate to
+    * near-identical sets, while the ~30k-slot trigram space stays
+    * partially filled per source and pairwise overlap is a real
+    * quantity to estimate. Exposed for the mergeability spec.
+    */
+  private[graft] def sourceGrams(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, size(ws)-3), i -> " +
+          "concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")).as("g"))
+      .distinct()
+
+  /** c121 — pairwise corpus overlap by KMV sketch (Bar-Yossef et al.
+    * RANDOM 2002; Beyer et al. SIGMOD 2007's distinct-value synopses
+    * — public): estimate, for every pair of document sources, the
+    * Jaccard similarity and intersection size of their trigram
+    * vocabularies FROM k-SIZED SKETCHES ALONE — the cross-corpus
+    * contamination/overlap audit that at 100 TB must not join two
+    * token streams (c29's decontamination joins actual grams; THIS
+    * answers "which corpus pairs are worth that join" from synopses).
+    *
+    * Algebra (per pair A,B): merge the two k-min sketches, re-take
+    * the k smallest of the union; ρ = fraction of those present in
+    * BOTH sketches estimates Jaccard; (k−1)/u_(k) of the merged
+    * sketch estimates |A∪B|; their product estimates |A∩B|. All
+    * md5-deterministic, so the WHOLE estimator hash-verifies
+    * cross-engine; the exact Jaccard/intersection ride along as
+    * audit columns (fixture-affordable; at scale you'd ship only the
+    * sketch columns — 20 sources × k rows, kilobytes from 100 TB).
+    *
+    * Scale: sketches are per-source k-row tables (WindowGroupLimit
+    * prunes each partition to local k before the exchange); the pair
+    * stage joins 190 × 2k rows — driver-trivial at ANY corpus size.
+    */
+  def kmvPairOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = sourceGrams(Tables.t(spark, sfDir, "documents"))
+    // Exact audit: distinct-gram counts and pairwise intersections.
+    val nExact = grams.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairsExact = grams.as("x").join(grams.as("y"),
+        col("x.g") === col("y.g") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("inter_exact"))
+    // Sketches: k smallest distinct hash values per source.
+    val hashed = grams.select(col("source"), mdU(col("g")).as("u")).distinct()
+    val sk = hashed
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("u").asc)))
+      .where(col("rn") <= PairK)
+      .select(col("source"), col("u"))
+    // Every source pair; merge the two sketches, k smallest of union.
+    val srcs = nExact.select(col("source"))
+    val pairs = srcs.as("a").join(srcs.as("b"),
+        col("a.source") < col("b.source"))
+      .select(col("a.source").as("sa"), col("b.source").as("sb"))
+    val merged = pairs.join(sk.as("ska"), col("sa") === col("ska.source"))
+      .select(col("sa"), col("sb"), col("ska.u").as("u"),
+        lit(1L).as("in_a"), lit(0L).as("in_b"))
+      .unionAll(pairs.join(sk.as("skb"), col("sb") === col("skb.source"))
+        .select(col("sa"), col("sb"), col("skb.u").as("u"),
+          lit(0L).as("in_a"), lit(1L).as("in_b")))
+      .groupBy(col("sa"), col("sb"), col("u"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("sa"), col("sb")).orderBy(col("u").asc)))
+      .where(col("rn") <= PairK)
+    val est = merged.groupBy(col("sa"), col("sb"))
+      .agg(sum(col("in_a") * col("in_b")).as("matches"),
+        max(when(col("rn") === PairK, col("u"))).as("uk"))
+    pairsExact
+      .join(nExact.withColumnRenamed("source", "source_a")
+        .withColumnRenamed("n", "n_a"), Seq("source_a"))
+      .join(nExact.withColumnRenamed("source", "source_b")
+        .withColumnRenamed("n", "n_b"), Seq("source_b"))
+      .join(est, col("source_a") === col("sa") && col("source_b") === col("sb"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("inter_exact"),
+        round(col("inter_exact").cast("double") /
+          (col("n_a") + col("n_b") - col("inter_exact")), 4).as("j_exact"),
+        round(col("matches").cast("double") / lit(PairK), 4).as("j_kmv"),
+        round(lit(PairK - 1) / col("uk"), 2).as("d_union_est"),
+        round(col("matches").cast("double") / lit(PairK) *
+          (lit(PairK - 1) / col("uk")), 2).as("inter_est"))
+      .orderBy("source_a", "source_b")
+  }
+
+  // --- c122: chi-squared test of proportions -----------------------
+
+  /** The per-USER A/B arm — md5 on user_id (c90's split hashes
+    * event_id because its unit is the event; a PROPORTIONS test's
+    * unit is the user). */
+  private def userArmA(u: Column): Column =
+    substring(md5(concat(lit("arm:"), u.cast("string"))), 1, 1) < "8"
+
+  /** Conversion cut for c122: the user's FIRST event of the type has
+    * `value` above this (the fixture median is ~35, so the Bernoulli
+    * sits well inside (0,1) — every user performing every type made a
+    * has-the-event definition degenerate: all four 2×2 margins
+    * saturated and χ²'s denominator was zero). */
+  private[graft] val ConvCut = 50.0
+
+  /** c122 — Pearson chi-squared test of proportions (Pearson 1900 —
+    * public): for each event type, does the fraction of CONVERTING
+    * users differ between the md5-split A/B arms? The CATEGORICAL
+    * half of the experiment readout — c90's Welch t compares means of
+    * a continuous metric, this compares rates, which is what most
+    * product experiments actually ship on. Conversion = the user's
+    * first event of the type (by `(ts, event_id)`) carries
+    * `value > `[[ConvCut]] — exactly one Bernoulli per (user, type),
+    * so the rate cannot saturate with corpus size.
+    *
+    * χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) over the 2×2 table of
+    * exact integer user counts — one IEEE expression rounded at 1e-4,
+    * NULL-guarded on a degenerate margin (ANSI division would throw;
+    * at planetary user counts the int64→double products lose ulps —
+    * swap the four factors to DECIMAL(38,0), same plan shape).
+    *
+    * Shape: first-event-per-(user,type) is one map-side-combinable
+    * min-of-struct aggregate; everything after runs on (users × 5)
+    * rows at any corpus size.
+    */
+  def chi2Proportions(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.t(spark, sfDir, "events")
+    val firsts = ev
+      .select(col("user_id"), col("event_type"), col("value"),
+        Tables.tsUs(ev).as("ts_us"), col("event_id"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(struct(col("ts_us"), col("event_id"), col("value"))).as("f"))
+      .select(col("user_id"), col("event_type"),
+        (col("f.value") > ConvCut).as("conv"))
+      .withColumn("a", userArmA(col("user_id")))
+    val t = firsts.groupBy(col("event_type"))
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("a") && col("conv"), 1L).otherwise(0L)).as("conv_a"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("a") && col("conv"), 1L).otherwise(0L)).as("conv_b"))
+    val (aa, bb, cc, dd) = (col("conv_a").cast("double"),
+      (col("n_a") - col("conv_a")).cast("double"),
+      col("conv_b").cast("double"),
+      (col("n_b") - col("conv_b")).cast("double"))
+    val denom = (aa + bb) * (cc + dd) * (aa + cc) * (bb + dd)
+    t.select(col("event_type"), col("n_a"), col("conv_a"),
+        col("n_b"), col("conv_b"),
+        round(aa / col("n_a"), 4).as("rate_a"),
+        round(cc / col("n_b"), 4).as("rate_b"),
+        when(denom > 0.0,
+          round((aa + bb + cc + dd) * (aa * dd - bb * cc) * (aa * dd - bb * cc)
+            / denom, 4)).as("chi2"))
+      .orderBy("event_type")
+  }
+
+  // --- c123: Mann–Whitney U test -----------------------------------
+
+  /** c123 — Mann–Whitney U rank-sum test (Mann & Whitney 1947 —
+    * public), tie-corrected: the NONPARAMETRIC complement of c90's
+    * Welch t — heavy-tailed per-user revenue metrics violate t's
+    * normality assumption, rank tests don't care. Unit = user; metric
+    * = the user's exact-decimal total `value` per event type; arms =
+    * c122's md5 user split.
+    *
+    * Ranks: average-rank-of-ties = `rank() + (ties−1)/2` — integers
+    * and exact halves, so R₁ and U₁ are EXACT (emitted at their own
+    * 0.5 grain); the tie term T = Σ(t³−t) is exact integer; only the
+    * final z is an IEEE expression, rounded at 1e-4. Metric ties are
+    * engine-consistent because the metric is an exact decimal sum
+    * emitted as double.
+    *
+    * Scale: ranking sorts USERS-×-5 rows (the per-user aggregate, not
+    * raw events) — a range-partitioned sort at any population; the
+    * raw table is touched once, map-side combined.
+    */
+  def mannWhitneyU(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.t(spark, sfDir, "events")
+    val metric = ev
+      .select(col("user_id"), col("event_type"), col("value"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(Canon.dsum(col("value")).as("m"))
+      .withColumn("a", userArmA(col("user_id")))
+    val ranked = metric
+      .withColumn("rk", rank().over(
+        Window.partitionBy(col("event_type")).orderBy(col("m").asc)).cast("long"))
+      .withColumn("tcnt", count(lit(1)).over(
+        Window.partitionBy(col("event_type"), col("m"))))
+      .withColumn("avg_rk",
+        col("rk").cast("double") + (col("tcnt") - 1).cast("double") / 2.0)
+    val ties = ranked.groupBy(col("event_type"), col("m"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("t") * col("t") * col("t") - col("t")).as("tie_term"))
+    val agg = ranked.groupBy(col("event_type"))
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("a"), col("avg_rk")).otherwise(lit(0.0))).as("r1"))
+      .join(ties, Seq("event_type"))
+    val n = (col("n1") + col("n2")).cast("double")
+    val u1 = col("r1") - col("n1").cast("double") *
+      (col("n1") + 1).cast("double") / 2.0
+    val mu = col("n1").cast("double") * col("n2").cast("double") / 2.0
+    val varU = col("n1").cast("double") * col("n2").cast("double") / 12.0 *
+      ((n + 1.0) - col("tie_term").cast("double") / (n * (n - 1.0)))
+    agg.select(col("event_type"), col("n1"), col("n2"),
+        round(u1, 1).as("u_stat"),
+        // Nested guard: the outer n>1 keeps the tie term's n(n−1)
+        // divisor from evaluating on a 1-row group (ANSI throws).
+        when(n > 1.0, when(varU > 0.0, round((u1 - mu) / sqrt(varU), 4)))
+          .as("z"))
+      .orderBy("event_type")
+  }
+
+  // --- c124: Benford first-digit audit ------------------------------
+
+  /** c124 — Benford's-law first-digit audit (Newcomb 1881 / Benford
+    * 1938 — public; the fraud/data-quality screen): the distribution
+    * of leading significant digits of `o_totalprice` against
+    * log10(1+1/d), with per-digit χ² contributions. (TPC-H-ish
+    * uniform prices do NOT follow Benford — the audit's job is to
+    * SAY so, loudly, per digit.)
+    *
+    * Determinism: the leading digit is taken from the INTEGER-cents
+    * rendering (`round(price·100)` is an exact integer in both
+    * engines; integer→string is engine-identical — never
+    * `floor(log10(x))`, whose FP boundary misclassifies exact powers
+    * of ten). The 1..9 digit spine is generated, so absent digits
+    * still emit their expected-count row. One map-side-combined
+    * 9-group aggregate — trivially 100 TB-safe.
+    */
+  def benfordAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.t(spark, sfDir, "orders")
+    val digits = orders
+      .select(substring(round(col("o_totalprice") * 100).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val total = orders.agg(count(lit(1)).as("n"))
+    val spine = spark.range(1, 10).select(col("id").cast("int").as("digit"))
+    val pBen = log(10.0, lit(1.0) + lit(1.0) / col("digit").cast("double"))
+    spine.join(digits, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+      .crossJoin(broadcast(total))
+      .select(col("digit"), col("n_obs"),
+        round(col("n_obs").cast("double") / col("n"), 4).as("p_obs"),
+        round(pBen, 4).as("p_benford"),
+        round((col("n_obs").cast("double") - col("n") * pBen) *
+          (col("n_obs").cast("double") - col("n") * pBen) /
+          (col("n") * pBen), 4).as("chi2_contrib"))
+      .orderBy("digit")
+  }
+
+  // --- c125: market-basket association rules ------------------------
+
+  /** Minimum co-occurrence count for an emitted rule. */
+  private[graft] val BasketMinPairN = 10L
+
+  /** c125 — market-basket association rules (Agrawal et al. SIGMOD
+    * 1993's support/confidence, lift per Brin et al. 1997 — public):
+    * which part BRANDS are ordered together more often than chance?
+    * Baskets = orders, items = the order's distinct brands; emit
+    * support, directional confidence, and lift for every pair above
+    * [[BasketMinPairN]].
+    *
+    * Scale shape: the pair generator is a SELF-JOIN WITHIN THE
+    * BASKET — items are first deduped to (order, brand), then joined
+    * on the order key, so the work is Σ basket_size², bounded by the
+    * lines-per-order ceiling (TPC-H ≤ 7) — NEVER a global item×item
+    * product. Brand marginals are a 25-row broadcast; the part
+    * dimension broadcasts into the lineitem scan. One fact shuffle
+    * (on orderkey) total.
+    *
+    * Determinism: counts exact; support/confidence/lift are single
+    * IEEE divisions of exact int64 products rounded at 1e-4; output
+    * ordered by the (brand_a, brand_b) key, never by a rounded
+    * measure.
+    */
+  def basketLift(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.t(spark, sfDir, "lineitem")
+    val part = Tables.t(spark, sfDir, "part")
+    val items = li.select(col("l_orderkey"), col("l_partkey"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+      .distinct()
+    val nBaskets = items.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val brandN = items.groupBy(col("brand")).agg(count(lit(1)).as("bn"))
+    val pairs = items.as("x").join(items.as("y"),
+        col("x.ok") === col("y.ok") && col("x.brand") < col("y.brand"))
+      .groupBy(col("x.brand").as("brand_a"), col("y.brand").as("brand_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= BasketMinPairN)
+    pairs
+      .join(broadcast(brandN.withColumnRenamed("brand", "brand_a")
+        .withColumnRenamed("bn", "n_a")), Seq("brand_a"))
+      .join(broadcast(brandN.withColumnRenamed("brand", "brand_b")
+        .withColumnRenamed("bn", "n_b")), Seq("brand_b"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("brand_a"), col("brand_b"), col("n_ab"), col("n_a"),
+        col("n_b"),
+        round(col("n_ab").cast("double") / col("n_baskets"), 4).as("support"),
+        round(col("n_ab").cast("double") / col("n_a"), 4).as("conf_a_to_b"),
+        round(col("n_ab").cast("double") * col("n_baskets") /
+          (col("n_a").cast("double") * col("n_b")), 4).as("lift"))
+      .orderBy("brand_a", "brand_b")
+  }
+
+  // --- c126: windowed funnel ---------------------------------------
+
+  /** Funnel completion window: 7 days from the anchoring view. */
+  private[graft] val FunnelWUs = 604800000000L
+
+  /** c126 — windowed funnel (the ClickHouse `windowFunnel` shape —
+    * public): per user, the deepest view → click → purchase prefix
+    * completed WITHIN 7 DAYS of the anchoring view, maximized over
+    * all view anchors. c74's funnel is unconstrained-lifetime; real
+    * product funnels expire — "purchased six months after clicking"
+    * is not a conversion.
+    *
+    * Shape: two stage joins, each an equi-join on `user_id` with the
+    * window predicate as the residual — within-user stage pairs are
+    * generated and filtered, then collapsed to the earliest
+    * qualifying next-stage time by a map-side-combinable min. Cost is
+    * Σ_user (views·clicks + anchors·purchases): bounded by per-user
+    * activity, never cross-user. At 100 TB the dial is c77's bucket
+    * trick — add a `(user, 7-day-bucket)` key to both sides (+1
+    * neighbor probe) and the residual window shrinks to adjacent
+    * buckets; the fixture's per-user volumes don't need it.
+    *
+    * Determinism: pure integer µs comparisons; depth ∈ {1,2,3} exact.
+    */
+  def windowFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.t(spark, sfDir, "events")
+    val e = ev.select(col("user_id"), col("event_type"),
+      Tables.tsUs(ev).as("ts"))
+    def stage(t: String, as: String) =
+      e.where(col("event_type") === t).select(col("user_id"), col("ts").as(as))
+    val v = stage("view", "vts")
+    val c = stage("click", "cts")
+    val p = stage("purchase", "pts")
+    val vc = v.join(c, Seq("user_id"))
+      .where(col("cts") > col("vts") && col("cts") <= col("vts") + FunnelWUs)
+      .groupBy(col("user_id"), col("vts")).agg(min(col("cts")).as("c1"))
+    val vcp = vc.join(p, Seq("user_id"))
+      .where(col("pts") > col("c1") && col("pts") <= col("vts") + FunnelWUs)
+      .groupBy(col("user_id"), col("vts"), col("c1"))
+      .agg(min(col("pts")).as("p1"))
+    v.join(vc.select(col("user_id"), col("vts"), col("c1")),
+        Seq("user_id", "vts"), "left")
+      .join(vcp.select(col("user_id"), col("vts"), col("p1")),
+        Seq("user_id", "vts"), "left")
+      .select(col("user_id"),
+        (lit(1) + when(col("c1").isNotNull, 1).otherwise(0) +
+          when(col("p1").isNotNull, 1).otherwise(0)).as("depth"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_anchors"), max(col("depth")).as("best_depth"))
+      .orderBy("user_id")
+  }
+
+  // --- c127: largest-remainder budget allocation --------------------
+
+  /** Units to allocate across nations. */
+  private[graft] val AllocUnits = 10000L
+
+  /** c127 — largest-remainder (Hamilton) apportionment (public; the
+    * method behind seat apportionment and every billing/budget
+    * spread): distribute [[AllocUnits]] indivisible units across
+    * nations proportionally to customer order revenue — floor shares
+    * first, then the leftover units to the largest fractional
+    * remainders (nation name as the deterministic tie-break). The
+    * operator every cost-attribution/quota pipeline needs the moment
+    * "proportional" must sum EXACTLY to the budget.
+    *
+    * Exactness: revenue travels as integer cents (price·100 rounds to
+    * the same exact integer in both engines) summed in DECIMAL(38,0);
+    * shares are integer `div`; remainders are exact integers — the
+    * whole allocation is integer arithmetic, hash-exact by
+    * construction. The windows (total, leftover, remainder rank) run
+    * on the 25-row nation aggregate — global single-partition windows
+    * on a GROUP-COUNT-sized table, the documented c84/c110 posture.
+    */
+  def largestRemainderAlloc(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.t(spark, sfDir, "orders")
+    val cust = Tables.t(spark, sfDir, "customer")
+    val nation = Tables.t(spark, sfDir, "nation")
+    val rev = orders
+      .join(broadcast(cust.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(round(col("o_totalprice") * 100).cast(DecimalType(38, 0)))
+        .as("rev_c"))
+    val wAll = Window.partitionBy()
+    val alloc = rev
+      .withColumn("t_c", sum(col("rev_c")).over(wAll))
+      .withColumn("base", expr(s"CAST($AllocUnits AS DECIMAL(38,0)) * rev_c div t_c"))
+      .withColumn("rem",
+        (lit(AllocUnits).cast(DecimalType(38, 0)) * col("rev_c") -
+          col("base").cast(DecimalType(38, 0)) * col("t_c")).cast("long"))
+      .withColumn("leftover", lit(AllocUnits) - sum(col("base")).over(wAll))
+      .withColumn("rrank", row_number().over(
+        wAll.orderBy(col("rem").desc, col("n_name").asc)).cast("long"))
+    alloc.select(col("n_name"), col("rev_c").cast("long").as("rev_cents"),
+        col("base"),
+        (col("base") + when(col("rrank") <= col("leftover"), 1L).otherwise(0L))
+          .as("alloc"))
+      .orderBy("n_name")
+  }
+
+  // --- c128: 2-D Pareto frontier (skyline) --------------------------
+
+  /** c128 — Pareto frontier / skyline (Börzsönyi et al. ICDE 2001's
+    * SKYLINE OF — public): the parts no other part beats on BOTH
+    * price (lower better) and size (higher better) — the
+    * best-value frontier behind "show me the non-dominated options"
+    * in any two-criteria ranking.
+    *
+    * Spark-first shape: the naive skyline is an O(n²) dominance
+    * self-join; in 2-D it collapses to ONE SORT + A PREFIX MAX —
+    * dedup to distinct (price, size) points, order by (price asc,
+    * size desc), keep a point iff its size strictly exceeds the
+    * running max over all STRICTLY-preceding rows (those all have
+    * price ≤, so a ≥ size there means dominated; equal points were
+    * deduped, so the survivor set is exactly the strict-dominance
+    * skyline). That is a range-partitionable sort at 100 TB — the
+    * classic sort-filter skyline — and the frontier emitted is
+    * monotone by construction (audit property: size strictly
+    * increases with price along the output).
+    *
+    * Determinism: stored doubles compared and grouped bit-exact;
+    * counts exact; no arithmetic at all.
+    */
+  def paretoFrontier(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = Tables.t(spark, sfDir, "part")
+    val pts = part.groupBy(col("p_retailprice").as("price"),
+        col("p_size").as("size"))
+      .agg(count(lit(1)).as("n_parts"))
+    val w = Window.orderBy(col("price").asc, col("size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts.withColumn("runmax", max(col("size")).over(w))
+      .where(col("runmax").isNull || col("size") > col("runmax"))
+      .select(col("price"), col("size"), col("n_parts"))
+      .orderBy("price")
+  }
+
+  // --- registry ----------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b77_interval_coalesce" -> (intervalCoalesce(_, _)),
+    "b78_resample_ffill" -> (resampleFfill(_, _)),
+    "c121_kmv_pair_overlap" -> (kmvPairOverlap(_, _)),
+    "c122_chi2_proportions" -> (chi2Proportions(_, _)),
+    "c123_mann_whitney_u" -> (mannWhitneyU(_, _)),
+    "c124_benford_audit" -> (benfordAudit(_, _)),
+    "c125_basket_lift" -> (basketLift(_, _)),
+    "c126_window_funnel" -> (windowFunnel(_, _)),
+    "c127_largest_remainder_alloc" -> (largestRemainderAlloc(_, _)),
+    "c128_pareto_frontier" -> (paretoFrontier(_, _)))
+
+  val oracle: Map[String, String] = Map(
+    "b77_interval_coalesce" ->
+      s"""WITH iv AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS s,
+         |    epoch_us(ts) + $IntervalUs AS e
+         |  FROM events
+         |), marked AS (
+         |  SELECT user_id, s, e, event_id,
+         |    CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1 ELSE 0 END
+         |      AS new_island
+         |  FROM (
+         |    SELECT user_id, s, e,
+         |      max(e) OVER (PARTITION BY user_id
+         |        ORDER BY s ASC NULLS FIRST, event_id ASC NULLS FIRST
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |        AS prev_max_e,
+         |      event_id
+         |    FROM iv
+         |  )
+         |), numbered AS (
+         |  SELECT user_id, s, e,
+         |    sum(new_island) OVER (PARTITION BY user_id
+         |      ORDER BY s ASC NULLS FIRST, event_id ASC NULLS FIRST
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM marked
+         |), islands AS (
+         |  SELECT user_id, island, min(s) AS istart, max(e) AS iend
+         |  FROM numbered GROUP BY user_id, island
+         |)
+         |SELECT user_id, COUNT(*) AS n_islands,
+         |  CAST(SUM(iend - istart) AS BIGINT) AS covered_us,
+         |  max(iend - istart) AS longest_us
+         |FROM islands GROUP BY user_id
+         |ORDER BY user_id ASC NULLS FIRST""".stripMargin,
+
+    "b78_resample_ffill" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+         |    epoch_us(ts) // $DayUs AS day
+         |  FROM events
+         |), closes AS (
+         |  SELECT user_id, day, value AS close FROM (
+         |    SELECT user_id, day, value, row_number() OVER (
+         |      PARTITION BY user_id, day
+         |      ORDER BY ts_us DESC, event_id DESC) AS rn
+         |    FROM e
+         |  ) WHERE rn = 1
+         |), bounds AS (
+         |  SELECT user_id, min(day) AS dmin, max(day) AS dmax
+         |  FROM closes GROUP BY user_id
+         |), spine AS (
+         |  SELECT user_id, unnest(generate_series(dmin, dmax)) AS day
+         |  FROM bounds
+         |)
+         |SELECT s.user_id, s.day,
+         |  last_value(c.close IGNORE NULLS) OVER (
+         |    PARTITION BY s.user_id ORDER BY s.day ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+         |  CASE WHEN c.close IS NOT NULL THEN 1 ELSE 0 END AS observed
+         |FROM spine s LEFT JOIN closes c
+         |  ON s.user_id = c.user_id AND s.day = c.day
+         |ORDER BY s.user_id ASC NULLS FIRST, s.day ASC NULLS FIRST""".stripMargin,
+
+    "c121_kmv_pair_overlap" ->
+      s"""WITH grams AS (
+         |  SELECT DISTINCT source, g FROM (
+         |    SELECT source, unnest(list_transform(
+         |      generate_series(1, len(ws) - 2),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+         |    FROM (SELECT source, string_split(text, ' ') AS ws FROM documents)
+         |    WHERE len(ws) >= 3
+         |  )
+         |), n_exact AS (
+         |  SELECT source, COUNT(*) AS n FROM grams GROUP BY source
+         |), pairs_exact AS (
+         |  SELECT x.source AS source_a, y.source AS source_b,
+         |    COUNT(*) AS inter_exact
+         |  FROM grams x JOIN grams y ON x.g = y.g AND x.source < y.source
+         |  GROUP BY 1, 2
+         |), hashed AS (
+         |  SELECT DISTINCT source,
+         |    (CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) + 0.5)
+         |      / 4294967296.0 AS u
+         |  FROM grams
+         |), sk AS (
+         |  SELECT source, u FROM (
+         |    SELECT source, u, row_number() OVER (PARTITION BY source
+         |      ORDER BY u ASC NULLS FIRST) AS rn
+         |    FROM hashed
+         |  ) WHERE rn <= $PairK
+         |), prs AS (
+         |  SELECT a.source AS sa, b.source AS sb
+         |  FROM n_exact a JOIN n_exact b ON a.source < b.source
+         |), merged AS (
+         |  SELECT sa, sb, u, in_a, in_b FROM (
+         |    SELECT sa, sb, u, max(in_a) AS in_a, max(in_b) AS in_b,
+         |      row_number() OVER (PARTITION BY sa, sb
+         |        ORDER BY u ASC NULLS FIRST) AS rn
+         |    FROM (
+         |      SELECT p.sa, p.sb, k.u, 1 AS in_a, 0 AS in_b
+         |      FROM prs p JOIN sk k ON p.sa = k.source
+         |      UNION ALL
+         |      SELECT p.sa, p.sb, k.u, 0 AS in_a, 1 AS in_b
+         |      FROM prs p JOIN sk k ON p.sb = k.source
+         |    ) GROUP BY sa, sb, u
+         |  ) WHERE rn <= $PairK
+         |), est AS (
+         |  SELECT sa, sb, CAST(SUM(in_a * in_b) AS BIGINT) AS matches,
+         |    max(CASE WHEN rn = $PairK THEN u END) AS uk
+         |  FROM (
+         |    SELECT sa, sb, u, in_a, in_b, row_number() OVER (
+         |      PARTITION BY sa, sb ORDER BY u ASC NULLS FIRST) AS rn
+         |    FROM merged
+         |  ) GROUP BY sa, sb
+         |)
+         |SELECT source_a, source_b, na.n AS n_a, nb.n AS n_b, inter_exact,
+         |  ROUND(CAST(inter_exact AS DOUBLE)
+         |    / (na.n + nb.n - inter_exact), 4) AS j_exact,
+         |  ROUND(CAST(matches AS DOUBLE) / $PairK, 4) AS j_kmv,
+         |  ROUND(${PairK - 1} / uk, 2) AS d_union_est,
+         |  ROUND(CAST(matches AS DOUBLE) / $PairK * (${PairK - 1} / uk), 2)
+         |    AS inter_est
+         |FROM pairs_exact
+         |  JOIN n_exact na ON source_a = na.source
+         |  JOIN n_exact nb ON source_b = nb.source
+         |  JOIN est ON source_a = sa AND source_b = sb
+         |ORDER BY source_a ASC NULLS FIRST, source_b ASC NULLS FIRST""".stripMargin,
+
+    "c122_chi2_proportions" ->
+      s"""WITH firsts AS (
+         |  SELECT user_id, event_type, value > $ConvCut AS conv,
+         |    substr(md5('arm:' || CAST(user_id AS VARCHAR)), 1, 1) < '8' AS a
+         |  FROM (
+         |    SELECT user_id, event_type, value, row_number() OVER (
+         |      PARTITION BY user_id, event_type
+         |      ORDER BY epoch_us(ts) ASC, event_id ASC) AS rn
+         |    FROM events
+         |  ) WHERE rn = 1
+         |), t AS (
+         |  SELECT event_type,
+         |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(SUM(CASE WHEN a AND conv THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS conv_a,
+         |    CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |    CAST(SUM(CASE WHEN NOT a AND conv THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS conv_b
+         |  FROM firsts GROUP BY event_type
+         |)
+         |SELECT event_type, n_a, conv_a, n_b, conv_b,
+         |  ROUND(aa / n_a, 4) AS rate_a,
+         |  ROUND(cc / n_b, 4) AS rate_b,
+         |  CASE WHEN (aa + bb) * (cc + dd) * (aa + cc) * (bb + dd) > 0.0
+         |  THEN ROUND(
+         |    (aa + bb + cc + dd) * (aa * dd - bb * cc) * (aa * dd - bb * cc)
+         |    / ((aa + bb) * (cc + dd) * (aa + cc) * (bb + dd)), 4)
+         |  END AS chi2
+         |FROM (
+         |  SELECT event_type, n_a, conv_a, n_b, conv_b,
+         |    CAST(conv_a AS DOUBLE) AS aa,
+         |    CAST(n_a - conv_a AS DOUBLE) AS bb,
+         |    CAST(conv_b AS DOUBLE) AS cc,
+         |    CAST(n_b - conv_b AS DOUBLE) AS dd
+         |  FROM t
+         |)
+         |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+
+    "c123_mann_whitney_u" ->
+      """WITH metric AS (
+        |  SELECT user_id, event_type,
+        |    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS m,
+        |    substr(md5('arm:' || CAST(user_id AS VARCHAR)), 1, 1) < '8' AS a
+        |  FROM events GROUP BY user_id, event_type
+        |), ranked AS (
+        |  SELECT event_type, m, a,
+        |    CAST(rank() OVER (PARTITION BY event_type
+        |      ORDER BY m ASC NULLS FIRST) AS BIGINT) AS rk,
+        |    count(*) OVER (PARTITION BY event_type, m) AS tcnt
+        |  FROM metric
+        |), rk2 AS (
+        |  SELECT event_type, a,
+        |    CAST(rk AS DOUBLE) + CAST(tcnt - 1 AS DOUBLE) / 2.0 AS avg_rk
+        |  FROM ranked
+        |), ties AS (
+        |  SELECT event_type, CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
+        |  FROM (SELECT event_type, m, COUNT(*) AS t
+        |        FROM metric GROUP BY event_type, m)
+        |  GROUP BY event_type
+        |), agg AS (
+        |  SELECT r.event_type,
+        |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    SUM(CASE WHEN a THEN avg_rk ELSE 0.0 END) AS r1
+        |  FROM rk2 r GROUP BY r.event_type
+        |)
+        |SELECT a.event_type, n1, n2,
+        |  ROUND(r1 - CAST(n1 AS DOUBLE) * CAST(n1 + 1 AS DOUBLE) / 2.0, 1)
+        |    AS u_stat,
+        |  CASE WHEN
+        |    CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+        |      ((CAST(n1 + n2 AS DOUBLE) + 1.0) - CAST(tie_term AS DOUBLE)
+        |        / (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1.0)))
+        |    > 0.0
+        |  THEN ROUND(
+        |    (r1 - CAST(n1 AS DOUBLE) * CAST(n1 + 1 AS DOUBLE) / 2.0
+        |      - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+        |    / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+        |      ((CAST(n1 + n2 AS DOUBLE) + 1.0) - CAST(tie_term AS DOUBLE)
+        |        / (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1.0))))
+        |    , 4)
+        |  END AS z
+        |FROM agg a JOIN ties t ON a.event_type = t.event_type
+        |ORDER BY a.event_type ASC NULLS FIRST""".stripMargin,
+
+    "c124_benford_audit" ->
+      """WITH digits AS (
+        |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+        |    COUNT(*) AS n_obs
+        |  FROM orders GROUP BY 1
+        |), total AS (SELECT COUNT(*) AS n FROM orders),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(1, 9)) AS INTEGER) AS digit
+        |)
+        |SELECT s.digit, COALESCE(n_obs, 0) AS n_obs,
+        |  ROUND(CAST(COALESCE(n_obs, 0) AS DOUBLE) / n, 4) AS p_obs,
+        |  ROUND(log10(1.0 + 1.0 / CAST(s.digit AS DOUBLE)), 4) AS p_benford,
+        |  ROUND((CAST(COALESCE(n_obs, 0) AS DOUBLE)
+        |      - n * log10(1.0 + 1.0 / CAST(s.digit AS DOUBLE)))
+        |    * (CAST(COALESCE(n_obs, 0) AS DOUBLE)
+        |      - n * log10(1.0 + 1.0 / CAST(s.digit AS DOUBLE)))
+        |    / (n * log10(1.0 + 1.0 / CAST(s.digit AS DOUBLE))), 4)
+        |    AS chi2_contrib
+        |FROM spine s LEFT JOIN digits d ON s.digit = d.digit, total
+        |ORDER BY s.digit ASC NULLS FIRST""".stripMargin,
+
+    "c125_basket_lift" ->
+      s"""WITH items AS (
+         |  SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |), nb AS (
+         |  SELECT COUNT(DISTINCT ok) AS n_baskets FROM items
+         |), bn AS (
+         |  SELECT brand, COUNT(*) AS cnt FROM items GROUP BY brand
+         |), pr AS (
+         |  SELECT x.brand AS brand_a, y.brand AS brand_b, COUNT(*) AS n_ab
+         |  FROM items x JOIN items y ON x.ok = y.ok AND x.brand < y.brand
+         |  GROUP BY 1, 2
+         |  HAVING COUNT(*) >= $BasketMinPairN
+         |)
+         |SELECT brand_a, brand_b, n_ab, a.cnt AS n_a, b.cnt AS n_b,
+         |  ROUND(CAST(n_ab AS DOUBLE) / n_baskets, 4) AS support,
+         |  ROUND(CAST(n_ab AS DOUBLE) / a.cnt, 4) AS conf_a_to_b,
+         |  ROUND(CAST(n_ab AS DOUBLE) * n_baskets
+         |    / (CAST(a.cnt AS DOUBLE) * b.cnt), 4) AS lift
+         |FROM pr JOIN bn a ON brand_a = a.brand
+         |  JOIN bn b ON brand_b = b.brand, nb
+         |ORDER BY brand_a ASC NULLS FIRST, brand_b ASC NULLS FIRST""".stripMargin,
+
+    "c126_window_funnel" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, epoch_us(ts) AS ts FROM events
+         |), v AS (SELECT user_id, ts AS vts FROM e WHERE event_type = 'view'),
+         |c AS (SELECT user_id, ts AS cts FROM e WHERE event_type = 'click'),
+         |p AS (SELECT user_id, ts AS pts FROM e WHERE event_type = 'purchase'),
+         |vc AS (
+         |  SELECT v.user_id, vts, min(cts) AS c1
+         |  FROM v JOIN c ON v.user_id = c.user_id
+         |    AND cts > vts AND cts <= vts + $FunnelWUs
+         |  GROUP BY v.user_id, vts
+         |), vcp AS (
+         |  SELECT vc.user_id, vts, min(pts) AS p1
+         |  FROM vc JOIN p ON vc.user_id = p.user_id
+         |    AND pts > c1 AND pts <= vts + $FunnelWUs
+         |  GROUP BY vc.user_id, vts
+         |)
+         |SELECT v.user_id, COUNT(*) AS n_anchors,
+         |  max(1 + CASE WHEN c1 IS NOT NULL THEN 1 ELSE 0 END
+         |        + CASE WHEN p1 IS NOT NULL THEN 1 ELSE 0 END) AS best_depth
+         |FROM v
+         |  LEFT JOIN vc ON v.user_id = vc.user_id AND v.vts = vc.vts
+         |  LEFT JOIN vcp ON v.user_id = vcp.user_id AND v.vts = vcp.vts
+         |GROUP BY v.user_id
+         |ORDER BY v.user_id ASC NULLS FIRST""".stripMargin,
+
+    "c127_largest_remainder_alloc" ->
+      s"""WITH rev AS (
+         |  SELECT n_name,
+         |    SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev_c
+         |  FROM orders
+         |    JOIN customer ON o_custkey = c_custkey
+         |    JOIN nation ON c_nationkey = n_nationkey
+         |  GROUP BY n_name
+         |), shares AS (
+         |  SELECT n_name, rev_c,
+         |    SUM(rev_c) OVER () AS t_c,
+         |    ($AllocUnits * rev_c) // (SUM(rev_c) OVER ()) AS base,
+         |    $AllocUnits * rev_c
+         |      - (($AllocUnits * rev_c) // (SUM(rev_c) OVER ()))
+         |        * (SUM(rev_c) OVER ()) AS rem
+         |  FROM rev
+         |), ranked AS (
+         |  SELECT n_name, rev_c, base,
+         |    $AllocUnits - SUM(base) OVER () AS leftover,
+         |    row_number() OVER (ORDER BY rem DESC, n_name ASC) AS rrank
+         |  FROM shares
+         |)
+         |SELECT n_name, CAST(rev_c AS BIGINT) AS rev_cents,
+         |  CAST(base AS BIGINT) AS base,
+         |  CAST(base + CASE WHEN rrank <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         |    AS alloc
+         |FROM ranked
+         |ORDER BY n_name ASC NULLS FIRST""".stripMargin,
+
+    "c128_pareto_frontier" ->
+      """WITH pts AS (
+        |  SELECT p_retailprice AS price, p_size AS size, COUNT(*) AS n_parts
+        |  FROM part GROUP BY 1, 2
+        |), marked AS (
+        |  SELECT price, size, n_parts,
+        |    max(size) OVER (ORDER BY price ASC, size DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+        |  FROM pts
+        |)
+        |SELECT price, size, n_parts FROM marked
+        |WHERE runmax IS NULL OR size > runmax
+        |ORDER BY price ASC NULLS FIRST""".stripMargin)
+}

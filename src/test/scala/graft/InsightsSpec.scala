@@ -1,0 +1,212 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Insights
+
+/** Property checks for the round-11 decision-analytics family —
+  * brute-force re-derivations in plain Scala at sf0.001 (the specs
+  * may collect; operators never do) plus the algebraic invariants
+  * each operator's contract promises.
+  */
+class InsightsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  private lazy val events: Seq[(Long, Long, String, Double, Long)] = {
+    val ev = Tables.t(spark, sf, "events")
+    ev.select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), Tables.tsUs(ev).as("ts_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+  }
+
+  test("b77: islands match a per-user brute-force interval merge") {
+    val got = Insights.intervalCoalesce(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val exp = events.groupBy(_._1).map { case (u, es) =>
+      val iv = es.map(e => (e._5, e._5 + Insights.IntervalUs))
+        .sortBy(identity)
+      val islands = iv.tail.foldLeft(List(iv.head)) {
+        case ((cs, ce) :: rest, (s, e)) =>
+          if (s <= ce) (cs, math.max(ce, e)) :: rest
+          else (s, e) :: (cs, ce) :: rest
+        case (Nil, x) => List(x)
+      }
+      val lens = islands.map { case (s, e) => e - s }
+      u -> ((islands.size.toLong, lens.sum, lens.max))
+    }
+    assert(got == exp)
+  }
+
+  test("b78: spine is gap-free per user and fill carries the last close") {
+    val rows = Insights.resampleFfill(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val byUser = rows.groupBy(_._1)
+    // last close at-or-before each day, from the raw events
+    val closes = events.groupBy(e => (e._1, e._5 / 86400000000L))
+      .map { case (k, es) => k -> es.maxBy(e => (e._5, e._2))._4 }
+    byUser.foreach { case (u, rs) =>
+      val days = rs.map(_._2).sorted
+      assert(days.toSeq == (days.head to days.last).toSeq,
+        s"user $u spine has gaps")
+      rs.foreach { case (_, d, v, obs) =>
+        val expected = (days.head to d).reverse
+          .flatMap(dd => closes.get((u, dd))).headOption
+        assert(expected.contains(v), s"user $u day $d fill $v != $expected")
+        assert((obs == 1) == closes.contains((u, d)))
+      }
+    }
+  }
+
+  test("c121: sketch union mergeability — k-min of union == k-min of merged sketches") {
+    val hashed = Insights.sourceGrams(Tables.t(spark, sf, "documents"))
+      .select(col("source"), col("g"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    def u(g: String): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).take(4)
+        .foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+      (h.toDouble + 0.5) / 4294967296.0
+    }
+    val bySrc = hashed.groupBy(_._1).map { case (s, gs) =>
+      s -> gs.map(g => u(g._2)).distinct.sorted
+    }
+    val srcs = bySrc.keys.toSeq.sorted
+    val (a, b) = (srcs.head, srcs(1))
+    val skA = bySrc(a).take(Insights.PairK)
+    val skB = bySrc(b).take(Insights.PairK)
+    val mergedSketches = (skA ++ skB).distinct.sorted.take(Insights.PairK)
+    val fullUnion = (bySrc(a) ++ bySrc(b)).distinct.sorted.take(Insights.PairK)
+    assert(mergedSketches.toSeq == fullUnion.toSeq,
+      "k-min over merged k-sketches must equal k-min over the full union")
+  }
+
+  test("c121: estimator sanity — j_kmv in [0,1], union estimate positive") {
+    val rows = Insights.kmvPairOverlap(spark, sf).collect()
+    assert(rows.length == 190)
+    rows.foreach { r =>
+      val jk = r.getAs[Double]("j_kmv")
+      assert(jk >= 0.0 && jk <= 1.0)
+      assert(r.getAs[Double]("d_union_est") > 0.0)
+    }
+  }
+
+  test("c122: 2x2 margins are consistent and chi2 is non-negative") {
+    val rows = Insights.chi2Proportions(spark, sf).collect()
+    assert(rows.length == 5)
+    val users = events.map(_._1).distinct.size
+    rows.foreach { r =>
+      assert(r.getAs[Long]("conv_a") <= r.getAs[Long]("n_a"))
+      assert(r.getAs[Long]("conv_b") <= r.getAs[Long]("n_b"))
+      assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") <= users)
+      assert(Option(r.getAs[Double]("chi2")).forall(_ >= 0.0))
+    }
+  }
+
+  test("c123: U statistic matches a brute-force rank computation") {
+    val rows = Insights.mannWhitneyU(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    def armA(u: Long): Boolean = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"arm:$u".getBytes("UTF-8"))
+      "%02x".format(h(0)).charAt(0) < '8'
+    }
+    events.groupBy(_._3).foreach { case (t, es) =>
+      val metric = es.groupBy(_._1).map { case (u, xs) =>
+        // mirror Canon.dsum: exact decimal sum emitted as double
+        val m = xs.map(x => BigDecimal(x._4).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+        (u, m, armA(u))
+      }.toSeq
+      val sorted = metric.sortBy(_._2)
+      val ranks = sorted.zipWithIndex.groupBy(_._1._2).flatMap {
+        case (_, grp) =>
+          val avg = grp.map(_._2 + 1).sum.toDouble / grp.size
+          grp.map { case ((u, _, a), _) => (u, avg, a) }
+      }
+      val n1 = metric.count(_._3)
+      val r1 = ranks.filter(_._3).map(_._2).sum
+      val u1 = r1 - n1.toLong * (n1 + 1) / 2.0
+      val (gn1, gn2, gu) = rows(t)
+      assert(gn1 == n1 && gn2 == metric.size - n1)
+      assert(math.abs(gu - u1) < 0.51, s"$t: u $gu vs brute $u1")
+    }
+  }
+
+  test("c124: digit counts partition the orders table; Benford mass sums to 1") {
+    val rows = Insights.benfordAudit(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("digit")).toSeq == (1 to 9))
+    val nOrders = Tables.t(spark, sf, "orders").count()
+    assert(rows.map(_.getAs[Long]("n_obs")).sum == nOrders)
+    val mass = rows.map(_.getAs[Double]("p_benford")).sum
+    assert(math.abs(mass - 1.0) < 0.001, s"benford mass $mass")
+  }
+
+  test("c125: pair counts bounded by marginals; lift consistent with support") {
+    val rows = Insights.basketLift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nab, na, nb) = (r.getAs[Long]("n_ab"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"))
+      assert(nab >= Insights.BasketMinPairN && nab <= math.min(na, nb))
+      assert(r.getAs[Double]("conf_a_to_b") <= 1.0)
+    }
+  }
+
+  test("c126: depths match a brute-force per-user funnel scan") {
+    val w = Insights.FunnelWUs
+    val got = Insights.windowFunnel(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    val byUser = events.groupBy(_._1)
+    byUser.foreach { case (u, es) =>
+      val v = es.filter(_._3 == "view").map(_._5).sorted
+      if (v.isEmpty) assert(!got.contains(u))
+      else {
+        val c = es.filter(_._3 == "click").map(_._5).sorted
+        val p = es.filter(_._3 == "purchase").map(_._5).sorted
+        val depth = v.map { vt =>
+          c.find(ct => ct > vt && ct <= vt + w) match {
+            case None => 1
+            case Some(ct) =>
+              if (p.exists(pt => pt > ct && pt <= vt + w)) 3 else 2
+          }
+        }.max
+        assert(got(u) == ((v.size.toLong, depth)),
+          s"user $u: ${got(u)} vs brute ($depth)")
+      }
+    }
+  }
+
+  test("c127: allocation sums exactly to the budget, one extra unit max") {
+    val rows = Insights.largestRemainderAlloc(spark, sf).collect()
+    assert(rows.length == 25)
+    val total = rows.map(_.getAs[Long]("alloc")).sum
+    assert(total == Insights.AllocUnits, s"allocated $total")
+    rows.foreach { r =>
+      val d = r.getAs[Long]("alloc") - r.getAs[Long]("base")
+      assert(d == 0L || d == 1L)
+    }
+  }
+
+  test("c128: frontier is strictly monotone and dominates every dropped point") {
+    val frontier = Insights.paretoFrontier(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getInt(1)))
+    frontier.sliding(2).foreach {
+      case Array((p1, s1), (p2, s2)) => assert(p1 < p2 && s1 < s2)
+      case _ =>
+    }
+    val pts = Tables.t(spark, sf, "part")
+      .select(col("p_retailprice"), col("p_size")).collect()
+      .map(r => (r.getDouble(0), r.getInt(1))).distinct
+    val fset = frontier.toSet
+    pts.filterNot(fset).foreach { case (pr, sz) =>
+      assert(pts.exists { case (p2, s2) =>
+        p2 <= pr && s2 >= sz && (p2 < pr || s2 > sz)
+      }, s"dropped ($pr,$sz) is not dominated")
+    }
+  }
+}

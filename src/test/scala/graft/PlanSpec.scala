@@ -650,4 +650,41 @@ class PlanSpec extends AnyFunSuite {
     // the signature/shingle passes are semi-pruned to sampled docs
     assert(p.contains("LeftSemi"), s"sampled-doc semi-prune missing: $p")
   }
+
+  test("b77: one user_id exchange serves the window and both aggregations") {
+    // HashPartitioning(user_id) satisfies the (user_id, island) and
+    // user_id groupings downstream of the window — a second shuffle
+    // here would double the operator's only data movement at 100 TB.
+    val p = plan(Insights.intervalCoalesce(spark, sf))
+    val hashEx = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected exactly 1 hash exchange, got $hashEx:\n$p")
+  }
+
+  test("b78: day-grain collapse happens before the spine join; no cartesian") {
+    val p = plan(Insights.resampleFfill(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Generate"), s"sequence explode missing:\n$p")
+  }
+
+  test("c125: part dim broadcasts into the lineitem scan; pair join is order-equi") {
+    val p = plan(Insights.basketLift(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"),
+      s"basket pair generation went cartesian:\n$p")
+  }
+
+  test("c126: both stage joins are user_id-equi with the window as residual") {
+    val p = plan(Insights.windowFunnel(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"funnel stage join went cartesian:\n$p")
+  }
+
+  test("c121: the corpus feeds k-row sketches; pair estimation never joins gram streams") {
+    val p = plan(Insights.kmvPairOverlap(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    // the sketch rank is per-source top-k — partial WindowGroupLimit
+    // prunes each partition to local k before the exchange
+    assert(p.contains("WindowGroupLimit"), s"sketch top-k unpruned:\n$p")
+  }
 }
