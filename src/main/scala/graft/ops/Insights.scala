@@ -579,6 +579,157 @@ object Insights {
       .orderBy("price")
   }
 
+  // --- b79: moving median ------------------------------------------
+
+  /** Trailing window width for the moving median (odd, so the full
+    * frame needs no interpolation). */
+  private[graft] val MedianFrame = 5
+
+  /** b79 — moving median over a trailing 5-row frame: the ROBUST
+    * smoother next to b27's moving average — one fat-fingered order
+    * drags a mean for the whole frame, the median shrugs it off.
+    * Per customer, ordered by (order date, order key).
+    *
+    * No engine ships a median WINDOW function with a portable
+    * definition, so both sides build it from the same primitive:
+    * collect the frame, sort it, take the middle (odd count) or the
+    * mean of the two middles (even count — the warm-up rows). The
+    * emitted value is EXACT cross-engine without rounding: odd frames
+    * emit a stored double verbatim; even frames emit one identical
+    * IEEE add-and-halve of two stored doubles.
+    *
+    * Scale: the frame is O(1) per row (5 elements), the window one
+    * hash exchange on the partition key — the same cost class as any
+    * b24-family window at 100 TB.
+    */
+  def movingMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.t(spark, sfDir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(-(MedianFrame - 1), 0)
+    val frame = sort_array(collect_list(col("o_totalprice")).over(w))
+    val n = size(frame)
+    val mid = element_at(frame, floor((n + 1) / 2).cast("int"))
+    val lo = element_at(frame, floor(n / 2).cast("int"))
+    val hi = element_at(frame, (floor(n / 2) + 1).cast("int"))
+    val med = when(n % 2 === 1, mid).otherwise((lo + hi) / 2.0)
+    orders.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        med.as("med5"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // --- b80: deterministic mode -------------------------------------
+
+  /** b80 — statistical mode with a deterministic tie-break: the most
+    * frequent order priority per market segment (count desc, then
+    * priority asc — built-in `mode()` aggregates leave ties
+    * engine-private, so the portable form is the count + rank-1
+    * window both engines define identically).
+    *
+    * Shape: the raw join collapses to (segment × priority) counts
+    * first (map-side combinable, broadcast customer dim); the rank
+    * window runs on that ≤ 25-row table — never on facts.
+    */
+  def modePriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.t(spark, sfDir, "orders")
+    val cust = Tables.t(spark, sfDir, "customer")
+    val counts = orders
+      .join(broadcast(cust.select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("n").desc, col("o_orderpriority").asc)))
+      .where(col("rn") === 1)
+      .select(col("c_mktsegment"), col("o_orderpriority").as("mode_priority"),
+        col("n"))
+      .orderBy("c_mktsegment")
+  }
+
+  // --- c130: dyadic EWMA -------------------------------------------
+
+  /** EWMA window length (16 taps; α = 1/2). */
+  private[graft] val EwmaTaps = 16
+
+  /** The tap weights: 2^-(k+1) for k = 0..14, tail-folded 2^-15 for
+    * the last tap so the kernel sums to EXACTLY 1. */
+  private[graft] def ewmaWeight(k: Int): Double =
+    if (k < EwmaTaps - 1) math.pow(2.0, -(k + 1)) else math.pow(2.0, -(EwmaTaps - 1))
+
+  /** c130 — exponentially-weighted moving average with an EXACT
+    * dyadic kernel (α = 1/2, 16 taps, tail folded so Σw = 1): the
+    * trend smoother behind monitoring dashboards and c113's CUSUM
+    * inputs. The recursive EWMA is order-dependent FP; THIS form is
+    * a fixed 16-tap FIR over the trailing rows, and with power-of-two
+    * weights every product w·x is an EXPONENT SHIFT — exact in IEEE —
+    * so the only rounding is the 15 additions, evaluated in the same
+    * literal left-to-right order in both engines: the emitted double
+    * is bit-identical cross-engine at FULL precision, no tolerance
+    * round needed (the b78/c128 stored-double discipline extended to
+    * derived arithmetic).
+    *
+    * Rows with fewer than 16 predecessors are skipped (a partial
+    * kernel re-normalizes — a different operator). One lag window per
+    * tap over ONE (user) exchange and sort — Catalyst plans all 16
+    * `lag`s in a single Window operator.
+    */
+  def ewmaDyadic(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.t(spark, sfDir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val base = ev.select(col("user_id"), col("event_id"), col("value"),
+      Tables.tsUs(ev).as("ts_us"))
+    val lagged = (0 until EwmaTaps).foldLeft(base) { (df, k) =>
+      df.withColumn(s"x$k", lag(col("value"), k).over(w))
+    }
+    val ewma = (0 until EwmaTaps)
+      .map(k => col(s"x$k") * lit(ewmaWeight(k)))
+      .reduce(_ + _)
+    lagged
+      .where(col(s"x${EwmaTaps - 1}").isNotNull)
+      .select(col("user_id"), col("event_id"), col("value"),
+        ewma.as("ewma16"))
+      .orderBy("user_id", "event_id")
+  }
+
+  // --- c131: session path trigrams ---------------------------------
+
+  /** c131 — behavioral path mining: the frequency of every length-3
+    * event-type sequence (consecutive per user in time order) — the
+    * sequential-pattern step up from c93's Markov transitions
+    * (bigrams): "view→click→purchase" vs "view→error→view" is the
+    * difference between a working checkout and a broken one.
+    *
+    * Shape: two `lead`s over ONE (user) window (single exchange +
+    * sort), then a map-side-combined count over the ≤ |types|³ path
+    * vocabulary — the result table is bounded by the type vocabulary
+    * cubed, independent of corpus size.
+    *
+    * Determinism: integer counts; share is one division rounded at
+    * 1e-4; ordered by the path string itself, never by count.
+    */
+  def sessionPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.t(spark, sfDir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val paths = ev
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        Tables.tsUs(ev).as("ts_us"))
+      .withColumn("t1", lead(col("event_type"), 1).over(w))
+      .withColumn("t2", lead(col("event_type"), 2).over(w))
+      .where(col("t1").isNotNull && col("t2").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t1"), col("t2"))
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+    val total = paths.agg(sum(col("n")).as("n_total"))
+    paths.crossJoin(broadcast(total))
+      .select(col("path"), col("n"),
+        round(col("n").cast("double") / col("n_total"), 4).as("share"))
+      .orderBy("path")
+  }
+
   // --- registry ----------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -591,7 +742,20 @@ object Insights {
     "c125_basket_lift" -> (basketLift(_, _)),
     "c126_window_funnel" -> (windowFunnel(_, _)),
     "c127_largest_remainder_alloc" -> (largestRemainderAlloc(_, _)),
-    "c128_pareto_frontier" -> (paretoFrontier(_, _)))
+    "c128_pareto_frontier" -> (paretoFrontier(_, _)),
+    "b79_moving_median" -> (movingMedian(_, _)),
+    "b80_mode_priority" -> (modePriority(_, _)),
+    "c130_ewma_dyadic" -> (ewmaDyadic(_, _)),
+    "c131_session_paths" -> (sessionPaths(_, _)))
+
+  /** The EWMA kernel rendered as exact decimal literals for the
+    * oracle (every 2^-k has a finite decimal form, so both engines
+    * parse the identical double). */
+  private def ewmaSqlExpr: String =
+    (0 until EwmaTaps).map { k =>
+      val w = java.math.BigDecimal.valueOf(ewmaWeight(k)).toPlainString
+      s"x$k * $w"
+    }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
     "b77_interval_coalesce" ->
@@ -918,5 +1082,69 @@ object Insights {
         |)
         |SELECT price, size, n_parts FROM marked
         |WHERE runmax IS NULL OR size > runmax
-        |ORDER BY price ASC NULLS FIRST""".stripMargin)
+        |ORDER BY price ASC NULLS FIRST""".stripMargin,
+
+    "b79_moving_median" ->
+      s"""WITH framed AS (
+         |  SELECT o_custkey, o_orderkey, o_totalprice,
+         |    list_sort(list(o_totalprice) OVER (PARTITION BY o_custkey
+         |      ORDER BY o_orderdate ASC, o_orderkey ASC
+         |      ROWS BETWEEN ${MedianFrame - 1} PRECEDING AND CURRENT ROW))
+         |      AS frame
+         |  FROM orders
+         |)
+         |SELECT o_custkey, o_orderkey, o_totalprice,
+         |  CASE WHEN len(frame) % 2 = 1
+         |    THEN frame[CAST((len(frame) + 1) // 2 AS INTEGER)]
+         |    ELSE (frame[CAST(len(frame) // 2 AS INTEGER)]
+         |      + frame[CAST(len(frame) // 2 + 1 AS INTEGER)]) / 2.0
+         |  END AS med5
+         |FROM framed
+         |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "b80_mode_priority" ->
+      """SELECT c_mktsegment, o_orderpriority AS mode_priority, n FROM (
+        |  SELECT c_mktsegment, o_orderpriority, n, row_number() OVER (
+        |    PARTITION BY c_mktsegment
+        |    ORDER BY n DESC, o_orderpriority ASC) AS rn
+        |  FROM (
+        |    SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n
+        |    FROM orders JOIN customer ON o_custkey = c_custkey
+        |    GROUP BY 1, 2
+        |  )
+        |) WHERE rn = 1
+        |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin,
+
+    "c130_ewma_dyadic" -> {
+      val lags = (0 until EwmaTaps).map(k =>
+        s"lag(value, $k) OVER (PARTITION BY user_id " +
+          "ORDER BY epoch_us(ts) ASC, event_id ASC) AS x" + k).mkString(",\n|    ")
+      s"""WITH lagged AS (
+         |  SELECT user_id, event_id, value,
+         |    $lags
+         |  FROM events
+         |)
+         |SELECT user_id, event_id, value,
+         |  $ewmaSqlExpr AS ewma16
+         |FROM lagged
+         |WHERE x${EwmaTaps - 1} IS NOT NULL
+         |ORDER BY user_id ASC NULLS FIRST, event_id ASC NULLS FIRST""".stripMargin
+    },
+
+    "c131_session_paths" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    lead(event_type, 1) OVER w AS t1,
+        |    lead(event_type, 2) OVER w AS t2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) ASC, event_id ASC)
+        |), paths AS (
+        |  SELECT event_type || '>' || t1 || '>' || t2 AS path, COUNT(*) AS n
+        |  FROM seq WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+        |  GROUP BY 1
+        |), total AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM paths)
+        |SELECT path, n, ROUND(CAST(n AS DOUBLE) / n_total, 4) AS share
+        |FROM paths, total
+        |ORDER BY path ASC NULLS FIRST""".stripMargin)
 }

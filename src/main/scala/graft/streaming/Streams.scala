@@ -633,6 +633,66 @@ object Streams {
       .orderBy("user_id", "version")
   }
 
+  /** b77's interval coalescing as a STATEFUL STREAM TRANSFORM: per
+    * user, the state is the OPEN island `(istart, iend, n_events)`;
+    * each incoming event interval either extends it (`s ≤ iend` —
+    * running-max end carried across micro-batches) or CLOSES it —
+    * closed islands emit exactly once (append semantics), the open
+    * island lives in the state store. The c83 discipline: exact under
+    * event-time-ordered batches (the date-partitioned production
+    * layout); state is ONE 3-long tuple per user.
+    */
+  def islandRuns(events: Dataset[(Long, Long, Long)]): DataFrame = {
+    import events.sparkSession.implicits._
+    val width = graft.ops.Insights.IntervalUs
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long)],
+         gs: GroupState[(Long, Long, Long)]) =>
+          // carry = the open island: (istart, iend, n_events)
+          var carry = gs.getOption
+          val out = Seq.newBuilder[(Long, Long, Long, Long)]
+          rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, _, s) =>
+            val e = s + width
+            carry match {
+              case None => carry = Some((s, e, 1L))
+              case Some((is, ie, n)) if s <= ie =>
+                carry = Some((is, math.max(ie, e), n + 1))
+              case Some((is, ie, n)) =>
+                out += ((user, is, ie, n))
+                carry = Some((s, e, 1L))
+            }
+          }
+          carry.foreach(gs.update)
+          out.result().iterator
+      }
+      .toDF("user_id", "istart_us", "iend_us", "n_events")
+  }
+
+  /** c129 — STREAMING interval coalescing, oracle-verified: b77's
+    * gaps-and-islands merge as a live stateful topology — file
+    * source → [[islandRuns]] (flatMapGroupsWithState) → append
+    * parquet sink under Trigger.AvailableNow. Emits every CLOSED
+    * activity island at ISLAND grain (b77 emits user-grain
+    * aggregates — the two views share the algebra, not the output);
+    * each user's final island is state, not output, so the oracle is
+    * the island table minus each user's last island. At 100 TB/day
+    * the same topology runs unbounded: coverage/availability windows
+    * close and publish as the stream drains, O(users) state.
+    */
+  def streamIntervalCoalesce(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = stateSession(spark, statePartitions = 8)
+    import s.implicits._
+    val ev = streamTable(s, sfDir, "events")
+    val typed = ev
+      .select(col("user_id"), col("event_id"),
+        graft.Tables.tsUs(ev).as("s"))
+      .as[(Long, Long, Long)]
+    runToParquet(islandRuns(typed), "append", "c129")
+      .orderBy("user_id", "istart_us")
+  }
+
   /** The `StatefulProcessor` behind [[streamLatestSnapshot]]: one
     * ValueState holding the running whole-row argmax (ts_us,
     * event_id, state, value) + mutation count per user — the A16
@@ -703,6 +763,7 @@ object Streams {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c89_stream_latest_snapshot" -> (streamLatestSnapshot(_, _)),
     "c83_stream_scd2" -> (streamScd2(_, _)),
+    "c129_stream_interval_coalesce" -> (streamIntervalCoalesce(_, _)),
     "c51_stream_incremental_dedup" -> (streamIncrementalDedup(_, _)),
     "c25_stream_tumbling" -> (streamTumbling(_, _)),
     "c30_stream_sessions" -> (streamSessions(_, _)),
@@ -733,6 +794,43 @@ object Streams {
          |) WHERE valid_to_us IS NOT NULL
          |ORDER BY user_id ASC NULLS FIRST, version ASC NULLS FIRST""".stripMargin
     },
+
+    // b77's island algebra at island grain, minus each user's OPEN
+    // (last) island — append mode emits exactly the closed islands.
+    "c129_stream_interval_coalesce" ->
+      s"""WITH iv AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS s,
+         |    epoch_us(ts) + ${graft.ops.Insights.IntervalUs} AS e
+         |  FROM events
+         |), marked AS (
+         |  SELECT user_id, s, e, event_id,
+         |    CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1 ELSE 0 END
+         |      AS new_island
+         |  FROM (
+         |    SELECT user_id, s, e, event_id,
+         |      max(e) OVER (PARTITION BY user_id
+         |        ORDER BY s ASC NULLS FIRST, event_id ASC NULLS FIRST
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |        AS prev_max_e
+         |    FROM iv
+         |  )
+         |), numbered AS (
+         |  SELECT user_id, s, e,
+         |    sum(new_island) OVER (PARTITION BY user_id
+         |      ORDER BY s ASC NULLS FIRST, event_id ASC NULLS FIRST
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM marked
+         |), islands AS (
+         |  SELECT user_id, island, min(s) AS istart_us, max(e) AS iend_us,
+         |    COUNT(*) AS n_events
+         |  FROM numbered GROUP BY user_id, island
+         |)
+         |SELECT user_id, istart_us, iend_us, n_events FROM (
+         |  SELECT user_id, istart_us, iend_us, n_events,
+         |    island, max(island) OVER (PARTITION BY user_id) AS mx
+         |  FROM islands
+         |) WHERE island < mx
+         |ORDER BY user_id ASC NULLS FIRST, istart_us ASC NULLS FIRST""".stripMargin,
 
     "c25_stream_tumbling" ->
       s"""SELECT date_trunc('hour', ts) AS hour_start, COUNT(*) AS n_events,

@@ -192,6 +192,69 @@ class InsightsSpec extends AnyFunSuite {
     }
   }
 
+  test("b79: moving median matches a brute-force trailing-frame sort") {
+    val got = Insights.movingMedian(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val orders = Tables.t(spark, sf, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        unix_micros(col("o_orderdate").cast("timestamp")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    orders.groupBy(_._1).foreach { case (ck, os) =>
+      val ordered = os.sortBy(o => (o._4, o._2))
+      ordered.zipWithIndex.foreach { case ((_, ok, _, _), i) =>
+        val frame = ordered.slice(math.max(0, i - Insights.MedianFrame + 1),
+          i + 1).map(_._3).sorted
+        val n = frame.length
+        val med = if (n % 2 == 1) frame(n / 2)
+          else (frame(n / 2 - 1) + frame(n / 2)) / 2.0
+        assert(got((ck, ok)) == med, s"cust $ck order $ok")
+      }
+    }
+  }
+
+  test("b80: the mode really is each segment's max count with the asc tiebreak") {
+    val got = Insights.modePriority(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val counts = Tables.t(spark, sf, "orders")
+      .join(Tables.t(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "o_orderpriority").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    counts.groupBy(_._1).foreach { case (seg, cs) =>
+      val best = cs.minBy(c => (-c._3, c._2))
+      assert(got(seg) == ((best._2, best._3)), s"segment $seg")
+    }
+  }
+
+  test("c130: the dyadic kernel sums to exactly 1 and matches a scalar fold") {
+    val wsum = (0 until Insights.EwmaTaps).map(Insights.ewmaWeight).sum
+    assert(wsum == 1.0, s"kernel mass $wsum")
+    val got = Insights.ewmaDyadic(spark, sf).collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    events.groupBy(_._1).foreach { case (_, es) =>
+      val ordered = es.sortBy(e => (e._5, e._2))
+      ordered.zipWithIndex.drop(Insights.EwmaTaps - 1).foreach {
+        case ((_, eid, _, _, _), i) =>
+          // identical fold order: k ascending, left-associated adds
+          val expected = (0 until Insights.EwmaTaps)
+            .map(k => ordered(i - k)._4 * Insights.ewmaWeight(k))
+            .reduce(_ + _)
+          assert(got(eid) == expected, s"event $eid")
+      }
+    }
+  }
+
+  test("c131: path counts equal the per-user consecutive-trigram scan") {
+    val got = Insights.sessionPaths(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exp = events.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val types = es.sortBy(e => (e._5, e._2)).map(_._3)
+      types.sliding(3).filter(_.size == 3).map(_.mkString(">"))
+    }.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    assert(got == exp)
+  }
+
   test("c128: frontier is strictly monotone and dominates every dropped point") {
     val frontier = Insights.paretoFrontier(spark, sf).collect()
       .map(r => (r.getDouble(0), r.getInt(1)))

@@ -194,6 +194,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("c129 kernel: an island spanning micro-batches closes once with carried extent") {
+    implicit val sqlCtx = spark.sqlContext
+    val width = graft.ops.Insights.IntervalUs
+    // (user_id, event_id, interval start in µs)
+    val input = MemoryStream[(Long, Long, Long)]
+    val runs = graft.streaming.Streams.islandRuns(input.toDS())
+    val q = runs.writeStream.format("memory").queryName("c129k")
+      .outputMode("append").start()
+    try {
+      // Batch 1: two overlapping intervals — one OPEN island, no output.
+      input.addData((1L, 1L, 0L), (1L, 2L, width / 2))
+      q.processAllAvailable()
+      assert(spark.table("c129k").count() == 0L,
+        "open island must stay in state, not emit")
+      // Batch 2: an event past the carried island's end closes it with
+      // the extent and count accumulated ACROSS batches.
+      input.addData((1L, 3L, width * 4))
+      q.processAllAvailable()
+      val out = spark.table("c129k")
+        .as[(Long, Long, Long, Long)].collect()
+      assert(out.toSeq == Seq((1L, 0L, width / 2 + width, 2L)),
+        s"got ${out.toSeq}")
+    } finally q.stop()
+  }
+
   test("stream-stream join matches keys only within the time horizon") {
     implicit val sqlCtx = spark.sqlContext
     val imps = MemoryStream[(Timestamp, String)]
