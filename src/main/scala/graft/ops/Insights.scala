@@ -452,15 +452,18 @@ object Insights {
     * product funnels expire — "purchased six months after clicking"
     * is not a conversion.
     *
-    * Shape: two stage joins, each an equi-join on `user_id` with the
-    * window predicate as the residual — within-user stage pairs are
-    * generated and filtered, then collapsed to the earliest
-    * qualifying next-stage time by a map-side-combinable min. Cost is
-    * Σ_user (views·clicks + anchors·purchases): bounded by per-user
-    * activity, never cross-user. At 100 TB the dial is c77's bucket
-    * trick — add a `(user, 7-day-bucket)` key to both sides (+1
-    * neighbor probe) and the residual window shrinks to adjacent
-    * buckets; the fixture's per-user volumes don't need it.
+    * Shape — c77's BUCKETIZED non-equi join, not a bare user join:
+    * every anchor view carries its 7-day bucket `vts div W`; a
+    * qualifying next-stage event at `ts ∈ (anchor, anchor+W]` can
+    * only live in bucket `ts div W` or the one before, so the stage
+    * side emits TWO probe rows per event and the join key is
+    * `(user, bucket)` with the window predicate as residual. Pair
+    * work per key is views-in-bucket × stage-events-in-2-buckets —
+    * bounded by per-WINDOW activity density, NOT by lifetime per-user
+    * history (the bare user-equi join is quadratic in history depth:
+    * the 10× deep-history rehearsal measured 266M pair evaluations
+    * where this shape touches ~2% of that). Earliest qualifying
+    * next-stage collapses by a map-side-combinable min.
     *
     * Determinism: pure integer µs comparisons; depth ∈ {1,2,3} exact.
     */
@@ -470,13 +473,20 @@ object Insights {
       Tables.tsUs(ev).as("ts"))
     def stage(t: String, as: String) =
       e.where(col("event_type") === t).select(col("user_id"), col("ts").as(as))
+    // Anchor side: one row per view, keyed by its own bucket.
     val v = stage("view", "vts")
-    val c = stage("click", "cts")
-    val p = stage("purchase", "pts")
-    val vc = v.join(c, Seq("user_id"))
+      .withColumn("bkt", expr(s"vts div $FunnelWUs"))
+    // Probe side: each event covers its bucket and the previous one.
+    def probed(t: String, as: String) = stage(t, as)
+      .withColumn("bkt", explode(array(expr(s"$as div $FunnelWUs"),
+        expr(s"$as div $FunnelWUs - 1"))))
+    val c = probed("click", "cts")
+    val p = probed("purchase", "pts")
+    val vc = v.join(c, Seq("user_id", "bkt"))
       .where(col("cts") > col("vts") && col("cts") <= col("vts") + FunnelWUs)
       .groupBy(col("user_id"), col("vts")).agg(min(col("cts")).as("c1"))
-    val vcp = vc.join(p, Seq("user_id"))
+    val vcp = vc.withColumn("bkt", expr(s"vts div $FunnelWUs"))
+      .join(p, Seq("user_id", "bkt"))
       .where(col("pts") > col("c1") && col("pts") <= col("vts") + FunnelWUs)
       .groupBy(col("user_id"), col("vts"), col("c1"))
       .agg(min(col("pts")).as("p1"))
