@@ -740,6 +740,224 @@ object Insights {
       .orderBy("path")
   }
 
+  // --- c132: sharded top-k with deterministic bounds ----------------
+
+  /** Shard count and per-shard published-list length. */
+  private[graft] val TopkShards = 8
+  private[graft] val TopkM = 20
+
+  /** c132 — communication-efficient distributed top-k with
+    * deterministic error bounds (the TPUT / Threshold-Algorithm
+    * family — Fagin et al. PODS 2001, Cao & Wang PODC 2004 — public):
+    * each of [[TopkShards]] md5-assigned shards publishes only its
+    * local top-[[TopkM]] token counts; the coordinator merges the
+    * lists into per-candidate LOWER and UPPER bounds (absent shard →
+    * 0 lower, that shard's published minimum upper) and a global
+    * absent-everywhere ceiling B = Σ_s t_s. This is THE shape a
+    * 1000-executor top-k uses when shipping whole vocabularies is off
+    * the table: m rows per shard cross the wire, never the long tail,
+    * and the bounds tell you exactly when more rounds are needed.
+    *
+    * Every bound is integer arithmetic over md5-deterministic
+    * shards, so the WHOLE protocol hash-verifies cross-engine; the
+    * exact global count rides along as the audit column.
+    */
+  def shardedTopkBounds(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(pmod(conv(substring(md5(concat(lit("shard:"),
+        col("doc_id").cast("string"))), 1, 2), 16, 10).cast("long"),
+        lit(TopkShards.toLong)).as("shard"), col("w"))
+    val counts = toks.groupBy(col("shard"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    val published = counts
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("cnt").desc, col("w").asc)))
+      .where(col("rn") <= TopkM)
+      .select(col("shard"), col("w"), col("cnt"))
+    val thresholds = published.groupBy(col("shard"))
+      .agg(min(col("cnt")).as("t_s"))
+    val bAll = thresholds.agg(sum(col("t_s")).as("b_ceiling"))
+    val candidates = published.select(col("w")).distinct()
+    val grid = candidates.crossJoin(broadcast(thresholds))
+      .join(published, Seq("shard", "w"), "left")
+    val bounds = grid.groupBy(col("w"))
+      .agg(sum(coalesce(col("cnt"), lit(0L))).as("lb"),
+        sum(coalesce(col("cnt"), col("t_s"))).as("ub"))
+    val exact = toks.groupBy(col("w")).agg(count(lit(1)).as("n_exact"))
+    bounds.join(exact, Seq("w"))
+      .crossJoin(broadcast(bAll))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("lb").desc, col("w").asc)))
+      .where(col("rk") <= 10)
+      .select(col("w").as("token"), col("lb"), col("ub"), col("n_exact"),
+        when(col("lb") >= col("b_ceiling"), 1).otherwise(0).as("certified"))
+      .orderBy(col("lb").desc, col("token").asc)
+  }
+
+  // --- c133: data-quality expectation audit -------------------------
+
+  /** Order-date sanity bounds for the freshness constraint (µs). */
+  private[graft] val OrderDateMinUs = 788918400000000L   // 1995-01-01
+  private[graft] val OrderDateMaxUs = 1009843200000000L  // 2002-01-01
+
+  /** c133 — declarative data-quality expectation audit (the
+    * Deequ/unit-test-for-data discipline — Schelter et al. VLDB 2018
+    * — public): a constraint suite evaluated in ONE pass per table
+    * plus one anti-join, emitting (constraint, metric, pass) rows —
+    * the gate a 100 TB ingest runs before anything downstream trusts
+    * the batch. Constraints: completeness, key uniqueness, domain
+    * membership, value bounds, date sanity, referential integrity
+    * (orphan custkeys).
+    *
+    * Shape: all single-table metrics ride one map-side-combined
+    * aggregate over orders (count/countDistinct/conditional counts);
+    * the referential check is a broadcast anti-join counted. Metrics
+    * are exact-integer ratios rounded at 1e-4; `pass` is an integer
+    * comparison — hash-exact.
+    */
+  def expectationAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.t(spark, sfDir, "orders")
+    val cust = Tables.t(spark, sfDir, "customer")
+    val o = orders.select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"))
+    val m = o.agg(
+      count(lit(1)).as("n"),
+      count(col("o_custkey")).as("n_custkey"),
+      countDistinct(col("o_orderkey")).as("n_distinct_key"),
+      sum(when(col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+        .as("n_status_ok"),
+      sum(when(col("o_totalprice") > 0.0, 1L).otherwise(0L)).as("n_price_pos"),
+      sum(when(col("od_us") >= OrderDateMinUs &&
+        col("od_us") < OrderDateMaxUs, 1L).otherwise(0L)).as("n_date_ok"))
+    val orphans = o.join(broadcast(cust.select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    val t = m.crossJoin(broadcast(orphans))
+    def ratio(num: Column): Column = round(num.cast("double") / col("n"), 4)
+    t.select(
+        ratio(col("n_custkey")).as("r_custkey"),
+        ratio(col("n_distinct_key")).as("r_unique"),
+        ratio(col("n_status_ok")).as("r_status"),
+        ratio(col("n_price_pos")).as("r_price"),
+        ratio(col("n_date_ok")).as("r_date"),
+        ratio(col("n_orphans")).as("r_orphan"))
+      .select(expr(
+        s"""stack(6,
+           | 'completeness_custkey', r_custkey, CAST(r_custkey >= 1.0 AS INT),
+           | 'uniqueness_orderkey', r_unique, CAST(r_unique >= 1.0 AS INT),
+           | 'status_in_set',       r_status, CAST(r_status >= 1.0 AS INT),
+           | 'price_positive',      r_price,  CAST(r_price >= 1.0 AS INT),
+           | 'date_in_range',       r_date,   CAST(r_date >= 1.0 AS INT),
+           | 'no_orphan_custkeys',  r_orphan, CAST(r_orphan <= 0.0 AS INT)
+           |) AS (check_name, metric, pass)""".stripMargin))
+      .select(col("check_name"), col("metric"), col("pass"))
+      .orderBy("check_name")
+  }
+
+  // --- c134: linear multi-touch attribution -------------------------
+
+  /** c134 — linear multi-touch attribution (the equal-credit
+    * complement of c81's last-touch — public marketing-analytics
+    * canon): every purchase spreads one unit of credit equally over
+    * the user's view/click touches in the trailing 7 days; channels
+    * aggregate their credit, and conversions with NO touch land in an
+    * explicit `(none)` row so Σ credit + unattributed == conversions
+    * EXACTLY (the accounting identity, spec-pinned).
+    *
+    * Shape: the conversion×touch pairing is c126's bucketized
+    * non-equi join — join on `(user, 7d-bucket)` with the lookback as
+    * residual, touch side probing (bucket, bucket+1) — so pair work
+    * scales with window density. Per-conversion credit 1/n is the
+    * same IEEE double in both engines, quantized to DECIMAL(38,18)
+    * before the exact per-channel sum (order-invariant), emitted at
+    * 1e-4.
+    */
+  def linearAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.t(spark, sfDir, "events")
+    val e = ev.select(col("user_id"), col("event_id"), col("event_type"),
+      Tables.tsUs(ev).as("ts"))
+    val conv = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        col("ts").as("pts"))
+      .withColumn("bkt", expr(s"pts div $FunnelWUs"))
+    val touches = e.where(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_type").as("channel"),
+        col("ts").as("tts"))
+      .withColumn("bkt", explode(array(expr(s"tts div $FunnelWUs"),
+        expr(s"tts div $FunnelWUs + 1"))))
+    val joined = conv.join(touches, Seq("user_id", "bkt"))
+      .where(col("tts") <= col("pts") && col("tts") > col("pts") - FunnelWUs)
+      .select(col("conv_id"), col("channel"))
+    val credited = joined
+      .withColumn("n_t", count(lit(1)).over(
+        Window.partitionBy(col("conv_id"))))
+      .select(col("conv_id"), col("channel"),
+        (lit(1.0) / col("n_t")).cast(DecimalType(38, 18)).as("credit"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("conv_id")).as("n_convs"),
+        round(sum(col("credit")).cast("double"), 4).as("credit_total"))
+    val unattributed = conv.join(joined.select(col("conv_id")).distinct(),
+        Seq("conv_id"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("(none)").as("channel"), lit(0L).as("n_touches"),
+        col("n").as("n_convs"), lit(0.0).as("credit_total"))
+    credited.select(col("channel"), col("n_touches"), col("n_convs"),
+        col("credit_total"))
+      .unionAll(unattributed)
+      .orderBy("channel")
+  }
+
+  // --- c135: seasonal hour-of-day baseline --------------------------
+
+  /** c135 — seasonal baseline + anomaly flags (the hour-of-day
+    * profile every ops dashboard draws, with day-level 2σ outlier
+    * counting): per hour-of-day, the across-days mean and spread of
+    * the (day, hour) bucket's TOTAL value, plus how many individual
+    * days broke the 2σ band — the seasonal complement of c39's global
+    * z-score and c113's sequential CUSUM. The bucket statistic is the
+    * TOTAL deliberately: it keeps every moment in EXACT DECIMAL
+    * arithmetic end-to-end (a bucket MEAN is a quotient double whose
+    * re-quantization to decimal is engine-divergent — Spark casts the
+    * shortest decimal repr, DuckDB the exact binary expansion; the
+    * c54/c60 bug class), and for traffic monitoring volume×value is
+    * the quantity that pages you anyway.
+    *
+    * Determinism: s_dh = exact DECIMAL(38,6) sum; its square is exact
+    * DECIMAL(38,12) (20 digits needed, 38 available — no rounding);
+    * moment sums exact; the only doubles are casts OF exact decimals
+    * (nearest in both engines) feeding one identical σ expression, so
+    * the 2σ anomaly COUNT is exact and stats round at 1e-4.
+    */
+  def seasonalBaseline(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.t(spark, sfDir, "events")
+    val b = ev.select(col("value"), Tables.tsUs(ev).as("ts_us"))
+      .withColumn("day", expr(s"ts_us div $DayUs"))
+      .withColumn("hod", expr("(ts_us div 3600000000) % 24"))
+    val dh = b.groupBy(col("day"), col("hod"))
+      .agg(sum(col("value").cast(DecimalType(38, 6))).as("s"))
+      .select(col("day"), col("hod"), col("s"),
+        (col("s") * col("s")).as("s2"))
+    val prof = dh.groupBy(col("hod"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("s")).cast("double").as("s1"),
+        sum(col("s2")).cast("double").as("sq"))
+      .withColumn("mean_h", col("s1") / col("n_days"))
+      .withColumn("sd_h", sqrt((col("sq") - col("s1") * col("s1") /
+        col("n_days")) / (col("n_days") - 1)))
+    dh.join(prof, Seq("hod"))
+      .groupBy(col("hod"))
+      .agg(first(col("n_days")).as("n_days"),
+        round(first(col("mean_h")), 4).as("baseline"),
+        round(first(col("sd_h")), 4).as("sd"),
+        sum(when(abs(col("s").cast("double") - col("mean_h")) >
+          lit(2.0) * col("sd_h"), 1L).otherwise(0L)).as("n_anomalous_days"))
+      .orderBy("hod")
+  }
+
   // --- registry ----------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -756,7 +974,11 @@ object Insights {
     "b79_moving_median" -> (movingMedian(_, _)),
     "b80_mode_priority" -> (modePriority(_, _)),
     "c130_ewma_dyadic" -> (ewmaDyadic(_, _)),
-    "c131_session_paths" -> (sessionPaths(_, _)))
+    "c131_session_paths" -> (sessionPaths(_, _)),
+    "c132_sharded_topk_bounds" -> (shardedTopkBounds(_, _)),
+    "c133_expectation_audit" -> (expectationAudit(_, _)),
+    "c134_linear_attribution" -> (linearAttribution(_, _)),
+    "c135_seasonal_baseline" -> (seasonalBaseline(_, _)))
 
   /** The EWMA kernel rendered as exact decimal literals for the
     * oracle (every 2^-k has a finite decimal form, so both engines
@@ -1156,5 +1378,147 @@ object Insights {
         |), total AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM paths)
         |SELECT path, n, ROUND(CAST(n AS DOUBLE) / n_total, 4) AS share
         |FROM paths, total
-        |ORDER BY path ASC NULLS FIRST""".stripMargin)
+        |ORDER BY path ASC NULLS FIRST""".stripMargin,
+
+    "c132_sharded_topk_bounds" ->
+      s"""WITH toks AS (
+         |  SELECT CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+         |      1, 2)) AS BIGINT) % $TopkShards AS shard,
+         |    unnest(string_split(text, ' ')) AS w
+         |  FROM documents
+         |), counts AS (
+         |  SELECT shard, w, COUNT(*) AS cnt FROM toks GROUP BY shard, w
+         |), published AS (
+         |  SELECT shard, w, cnt FROM (
+         |    SELECT shard, w, cnt, row_number() OVER (PARTITION BY shard
+         |      ORDER BY cnt DESC, w ASC) AS rn
+         |    FROM counts
+         |  ) WHERE rn <= $TopkM
+         |), thresholds AS (
+         |  SELECT shard, min(cnt) AS t_s FROM published GROUP BY shard
+         |), b_all AS (
+         |  SELECT CAST(SUM(t_s) AS BIGINT) AS b_ceiling FROM thresholds
+         |), candidates AS (SELECT DISTINCT w FROM published),
+         |grid AS (
+         |  SELECT c.w, t.shard, t.t_s, p.cnt
+         |  FROM candidates c CROSS JOIN thresholds t
+         |  LEFT JOIN published p ON p.shard = t.shard AND p.w = c.w
+         |), bounds AS (
+         |  SELECT w, CAST(SUM(COALESCE(cnt, 0)) AS BIGINT) AS lb,
+         |    CAST(SUM(COALESCE(cnt, t_s)) AS BIGINT) AS ub
+         |  FROM grid GROUP BY w
+         |), exact AS (
+         |  SELECT w, COUNT(*) AS n_exact FROM toks GROUP BY w
+         |)
+         |SELECT w AS token, lb, ub, n_exact,
+         |  CASE WHEN lb >= b_ceiling THEN 1 ELSE 0 END AS certified
+         |FROM (
+         |  SELECT b.w, lb, ub, n_exact, b_ceiling, row_number() OVER (
+         |    ORDER BY lb DESC, b.w ASC) AS rk
+         |  FROM bounds b JOIN exact e ON b.w = e.w, b_all
+         |) WHERE rk <= 10
+         |ORDER BY lb DESC, token ASC""".stripMargin,
+
+    "c133_expectation_audit" ->
+      s"""WITH m AS (
+         |  SELECT COUNT(*) AS n,
+         |    COUNT(o_custkey) AS n_custkey,
+         |    COUNT(DISTINCT o_orderkey) AS n_distinct_key,
+         |    CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0
+         |      END) AS BIGINT) AS n_status_ok,
+         |    CAST(SUM(CASE WHEN o_totalprice > 0.0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_price_pos,
+         |    CAST(SUM(CASE WHEN epoch_us(o_orderdate) >= $OrderDateMinUs
+         |      AND epoch_us(o_orderdate) < $OrderDateMaxUs THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_date_ok
+         |  FROM orders
+         |), orph AS (
+         |  SELECT COUNT(*) AS n_orphans FROM orders
+         |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+         |), r AS (
+         |  SELECT ROUND(CAST(n_custkey AS DOUBLE) / n, 4) AS r_custkey,
+         |    ROUND(CAST(n_distinct_key AS DOUBLE) / n, 4) AS r_unique,
+         |    ROUND(CAST(n_status_ok AS DOUBLE) / n, 4) AS r_status,
+         |    ROUND(CAST(n_price_pos AS DOUBLE) / n, 4) AS r_price,
+         |    ROUND(CAST(n_date_ok AS DOUBLE) / n, 4) AS r_date,
+         |    ROUND(CAST(n_orphans AS DOUBLE) / n, 4) AS r_orphan
+         |  FROM m, orph
+         |)
+         |SELECT check_name, metric, pass FROM (
+         |  SELECT 'completeness_custkey' AS check_name, r_custkey AS metric,
+         |    CAST(r_custkey >= 1.0 AS INT) AS pass FROM r
+         |  UNION ALL SELECT 'uniqueness_orderkey', r_unique,
+         |    CAST(r_unique >= 1.0 AS INT) FROM r
+         |  UNION ALL SELECT 'status_in_set', r_status,
+         |    CAST(r_status >= 1.0 AS INT) FROM r
+         |  UNION ALL SELECT 'price_positive', r_price,
+         |    CAST(r_price >= 1.0 AS INT) FROM r
+         |  UNION ALL SELECT 'date_in_range', r_date,
+         |    CAST(r_date >= 1.0 AS INT) FROM r
+         |  UNION ALL SELECT 'no_orphan_custkeys', r_orphan,
+         |    CAST(r_orphan <= 0.0 AS INT) FROM r
+         |)
+         |ORDER BY check_name ASC NULLS FIRST""".stripMargin,
+
+    "c134_linear_attribution" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts
+         |  FROM events
+         |), conv AS (
+         |  SELECT user_id, event_id AS conv_id, ts AS pts
+         |  FROM e WHERE event_type = 'purchase'
+         |), touches AS (
+         |  SELECT user_id, event_type AS channel, ts AS tts
+         |  FROM e WHERE event_type IN ('view', 'click')
+         |), joined AS (
+         |  SELECT conv_id, channel
+         |  FROM conv c JOIN touches t ON c.user_id = t.user_id
+         |    AND t.tts <= c.pts AND t.tts > c.pts - $FunnelWUs
+         |), credited AS (
+         |  SELECT channel, COUNT(*) AS n_touches,
+         |    COUNT(DISTINCT conv_id) AS n_convs,
+         |    ROUND(CAST(SUM(CAST(credit AS DECIMAL(38,18))) AS DOUBLE), 4)
+         |      AS credit_total
+         |  FROM (
+         |    SELECT conv_id, channel,
+         |      1.0 / (count(*) OVER (PARTITION BY conv_id)) AS credit
+         |    FROM joined
+         |  ) GROUP BY channel
+         |), unattributed AS (
+         |  SELECT '(none)' AS channel, CAST(0 AS BIGINT) AS n_touches,
+         |    COUNT(*) AS n_convs, 0.0 AS credit_total
+         |  FROM conv WHERE conv_id NOT IN (SELECT conv_id FROM joined)
+         |)
+         |SELECT channel, n_touches, n_convs, credit_total FROM credited
+         |UNION ALL
+         |SELECT channel, n_touches, n_convs, credit_total FROM unattributed
+         |ORDER BY channel ASC NULLS FIRST""".stripMargin,
+
+    "c135_seasonal_baseline" ->
+      s"""WITH b AS (
+         |  SELECT value, epoch_us(ts) // $DayUs AS day,
+         |    (epoch_us(ts) // 3600000000) % 24 AS hod
+         |  FROM events
+         |), dh AS (
+         |  SELECT day, hod, SUM(CAST(value AS DECIMAL(38,6))) AS s
+         |  FROM b GROUP BY day, hod
+         |), dh2 AS (
+         |  SELECT day, hod, s, s * s AS s2 FROM dh
+         |), prof AS (
+         |  SELECT hod, COUNT(*) AS n_days,
+         |    CAST(SUM(s) AS DOUBLE) AS s1, CAST(SUM(s2) AS DOUBLE) AS sq
+         |  FROM dh2 GROUP BY hod
+         |), prof2 AS (
+         |  SELECT hod, n_days, s1 / n_days AS mean_h,
+         |    sqrt((sq - s1 * s1 / n_days) / (n_days - 1)) AS sd_h
+         |  FROM prof
+         |)
+         |SELECT d.hod, p.n_days, ROUND(p.mean_h, 4) AS baseline,
+         |  ROUND(p.sd_h, 4) AS sd,
+         |  CAST(SUM(CASE WHEN abs(CAST(d.s AS DOUBLE) - p.mean_h)
+         |    > 2.0 * p.sd_h THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_anomalous_days
+         |FROM dh2 d JOIN prof2 p ON d.hod = p.hod
+         |GROUP BY d.hod, p.n_days, p.mean_h, p.sd_h
+         |ORDER BY d.hod ASC NULLS FIRST""".stripMargin)
 }

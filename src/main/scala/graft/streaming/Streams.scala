@@ -670,6 +670,62 @@ object Streams {
       .toDF("user_id", "istart_us", "iend_us", "n_events")
   }
 
+  /** c130's dyadic EWMA as a STATEFUL STREAM TRANSFORM: per user, the
+    * state is the most-recent-first list of the last 15 values; each
+    * incoming event (batch rows sorted by the canon order) emits its
+    * 16-tap FIR once the kernel is full, then pushes itself onto the
+    * state. The FOLD ORDER is the batch kernel's exactly — tap 0
+    * (current) through tap 15, left-associated — so the emitted
+    * double is bit-identical to c130's. State is ≤ 15 doubles per
+    * user: O(users), never O(history).
+    */
+  def ewmaRuns(events: Dataset[(Long, Long, Double, Long)]): DataFrame = {
+    import events.sparkSession.implicits._
+    val taps = graft.ops.Insights.EwmaTaps
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[List[Double], (Long, Long, Double, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Double, Long)],
+         gs: GroupState[List[Double]]) =>
+          var recent = gs.getOption.getOrElse(Nil) // most-recent-first
+          val out = Seq.newBuilder[(Long, Long, Double, Double)]
+          rows.toSeq.sortBy(r => (r._4, r._2)).foreach { case (_, eid, v, _) =>
+            if (recent.size >= taps - 1) {
+              val ewma = (0 until taps)
+                .map(k => (if (k == 0) v else recent(k - 1)) *
+                  graft.ops.Insights.ewmaWeight(k))
+                .reduce(_ + _)
+              out += ((user, eid, v, ewma))
+            }
+            recent = (v :: recent).take(taps - 1)
+          }
+          gs.update(recent)
+          out.result().iterator
+      }
+      .toDF("user_id", "event_id", "value", "ewma16")
+  }
+
+  /** c136 — STREAMING EWMA, oracle-verified: [[ewmaRuns]] as a live
+    * stateful topology (file source → flatMapGroupsWithState → append
+    * parquet sink, Trigger.AvailableNow). Emits exactly c130's rows —
+    * every event with a full 16-tap history — with BIT-IDENTICAL
+    * doubles (same fold order), so the oracle IS c130's SQL text:
+    * the streaming execution path must agree with the batch path and
+    * DuckDB at full double precision. The c83 discipline: exact under
+    * event-time-ordered batches; state ≤ 15 doubles per user.
+    */
+  def streamEwma(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = stateSession(spark, statePartitions = 8)
+    import s.implicits._
+    val ev = streamTable(s, sfDir, "events")
+    val typed = ev
+      .select(col("user_id"), col("event_id"), col("value"),
+        graft.Tables.tsUs(ev).as("ts_us"))
+      .as[(Long, Long, Double, Long)]
+    runToParquet(ewmaRuns(typed), "append", "c136")
+      .orderBy("user_id", "event_id")
+  }
+
   /** c129 — STREAMING interval coalescing, oracle-verified: b77's
     * gaps-and-islands merge as a live stateful topology — file
     * source → [[islandRuns]] (flatMapGroupsWithState) → append
@@ -764,6 +820,7 @@ object Streams {
     "c89_stream_latest_snapshot" -> (streamLatestSnapshot(_, _)),
     "c83_stream_scd2" -> (streamScd2(_, _)),
     "c129_stream_interval_coalesce" -> (streamIntervalCoalesce(_, _)),
+    "c136_stream_ewma" -> (streamEwma(_, _)),
     "c51_stream_incremental_dedup" -> (streamIncrementalDedup(_, _)),
     "c25_stream_tumbling" -> (streamTumbling(_, _)),
     "c30_stream_sessions" -> (streamSessions(_, _)),
@@ -794,6 +851,10 @@ object Streams {
          |) WHERE valid_to_us IS NOT NULL
          |ORDER BY user_id ASC NULLS FIRST, version ASC NULLS FIRST""".stripMargin
     },
+
+    // The streaming EWMA must agree with batch c130 bit-for-bit —
+    // same oracle text (same taps, same fold order).
+    "c136_stream_ewma" -> graft.ops.Insights.oracle("c130_ewma_dyadic"),
 
     // b77's island algebra at island grain, minus each user's OPEN
     // (last) island — append mode emits exactly the closed islands.

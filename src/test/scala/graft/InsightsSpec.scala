@@ -255,6 +255,71 @@ class InsightsSpec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  test("c132: bounds bracket the exact count and certification is sound") {
+    val rows = Insights.shardedTopkBounds(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val (lb, ub, n) = (r.getAs[Long]("lb"), r.getAs[Long]("ub"),
+        r.getAs[Long]("n_exact"))
+      assert(lb <= n && n <= ub, s"${r.getString(0)}: $lb <= $n <= $ub")
+    }
+    // A certified candidate's exact count must beat every token whose
+    // count the protocol could not see (the absent-everywhere bound).
+    val exact = Tables.t(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val emitted = rows.map(_.getString(0)).toSet
+    val maxUnseen = (exact -- emitted).values.maxOption.getOrElse(0L)
+    rows.filter(_.getAs[Int]("certified") == 1).foreach { r =>
+      assert(r.getAs[Long]("n_exact") >= maxUnseen ||
+        r.getAs[Long]("lb") >= r.getAs[Long]("ub"),
+        s"certified ${r.getString(0)} beaten by an unseen token")
+    }
+  }
+
+  test("c133: all six expectations pass on the intact fixture") {
+    val rows = Insights.expectationAudit(spark, sf).collect()
+    assert(rows.length == 6)
+    rows.foreach(r => assert(r.getAs[Int]("pass") == 1,
+      s"${r.getString(0)} failed: metric ${r.getDouble(1)}"))
+  }
+
+  test("c134: credit + unattributed conversions account for every purchase") {
+    val rows = Insights.linearAttribution(spark, sf).collect()
+    val totalCredit = rows.filter(_.getString(0) != "(none)")
+      .map(_.getAs[Double]("credit_total")).sum
+    val unattributed = rows.find(_.getString(0) == "(none)")
+      .map(_.getAs[Long]("n_convs")).getOrElse(0L)
+    val purchases = events.count(_._3 == "purchase")
+    assert(math.abs(totalCredit + unattributed - purchases) < 0.01,
+      s"credit $totalCredit + none $unattributed != $purchases")
+  }
+
+  test("c135: anomaly counts match a brute-force per-hour recomputation") {
+    val rows = Insights.seasonalBaseline(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(4)))).toMap
+    val buckets = events.groupBy(e =>
+      (e._5 / 86400000000L, (e._5 / 3600000000L) % 24))
+      .map { case ((d, h), es) =>
+        val s = es.map(e => BigDecimal(e._4).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP)).sum
+        (d, h, s.toDouble)
+      }.toSeq
+    buckets.groupBy(_._2).foreach { case (h, bs) =>
+      val n = bs.size
+      val s1 = bs.map(_._3).sum
+      val mean = s1 / n
+      val sd = math.sqrt(bs.map(b => b._3 * b._3).sum / 1.0 match {
+        case sq => (sq - s1 * s1 / n) / (n - 1)
+      })
+      val anom = bs.count(b => math.abs(b._3 - mean) > 2.0 * sd)
+      val (gn, ganom) = rows(h)
+      assert(gn == n && ganom == anom.toLong,
+        s"hod $h: got ($gn,$ganom) want ($n,$anom)")
+    }
+  }
+
   test("c128: frontier is strictly monotone and dominates every dropped point") {
     val frontier = Insights.paretoFrontier(spark, sf).collect()
       .map(r => (r.getDouble(0), r.getInt(1)))

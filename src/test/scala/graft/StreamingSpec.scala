@@ -219,6 +219,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("c136 kernel: taps carried across micro-batches reproduce the batch FIR") {
+    implicit val sqlCtx = spark.sqlContext
+    val taps = graft.ops.Insights.EwmaTaps
+    // (user_id, event_id, value, ts_us)
+    val input = MemoryStream[(Long, Long, Double, Long)]
+    val runs = graft.streaming.Streams.ewmaRuns(input.toDS())
+    val q = runs.writeStream.format("memory").queryName("c136k")
+      .outputMode("append").start()
+    try {
+      val vals = (1 to taps + 1).map(i => i * 1.5)
+      // Batch 1: 15 events — kernel not yet full, nothing emits.
+      input.addData((1 until taps).map(i => (1L, i.toLong, vals(i - 1), i * 10L)): _*)
+      q.processAllAvailable()
+      assert(spark.table("c136k").count() == 0L, "kernel must fill first")
+      // Batch 2: two more events — each emits one FIR over state+batch.
+      input.addData((1L, taps.toLong, vals(taps - 1), taps * 10L),
+        (1L, (taps + 1).toLong, vals(taps), (taps + 1) * 10L))
+      q.processAllAvailable()
+      val out = spark.table("c136k")
+        .as[(Long, Long, Double, Double)].collect().sortBy(_._2)
+      assert(out.length == 2)
+      def fir(latestIdx: Int): Double = (0 until taps)
+        .map(k => vals(latestIdx - k) * graft.ops.Insights.ewmaWeight(k))
+        .reduce(_ + _)
+      assert(out(0)._4 == fir(taps - 1) && out(1)._4 == fir(taps),
+        s"got ${out.map(_._4).toSeq}")
+    } finally q.stop()
+  }
+
   test("stream-stream join matches keys only within the time horizon") {
     implicit val sqlCtx = spark.sqlContext
     val imps = MemoryStream[(Timestamp, String)]
