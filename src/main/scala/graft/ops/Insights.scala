@@ -467,7 +467,10 @@ object Insights {
     *
     * Determinism: pure integer µs comparisons; depth ∈ {1,2,3} exact.
     */
-  def windowFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The c126 stage pipeline, shared with c137's latency key:
+    * (anchors v, earliest-click vc, earliest-purchase vcp). */
+  private def funnelStages(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val ev = Tables.t(spark, sfDir, "events")
     val e = ev.select(col("user_id"), col("event_type"),
       Tables.tsUs(ev).as("ts"))
@@ -490,6 +493,11 @@ object Insights {
       .where(col("pts") > col("c1") && col("pts") <= col("vts") + FunnelWUs)
       .groupBy(col("user_id"), col("vts"), col("c1"))
       .agg(min(col("pts")).as("p1"))
+    (v, vc, vcp)
+  }
+
+  def windowFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val (v, vc, vcp) = funnelStages(spark, sfDir)
     v.join(vc.select(col("user_id"), col("vts"), col("c1")),
         Seq("user_id", "vts"), "left")
       .join(vcp.select(col("user_id"), col("vts"), col("p1")),
@@ -958,6 +966,152 @@ object Insights {
       .orderBy("hod")
   }
 
+  // --- b81: ABC / Pareto contribution classification ----------------
+
+  /** b81 — ABC contribution analysis (the Pareto 80/95 inventory
+    * classification — public BI canon): brands ranked by revenue,
+    * cumulative share, and the A/B/C class cut at 80% / 95% — "which
+    * 20% of the catalog carries 80% of the business".
+    *
+    * Determinism: per-brand revenue is an exact DECIMAL(38,6) sum;
+    * the cumulative sum RUNS IN DECIMAL over the deterministic
+    * (revenue desc, brand asc) order — never a running double — and
+    * only the final share division is FP (identical operands →
+    * identical quotient; the class compare evaluates identical
+    * doubles against literals). Windows run on the 25-row brand
+    * aggregate.
+    */
+  def abcClassification(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.t(spark, sfDir, "lineitem")
+    val part = Tables.t(spark, sfDir, "part")
+    val rev = li
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(38, 6))).as("rev_d"))
+    val w = Window.orderBy(col("rev_d").desc, col("p_brand").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+    rev
+      .withColumn("cum_d", sum(col("rev_d")).over(w))
+      .withColumn("tot_d", sum(col("rev_d")).over(wAll))
+      .withColumn("cum_share",
+        col("cum_d").cast("double") / col("tot_d").cast("double"))
+      .select(col("p_brand"), col("rev_d").cast("double").as("revenue"),
+        round(col("cum_share"), 4).as("cum_share"),
+        when(col("cum_share") <= 0.8, "A")
+          .when(col("cum_share") <= 0.95, "B")
+          .otherwise("C").as("abc_class"))
+      .orderBy(col("revenue").desc, col("p_brand").asc)
+  }
+
+  // --- b82: sliding distinct-count window ---------------------------
+
+  /** Trailing frame for the sliding distinct count. */
+  private[graft] val DistinctFrame = 10
+
+  /** b82 — distinct count over a sliding window: per customer, how
+    * many DISTINCT order priorities the trailing 10 orders used — the
+    * sliding-cardinality window (neither engine exposes a portable
+    * `count(DISTINCT) OVER`, so both sides build it from the same
+    * collect → dedup → length primitive, the b79 discipline). O(frame)
+    * per row, one hash exchange.
+    */
+  def windowDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.t(spark, sfDir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(-(DistinctFrame - 1), 0)
+    orders.select(col("o_custkey"), col("o_orderkey"),
+        size(array_distinct(collect_list(col("o_orderpriority")).over(w)))
+          .as("n_distinct_prio"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // --- c137: funnel latency percentiles -----------------------------
+
+  /** c137 — funnel time-to-convert, exact order statistics: over
+    * every completed view → click → purchase anchor (c126's stage
+    * pipeline, shared code), the p50 / p90 of view→purchase latency
+    * plus the exact mean — the "how long does conversion take"
+    * readout next to c126's "how many convert". Percentiles are the
+    * rank-`floor((n−1)p)+1` order statistics over integer µs
+    * latencies — exact integers, no interpolation, hash-exact
+    * (the c84 exact-order-statistic discipline; conversions are an
+    * activity-bounded subset, so the global sort is k-sized).
+    */
+  def funnelLatency(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, _, vcp) = funnelStages(spark, sfDir)
+    val lat = vcp.select((col("p1") - col("vts")).as("lat_us"),
+      col("user_id"), col("vts"))
+    val n = lat.agg(count(lit(1)).as("n"),
+      sum(col("lat_us").cast(DecimalType(38, 6))).cast("double").as("s"))
+    val ranked = lat.withColumn("rk", row_number().over(
+      Window.orderBy(col("lat_us").asc, col("user_id").asc, col("vts").asc))
+      .cast("long"))
+    ranked.crossJoin(broadcast(n))
+      .where(col("rk") === expr("cast(floor((n - 1) * 0.5) as bigint) + 1") ||
+        col("rk") === expr("cast(floor((n - 1) * 0.9) as bigint) + 1"))
+      .groupBy(col("n"))
+      .agg(min(when(col("rk") === expr("cast(floor((n - 1) * 0.5) as bigint) + 1"),
+          col("lat_us"))).as("p50_us"),
+        min(when(col("rk") === expr("cast(floor((n - 1) * 0.9) as bigint) + 1"),
+          col("lat_us"))).as("p90_us"),
+        first(round(col("s") / col("n") / 1000000.0, 4)).as("mean_s"))
+      .select(col("n").as("n_conversions"), col("p50_us"), col("p90_us"),
+        col("mean_s"))
+  }
+
+  // --- c138: Markov stationary distribution -------------------------
+
+  /** Power-iteration rounds and the integer mass scale. */
+  private[graft] val StationaryRounds = 8
+  private[graft] val MassScale = 1000000000000L // 1e12
+
+  /** c138 — stationary distribution of the behavioral Markov chain
+    * (the long-run "where do users spend their time" vector c93's
+    * one-step transition matrix implies; Perron–Frobenius / power
+    * iteration — public): [[StationaryRounds]] unrolled rounds of
+    * π' = πP starting uniform.
+    *
+    * ALL-INTEGER power iteration: π carries as integer units of
+    * 1e-12 mass; each round computes `Σ_i (π_i · n_ij) div n_i` —
+    * integer floor-division per term (deterministic in both engines;
+    * the ≤ 5e-12 per-round floor leak is documented and far below the
+    * emitted 1e-4 grain). The chain state is 5 rows; each round is a
+    * broadcast join on the 25-row count matrix — the same unrolled
+    * fixed-round discipline as c35/c68/c78.
+    */
+  def markovStationary(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.t(spark, sfDir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val trans = ev
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        Tables.tsUs(ev).as("ts_us"))
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .where(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("cur"), col("nxt"))
+      .agg(count(lit(1)).as("n_ij"))
+    val rowTotals = trans.groupBy(col("cur")).agg(sum(col("n_ij")).as("n_i"))
+    val matrix = trans.join(rowTotals, Seq("cur"))
+    val states = rowTotals.select(col("cur").as("state"))
+    val nStates = 5L
+    val init = states.select(col("state"),
+      lit(MassScale / nStates).as("mass"))
+    val eventual = (1 to StationaryRounds).foldLeft(init) { (pi, _) =>
+      pi.join(broadcast(matrix), col("state") === col("cur"))
+        .select(col("nxt").as("state"),
+          expr("mass * n_ij div n_i").as("contrib"))
+        .groupBy(col("state")).agg(sum(col("contrib")).as("mass"))
+    }
+    eventual
+      .select(col("state"),
+        round(col("mass").cast("double") / MassScale, 4).as("pi"))
+      .orderBy("state")
+  }
+
   // --- registry ----------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -978,7 +1132,46 @@ object Insights {
     "c132_sharded_topk_bounds" -> (shardedTopkBounds(_, _)),
     "c133_expectation_audit" -> (expectationAudit(_, _)),
     "c134_linear_attribution" -> (linearAttribution(_, _)),
-    "c135_seasonal_baseline" -> (seasonalBaseline(_, _)))
+    "c135_seasonal_baseline" -> (seasonalBaseline(_, _)),
+    "b81_abc_classification" -> (abcClassification(_, _)),
+    "b82_window_distinct" -> (windowDistinct(_, _)),
+    "c137_funnel_latency" -> (funnelLatency(_, _)),
+    "c138_markov_stationary" -> (markovStationary(_, _)))
+
+  /** c138's oracle: the unrolled integer power iteration as
+    * machine-generated CTE rounds (the c78 discipline). */
+  private def stationarySql: String = {
+    val rounds = (1 to StationaryRounds).map { r =>
+      val prev = if (r == 1) "pi0" else s"pi${r - 1}"
+      s"""pi$r AS (
+         |  SELECT nxt AS state, CAST(SUM((mass * n_ij) // n_i) AS BIGINT)
+         |    AS mass
+         |  FROM $prev p JOIN matrix m ON p.state = m.cur
+         |  GROUP BY nxt
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH seq AS (
+       |  SELECT event_type AS cur,
+       |    lead(event_type, 1) OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(ts) ASC, event_id ASC) AS nxt
+       |  FROM events
+       |), trans AS (
+       |  SELECT cur, nxt, COUNT(*) AS n_ij FROM seq
+       |  WHERE nxt IS NOT NULL GROUP BY cur, nxt
+       |), totals AS (
+       |  SELECT cur, CAST(SUM(n_ij) AS BIGINT) AS n_i FROM trans GROUP BY cur
+       |), matrix AS (
+       |  SELECT t.cur, t.nxt, t.n_ij, o.n_i
+       |  FROM trans t JOIN totals o ON t.cur = o.cur
+       |), pi0 AS (
+       |  SELECT cur AS state, CAST(${MassScale / 5L} AS BIGINT) AS mass
+       |  FROM totals
+       |),
+       |$rounds
+       |SELECT state, ROUND(CAST(mass AS DOUBLE) / $MassScale, 4) AS pi
+       |FROM pi$StationaryRounds
+       |ORDER BY state ASC NULLS FIRST""".stripMargin
+  }
 
   /** The EWMA kernel rendered as exact decimal literals for the
     * oracle (every 2^-k has a finite decimal form, so both engines
@@ -1520,5 +1713,80 @@ object Insights {
          |    AS n_anomalous_days
          |FROM dh2 d JOIN prof2 p ON d.hod = p.hod
          |GROUP BY d.hod, p.n_days, p.mean_h, p.sd_h
-         |ORDER BY d.hod ASC NULLS FIRST""".stripMargin)
+         |ORDER BY d.hod ASC NULLS FIRST""".stripMargin,
+
+    "b81_abc_classification" ->
+      """WITH rev AS (
+        |  SELECT p_brand,
+        |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6)))
+        |      AS rev_d
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand
+        |), cum AS (
+        |  SELECT p_brand, rev_d,
+        |    SUM(rev_d) OVER (ORDER BY rev_d DESC, p_brand ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_d,
+        |    SUM(rev_d) OVER () AS tot_d
+        |  FROM rev
+        |), shares AS (
+        |  SELECT p_brand, CAST(rev_d AS DOUBLE) AS revenue,
+        |    CAST(cum_d AS DOUBLE) / CAST(tot_d AS DOUBLE) AS cum_share
+        |  FROM cum
+        |)
+        |SELECT p_brand, revenue, ROUND(cum_share, 4) AS cum_share,
+        |  CASE WHEN cum_share <= 0.8 THEN 'A'
+        |       WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc_class
+        |FROM shares
+        |ORDER BY revenue DESC, p_brand ASC""".stripMargin,
+
+    "b82_window_distinct" ->
+      s"""SELECT o_custkey, o_orderkey,
+         |  CAST(len(list_distinct(list(o_orderpriority) OVER (
+         |    PARTITION BY o_custkey
+         |    ORDER BY o_orderdate ASC, o_orderkey ASC
+         |    ROWS BETWEEN ${DistinctFrame - 1} PRECEDING AND CURRENT ROW)))
+         |    AS INTEGER) AS n_distinct_prio
+         |FROM orders
+         |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "c137_funnel_latency" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, epoch_us(ts) AS ts FROM events
+         |), v AS (SELECT user_id, ts AS vts FROM e WHERE event_type = 'view'),
+         |c AS (SELECT user_id, ts AS cts FROM e WHERE event_type = 'click'),
+         |p AS (SELECT user_id, ts AS pts FROM e WHERE event_type = 'purchase'),
+         |vc AS (
+         |  SELECT v.user_id, vts, min(cts) AS c1
+         |  FROM v JOIN c ON v.user_id = c.user_id
+         |    AND cts > vts AND cts <= vts + $FunnelWUs
+         |  GROUP BY v.user_id, vts
+         |), vcp AS (
+         |  SELECT vc.user_id, vts, min(pts) AS p1
+         |  FROM vc JOIN p ON vc.user_id = p.user_id
+         |    AND pts > c1 AND pts <= vts + $FunnelWUs
+         |  GROUP BY vc.user_id, vts
+         |), lat AS (
+         |  SELECT p1 - vts AS lat_us, user_id, vts FROM vcp
+         |), agg AS (
+         |  SELECT COUNT(*) AS n,
+         |    CAST(SUM(CAST(lat_us AS DECIMAL(38,6))) AS DOUBLE) AS s
+         |  FROM lat
+         |), ranked AS (
+         |  SELECT lat_us, row_number() OVER (
+         |    ORDER BY lat_us ASC, user_id ASC, vts ASC) AS rk
+         |  FROM lat
+         |)
+         |SELECT n AS n_conversions,
+         |  min(CASE WHEN rk = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1
+         |    THEN lat_us END) AS p50_us,
+         |  min(CASE WHEN rk = CAST(floor((n - 1) * 0.9) AS BIGINT) + 1
+         |    THEN lat_us END) AS p90_us,
+         |  ROUND(s / n / 1000000.0, 4) AS mean_s
+         |FROM ranked, agg
+         |WHERE rk = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1
+         |   OR rk = CAST(floor((n - 1) * 0.9) AS BIGINT) + 1
+         |GROUP BY n, s
+         |ORDER BY n_conversions""".stripMargin,
+
+    "c138_markov_stationary" -> stationarySql)
 }

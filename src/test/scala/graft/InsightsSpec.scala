@@ -320,6 +320,70 @@ class InsightsSpec extends AnyFunSuite {
     }
   }
 
+  test("b81: cumulative share is monotone and the class cuts are honored") {
+    val rows = Insights.abcClassification(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getString(3)))
+    assert(rows.length == 25)
+    rows.sliding(2).foreach {
+      case Array((_, r1, c1, _), (_, r2, c2, _)) =>
+        assert(r1 >= r2 && c1 <= c2)
+      case _ =>
+    }
+    assert(math.abs(rows.last._3 - 1.0) < 1e-9)
+    // class boundaries: every A precedes every B precedes every C
+    val classes = rows.map(_._4).mkString
+    assert("^A*B*C*$".r.findFirstIn(classes).isDefined, classes)
+  }
+
+  test("b82: sliding distinct matches a brute-force trailing scan") {
+    val got = Insights.windowDistinct(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val orders = Tables.t(spark, sf, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"),
+        unix_micros(col("o_orderdate").cast("timestamp")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    orders.groupBy(_._1).foreach { case (ck, os) =>
+      val ordered = os.sortBy(o => (o._4, o._2))
+      ordered.zipWithIndex.foreach { case ((_, ok, _, _), i) =>
+        val frame = ordered.slice(math.max(0, i - Insights.DistinctFrame + 1),
+          i + 1).map(_._3).distinct.size
+        assert(got((ck, ok)) == frame, s"cust $ck order $ok")
+      }
+    }
+  }
+
+  test("c137: percentiles are real latencies inside the funnel window") {
+    val rows = Insights.funnelLatency(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val (p50, p90) = (r.getAs[Long]("p50_us"), r.getAs[Long]("p90_us"))
+    assert(p50 > 0 && p50 <= p90 && p90 <= Insights.FunnelWUs)
+    assert(r.getAs[Long]("n_conversions") > 0)
+  }
+
+  test("c138: mass is conserved up to the floor leak and the chain has converged") {
+    val pi = Insights.markovStationary(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pi.size == 5 && pi.values.forall(_ >= 0.0))
+    val mass = pi.values.sum
+    assert(mass <= 1.0 && mass > 0.999, s"mass $mass")
+    // convergence: recompute transitions and apply ONE more exact round
+    val trans = events.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      es.sortBy(e => (e._5, e._2)).map(_._3).sliding(2)
+        .filter(_.size == 2).map(p => (p(0), p(1)))
+    }.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val rowTot = trans.groupBy(_._1._1).map { case (c, m) => c -> m.values.sum }
+    val next = pi.keys.map { j =>
+      j -> pi.keys.map { i =>
+        pi(i) * trans.getOrElse((i, j), 0L).toDouble / rowTot(i)
+      }.sum
+    }.toMap
+    pi.keys.foreach { s =>
+      assert(math.abs(pi(s) - next(s)) < 0.002, s"$s: ${pi(s)} vs ${next(s)}")
+    }
+  }
+
   test("c128: frontier is strictly monotone and dominates every dropped point") {
     val frontier = Insights.paretoFrontier(spark, sf).collect()
       .map(r => (r.getDouble(0), r.getInt(1)))
