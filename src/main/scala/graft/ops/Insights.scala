@@ -1112,6 +1112,178 @@ object Insights {
       .orderBy("state")
   }
 
+  // --- b83: forward as-of join --------------------------------------
+
+  /** b83 — FORWARD as-of join: for each click, the EARLIEST purchase
+    * by the same user at-or-after it — the directional complement of
+    * b14's backward as-of (market data looks back, conversion
+    * analysis looks forward: "what did this click lead to"). Same
+    * portable idiom as b14: equi+range join, `row_number()=1` under a
+    * total order, identical formulation in both engines (never
+    * DuckDB's native ASOF, whose forward direction isn't portable).
+    */
+  def asofForward(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.t(spark, sfDir, "events")
+    val e = ev.select(col("event_id"), col("user_id"), col("event_type"),
+      Tables.tsUs(ev).as("ts_us"))
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts_us").as("click_ts_us"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("puser"),
+        col("ts_us").as("purchase_ts_us"))
+    val w = Window.partitionBy(col("click_id"))
+      .orderBy(col("purchase_ts_us").asc, col("purchase_id").asc)
+    clicks
+      .join(purchases, col("user_id") === col("puser") &&
+        col("purchase_ts_us") >= col("click_ts_us"), "left")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("click_id"), col("user_id"), col("click_ts_us"),
+        col("purchase_id"), col("purchase_ts_us"))
+      .orderBy("click_id")
+  }
+
+  // --- c139: OHLC bars ----------------------------------------------
+
+  /** c139 — OHLC candle bars (the finance/monitoring resample: per
+    * hour, the Open/High/Low/Close of `value` plus count and exact
+    * total). Open/Close are first/last BY THE TOTAL ORDER
+    * `(ts, event_id)` via the b78 min/max-of-struct trick — one
+    * map-side-combinable aggregate, never a window — so the bar
+    * build is a single shuffle by hour at any volume; High/Low are
+    * plain min/max of stored doubles.
+    */
+  def tumblingOhlc(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.t(spark, sfDir, "events")
+    val e = ev.select(col("value"), col("event_id"),
+        Tables.tsUs(ev).as("ts_us"))
+      .withColumn("hour", expr("ts_us div 3600000000"))
+    e.groupBy(col("hour"))
+      .agg(min(struct(col("ts_us"), col("event_id"), col("value"))).as("o"),
+        max(struct(col("ts_us"), col("event_id"), col("value"))).as("c"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        count(lit(1)).as("n_events"),
+        Canon.dsum(col("value")).as("volume"))
+      .select(col("hour"), col("o.value").as("open"), col("high"),
+        col("low"), col("c.value").as("close"), col("n_events"),
+        col("volume"))
+      .orderBy("hour")
+  }
+
+  // --- c140: period-over-period movers ------------------------------
+
+  /** c140 — period-over-period movers (the WoW/MoM delta table behind
+    * every "what changed" dashboard): the event span is split at its
+    * integer midpoint day and each event type's exact-decimal value
+    * total is compared across the halves — delta exact, percent
+    * change one guarded IEEE division rounded at 1e-4. The boundary
+    * is integer arithmetic over the 1-row global bounds broadcast;
+    * everything else is one conditional aggregate.
+    */
+  def periodMovers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.t(spark, sfDir, "events")
+    val e = ev.select(col("event_type"), col("value"),
+        Tables.tsUs(ev).as("ts_us"))
+      .withColumn("day", expr(s"ts_us div $DayUs"))
+    val bounds = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(expr("d0 + (d1 - d0 + 1) div 2").as("mid"))
+    val halves = e.crossJoin(broadcast(bounds))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("day") < col("mid"),
+          col("value").cast(DecimalType(38, 6)))).cast("double").as("v1"),
+        sum(when(col("day") >= col("mid"),
+          col("value").cast(DecimalType(38, 6)))).cast("double").as("v2"),
+        sum(when(col("day") < col("mid"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("day") >= col("mid"), 1L).otherwise(0L)).as("n2"))
+    halves.select(col("event_type"), col("n1"), col("n2"),
+        round(col("v1"), 4).as("v1"), round(col("v2"), 4).as("v2"),
+        round(col("v2") - col("v1"), 4).as("delta"),
+        when(col("v1") > 0.0, round((col("v2") - col("v1")) / col("v1"), 4))
+          .as("pct_change"))
+      .orderBy("event_type")
+  }
+
+  // --- c141: new vs returning users ---------------------------------
+
+  /** c141 — new-vs-returning daily split (the product-analytics
+    * acquisition/retention headline): per day, active users, users
+    * whose FIRST-EVER activity is that day, and the returning
+    * remainder. First-activity day is one map-side-combinable min per
+    * user; the daily roll-up joins day-grain aggregates only. All
+    * integer counts — hash-exact.
+    */
+  def newVsReturning(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.t(spark, sfDir, "events")
+    val e = ev.select(col("user_id"), Tables.tsUs(ev).as("ts_us"))
+      .withColumn("day", expr(s"ts_us div $DayUs"))
+    val userDays = e.select(col("user_id"), col("day")).distinct()
+    val firstDay = userDays.groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"))
+    userDays.join(firstDay, Seq("user_id"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+          .as("n_new"))
+      .select(col("day"), col("n_active"), col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"))
+      .orderBy("day")
+  }
+
+  // --- c142: A/B test power analysis --------------------------------
+
+  /** z-quantiles for α=0.05 two-sided and 80% power (literal in both
+    * engines). */
+  private val ZAlpha = 1.959963984540054
+  private val ZBeta = 0.8416212335729143
+
+  /** c142 — proportions-test power analysis (the closed-form
+    * two-proportion sample-size formula — Fleiss et al. / standard
+    * biostatistics, public): for each event type, given c122's
+    * OBSERVED conversion rates, the per-arm n required to detect the
+    * observed delta at α=0.05 / 80% power, and whether the current
+    * arm is already that large — the "is this experiment even powered"
+    * readout that should gate every c122/c90 significance claim.
+    *
+    * n = (z_{α/2}·√(2p̄q̄) + z_β·√(p₁q₁+p₂q₂))² / δ² — one IEEE
+    * expression over exact-integer-derived rates with literal
+    * quantiles, NULL on δ=0, ceiling to an integer (identical
+    * doubles → identical ceil in both engines).
+    */
+  def powerAnalysis(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.t(spark, sfDir, "events")
+    val firsts = ev
+      .select(col("user_id"), col("event_type"), col("value"),
+        Tables.tsUs(ev).as("ts_us"), col("event_id"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(struct(col("ts_us"), col("event_id"), col("value"))).as("f"))
+      .select(col("user_id"), col("event_type"),
+        (col("f.value") > ConvCut).as("conv"))
+      .withColumn("a", userArmA(col("user_id")))
+    val t = firsts.groupBy(col("event_type"))
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("a") && col("conv"), 1L).otherwise(0L)).as("conv_a"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("a") && col("conv"), 1L).otherwise(0L)).as("conv_b"))
+    val p1 = col("conv_a").cast("double") / col("n_a")
+    val p2 = col("conv_b").cast("double") / col("n_b")
+    val pbar = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    val delta = p1 - p2
+    val nReq = (lit(ZAlpha) * sqrt(lit(2.0) * pbar * (lit(1.0) - pbar)) +
+      lit(ZBeta) * sqrt(p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2)))
+    t.select(col("event_type"), col("n_a"), col("n_b"),
+        round(p1, 4).as("rate_a"), round(p2, 4).as("rate_b"),
+        when(delta =!= 0.0,
+          ceil(nReq * nReq / (delta * delta)).cast("long")).as("n_required"),
+        when(delta =!= 0.0,
+          when(least(col("n_a"), col("n_b")).cast("double") >=
+            ceil(nReq * nReq / (delta * delta)), 1).otherwise(0))
+          .as("powered"))
+      .orderBy("event_type")
+  }
+
   // --- registry ----------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1136,7 +1308,12 @@ object Insights {
     "b81_abc_classification" -> (abcClassification(_, _)),
     "b82_window_distinct" -> (windowDistinct(_, _)),
     "c137_funnel_latency" -> (funnelLatency(_, _)),
-    "c138_markov_stationary" -> (markovStationary(_, _)))
+    "c138_markov_stationary" -> (markovStationary(_, _)),
+    "b83_join_asof_forward" -> (asofForward(_, _)),
+    "c139_tumbling_ohlc" -> (tumblingOhlc(_, _)),
+    "c140_period_movers" -> (periodMovers(_, _)),
+    "c141_new_vs_returning" -> (newVsReturning(_, _)),
+    "c142_power_analysis" -> (powerAnalysis(_, _)))
 
   /** c138's oracle: the unrolled integer power iteration as
     * machine-generated CTE rounds (the c78 discipline). */
@@ -1788,5 +1965,132 @@ object Insights {
          |GROUP BY n, s
          |ORDER BY n_conversions""".stripMargin,
 
-    "c138_markov_stationary" -> stationarySql)
+    "c138_markov_stationary" -> stationarySql,
+
+    "b83_join_asof_forward" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events
+        |), clicks AS (
+        |  SELECT event_id AS click_id, user_id, ts_us AS click_ts_us
+        |  FROM e WHERE event_type = 'click'
+        |), purchases AS (
+        |  SELECT event_id AS purchase_id, user_id AS puser,
+        |    ts_us AS purchase_ts_us
+        |  FROM e WHERE event_type = 'purchase'
+        |)
+        |SELECT click_id, user_id, click_ts_us, purchase_id, purchase_ts_us
+        |FROM (
+        |  SELECT c.click_id, c.user_id, c.click_ts_us, p.purchase_id,
+        |    p.purchase_ts_us,
+        |    row_number() OVER (PARTITION BY c.click_id
+        |      ORDER BY p.purchase_ts_us ASC NULLS LAST,
+        |        p.purchase_id ASC NULLS LAST) AS rn
+        |  FROM clicks c LEFT JOIN purchases p
+        |    ON c.user_id = p.puser AND p.purchase_ts_us >= c.click_ts_us
+        |) WHERE rn = 1
+        |ORDER BY click_id ASC NULLS FIRST""".stripMargin,
+
+    "c139_tumbling_ohlc" ->
+      s"""WITH e AS (
+         |  SELECT value, event_id, epoch_us(ts) AS ts_us,
+         |    epoch_us(ts) // 3600000000 AS hour
+         |  FROM events
+         |), marked AS (
+         |  SELECT hour, value,
+         |    row_number() OVER (PARTITION BY hour
+         |      ORDER BY ts_us ASC, event_id ASC) AS rn_a,
+         |    row_number() OVER (PARTITION BY hour
+         |      ORDER BY ts_us DESC, event_id DESC) AS rn_d
+         |  FROM e
+         |)
+         |SELECT hour,
+         |  min(CASE WHEN rn_a = 1 THEN value END) AS open,
+         |  max(value) AS high, min(value) AS low,
+         |  min(CASE WHEN rn_d = 1 THEN value END) AS close,
+         |  COUNT(*) AS n_events,
+         |  ${graft.Canon.oDsum("value")} AS volume
+         |FROM marked GROUP BY hour
+         |ORDER BY hour ASC NULLS FIRST""".stripMargin,
+
+    "c140_period_movers" ->
+      s"""WITH e AS (
+         |  SELECT event_type, value, epoch_us(ts) // $DayUs AS day
+         |  FROM events
+         |), bounds AS (
+         |  SELECT min(day) + (max(day) - min(day) + 1) // 2 AS mid FROM e
+         |), halves AS (
+         |  SELECT event_type,
+         |    CAST(SUM(CASE WHEN day < mid
+         |      THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS v1,
+         |    CAST(SUM(CASE WHEN day >= mid
+         |      THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS v2,
+         |    CAST(SUM(CASE WHEN day < mid THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(SUM(CASE WHEN day >= mid THEN 1 ELSE 0 END) AS BIGINT) AS n2
+         |  FROM e, bounds GROUP BY event_type
+         |)
+         |SELECT event_type, n1, n2, ROUND(v1, 4) AS v1, ROUND(v2, 4) AS v2,
+         |  ROUND(v2 - v1, 4) AS delta,
+         |  CASE WHEN v1 > 0.0 THEN ROUND((v2 - v1) / v1, 4) END AS pct_change
+         |FROM halves
+         |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+
+    "c141_new_vs_returning" ->
+      s"""WITH ud AS (
+         |  SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day FROM events
+         |), fd AS (
+         |  SELECT user_id, min(day) AS first_day FROM ud GROUP BY user_id
+         |)
+         |SELECT day, COUNT(*) AS n_active,
+         |  CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_new,
+         |  COUNT(*) - CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_returning
+         |FROM ud JOIN fd USING (user_id)
+         |GROUP BY day
+         |ORDER BY day ASC NULLS FIRST""".stripMargin,
+
+    "c142_power_analysis" ->
+      s"""WITH firsts AS (
+         |  SELECT user_id, event_type, value > $ConvCut AS conv,
+         |    substr(md5('arm:' || CAST(user_id AS VARCHAR)), 1, 1) < '8' AS a
+         |  FROM (
+         |    SELECT user_id, event_type, value, row_number() OVER (
+         |      PARTITION BY user_id, event_type
+         |      ORDER BY epoch_us(ts) ASC, event_id ASC) AS rn
+         |    FROM events
+         |  ) WHERE rn = 1
+         |), t AS (
+         |  SELECT event_type,
+         |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(SUM(CASE WHEN a AND conv THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS conv_a,
+         |    CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |    CAST(SUM(CASE WHEN NOT a AND conv THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS conv_b
+         |  FROM firsts GROUP BY event_type
+         |), rates AS (
+         |  SELECT event_type, n_a, n_b,
+         |    CAST(conv_a AS DOUBLE) / n_a AS p1,
+         |    CAST(conv_b AS DOUBLE) / n_b AS p2,
+         |    CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS pbar
+         |  FROM t
+         |), calc AS (
+         |  SELECT event_type, n_a, n_b, p1, p2,
+         |    ($ZAlpha * sqrt(2.0 * pbar * (1.0 - pbar))
+         |      + $ZBeta * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2))) AS nr,
+         |    p1 - p2 AS delta
+         |  FROM rates
+         |)
+         |SELECT event_type, n_a, n_b,
+         |  ROUND(p1, 4) AS rate_a, ROUND(p2, 4) AS rate_b,
+         |  CASE WHEN delta <> 0.0
+         |    THEN CAST(ceil(nr * nr / (delta * delta)) AS BIGINT)
+         |  END AS n_required,
+         |  CASE WHEN delta <> 0.0 THEN
+         |    CASE WHEN CAST(least(n_a, n_b) AS DOUBLE)
+         |      >= ceil(nr * nr / (delta * delta)) THEN 1 ELSE 0 END
+         |  END AS powered
+         |FROM calc
+         |ORDER BY event_type ASC NULLS FIRST""".stripMargin)
 }

@@ -384,6 +384,63 @@ class InsightsSpec extends AnyFunSuite {
     }
   }
 
+  test("b83: the forward as-of really is the earliest at-or-after purchase") {
+    val got = Insights.asofForward(spark, sf).collect()
+      .map(r => r.getLong(0) -> Option(r.get(3)).map(_ => r.getLong(4))).toMap
+    val byUser = events.groupBy(_._1)
+    events.filter(_._3 == "click").foreach { case (u, cid, _, _, cts) =>
+      val expected = byUser(u).filter(e => e._3 == "purchase" && e._5 >= cts)
+        .sortBy(e => (e._5, e._2)).headOption.map(_._5)
+      assert(got(cid) == expected, s"click $cid")
+    }
+  }
+
+  test("c139: bars bracket their contents — low <= open/close <= high") {
+    val rows = Insights.tumblingOhlc(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (o, h, l, c) = (r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))
+      assert(l <= o && o <= h && l <= c && c <= h, s"hour ${r.getLong(0)}")
+    }
+    assert(rows.map(_.getAs[Long]("n_events")).sum == events.size)
+  }
+
+  test("c140: the halves partition every event") {
+    val rows = Insights.periodMovers(spark, sf).collect()
+    assert(rows.map(r => r.getAs[Long]("n1") + r.getAs[Long]("n2")).sum ==
+      events.size)
+  }
+
+  test("c141: the day-grain split is consistent and day one is all-new") {
+    val rows = Insights.newVsReturning(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.foreach { case (_, act, nw, ret) => assert(act == nw + ret) }
+    val first = rows.minBy(_._1)
+    assert(first._2 == first._3, "every user on the earliest day is new")
+    assert(rows.map(_._3).sum == events.map(_._1).distinct.size,
+      "each user is new exactly once")
+  }
+
+  test("c142: the sample-size formula round-trips against a scalar check") {
+    val rows = Insights.powerAnalysis(spark, sf).collect()
+    rows.foreach { r =>
+      val (p1, p2) = (r.getDouble(3), r.getDouble(4))
+      Option(r.get(5)).foreach { nr =>
+        // recompute from the ROUNDED rates — must land within the
+        // rounding slack of the emitted requirement
+        val d = p1 - p2
+        val pbar = (p1 + p2) / 2.0
+        val num = 1.959963984540054 * math.sqrt(2 * pbar * (1 - pbar)) +
+          0.8416212335729143 * math.sqrt(p1 * (1 - p1) + p2 * (1 - p2))
+        val approx = num * num / (d * d)
+        val got = nr.asInstanceOf[Long].toDouble
+        assert(math.abs(got - approx) / approx < 0.15,
+          s"${r.getString(0)}: $got vs ~$approx")
+      }
+    }
+  }
+
   test("c128: frontier is strictly monotone and dominates every dropped point") {
     val frontier = Insights.paretoFrontier(spark, sf).collect()
       .map(r => (r.getDouble(0), r.getInt(1)))
