@@ -1284,6 +1284,79 @@ object Insights {
       .orderBy("event_type")
   }
 
+  // --- c144: cohort LTV curves --------------------------------------
+
+  /** c144 — cohort lifetime-value curves (the growth-analytics
+    * "revenue by cohort age" matrix behind every payback-period
+    * decision; extends c75's retention COUNTS to VALUE): users cohort
+    * by first-activity day; per (cohort, age-in-days) the exact
+    * per-period value total and its running cumulative — the LTV
+    * curve — plus the cohort's user count.
+    *
+    * Determinism: first-day and age are integer µs-div arithmetic;
+    * period totals are exact DECIMAL(38,6) sums and the cumulative
+    * RUNS IN DECIMAL over the (cohort, age) order (the b81
+    * discipline); emission rounds at the 1e-6 quantization grain
+    * (identity-safe, Canon.rsum6). Shape: first-day is one map-side
+    * min per user; the curve table is (cohorts × ages)-sized.
+    */
+  def cohortLtv(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.t(spark, sfDir, "events")
+    val e = ev.select(col("user_id"), col("value"),
+        Tables.tsUs(ev).as("ts_us"))
+      .withColumn("day", expr(s"ts_us div $DayUs"))
+    val firstDay = e.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort"))
+    val sizes = firstDay.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_users"))
+    val curve = e.join(firstDay, Seq("user_id"))
+      .groupBy(col("cohort"), (col("day") - col("cohort")).as("age"))
+      .agg(sum(col("value").cast(DecimalType(38, 6))).as("pv_d"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("age").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    curve
+      .withColumn("cum_d", sum(col("pv_d")).over(w))
+      .join(broadcast(sizes), Seq("cohort"))
+      .select(col("cohort"), col("age"), col("n_users"),
+        round(col("pv_d").cast("double"), 6).as("period_value"),
+        round(col("cum_d").cast("double"), 6).as("cum_value"))
+      .orderBy("cohort", "age")
+  }
+
+  // --- c145: power-of-two gap histogram -----------------------------
+
+  /** c145 — logarithmic inter-event gap histogram (the
+    * HdrHistogram-style latency summary — power-of-two buckets over
+    * per-user inter-arrival seconds): the distribution-shaped
+    * companion to c116's burstiness scalar. The bucket index is an
+    * EXACT INTEGER log2 via the c119 rho trick — `length(bin(x)) − 1`
+    * — never `floor(log2(x))`, whose FP boundary misclassifies exact
+    * powers of two. One user window for the gaps, one map-side
+    * aggregate over a ≤ ~40-row bucket vocabulary.
+    */
+  def gapHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.t(spark, sfDir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val gaps = ev.select(col("user_id"), col("event_id"),
+        Tables.tsUs(ev).as("ts_us"))
+      .withColumn("prev", lag(col("ts_us"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .select(expr("(ts_us - prev) div 1000000").as("gap_s"))
+      .where(col("gap_s") >= 1L)
+    val bucketed = gaps
+      .select((length(bin(col("gap_s"))) - 1).cast("int").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    val total = bucketed.agg(sum(col("n")).as("n_total"))
+    bucketed.crossJoin(broadcast(total))
+      .select(col("bucket"),
+        expr("shiftleft(cast(1 as bigint), bucket)").as("gap_from_s"),
+        expr("shiftleft(cast(1 as bigint), bucket + 1) - 1").as("gap_to_s"),
+        col("n"), round(col("n").cast("double") / col("n_total"), 4)
+          .as("share"))
+      .orderBy("bucket")
+  }
+
   // --- registry ----------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1313,7 +1386,9 @@ object Insights {
     "c139_tumbling_ohlc" -> (tumblingOhlc(_, _)),
     "c140_period_movers" -> (periodMovers(_, _)),
     "c141_new_vs_returning" -> (newVsReturning(_, _)),
-    "c142_power_analysis" -> (powerAnalysis(_, _)))
+    "c142_power_analysis" -> (powerAnalysis(_, _)),
+    "c144_cohort_ltv" -> (cohortLtv(_, _)),
+    "c145_gap_histogram" -> (gapHistogram(_, _)))
 
   /** c138's oracle: the unrolled integer power iteration as
     * machine-generated CTE rounds (the c78 discipline). */
@@ -2092,5 +2167,50 @@ object Insights {
          |      >= ceil(nr * nr / (delta * delta)) THEN 1 ELSE 0 END
          |  END AS powered
          |FROM calc
-         |ORDER BY event_type ASC NULLS FIRST""".stripMargin)
+         |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+
+    "c144_cohort_ltv" ->
+      s"""WITH e AS (
+         |  SELECT user_id, value, epoch_us(ts) // $DayUs AS day FROM events
+         |), fd AS (
+         |  SELECT user_id, min(day) AS cohort FROM e GROUP BY user_id
+         |), sizes AS (
+         |  SELECT cohort, COUNT(*) AS n_users FROM fd GROUP BY cohort
+         |), curve AS (
+         |  SELECT cohort, day - cohort AS age,
+         |    SUM(CAST(value AS DECIMAL(38,6))) AS pv_d
+         |  FROM e JOIN fd USING (user_id)
+         |  GROUP BY cohort, day - cohort
+         |), cum AS (
+         |  SELECT cohort, age, pv_d,
+         |    SUM(pv_d) OVER (PARTITION BY cohort ORDER BY age ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_d
+         |  FROM curve
+         |)
+         |SELECT c.cohort, age, n_users,
+         |  ROUND(CAST(pv_d AS DOUBLE), 6) AS period_value,
+         |  ROUND(CAST(cum_d AS DOUBLE), 6) AS cum_value
+         |FROM cum c JOIN sizes s ON c.cohort = s.cohort
+         |ORDER BY c.cohort ASC NULLS FIRST, age ASC NULLS FIRST""".stripMargin,
+
+    "c145_gap_histogram" ->
+      """WITH gaps AS (
+        |  SELECT (ts_us - prev) // 1000000 AS gap_s FROM (
+        |    SELECT epoch_us(ts) AS ts_us,
+        |      lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |        ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev
+        |    FROM events
+        |  ) WHERE prev IS NOT NULL
+        |), pos AS (
+        |  SELECT gap_s FROM gaps WHERE gap_s >= 1
+        |), bucketed AS (
+        |  SELECT CAST(length(bin(gap_s)) - 1 AS INTEGER) AS bucket,
+        |    COUNT(*) AS n
+        |  FROM pos GROUP BY 1
+        |), total AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM bucketed)
+        |SELECT bucket, CAST(1 AS BIGINT) << bucket AS gap_from_s,
+        |  (CAST(1 AS BIGINT) << (bucket + 1)) - 1 AS gap_to_s,
+        |  n, ROUND(CAST(n AS DOUBLE) / n_total, 4) AS share
+        |FROM bucketed, total
+        |ORDER BY bucket ASC NULLS FIRST""".stripMargin)
 }

@@ -726,6 +726,34 @@ object Streams {
       .orderBy("user_id", "event_id")
   }
 
+  /** c143 — STREAMING OHLC bars, oracle-verified: c139's candle build
+    * as a complete-mode stream aggregate. Every component is an
+    * ASSOCIATIVE, batching-invariant reduction — open/close are
+    * min/max OF A STRUCT keyed by the total order (ts_us, event_id),
+    * high/low plain min/max, volume an exact decimal sum — so however
+    * AvailableNow slices the input files, the final snapshot equals
+    * the batch bars exactly and the oracle IS c139's SQL text. State
+    * = one bar per hour (bounded by the time span, not the volume) —
+    * the production shape for live candles at any event rate.
+    */
+  def streamOhlc(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = stateSession(spark, statePartitions = 8)
+    val ev = streamTable(s, sfDir, "events")
+    val e = ev.select(col("value"), col("event_id"),
+        graft.Tables.tsUs(ev).as("ts_us"))
+      .withColumn("hour", expr("ts_us div 3600000000"))
+    val bars = e.groupBy(col("hour"))
+      .agg(min(struct(col("ts_us"), col("event_id"), col("value"))).as("o"),
+        max(struct(col("ts_us"), col("event_id"), col("value"))).as("c"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        count(lit(1)).as("n_events"),
+        graft.Canon.dsum(col("value")).as("volume"))
+      .select(col("hour"), col("o.value").as("open"), col("high"),
+        col("low"), col("c.value").as("close"), col("n_events"),
+        col("volume"))
+    runToParquet(bars, "complete", "c143").orderBy("hour")
+  }
+
   /** c129 — STREAMING interval coalescing, oracle-verified: b77's
     * gaps-and-islands merge as a live stateful topology — file
     * source → [[islandRuns]] (flatMapGroupsWithState) → append
@@ -821,6 +849,7 @@ object Streams {
     "c83_stream_scd2" -> (streamScd2(_, _)),
     "c129_stream_interval_coalesce" -> (streamIntervalCoalesce(_, _)),
     "c136_stream_ewma" -> (streamEwma(_, _)),
+    "c143_stream_ohlc" -> (streamOhlc(_, _)),
     "c51_stream_incremental_dedup" -> (streamIncrementalDedup(_, _)),
     "c25_stream_tumbling" -> (streamTumbling(_, _)),
     "c30_stream_sessions" -> (streamSessions(_, _)),
@@ -855,6 +884,10 @@ object Streams {
     // The streaming EWMA must agree with batch c130 bit-for-bit —
     // same oracle text (same taps, same fold order).
     "c136_stream_ewma" -> graft.ops.Insights.oracle("c130_ewma_dyadic"),
+
+    // The streaming bars must converge to the batch candles exactly —
+    // every bar component is associative (c139's oracle text).
+    "c143_stream_ohlc" -> graft.ops.Insights.oracle("c139_tumbling_ohlc"),
 
     // b77's island algebra at island grain, minus each user's OPEN
     // (last) island — append mode emits exactly the closed islands.

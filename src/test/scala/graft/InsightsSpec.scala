@@ -441,6 +441,36 @@ class InsightsSpec extends AnyFunSuite {
     }
   }
 
+  test("c144: LTV curves accumulate monotonically and cover every user once") {
+    val rows = Insights.cohortLtv(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    rows.groupBy(_._1).foreach { case (cohort, cs) =>
+      val ordered = cs.sortBy(_._2)
+      ordered.sliding(2).foreach {
+        case Array((_, _, _, _, c1), (_, _, _, _, c2)) =>
+          assert(c2 >= c1, s"cohort $cohort LTV decreased")
+        case _ =>
+      }
+      assert(math.abs(ordered.map(_._4).sum - ordered.last._5) < 1e-3)
+    }
+    val perCohortUsers = rows.groupBy(_._1).map(_._2.head._3).sum
+    assert(perCohortUsers == events.map(_._1).distinct.size)
+  }
+
+  test("c145: buckets partition the positive gaps and bounds are true powers of two") {
+    val rows = Insights.gapHistogram(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.foreach { case (b, from, to, _) =>
+      assert(from == (1L << b) && to == (1L << (b + 1)) - 1)
+    }
+    val nGaps = events.groupBy(_._1).map { case (_, es) =>
+      es.sortBy(e => (e._5, e._2)).map(_._5).sliding(2)
+        .count(p => p.size == 2 && (p(1) - p(0)) / 1000000L >= 1L)
+    }.sum
+    assert(rows.map(_._4).sum == nGaps)
+  }
+
   test("c128: frontier is strictly monotone and dominates every dropped point") {
     val frontier = Insights.paretoFrontier(spark, sf).collect()
       .map(r => (r.getDouble(0), r.getInt(1)))

@@ -687,4 +687,37 @@ class PlanSpec extends AnyFunSuite {
     // prunes each partition to local k before the exchange
     assert(p.contains("WindowGroupLimit"), s"sketch top-k unpruned:\n$p")
   }
+
+  test("b81: the brand dim broadcasts and the cumulative windows run post-aggregate") {
+    val p = plan(Insights.abcClassification(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("b83: forward as-of plans as an equi-join with per-click WindowGroupLimit") {
+    val p = plan(Insights.asofForward(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    // rn=1 under a total order prunes partition-locally before the exchange
+    assert(p.contains("WindowGroupLimit"), s"as-of top-1 unpruned:\n$p")
+  }
+
+  test("c132: shard top-m prunes map-side; no cartesian besides the 8-row threshold grid") {
+    val p = plan(Insights.shardedTopkBounds(spark, sf))
+    assert(p.contains("WindowGroupLimit"), s"published lists unpruned:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("c134: the conversion-touch pairing is a (user, bucket) equi-join") {
+    val p = plan(Insights.linearAttribution(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"attribution pairing went cartesian:\n$p")
+  }
+
+  test("c139: the OHLC build is ONE aggregate over one events scan — no window") {
+    val p = plan(Insights.tumblingOhlc(spark, sf))
+    val scans = p.linesIterator.count(_.contains("events.parquet"))
+    assert(scans == 1, s"expected one scan, got $scans:\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("Window,"),
+      s"bars must come from min/max-of-struct aggregation, not a window:\n$p")
+  }
 }
