@@ -145,10 +145,47 @@ def gen_events(src, out, factor):
     return n, n * factor
 
 
+def gen_tpch(src, out, factor):
+    """Replica k shifts o_orderkey/l_orderkey by k·(max+1) and keeps all
+    dimension keys (custkey/partkey/suppkey) and dates byte-for-byte:
+    the star schema gains factor× FACTS against the SAME dimensions —
+    the axis a growing warehouse actually scales on (dims are
+    customers/catalog, facts are business volume). Dimension tables are
+    copied through unchanged, so every TPC-H key runs as-is."""
+    to = pq.read_table(f"{src}/orders.parquet")
+    tl = pq.read_table(f"{src}/lineitem.parquet")
+    max_ok = max(to.column("o_orderkey").to_pylist())
+    shift = max_ok + 1
+
+    def rep(t, keycol):
+        cols = {name: t.column(name).to_pylist() for name in t.column_names}
+        out_cols = {name: [] for name in t.column_names}
+        n = t.num_rows
+        for k in range(factor):
+            for i in range(n):
+                for name in t.column_names:
+                    v = cols[name][i]
+                    if name == keycol:
+                        v = v + k * shift
+                    out_cols[name].append(v)
+        schema = pa.schema([(f.name, f.type) for f in t.schema])
+        return out_cols, schema, n
+
+    oc, osch, on = rep(to, "o_orderkey")
+    write_sharded(oc, osch, f"{out}/orders.parquet")
+    lc, lsch, ln = rep(tl, "l_orderkey")
+    write_sharded(lc, lsch, f"{out}/lineitem.parquet")
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        shutil.copy(f"{src}/{t}.parquet", f"{out}/{t}.parquet")
+    return (on, on * factor, ln, ln * factor)
+
+
 def main():
-    args = [a for a in sys.argv[1:] if a not in ("--boilerplate", "--events")]
+    flags = ("--boilerplate", "--events", "--tpch")
+    args = [a for a in sys.argv[1:] if a not in flags]
     boilerplate = "--boilerplate" in sys.argv[1:]
     with_events = "--events" in sys.argv[1:]
+    with_tpch = "--tpch" in sys.argv[1:]
     src = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
     out = args[1] if len(args) > 1 else "/tmp/graft_scale10"
     factor = int(args[2]) if len(args) > 2 else 10
@@ -160,6 +197,9 @@ def main():
     if with_events:
         vn, vN = gen_events(src, out, factor)
         msg += f"; events: {vn} -> {vN} rows"
+    if with_tpch:
+        on, oN, ln, lN = gen_tpch(src, out, factor)
+        msg += f"; orders: {on} -> {oN}; lineitem: {ln} -> {lN} rows"
     print(f"{msg} -> {out}")
 
 
