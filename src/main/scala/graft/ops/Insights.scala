@@ -1357,6 +1357,162 @@ object Insights {
       .orderBy("bucket")
   }
 
+  // --- c146: CUPED variance reduction -------------------------------
+
+  /** c146 — CUPED covariate adjustment (Deng et al. WSDM 2013 —
+    * public; the variance-reduction step every mature experimentation
+    * platform applies before c90/c122 read out): per-user PRE-period
+    * value is the covariate X, POST-period value the metric Y; θ =
+    * cov(X,Y)/var(X) from EXACT moment sums, adjusted arm means
+    * Ȳ − θ(X̄_arm − X̄), and the variance-reduction fraction ρ².
+    *
+    * Exactness: X and Y stay DECIMAL(38,6) per user (zero-filled);
+    * their products are EXACT DECIMAL(38,12) (≈26 digits needed, 38
+    * available) and every moment is an exact decimal sum — the
+    * c135 discipline, so θ is one IEEE expression over casts OF exact
+    * decimals, identical cross-engine, rounded at 1e-4. The per-user
+    * collapse is one map-side-combinable conditional aggregate; the
+    * moment pass runs on user-count rows.
+    */
+  def cupedAdjustment(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.t(spark, sfDir, "events")
+    val e = ev.select(col("user_id"), col("value"),
+        Tables.tsUs(ev).as("ts_us"))
+      .withColumn("day", expr(s"ts_us div $DayUs"))
+    val bounds = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(expr("d0 + (d1 - d0 + 1) div 2").as("mid"))
+    val perUser = e.crossJoin(broadcast(bounds))
+      .groupBy(col("user_id"))
+      .agg(
+        coalesce(sum(when(col("day") < col("mid"),
+          col("value").cast(DecimalType(38, 6)))),
+          lit(0).cast(DecimalType(38, 6))).as("x"),
+        coalesce(sum(when(col("day") >= col("mid"),
+          col("value").cast(DecimalType(38, 6)))),
+          lit(0).cast(DecimalType(38, 6))).as("y"))
+      .withColumn("a", userArmA(col("user_id")))
+    val m = perUser.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("x") * col("x")).cast("double").as("sxx"),
+      sum(col("x") * col("y")).cast("double").as("sxy"),
+      sum(col("y") * col("y")).cast("double").as("syy"),
+      sum(when(col("a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("a"), col("x"))).cast("double").as("sx_a"),
+      sum(when(col("a"), col("y"))).cast("double").as("sy_a"),
+      sum(when(!col("a"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(!col("a"), col("x"))).cast("double").as("sx_b"),
+      sum(when(!col("a"), col("y"))).cast("double").as("sy_b"))
+    val covXY = col("sxy") - col("sx") * col("sy") / col("n")
+    val varX = col("sxx") - col("sx") * col("sx") / col("n")
+    val varY = col("syy") - col("sy") * col("sy") / col("n")
+    val theta = covXY / varX
+    val xbar = col("sx") / col("n")
+    m.select(col("n"), col("n_a"), col("n_b"),
+        round(theta, 4).as("theta"),
+        round(col("sy_a") / col("n_a") -
+          theta * (col("sx_a") / col("n_a") - xbar), 4).as("adj_mean_a"),
+        round(col("sy_b") / col("n_b") -
+          theta * (col("sx_b") / col("n_b") - xbar), 4).as("adj_mean_b"),
+        round(covXY * covXY / (varX * varY), 4).as("var_reduction"))
+  }
+
+  // --- c147: difference-in-differences ------------------------------
+
+  /** c147 — difference-in-differences estimator (the econometrics
+    * 2×2 — public canon; the observational complement of the
+    * randomized c90/c146 readouts): arm × period cell means of event
+    * value, and DiD = (B,post − B,pre) − (A,post − A,pre). Period
+    * splits at the integer midpoint day (the c140 bounds broadcast);
+    * cell sums are exact decimals and counts exact integers, so the
+    * estimate is one IEEE expression over identical operands, rounded
+    * at 1e-4. Output: the four cell means + the estimate, one row.
+    */
+  def didEstimator(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.t(spark, sfDir, "events")
+    val e = ev.select(col("user_id"), col("value"),
+        Tables.tsUs(ev).as("ts_us"))
+      .withColumn("day", expr(s"ts_us div $DayUs"))
+      .withColumn("a", userArmA(col("user_id")))
+    val bounds = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(expr("d0 + (d1 - d0 + 1) div 2").as("mid"))
+    def cell(arm: Column, post: Boolean) = {
+      val inPeriod = if (post) col("day") >= col("mid")
+        else col("day") < col("mid")
+      (sum(when(arm && inPeriod, col("value").cast(DecimalType(38, 6))))
+        .cast("double"),
+        sum(when(arm && inPeriod, 1L).otherwise(0L)))
+    }
+    val (saPre, naPre) = cell(col("a"), post = false)
+    val (saPost, naPost) = cell(col("a"), post = true)
+    val (sbPre, nbPre) = cell(!col("a"), post = false)
+    val (sbPost, nbPost) = cell(!col("a"), post = true)
+    val m = e.crossJoin(broadcast(bounds)).agg(
+      saPre.as("sa_pre"), naPre.as("na_pre"),
+      saPost.as("sa_post"), naPost.as("na_post"),
+      sbPre.as("sb_pre"), nbPre.as("nb_pre"),
+      sbPost.as("sb_post"), nbPost.as("nb_post"))
+    def mean(s: String, n: String) = col(s) / col(n)
+    m.select(
+      round(mean("sa_pre", "na_pre"), 4).as("mean_a_pre"),
+      round(mean("sa_post", "na_post"), 4).as("mean_a_post"),
+      round(mean("sb_pre", "nb_pre"), 4).as("mean_b_pre"),
+      round(mean("sb_post", "nb_post"), 4).as("mean_b_post"),
+      round((mean("sb_post", "nb_post") - mean("sb_pre", "nb_pre")) -
+        (mean("sa_post", "na_post") - mean("sa_pre", "na_pre")), 4)
+        .as("did_estimate"))
+  }
+
+  // --- c148: winsorized mean ----------------------------------------
+
+  /** Winsorization tail fraction (5% each side). */
+  private[graft] val WinsorP = 0.05
+
+  /** c148 — winsorized mean (the metric-engineering staple — public;
+    * clamp to the [p5, p95] order statistics, then average: the
+    * outlier-robust metric c90-family tests SHOULD run on when value
+    * is heavy-tailed): per event type, the exact p5/p95 order
+    * statistics (rank `floor((n−1)p)+1`, the c137 discipline), the
+    * clamped exact-decimal mean, and how many values each side
+    * clamped.
+    *
+    * Determinism: cut points are STORED doubles selected by integer
+    * rank; clamping compares identical doubles; the mean is a
+    * [[Canon.davgFloor6]]-style floored exact-decimal average (no
+    * round-tie hazard). The rank window sorts (type, value) — a
+    * range-partitionable per-type sort.
+    */
+  def winsorizedMean(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.t(spark, sfDir, "events")
+    val e = ev.select(col("event_type"), col("value"), col("event_id"))
+    val ranked = e.withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("value").asc, col("event_id").asc)).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+    val cuts = ranked
+      .withColumn("lo_rk", expr(s"cast(floor((n - 1) * $WinsorP) as bigint) + 1"))
+      .withColumn("hi_rk",
+        expr(s"cast(floor((n - 1) * ${1.0 - WinsorP}) as bigint) + 1"))
+      .groupBy(col("event_type"))
+      .agg(min(when(col("rk") === col("lo_rk"), col("value"))).as("p_lo"),
+        min(when(col("rk") === col("hi_rk"), col("value"))).as("p_hi"),
+        first(col("n")).as("n"))
+    e.join(broadcast(cuts), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(first(col("n")).as("n"),
+        first(col("p_lo")).as("p_lo"), first(col("p_hi")).as("p_hi"),
+        sum(when(col("value") < col("p_lo"), 1L).otherwise(0L))
+          .as("n_clamped_low"),
+        sum(when(col("value") > col("p_hi"), 1L).otherwise(0L))
+          .as("n_clamped_high"),
+        Canon.davgFloor6(
+          greatest(col("p_lo"), least(col("p_hi"), col("value"))),
+          count(lit(1))).as("winsorized_mean"))
+      .orderBy("event_type")
+  }
+
   // --- registry ----------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1388,7 +1544,10 @@ object Insights {
     "c141_new_vs_returning" -> (newVsReturning(_, _)),
     "c142_power_analysis" -> (powerAnalysis(_, _)),
     "c144_cohort_ltv" -> (cohortLtv(_, _)),
-    "c145_gap_histogram" -> (gapHistogram(_, _)))
+    "c145_gap_histogram" -> (gapHistogram(_, _)),
+    "c146_cuped_adjustment" -> (cupedAdjustment(_, _)),
+    "c147_did_estimator" -> (didEstimator(_, _)),
+    "c148_winsorized_mean" -> (winsorizedMean(_, _)))
 
   /** c138's oracle: the unrolled integer power iteration as
     * machine-generated CTE rounds (the c78 discipline). */
@@ -2212,5 +2371,110 @@ object Insights {
         |  (CAST(1 AS BIGINT) << (bucket + 1)) - 1 AS gap_to_s,
         |  n, ROUND(CAST(n AS DOUBLE) / n_total, 4) AS share
         |FROM bucketed, total
-        |ORDER BY bucket ASC NULLS FIRST""".stripMargin)
+        |ORDER BY bucket ASC NULLS FIRST""".stripMargin,
+
+    "c146_cuped_adjustment" ->
+      s"""WITH e AS (
+         |  SELECT user_id, value, epoch_us(ts) // $DayUs AS day FROM events
+         |), bounds AS (
+         |  SELECT min(day) + (max(day) - min(day) + 1) // 2 AS mid FROM e
+         |), pu AS (
+         |  SELECT user_id,
+         |    COALESCE(SUM(CASE WHEN day < mid
+         |      THEN CAST(value AS DECIMAL(38,6)) END),
+         |      CAST(0 AS DECIMAL(38,6))) AS x,
+         |    COALESCE(SUM(CASE WHEN day >= mid
+         |      THEN CAST(value AS DECIMAL(38,6)) END),
+         |      CAST(0 AS DECIMAL(38,6))) AS y,
+         |    substr(md5('arm:' || CAST(user_id AS VARCHAR)), 1, 1) < '8' AS a
+         |  FROM e, bounds GROUP BY user_id
+         |), m AS (
+         |  SELECT COUNT(*) AS n,
+         |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         |    CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         |    CAST(SUM(y * y) AS DOUBLE) AS syy,
+         |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(SUM(CASE WHEN a THEN x END) AS DOUBLE) AS sx_a,
+         |    CAST(SUM(CASE WHEN a THEN y END) AS DOUBLE) AS sy_a,
+         |    CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |    CAST(SUM(CASE WHEN NOT a THEN x END) AS DOUBLE) AS sx_b,
+         |    CAST(SUM(CASE WHEN NOT a THEN y END) AS DOUBLE) AS sy_b
+         |  FROM pu
+         |)
+         |SELECT n, n_a, n_b,
+         |  ROUND((sxy - sx * sy / n) / (sxx - sx * sx / n), 4) AS theta,
+         |  ROUND(sy_a / n_a - ((sxy - sx * sy / n) / (sxx - sx * sx / n))
+         |    * (sx_a / n_a - sx / n), 4) AS adj_mean_a,
+         |  ROUND(sy_b / n_b - ((sxy - sx * sy / n) / (sxx - sx * sx / n))
+         |    * (sx_b / n_b - sx / n), 4) AS adj_mean_b,
+         |  ROUND((sxy - sx * sy / n) * (sxy - sx * sy / n)
+         |    / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 4)
+         |    AS var_reduction
+         |FROM m""".stripMargin,
+
+    "c147_did_estimator" ->
+      s"""WITH e AS (
+         |  SELECT value, epoch_us(ts) // $DayUs AS day,
+         |    substr(md5('arm:' || CAST(user_id AS VARCHAR)), 1, 1) < '8' AS a
+         |  FROM events
+         |), bounds AS (
+         |  SELECT min(day) + (max(day) - min(day) + 1) // 2 AS mid FROM e
+         |), m AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN a AND day < mid
+         |      THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS sa_pre,
+         |    CAST(SUM(CASE WHEN a AND day < mid THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS na_pre,
+         |    CAST(SUM(CASE WHEN a AND day >= mid
+         |      THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS sa_post,
+         |    CAST(SUM(CASE WHEN a AND day >= mid THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS na_post,
+         |    CAST(SUM(CASE WHEN NOT a AND day < mid
+         |      THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS sb_pre,
+         |    CAST(SUM(CASE WHEN NOT a AND day < mid THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS nb_pre,
+         |    CAST(SUM(CASE WHEN NOT a AND day >= mid
+         |      THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS sb_post,
+         |    CAST(SUM(CASE WHEN NOT a AND day >= mid THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS nb_post
+         |  FROM e, bounds
+         |)
+         |SELECT
+         |  ROUND(sa_pre / na_pre, 4) AS mean_a_pre,
+         |  ROUND(sa_post / na_post, 4) AS mean_a_post,
+         |  ROUND(sb_pre / nb_pre, 4) AS mean_b_pre,
+         |  ROUND(sb_post / nb_post, 4) AS mean_b_post,
+         |  ROUND((sb_post / nb_post - sb_pre / nb_pre)
+         |    - (sa_post / na_post - sa_pre / na_pre), 4) AS did_estimate
+         |FROM m""".stripMargin,
+
+    "c148_winsorized_mean" -> {
+      val loExpr = s"CAST(floor((n - 1) * $WinsorP) AS BIGINT) + 1"
+      val hiExpr = s"CAST(floor((n - 1) * ${1.0 - WinsorP}) AS BIGINT) + 1"
+      s"""WITH ranked AS (
+         |  SELECT event_type, value,
+         |    CAST(row_number() OVER (PARTITION BY event_type
+         |      ORDER BY value ASC, event_id ASC) AS BIGINT) AS rk,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM events
+         |), cuts AS (
+         |  SELECT event_type,
+         |    min(CASE WHEN rk = $loExpr THEN value END) AS p_lo,
+         |    min(CASE WHEN rk = $hiExpr THEN value END) AS p_hi,
+         |    min(n) AS n
+         |  FROM ranked GROUP BY event_type
+         |)
+         |SELECT e.event_type, min(c.n) AS n,
+         |  min(p_lo) AS p_lo, min(p_hi) AS p_hi,
+         |  CAST(SUM(CASE WHEN value < p_lo THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_clamped_low,
+         |  CAST(SUM(CASE WHEN value > p_hi THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_clamped_high,
+         |  ${Canon.oDavgFloor6("greatest(p_lo, least(p_hi, value))", "COUNT(*)")}
+         |    AS winsorized_mean
+         |FROM events e JOIN cuts c ON e.event_type = c.event_type
+         |GROUP BY e.event_type
+         |ORDER BY e.event_type ASC NULLS FIRST""".stripMargin
+    })
 }

@@ -471,6 +471,52 @@ class InsightsSpec extends AnyFunSuite {
     assert(rows.map(_._4).sum == nGaps)
   }
 
+  test("c146: theta matches a brute-force covariance ratio and rho2 is in [0,1]") {
+    val r = Insights.cupedAdjustment(spark, sf).collect().head
+    val mid = {
+      val days = events.map(_._5 / 86400000000L)
+      days.min + (days.max - days.min + 1) / 2
+    }
+    val perUser = events.groupBy(_._1).map { case (u, es) =>
+      def s(p: ((Long, Long, String, Double, Long)) => Boolean) =
+        es.filter(p).map(e => BigDecimal(e._4).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP)).sum
+      (u, s(_._5 / 86400000000L < mid), s(_._5 / 86400000000L >= mid))
+    }.toSeq
+    val n = perUser.size
+    val sx = perUser.map(_._2).sum.toDouble
+    val sy = perUser.map(_._3).sum.toDouble
+    val sxy = perUser.map(p => p._2 * p._3).sum.toDouble
+    val sxx = perUser.map(p => p._2 * p._2).sum.toDouble
+    val theta = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    assert(math.abs(r.getAs[Double]("theta") - theta) < 1e-3,
+      s"${r.getAs[Double]("theta")} vs $theta")
+    val rho2 = r.getAs[Double]("var_reduction")
+    assert(rho2 >= 0.0 && rho2 <= 1.0)
+  }
+
+  test("c147: the DiD estimate is the literal double difference of cell means") {
+    val r = Insights.didEstimator(spark, sf).collect().head
+    val did = (r.getAs[Double]("mean_b_post") - r.getAs[Double]("mean_b_pre")) -
+      (r.getAs[Double]("mean_a_post") - r.getAs[Double]("mean_a_pre"))
+    assert(math.abs(r.getAs[Double]("did_estimate") - did) < 2e-3)
+  }
+
+  test("c148: the winsorized mean sits inside the cuts and clamps ~2p of the mass") {
+    val rows = Insights.winsorizedMean(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (n, lo, hi) = (r.getAs[Long]("n"), r.getAs[Double]("p_lo"),
+        r.getAs[Double]("p_hi"))
+      val wm = r.getAs[Double]("winsorized_mean")
+      assert(lo <= wm && wm <= hi)
+      val clamped = r.getAs[Long]("n_clamped_low") +
+        r.getAs[Long]("n_clamped_high")
+      assert(clamped <= (2 * Insights.WinsorP * n).toLong + 2,
+        s"clamped $clamped of $n")
+    }
+  }
+
   test("c128: frontier is strictly monotone and dominates every dropped point") {
     val frontier = Insights.paretoFrontier(spark, sf).collect()
       .map(r => (r.getDouble(0), r.getInt(1)))
