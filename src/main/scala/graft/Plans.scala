@@ -177,9 +177,27 @@ object Plans {
           "is an orderkey equi-join (within-basket, no cartesian); brand " +
           "marginals and the basket total broadcast."),
       "c126_window_funnel" ->
-        ("Both stage joins are user_id equi-joins with the 7-day window as " +
-          "residual; each collapses map-side to the earliest qualifying " +
-          "next stage; no cartesian product."))
+        ("Both stage joins are (user, 7d-bucket) equi-joins with the window " +
+          "as residual — pair work scales with window density, not history " +
+          "depth; each collapses map-side to the earliest qualifying next " +
+          "stage; no cartesian product."),
+      "b83_join_asof_forward" ->
+        ("Forward as-of as user-equi join + per-click WindowGroupLimit: " +
+          "the rn=1 cut prunes partition-locally before the exchange."),
+      "c132_sharded_topk_bounds" ->
+        ("Per-shard top-m publishes via WindowGroupLimit; the bound grid " +
+          "joins candidates against the 8-row threshold table — the corpus " +
+          "vocabulary never crosses the exchange."),
+      "c139_tumbling_ohlc" ->
+        ("ONE aggregate over ONE events scan — open/close ride " +
+          "min/max-of-struct so no window and no second pass exist."),
+      "c144_cohort_ltv" ->
+        ("First-day collapse then day-grain curve; the decimal cumulative " +
+          "runs on the (cohorts x ages) table; sizes broadcast back."),
+      "c146_cuped_adjustment" ->
+        ("Per-user conditional collapse then ONE moment aggregate over " +
+          "user-count rows; decimal cross-products inside the aggregate — " +
+          "no second scan, no join."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans` on ")
       .append(sfDir).append(")\n\n")
