@@ -754,6 +754,111 @@ object Streams {
     runToParquet(bars, "complete", "c143").orderBy("hour")
   }
 
+  /** Per-user gap-bucket emission as a stateful stream transform:
+    * state = the last (ts, event_id) per user; each event emits its
+    * inter-arrival power-of-two bucket (c145's exact integer log2 —
+    * here `63 − numberOfLeadingZeros`, the same value) and becomes
+    * the new state. The histogram assembly (counts + shares) happens
+    * batch-side on the emission log — the c108 discipline: stream the
+    * per-event work, aggregate the bounded summary after.
+    */
+  def gapBucketRuns(events: Dataset[(Long, Long, Long)]): DataFrame = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Int)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long)],
+         gs: GroupState[(Long, Long)]) =>
+          var last = gs.getOption // (ts_us, event_id)
+          val out = Seq.newBuilder[(Long, Int)]
+          rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, eid, ts) =>
+            last.foreach { case (pts, _) =>
+              val gapS = (ts - pts) / 1000000L
+              if (gapS >= 1L)
+                out += ((user, 63 - java.lang.Long.numberOfLeadingZeros(gapS)))
+            }
+            last = Some((ts, eid))
+          }
+          last.foreach(gs.update)
+          out.result().iterator
+      }
+      .toDF("user_id", "bucket")
+  }
+
+  /** c149 — STREAMING gap histogram, oracle-verified: [[gapBucketRuns]]
+    * (state = ONE timestamp pair per user) through the file-source
+    * topology, bucket counts and shares assembled batch-side from the
+    * emission log. Agrees with batch c145 exactly under event-time-
+    * ordered batches — same oracle text.
+    */
+  def streamGapHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = stateSession(spark, statePartitions = 8)
+    import s.implicits._
+    val ev = streamTable(s, sfDir, "events")
+    val typed = ev
+      .select(col("user_id"), col("event_id"),
+        graft.Tables.tsUs(ev).as("ts_us"))
+      .as[(Long, Long, Long)]
+    val log = runToParquet(gapBucketRuns(typed), "append", "c149")
+    val bucketed = log.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    val total = bucketed.agg(sum(col("n")).as("n_total"))
+    bucketed.crossJoin(broadcast(total))
+      .select(col("bucket"),
+        expr("shiftleft(cast(1 as bigint), bucket)").as("gap_from_s"),
+        expr("shiftleft(cast(1 as bigint), bucket + 1) - 1").as("gap_to_s"),
+        col("n"), round(col("n").cast("double") / col("n_total"), 4)
+          .as("share"))
+      .orderBy("bucket")
+  }
+
+  /** Per-user path-trigram emission as a stateful stream transform:
+    * state = the last TWO event types per user; each event completes
+    * (and emits) one trigram once the carry is full, then shifts into
+    * it. Counting happens batch-side on the emission log (c149's
+    * discipline). */
+  def pathTrigramRuns(events: Dataset[(Long, Long, String, Long)]): DataFrame = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[List[String], Tuple1[String]](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, String, Long)],
+         gs: GroupState[List[String]]) =>
+          // carry = the user's last ≤2 event types, oldest first
+          var carry = gs.getOption.getOrElse(Nil)
+          val out = Seq.newBuilder[Tuple1[String]]
+          rows.toSeq.sortBy(r => (r._4, r._2)).foreach { case (_, _, t, _) =>
+            if (carry.size == 2)
+              out += Tuple1(s"${carry.head}>${carry(1)}>$t")
+            carry = (carry :+ t).takeRight(2)
+          }
+          gs.update(carry)
+          out.result().iterator
+      }
+      .toDF("path")
+  }
+
+  /** c150 — STREAMING session path trigrams, oracle-verified:
+    * [[pathTrigramRuns]] (state = two strings per user) through the
+    * file-source topology, counts and shares assembled batch-side.
+    * Same oracle text as batch c131.
+    */
+  def streamSessionPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = stateSession(spark, statePartitions = 8)
+    import s.implicits._
+    val ev = streamTable(s, sfDir, "events")
+    val typed = ev
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        graft.Tables.tsUs(ev).as("ts_us"))
+      .as[(Long, Long, String, Long)]
+    val log = runToParquet(pathTrigramRuns(typed), "append", "c150")
+    val paths = log.groupBy(col("path")).agg(count(lit(1)).as("n"))
+    val total = paths.agg(sum(col("n")).as("n_total"))
+    paths.crossJoin(broadcast(total))
+      .select(col("path"), col("n"),
+        round(col("n").cast("double") / col("n_total"), 4).as("share"))
+      .orderBy("path")
+  }
+
   /** c129 — STREAMING interval coalescing, oracle-verified: b77's
     * gaps-and-islands merge as a live stateful topology — file
     * source → [[islandRuns]] (flatMapGroupsWithState) → append
@@ -850,6 +955,8 @@ object Streams {
     "c129_stream_interval_coalesce" -> (streamIntervalCoalesce(_, _)),
     "c136_stream_ewma" -> (streamEwma(_, _)),
     "c143_stream_ohlc" -> (streamOhlc(_, _)),
+    "c149_stream_gap_histogram" -> (streamGapHistogram(_, _)),
+    "c150_stream_session_paths" -> (streamSessionPaths(_, _)),
     "c51_stream_incremental_dedup" -> (streamIncrementalDedup(_, _)),
     "c25_stream_tumbling" -> (streamTumbling(_, _)),
     "c30_stream_sessions" -> (streamSessions(_, _)),
@@ -888,6 +995,10 @@ object Streams {
     // The streaming bars must converge to the batch candles exactly —
     // every bar component is associative (c139's oracle text).
     "c143_stream_ohlc" -> graft.ops.Insights.oracle("c139_tumbling_ohlc"),
+    // The streaming gap histogram / path trigrams must agree with
+    // their batch twins exactly — same oracle texts.
+    "c149_stream_gap_histogram" -> graft.ops.Insights.oracle("c145_gap_histogram"),
+    "c150_stream_session_paths" -> graft.ops.Insights.oracle("c131_session_paths"),
 
     // b77's island algebra at island grain, minus each user's OPEN
     // (last) island — append mode emits exactly the closed islands.

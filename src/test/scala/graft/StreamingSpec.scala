@@ -248,6 +248,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("c149 kernel: the last-timestamp carry crosses micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long)]
+    val runs = graft.streaming.Streams.gapBucketRuns(input.toDS())
+    val q = runs.writeStream.format("memory").queryName("c149k")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 1L, 0L))
+      q.processAllAvailable()
+      assert(spark.table("c149k").count() == 0L, "first event has no gap")
+      // 5 s later (bucket 2: [4,7]) and 1000 s later (bucket 9: [512,1023]),
+      // the first gap SPANNING the batch boundary.
+      input.addData((1L, 2L, 5000000L), (1L, 3L, 1005000000L))
+      q.processAllAvailable()
+      val out = spark.table("c149k").as[(Long, Int)].collect().sortBy(_._2)
+      assert(out.toSeq == Seq((1L, 2), (1L, 9)), s"got ${out.toSeq}")
+    } finally q.stop()
+  }
+
+  test("c150 kernel: the two-type carry completes trigrams across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val runs = graft.streaming.Streams.pathTrigramRuns(input.toDS())
+    val q = runs.writeStream.format("memory").queryName("c150k")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 1L, "a", 10L), (1L, 2L, "b", 20L))
+      q.processAllAvailable()
+      assert(spark.table("c150k").count() == 0L, "two types are not a trigram")
+      input.addData((1L, 3L, "c", 30L), (1L, 4L, "d", 40L))
+      q.processAllAvailable()
+      val out = spark.table("c150k").as[Tuple1[String]].collect().map(_._1)
+      assert(out.sorted.toSeq == Seq("a>b>c", "b>c>d"), s"got ${out.toSeq}")
+    } finally q.stop()
+  }
+
   test("stream-stream join matches keys only within the time horizon") {
     implicit val sqlCtx = spark.sqlContext
     val imps = MemoryStream[(Timestamp, String)]
