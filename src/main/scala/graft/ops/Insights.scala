@@ -1513,6 +1513,79 @@ object Insights {
       .orderBy("event_type")
   }
 
+  // --- b84/b85: multiset set operations ------------------------------
+
+  /** b84 — EXCEPT ALL (bag difference): B33's EXCEPT removes
+    * duplicates; the MULTISET form subtracts occurrence counts —
+    * the reconciliation semantics a row-count-preserving diff needs
+    * ("three loads of the same row minus two acknowledgements leaves
+    * ONE unmatched"). Spark `exceptAll` and SQL `EXCEPT ALL` share
+    * the standard's definition, so the operator maps 1:1. Exercised
+    * on order priorities of two overlapping revenue bands — genuine
+    * duplicate multiplicities on both sides.
+    */
+  def exceptAll(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.t(spark, sfDir, "orders")
+    val hi = orders.where(col("o_totalprice") > 200000.0)
+      .select(col("o_orderpriority"), col("o_orderstatus"))
+    val vhi = orders.where(col("o_totalprice") > 350000.0)
+      .select(col("o_orderpriority"), col("o_orderstatus"))
+    hi.exceptAll(vhi)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("o_orderpriority", "o_orderstatus")
+  }
+
+  /** b85 — INTERSECT ALL (bag intersection): min of the two sides'
+    * occurrence counts per row — B32's INTERSECT is the distinct
+    * form. Same 1:1 standard mapping as b84. */
+  def intersectAll(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.t(spark, sfDir, "orders")
+    val hi = orders.where(col("o_totalprice") > 200000.0)
+      .select(col("o_orderpriority"), col("o_orderstatus"))
+    val early = orders.where(unix_micros(col("o_orderdate")
+        .cast("timestamp")) < OrderDateMaxUs - 2L * 365L * DayUs)
+      .select(col("o_orderpriority"), col("o_orderstatus"))
+    hi.intersectAll(early)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("o_orderpriority", "o_orderstatus")
+  }
+
+  // --- c151: Lorenz curve --------------------------------------------
+
+  /** c151 — Lorenz curve by user decile (the CURVE behind c110's Gini
+    * scalar — "the top decile holds X% of the value"): users ranked
+    * by total value, cut into 10 equal-count buckets by exact integer
+    * rank, each bucket's exact-decimal value share and the running
+    * cumulative — IN DECIMAL (the b81 discipline) — emitted at 1e-4.
+    */
+  def lorenzCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.t(spark, sfDir, "events")
+    val perUser = ev.select(col("user_id"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("value").cast(DecimalType(38, 6))).as("v"))
+    val ranked = perUser
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("v").asc, col("user_id").asc)).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("decile", expr("((rk - 1) * 10) div n"))
+    val buckets = ranked.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("v")).as("bv"))
+    val w = Window.orderBy(col("decile").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+    buckets
+      .withColumn("cum", sum(col("bv")).over(w))
+      .withColumn("tot", sum(col("bv")).over(wAll))
+      .select(col("decile"), col("n_users"),
+        round(col("bv").cast("double") / col("tot").cast("double"), 4)
+          .as("share"),
+        round(col("cum").cast("double") / col("tot").cast("double"), 4)
+          .as("cum_share"))
+      .orderBy("decile")
+  }
+
   // --- registry ----------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1547,7 +1620,10 @@ object Insights {
     "c145_gap_histogram" -> (gapHistogram(_, _)),
     "c146_cuped_adjustment" -> (cupedAdjustment(_, _)),
     "c147_did_estimator" -> (didEstimator(_, _)),
-    "c148_winsorized_mean" -> (winsorizedMean(_, _)))
+    "c148_winsorized_mean" -> (winsorizedMean(_, _)),
+    "b84_except_all" -> (exceptAll(_, _)),
+    "b85_intersect_all" -> (intersectAll(_, _)),
+    "c151_lorenz_curve" -> (lorenzCurve(_, _)))
 
   /** c138's oracle: the unrolled integer power iteration as
     * machine-generated CTE rounds (the c78 discipline). */
@@ -2476,5 +2552,53 @@ object Insights {
          |FROM events e JOIN cuts c ON e.event_type = c.event_type
          |GROUP BY e.event_type
          |ORDER BY e.event_type ASC NULLS FIRST""".stripMargin
-    })
+    },
+
+    "b84_except_all" ->
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n FROM (
+        |  SELECT o_orderpriority, o_orderstatus FROM orders
+        |  WHERE o_totalprice > 200000.0
+        |  EXCEPT ALL
+        |  SELECT o_orderpriority, o_orderstatus FROM orders
+        |  WHERE o_totalprice > 350000.0
+        |) GROUP BY o_orderpriority, o_orderstatus
+        |ORDER BY o_orderpriority ASC NULLS FIRST,
+        |  o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+    "b85_intersect_all" ->
+      s"""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n FROM (
+         |  SELECT o_orderpriority, o_orderstatus FROM orders
+         |  WHERE o_totalprice > 200000.0
+         |  INTERSECT ALL
+         |  SELECT o_orderpriority, o_orderstatus FROM orders
+         |  WHERE epoch_us(o_orderdate) <
+         |    ${OrderDateMaxUs - 2L * 365L * DayUs}
+         |) GROUP BY o_orderpriority, o_orderstatus
+         |ORDER BY o_orderpriority ASC NULLS FIRST,
+         |  o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+    "c151_lorenz_curve" ->
+      """WITH pu AS (
+        |  SELECT user_id, SUM(CAST(value AS DECIMAL(38,6))) AS v
+        |  FROM events GROUP BY user_id
+        |), ranked AS (
+        |  SELECT v,
+        |    ((CAST(row_number() OVER (ORDER BY v ASC, user_id ASC) AS BIGINT)
+        |      - 1) * 10) // (count(*) OVER ()) AS decile
+        |  FROM pu
+        |), buckets AS (
+        |  SELECT decile, COUNT(*) AS n_users, SUM(v) AS bv
+        |  FROM ranked GROUP BY decile
+        |), cum AS (
+        |  SELECT decile, n_users, bv,
+        |    SUM(bv) OVER (ORDER BY decile ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_v,
+        |    SUM(bv) OVER () AS tot
+        |  FROM buckets
+        |)
+        |SELECT decile, n_users,
+        |  ROUND(CAST(bv AS DOUBLE) / CAST(tot AS DOUBLE), 4) AS share,
+        |  ROUND(CAST(cum_v AS DOUBLE) / CAST(tot AS DOUBLE), 4) AS cum_share
+        |FROM cum
+        |ORDER BY decile ASC NULLS FIRST""".stripMargin)
 }

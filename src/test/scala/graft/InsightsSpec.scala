@@ -517,6 +517,52 @@ class InsightsSpec extends AnyFunSuite {
     }
   }
 
+  test("b84/b85: multiset semantics — counts are differences/minima of occurrence counts") {
+    import org.apache.spark.sql.functions.unix_micros
+    val orders = Tables.t(spark, sf, "orders")
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+        col("o_totalprice"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("od"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    def counts(p: ((String, String, Double, Long)) => Boolean) =
+      orders.filter(p).groupBy(o => (o._1, o._2))
+        .map { case (k, v) => k -> v.size.toLong }
+    val hi = counts(_._3 > 200000.0)
+    val vhi = counts(_._3 > 350000.0)
+    val gotE = Insights.exceptAll(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    hi.foreach { case (k, n) =>
+      val exp = n - vhi.getOrElse(k, 0L)
+      if (exp > 0) assert(gotE(k) == exp, s"$k: ${gotE.get(k)} vs $exp")
+      else assert(!gotE.contains(k))
+    }
+    val early = counts(_._4 < Insights.OrderDateMaxUs - 2L * 365L * 86400000000L)
+    val gotI = Insights.intersectAll(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    hi.keys.toSet.union(early.keys.toSet).foreach { k =>
+      val exp = math.min(hi.getOrElse(k, 0L), early.getOrElse(k, 0L))
+      if (exp > 0) assert(gotI(k) == exp) else assert(!gotI.contains(k))
+    }
+  }
+
+  test("c151: the Lorenz curve is convex-ish, ends at 1, and covers every user") {
+    val rows = Insights.lorenzCurve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == (0L to 9L))
+    assert(rows.map(_._2).sum == events.map(_._1).distinct.size)
+    assert(math.abs(rows.last._4 - 1.0) < 1e-9)
+    // the Lorenz property: with users ranked ascending, cumulative
+    // value share never exceeds cumulative user share
+    val total = rows.map(_._2).sum.toDouble
+    var cumUsers = 0L
+    rows.foreach { case (d, nu, _, cumShare) =>
+      cumUsers += nu
+      assert(cumShare <= cumUsers / total + 1e-4,
+        s"decile $d: value share $cumShare > user share ${cumUsers / total}")
+    }
+  }
+
   test("c128: frontier is strictly monotone and dominates every dropped point") {
     val frontier = Insights.paretoFrontier(spark, sf).collect()
       .map(r => (r.getDouble(0), r.getInt(1)))
