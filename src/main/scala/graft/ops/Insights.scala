@@ -878,10 +878,13 @@ object Insights {
     * Shape: the conversion×touch pairing is c126's bucketized
     * non-equi join — join on `(user, 7d-bucket)` with the lookback as
     * residual, touch side probing (bucket, bucket+1) — so pair work
-    * scales with window density. Per-conversion credit 1/n is the
-    * same IEEE double in both engines, quantized to DECIMAL(38,18)
-    * before the exact per-channel sum (order-invariant), emitted at
-    * 1e-4.
+    * scales with window density. Per-touch credit carries as INTEGER
+    * 1e-12 units, `10¹² div n` (the c138 mass discipline — a 1/n
+    * DOUBLE quantized to decimal is the engine-divergent cast class:
+    * Spark casts the shortest decimal repr, DuckDB the exact binary
+    * expansion, and at scale 18 they differ in the last digits);
+    * sums are exact integers, the ≤ n·1e-12 floor leak is far below
+    * the 1e-4 emission grain.
     */
   def linearAttribution(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.t(spark, sfDir, "events")
@@ -903,11 +906,12 @@ object Insights {
       .withColumn("n_t", count(lit(1)).over(
         Window.partitionBy(col("conv_id"))))
       .select(col("conv_id"), col("channel"),
-        (lit(1.0) / col("n_t")).cast(DecimalType(38, 18)).as("credit"))
+        expr(s"cast($MassScale as bigint) div n_t").as("credit"))
       .groupBy(col("channel"))
       .agg(count(lit(1)).as("n_touches"),
         countDistinct(col("conv_id")).as("n_convs"),
-        round(sum(col("credit")).cast("double"), 4).as("credit_total"))
+        round(sum(col("credit")).cast("double") / MassScale, 4)
+          .as("credit_total"))
     val unattributed = conv.join(joined.select(col("conv_id")).distinct(),
         Seq("conv_id"), "left_anti")
       .agg(count(lit(1)).as("n"))
@@ -2157,11 +2161,12 @@ object Insights {
          |), credited AS (
          |  SELECT channel, COUNT(*) AS n_touches,
          |    COUNT(DISTINCT conv_id) AS n_convs,
-         |    ROUND(CAST(SUM(CAST(credit AS DECIMAL(38,18))) AS DOUBLE), 4)
+         |    ROUND(CAST(SUM(credit) AS DOUBLE) / $MassScale, 4)
          |      AS credit_total
          |  FROM (
          |    SELECT conv_id, channel,
-         |      1.0 / (count(*) OVER (PARTITION BY conv_id)) AS credit
+         |      CAST($MassScale AS BIGINT)
+         |        // (count(*) OVER (PARTITION BY conv_id)) AS credit
          |    FROM joined
          |  ) GROUP BY channel
          |), unattributed AS (
