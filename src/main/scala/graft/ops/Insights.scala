@@ -1590,6 +1590,39 @@ object Insights {
       .orderBy("decile")
   }
 
+  // --- c152: DAU/MAU stickiness --------------------------------------
+
+  /** Trailing window for the MAU denominator (days). */
+  private[graft] val MauDays = 30L
+
+  /** c152 — DAU/MAU stickiness (THE product-analytics engagement
+    * ratio): per active day, distinct daily actives over distinct
+    * 30-day-trailing actives. The sliding DISTINCT denominator can't
+    * ride a plain window (cardinality isn't subtractable), so the
+    * scale shape is: collapse events to the (user, day) grain FIRST,
+    * then fan that DAY-GRAIN table (tiny vs events) ≤30× against the
+    * active-day spine and count distinct per day — the standard
+    * day-grain×window fan-out, never an events-sized one. All-integer
+    * counts; one rounded ratio.
+    */
+  def dauMau(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.t(spark, sfDir, "events")
+    val userDays = ev.select(col("user_id"), Tables.tsUs(ev).as("ts_us"))
+      .withColumn("day", expr(s"ts_us div $DayUs"))
+      .select(col("user_id"), col("day")).distinct()
+    val dau = userDays.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val spine = userDays.select(col("day")).distinct()
+      .withColumnRenamed("day", "d")
+    val mau = spine.join(userDays,
+        col("day") > col("d") - MauDays && col("day") <= col("d"))
+      .select(col("d"), col("user_id")).distinct()
+      .groupBy(col("d")).agg(count(lit(1)).as("mau"))
+    dau.join(mau, col("day") === col("d"))
+      .select(col("day"), col("dau"), col("mau"),
+        round(col("dau").cast("double") / col("mau"), 4).as("stickiness"))
+      .orderBy("day")
+  }
+
   // --- registry ----------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1627,7 +1660,8 @@ object Insights {
     "c148_winsorized_mean" -> (winsorizedMean(_, _)),
     "b84_except_all" -> (exceptAll(_, _)),
     "b85_intersect_all" -> (intersectAll(_, _)),
-    "c151_lorenz_curve" -> (lorenzCurve(_, _)))
+    "c151_lorenz_curve" -> (lorenzCurve(_, _)),
+    "c152_dau_mau" -> (dauMau(_, _)))
 
   /** c138's oracle: the unrolled integer power iteration as
     * machine-generated CTE rounds (the c78 discipline). */
@@ -2605,5 +2639,22 @@ object Insights {
         |  ROUND(CAST(bv AS DOUBLE) / CAST(tot AS DOUBLE), 4) AS share,
         |  ROUND(CAST(cum_v AS DOUBLE) / CAST(tot AS DOUBLE), 4) AS cum_share
         |FROM cum
-        |ORDER BY decile ASC NULLS FIRST""".stripMargin)
+        |ORDER BY decile ASC NULLS FIRST""".stripMargin,
+
+    "c152_dau_mau" ->
+      s"""WITH ud AS (
+         |  SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day FROM events
+         |), dau AS (
+         |  SELECT day, COUNT(*) AS dau FROM ud GROUP BY day
+         |), spine AS (SELECT DISTINCT day AS d FROM ud),
+         |mau AS (
+         |  SELECT d, COUNT(*) AS mau FROM (
+         |    SELECT DISTINCT d, user_id
+         |    FROM spine JOIN ud ON day > d - $MauDays AND day <= d
+         |  ) GROUP BY d
+         |)
+         |SELECT day, dau, mau,
+         |  ROUND(CAST(dau AS DOUBLE) / mau, 4) AS stickiness
+         |FROM dau JOIN mau ON day = d
+         |ORDER BY day ASC NULLS FIRST""".stripMargin)
 }

@@ -563,6 +563,19 @@ class InsightsSpec extends AnyFunSuite {
     }
   }
 
+  test("c152: DAU <= MAU, stickiness in (0,1], MAU matches a brute-force trailing union") {
+    val rows = Insights.dauMau(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val userDays = events.map(e => (e._1, e._5 / 86400000000L)).distinct
+    rows.foreach { case (d, dau, mau, st) =>
+      assert(dau <= mau && st > 0.0 && st <= 1.0)
+      val expMau = userDays
+        .filter(ud => ud._2 > d - Insights.MauDays && ud._2 <= d)
+        .map(_._1).distinct.size
+      assert(mau == expMau, s"day $d: $mau vs $expMau")
+    }
+  }
+
   test("c128: frontier is strictly monotone and dominates every dropped point") {
     val frontier = Insights.paretoFrontier(spark, sf).collect()
       .map(r => (r.getDouble(0), r.getInt(1)))
