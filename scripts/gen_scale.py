@@ -37,9 +37,47 @@ import shutil
 import sys
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 SHARDS = 32
+
+
+def write_sharded_table(table, path):
+    """Write a pyarrow Table as <path>/part-NNNNN.parquet shards via
+    zero-copy slices (the columnar twin of write_sharded — no
+    per-cell Python objects anywhere)."""
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.makedirs(path)
+    n = table.num_rows
+    per = (n + SHARDS - 1) // SHARDS
+    for s in range(SHARDS):
+        lo = s * per
+        if lo >= n:
+            break
+        pq.write_table(table.slice(lo, min(per, n - lo)),
+                       f"{path}/part-{s:05d}.parquet")
+
+
+def replicate_shift(t, factor, shifts):
+    """factor replicas of table t, columnar: replica k shifts each
+    column named in `shifts` by k x its shift constant via
+    pyarrow.compute.add (vectorized; no to_pylist row loops — the
+    row-loop form cost minutes of per-cell appends at the 100x
+    rehearsal scale), every other column rides the original arrow
+    buffers unchanged. Replicas concat zero-copy (chunked arrays)."""
+    t = t.replace_schema_metadata(None)  # drop pandas metadata
+    reps = [t]
+    for k in range(1, factor):
+        r = t
+        for name, shift in shifts.items():
+            idx = r.schema.get_field_index(name)
+            shifted = pc.add(r.column(name), k * shift).cast(
+                r.schema.field(idx).type)
+            r = r.set_column(idx, r.schema.field(idx), shifted)
+        reps.append(r)
+    return pa.concat_tables(reps)
 
 
 def write_sharded(cols, schema, path):
@@ -127,21 +165,11 @@ def gen_events(src, out, factor):
     and sort runs stay fixture-sized while the key count grows)."""
     t = pq.read_table(f"{src}/events.parquet")
     n = t.num_rows
-    cols = {name: t.column(name).to_pylist() for name in t.column_names}
-    max_eid = max(cols["event_id"])
-    max_uid = max(cols["user_id"])
-    out_cols = {name: [] for name in t.column_names}
-    for k in range(factor):
-        for i in range(n):
-            for name in t.column_names:
-                v = cols[name][i]
-                if name == "event_id":
-                    v = v + k * (max_eid + 1)
-                elif name == "user_id":
-                    v = v + k * (max_uid + 1)
-                out_cols[name].append(v)
-    schema = pa.schema([(f.name, f.type) for f in t.schema])
-    write_sharded(out_cols, schema, f"{out}/events.parquet")
+    max_eid = pc.max(t.column("event_id")).as_py()
+    max_uid = pc.max(t.column("user_id")).as_py()
+    rep = replicate_shift(t, factor,
+                          {"event_id": max_eid + 1, "user_id": max_uid + 1})
+    write_sharded_table(rep, f"{out}/events.parquet")
     return n, n * factor
 
 
@@ -154,27 +182,13 @@ def gen_tpch(src, out, factor):
     copied through unchanged, so every TPC-H key runs as-is."""
     to = pq.read_table(f"{src}/orders.parquet")
     tl = pq.read_table(f"{src}/lineitem.parquet")
-    max_ok = max(to.column("o_orderkey").to_pylist())
-    shift = max_ok + 1
+    shift = pc.max(to.column("o_orderkey")).as_py() + 1
 
-    def rep(t, keycol):
-        cols = {name: t.column(name).to_pylist() for name in t.column_names}
-        out_cols = {name: [] for name in t.column_names}
-        n = t.num_rows
-        for k in range(factor):
-            for i in range(n):
-                for name in t.column_names:
-                    v = cols[name][i]
-                    if name == keycol:
-                        v = v + k * shift
-                    out_cols[name].append(v)
-        schema = pa.schema([(f.name, f.type) for f in t.schema])
-        return out_cols, schema, n
-
-    oc, osch, on = rep(to, "o_orderkey")
-    write_sharded(oc, osch, f"{out}/orders.parquet")
-    lc, lsch, ln = rep(tl, "l_orderkey")
-    write_sharded(lc, lsch, f"{out}/lineitem.parquet")
+    on, ln = to.num_rows, tl.num_rows
+    write_sharded_table(replicate_shift(to, factor, {"o_orderkey": shift}),
+                        f"{out}/orders.parquet")
+    write_sharded_table(replicate_shift(tl, factor, {"l_orderkey": shift}),
+                        f"{out}/lineitem.parquet")
     for t in ("region", "nation", "customer", "supplier", "part"):
         shutil.copy(f"{src}/{t}.parquet", f"{out}/{t}.parquet")
     return (on, on * factor, ln, ln * factor)

@@ -787,23 +787,26 @@ object Analytics {
     * inequality audit behind "is this metric dominated by a few
     * rows" (revenue concentration, duplicate-mass concentration —
     * c69's size histogram shows the distribution, THIS compresses it
-    * to the standard scalar). The rank is a per-type window with an
-    * event_id tiebreak — deterministic, and mathematically
-    * tie-order-invariant (swapping equal values leaves Σi·x_i
-    * unchanged); Σi·x_i and Σx_i ride DECIMAL(38,6) so the assembly
-    * is partition-order-free. Per-type sort is the honest cost: the
-    * exact Gini is an order statistic; at 100 TB the binned
-    * approximation (c107's bins) is the cheap fallback, and THIS key
-    * is the exact fit you run where per-group volumes allow (the
-    * c84-vs-b50 positioning).
+    * to the standard scalar). The rank is per-type with an event_id
+    * tiebreak — deterministic, and mathematically tie-order-invariant
+    * (swapping equal values leaves Σi·x_i unchanged); Σi·x_i and Σx_i
+    * ride DECIMAL(38,6) so the assembly is partition-order-free.
+    * Since round 12 the rank comes from [[graft.ops.OrderStats.cumLe]]
+    * (§5.3 rule 9): the round-11 form sorted each type's WHOLE event
+    * stream in one task (5 partitions for 5 types — parallelism
+    * floored at the type count); the bucketed two-pass rank is
+    * bit-identical and value-range-distributed. At 100 TB the binned
+    * approximation (c107's bins) remains the cheap fallback; THIS key
+    * is the exact fit (the c84-vs-b50 positioning).
     */
   def giniConcentration(spark: SparkSession, sfDir: String): DataFrame = {
     def d(c: Column) = c.cast(org.apache.spark.sql.types.DecimalType(38, 6))
-    val ranked = Tables.t(spark, sfDir, "events")
-      .select(col("event_type"), col("value"), col("event_id"))
-      .withColumn("i", row_number().over(
-        Window.partitionBy(col("event_type"))
-          .orderBy(col("value").asc, col("event_id").asc)).cast("long"))
+    val ranked = graft.ops.OrderStats.cumLe(
+        Tables.t(spark, sfDir, "events")
+          .select(col("event_type"), col("value"), col("event_id"),
+            col("value").as("v"), lit(1L).as("cnt")),
+        Seq("event_type"), Seq("event_id"))
+      .withColumn("i", col("cum_le"))
     ranked.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(d(col("value"))).cast("double").as("sx"),

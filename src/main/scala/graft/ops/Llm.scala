@@ -357,15 +357,29 @@ object Llm {
     * the same doc-keyed joins as c3. At 100 TB the per-pair cost is
     * the dial: band-gate first (cheap), verify the survivors here.
     */
+  /** The c117 normalized similarity from a PRECOMPUTED distance — the
+    * round-12 regression fix: round 11's empty-empty guard moved the
+    * similarity's `levenshtein` inside a `when` branch while
+    * `edit_dist` kept an unconditional one, and a CONDITIONAL
+    * subexpression defeats codegen subexpression elimination — the
+    * O(len²) kernel ran TWICE per pair (+64% on the bench). Deriving
+    * the ratio from the stored `edit_dist` column makes one
+    * evaluation structural: the distance lands in its own projection,
+    * and CollapseProject will not inline a non-cheap expression that
+    * is referenced twice downstream.
+    */
+  private[graft] def editSimFromDist(dist: Column, ta: Column, tb: Column): Column =
+    when(greatest(length(ta), length(tb)) > 0,
+      round(lit(1.0) - dist /
+        greatest(length(ta), length(tb)).cast("double"), 4))
+      .otherwise(lit(1.0))
+
   /** The c117 normalized similarity with its pinned empty-empty
     * convention — split out so the corner is unit-testable without a
     * band store.
     */
   private[graft] def editSimExpr(ta: Column, tb: Column): Column =
-    when(greatest(length(ta), length(tb)) > 0,
-      round(lit(1.0) - levenshtein(ta, tb) /
-        greatest(length(ta), length(tb)).cast("double"), 4))
-      .otherwise(lit(1.0))
+    editSimFromDist(levenshtein(ta, tb), ta, tb)
 
   def editDistancePairs(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = minhashPairs(spark, sfDir)
@@ -373,9 +387,10 @@ object Llm {
     pairs
       .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
-        editSimExpr(col("ta"), col("tb")).as("edit_sim"))
+      .select(col("doc_a"), col("doc_b"), col("ta"), col("tb"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"))
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"),
+        editSimFromDist(col("edit_dist"), col("ta"), col("tb")).as("edit_sim"))
       .orderBy("doc_a", "doc_b")
   }
 

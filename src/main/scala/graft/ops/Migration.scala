@@ -465,7 +465,14 @@ object Migration {
         .agg(count(lit(1)).as("n_rows"),
           sum(col("h")).cast(org.apache.spark.sql.types.DecimalType(38, 0))
             .as("checksum"))
-        .select(lit(tname).as("table_name"), col("n_rows"), col("checksum"))
+        // Final emission is STRING on both engines: a DECIMAL(38,0)
+        // output column round-trips through parquet/DuckDB with
+        // engine-specific renderings (the one comparator hazard the
+        // internal decimal algebra can't fix) — the VALUES are equal,
+        // so pin the TYPE at the emission boundary.
+        .select(lit(tname).as("table_name"),
+          col("n_rows").cast("string").as("n_rows"),
+          col("checksum").cast("string").as("checksum"))
     }.reduce(_ unionByName _).orderBy("table_name")
 
   /** The a18 oracle: the same checksum machine-generated for DuckDB
@@ -480,8 +487,9 @@ object Migration {
       }
       val rowHash =
         s"CAST(('0x' || substr(md5(concat_ws('|', ${frags.mkString(", ")})), 1, 8)) AS BIGINT)"
-      s"""SELECT '$tname' AS table_name, COUNT(*) AS n_rows,
-         |  CAST(SUM(CAST($rowHash AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS checksum
+      s"""SELECT '$tname' AS table_name,
+         |  CAST(COUNT(*) AS VARCHAR) AS n_rows,
+         |  CAST(CAST(SUM(CAST($rowHash AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
          |FROM $tname""".stripMargin
     }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
       "\n) ORDER BY table_name ASC NULLS FIRST")
@@ -591,16 +599,21 @@ object Migration {
     *
     * Scale note: the global rank runs on the KEY-SIZED count table
     * (one row per customer — ≪ corpus, the c82 count-table
-    * discipline), never the fact table; the one-partition window on
-    * that table is the honest cost of a global order and its input
-    * is millions of rows at 100 TB, not billions.
+    * discipline), never the fact table — but keys are still unbounded
+    * (millions of customers at 100 TB), so since round 12 the rank
+    * comes from [[graft.ops.OrderStats.cumLe]]'s two-pass bucketed
+    * kernel (negated volume as the ascending order key, custkey
+    * tie-break) instead of a one-task window — bit-identical ranks,
+    * B-way-distributed sort (§5.3 rule 9).
     */
   def shardBalancePlan(spark: SparkSession, sfDir: String): DataFrame = {
     val groups = Tables.t(spark, sfDir, "orders")
       .groupBy(col("o_custkey")).agg(count(lit(1)).as("g_rows"))
-    val ranked = groups.withColumn("rk",
-      (row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("g_rows").desc, col("o_custkey").asc)) - 1).cast("long"))
+    val ranked = graft.ops.OrderStats.cumLe(
+        groups.select(col("o_custkey"), col("g_rows"),
+          (-col("g_rows")).as("v"), lit(1L).as("cnt")),
+        Nil, Seq("o_custkey"))
+      .withColumn("rk", col("cum_le") - 1)
     // `div`, not `/`: Column./ on longs is double division and a
     // fractional block index would mis-deal every odd row.
     val assigned = ranked.select(col("g_rows"),

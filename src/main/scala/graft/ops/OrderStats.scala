@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed EXACT cumulative counts / global ranks — the two-pass
+  * order-statistic kernel that makes c94's scaladoc rule ("never a
+  * global ntile / partition-less rank over unbounded data") hold for
+  * the exact-rank family (c137, c148, c151) without changing a single
+  * output value:
+  *
+  *   1. value-range bucketing: [[RankBuckets]] shards from a per-group
+  *      broadcast (min, max). The bucket map is deterministic and
+  *      MONOTONE (a double cast of the order key; casting is
+  *      order-preserving, so bucket(v1) <= bucket(v2) whenever
+  *      v1 < v2, and ties never split across buckets);
+  *   2. per-(group, bucket) totals — map-side combined; at most
+  *      [[RankBuckets]] rows per group cross the wire;
+  *   3. bucket OFFSETS via a running sum over that <= B-row side
+  *      table — the whitelisted "group-sized window" class (its input
+  *      is bounded by the constant B, never by the data);
+  *   4. within-bucket running counts — a window whose partitions are
+  *      value-range shards (~ n/B rows each): a genuinely distributed
+  *      sort, never "move everything to one task".
+  *
+  * `cum_le(row) = offset(bucket) + running count within bucket` is the
+  * EXACT inclusive rank of the row under (v, tie...): identical to
+  * `row_number().over(Window.orderBy(v, tie...))` when every cnt is 1,
+  * and to the inclusive cumulative frequency when rows are
+  * (value, count) tallies. Callers keep their rank-`floor((n-1)p)+1`
+  * order-statistic semantics AND their DuckDB oracles unchanged — only
+  * the physical plan changes.
+  *
+  * Degenerate skew: if every value is equal, all rows land in bucket 0
+  * and step 4 collapses to one partition — but an all-equal column has
+  * no ordering work to distribute in the first place; real corpora
+  * spread across the range. At 100 TB raise B with the cluster — the
+  * algebra is B-invariant.
+  */
+private[graft] object OrderStats {
+
+  /** Bucket count: 1024 shards keeps the offset side table tiny
+    * (<= 1024 rows per group, broadcast) while bounding within-bucket
+    * partitions at ~ n/1024.
+    */
+  private[graft] val RankBuckets = 1024
+
+  /** Appends `cum_le` — the exact inclusive cumulative count (the
+    * global rank when every `cnt` is 1) ordered by (`v`, `tie...`)
+    * within each `grp` combination. `df` must carry a numeric order
+    * key `v` and a long count `cnt`; `grp` must be low-cardinality
+    * (its per-group bounds broadcast).
+    */
+  def cumLe(df: DataFrame, grp: Seq[String], tie: Seq[String]): DataFrame = {
+    val vd = col("v").cast("double")
+    val bounds =
+      if (grp.isEmpty) df.agg(min(vd).as("blo"), max(vd).as("bhi"))
+      else df.groupBy(grp.map(col): _*).agg(min(vd).as("blo"), max(vd).as("bhi"))
+    val withBounds =
+      if (grp.isEmpty) df.crossJoin(broadcast(bounds))
+      else df.join(broadcast(bounds), grp)
+    // +1e-9 denominator guard: an all-equal group has bhi - blo = 0 and
+    // the unguarded ratio is NaN; with the guard every row lands in
+    // bucket 0 (the b52/c28 epsilon discipline). The epsilon is
+    // negligible against any real range and cannot break monotonicity.
+    val bucketed = withBounds.withColumn("bucket",
+      least(floor((vd - col("blo")) / (col("bhi") - col("blo") + lit(1e-9)) *
+          RankBuckets).cast("long"),
+        lit(RankBuckets - 1L)))
+      .drop("blo", "bhi")
+    val bucketTotals = bucketed
+      .groupBy((grp :+ "bucket").map(col): _*)
+      .agg(sum(col("cnt")).as("bn"))
+    // Offsets over the <= B-row bucket table via the c28 self-join
+    // idiom (b.bucket < a.bucket), NOT a running-sum window: keeps the
+    // whole kernel free of partition-less WindowExec nodes so the
+    // PlanSpec global-window sweep can assert a clean plan. Worst case
+    // B^2 join rows per group — constant-bounded, never data-sized.
+    val grpEq = grp.map(g => col(s"a.$g") === col(s"b.$g"))
+      .foldLeft(lit(true))(_ && _)
+    val offsets = bucketTotals.as("a")
+      .join(bucketTotals.as("b"),
+        grpEq && col("b.bucket") < col("a.bucket"), "left")
+      .groupBy(grp.map(g => col(s"a.$g").as(g)) :+
+        col("a.bucket").as("bucket"): _*)
+      .agg(coalesce(sum(col("b.bn")), lit(0L)).as("boff"))
+    val wIn = Window.partitionBy((grp :+ "bucket").map(col): _*)
+      .orderBy(("v" +: tie).map(col(_).asc): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bucketed
+      .withColumn("cum_in", sum(col("cnt")).over(wIn))
+      .join(broadcast(offsets), grp :+ "bucket")
+      .withColumn("cum_le", col("boff") + col("cum_in"))
+      .drop("bucket", "cum_in", "boff")
+  }
+}

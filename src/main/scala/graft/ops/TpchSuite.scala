@@ -158,14 +158,18 @@ object TpchSuite {
     * because a fixed fraction empties the result as the corpus
     * grows — the mean-multiple form needs no such knob at 100 TB.
     * Shape: one (part)-keyed decimal aggregate of the nation's
-    * lines; the threshold is a GLOBAL WINDOW over that group table —
-    * a single-partition pass over group-count-sized rows (the
-    * a21/c84 documented-cost class), chosen deliberately over a
-    * separate 1-row aggregate branch: two branches re-aggregate the
-    * FACT table twice (AQE cannot stage-reuse them — the outer
-    * join's inferred not-null constraint lands in only one branch's
-    * scan, breaking canonical equality; measured in PlanSpec), while
-    * the window guarantees one fact pass by construction.
+    * lines, eagerly `localCheckpoint`ed (the c21/c35 lineage-cut
+    * idiom) so BOTH consumers — the 1-row threshold aggregate and
+    * the filter — read the materialized group table: one fact pass
+    * stays structural AND the threshold is a broadcast 1-row
+    * aggregate instead of the round-11 partition-less window over
+    * the part-count-sized group table (billions of rows through one
+    * window task at TPC-H 100 TB — the §5.3 rule 9 class this
+    * round retired). The naive two-branch form WITHOUT the
+    * checkpoint re-aggregates the fact table twice — AQE cannot
+    * stage-reuse the branches because the outer join's inferred
+    * not-null constraint lands in only one branch's scan, breaking
+    * canonical equality (measured round 11; pinned in PlanSpec).
     */
   def q11ImportantStock(spark: SparkSession, sfDir: String): DataFrame = {
     val natSupp = Tables.t(spark, sfDir, "supplier")
@@ -173,14 +177,15 @@ object TpchSuite {
         .where(col("n_name") === "NATION_3")),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"))
-    val all = org.apache.spark.sql.expressions.Window.partitionBy()
-    Tables.t(spark, sfDir, "lineitem")
+    val grouped = Tables.t(spark, sfDir, "lineitem")
       .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey").as("p_partkey"))
       .agg(dsum(col("l_extendedprice")).as("value"))
-      .withColumn("thr",
-        lit(2.0) * sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
-          .over(all).cast("double") / count(lit(1)).over(all))
+      .localCheckpoint(true)
+    val thr = grouped.agg(
+      (lit(2.0) * sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+        .cast("double") / count(lit(1))).as("thr"))
+    grouped.crossJoin(broadcast(thr))
       .where(col("value") > col("thr"))
       .select(col("p_partkey"), col("value"))
       .orderBy(col("value").desc, col("p_partkey").asc)
@@ -236,23 +241,25 @@ object TpchSuite {
 
   /** b71 — TPC-H Q15 (top supplier): the supplier(s) achieving the
     * maximum quarterly revenue — the view-plus-scalar-max query. The
-    * revenue "view" is one supplier-keyed decimal aggregate; the max
-    * rides a global window over that supplier-count-sized result
-    * (same single-fact-pass rationale as b68 — a second aggregate
-    * branch would re-scan lineitem, and AQE cannot reuse the
-    * branches); the `revenue = max` equality is exact because both
-    * sides are the same canon-exact double. Ties (multiple suppliers
-    * at the max) are emitted, per the spec.
+    * revenue "view" is one supplier-keyed decimal aggregate, eagerly
+    * `localCheckpoint`ed (b68's rationale verbatim: one fact pass
+    * structural, and the scalar max becomes a broadcast 1-row
+    * aggregate on the materialized view instead of the round-11
+    * partition-less window over the supplier-count-sized result);
+    * the `revenue = max` equality is exact because both sides are
+    * the same canon-exact double. Ties (multiple suppliers at the
+    * max) are emitted, per the spec.
     */
   def q15TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
-    val all = org.apache.spark.sql.expressions.Window.partitionBy()
-    Tables.t(spark, sfDir, "lineitem")
+    val grouped = Tables.t(spark, sfDir, "lineitem")
       .where(col("l_shipdate") >= lit("1996-01-01") &&
         col("l_shipdate") < lit("1996-04-01"))
       .groupBy(col("l_suppkey"))
       .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
         .as("total_revenue"))
-      .withColumn("max_revenue", max(col("total_revenue")).over(all))
+      .localCheckpoint(true)
+    val mx = grouped.agg(max(col("total_revenue")).as("max_revenue"))
+    grouped.crossJoin(broadcast(mx))
       .where(col("total_revenue") === col("max_revenue"))
       .join(Tables.t(spark, sfDir, "supplier"),
         col("l_suppkey") === col("s_suppkey"))

@@ -577,18 +577,43 @@ object Streams {
     * production CDC layout); out-of-order ACROSS batches needs the
     * watermark-buffered variant this function is the kernel of.
     */
+  /** Event-time ORDER GUARD for the stateful kernels (scd2 / island /
+    * ewma / gapBucket / pathTrigram runs): their cross-batch exactness
+    * rests on event-time-ordered batch delivery (the date-partitioned
+    * production layout), but `streamTable` streams a DIRECTORY of
+    * part-files with no file-order guarantee — an out-of-order event
+    * must surface as a LOUD failure, never a silently corrupted run
+    * extent. Each kernel persists the last processed (ts_us, event_id)
+    * per key in its state and calls this on every row.
+    */
+  private def advanceFrontier(kernel: String, key: Long,
+      frontier: (Long, Long), ts: Long, eid: Long): (Long, Long) = {
+    require(ts > frontier._1 || (ts == frontier._1 && eid > frontier._2),
+      s"[$kernel] out-of-order event for key=$key: (ts_us=$ts, " +
+        s"event_id=$eid) arrived at-or-before the processed frontier " +
+        s"(ts_us=${frontier._1}, event_id=${frontier._2}); cross-batch " +
+        "exactness requires event-time-ordered batch delivery")
+    (ts, eid)
+  }
+
+  /** The pre-first-event frontier (accepts any real event). */
+  private val FrontierMin = (Long.MinValue, Long.MinValue)
+
   def scd2Runs(events: Dataset[(Long, Long, String, Long)]): DataFrame = {
     import events.sparkSession.implicits._
     events.groupByKey(_._1)
-      .flatMapGroupsWithState[(String, Long, Long, Long),
+      .flatMapGroupsWithState[((Long, Long), (String, Long, Long, Long)),
         (Long, Long, String, Long, Long, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[(Long, Long, String, Long)],
-         gs: GroupState[(String, Long, Long, Long)]) =>
-          // carry = the open run: (state, valid_from, n_events, version)
-          var carry = gs.getOption
+         gs: GroupState[((Long, Long), (String, Long, Long, Long))]) =>
+          // carry = the open run: (state, valid_from, n_events, version);
+          // frontier = last processed (ts_us, event_id) — order guard
+          var frontier = gs.getOption.map(_._1).getOrElse(FrontierMin)
+          var carry = gs.getOption.map(_._2)
           val out = Seq.newBuilder[(Long, Long, String, Long, Long, Long)]
-          rows.toSeq.sortBy(r => (r._4, r._2)).foreach { case (_, _, et, ts) =>
+          rows.toSeq.sortBy(r => (r._4, r._2)).foreach { case (_, eid, et, ts) =>
+            frontier = advanceFrontier("scd2Runs", user, frontier, ts, eid)
             carry match {
               case None =>
                 carry = Some((et, ts, 1L, 1L))
@@ -599,7 +624,7 @@ object Streams {
                 carry = Some((et, ts, 1L, v + 1))
             }
           }
-          carry.foreach(gs.update)
+          carry.foreach(c => gs.update((frontier, c)))
           out.result().iterator
       }
       .toDF("user_id", "version", "state", "valid_from_us", "valid_to_us",
@@ -642,31 +667,84 @@ object Streams {
     * event-time-ordered batches (the date-partitioned production
     * layout); state is ONE 3-long tuple per user.
     */
+  /** The pure per-batch island fold shared by BOTH state APIs
+    * ([[islandRuns]] on the legacy flatMapGroupsWithState,
+    * [[IslandRunsProcessor]] on Spark 4.x transformWithState): sorts
+    * the batch by the canon order, applies the order guard, extends
+    * or closes the open island. One kernel, two plumbing layers — the
+    * twin paths cannot drift.
+    */
+  private[streaming] def islandFold(user: Long, frontier0: (Long, Long),
+      carry0: Option[(Long, Long, Long)], rows: Seq[(Long, Long, Long)])
+    : ((Long, Long), Option[(Long, Long, Long)], Seq[(Long, Long, Long, Long)]) = {
+    val width = graft.ops.Insights.IntervalUs
+    var frontier = frontier0
+    var carry = carry0
+    val out = Seq.newBuilder[(Long, Long, Long, Long)]
+    rows.sortBy(r => (r._3, r._2)).foreach { case (_, eid, s) =>
+      frontier = advanceFrontier("islandRuns", user, frontier, s, eid)
+      val e = s + width
+      carry match {
+        case None => carry = Some((s, e, 1L))
+        case Some((is, ie, n)) if s <= ie =>
+          carry = Some((is, math.max(ie, e), n + 1))
+        case Some((is, ie, n)) =>
+          out += ((user, is, ie, n))
+          carry = Some((s, e, 1L))
+      }
+    }
+    (frontier, carry, out.result())
+  }
+
   def islandRuns(events: Dataset[(Long, Long, Long)]): DataFrame = {
     import events.sparkSession.implicits._
-    val width = graft.ops.Insights.IntervalUs
     events.groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
+      .flatMapGroupsWithState[((Long, Long), (Long, Long, Long)),
+        (Long, Long, Long, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[(Long, Long, Long)],
-         gs: GroupState[(Long, Long, Long)]) =>
-          // carry = the open island: (istart, iend, n_events)
-          var carry = gs.getOption
-          val out = Seq.newBuilder[(Long, Long, Long, Long)]
-          rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, _, s) =>
-            val e = s + width
-            carry match {
-              case None => carry = Some((s, e, 1L))
-              case Some((is, ie, n)) if s <= ie =>
-                carry = Some((is, math.max(ie, e), n + 1))
-              case Some((is, ie, n)) =>
-                out += ((user, is, ie, n))
-                carry = Some((s, e, 1L))
-            }
-          }
-          carry.foreach(gs.update)
-          out.result().iterator
+         gs: GroupState[((Long, Long), (Long, Long, Long))]) =>
+          // carry = the open island: (istart, iend, n_events);
+          // frontier = last processed (ts_us, event_id) — order guard
+          val (frontier, carry, out) = islandFold(user,
+            gs.getOption.map(_._1).getOrElse(FrontierMin),
+            gs.getOption.map(_._2), rows.toSeq)
+          carry.foreach(c => gs.update((frontier, c)))
+          out.iterator
       }
+      .toDF("user_id", "istart_us", "iend_us", "n_events")
+  }
+
+  /** [[islandRuns]] on the Spark 4.x `transformWithState` state API
+    * (round-12 port — the legacy API must not be the only production
+    * path): one ValueState of (frontier, open island) per user,
+    * batches folded by the SAME [[islandFold]] kernel.
+    */
+  class IslandRunsProcessor extends StatefulProcessor[Long,
+      (Long, Long, Long), (Long, Long, Long, Long)] {
+    @transient private var st: ValueState[((Long, Long), (Long, Long, Long))] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[((Long, Long), (Long, Long, Long))](
+        "island", Encoders.product[((Long, Long), (Long, Long, Long))],
+        TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      val prior = if (st.exists()) Some(st.get()) else None
+      val (frontier, carry, out) = islandFold(user,
+        prior.map(_._1).getOrElse(FrontierMin), prior.map(_._2), rows.toSeq)
+      carry.foreach(c => st.update((frontier, c)))
+      out.iterator
+    }
+  }
+
+  /** [[IslandRunsProcessor]] plumbed end to end (append emissions of
+    * closed islands, open island in RocksDB state).
+    */
+  def islandRunsTws(events: Dataset[(Long, Long, Long)]): DataFrame = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new IslandRunsProcessor,
+        TimeMode.None(), OutputMode.Append())
       .toDF("user_id", "istart_us", "iend_us", "n_events")
   }
 
@@ -681,27 +759,74 @@ object Streams {
     */
   def ewmaRuns(events: Dataset[(Long, Long, Double, Long)]): DataFrame = {
     import events.sparkSession.implicits._
-    val taps = graft.ops.Insights.EwmaTaps
     events.groupByKey(_._1)
-      .flatMapGroupsWithState[List[Double], (Long, Long, Double, Double)](
+      .flatMapGroupsWithState[((Long, Long), List[Double]),
+        (Long, Long, Double, Double)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[(Long, Long, Double, Long)],
-         gs: GroupState[List[Double]]) =>
-          var recent = gs.getOption.getOrElse(Nil) // most-recent-first
-          val out = Seq.newBuilder[(Long, Long, Double, Double)]
-          rows.toSeq.sortBy(r => (r._4, r._2)).foreach { case (_, eid, v, _) =>
-            if (recent.size >= taps - 1) {
-              val ewma = (0 until taps)
-                .map(k => (if (k == 0) v else recent(k - 1)) *
-                  graft.ops.Insights.ewmaWeight(k))
-                .reduce(_ + _)
-              out += ((user, eid, v, ewma))
-            }
-            recent = (v :: recent).take(taps - 1)
-          }
-          gs.update(recent)
-          out.result().iterator
+         gs: GroupState[((Long, Long), List[Double])]) =>
+          val (frontier, recent, out) = ewmaFold(user,
+            gs.getOption.map(_._1).getOrElse(FrontierMin),
+            gs.getOption.map(_._2).getOrElse(Nil), rows.toSeq)
+          gs.update((frontier, recent))
+          out.iterator
       }
+      .toDF("user_id", "event_id", "value", "ewma16")
+  }
+
+  /** The pure per-batch EWMA fold shared by both state APIs (the
+    * [[islandFold]] discipline): frontier guard, then the 16-tap FIR
+    * in c130's exact fold order.
+    */
+  private[streaming] def ewmaFold(user: Long, frontier0: (Long, Long),
+      recent0: List[Double], rows: Seq[(Long, Long, Double, Long)])
+    : ((Long, Long), List[Double], Seq[(Long, Long, Double, Double)]) = {
+    val taps = graft.ops.Insights.EwmaTaps
+    var frontier = frontier0
+    var recent = recent0 // most-recent-first
+    val out = Seq.newBuilder[(Long, Long, Double, Double)]
+    rows.sortBy(r => (r._4, r._2)).foreach { case (_, eid, v, ts) =>
+      frontier = advanceFrontier("ewmaRuns", user, frontier, ts, eid)
+      if (recent.size >= taps - 1) {
+        val ewma = (0 until taps)
+          .map(k => (if (k == 0) v else recent(k - 1)) *
+            graft.ops.Insights.ewmaWeight(k))
+          .reduce(_ + _)
+        out += ((user, eid, v, ewma))
+      }
+      recent = (v :: recent).take(taps - 1)
+    }
+    (frontier, recent, out.result())
+  }
+
+  /** [[ewmaRuns]] on `transformWithState` (round-12 port): ValueState
+    * of (frontier, last ≤ 15 values), same [[ewmaFold]] kernel —
+    * emitted doubles stay bit-identical to batch c130.
+    */
+  class EwmaRunsProcessor extends StatefulProcessor[Long,
+      (Long, Long, Double, Long), (Long, Long, Double, Double)] {
+    @transient private var st: ValueState[((Long, Long), List[Double])] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[((Long, Long), List[Double])](
+        "ewma", Encoders.product[((Long, Long), List[Double])], TTLConfig.NONE)
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Long, Double, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long, Double, Double)] = {
+      val prior = if (st.exists()) Some(st.get()) else None
+      val (frontier, recent, out) = ewmaFold(user,
+        prior.map(_._1).getOrElse(FrontierMin),
+        prior.map(_._2).getOrElse(Nil), rows.toSeq)
+      st.update((frontier, recent))
+      out.iterator
+    }
+  }
+
+  /** [[EwmaRunsProcessor]] plumbed end to end. */
+  def ewmaRunsTws(events: Dataset[(Long, Long, Double, Long)]): DataFrame = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new EwmaRunsProcessor,
+        TimeMode.None(), OutputMode.Append())
       .toDF("user_id", "event_id", "value", "ewma16")
   }
 
@@ -762,6 +887,28 @@ object Streams {
     * batch-side on the emission log — the c108 discipline: stream the
     * per-event work, aggregate the bounded summary after.
     */
+  /** The pure per-batch gap-bucket fold shared by both state APIs
+    * (the [[islandFold]] discipline); the (ts, event_id) state tuple
+    * doubles as the order-guard frontier.
+    */
+  private[streaming] def gapBucketFold(user: Long,
+      last0: Option[(Long, Long)], rows: Seq[(Long, Long, Long)])
+    : (Option[(Long, Long)], Seq[(Long, Int)]) = {
+    var last = last0
+    val out = Seq.newBuilder[(Long, Int)]
+    rows.sortBy(r => (r._3, r._2)).foreach { case (_, eid, ts) =>
+      advanceFrontier("gapBucketRuns", user,
+        last.getOrElse(FrontierMin), ts, eid)
+      last.foreach { case (pts, _) =>
+        val gapS = (ts - pts) / 1000000L
+        if (gapS >= 1L)
+          out += ((user, 63 - java.lang.Long.numberOfLeadingZeros(gapS)))
+      }
+      last = Some((ts, eid))
+    }
+    (last, out.result())
+  }
+
   def gapBucketRuns(events: Dataset[(Long, Long, Long)]): DataFrame = {
     import events.sparkSession.implicits._
     events.groupByKey(_._1)
@@ -769,19 +916,35 @@ object Streams {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[(Long, Long, Long)],
          gs: GroupState[(Long, Long)]) =>
-          var last = gs.getOption // (ts_us, event_id)
-          val out = Seq.newBuilder[(Long, Int)]
-          rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, eid, ts) =>
-            last.foreach { case (pts, _) =>
-              val gapS = (ts - pts) / 1000000L
-              if (gapS >= 1L)
-                out += ((user, 63 - java.lang.Long.numberOfLeadingZeros(gapS)))
-            }
-            last = Some((ts, eid))
-          }
+          val (last, out) = gapBucketFold(user, gs.getOption, rows.toSeq)
           last.foreach(gs.update)
-          out.result().iterator
+          out.iterator
       }
+      .toDF("user_id", "bucket")
+  }
+
+  /** [[gapBucketRuns]] on `transformWithState` (round-12 port). */
+  class GapBucketRunsProcessor
+      extends StatefulProcessor[Long, (Long, Long, Long), (Long, Int)] {
+    @transient private var st: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)](
+        "last", Encoders.product[(Long, Long)], TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Int)] = {
+      val prior = if (st.exists()) Some(st.get()) else None
+      val (last, out) = gapBucketFold(user, prior, rows.toSeq)
+      last.foreach(st.update)
+      out.iterator
+    }
+  }
+
+  /** [[GapBucketRunsProcessor]] plumbed end to end. */
+  def gapBucketRunsTws(events: Dataset[(Long, Long, Long)]): DataFrame = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new GapBucketRunsProcessor,
+        TimeMode.None(), OutputMode.Append())
       .toDF("user_id", "bucket")
   }
 
@@ -816,24 +979,66 @@ object Streams {
     * (and emits) one trigram once the carry is full, then shifts into
     * it. Counting happens batch-side on the emission log (c149's
     * discipline). */
+  /** The pure per-batch trigram fold shared by both state APIs (the
+    * [[islandFold]] discipline): carry = the user's last ≤ 2 event
+    * types (oldest first), frontier = the order guard.
+    */
+  private[streaming] def pathTrigramFold(user: Long, frontier0: (Long, Long),
+      carry0: List[String], rows: Seq[(Long, Long, String, Long)])
+    : ((Long, Long), List[String], Seq[Tuple1[String]]) = {
+    var frontier = frontier0
+    var carry = carry0
+    val out = Seq.newBuilder[Tuple1[String]]
+    rows.sortBy(r => (r._4, r._2)).foreach { case (_, eid, t, ts) =>
+      frontier = advanceFrontier("pathTrigramRuns", user, frontier, ts, eid)
+      if (carry.size == 2)
+        out += Tuple1(s"${carry.head}>${carry(1)}>$t")
+      carry = (carry :+ t).takeRight(2)
+    }
+    (frontier, carry, out.result())
+  }
+
   def pathTrigramRuns(events: Dataset[(Long, Long, String, Long)]): DataFrame = {
     import events.sparkSession.implicits._
     events.groupByKey(_._1)
-      .flatMapGroupsWithState[List[String], Tuple1[String]](
+      .flatMapGroupsWithState[((Long, Long), List[String]), Tuple1[String]](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[(Long, Long, String, Long)],
-         gs: GroupState[List[String]]) =>
-          // carry = the user's last ≤2 event types, oldest first
-          var carry = gs.getOption.getOrElse(Nil)
-          val out = Seq.newBuilder[Tuple1[String]]
-          rows.toSeq.sortBy(r => (r._4, r._2)).foreach { case (_, _, t, _) =>
-            if (carry.size == 2)
-              out += Tuple1(s"${carry.head}>${carry(1)}>$t")
-            carry = (carry :+ t).takeRight(2)
-          }
-          gs.update(carry)
-          out.result().iterator
+         gs: GroupState[((Long, Long), List[String])]) =>
+          val (frontier, carry, out) = pathTrigramFold(user,
+            gs.getOption.map(_._1).getOrElse(FrontierMin),
+            gs.getOption.map(_._2).getOrElse(Nil), rows.toSeq)
+          gs.update((frontier, carry))
+          out.iterator
       }
+      .toDF("path")
+  }
+
+  /** [[pathTrigramRuns]] on `transformWithState` (round-12 port). */
+  class PathTrigramRunsProcessor
+      extends StatefulProcessor[Long, (Long, Long, String, Long), Tuple1[String]] {
+    @transient private var st: ValueState[((Long, Long), List[String])] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[((Long, Long), List[String])](
+        "trigram", Encoders.product[((Long, Long), List[String])], TTLConfig.NONE)
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Long, String, Long)],
+        timerValues: TimerValues): Iterator[Tuple1[String]] = {
+      val prior = if (st.exists()) Some(st.get()) else None
+      val (frontier, carry, out) = pathTrigramFold(user,
+        prior.map(_._1).getOrElse(FrontierMin),
+        prior.map(_._2).getOrElse(Nil), rows.toSeq)
+      st.update((frontier, carry))
+      out.iterator
+    }
+  }
+
+  /** [[PathTrigramRunsProcessor]] plumbed end to end. */
+  def pathTrigramRunsTws(events: Dataset[(Long, Long, String, Long)]): DataFrame = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new PathTrigramRunsProcessor,
+        TimeMode.None(), OutputMode.Append())
       .toDF("path")
   }
 

@@ -529,21 +529,38 @@ class PlanSpec extends AnyFunSuite {
       s"offers + correlated-min aggregates must be hash aggs (partial+final):\n$p")
   }
 
-  test("b68/b71: the global scalar threshold costs one fact scan (window over the group table)") {
-    // The tempting two-branch form (aggregate once for groups, again
-    // for the scalar, cross-join back) re-scans the FACT table: AQE
-    // cannot stage-reuse the branches because the outer join infers a
-    // not-null constraint into only one branch's scan, breaking
-    // canonical equality (measured round 11). The window form makes
-    // one fact pass structural — this pin keeps it that way.
+  test("b68/b71: the global scalar threshold reads the checkpointed group table (no window, no fact re-scan)") {
+    // Round 12: the group table is eagerly localCheckpoint'ed, so the
+    // 1-row scalar aggregate and the filter BOTH read the materialized
+    // RDD — one fact pass stays structural (the scan happened exactly
+    // once, at materialization) and the round-11 partition-less window
+    // over the group table is gone (§5.3 rule 9). The naive
+    // two-branch form without the checkpoint re-scans the fact table:
+    // AQE cannot stage-reuse the branches (not-null constraint lands
+    // in one branch's scan only — measured round 11).
     for (df <- Seq(ops.TpchSuite.q11ImportantStock(spark, sf),
       ops.TpchSuite.q15TopSupplier(spark, sf))) {
       val p = plan(df)
       assert(!p.contains("CartesianProduct"), p)
-      assert(p.contains("Window"), s"threshold must be a window over the group table:\n$p")
-      assert(p.linesIterator.count(_.contains("lineitem.parquet")) == 1,
-        s"fact table must be scanned once:\n$p")
+      assert(!p.contains("WindowExec") && !p.contains("Window,"),
+        s"threshold must be a broadcast 1-row aggregate, not a window:\n$p")
+      assert(!p.contains("lineitem.parquet"),
+        s"fact scan must be pre-materialized (checkpointed group table), " +
+          s"not re-read downstream:\n$p")
+      assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+        s"both branches must read the checkpointed group table:\n$p")
     }
+  }
+
+  test("c117: levenshtein evaluates ONCE (edit_sim derives from the stored edit_dist)") {
+    // Round 11's empty-empty guard moved edit_sim's levenshtein inside
+    // a `when` branch; a CONDITIONAL subexpression defeats codegen
+    // subexpression elimination, so the O(len²) kernel ran twice per
+    // pair (+64% measured). The two-projection form keeps exactly one
+    // levenshtein in the plan — this pin keeps it that way.
+    val p = plan(ops.Llm.editDistancePairs(spark, sf))
+    val n = "levenshtein".r.findAllIn(p).length
+    assert(n == 1, s"expected exactly one levenshtein evaluation, got $n:\n$p")
   }
 
   test("b74: Q19's disjunction is one residual on one partkey join, one lineitem scan") {

@@ -335,4 +335,112 @@ class StreamingSpec extends AnyFunSuite {
       q.stop()
     }
   }
+
+  /** Runs `body` with the RocksDB state-store provider set (required
+    * by transformWithState), restoring the prior provider after —
+    * the B47b/c89 conf-hygiene discipline factored out for the
+    * round-12 Tws twins.
+    */
+  private def withRocksDb[A](body: => A): A = {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, graft.streaming.Streams.RocksDbProvider)
+    try body finally prior match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
+  /** Drives a stream function over the same 2-batch input on both
+    * state APIs and returns (legacy rows, tws rows) from memory
+    * sinks — the round-12 twin-equality harness.
+    */
+  private def twinRun[I <: Product : org.apache.spark.sql.Encoder](
+      name: String,
+      legacy: org.apache.spark.sql.Dataset[I] => org.apache.spark.sql.DataFrame,
+      tws: org.apache.spark.sql.Dataset[I] => org.apache.spark.sql.DataFrame,
+      batch1: Seq[I], batch2: Seq[I]): (Seq[String], Seq[String]) = withRocksDb {
+    implicit val sqlCtx = spark.sqlContext
+    def drive(fn: org.apache.spark.sql.Dataset[I] => org.apache.spark.sql.DataFrame,
+        qn: String): Seq[String] = {
+      val input = MemoryStream[I]
+      val q = fn(input.toDS()).writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        input.addData(batch1: _*); q.processAllAvailable()
+        input.addData(batch2: _*); q.processAllAvailable()
+        spark.table(qn).collect().map(_.mkString("|")).sorted.toSeq
+      } finally q.stop()
+    }
+    (drive(legacy, s"${name}_legacy"), drive(tws, s"${name}_tws"))
+  }
+
+  test("c129 kernel twins: islandRuns === islandRunsTws across batches (round-12 port)") {
+    // (user_id, event_id, ts_us); IntervalUs-wide events — batch 2
+    // extends user 1's open island then breaks it, closing two islands.
+    val w = graft.ops.Insights.IntervalUs
+    val b1 = Seq((1L, 1L, 0L), (1L, 2L, w / 2), (2L, 3L, 0L))
+    val b2 = Seq((1L, 4L, w), (1L, 5L, 10 * w), (2L, 6L, 5 * w))
+    val (legacy, tws) = twinRun("c129", graft.streaming.Streams.islandRuns,
+      graft.streaming.Streams.islandRunsTws, b1, b2)
+    assert(legacy == tws, s"legacy=$legacy tws=$tws")
+    // semantic pin: user 1's first island spans 3 events [0, 2w)
+    assert(tws.contains(s"1|0|${2 * w}|3"), tws)
+  }
+
+  test("c136 kernel twins: ewmaRuns === ewmaRunsTws across batches (round-12 port)") {
+    val taps = graft.ops.Insights.EwmaTaps
+    // (user_id, event_id, value, ts_us): 15 warmup rows in batch 1,
+    // two emitting rows in batch 2 — state (the 15-deep kernel) must
+    // carry across the batch boundary identically on both APIs.
+    val b1 = (1 to taps - 1).map(i => (1L, i.toLong, i.toDouble, i.toLong))
+    val b2 = Seq((1L, 16L, 16.0, 16L), (1L, 17L, 17.0, 17L))
+    val (legacy, tws) = twinRun("c136", graft.streaming.Streams.ewmaRuns,
+      graft.streaming.Streams.ewmaRunsTws, b1, b2)
+    assert(legacy == tws, s"legacy=$legacy tws=$tws")
+    assert(tws.size == 2, s"exactly the two post-warmup rows emit: $tws")
+  }
+
+  test("c149 kernel twins: gapBucketRuns === gapBucketRunsTws across batches (round-12 port)") {
+    // (user_id, event_id, ts_us): gaps of 1s, 3s (batch 1) then 8s
+    // across the batch boundary — buckets 0, 1, 3.
+    val b1 = Seq((1L, 1L, 0L), (1L, 2L, 1000000L), (1L, 3L, 4000000L))
+    val b2 = Seq((1L, 4L, 12000000L))
+    val (legacy, tws) = twinRun("c149", graft.streaming.Streams.gapBucketRuns,
+      graft.streaming.Streams.gapBucketRunsTws, b1, b2)
+    assert(legacy == tws, s"legacy=$legacy tws=$tws")
+    assert(tws == Seq("1|0", "1|1", "1|3"), tws)
+  }
+
+  test("c150 kernel twins: pathTrigramRuns === pathTrigramRunsTws across batches (round-12 port)") {
+    // (user_id, event_id, event_type, ts_us): the carried 2-type state
+    // must complete a trigram from batch-1 types on the batch boundary.
+    val b1 = Seq((1L, 1L, "view", 1L), (1L, 2L, "click", 2L))
+    val b2 = Seq((1L, 3L, "purchase", 3L), (1L, 4L, "view", 4L))
+    val (legacy, tws) = twinRun("c150", graft.streaming.Streams.pathTrigramRuns,
+      graft.streaming.Streams.pathTrigramRunsTws, b1, b2)
+    assert(legacy == tws, s"legacy=$legacy tws=$tws")
+    assert(tws == Seq("click>purchase>view", "view>click>purchase"), tws)
+  }
+
+  test("order guard: an out-of-order event across batches fails LOUDLY, never silently corrupts") {
+    // ADVICE round 11: streamTable streams a DIRECTORY with no
+    // file-order guarantee — an island start arriving BEFORE the
+    // carried frontier must throw, not silently extend a closed run.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long)]
+    val q = graft.streaming.Streams.islandRuns(input.toDS())
+      .writeStream.format("memory").queryName("c129_guard")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 2L, 5000000L)); q.processAllAvailable()
+      input.addData((1L, 1L, 1000000L)) // ts regresses past the frontier
+      val e = intercept[Throwable] { q.processAllAvailable() }
+      val chain = Iterator.iterate[Throwable](e)(_.getCause)
+        .takeWhile(_ != null).take(10)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" <- ")
+      assert(chain.contains("out-of-order"),
+        s"expected the islandRuns frontier guard in the cause chain: $chain")
+    } finally q.stop()
+  }
 }
