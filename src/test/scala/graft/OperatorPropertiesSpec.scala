@@ -52,6 +52,55 @@ class OperatorPropertiesSpec extends AnyFunSuite {
     assert(rate > 0.15 && rate < 0.35, s"25% nominal rate way off: $rate")
   }
 
+  test("OrderStats.cumLe equals the partition-less rank window on arbitrary data") {
+    // The §5.3 rule 9 kernel's whole contract: the two-pass bucketed
+    // cumulative count must be BIT-IDENTICAL to row_number over the
+    // (v, tie) total order — groups, duplicate values, negative
+    // values, and a degenerate all-equal group included — at any
+    // partitioning.
+    val rows: Gen[List[(String, Long, Long)]] = Gen.nonEmptyListOf(for {
+      g <- Gen.oneOf("a", "b", "c")
+      v <- Gen.chooseNum(-50L, 50L)
+      id <- Gen.chooseNum(0L, 1000000L)
+    } yield (g, v, id))
+    samples(rows, 4).foreach { rs =>
+      val df = rs.distinct.toDF("g", "v", "id")
+        .withColumn("cnt", lit(1L)).repartition(7)
+      val got = graft.ops.OrderStats.cumLe(df, Seq("g"), Seq("id"))
+        .select($"g", $"v", $"id", $"cum_le")
+        .as[(String, Long, Long, Long)].collect().toSet
+      val want = df.withColumn("cum_le", row_number().over(
+          Window.partitionBy($"g").orderBy($"v".asc, $"id".asc)).cast("long"))
+        .select($"g", $"v", $"id", $"cum_le")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(got == want, s"cumLe != rank window on $rs")
+    }
+    // degenerate: every value equal (single bucket), global (no group)
+    val eq = (1L to 40L).map(i => ("x", 7L, i)).toDF("g", "v", "id")
+      .withColumn("cnt", lit(1L))
+    val gotEq = graft.ops.OrderStats.cumLe(eq, Nil, Seq("id"))
+      .select($"id", $"cum_le").as[(Long, Long)].collect().sorted.toSeq
+    assert(gotEq == (1L to 40L).map(i => (i, i)),
+      s"all-equal group broke: $gotEq")
+  }
+
+  test("OrderStats.cumLe on tallies equals the inclusive cumulative frequency") {
+    val tallies: Gen[List[(Long, Long)]] = Gen.nonEmptyListOf(for {
+      v <- Gen.chooseNum(-20L, 20L)
+      c <- Gen.chooseNum(1L, 9L)
+    } yield (v, c))
+    samples(tallies, 4).foreach { ts =>
+      val dedup = ts.groupBy(_._1).map { case (v, g) => (v, g.map(_._2).sum) }.toSeq
+      val df = dedup.toDF("v", "cnt").repartition(5)
+      val got = graft.ops.OrderStats.cumLe(df, Nil, Nil)
+        .select($"v", $"cum_le").as[(Long, Long)].collect().toMap
+      val want = dedup.sortBy(_._1).scanLeft((Long.MinValue, 0L)) {
+        case ((_, acc), (v, c)) => (v, acc + c)
+      }.drop(1).toMap
+      assert(got == want, s"tally cum mismatch on $dedup")
+    }
+  }
+
   test("exact dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
     samples(texts).foreach { ts =>
       val once = ts.toDF("text").dropDuplicates("text")
