@@ -829,60 +829,59 @@ object Analytics {
     * serially dependent" audit that decides whether c91's iid-ish
     * trend residuals and c107's batch-to-batch comparisons are even
     * meaningful (high ACF ⇒ drift monitors need longer windows).
-    * Series order is the canon (ts_us, event_id) total order; each
-    * lag pairs via ONE `lag` window over the per-type sort, then
-    * reduces to the five moment sums — decimal-exact, assembled in
-    * the fixed c105 Pearson dag. Lags share ONE window pass and ONE
-    * aggregate (conditional moment columns per lag, reshaped after —
-    * the union-of-aggregates form measured 3 recomputed windows at
-    * 100×).
+    * Series order is the canon (ts_us, event_id) total order.
     *
-    * Measured 100× posture (SCALE.md): the window partitions by
-    * event_type — FIVE partitions, so parallelism floors at the type
-    * count and the decimal moment sums dominate CPU. The 100 TB
-    * shape is chunked: bucket each series by (type, day), window
-    * within chunks, and stitch the k boundary rows per chunk through
-    * a second small pass — lag-k needs only k rows of cross-chunk
-    * context, so the stitch table is (chunks × k) rows. Kept simple
-    * here because the fixture's 5-partition floor is the measured,
-    * documented trade.
+    * Round 12 retires the per-type `lag` window (FIVE one-task sorts
+    * of events/5 rows — the parallelism floor the round-11 SCALE.md
+    * documented as the open trade): each row's exact global POSITION
+    * in its type's series comes from [[graft.ops.OrderStats.cumLe]]
+    * (two-pass bucketed rank over ts_us — §5.3 rule 9), and lag-k
+    * alignment is then a plain (type, pos − k) EQUI-JOIN — v_t meets
+    * v_{t−k} by position arithmetic, no sequential pass anywhere.
+    * One probe-side explode emits the 3 lag targets per row, so all
+    * lags ride ONE join + ONE map-side-combined moment aggregate;
+    * pair sets (and the decimal moment sums assembled in the fixed
+    * c105 Pearson dag) are IDENTICAL to the window form, so the
+    * oracle is unchanged. The (type × lag) spine keeps the n = 0
+    * rows the conditional-sum form emitted.
     */
   def autocorrelation(spark: SparkSession, sfDir: String): DataFrame = {
     def d(c: Column) = c.cast(org.apache.spark.sql.types.DecimalType(38, 6))
     val ev = Tables.t(spark, sfDir, "events")
     val ordered = ev.select(col("event_type"), col("value"),
       Tables.tsUs(ev).as("ts_us"), col("event_id"))
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("ts_us"), col("event_id"))
-    val lagged = ordered.select(
-      (col("event_type") +: col("value").as("x") +:
-        (1 to AcfLags).map(k => lag(col("value"), k).over(w).as(s"l$k"))): _*)
-    // ONE aggregate computes all lags' moment sums as conditional
-    // columns (sum-if on l_k non-null), then a row-per-lag reshape —
-    // the 100× rehearsal measured the union-of-3-aggregates form
-    // recomputing the lag window per branch at 3× the cost.
-    def sIf(k: Int, c: Column) =
-      sum(when(col(s"l$k").isNotNull, d(c)).otherwise(lit(null))).cast("double")
-    val momentCols = (1 to AcfLags).flatMap { k =>
-      Seq(
-        sum(when(col(s"l$k").isNotNull, 1L).otherwise(0L)).as(s"n$k"),
-        sIf(k, col("x")).as(s"sx$k"),
-        sIf(k, col(s"l$k")).as(s"sy$k"),
-        sIf(k, col("x") * col("x")).as(s"sxx$k"),
-        sIf(k, col(s"l$k") * col(s"l$k")).as(s"syy$k"),
-        sIf(k, col("x") * col(s"l$k")).as(s"sxy$k"))
-    }
-    val moments = lagged.groupBy(col("event_type"))
-      .agg(momentCols.head, momentCols.tail: _*)
-    val perLag = (1 to AcfLags).map { k =>
-      moments.select(col("event_type"), lit(k.toLong).as("lag"),
-        col(s"n$k").as("n"),
-        round((col(s"n$k") * col(s"sxy$k") - col(s"sx$k") * col(s"sy$k")) /
-          sqrt((col(s"n$k") * col(s"sxx$k") - col(s"sx$k") * col(s"sx$k")) *
-            (col(s"n$k") * col(s"syy$k") - col(s"sy$k") * col(s"sy$k"))), 4)
+    val pos = graft.ops.OrderStats.cumLe(
+        ordered.withColumn("v", col("ts_us")).withColumn("cnt", lit(1L)),
+        Seq("event_type"), Seq("event_id"))
+      .select(col("event_type"), col("value"), col("cum_le").as("pos"))
+    // Probe side: row at position p offers itself as the lag-k partner
+    // of position p + k, for every k in 1..AcfLags.
+    val probes = pos
+      .select(col("event_type"), col("value").as("y"), col("pos"),
+        explode(expr(s"sequence(1, $AcfLags)")).as("lag"))
+      .select(col("event_type"), col("y"), col("lag"),
+        (col("pos") + col("lag")).as("pos"))
+    val pairs = pos.join(probes, Seq("event_type", "pos"))
+      .select(col("event_type"), col("lag"),
+        col("value").as("x"), col("y"))
+    val moments = pairs.groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(d(col("x"))).cast("double").as("sx"),
+        sum(d(col("y"))).cast("double").as("sy"),
+        sum(d(col("x") * col("x"))).cast("double").as("sxx"),
+        sum(d(col("y") * col("y"))).cast("double").as("syy"),
+        sum(d(col("x") * col("y"))).cast("double").as("sxy"))
+    val spine = ordered.select(col("event_type")).distinct()
+      .crossJoin(broadcast(ordered.sparkSession.range(1, AcfLags + 1)
+        .select(col("id").as("lag"))))
+    spine.join(moments, Seq("event_type", "lag"), "left")
+      .select(col("event_type"), col("lag"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 4)
           .as("acf"))
-    }
-    perLag.reduce(_ unionByName _).orderBy("event_type", "lag")
+      .orderBy("event_type", "lag")
   }
 
   // --- c113: CUSUM changepoint scan --------------------------------
@@ -893,12 +892,19 @@ object Analytics {
     * single changepoint (the max-|CUSUM| estimator), and the emitted
     * (max deviation, when, how far in) is the "did this metric shift
     * mid-stream" audit — PSI/KS (c107/c109) compare two POPULATIONS,
-    * this locates WHERE a single series broke. The running sum is a
-    * DECIMAL window aggregate over the (ts_us, event_id) total order
-    * (order-exact by construction); the arg-extreme is one
-    * `max(struct(dev, ts, id))` — the a16 whole-row-argmax
-    * discipline, no second pass; the mean is the exact decimal
-    * ratio broadcast back (the c39 shape).
+    * this locates WHERE a single series broke. The running sum is an
+    * exact DECIMAL prefix over the (ts_us, event_id) total order; the
+    * arg-extreme is one `max(struct(dev, ts, id))` — the a16
+    * whole-row-argmax discipline, no second pass; the mean is the
+    * exact decimal ratio broadcast back (the c39 shape).
+    *
+    * Round 12 retires the per-type running-sum window (five one-task
+    * sorts of events/5 rows): decimal addition is ASSOCIATIVE, so the
+    * prefix sum distributes exactly through
+    * [[graft.ops.OrderStats.cumSums]] — per-bucket partials, offsets,
+    * within-bucket running sums — bit-identical to the sequential
+    * window (§5.3 rule 9), with the row position riding the same
+    * two-pass kernel as a second measure.
     */
   def cusumChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.t(spark, sfDir, "events")
@@ -907,17 +913,15 @@ object Analytics {
     val stats = ordered.groupBy(col("event_type"))
       .agg(graft.Canon.dsum(col("value")).as("sv"), count(lit(1)).as("n"))
       .select(col("event_type"), col("n"), (col("sv") / col("n")).as("mean"))
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("ts_us"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wRank = Window.partitionBy(col("event_type"))
-      .orderBy(col("ts_us"), col("event_id"))
-    val cusum = ordered.join(broadcast(stats), "event_type")
-      .withColumn("cs",
-        sum((col("value") - col("mean"))
-          .cast(org.apache.spark.sql.types.DecimalType(38, 6))).over(w)
-          .cast("double"))
-      .withColumn("pos", row_number().over(wRank).cast("long"))
+    val cusum = graft.ops.OrderStats.cumSums(
+        ordered.join(broadcast(stats), "event_type")
+          .withColumn("v", col("ts_us"))
+          .withColumn("cnt", lit(1L))
+          .withColumn("delta", (col("value") - col("mean"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 6))),
+        Seq("event_type"), Seq("event_id"), Seq("cnt", "delta"))
+      .withColumn("cs", col("cum_delta").cast("double"))
+      .withColumn("pos", col("cum_cnt"))
     cusum.groupBy(col("event_type"), col("n"))
       .agg(max(struct(round(abs(col("cs")), 6).as("dev"), col("ts_us"),
         col("event_id"), col("pos"))).as("m"))

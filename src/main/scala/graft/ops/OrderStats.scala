@@ -52,7 +52,30 @@ private[graft] object OrderStats {
     * key `v` and a long count `cnt`; `grp` must be low-cardinality
     * (its per-group bounds broadcast).
     */
-  def cumLe(df: DataFrame, grp: Seq[String], tie: Seq[String]): DataFrame = {
+  def cumLe(df: DataFrame, grp: Seq[String], tie: Seq[String]): DataFrame =
+    cumSums(df, grp, tie, Seq("cnt"))
+      .withColumnRenamed("cum_cnt", "cum_le")
+
+  /** The general two-pass kernel: appends `cum_<m>` — the exact
+    * INCLUSIVE running sum of each measure column `m` over the
+    * (`v`, `tie...`) total order within each `grp` combination.
+    * Counts give ranks ([[cumLe]]); an exact-decimal delta column
+    * gives a distributed PREFIX SUM (the c113 CUSUM shape) — decimal
+    * addition is associative, so chunk-offset assembly is
+    * bit-identical to the sequential window. Measures may be long or
+    * decimal; doubles are rejected by design (a double prefix sum is
+    * order-dependent and has no distributed exact form).
+    */
+  def cumSums(df: DataFrame, grp: Seq[String], tie: Seq[String],
+      measures: Seq[String]): DataFrame = {
+    require(measures.nonEmpty, "at least one measure column")
+    measures.foreach { m =>
+      require(!df.schema(m).dataType.isInstanceOf[org.apache.spark.sql.types.DoubleType]
+          && !df.schema(m).dataType.isInstanceOf[org.apache.spark.sql.types.FloatType],
+        s"measure $m is floating-point: a distributed prefix sum is only " +
+          "exact for integer/decimal measures")
+    }
+    def zero(m: String) = lit(0).cast(df.schema(m).dataType)
     val vd = col("v").cast("double")
     val bounds =
       if (grp.isEmpty) df.agg(min(vd).as("blo"), max(vd).as("bhi"))
@@ -71,7 +94,8 @@ private[graft] object OrderStats {
       .drop("blo", "bhi")
     val bucketTotals = bucketed
       .groupBy((grp :+ "bucket").map(col): _*)
-      .agg(sum(col("cnt")).as("bn"))
+      .agg(sum(col(measures.head)).as(s"bn_${measures.head}"),
+        measures.tail.map(m => sum(col(m)).as(s"bn_$m")): _*)
     // Offsets over the <= B-row bucket table via the c28 self-join
     // idiom (b.bucket < a.bucket), NOT a running-sum window: keeps the
     // whole kernel free of partition-less WindowExec nodes so the
@@ -79,19 +103,24 @@ private[graft] object OrderStats {
     // B^2 join rows per group — constant-bounded, never data-sized.
     val grpEq = grp.map(g => col(s"a.$g") === col(s"b.$g"))
       .foldLeft(lit(true))(_ && _)
+    val offCols = measures.map(m =>
+      coalesce(sum(col(s"b.bn_$m")), zero(m)).as(s"boff_$m"))
     val offsets = bucketTotals.as("a")
       .join(bucketTotals.as("b"),
         grpEq && col("b.bucket") < col("a.bucket"), "left")
       .groupBy(grp.map(g => col(s"a.$g").as(g)) :+
         col("a.bucket").as("bucket"): _*)
-      .agg(coalesce(sum(col("b.bn")), lit(0L)).as("boff"))
+      .agg(offCols.head, offCols.tail: _*)
     val wIn = Window.partitionBy((grp :+ "bucket").map(col): _*)
       .orderBy(("v" +: tie).map(col(_).asc): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
-    bucketed
-      .withColumn("cum_in", sum(col("cnt")).over(wIn))
-      .join(broadcast(offsets), grp :+ "bucket")
-      .withColumn("cum_le", col("boff") + col("cum_in"))
-      .drop("bucket", "cum_in", "boff")
+    val withIn = measures.foldLeft(bucketed) { (d, m) =>
+      d.withColumn(s"cumin_$m", sum(col(m)).over(wIn))
+    }
+    val joined = withIn.join(broadcast(offsets), grp :+ "bucket")
+    measures.foldLeft(joined) { (d, m) =>
+      d.withColumn(s"cum_$m", col(s"boff_$m") + col(s"cumin_$m"))
+        .drop(s"cumin_$m", s"boff_$m")
+    }.drop("bucket")
   }
 }
