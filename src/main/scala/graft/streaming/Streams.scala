@@ -599,6 +599,34 @@ object Streams {
   /** The pre-first-event frontier (accepts any real event). */
   private val FrontierMin = (Long.MinValue, Long.MinValue)
 
+  /** The pure per-batch SCD2 fold shared by both state APIs (the
+    * [[islandFold]] discipline): canon sort, order guard, then runs
+    * of identical states collapse — closed runs emit, the open run
+    * carries.
+    */
+  private[streaming] def scd2Fold(user: Long, frontier0: (Long, Long),
+      carry0: Option[(String, Long, Long, Long)],
+      rows: Seq[(Long, Long, String, Long)])
+    : ((Long, Long), Option[(String, Long, Long, Long)],
+       Seq[(Long, Long, String, Long, Long, Long)]) = {
+    var frontier = frontier0
+    var carry = carry0
+    val out = Seq.newBuilder[(Long, Long, String, Long, Long, Long)]
+    rows.sortBy(r => (r._4, r._2)).foreach { case (_, eid, et, ts) =>
+      frontier = advanceFrontier("scd2Runs", user, frontier, ts, eid)
+      carry match {
+        case None =>
+          carry = Some((et, ts, 1L, 1L))
+        case Some((st, from, n, v)) if st == et =>
+          carry = Some((st, from, n + 1, v))
+        case Some((st, from, n, v)) =>
+          out += ((user, v, st, from, ts, n))
+          carry = Some((et, ts, 1L, v + 1))
+      }
+    }
+    (frontier, carry, out.result())
+  }
+
   def scd2Runs(events: Dataset[(Long, Long, String, Long)]): DataFrame = {
     import events.sparkSession.implicits._
     events.groupByKey(_._1)
@@ -609,24 +637,45 @@ object Streams {
          gs: GroupState[((Long, Long), (String, Long, Long, Long))]) =>
           // carry = the open run: (state, valid_from, n_events, version);
           // frontier = last processed (ts_us, event_id) — order guard
-          var frontier = gs.getOption.map(_._1).getOrElse(FrontierMin)
-          var carry = gs.getOption.map(_._2)
-          val out = Seq.newBuilder[(Long, Long, String, Long, Long, Long)]
-          rows.toSeq.sortBy(r => (r._4, r._2)).foreach { case (_, eid, et, ts) =>
-            frontier = advanceFrontier("scd2Runs", user, frontier, ts, eid)
-            carry match {
-              case None =>
-                carry = Some((et, ts, 1L, 1L))
-              case Some((st, from, n, v)) if st == et =>
-                carry = Some((st, from, n + 1, v))
-              case Some((st, from, n, v)) =>
-                out += ((user, v, st, from, ts, n))
-                carry = Some((et, ts, 1L, v + 1))
-            }
-          }
+          val (frontier, carry, out) = scd2Fold(user,
+            gs.getOption.map(_._1).getOrElse(FrontierMin),
+            gs.getOption.map(_._2), rows.toSeq)
           carry.foreach(c => gs.update((frontier, c)))
-          out.result().iterator
+          out.iterator
       }
+      .toDF("user_id", "version", "state", "valid_from_us", "valid_to_us",
+        "n_events")
+  }
+
+  /** [[scd2Runs]] on `transformWithState` (round-12 port — every
+    * production stateful kernel now has a Spark 4.x state-API twin):
+    * one ValueState of (frontier, open run) per user, batches folded
+    * by the SAME [[scd2Fold]] kernel.
+    */
+  class Scd2RunsProcessor extends StatefulProcessor[Long,
+      (Long, Long, String, Long), (Long, Long, String, Long, Long, Long)] {
+    @transient private var st: ValueState[((Long, Long), (String, Long, Long, Long))] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[((Long, Long), (String, Long, Long, Long))](
+        "scd2", Encoders.product[((Long, Long), (String, Long, Long, Long))],
+        TTLConfig.NONE)
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Long, String, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long, String, Long, Long, Long)] = {
+      val prior = if (st.exists()) Some(st.get()) else None
+      val (frontier, carry, out) = scd2Fold(user,
+        prior.map(_._1).getOrElse(FrontierMin), prior.map(_._2), rows.toSeq)
+      carry.foreach(c => st.update((frontier, c)))
+      out.iterator
+    }
+  }
+
+  /** [[Scd2RunsProcessor]] plumbed end to end. */
+  def scd2RunsTws(events: Dataset[(Long, Long, String, Long)]): DataFrame = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new Scd2RunsProcessor,
+        TimeMode.None(), OutputMode.Append())
       .toDF("user_id", "version", "state", "valid_from_us", "valid_to_us",
         "n_events")
   }

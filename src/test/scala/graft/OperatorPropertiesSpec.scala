@@ -84,6 +84,34 @@ class OperatorPropertiesSpec extends AnyFunSuite {
       s"all-equal group broke: $gotEq")
   }
 
+  test("OrderStats.cumSums decimal prefix equals the sequential running-sum window") {
+    // The c113 contract: decimal addition is associative, so the
+    // two-pass chunked prefix must be BIT-identical to the ordered
+    // window — including negative deltas and duplicate order keys.
+    val rows: Gen[List[(Long, Long, Long)]] = Gen.nonEmptyListOf(for {
+      v <- Gen.chooseNum(0L, 30L)   // order key with collisions
+      id <- Gen.chooseNum(0L, 100000L)
+      cents <- Gen.chooseNum(-500000L, 500000L)
+    } yield (v, id, cents))
+    samples(rows, 4).foreach { rs =>
+      val df = rs.distinct.toDF("v", "id", "cents")
+        .withColumn("delta", ($"cents" / 100.0)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+        .withColumn("cnt", lit(1L)).repartition(7)
+      val got = graft.ops.OrderStats.cumSums(df, Nil, Seq("id"), Seq("cnt", "delta"))
+        .select($"v", $"id", $"cum_cnt", $"cum_delta".cast("string"))
+        .as[(Long, Long, Long, String)].collect().toSet
+      val w = Window.orderBy($"v".asc, $"id".asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val want = df
+        .withColumn("cum_cnt", sum($"cnt").over(w))
+        .withColumn("cum_delta", sum($"delta").over(w))
+        .select($"v", $"id", $"cum_cnt", $"cum_delta".cast("string"))
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(got == want, s"cumSums != running window on $rs")
+    }
+  }
+
   test("OrderStats.cumLe on tallies equals the inclusive cumulative frequency") {
     val tallies: Gen[List[(Long, Long)]] = Gen.nonEmptyListOf(for {
       v <- Gen.chooseNum(-20L, 20L)

@@ -423,6 +423,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(tws == Seq("click>purchase>view", "view>click>purchase"), tws)
   }
 
+  test("c83 kernel twins: scd2Runs === scd2RunsTws across batches (round-12 port)") {
+    // (user_id, event_id, event_type, ts_us): the open run carried
+    // from batch 1 must close in batch 2 with the carried count.
+    val b1 = Seq((1L, 1L, "A", 10L), (1L, 2L, "A", 20L))
+    val b2 = Seq((1L, 3L, "B", 30L), (1L, 4L, "A", 40L))
+    val (legacy, tws) = twinRun("c83", graft.streaming.Streams.scd2Runs,
+      graft.streaming.Streams.scd2RunsTws, b1, b2)
+    assert(legacy == tws, s"legacy=$legacy tws=$tws")
+    // v1 (A, from 10, 2 events) closes at 30; v2 (B) closes at 40.
+    assert(tws == Seq("1|1|A|10|30|2", "1|2|B|30|40|1"), tws)
+  }
+
   test("order guard: an out-of-order event across batches fails LOUDLY, never silently corrupts") {
     // ADVICE round 11: streamTable streams a DIRECTORY with no
     // file-order guarantee — an island start arriving BEFORE the
