@@ -96,21 +96,31 @@ private[graft] object OrderStats {
       .groupBy((grp :+ "bucket").map(col): _*)
       .agg(sum(col(measures.head)).as(s"bn_${measures.head}"),
         measures.tail.map(m => sum(col(m)).as(s"bn_$m")): _*)
-    // Offsets over the <= B-row bucket table via the c28 self-join
-    // idiom (b.bucket < a.bucket), NOT a running-sum window: keeps the
-    // whole kernel free of partition-less WindowExec nodes so the
-    // PlanSpec global-window sweep can assert a clean plan. Worst case
-    // B^2 join rows per group — constant-bounded, never data-sized.
-    val grpEq = grp.map(g => col(s"a.$g") === col(s"b.$g"))
-      .foldLeft(lit(true))(_ && _)
-    val offCols = measures.map(m =>
-      coalesce(sum(col(s"b.bn_$m")), zero(m)).as(s"boff_$m"))
-    val offsets = bucketTotals.as("a")
-      .join(bucketTotals.as("b"),
-        grpEq && col("b.bucket") < col("a.bucket"), "left")
-      .groupBy(grp.map(g => col(s"a.$g").as(g)) :+
-        col("a.bucket").as("bucket"): _*)
-      .agg(offCols.head, offCols.tail: _*)
+    // Offsets over the <= B-row bucket table. Grouped callers ride a
+    // running-sum window partitioned by grp — <= B rows per partition
+    // BY CONSTRUCTION, never data-sized, and the non-empty
+    // partitionSpec keeps the §5.3 rule 9 sweep clean. Global callers
+    // (grp empty) CANNOT use a window without tripping the rule (a
+    // lit-constant partition column folds away in the optimizer, and
+    // the sweep rightly sees a partition-less WindowExec), so they
+    // keep the c28 b.bucket < a.bucket self-join — ~B²/2 nested-loop
+    // rows, constant-bounded.
+    val offsets =
+      if (grp.nonEmpty) {
+        val wOff = Window.partitionBy(grp.map(col): _*)
+          .orderBy(col("bucket").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        bucketTotals.select(
+          (grp :+ "bucket").map(col) ++ measures.map(m =>
+            coalesce(sum(col(s"bn_$m")).over(wOff), zero(m)).as(s"boff_$m")): _*)
+      } else {
+        val offCols = measures.map(m =>
+          coalesce(sum(col(s"b.bn_$m")), zero(m)).as(s"boff_$m"))
+        bucketTotals.as("a")
+          .join(bucketTotals.as("b"), col("b.bucket") < col("a.bucket"), "left")
+          .groupBy(col("a.bucket").as("bucket"))
+          .agg(offCols.head, offCols.tail: _*)
+      }
     val wIn = Window.partitionBy((grp :+ "bucket").map(col): _*)
       .orderBy(("v" +: tie).map(col(_).asc): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
