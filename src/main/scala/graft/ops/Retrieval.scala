@@ -232,6 +232,42 @@ object Retrieval {
       .orderBy("qrank")
   }
 
+  // --- c155: mean reciprocal rank ----------------------------------
+
+  /** c155 — MRR@k over the fused lists (Voorhees, TREC-8 1999 —
+    * public): per query the rank of the FIRST relevant doc in c97's
+    * top-[[RrfTopK]] fusion and its reciprocal, plus the mean over
+    * the query panel — the retrieval metric next to c103's NDCG
+    * (NDCG grades the whole list, MRR grades time-to-first-hit, the
+    * metric RAG answer-retrieval actually feels). Relevance is
+    * c103's data-derived seam verbatim (one expression swaps for a
+    * judgment table; the metric algebra ships as-is).
+    *
+    * Scale shape: runs on the top-k lists, never the corpus; the
+    * mean rides an exact DECIMAL(38,18) sum of the 1e-6-rounded
+    * reciprocals (order-free — a bare double mean over the panel
+    * would be partial-order-dependent). A query with NO relevant doc
+    * in its list contributes rr = 0 (the standard convention),
+    * keeping the panel denominator fixed.
+    */
+  def mrrEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val rel = rrfFusionFrom(Tables.t(spark, sfDir, "documents"))
+      .select(col("q"), col("qrank"), col("rn"), col("doc_id"))
+      .withColumn("rel", expr(
+        "CAST(conv(substring(md5(concat('rel:', q, ':', CAST(doc_id AS STRING))), 1, 2), 16, 10) AS BIGINT) % 3"))
+    val perQ = rel.groupBy(col("q"), col("qrank"))
+      .agg(min(when(col("rel") > 0, col("rn"))).as("first_rel"))
+      .select(col("q"), col("qrank"),
+        coalesce(col("first_rel"), lit(0L)).as("first_rel_rank"),
+        when(col("first_rel").isNotNull,
+          round(lit(1.0) / col("first_rel"), 6)).otherwise(lit(0.0)).as("rr"))
+    val mrr = perQ.agg(
+      round(Canon.dsum18(col("rr")) / count(lit(1)), 6).as("mrr"))
+    perQ.crossJoin(broadcast(mrr))
+      .select(col("q"), col("qrank"), col("first_rel_rank"), col("rr"), col("mrr"))
+      .orderBy("qrank")
+  }
+
   // --- c71: weighted sampling without replacement ------------------
 
   /** Sample size of the c71 key. */
@@ -339,7 +375,8 @@ object Retrieval {
     "c71_weighted_sample" -> (weightedSample(_, _)),
     "c72_gopher_gate" -> (gopherGate(_, _)),
     "c97_rrf_fusion" -> (rrfFusion(_, _)),
-    "c103_ndcg_eval" -> (ndcgEval(_, _)))
+    "c103_ndcg_eval" -> (ndcgEval(_, _)),
+    "c155_mrr_eval" -> (mrrEval(_, _)))
 
   /** Shared c97/c103 oracle CTE chain: both rankers, capped rank
     * lists, the RRF fusion, and the fused rank — ends at `ranked`.
@@ -458,6 +495,26 @@ object Retrieval {
          |    ELSE 0.0 END AS ndcg
          |FROM gains
          |GROUP BY q, qrank
+         |ORDER BY qrank ASC NULLS FIRST""".stripMargin,
+
+    "c155_mrr_eval" ->
+      s"""$rrfOracleCte, rel AS (
+         |  SELECT q, qrank, rn,
+         |    CAST(('0x' || substr(md5('rel:' || q || ':' || CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT) % 3 AS rel
+         |  FROM ranked WHERE rn <= $RrfTopK
+         |), per_q AS (
+         |  SELECT q, qrank,
+         |    CAST(coalesce(min(CASE WHEN rel > 0 THEN rn END), 0) AS BIGINT)
+         |      AS first_rel_rank,
+         |    CASE WHEN min(CASE WHEN rel > 0 THEN rn END) IS NOT NULL
+         |      THEN ROUND(CAST(1.0 AS DOUBLE) / min(CASE WHEN rel > 0 THEN rn END), 6)
+         |      ELSE 0.0 END AS rr
+         |  FROM rel GROUP BY q, qrank
+         |), m AS (
+         |  SELECT ROUND(CAST(SUM(CAST(rr AS DECIMAL(38,18))) AS DOUBLE)
+         |    / COUNT(*), 6) AS mrr FROM per_q
+         |)
+         |SELECT q, qrank, first_rel_rank, rr, mrr FROM per_q, m
          |ORDER BY qrank ASC NULLS FIRST""".stripMargin,
 
     "c71_weighted_sample" ->

@@ -934,7 +934,15 @@ object TextAnalysis {
     * (exp's cross-engine rounding is not pinned; the gate is monotone
     * in the linear score, so the sigmoid adds nothing the cut needs).
     */
-  def linearQualityGate(spark: SparkSession, sfDir: String): DataFrame = {
+  def linearQualityGate(spark: SparkSession, sfDir: String): DataFrame =
+    lqScores(spark, sfDir).orderBy("doc_id")
+
+  /** The c100 score kernel WITHOUT the presentation sort — shared by
+    * c100 and the round-12 eval metrics (c153 AUC / c154 calibration),
+    * which aggregate the scores and must not inherit a useless
+    * doc-ordered exchange.
+    */
+  private[graft] def lqScores(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = Tables.t(spark, sfDir, "documents")
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
     val bucket = expr(s"CAST(conv(substring(md5(concat('feat:', w)), 1, 4), 16, 10) AS BIGINT) % $LqBuckets")
@@ -947,10 +955,122 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         round(col("wsum") / col("n_tokens"), 6).as("score"),
         (col("wsum") > 0).as("keep"))
-      .orderBy("doc_id")
+  }
+
+  /** Calibration bin count for c154. */
+  private[graft] val CalBins = 10
+
+  /** c153 — EXACT tie-corrected ROC-AUC of the c100 hashed-linear
+    * quality score against the "is English" document label — the
+    * classifier-evaluation primitive every model-based quality gate
+    * needs before its threshold means anything (AUC = P(score of a
+    * random positive > random negative); Hanley & McNeil 1982 —
+    * public). Tie correction is the Mann–Whitney identity (c123):
+    * AUC = (R₁ − n₁(n₁+1)/2) / (n₁n₀) with R₁ the positives'
+    * average-rank sum. (On this fixture the hashed score carries no
+    * language signal, so AUC ≈ 0.5 — like c14, the METRIC is the
+    * operator, and ~0.5 is the honest readout.)
+    *
+    * Scale shape: docs collapse to per-SCORE tallies (map-side
+    * combined — scores are 1e-6-rounded, so the tally table is far
+    * below doc count), average ranks assemble from
+    * [[graft.ops.OrderStats.cumLe]]'s two-pass cumulative counts
+    * (§5.3 rule 9 — no global rank window), and R₁ is an
+    * integer-weighted sum of exact half-ranks: order-free in double
+    * far past any corpus size (the c123 argument).
+    */
+  def aucExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val tall = lqScores(spark, sfDir)
+      .select(col("score").as("v"), (col("lang") === "en").as("y"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("np"))
+    val ranked = OrderStats.cumLe(tall, Nil, Nil)
+      .withColumn("avg_rk",
+        (col("cum_le") - col("cnt") + 1).cast("double") +
+          (col("cnt") - 1).cast("double") / 2.0)
+    ranked.agg(
+        sum(col("np")).as("n_pos"),
+        sum(col("cnt") - col("np")).as("n_neg"),
+        sum(col("np").cast("double") * col("avg_rk")).as("r1"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round((col("r1") - col("n_pos").cast("double") *
+              (col("n_pos") + 1).cast("double") / 2.0) /
+            (col("n_pos").cast("double") * col("n_neg").cast("double")), 6))
+          .as("auc"))
+  }
+
+  /** c154 — calibration audit (reliability bins + ECE): the c100
+    * score min-max-normalized to [0, 1], cut into [[CalBins]]
+    * equal-width bins; per bin the count, mean normalized score,
+    * positive fraction, and |gap|, plus the expected calibration
+    * error Σ (n_b/N)·gap — the standard "is the classifier's score a
+    * probability" audit (Naeini et al. AAAI 2015 — public) run
+    * before a quality gate's cutoff is trusted. Pairs with c153: AUC
+    * measures ranking, THIS measures the score's face value.
+    *
+    * Determinism: the normalized p is one IEEE expression over
+    * stored doubles and the broadcast (lo, hi) — identical in both
+    * engines (the b52 epsilon guard for the all-equal corner); per-bin
+    * means ride DECIMAL(38,18) sums of identical doubles (order-free);
+    * gaps and ECE assemble from exact ratios. One scan + a
+    * [[CalBins]]-group map-side-combined aggregate — trivially
+    * 100 TB-safe.
+    */
+  def calibrationBins(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = lqScores(spark, sfDir)
+      .select(col("score"), (col("lang") === "en").as("y"))
+    val bounds = scored.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
+    val binned = scored.crossJoin(broadcast(bounds))
+      .withColumn("p", (col("score") - col("lo")) /
+        (col("hi") - col("lo") + lit(1e-12)))
+      .withColumn("bin", least(floor(col("p") * CalBins).cast("long"),
+        lit(CalBins - 1L)))
+    val perBin = binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        dsum18(col("p")).as("sp"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("npos"))
+      .withColumn("mean_p_raw", col("sp") / col("n"))
+      .withColumn("frac_pos_raw", col("npos").cast("double") / col("n"))
+      .withColumn("gap_raw", abs(col("frac_pos_raw") - col("mean_p_raw")))
+    val ece = perBin.agg(
+      (dsum18(col("n") * col("gap_raw")) /
+        sum(col("n")).cast("double")).as("ece_raw"))
+    perBin.crossJoin(broadcast(ece))
+      .select(col("bin"), col("n"),
+        round(col("mean_p_raw"), 4).as("mean_p"),
+        round(col("frac_pos_raw"), 4).as("frac_pos"),
+        round(col("gap_raw"), 4).as("gap"),
+        round(col("ece_raw"), 4).as("ece"))
+      .orderBy("bin")
+  }
+
+  /** c156 — language-ID CONFUSION MATRIX: c14's predictions crossed
+    * with the labeled language — per (actual, predicted) cell the
+    * count and its share of the actual language's row (the recall
+    * decomposition; the diagonal cells ARE per-class recall). The
+    * eval every self-trained classifier ships with; like c14 itself,
+    * near-uniform on this shared-vocabulary fixture BY DESIGN. The
+    * matrix is |langs|² rows from one aggregate over c14's output —
+    * the per-doc work is c14's, the eval adds a 25-row table.
+    */
+  def langConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val conf = langId(spark, sfDir)
+      .groupBy(col("actual_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+    val totals = conf.groupBy(col("actual_lang"))
+      .agg(sum(col("n")).as("n_actual"))
+    conf.join(broadcast(totals), "actual_lang")
+      .select(col("actual_lang"), col("predicted_lang"), col("n"),
+        round(col("n").cast("double") / col("n_actual"), 4).as("share_of_actual"))
+      .orderBy("actual_lang", "predicted_lang")
   }
 
   val queries: Map[String, Q] = Map(
+    "c153_auc_exact" -> (aucExact(_, _)),
+    "c154_calibration_bins" -> (calibrationBins(_, _)),
+    "c156_lang_confusion" -> (langConfusion(_, _)),
     "c100_linear_quality_gate" -> (linearQualityGate(_, _)),
     "c54_bigram_surprise" -> (bigramSurprise(_, _)),
     "c46_unigram_surprise" -> (unigramSurprise(_, _)),
@@ -979,25 +1099,124 @@ object TextAnalysis {
     "c65_vocab_coverage" -> (vocabCoverage(_, _))
   )
 
+  /** c100's score pipeline as a reusable oracle CTE (ends at `lq`) —
+    * shared by c100 / c153 / c154 so the score definition cannot
+    * drift between the gate and its evaluation metrics.
+    */
+  private def lqOracleCte: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+       |  FROM documents
+       |), feat AS (
+       |  SELECT doc_id, lang,
+       |    (CAST(('0x' || substr(md5('wgt:' || CAST(
+       |        CAST(('0x' || substr(md5('feat:' || w), 1, 4)) AS BIGINT) % $LqBuckets
+       |      AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0) - 0.5 AS wt
+       |  FROM toks
+       |), lq AS (
+       |  SELECT doc_id, lang, COUNT(*) AS n_tokens,
+       |    ROUND(CAST(SUM(CAST(wt AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 6)
+       |      AS score,
+       |    (CAST(SUM(CAST(wt AS DECIMAL(38,18))) AS DOUBLE) > 0) AS keep
+       |  FROM feat
+       |  GROUP BY doc_id, lang
+       |)""".stripMargin
+
+  /** c14's full oracle text — also the `pred` CTE of c156's confusion
+    * matrix (one definition, no drift).
+    */
+  private def c14OracleSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+       |), profile AS (
+       |  SELECT plang, w FROM (
+       |    SELECT lang AS plang, w, COUNT(*) AS cnt,
+       |      row_number() OVER (PARTITION BY lang
+       |        ORDER BY COUNT(*) DESC NULLS LAST, w ASC) AS r
+       |    FROM toks GROUP BY lang, w
+       |  ) WHERE r <= $ProfileTopK
+       |), scores AS (
+       |  SELECT doc_id, lang, plang, COUNT(*) AS score
+       |  FROM toks JOIN profile ON toks.w = profile.w
+       |  GROUP BY doc_id, lang, plang
+       |)
+       |SELECT doc_id, actual_lang, predicted_lang, score FROM (
+       |  SELECT doc_id, lang AS actual_lang, plang AS predicted_lang, score,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC NULLS LAST, plang ASC) AS rn
+       |  FROM scores
+       |) WHERE rn = 1
+       |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "c100_linear_quality_gate" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
-         |  FROM documents
-         |), feat AS (
-         |  SELECT doc_id, lang,
-         |    (CAST(('0x' || substr(md5('wgt:' || CAST(
-         |        CAST(('0x' || substr(md5('feat:' || w), 1, 4)) AS BIGINT) % $LqBuckets
-         |      AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0) - 0.5 AS wt
-         |  FROM toks
-         |)
-         |SELECT doc_id, lang, COUNT(*) AS n_tokens,
-         |  ROUND(CAST(SUM(CAST(wt AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 6)
-         |    AS score,
-         |  (CAST(SUM(CAST(wt AS DECIMAL(38,18))) AS DOUBLE) > 0) AS keep
-         |FROM feat
-         |GROUP BY doc_id, lang
+      s"""$lqOracleCte
+         |SELECT doc_id, lang, n_tokens, score, keep FROM lq
          |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "c153_auc_exact" ->
+      s"""$lqOracleCte, scored AS (
+         |  SELECT score AS v, lang = 'en' AS y FROM lq
+         |), tall AS (
+         |  SELECT v, COUNT(*) AS cnt,
+         |    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np
+         |  FROM scored GROUP BY v
+         |), cum AS (
+         |  SELECT v, cnt, np, CAST(SUM(cnt) OVER (ORDER BY v ASC NULLS FIRST
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cle
+         |  FROM tall
+         |)
+         |SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+         |  CAST(SUM(cnt - np) AS BIGINT) AS n_neg,
+         |  CASE WHEN SUM(np) > 0 AND SUM(cnt - np) > 0 THEN
+         |    ROUND((SUM(np * (CAST(cle - cnt + 1 AS DOUBLE) + (cnt - 1) / 2.0))
+         |        - CAST(SUM(np) AS DOUBLE) * (SUM(np) + 1) / 2.0)
+         |      / (CAST(SUM(np) AS DOUBLE) * SUM(cnt - np)), 6)
+         |  END AS auc
+         |FROM cum""".stripMargin,
+
+    "c154_calibration_bins" ->
+      s"""$lqOracleCte, scored AS (
+         |  SELECT score, lang = 'en' AS y FROM lq
+         |), bounds AS (
+         |  SELECT min(score) AS lo, max(score) AS hi FROM scored
+         |), binned AS (
+         |  SELECT least(CAST(floor((score - lo) / (hi - lo + 1e-12)
+         |      * $CalBins) AS BIGINT), ${CalBins - 1}) AS bin,
+         |    (score - lo) / (hi - lo + 1e-12) AS p, y
+         |  FROM scored, bounds
+         |), per_bin AS (
+         |  SELECT bin, COUNT(*) AS n,
+         |    CAST(SUM(CAST(p AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS mean_p_raw,
+         |    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         |      AS frac_pos_raw
+         |  FROM binned GROUP BY bin
+         |), ece AS (
+         |  SELECT CAST(SUM(CAST(n * abs(frac_pos_raw - mean_p_raw)
+         |      AS DECIMAL(38,18))) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS ece_raw
+         |  FROM per_bin
+         |)
+         |SELECT bin, n, ROUND(mean_p_raw, 4) AS mean_p,
+         |  ROUND(frac_pos_raw, 4) AS frac_pos,
+         |  ROUND(abs(frac_pos_raw - mean_p_raw), 4) AS gap,
+         |  ROUND(ece_raw, 4) AS ece
+         |FROM per_bin, ece
+         |ORDER BY bin ASC NULLS FIRST""".stripMargin,
+
+    "c156_lang_confusion" ->
+      s"""WITH pred AS ($c14OracleSql
+         |), conf AS (
+         |  SELECT actual_lang, predicted_lang, COUNT(*) AS n
+         |  FROM pred GROUP BY actual_lang, predicted_lang
+         |), totals AS (
+         |  SELECT actual_lang, CAST(SUM(n) AS BIGINT) AS n_actual
+         |  FROM conf GROUP BY actual_lang
+         |)
+         |SELECT conf.actual_lang, predicted_lang, n,
+         |  ROUND(CAST(n AS DOUBLE) / n_actual, 4) AS share_of_actual
+         |FROM conf JOIN totals ON conf.actual_lang = totals.actual_lang
+         |ORDER BY conf.actual_lang ASC NULLS FIRST,
+         |  predicted_lang ASC NULLS FIRST""".stripMargin,
 
     "c78_bpe_train_steps" -> bpeTrainOracleSql,
 
@@ -1226,28 +1445,7 @@ object TextAnalysis {
          |FROM redacted
          |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
 
-    "c14_lang_id" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
-         |), profile AS (
-         |  SELECT plang, w FROM (
-         |    SELECT lang AS plang, w, COUNT(*) AS cnt,
-         |      row_number() OVER (PARTITION BY lang
-         |        ORDER BY COUNT(*) DESC NULLS LAST, w ASC) AS r
-         |    FROM toks GROUP BY lang, w
-         |  ) WHERE r <= $ProfileTopK
-         |), scores AS (
-         |  SELECT doc_id, lang, plang, COUNT(*) AS score
-         |  FROM toks JOIN profile ON toks.w = profile.w
-         |  GROUP BY doc_id, lang, plang
-         |)
-         |SELECT doc_id, actual_lang, predicted_lang, score FROM (
-         |  SELECT doc_id, lang AS actual_lang, plang AS predicted_lang, score,
-         |    row_number() OVER (PARTITION BY doc_id
-         |      ORDER BY score DESC NULLS LAST, plang ASC) AS rn
-         |  FROM scores
-         |) WHERE rn = 1
-         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "c14_lang_id" -> c14OracleSql,
 
     "c15_quality_score" -> {
       val stopList = Stopwords.map("'" + _ + "'").mkString(", ")

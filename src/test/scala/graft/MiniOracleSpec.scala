@@ -86,6 +86,7 @@ class MiniOracleSpec extends AnyFunSuite {
     "c97_rrf_fusion" -> ("qrank over the 5-query panel; per-query ranks " +
       "are partitioned + WindowGroupLimit-capped"),
     "c103_ndcg_eval" -> "inherits c97's bounded query-panel ranks",
+    "c155_mrr_eval" -> "inherits c97's bounded query-panel ranks",
     "c127_largest_remainder_alloc" -> ("largest-remainder ranks over the " +
       "≤ 25-row nation share table"),
     "c132_sharded_topk_bounds" -> "rank over the 20-row published-list union")

@@ -118,4 +118,20 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out == BigDecimal(154.0 / 52)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  test("c155: rr is the reciprocal of the first relevant rank and mrr is their mean") {
+    val rows = Retrieval.mrrEval(spark, TestSpark.sf0001)
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(rows.length == 5, "one row per panel query")
+    rows.foreach { case (_, _, first, rr, _) =>
+      if (first > 0)
+        assert(rr == BigDecimal(1.0 / first)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          s"rr != round(1/$first, 6): $rr")
+      else assert(rr == 0.0, "no relevant doc in list => rr = 0")
+    }
+    val mrrs = rows.map(_._5).distinct
+    assert(mrrs.length == 1, "one MRR for the panel")
+    assert(math.abs(mrrs.head - rows.map(_._4).sum / rows.length) < 1e-6)
+  }
 }

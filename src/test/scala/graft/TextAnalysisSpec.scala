@@ -287,6 +287,55 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(1)._2 == "Ab" && out(1)._3 == 1L)
   }
 
+  test("c153: the tie-corrected AUC equals the brute-force pair probability") {
+    // AUC = P(score_pos > score_neg) + 0.5 P(=) over all pos×neg pairs
+    // — recomputed directly from the score table at sf0.001 (500 docs)
+    // and compared to the rank-formula output at its 1e-6 grain.
+    val row = TextAnalysis.aucExact(spark, TestSpark.sf0001).collect().head
+    val (nPos, nNeg, auc) =
+      (row.getLong(0), row.getLong(1), row.getDouble(2))
+    val scored = TextAnalysis.lqScores(spark, TestSpark.sf0001)
+      .select(org.apache.spark.sql.functions.col("score"),
+        (org.apache.spark.sql.functions.col("lang") === "en").as("y"))
+      .as[(Double, Boolean)].collect()
+    val pos = scored.filter(_._2).map(_._1)
+    val neg = scored.filterNot(_._2).map(_._1)
+    assert(nPos == pos.length && nNeg == neg.length)
+    var wins = 0.0
+    for (p <- pos; n <- neg)
+      wins += (if (p > n) 1.0 else if (p == n) 0.5 else 0.0)
+    val brute = wins / (pos.length.toDouble * neg.length)
+    assert(math.abs(auc - brute) < 1e-6, s"auc=$auc brute=$brute")
+    assert(auc >= 0.0 && auc <= 1.0)
+  }
+
+  test("c154: calibration bins cover every doc and the ECE re-derives from the rows") {
+    val rows = TextAnalysis.calibrationBins(spark, TestSpark.sf0001)
+      .as[(Long, Long, Double, Double, Double, Double)].collect()
+    val nDocs = Tables.t(spark, TestSpark.sf0001, "documents").count()
+    assert(rows.map(_._2).sum == nDocs, "bins must cover every doc")
+    assert(rows.forall(r => r._3 >= 0.0 && r._3 <= 1.0), "mean_p in [0,1]")
+    assert(rows.forall(r => r._4 >= 0.0 && r._4 <= 1.0), "frac_pos in [0,1]")
+    val eces = rows.map(_._6).distinct
+    assert(eces.length == 1, "one ECE for the whole audit")
+    // 1e-4-rounded per-bin gaps re-weighted must land within the
+    // rounding grain of the emitted ECE.
+    val rederived = rows.map(r => r._2 * r._5).sum / nDocs
+    assert(math.abs(rederived - eces.head) < 1e-3,
+      s"ece=${eces.head} rederived=$rederived")
+  }
+
+  test("c156: confusion rows partition the corpus and shares sum to 1 per actual language") {
+    val rows = TextAnalysis.langConfusion(spark, TestSpark.sf0001)
+      .as[(String, String, Long, Double)].collect()
+    val nDocs = Tables.t(spark, TestSpark.sf0001, "documents").count()
+    assert(rows.map(_._3).sum == nDocs, "cells must partition the corpus")
+    rows.groupBy(_._1).foreach { case (lang, cells) =>
+      val share = cells.map(_._4).sum
+      assert(math.abs(share - 1.0) < 1e-2, s"$lang shares sum to $share")
+    }
+  }
+
   private implicit class Map2Ops[A, B, C, D, E](rows: Array[(A, B, C, D, E)]) {
     def toMap2: Map[A, (B, C, D, E)] =
       rows.map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
