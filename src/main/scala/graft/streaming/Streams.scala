@@ -888,15 +888,27 @@ object Streams {
     * DuckDB at full double precision. The c83 discipline: exact under
     * event-time-ordered batches; state ≤ 15 doubles per user.
     */
-  def streamEwma(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamEwma(spark: SparkSession, sfDir: String): DataFrame =
+    ewmaTopology(spark, sfDir, ewmaRuns, "c136")
+
+  /** [[streamEwma]] through `transformWithState` (same topology, new
+    * state API — StreamingSpec pins equality). */
+  private[graft] def streamEwmaTws(spark: SparkSession, sfDir: String): DataFrame =
+    ewmaTopology(spark, sfDir, ewmaRunsTws, "c136tws", rocksDb = true)
+
+  private def ewmaTopology(spark: SparkSession, sfDir: String,
+      kernel: Dataset[(Long, Long, Double, Long)] => DataFrame,
+      tag: String, rocksDb: Boolean = false): DataFrame = {
     val s = stateSession(spark, statePartitions = 8)
+    if (rocksDb)
+      s.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
     import s.implicits._
     val ev = streamTable(s, sfDir, "events")
     val typed = ev
       .select(col("user_id"), col("event_id"), col("value"),
         graft.Tables.tsUs(ev).as("ts_us"))
       .as[(Long, Long, Double, Long)]
-    runToParquet(ewmaRuns(typed), "append", "c136")
+    runToParquet(kernel(typed), "append", tag)
       .orderBy("user_id", "event_id")
   }
 
@@ -1003,15 +1015,29 @@ object Streams {
     * emission log. Agrees with batch c145 exactly under event-time-
     * ordered batches — same oracle text.
     */
-  def streamGapHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamGapHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    gapHistogramTopology(spark, sfDir, gapBucketRuns, "c149")
+
+  /** [[streamGapHistogram]] through `transformWithState` (same
+    * topology, new state API — StreamingSpec pins equality). */
+  private[graft] def streamGapHistogramTws(spark: SparkSession,
+      sfDir: String): DataFrame =
+    gapHistogramTopology(spark, sfDir, gapBucketRunsTws, "c149tws",
+      rocksDb = true)
+
+  private def gapHistogramTopology(spark: SparkSession, sfDir: String,
+      kernel: Dataset[(Long, Long, Long)] => DataFrame, tag: String,
+      rocksDb: Boolean = false): DataFrame = {
     val s = stateSession(spark, statePartitions = 8)
+    if (rocksDb)
+      s.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
     import s.implicits._
     val ev = streamTable(s, sfDir, "events")
     val typed = ev
       .select(col("user_id"), col("event_id"),
         graft.Tables.tsUs(ev).as("ts_us"))
       .as[(Long, Long, Long)]
-    val log = runToParquet(gapBucketRuns(typed), "append", "c149")
+    val log = runToParquet(kernel(typed), "append", tag)
     val bucketed = log.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
     val total = bucketed.agg(sum(col("n")).as("n_total"))
     bucketed.crossJoin(broadcast(total))
@@ -1096,15 +1122,29 @@ object Streams {
     * file-source topology, counts and shares assembled batch-side.
     * Same oracle text as batch c131.
     */
-  def streamSessionPaths(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamSessionPaths(spark: SparkSession, sfDir: String): DataFrame =
+    sessionPathsTopology(spark, sfDir, pathTrigramRuns, "c150")
+
+  /** [[streamSessionPaths]] through `transformWithState` (same
+    * topology, new state API — StreamingSpec pins equality). */
+  private[graft] def streamSessionPathsTws(spark: SparkSession,
+      sfDir: String): DataFrame =
+    sessionPathsTopology(spark, sfDir, pathTrigramRunsTws, "c150tws",
+      rocksDb = true)
+
+  private def sessionPathsTopology(spark: SparkSession, sfDir: String,
+      kernel: Dataset[(Long, Long, String, Long)] => DataFrame,
+      tag: String, rocksDb: Boolean = false): DataFrame = {
     val s = stateSession(spark, statePartitions = 8)
+    if (rocksDb)
+      s.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
     import s.implicits._
     val ev = streamTable(s, sfDir, "events")
     val typed = ev
       .select(col("user_id"), col("event_id"), col("event_type"),
         graft.Tables.tsUs(ev).as("ts_us"))
       .as[(Long, Long, String, Long)]
-    val log = runToParquet(pathTrigramRuns(typed), "append", "c150")
+    val log = runToParquet(kernel(typed), "append", tag)
     val paths = log.groupBy(col("path")).agg(count(lit(1)).as("n"))
     val total = paths.agg(sum(col("n")).as("n_total"))
     paths.crossJoin(broadcast(total))
@@ -1124,15 +1164,34 @@ object Streams {
     * the same topology runs unbounded: coverage/availability windows
     * close and publish as the stream drains, O(users) state.
     */
-  def streamIntervalCoalesce(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamIntervalCoalesce(spark: SparkSession, sfDir: String): DataFrame =
+    intervalCoalesceTopology(spark, sfDir, islandRuns, "c129")
+
+  /** [[streamIntervalCoalesce]] through the `transformWithState`
+    * kernel — the SAME topology with only the state API swapped, so
+    * the new API is exercised against the same oracle, not a parallel
+    * build (StreamingSpec pins equality).
+    */
+  private[graft] def streamIntervalCoalesceTws(spark: SparkSession,
+      sfDir: String): DataFrame =
+    intervalCoalesceTopology(spark, sfDir, islandRunsTws, "c129tws",
+      rocksDb = true)
+
+  private def intervalCoalesceTopology(spark: SparkSession, sfDir: String,
+      kernel: Dataset[(Long, Long, Long)] => DataFrame, tag: String,
+      rocksDb: Boolean = false): DataFrame = {
     val s = stateSession(spark, statePartitions = 8)
+    // transformWithState requires the RocksDB provider (the c89
+    // precedent — also the provider a 100 TB/day deployment runs).
+    if (rocksDb)
+      s.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
     import s.implicits._
     val ev = streamTable(s, sfDir, "events")
     val typed = ev
       .select(col("user_id"), col("event_id"),
         graft.Tables.tsUs(ev).as("s"))
       .as[(Long, Long, Long)]
-    runToParquet(islandRuns(typed), "append", "c129")
+    runToParquet(kernel(typed), "append", tag)
       .orderBy("user_id", "istart_us")
   }
 

@@ -435,6 +435,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(tws == Seq("1|1|A|10|30|2", "1|2|B|30|40|1"), tws)
   }
 
+  test("c129/c136/c149/c150: the transformWithState PRODUCTION topologies equal the oracle-verified legacy twins") {
+    // Item: "same oracles green through the new API" — each Tws twin
+    // is the identical file-source topology with only the state API
+    // swapped, so equality with the legacy twin (whose output the
+    // driver hash-verifies against DuckDB) IS the oracle through the
+    // new API.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    try {
+      val pairs: Seq[(String,
+          (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+          (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+        ("c129", graft.streaming.Streams.streamIntervalCoalesce,
+          graft.streaming.Streams.streamIntervalCoalesceTws),
+        ("c136", graft.streaming.Streams.streamEwma,
+          graft.streaming.Streams.streamEwmaTws),
+        ("c149", graft.streaming.Streams.streamGapHistogram,
+          graft.streaming.Streams.streamGapHistogramTws),
+        ("c150", graft.streaming.Streams.streamSessionPaths,
+          graft.streaming.Streams.streamSessionPathsTws))
+      pairs.foreach { case (tag, legacy, tws) =>
+        val a = legacy(spark, TestSpark.sf0001).collect()
+          .map(_.mkString("|")).sorted.toSeq
+        val b = tws(spark, TestSpark.sf0001).collect()
+          .map(_.mkString("|")).sorted.toSeq
+        assert(a.nonEmpty, s"$tag legacy twin emitted nothing")
+        assert(a == b, s"$tag: tws topology diverged from the legacy twin")
+      }
+    } finally prior match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("order guard: an out-of-order event across batches fails LOUDLY, never silently corrupts") {
     // ADVICE round 11: streamTable streams a DIRECTORY with no
     // file-order guarantee — an island start arriving BEFORE the
