@@ -1046,6 +1046,57 @@ object TextAnalysis {
       .orderBy("bin")
   }
 
+  /** PR-curve operating points for c157. */
+  private[graft] val PrBins = 20
+
+  /** c157 — precision/recall OPERATING-POINT table: TP/FP/FN,
+    * precision, recall and F1 of the c100 score against the
+    * is-English label at [[PrBins]] equal-width score thresholds —
+    * the table a gate owner actually reads when picking a cutoff
+    * (c153 grades the RANKING, c154 the score's face value, THIS the
+    * candidate operating points; together the standard classifier
+    * acceptance triple). Threshold i keeps every doc whose score bin
+    * is ≥ i (bin edges from the broadcast (lo, hi), the b52 epsilon
+    * discipline — the same monotone binning both engines evaluate
+    * identically).
+    *
+    * Scale shape: one scan to per-bin (count, positives) tallies
+    * (map-side combined, ≤ [[PrBins]] rows), suffix sums via a tiny
+    * bin×bin self-join (the c28 idiom — never a data-sized pass per
+    * threshold); all ratios are exact-integer quotients rounded at
+    * 1e-4.
+    */
+  def prCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = lqScores(spark, sfDir)
+      .select(col("score"), (col("lang") === "en").as("y"))
+    val bounds = scored.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
+    val perBin = scored.crossJoin(broadcast(bounds))
+      .withColumn("bin", least(floor((col("score") - col("lo")) /
+          (col("hi") - col("lo") + lit(1e-12)) * PrBins).cast("long"),
+        lit(PrBins - 1L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("np"))
+    val suff = perBin.as("a")
+      .join(perBin.as("b"), col("b.bin") >= col("a.bin"))
+      .groupBy(col("a.bin").as("bin"))
+      .agg(sum(col("b.np")).as("tp"), sum(col("b.n") - col("b.np")).as("fp"))
+    val totals = perBin.agg(sum(col("np")).as("n_pos"))
+    val p = col("tp").cast("double") / (col("tp") + col("fp"))
+    val r = col("tp").cast("double") / col("n_pos")
+    suff.crossJoin(broadcast(totals)).crossJoin(broadcast(bounds))
+      .select(col("bin"),
+        round(col("lo") + col("bin") * (col("hi") - col("lo") + lit(1e-12)) /
+          PrBins, 6).as("threshold"),
+        col("tp"), col("fp"), (col("n_pos") - col("tp")).as("fn"),
+        when(col("tp") + col("fp") > 0, round(p, 4)).as("precision"),
+        when(col("n_pos") > 0, round(r, 4)).as("recall"),
+        when(col("tp") > 0, round(lit(2.0) * p * r / (p + r), 4))
+          .otherwise(when(col("n_pos") > 0 && col("tp") + col("fp") > 0,
+            lit(0.0))).as("f1"))
+      .orderBy("bin")
+  }
+
   /** c156 — language-ID CONFUSION MATRIX: c14's predictions crossed
     * with the labeled language — per (actual, predicted) cell the
     * count and its share of the actual language's row (the recall
@@ -1071,6 +1122,7 @@ object TextAnalysis {
     "c153_auc_exact" -> (aucExact(_, _)),
     "c154_calibration_bins" -> (calibrationBins(_, _)),
     "c156_lang_confusion" -> (langConfusion(_, _)),
+    "c157_pr_curve" -> (prCurve(_, _)),
     "c100_linear_quality_gate" -> (linearQualityGate(_, _)),
     "c54_bigram_surprise" -> (bigramSurprise(_, _)),
     "c46_unigram_surprise" -> (unigramSurprise(_, _)),
@@ -1201,6 +1253,40 @@ object TextAnalysis {
          |  ROUND(abs(frac_pos_raw - mean_p_raw), 4) AS gap,
          |  ROUND(ece_raw, 4) AS ece
          |FROM per_bin, ece
+         |ORDER BY bin ASC NULLS FIRST""".stripMargin,
+
+    "c157_pr_curve" ->
+      s"""$lqOracleCte, scored AS (
+         |  SELECT score, lang = 'en' AS y FROM lq
+         |), bounds AS (
+         |  SELECT min(score) AS lo, max(score) AS hi FROM scored
+         |), per_bin AS (
+         |  SELECT least(CAST(floor((score - lo) / (hi - lo + 1e-12)
+         |      * $PrBins) AS BIGINT), ${PrBins - 1}) AS bin,
+         |    COUNT(*) AS n,
+         |    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np
+         |  FROM scored, bounds GROUP BY 1
+         |), suff AS (
+         |  SELECT a.bin, CAST(SUM(b.np) AS BIGINT) AS tp,
+         |    CAST(SUM(b.n - b.np) AS BIGINT) AS fp
+         |  FROM per_bin a JOIN per_bin b ON b.bin >= a.bin
+         |  GROUP BY a.bin
+         |), totals AS (
+         |  SELECT CAST(SUM(np) AS BIGINT) AS n_pos FROM per_bin
+         |)
+         |SELECT bin,
+         |  ROUND(lo + bin * (hi - lo + 1e-12) / $PrBins, 6) AS threshold,
+         |  tp, fp, n_pos - tp AS fn,
+         |  CASE WHEN tp + fp > 0
+         |    THEN ROUND(CAST(tp AS DOUBLE) / (tp + fp), 4) END AS precision,
+         |  CASE WHEN n_pos > 0
+         |    THEN ROUND(CAST(tp AS DOUBLE) / n_pos, 4) END AS recall,
+         |  CASE WHEN tp > 0 THEN ROUND(
+         |      2.0 * (CAST(tp AS DOUBLE) / (tp + fp)) * (CAST(tp AS DOUBLE) / n_pos)
+         |      / ((CAST(tp AS DOUBLE) / (tp + fp)) + (CAST(tp AS DOUBLE) / n_pos)), 4)
+         |    WHEN n_pos > 0 AND tp + fp > 0 THEN 0.0
+         |  END AS f1
+         |FROM suff, totals, bounds
          |ORDER BY bin ASC NULLS FIRST""".stripMargin,
 
     "c156_lang_confusion" ->

@@ -325,6 +325,22 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"ece=${eces.head} rederived=$rederived")
   }
 
+  test("c157: the PR table's counts reconcile and recall is monotone in the threshold") {
+    val rows = TextAnalysis.prCurve(spark, TestSpark.sf0001)
+      .select("bin", "tp", "fp", "fn", "recall")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    val nPos = rows.head._2 + rows.head._4
+    rows.foreach { case (bin, tp, _, fn, _) =>
+      assert(tp + fn == nPos, s"bin $bin: tp+fn != n_pos")
+    }
+    // lowest present threshold keeps everything => full recall
+    assert(rows.head._2 == nPos, "lowest bin must capture every positive")
+    val recalls = rows.map(_._5)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a >= b },
+      s"recall must not increase with the threshold: ${recalls.toSeq}")
+  }
+
   test("c156: confusion rows partition the corpus and shares sum to 1 per actual language") {
     val rows = TextAnalysis.langConfusion(spark, TestSpark.sf0001)
       .as[(String, String, Long, Double)].collect()
