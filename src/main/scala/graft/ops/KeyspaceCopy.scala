@@ -1,0 +1,274 @@
+package graft.ops
+
+import java.io.{File, FileWriter}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.{ConfiguredSink, TableSink, TableSource, WriteConf}
+
+/** The COMPOSED end-to-end keyspace copy — the reference tool's actual
+  * deliverable (a "migrate keyspace from cluster" CLI is one
+  * orchestrated run, not a menu of verified pieces). This chains the
+  * operators that each carry their own oracle key into one resumable
+  * pipeline over the [[graft.sources.TableSource]]/[[graft.sources.TableSink]]
+  * seam:
+  *
+  *   1. DISCOVER (a2): `src.tableNames` + per-table schema from the
+  *      source's own read path.
+  *   2. DDL (a11): [[Migration.createTableDdl]] per table, written once
+  *      to `manifestDir/keyspace.ddl` — the target-side bootstrap
+  *      artifact a resumed run must never clobber.
+  *   3. COPY (A6/A10): per (table, token-range) unit through
+  *      [[graft.sources.ConfiguredSink]], so every write gets the
+  *      retry/batch/writetime knobs. Ranges are the a15 unit: the
+  *      first hex nibbles of a row-content md5, so two independent
+  *      runs (or engines) derive the SAME partition of the key space —
+  *      the property that lets a resumed run trust a manifest someone
+  *      else wrote. Each range lands as its OWN output unit
+  *      (`table/range_R`), which is what makes a retry idempotent at
+  *      range scope: re-overwriting range 7 cannot clobber ranges 0–6.
+  *   4. AUDIT per range: the landed rows are read BACK through the
+  *      destination's read channel and (count, checksum) appended to
+  *      `manifestDir/manifest.tsv` — the durable resume cursor. A
+  *      killed JVM can tear at most the last line; a torn line fails
+  *      the 4-field parse and reads as "incomplete", so the range
+  *      re-copies (idempotent, see 3) rather than being trusted.
+  *   5. VERIFY (a7 + a18): after all ranges complete, every table gets
+  *      an INDEPENDENT full re-read on both sides — count parity plus
+  *      the order-insensitive content checksum (sum of per-row 32-bit
+  *      md5 prefixes in DECIMAL(38,0), the a18 algebra that cannot
+  *      overflow at 1e12 rows).
+  *
+  * RESUME: re-invoking with the same `manifestDir` skips every
+  * (table, range) the manifest marks complete and re-runs only the
+  * rest — kill-mid-copy → resume → verify is the tested path
+  * (MigrationSpec "composed copyKeyspace").
+  *
+  * Scale posture (100 TB): the unit of work, retry, and resume is the
+  * token range, never the table — a lost executor or a dead sink costs
+  * one range, not a re-copy. On a live token-range source (Cassandra
+  * connector), each range read is a ring slice — no scan
+  * amplification and no persist needed. On a FILE source a range
+  * filter would otherwise rescan the table per range, so the source is
+  * persisted (MEMORY_AND_DISK, recomputable lineage) once per table
+  * while >1 range is pending and unpersisted when the table completes;
+  * the per-range manifest counts come from ONE grouped aggregate over
+  * that same cached frame (a15's planning step), and empty ranges are
+  * recorded complete without launching a write job. Everything
+  * driver-side is metadata-sized: the manifest holds one line per
+  * (table, range), and the only collects are 1-row audit scalars.
+  */
+object KeyspaceCopy {
+
+  /** One (table, range) unit's outcome. `skipped` = the manifest
+    * already held it, so this run did no work for the unit.
+    */
+  final case class RangeResult(
+      table: String, range: Int, rows: Long, checksum: String, skipped: Boolean)
+
+  /** The a7+a18 post-copy audit for one table: count parity and
+    * content-checksum parity between an independent full re-read of
+    * source and destination.
+    */
+  final case class TableVerify(
+      table: String, srcRows: Long, dstRows: Long,
+      srcChecksum: String, dstChecksum: String) {
+    def ok: Boolean = srcRows == dstRows && srcChecksum == dstChecksum
+  }
+
+  final case class Report(
+      ddl: Map[String, String],
+      ranges: Seq[RangeResult],
+      verify: Seq[TableVerify]) {
+    def ok: Boolean = verify.nonEmpty && verify.forall(_.ok)
+  }
+
+  /** Destination sub-table name for one range unit — range-scoped
+    * output so overwrite-on-retry touches only its own unit. A live
+    * Cassandra sink would ignore the suffix (range writes are per-row
+    * upserts into one table and idempotent by primary key); file sinks
+    * need the scoping.
+    */
+  def rangeTable(table: String, range: Int): String = s"$table/range_$range"
+
+  /** Canonical row rendering for hashing: NAME-ordered columns joined
+    * by '|', each null-coalesced to '' — the a18 discipline (doubles
+    * via DECIMAL(38,6), timestamps via epoch-µs integers, binary via
+    * hex) so the rendering never depends on an engine's float or
+    * timestamp formatter.
+    */
+  private def rowRender(schema: StructType): Column = {
+    val frags = schema.fields.sortBy(_.name).map { f =>
+      val c = col(f.name)
+      val r = f.dataType match {
+        case DoubleType | FloatType => c.cast("decimal(38,6)").cast("string")
+        case TimestampType | TimestampNTZType =>
+          unix_micros(c.cast("timestamp")).cast("string")
+        case BinaryType => hex(c)
+        case _ => c.cast("string")
+      }
+      coalesce(r, lit(""))
+    }
+    concat_ws("|", frags.toIndexedSeq: _*)
+  }
+
+  /** Deterministic token range of a row: first 4 hex nibbles of the
+    * salted content md5, mod nRanges — a pure function of row CONTENT,
+    * so the range partition is stable across runs, engines, and source
+    * file layouts (the a15 trust property). Codegen'd expressions
+    * only.
+    */
+  private def rangeCol(schema: StructType, nRanges: Int): Column =
+    pmod(
+      conv(substring(md5(concat(lit("rng:"), rowRender(schema))), 1, 4), 16, 10)
+        .cast("int"),
+      lit(nRanges))
+
+  /** (row count, content checksum) of a frame — one scan, map-side
+    * combined to a single row. The checksum is the a18 algebra: each
+    * row's 32-bit md5 prefix cast to DECIMAL(38,0) BEFORE the sum
+    * (SUM(BIGINT) wraps at 1e12 rows × 2^32; decimal does not).
+    */
+  private def countAndChecksum(df: DataFrame): (Long, String) = {
+    val h = conv(substring(md5(rowRender(df.schema)), 1, 8), 16, 10)
+      .cast("bigint").cast(DecimalType(38, 0))
+    val row = df.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(h), lit(0).cast(DecimalType(38, 0)))
+        .cast(DecimalType(38, 0)).cast("string").as("cs")).head()
+    (row.getLong(0), row.getString(1))
+  }
+
+  private def manifestFile(dir: String) = new File(dir, "manifest.tsv")
+
+  /** Completed units from the manifest: lines that parse as exactly
+    * (table, range, rows, checksum). A torn trailing line (killed JVM
+    * mid-append) fails the parse and is treated as incomplete — the
+    * safe direction, because re-copying a range is idempotent.
+    */
+  private[graft] def readManifest(dir: String): Map[(String, Int), (Long, String)] = {
+    val f = manifestFile(dir)
+    if (!f.exists()) Map.empty
+    else {
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.getLines().flatMap { line =>
+        line.split("\t", -1) match {
+          case Array(t, r, n, cs) if r.forall(_.isDigit) && n.forall(_.isDigit)
+              && r.nonEmpty && n.nonEmpty && cs.nonEmpty =>
+            Some((t, r.toInt) -> (n.toLong, cs))
+          case _ => None
+        }
+      }.toMap
+      finally src.close()
+    }
+  }
+
+  /** Durable append of one completed unit: open → write → flush →
+    * close per line, so the cursor survives the very next kill.
+    */
+  private def appendManifest(
+      dir: String, table: String, range: Int, rows: Long, checksum: String): Unit = {
+    val w = new FileWriter(manifestFile(dir), true)
+    try { w.write(s"$table\t$range\t$rows\t$checksum\n"); w.flush() }
+    finally w.close()
+  }
+
+  /** Run (or resume) a full keyspace copy. See the object scaladoc for
+    * the pipeline; throws when a range write exhausts the
+    * [[WriteConf]] retries — the manifest then holds every unit that
+    * completed, and re-invoking with the same `manifestDir` resumes.
+    *
+    * `dstRead` is the destination's READ channel: migration
+    * verification (steps 4–5) must observe what actually landed
+    * through the same path future readers will use, not trust the
+    * writer's word.
+    */
+  def run(
+      spark: SparkSession,
+      src: TableSource,
+      dst: TableSink,
+      dstRead: TableSource,
+      conf: WriteConf,
+      manifestDir: String,
+      nRanges: Int = 16): Report = {
+    require(nRanges >= 1 && nRanges <= 4096, s"nRanges out of range: $nRanges")
+    new File(manifestDir).mkdirs()
+    val tables = src.tableNames(spark)
+    val sink = new ConfiguredSink(dst, conf)
+
+    // 1+2 — discover + DDL bootstrap artifact (write-once: a resumed
+    // run must not clobber the statement the target was created from).
+    val ddl = tables.map(t =>
+      t -> Migration.createTableDdl(t, src.read(spark, t).schema)).toMap
+    val ddlFile = new File(manifestDir, "keyspace.ddl")
+    if (!ddlFile.exists()) {
+      val w = new FileWriter(ddlFile)
+      try w.write(tables.map(ddl).mkString("", ";\n\n", ";\n")) finally w.close()
+    }
+
+    // 3+4 — per-range copy with read-back audit and durable cursor.
+    val done = readManifest(manifestDir)
+    val results = scala.collection.mutable.ArrayBuffer.empty[RangeResult]
+    tables.foreach { table =>
+      val pending = (0 until nRanges).filter(r => !done.contains((table, r)))
+      (0 until nRanges).filter(r => done.contains((table, r))).foreach { r =>
+        val (n, cs) = done((table, r))
+        results += RangeResult(table, r, n, cs, skipped = true)
+      }
+      if (pending.nonEmpty) {
+        val base = src.read(spark, table)
+        val withRange = base.withColumn("__graft_range",
+          rangeCol(base.schema, nRanges))
+        // One source scan per table, not one per range: recomputable
+        // MEMORY_AND_DISK lineage (an executor loss recomputes, the
+        // localCheckpoint failure mode ADVICE flagged elsewhere). A
+        // live token-range source reads ring slices instead and skips
+        // this (object scaladoc).
+        val cached = if (pending.size > 1)
+          withRange.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else withRange
+        try {
+          // a15's planning aggregate: per-range row counts in one pass,
+          // so empty ranges complete without a write job.
+          val counts = cached.groupBy(col("__graft_range")).count()
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+          pending.foreach { r =>
+            val expected = counts.getOrElse(r, 0L)
+            if (expected == 0L) {
+              appendManifest(manifestDir, table, r, 0L, "0")
+              results += RangeResult(table, r, 0L, "0", skipped = false)
+            } else {
+              val part = cached.where(col("__graft_range") === r)
+                .drop("__graft_range")
+              sink.write(part, rangeTable(table, r))
+              // Read-back audit: count+checksum of what LANDED, via the
+              // destination's own read path.
+              val (n, cs) = countAndChecksum(dstRead.read(spark, rangeTable(table, r)))
+              require(n == expected,
+                s"$table range $r landed $n rows, source holds $expected — " +
+                  "refusing to mark complete")
+              appendManifest(manifestDir, table, r, n, cs)
+              results += RangeResult(table, r, n, cs, skipped = false)
+            }
+          }
+        } finally { cached.unpersist(); () }
+      }
+    }
+
+    // 5 — independent full-table verification (a7 count parity + a18
+    // content parity). The destination table is the union of its
+    // non-empty range units.
+    val byTable = results.groupBy(_.table)
+    val verify = tables.map { table =>
+      val (srcN, srcCs) = countAndChecksum(src.read(spark, table))
+      val live = byTable(table).filter(_.rows > 0L).map(_.range).sorted
+      val (dstN, dstCs) =
+        if (live.isEmpty) (0L, "0")
+        else countAndChecksum(
+          live.map(r => dstRead.read(spark, rangeTable(table, r)))
+            .reduce(_ unionByName _))
+      TableVerify(table, srcN, dstN, srcCs, dstCs)
+    }
+    Report(ddl, results.toSeq, verify)
+  }
+}

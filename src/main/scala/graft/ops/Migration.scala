@@ -631,6 +631,25 @@ object Migration {
       .orderBy("shard_id")
   }
 
+  /** The composed end-to-end keyspace copy — discover (a2) → DDL
+    * (a11) → per-token-range copy through the retry/batch sink seam
+    * (A6/A10) → per-range read-back audit into a durable resume
+    * manifest (a15) → full count+content verification (a7/a18).
+    * Resumable: re-invoking with the same `manifestDir` skips
+    * completed ranges. See [[KeyspaceCopy]] for the pipeline and the
+    * 100 TB posture; MigrationSpec's "composed copyKeyspace" test
+    * exercises kill-mid-copy → resume → green parity end to end.
+    */
+  def copyKeyspace(
+      spark: SparkSession,
+      src: graft.sources.TableSource,
+      dst: graft.sources.TableSink,
+      dstRead: graft.sources.TableSource,
+      conf: graft.sources.WriteConf,
+      manifestDir: String,
+      nRanges: Int = 16): KeyspaceCopy.Report =
+    KeyspaceCopy.run(spark, src, dst, dstRead, conf, manifestDir, nRanges)
+
   val queries: Map[String, Q] = Map(
     "a21_shard_balance_plan" -> (shardBalancePlan(_, _)),
     "a20_split_planner" -> (splitPlanner(_, _)),

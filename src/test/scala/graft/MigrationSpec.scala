@@ -289,6 +289,94 @@ class MigrationSpec extends AnyFunSuite {
     }
   }
 
+  test("composed copyKeyspace: kill mid-copy, resume from manifest, a18-green parity") {
+    import graft.sources._
+    import graft.ops.KeyspaceCopy
+    val dstDir = "/tmp/graft_copy_dst"
+    val manDir = "/tmp/graft_copy_manifest"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rm)
+      p.delete(); ()
+    }
+    Seq(dstDir, manDir).foreach(d => rm(new java.io.File(d)))
+    val nRanges = 4
+    val src = new ParquetSource(TestSpark.sf0001)
+    val dstRead = new ParquetSource(dstDir)
+
+    // Run 1: the sink dies permanently after 6 successful range
+    // writes — the mid-copy kill. maxRetries=1 so the retry seam is
+    // exercised (2 attempts per write) before the failure propagates.
+    final class KillAfter(underlying: TableSink, allow: Int) extends TableSink {
+      var ok = 0
+      def write(df: org.apache.spark.sql.DataFrame, t: String,
+          o: Map[String, String]): Unit = {
+        if (ok >= allow) throw new RuntimeException(s"sink lost mid-copy at $t")
+        underlying.write(df, t, o); ok += 1
+      }
+    }
+    val killed = new KillAfter(new ParquetSink(dstDir), allow = 6)
+    val boom = intercept[RuntimeException] {
+      graft.ops.Migration.copyKeyspace(spark, src, killed, dstRead,
+        WriteConf(maxRetries = 1), manDir, nRanges)
+    }
+    assert(boom.getMessage.contains("sink lost"), boom.getMessage)
+    val afterKill = KeyspaceCopy.readManifest(manDir)
+    assert(afterKill.size >= 6,
+      s"manifest should hold the completed units, got ${afterKill.size}")
+    assert(afterKill.size < 10 * nRanges, "the kill must leave work pending")
+    // The DDL bootstrap artifact was written before the kill.
+    val ddlText = scala.io.Source.fromFile(s"$manDir/keyspace.ddl", "UTF-8").mkString
+    Tables.names.foreach(t => assert(ddlText.contains(s"CREATE TABLE $t (")))
+
+    // A torn trailing line (killed JVM mid-append) must read as
+    // incomplete, never as trusted state.
+    val w = new java.io.FileWriter(s"$manDir/manifest.tsv", true)
+    w.write("lineitem\t3\t17"); w.close() // no checksum field, no newline
+    assert(KeyspaceCopy.readManifest(manDir) == afterKill,
+      "torn manifest line must be ignored")
+
+    // Run 2: resume with a healthy sink that records what it writes.
+    final class Recording(underlying: TableSink) extends TableSink {
+      val written = scala.collection.mutable.ArrayBuffer.empty[String]
+      def write(df: org.apache.spark.sql.DataFrame, t: String,
+          o: Map[String, String]): Unit = {
+        written += t; underlying.write(df, t, o)
+      }
+    }
+    val rec = new Recording(new ParquetSink(dstDir))
+    val report = graft.ops.Migration.copyKeyspace(spark, src, rec, dstRead,
+      WriteConf(), manDir, nRanges)
+    // Completed units were skipped: nothing in the resumed run's write
+    // log may name a (table, range) the kill-run manifest held.
+    afterKill.keys.foreach { case (t, r) =>
+      assert(!rec.written.contains(KeyspaceCopy.rangeTable(t, r)),
+        s"resume re-copied completed unit ($t, $r)")
+    }
+    assert(report.ranges.size == Tables.names.size * nRanges)
+    assert(report.ranges.count(_.skipped) == afterKill.size)
+    // a7 count parity + a18 content parity, every table green.
+    report.verify.foreach(v => assert(v.ok, s"parity failed: $v"))
+    assert(report.ok)
+    // Independent whole-row equality on a large and a small table —
+    // the copy must be the identity, not merely checksum-equal.
+    Seq("orders", "region").foreach { t =>
+      val s = src.read(spark, t)
+      val live = report.ranges.filter(r => r.table == t && r.rows > 0)
+      val d = live.map(r => dstRead.read(spark, KeyspaceCopy.rangeTable(t, r.range)))
+        .reduce(_ unionByName _)
+      assert(d.exceptAll(s).isEmpty && s.exceptAll(d).isEmpty,
+        s"$t rows drift through the copy")
+    }
+    // Manifest checksums are the a18 algebra: per-range sums add up to
+    // the table's verify-step checksum (order-insensitive by design).
+    report.verify.foreach { v =>
+      val sumOfRanges = report.ranges.filter(_.table == v.table)
+        .map(r => BigInt(r.checksum)).sum
+      assert(sumOfRanges == BigInt(v.dstChecksum),
+        s"${v.table}: range checksums don't sum to the table checksum")
+    }
+  }
+
   test("A15: resume manifest partitions the key space into 16 trusted ranges") {
     val sf = TestSpark.sf0001
     val total = Tables.t(spark, sf, "orders").count()
