@@ -37,6 +37,35 @@ import org.apache.spark.sql.functions._
   * no ordering work to distribute in the first place; real corpora
   * spread across the range. At 100 TB raise B with the cluster — the
   * algebra is B-invariant.
+  *
+  * CONTRACT — non-null `v` and `grp` keys (round-12 ADVICE): the
+  * kernel is bit-identical to the window form only for rows whose
+  * order key and group keys are NON-NULL. A NULL `v` makes
+  * `floor(null)` NULL and `least(null, B−1)` pick B−1 (Spark's least
+  * skips nulls), routing the row to the LAST bucket while a window's
+  * NULLS FIRST sort ranks it FIRST; a NULL group key is dropped by
+  * the inner bounds join where `partitionBy` would keep it. A
+  * schema-level `require(!nullable)` would false-reject every parquet
+  * read (Spark marks parquet columns nullable regardless of data), so
+  * the precondition is contractual: callers must filter or coalesce
+  * null keys first. Every current caller passes md5-derived, counted,
+  * or fixture-non-null keys; a new caller with nullable semantics
+  * must decide where nulls rank and encode that BEFORE the kernel.
+  *
+  * COST — the input is evaluated ~3× (round-12 ADVICE): the bounds
+  * aggregate, the per-bucket totals, and the within-bucket window
+  * each recompute `df`'s lineage (scan-heavy callers pay ~3 scans
+  * where the retired single-task window paid one). That is the priced
+  * trade — 3 parallel scans beat 1 sequential sort at any real scale,
+  * and SCALE.md's round-12 tables measured it (c112 ~4× faster at
+  * 100× than its 5-task floor) — but a caller whose upstream is
+  * EXPENSIVE (joins, explodes, multi-table pipelines) rather than a
+  * bare scan or a map-side-combined tally should persist its input
+  * before calling. Not persisted HERE because every current caller
+  * passes a key-sized count table (c153's per-score tallies, a21's
+  * per-customer counts, c151's per-user sums) or a single-scan
+  * projection, where a MEMORY_AND_DISK write costs more than the
+  * rescans it saves.
   */
 private[graft] object OrderStats {
 

@@ -170,6 +170,22 @@ object TpchSuite {
     * stage-reuse the branches because the outer join's inferred
     * not-null constraint lands in only one branch's scan, breaking
     * canonical equality (measured round 11; pinned in PlanSpec).
+    *
+    * localCheckpoint COSTS, priced deliberately (round-12 ADVICE):
+    * (1) eager — a Spark job runs at DataFrame-CONSTRUCTION time, so
+    * building this query does the group-table work even if the result
+    * is never executed (acceptable: both mains construct-then-execute
+    * immediately); (2) non-fault-tolerant — blocks live on executor
+    * local storage, so an executor loss AFTER materialization fails
+    * the query instead of recomputing, a real availability trade at
+    * 1000 executors. `persist(MEMORY_AND_DISK)` would fix (2) with
+    * recomputable lineage BUT its cache entry lives in the session
+    * CacheManager keyed by plan and is never reaped — each of the
+    * repeated constructions in a 246-key bench/verify session would
+    * leak one cached group table, where checkpoint blocks are
+    * ContextCleaner-reaped with the RDD. A long-lived production
+    * deployment should use a RELIABLE `checkpoint()` (HDFS/S3 dir):
+    * same lineage cut, survives executor loss, storage-reaped.
     */
   def q11ImportantStock(spark: SparkSession, sfDir: String): DataFrame = {
     val natSupp = Tables.t(spark, sfDir, "supplier")
@@ -242,7 +258,10 @@ object TpchSuite {
   /** b71 — TPC-H Q15 (top supplier): the supplier(s) achieving the
     * maximum quarterly revenue — the view-plus-scalar-max query. The
     * revenue "view" is one supplier-keyed decimal aggregate, eagerly
-    * `localCheckpoint`ed (b68's rationale verbatim: one fact pass
+    * `localCheckpoint`ed (b68's rationale verbatim — including its
+    * "localCheckpoint COSTS" paragraph: eager construction-time job,
+    * executor-loss non-recoverability, and why persist/reliable
+    * checkpoint are the alternatives — one fact pass
     * structural, and the scalar max becomes a broadcast 1-row
     * aggregate on the materialized view instead of the round-11
     * partition-less window over the supplier-count-sized result);

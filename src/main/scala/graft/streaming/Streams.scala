@@ -585,6 +585,19 @@ object Streams {
     * must surface as a LOUD failure, never a silently corrupted run
     * extent. Each kernel persists the last processed (ts_us, event_id)
     * per key in its state and calls this on every row.
+    *
+    * CHECKPOINT-COMPATIBILITY BREAK (round 12 → documented round 13):
+    * prepending the frontier tuple to each kernel's state type CHANGED
+    * the checkpointed state schema — a stream resumed from a
+    * pre-round-12 checkpoint fails Spark's state-schema validation
+    * (loudly, at query start; never silent corruption). There is no
+    * migration path in-engine: a deployment upgrading across that
+    * boundary must either drain + restart from a fresh checkpoint
+    * (replaying from the source, exact because every kernel's fold is
+    * deterministic) or run an offline state rewrite. New state-type
+    * changes to these kernels must version the state NAME (e.g.
+    * "scd2" → "scd2_v2") so the incompatibility is explicit at the
+    * store layer rather than discovered by schema validation.
     */
   private def advanceFrontier(kernel: String, key: Long,
       frontier: (Long, Long), ts: Long, eid: Long): (Long, Long) = {

@@ -552,15 +552,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("c117: levenshtein evaluates ONCE (edit_sim derives from the stored edit_dist)") {
+  test("c117: the threshold ladder is two kernels — one bounded, one conditional full") {
     // Round 11's empty-empty guard moved edit_sim's levenshtein inside
     // a `when` branch; a CONDITIONAL subexpression defeats codegen
     // subexpression elimination, so the O(len²) kernel ran twice per
-    // pair (+64% measured). The two-projection form keeps exactly one
-    // levenshtein in the plan — this pin keeps it that way.
+    // pair (+64% measured). Round 13 adds the bounded-cost ladder:
+    // the plan must hold EXACTLY two levenshtein evaluations — the
+    // unconditional bounded level (threshold argument visible in the
+    // plan) in its own projection, and the full kernel exactly once,
+    // inside the else-branch that only distant pairs reach. edit_sim
+    // still derives from the STORED edit_dist (a third kernel would
+    // be the r11 regression back).
     val p = plan(ops.Llm.editDistancePairs(spark, sf))
     val n = "levenshtein".r.findAllIn(p).length
-    assert(n == 1, s"expected exactly one levenshtein evaluation, got $n:\n$p")
+    assert(n == 2, s"expected bounded + conditional-full levenshtein, got $n:\n$p")
+    assert(p.contains(s"${ops.Llm.EditBandWidth})"),
+      s"level-1 kernel lost its threshold argument:\n$p")
   }
 
   test("b74: Q19's disjunction is one residual on one partkey join, one lineitem scan") {
