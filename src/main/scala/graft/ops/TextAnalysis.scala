@@ -554,18 +554,27 @@ object TextAnalysis {
     * token-budget bins (the context-window packing step before
     * training) by running token count within each language, bin =
     * floor(tokens-before-this-doc / budget); report per-bin doc/token
-    * counts and fill rate. The running sum is windowed PER LANGUAGE —
-    * packing parallelizes across partitions; at 100 TB the same
-    * window runs per (lang, shard) so no partition outgrows an
-    * executor. Deterministic: doc_id order, no RNG.
+    * counts and fill rate. Deterministic: doc_id order, no RNG.
+    *
+    * Scale shape (round-13 OrderStats promotion): languages are a
+    * CONSTANT-cardinality partition key over a corpus-scaled stream,
+    * so the old per-lang running-sum window was a ~5-task sequential
+    * sort of the whole doc table at 100 TB — exactly the §5.3 rule 9
+    * class the r12 sweep retired elsewhere (its own scaladoc had
+    * flagged the "(lang, shard)" dial; the promotion implements it).
+    * Now the prefix sum comes from
+    * [[graft.ops.OrderStats.cumSums]]'s two-pass bucketed kernel
+    * (v = doc_id, measure = the long token count — integer prefix
+    * sums are associative, so chunk-offset assembly is bit-identical
+    * to the sequential window), distributing the sort across ~n/1024
+    * value-range shards per language.
     */
   def sequencePack(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.t(spark, sfDir, "documents")
+    val toks = Tables.t(spark, sfDir, "documents")
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
-      .withColumn("cum", sum(col("n_tokens")).over(w))
-      .withColumn("bin", floor((col("cum") - col("n_tokens")) / lit(PackBudget.toDouble)).cast("long"))
+      .select(col("lang"), col("doc_id").cast("long").as("v"), col("n_tokens"))
+    graft.ops.OrderStats.cumSums(toks, Seq("lang"), Nil, Seq("n_tokens"))
+      .withColumn("bin", floor((col("cum_n_tokens") - col("n_tokens")) / lit(PackBudget.toDouble)).cast("long"))
       .groupBy(col("lang"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
       .withColumn("fill_rate", round(col("bin_tokens").cast("double") / PackBudget, 4))
@@ -828,10 +837,16 @@ object TextAnalysis {
     * so no FP boundary can straddle.
     *
     * Scale shape: the corpus pass is one map-side-combined (lang,
-    * token) count; the rank/cumulative window then runs over the
-    * VOCABULARY (≪ corpus — it is the same vocab-sized window family
-    * as c8's top-terms), partitioned by language so strata rank in
-    * parallel. Nothing corpus-sized crosses a window.
+    * token) count; ranks and cumulative counts then assemble over the
+    * VOCABULARY (≪ corpus, but itself data-scaled — web-corpus vocabs
+    * run to billions of distinct tokens — under a CONSTANT language
+    * key, so round 13 promoted the per-lang rank/cumsum window to
+    * [[graft.ops.OrderStats.cumSums]]'s two-pass bucketed kernel:
+    * v = −count (ascending ≡ count DESC), token tiebreak, measures =
+    * (1L → rank, count → cumulative occurrences) — both integer
+    * prefix sums, bit-identical to the retired window). Nothing
+    * corpus-sized crosses a window, and no language's vocabulary
+    * funnels through one task.
     */
   def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame =
     vocabCoverageFrom(Tables.t(spark, sfDir, "documents"))
@@ -842,11 +857,12 @@ object TextAnalysis {
       .select(col("lang"), explode(split(col("text"), " ")).as("w"))
       .groupBy(col("lang"), col("w"))
       .agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy(col("lang")).orderBy(col("c").desc, col("w"))
-    val ranked = freq
-      .withColumn("r", row_number().over(w).cast("long"))
-      .withColumn("cum", sum(col("c")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ranked = graft.ops.OrderStats.cumSums(
+        freq.select(col("lang"), col("w"), col("c"),
+          (-col("c")).as("v"), lit(1L).as("one")),
+        Seq("lang"), Seq("w"), Seq("one", "c"))
+      .select(col("lang"), col("w"), col("c"),
+        col("cum_one").as("r"), col("cum_c").as("cum"))
     val tot = freq.groupBy(col("lang"))
       .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab_size"))
     ranked.join(tot, "lang")

@@ -130,25 +130,52 @@ object Windows {
   /** b62 — DISTRIBUTION window functions (percent_rank, cume_dist,
     * ntile — the relative-position family b24's rank left out): each
     * order's price position within its priority class. Portable
-    * because the window's (o_totalprice, o_orderkey) order is a
-    * TOTAL order — no peers, so percent_rank = (rn−1)/(n−1) and
-    * cume_dist = rn/n are exact integer ratios evaluated identically
-    * in double, and ntile's bucket-boundary rule sees the same row
-    * sequence in both engines; all three emit canon-rounded. The
-    * output filters to the price tail AFTER the windows (frames span
-    * FULL partitions; the filter only trims the emitted rows), the
-    * audit shape that keeps result size constant while the window
-    * work scales with the table.
+    * because the (o_totalprice, o_orderkey) order is a TOTAL order —
+    * no peers, so percent_rank = (rn−1)/(n−1) and cume_dist = rn/n
+    * are exact integer ratios evaluated identically in double, and
+    * ntile's ANSI bucket rule (first n%4 buckets carry the extra row)
+    * is a closed form of (rn, n); all three emit canon-rounded. The
+    * output filters to the price tail AFTER the ranks (the filter
+    * only trims emitted rows), the audit shape that keeps result size
+    * constant while the rank work scales with the table.
+    *
+    * Scale shape (round-13 OrderStats promotion): priority classes
+    * are a CONSTANT-cardinality key (5 values) over the corpus-scaled
+    * orders table, so the old per-priority distribution window was a
+    * 5-task full sort at 100 TB — the §5.3 rule 9 class. The rank now
+    * comes from [[graft.ops.OrderStats.cumLe]]'s two-pass bucketed
+    * kernel (bit-identical under the total order), the class size n
+    * rides a broadcast 5-row count table, and all three distribution
+    * functions are evaluated from (rn, n) with EXACTLY the IEEE
+    * operations Spark's window versions perform — (rn−1)/(n−1) with
+    * the n = 1 → 0.0 pin, rn/n, and the ntile boundary arithmetic —
+    * so the emission is value-identical while the sort distributes
+    * across ~n/1024 shards per class.
     */
   def windowDistribution(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables.t(spark, sfDir, "orders")
+    val o = Tables.t(spark, sfDir, "orders")
       .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
-      .withColumn("pct_rank", round(percent_rank().over(w), 6))
-      .withColumn("cume", round(cume_dist().over(w), 6))
-      .withColumn("quartile", ntile(4).over(w).cast("long"))
+    val ranked = graft.ops.OrderStats.cumLe(
+        o.withColumn("v", col("o_totalprice")).withColumn("cnt", lit(1L)),
+        Seq("o_orderpriority"), Seq("o_orderkey"))
+      .withColumnRenamed("cum_le", "rn")
+    val sizes = o.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    ranked.join(broadcast(sizes), "o_orderpriority")
+      .withColumn("pct_rank", round(when(col("n") > 1L,
+        (col("rn") - 1).cast("double") / (col("n") - 1).cast("double"))
+        .otherwise(0.0), 6))
+      .withColumn("cume", round(col("rn").cast("double") / col("n").cast("double"), 6))
+      // ANSI ntile from (rn, n): base = n div 4 rows per bucket, the
+      // first rem = n % 4 buckets take one extra; the CASE's else arm
+      // is unreachable when base = 0 (cutoff = n), so no div-by-zero.
+      .withColumn("quartile", expr(
+        """CASE WHEN rn <= (n % 4) * (n div 4 + 1)
+          |     THEN (rn - 1) div (n div 4 + 1) + 1
+          |     ELSE n % 4 + (rn - (n % 4) * (n div 4 + 1) - 1) div (n div 4) + 1
+          |END""".stripMargin).cast("long"))
       .where(col("o_totalprice") > 495000)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        col("pct_rank"), col("cume"), col("quartile"))
       .orderBy("o_orderpriority", "o_orderkey")
   }
 

@@ -435,6 +435,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(tws == Seq("1|1|A|10|30|2", "1|2|B|30|40|1"), tws)
   }
 
+  test("checkpoint recovery: c83 stop/restart resumes exactly — no loss, no double-emit (fMGWS + tws)") {
+    // Round-12 verdict item 5: the production property the twins had
+    // not proven. Drive the scd2 topology against a FILE checkpoint,
+    // stop the query mid-stream (batch 1 committed, batch 2 not yet
+    // ingested), restart from the checkpoint, and require the resumed
+    // run to emit EXACTLY the one-shot answer: the open run carried in
+    // state before the stop must close with its carried count (state
+    // restored, no loss) and batch-1 emissions must not re-emit
+    // through the file sink's manifest (no double-emit). A third
+    // restart with no new data must change nothing (idempotent
+    // recovery). Both state APIs run the same script — the RocksDB
+    // provider is the deployment-realistic store for both.
+    implicit val sqlCtx = spark.sqlContext
+    val paths: Seq[(String,
+        org.apache.spark.sql.Dataset[(Long, Long, String, Long)] =>
+          org.apache.spark.sql.DataFrame)] = Seq(
+      ("fmgws", graft.streaming.Streams.scd2Runs),
+      ("tws", graft.streaming.Streams.scd2RunsTws))
+    paths.foreach { case (tag, fn) =>
+      withRocksDb {
+        val base = java.nio.file.Files.createTempDirectory(s"graft_ckpt_$tag").toFile
+        graft.streaming.Streams.trackTmpDir(base.toString)
+        val ckpt = new java.io.File(base, "ckpt").toString
+        val outDir = new java.io.File(base, "out").toString
+        val input = MemoryStream[(Long, Long, String, Long)]
+        val runs = fn(input.toDS())
+        def start() = runs.writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        // Batch 1: user 1's run (A, 2 events) stays OPEN in state;
+        // user 2's (X) likewise. Nothing emits yet.
+        val q1 = start()
+        input.addData((1L, 1L, "A", 10L), (1L, 2L, "A", 20L), (2L, 10L, "X", 15L))
+        q1.processAllAvailable(); q1.stop()
+        // The kill window: data arrives while the query is DOWN.
+        input.addData((1L, 3L, "B", 30L), (1L, 4L, "C", 40L), (2L, 11L, "Y", 25L))
+        val q2 = start(); q2.processAllAvailable(); q2.stop()
+        val q3 = start(); q3.processAllAvailable(); q3.stop()
+        val got = spark.read.parquet(outDir).collect()
+          .map(_.mkString("|")).sorted.toSeq
+        // The one-shot oracle: closed runs only, each exactly once —
+        // v1 of user 1 carries BOTH batch-1 events (state survived the
+        // stop), closed by batch 2's B; C and Y stay open (unemitted).
+        assert(got == Seq("1|1|A|10|30|2", "1|2|B|30|40|1", "2|1|X|15|25|1"),
+          s"$tag: resumed emissions diverge from the one-shot oracle: $got")
+      }
+    }
+  }
+
   test("c129/c136/c149/c150: the transformWithState PRODUCTION topologies equal the oracle-verified legacy twins") {
     // Item: "same oracles green through the new API" — each Tws twin
     // is the identical file-source topology with only the state API
