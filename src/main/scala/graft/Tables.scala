@@ -35,6 +35,7 @@ object Tables {
     // operator passes through, so `adot` never depends on which
     // session happens to be thread-active at Column-construction time.
     graft.functions.ArrayDot.ensureRegistered(spark)
+    graft.functions.EditDistance.ensureRegistered(spark)
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

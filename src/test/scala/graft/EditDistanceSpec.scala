@@ -1,0 +1,119 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.EditKernel
+
+/** Exactness pins for the bit-parallel Levenshtein kernel (c117's
+  * round-13 engine). Three independent referees:
+  *
+  *  1. a classic cell-matrix DP implemented HERE (not Spark's) over
+  *     code points — an implementation the kernel shares no code
+  *     with;
+  *  2. Spark's builtin `levenshtein` through a real query (the
+  *     value-identity the c117 rewrite claims);
+  *  3. hand-pinned corners (empties, unicode incl. supplementary
+  *     plane, the 64/128-bit block boundaries the blocked algorithm
+  *     is most likely to get wrong).
+  */
+class EditDistanceSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  /** Independent referee: two-row DP over code points. */
+  private def refDp(a: String, b: String): Int = {
+    val pa = a.codePoints().toArray
+    val pb = b.codePoints().toArray
+    var prev = Array.tabulate(pb.length + 1)(identity)
+    var cur = new Array[Int](pb.length + 1)
+    for (i <- 1 to pa.length) {
+      cur(0) = i
+      for (j <- 1 to pb.length) {
+        val sub = prev(j - 1) + (if (pa(i - 1) == pb(j - 1)) 0 else 1)
+        cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), sub)
+      }
+      val t = prev; prev = cur; cur = t
+    }
+    prev(pb.length)
+  }
+
+  private def kernel(a: String, b: String): Int =
+    EditKernel.distance(UTF8String.fromString(a), UTF8String.fromString(b))
+
+  test("hand-pinned corners: empties, identity, unicode, supplementary plane") {
+    assert(kernel("", "") == 0)
+    assert(kernel("", "abc") == 3)
+    assert(kernel("abc", "") == 3)
+    assert(kernel("abc", "abc") == 0)
+    assert(kernel("kitten", "sitting") == 3)
+    assert(kernel("flaw", "lawn") == 2)
+    // é is one code point, 中文 two; the emoji is a SUPPLEMENTARY
+    // code point (two UTF-16 chars) and must count as ONE edit.
+    assert(kernel("café", "cafe") == 1)
+    assert(kernel("中文", "中") == 1)
+    assert(kernel("a😀b", "ab") == 1)
+    assert(kernel("a😀b", "a😁b") == 1)
+  }
+
+  test("block boundaries: every pattern length from 60 to 132 agrees with the reference DP") {
+    // The blocked algorithm's riskiest lengths: around 64 (1→2 words)
+    // and 128 (2→3 words), with the partial last block holding 1..64
+    // live bits. Deterministic pseudo-random strings, small alphabet
+    // so distances exercise match-heavy structure.
+    val rnd = new scala.util.Random(7)
+    for (m <- 60 to 132; if m % 2 == 0) {
+      val a = (1 to m).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+      val b = (1 to m + rnd.nextInt(9) - 4).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+      assert(kernel(a, b) == refDp(a, b), s"m=$m a=$a b=$b")
+      assert(kernel(b, a) == refDp(a, b), s"symmetric m=$m")
+    }
+  }
+
+  test("property: 400 random string pairs (lengths 0..200, mixed alphabets) match the reference DP") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val charGen = Gen.frequency(
+      6 -> Gen.alphaChar,
+      2 -> Gen.oneOf('a', 'b'), // forces high-match structure
+      1 -> Gen.oneOf('é', '中', 'ß', 'б'),
+      1 -> Gen.const('\uD83D')) // paired below into a valid surrogate
+    def mk(seed: Long, maxLen: Int): String = {
+      val lenGen = Gen.choose(0, maxLen)
+      val len = lenGen(Gen.Parameters.default, Seed(seed)).get
+      val raw = Gen.listOfN(len, charGen)(Gen.Parameters.default, Seed(seed * 31 + 1))
+        .get.mkString
+      // repair lone high surrogates into a valid emoji so the string
+      // is well-formed UTF-8 (UTF8String round-trips it)
+      raw.replace("\uD83D", "😀")
+    }
+    (1 to 200).foreach { s =>
+      val a = mk(s.toLong, 200)
+      val b = mk(s.toLong + 10000, 200)
+      assert(kernel(a, b) == refDp(a, b),
+        s"seed=$s len_a=${a.length} len_b=${b.length}")
+      assert(kernel(a, a) == 0)
+    }
+  }
+
+  test("value identity with Spark's builtin levenshtein through a real query") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 300).map { i =>
+      val toks = (1 to rnd.nextInt(60)).map(_ =>
+        (1 to 1 + rnd.nextInt(6)).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+      val a = toks.mkString(" ")
+      val b = toks.zipWithIndex.filter(_._2 % (2 + i % 7) != 0).map(_._1).mkString(" ")
+      (a, b)
+    }
+    val df = rows.toDF("a", "b").select(
+      levenshtein(col("a"), col("b")).as("builtin"),
+      graft.functions.EditDistance.edist(col("a"), col("b")).as("kernel"))
+    val diff = df.where(col("builtin") =!= col("kernel")).count()
+    assert(diff == 0L, s"$diff rows diverge from the builtin")
+    // and nulls propagate like the builtin's
+    val n = Seq((null.asInstanceOf[String], "x")).toDF("a", "b")
+      .select(graft.functions.EditDistance.edist(col("a"), col("b")).as("d"))
+      .head()
+    assert(n.isNullAt(0), "null input must yield null")
+  }
+}

@@ -552,22 +552,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("c117: the threshold ladder is two kernels — one bounded, one conditional full") {
+  test("c117: exactly one bit-parallel kernel; edit_sim derives from the stored edit_dist") {
     // Round 11's empty-empty guard moved edit_sim's levenshtein inside
     // a `when` branch; a CONDITIONAL subexpression defeats codegen
     // subexpression elimination, so the O(len²) kernel ran twice per
-    // pair (+64% measured). Round 13 adds the bounded-cost ladder:
-    // the plan must hold EXACTLY two levenshtein evaluations — the
-    // unconditional bounded level (threshold argument visible in the
-    // plan) in its own projection, and the full kernel exactly once,
-    // inside the else-branch that only distant pairs reach. edit_sim
-    // still derives from the STORED edit_dist (a third kernel would
-    // be the r11 regression back).
+    // pair (+64% measured). Round 13 replaced the builtin with the
+    // bit-parallel EditKernel expression: the plan must hold EXACTLY
+    // one edit_distance evaluation (in its own projection, edit_sim
+    // deriving from the stored column) and ZERO builtin levenshtein
+    // calls — a second kernel is the r11 regression back, and a
+    // builtin call is the 0.7 ms/pair cell-matrix walk the 100×
+    // rehearsal measured as ~6 CPU-hours over its 29.7M pairs.
     val p = plan(ops.Llm.editDistancePairs(spark, sf))
-    val n = "levenshtein".r.findAllIn(p).length
-    assert(n == 2, s"expected bounded + conditional-full levenshtein, got $n:\n$p")
-    assert(p.contains(s"${ops.Llm.EditBandWidth})"),
-      s"level-1 kernel lost its threshold argument:\n$p")
+    val kernels = "edit_distance".r.findAllIn(p).length
+    assert(kernels == 1, s"expected exactly one edit_distance kernel, got $kernels:\n$p")
+    assert(!p.contains("levenshtein"),
+      s"builtin levenshtein back in the c117 plan:\n$p")
   }
 
   test("b74: Q19's disjunction is one residual on one partkey join, one lineitem scan") {
