@@ -708,15 +708,30 @@ object Streams {
     * topology runs unbounded with the RocksDB provider and
     * date-ordered input.
     */
-  def streamScd2(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamScd2(spark: SparkSession, sfDir: String): DataFrame =
+    scd2Topology(spark, sfDir, scd2Runs, "c83")
+
+  /** [[streamScd2]] through `transformWithState` (same topology, new
+    * state API — round 13 completes the production-twin symmetry the
+    * other four tws kernels already had; StreamingSpec's checkpoint
+    * recovery test drives the same kernel through stop/restart).
+    */
+  private[graft] def streamScd2Tws(spark: SparkSession, sfDir: String): DataFrame =
+    scd2Topology(spark, sfDir, scd2RunsTws, "c83tws", rocksDb = true)
+
+  private def scd2Topology(spark: SparkSession, sfDir: String,
+      kernel: Dataset[(Long, Long, String, Long)] => DataFrame,
+      tag: String, rocksDb: Boolean = false): DataFrame = {
     val s = stateSession(spark, statePartitions = 8)
+    if (rocksDb)
+      s.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
     import s.implicits._
     val ev = streamTable(s, sfDir, "events")
     val typed = ev
       .select(col("user_id"), col("event_id"), col("event_type"),
         graft.Tables.tsUs(ev).as("ts_us"))
       .as[(Long, Long, String, Long)]
-    runToParquet(scd2Runs(typed), "append", "c83")
+    runToParquet(kernel(typed), "append", tag)
       .orderBy("user_id", "version")
   }
 
