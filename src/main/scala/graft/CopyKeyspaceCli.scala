@@ -1,0 +1,50 @@
+package graft
+
+/** The composed keyspace copy as a runnable CLI — the reference
+  * tool's invocation shape ("migrate this keyspace from that cluster"
+  * is one command, not a library call). Wraps
+  * [[graft.ops.Migration.copyKeyspace]] over the parquet connectors;
+  * a live deployment swaps the source/sink constructions for the
+  * Cassandra connector pair (README "Production Cassandra migration
+  * knobs") and nothing else changes.
+  *
+  * Usage:
+  *   sbt "runMain graft.CopyKeyspaceCli <srcDir> <dstDir> <manifestDir> [nRanges]"
+  *
+  * Re-running with the same manifestDir RESUMES: completed
+  * (table, range) units are skipped. Exit 0 iff every table passes
+  * the post-copy count + content-checksum verification.
+  */
+object CopyKeyspaceCli {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: CopyKeyspaceCli <srcDir> <dstDir> <manifestDir> [nRanges]")
+    val Array(srcDir, dstDir, manifestDir) = args.take(3)
+    val nRanges = if (args.length > 3) args(3).toInt else 16
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .appName("graft-copy-keyspace").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.sources._
+    val report = ops.Migration.copyKeyspace(
+      spark,
+      new ParquetSource(srcDir),
+      new ParquetSink(dstDir),
+      new ParquetSource(dstDir),
+      WriteConf(),
+      manifestDir,
+      nRanges)
+    val copied = report.ranges.count(!_.skipped)
+    val skipped = report.ranges.count(_.skipped)
+    System.err.println(
+      s"[copy] ranges: $copied copied, $skipped resumed-as-complete")
+    report.verify.foreach { v =>
+      System.err.println(s"[verify] ${v.table}: rows ${v.srcRows}=${v.dstRows} " +
+        s"checksum ${if (v.srcChecksum == v.dstChecksum) "MATCH" else "MISMATCH"} " +
+        s"-> ${if (v.ok) "OK" else "FAILED"}")
+    }
+    println(s"""{"tables":${report.verify.size},"ranges_copied":$copied,""" +
+      s""""ranges_skipped":$skipped,"ok":${report.ok}}""")
+    spark.stop()
+    if (!report.ok) sys.exit(1)
+  }
+}
