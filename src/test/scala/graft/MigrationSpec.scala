@@ -377,6 +377,68 @@ class MigrationSpec extends AnyFunSuite {
     }
   }
 
+  test("composed copyKeyspace: a torn range write (partial files on disk) is re-copied, never trusted") {
+    // Nastier than the kill-between-writes case: the sink dies
+    // MID-write, leaving a partial range directory on disk. The
+    // manifest must not hold the unit (completion is recorded only
+    // after the read-back audit), so the resume must OVERWRITE the
+    // torn unit — range-scoped output is exactly what makes that
+    // safe — and finish with full parity.
+    import graft.sources._
+    import graft.ops.KeyspaceCopy
+    val dstDir = "/tmp/graft_copy_torn_dst"
+    val manDir = "/tmp/graft_copy_torn_manifest"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rm)
+      p.delete(); ()
+    }
+    Seq(dstDir, manDir).foreach(d => rm(new java.io.File(d)))
+    val nRanges = 2
+    val src = new ParquetSource(TestSpark.sf0001)
+    val dstRead = new ParquetSource(dstDir)
+    final class TearsThird(underlying: TableSink) extends TableSink {
+      var calls = 0
+      var torn: Option[String] = None
+      def write(df: org.apache.spark.sql.DataFrame, t: String,
+          o: Map[String, String]): Unit = {
+        calls += 1
+        if (calls >= 3) { // permanent from the 3rd unit on: retries can't heal it
+          if (torn.isEmpty) { underlying.write(df.limit(1), t, o); torn = Some(t) }
+          throw new RuntimeException(s"sink died mid-write of $t")
+        }
+        underlying.write(df, t, o)
+      }
+    }
+    val tearing = new TearsThird(new ParquetSink(dstDir))
+    intercept[RuntimeException] {
+      graft.ops.Migration.copyKeyspace(spark, src, tearing, dstRead,
+        WriteConf(maxRetries = 1), manDir, nRanges)
+    }
+    val tornUnit = tearing.torn.get
+    // Partial output IS on disk...
+    assert(new java.io.File(s"$dstDir/$tornUnit.parquet").exists(),
+      "the torn write must have left partial files")
+    // ...but the manifest does not trust it.
+    val done = KeyspaceCopy.readManifest(manDir)
+    val tornKey = {
+      val Array(table, r) = tornUnit.split("/range_")
+      (table, r.toInt)
+    }
+    assert(!done.contains(tornKey), s"torn unit $tornKey must not be in the manifest")
+    // Resume with a healthy sink: the torn unit is re-copied
+    // (overwritten) and everything verifies.
+    final class Recording(underlying: TableSink) extends TableSink {
+      val written = scala.collection.mutable.ArrayBuffer.empty[String]
+      def write(df: org.apache.spark.sql.DataFrame, t: String,
+          o: Map[String, String]): Unit = { written += t; underlying.write(df, t, o) }
+    }
+    val rec = new Recording(new ParquetSink(dstDir))
+    val report = graft.ops.Migration.copyKeyspace(spark, src, rec, dstRead,
+      WriteConf(), manDir, nRanges)
+    assert(rec.written.contains(tornUnit), "resume must re-copy the torn unit")
+    assert(report.ok, s"parity after torn-write resume: ${report.verify}")
+  }
+
   test("A15: resume manifest partitions the key space into 16 trusted ranges") {
     val sf = TestSpark.sf0001
     val total = Tables.t(spark, sf, "orders").count()
