@@ -401,12 +401,19 @@ object Llm {
       // ladder, and keeps the plan at exactly one kernel evaluation
       // (edit_dist in its own projection; edit_sim derives from the
       // stored column — PlanSpec-pinned).
+      // SORT BELOW THE KERNEL: a global orderBy's range-partitioner
+      // SAMPLES its child with a separate job, i.e. everything below
+      // the sort executes twice. With the sort on the (doc_a, doc_b,
+      // ta, tb) spine and the kernel in projections ABOVE it (no
+      // optimizer rule moves a Project through a Sort), the sample
+      // pass re-runs only the joins while the kernel evaluates ONCE —
+      // projections preserve the sort's ordering and partitioning.
+      .orderBy("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"), col("ta"), col("tb"),
         graft.functions.EditDistance.edist(col("ta"), col("tb"))
           .cast("long").as("edit_dist"))
       .select(col("doc_a"), col("doc_b"), col("edit_dist"),
         editSimFromDist(col("edit_dist"), col("ta"), col("tb")).as("edit_sim"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** c43 — token-set CONTAINMENT over the LSH candidate pairs:
