@@ -193,6 +193,24 @@ object KeyspaceCopy {
       nRanges: Int = 16): Report = {
     require(nRanges >= 1 && nRanges <= 4096, s"nRanges out of range: $nRanges")
     new File(manifestDir).mkdirs()
+    // Pin the range-function arity to the manifest: a (table, range)
+    // cursor is only meaningful under the nRanges it was written at —
+    // resuming 16-range state at nRanges=4 would skip range 3 while
+    // range 3's CONTENT is a different row set (pmod 4 vs 16), i.e.
+    // silent data loss. Written once, required equal ever after.
+    val confFile = new File(manifestDir, "copy.conf")
+    if (!confFile.exists()) {
+      val w = new FileWriter(confFile)
+      try w.write(s"nRanges=$nRanges\n") finally w.close()
+    } else {
+      val pinned = scala.io.Source.fromFile(confFile, "UTF-8").getLines()
+        .collectFirst { case l if l.startsWith("nRanges=") =>
+          l.stripPrefix("nRanges=").trim.toInt }
+      require(pinned.contains(nRanges),
+        s"manifest at $manifestDir was written with nRanges=${pinned.orNull}; " +
+          s"resuming with nRanges=$nRanges would mis-map completed ranges — " +
+          "use the original value or a fresh manifest dir")
+    }
     val tables = src.tableNames(spark)
     val sink = new ConfiguredSink(dst, conf)
 

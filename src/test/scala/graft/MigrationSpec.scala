@@ -375,6 +375,14 @@ class MigrationSpec extends AnyFunSuite {
       assert(sumOfRanges == BigInt(v.dstChecksum),
         s"${v.table}: range checksums don't sum to the table checksum")
     }
+    // A manifest's (table, range) cursor is only meaningful under the
+    // nRanges it was written at — resuming with a different arity
+    // would silently skip ranges whose CONTENT differs. Must refuse.
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.Migration.copyKeyspace(spark, src,
+        new ParquetSink(dstDir), dstRead, WriteConf(), manDir, nRanges * 2)
+    }
+    assert(e2.getMessage.contains("nRanges"), e2.getMessage)
   }
 
   test("composed copyKeyspace: a torn range write (partial files on disk) is re-copied, never trusted") {
