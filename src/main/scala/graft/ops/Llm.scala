@@ -416,6 +416,95 @@ object Llm {
         editSimFromDist(col("edit_dist"), col("ta"), col("tb")).as("edit_sim"))
   }
 
+  /** c158 — EXACT micro-edit similarity JOIN (edit distance ≤
+    * [[EditJoinD]]), zero recall loss: the entity-resolution /
+    * OCR-grade near-identity join the LSH family cannot express
+    * (MinHash sees token SETS — a one-character typo is invisible to
+    * it as signal and a reordering is invisible as noise; this key's
+    * predicate is the true character-level distance). The dirty side
+    * is a deterministic single-character DELETION planted on half the
+    * corpus (md5-dealt position — the A13 drift discipline), so the
+    * join provably must recover every planted (doc, typo) pair plus
+    * any genuine near-identical pairs (the fixture's exact dups).
+    *
+    * Candidate generation is the PassJoin pigeonhole (Li, Deng, Feng
+    * VLDB 2011 — public): partition each clean string into
+    * [[EditJoinK]] = D+1 contiguous segments; any string within edit
+    * distance D contains at least one segment EXACTLY (D edits touch
+    * ≤ D segments), at a start position shifted by at most ±D, with
+    * |len difference| ≤ D. So the dirty side enumerates, per
+    * candidate clean LENGTH L ∈ [n−D, n+D] and segment index, the ≤
+    * (2D+1) aligned substrings — a CONSTANT ≤ (2D+1)²·K probes per
+    * row — and candidates come from an equi-join on (substring,
+    * segment_idx, L). Nothing is all-pairs: bucket occupancy scales
+    * with near-identical density, not n². Survivors verify on the
+    * bit-parallel [[graft.functions.EditKernel]] (exactly one kernel
+    * in the plan, the c117 discipline). The ORACLE is the full
+    * quadratic brute force (the c96 standard): a lost or invented
+    * pair fails the hash, so zero loss is verified, not asserted.
+    * Strings shorter than K chars can't be segmented and are excluded
+    * by BOTH engines' `length ≥ 3` guard (fixture min is 44).
+    */
+  private[graft] val EditJoinD = 2
+  private[graft] val EditJoinK = EditJoinD + 1
+
+  def editJoinExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val D = EditJoinD
+    val K = EditJoinK
+    val docs = Tables.t(spark, sfDir, "documents")
+      .where(length(col("text")) >= K)
+    // Deterministic dirty side: md5-dealt half, one deletion at an
+    // md5-derived position (identical text in both engines).
+    val dirty = docs
+      .where(substring(md5(concat(lit("typo:"), col("doc_id").cast("string"))), 1, 1) < "8")
+      .select(col("doc_id").as("dirty_id"),
+        expr("CAST(conv(substring(md5(concat('pos:', CAST(doc_id AS STRING))), 1, 4), 16, 10) AS INT) % length(text)").as("pos"),
+        col("text"))
+      .select(col("dirty_id"),
+        expr("concat(substring(text, 1, pos), substring(text, pos + 2))").as("t"))
+    // Clean segments: K rows per doc keyed by (segment text, index,
+    // clean length). PassJoin's even partition: the first (L mod K)
+    // segments carry one extra char.
+    def segLen(l: String, i: Int) =
+      s"(($l div $K) + (CASE WHEN $i < ($l % $K) THEN 1 ELSE 0 END))"
+    def segStart(l: String, i: Int) =
+      s"(CASE WHEN $i < ($l % $K) THEN $i * (($l div $K) + 1) " +
+        s"ELSE ($l % $K) * (($l div $K) + 1) + ($i - ($l % $K)) * ($l div $K) END)"
+    val cleanSegs = (0 until K).map { i =>
+      docs.select(col("doc_id"), col("text"),
+        expr(s"substring(text, ${segStart("length(text)", i)} + 1, ${segLen("length(text)", i)})").as("seg"),
+        lit(i).as("seg_idx"), length(col("text")).as("clean_len"))
+    }.reduce(_ unionByName _)
+    // Dirty probes: for each candidate clean length (n−D..n+D),
+    // segment index, and shift (−D..+D), the aligned substring of t —
+    // a constant ≤ K·(2D+1)² structs per row, exploded then deduped.
+    val combos = for { dl <- -D to D; i <- 0 until K; sh <- -D to D } yield (dl, i, sh)
+    val probeArr = combos.map { case (dl, i, sh) =>
+      val l = s"(length(t) + $dl)"
+      val p = s"(${segStart(l, i)} + $sh)"
+      val len = segLen(l, i)
+      s"""CASE WHEN $l >= $K AND $p >= 0 AND $len >= 1 AND $p + $len <= length(t)
+         |THEN named_struct('seg', substring(t, $p + 1, $len),
+         |  'seg_idx', $i, 'clean_len', $l) END""".stripMargin
+    }.mkString("array(", ",\n", ")")
+    val probes = dirty
+      .select(col("dirty_id"), col("t"), explode(expr(probeArr)).as("pr"))
+      .where(col("pr").isNotNull)
+      .select(col("dirty_id"), col("t"), col("pr.seg").as("seg"),
+        col("pr.seg_idx").as("seg_idx"), col("pr.clean_len").as("clean_len"))
+      .distinct()
+    val candidates = cleanSegs
+      .join(probes, Seq("seg", "seg_idx", "clean_len"))
+      .select(col("doc_id"), col("text"), col("dirty_id"), col("t"))
+      .distinct()
+    candidates
+      .select(col("doc_id"), col("dirty_id"),
+        graft.functions.EditDistance.edist(col("text"), col("t"))
+          .cast("long").as("edit_dist"))
+      .where(col("edit_dist") <= D)
+      .orderBy("doc_id", "dirty_id")
+  }
+
   /** c43 — token-set CONTAINMENT over the LSH candidate pairs:
     * containment(A→B) = |A∩B| / |A| is the ASYMMETRIC near-dup
     * measure — a short doc quoted whole inside a long one scores
@@ -860,6 +949,7 @@ object Llm {
     "c2_dedup_minhash_pairs" -> (dedupMinhashPairs(_, _)),
     "c3_jaccard_pairs" -> (jaccardPairs(_, _)),
     "c117_edit_distance_pairs" -> (editDistancePairs(_, _)),
+    "c158_edit_join_exact" -> (editJoinExact(_, _)),
     "c43_containment_pairs" -> (containmentPairs(_, _)),
     "c64_minhash_calibration" -> (minhashCalibration(_, _)),
     "c50_incremental_dedup" -> (incrementalDedup(_, _)),
@@ -945,6 +1035,28 @@ object Llm {
          |JOIN documents da ON da.doc_id = doc_a
          |JOIN documents db ON db.doc_id = doc_b
          |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
+
+    // The c158 oracle is the FULL QUADRATIC brute force (the c96
+    // standard): every (clean, dirty) pair scored — a candidate the
+    // PassJoin blocking loses, or one it invents, fails the hash.
+    "c158_edit_join_exact" ->
+      s"""WITH dirty AS (
+         |  SELECT doc_id AS dirty_id,
+         |    substr(text, 1, pos) || substr(text, pos + 2) AS t
+         |  FROM (
+         |    SELECT doc_id, text,
+         |      CAST(('0x' || substr(md5('pos:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+         |        % length(text) AS pos
+         |    FROM documents
+         |    WHERE substr(md5('typo:' || CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+         |      AND length(text) >= ${EditJoinK})
+         |)
+         |SELECT c.doc_id, d.dirty_id,
+         |  CAST(levenshtein(c.text, d.t) AS BIGINT) AS edit_dist
+         |FROM documents c, dirty d
+         |WHERE length(c.text) >= ${EditJoinK}
+         |  AND levenshtein(c.text, d.t) <= ${EditJoinD}
+         |ORDER BY doc_id ASC NULLS FIRST, dirty_id ASC NULLS FIRST""".stripMargin,
 
     "c3_jaccard_pairs" ->
       s"""$oraclePairsCte

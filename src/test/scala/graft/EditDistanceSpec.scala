@@ -94,6 +94,24 @@ class EditDistanceSpec extends AnyFunSuite {
     }
   }
 
+  test("c158: every planted typo pair is recovered at d=1 (the construction-level recall proof)") {
+    import org.apache.spark.sql.functions._
+    val out = graft.ops.Llm.editJoinExact(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val planted = Tables.t(spark, TestSpark.sf0001, "documents")
+      .where(substring(md5(concat(lit("typo:"), col("doc_id").cast("string"))), 1, 1) < "8")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(planted.nonEmpty)
+    planted.foreach { id =>
+      assert(out.contains((id, id, 1L)),
+        s"planted typo on doc $id not recovered — PassJoin blocking lost a pair")
+    }
+    // and the blocking is genuinely sub-quadratic on this corpus:
+    // result ∝ near-identical density, nowhere near n²/2
+    val n = Tables.t(spark, TestSpark.sf0001, "documents").count()
+    assert(out.size < n * 4, s"${out.size} pairs looks quadratic for $n docs")
+  }
+
   test("value identity with Spark's builtin levenshtein through a real query") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

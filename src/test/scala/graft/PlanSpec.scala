@@ -570,6 +570,19 @@ class PlanSpec extends AnyFunSuite {
       s"builtin levenshtein back in the c117 plan:\n$p")
   }
 
+  test("c158: PassJoin candidates come from a segment equi-join — no cartesian, one kernel") {
+    // The exact micro-edit join must never degenerate to all-pairs:
+    // candidates are an equi-join on (segment, idx, clean_len), and
+    // the verify stage holds exactly ONE bit-parallel kernel (the
+    // c117 discipline — the brute-force shape lives only in the
+    // DuckDB oracle).
+    val p = plan(ops.Llm.editJoinExact(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"theta-join crept into c158:\n$p")
+    val kernels = "edit_distance".r.findAllIn(p).length
+    assert(kernels == 1, s"expected one edit_distance kernel, got $kernels:\n$p")
+  }
+
   test("b74: Q19's disjunction is one residual on one partkey join, one lineitem scan") {
     val p = plan(ops.TpchSuite.q19DisjunctiveRevenue(spark, sf))
     assert(p.linesIterator.count(_.contains("lineitem.parquet")) == 1,
