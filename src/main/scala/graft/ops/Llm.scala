@@ -477,21 +477,35 @@ object Llm {
     }.reduce(_ unionByName _)
     // Dirty probes: for each candidate clean length (n−D..n+D),
     // segment index, and shift (−D..+D), the aligned substring of t —
-    // a constant ≤ K·(2D+1)² structs per row, exploded then deduped.
-    val combos = for { dl <- -D to D; i <- 0 until K; sh <- -D to D } yield (dl, i, sh)
-    val probeArr = combos.map { case (dl, i, sh) =>
-      val l = s"(length(t) + $dl)"
-      val p = s"(${segStart(l, i)} + $sh)"
-      val len = segLen(l, i)
-      s"""CASE WHEN $l >= $K AND $p >= 0 AND $len >= 1 AND $p + $len <= length(t)
-         |THEN named_struct('seg', substring(t, $p + 1, $len),
-         |  'seg_idx', $i, 'clean_len', $l) END""".stripMargin
-    }.mkString("array(", ",\n", ")")
-    val probes = dirty
-      .select(col("dirty_id"), col("t"), explode(expr(probeArr)).as("pr"))
+    // a constant ≤ K·(2D+1)² structs per row. TWO-LEVEL explode by
+    // design: the first level fans out the 2D+1 candidate lengths and
+    // STORES the segmentation arithmetic (base, k) as columns; the
+    // second builds the K·(2D+1) probe structs as small expressions
+    // over those stored columns. The flat 75-branch form inlined the
+    // div/mod trees into every CASE — a single monster projection
+    // past codegen's method limits, measured at 14.7 s for 141k probe
+    // rows at sf0.1; this shape is whole-stage-codegen-sized and runs
+    // in milliseconds.
+    val lenArr = (-D to D).map(dl => s"length(t) + ($dl)").mkString("array(", ",", ")")
+    val lens = dirty
+      .select(col("dirty_id"), col("t"), explode(expr(lenArr)).as("clean_len"))
+      .where(col("clean_len") >= K)
+      .withColumn("base", expr(s"clean_len div $K"))
+      .withColumn("k", expr(s"clean_len % $K"))
+    val probeArr = (for { i <- 0 until K; sh <- -D to D } yield {
+      val len = s"(base + (CASE WHEN $i < k THEN 1 ELSE 0 END))"
+      val start = s"(CASE WHEN $i < k THEN $i * (base + 1) " +
+        s"ELSE k * (base + 1) + ($i - k) * base END)"
+      val p = s"($start + ($sh))"
+      s"""CASE WHEN $p >= 0 AND $len >= 1 AND $p + $len <= length(t)
+         |THEN named_struct('seg', substring(t, $p + 1, $len), 'seg_idx', $i) END""".stripMargin
+    }).mkString("array(", ",\n", ")")
+    val probes = lens
+      .select(col("dirty_id"), col("t"), col("clean_len"),
+        explode(expr(probeArr)).as("pr"))
       .where(col("pr").isNotNull)
       .select(col("dirty_id"), col("t"), col("pr.seg").as("seg"),
-        col("pr.seg_idx").as("seg_idx"), col("pr.clean_len").as("clean_len"))
+        col("pr.seg_idx").as("seg_idx"), col("clean_len"))
       .distinct()
     val candidates = cleanSegs
       .join(probes, Seq("seg", "seg_idx", "clean_len"))
