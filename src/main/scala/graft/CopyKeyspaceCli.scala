@@ -9,18 +9,22 @@ package graft
   * knobs") and nothing else changes.
   *
   * Usage:
-  *   sbt "runMain graft.CopyKeyspaceCli <srcDir> <dstDir> <manifestDir> [nRanges]"
+  *   sbt "runMain graft.CopyKeyspaceCli <srcDir> <dstDir> <manifestDir> [nRanges] [rangeParallelism]"
   *
   * Re-running with the same manifestDir RESUMES: completed
   * (table, range) units are skipped. Exit 0 iff every table passes
   * the post-copy count + content-checksum verification.
+  * `rangeParallelism` (default 4) is the number of range units in
+  * flight at once — the live-migrator posture that hides per-job
+  * scheduling latency; 1 reproduces the strictly sequential walk.
   */
 object CopyKeyspaceCli {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: CopyKeyspaceCli <srcDir> <dstDir> <manifestDir> [nRanges]")
+      "usage: CopyKeyspaceCli <srcDir> <dstDir> <manifestDir> [nRanges] [rangeParallelism]")
     val Array(srcDir, dstDir, manifestDir) = args.take(3)
     val nRanges = if (args.length > 3) args(3).toInt else 16
+    val rangeParallelism = if (args.length > 4) args(4).toInt else 4
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .appName("graft-copy-keyspace").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -32,7 +36,8 @@ object CopyKeyspaceCli {
       new ParquetSource(dstDir),
       WriteConf(),
       manifestDir,
-      nRanges)
+      nRanges,
+      rangeParallelism)
     val copied = report.ranges.count(!_.skipped)
     val skipped = report.ranges.count(_.skipped)
     System.err.println(

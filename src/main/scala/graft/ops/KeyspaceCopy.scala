@@ -30,9 +30,13 @@ import graft.sources.{ConfiguredSink, TableSink, TableSource, WriteConf}
   *   4. AUDIT per range: the landed rows are read BACK through the
   *      destination's read channel and (count, checksum) appended to
   *      `manifestDir/manifest.tsv` — the durable resume cursor. A
-  *      killed JVM can tear at most the last line; a torn line fails
-  *      the 4-field parse and reads as "incomplete", so the range
-  *      re-copies (idempotent, see 3) rather than being trusted.
+  *      killed JVM can tear at most the last line; only
+  *      NEWLINE-TERMINATED lines are trusted (a tear inside the
+  *      checksum field still splits into 4 plausible fields, so the
+  *      terminator — the writer's last byte — is the only reliable
+  *      completion marker), and an untrusted line reads as
+  *      "incomplete", so the range re-copies (idempotent, see 3)
+  *      rather than being trusted.
   *   5. VERIFY (a7 + a18): after all ranges complete, every table gets
   *      an INDEPENDENT full re-read on both sides — count parity plus
   *      the order-insensitive content checksum (sum of per-row 32-bit
@@ -141,34 +145,65 @@ object KeyspaceCopy {
 
   private def manifestFile(dir: String) = new File(dir, "manifest.tsv")
 
-  /** Completed units from the manifest: lines that parse as exactly
-    * (table, range, rows, checksum). A torn trailing line (killed JVM
-    * mid-append) fails the parse and is treated as incomplete — the
-    * safe direction, because re-copying a range is idempotent.
+  /** Completed units from the manifest: NEWLINE-TERMINATED lines that
+    * parse as exactly (table, range, rows, checksum). The terminator
+    * check matters: a killed JVM can tear the final append anywhere —
+    * including INSIDE the checksum field, where the surviving prefix
+    * still splits into 4 plausible fields — so field count alone
+    * cannot prove the append completed; only the trailing '\n' (the
+    * last byte the writer emits) can. An untrusted line is treated as
+    * incomplete — the safe direction, because re-copying a range is
+    * idempotent. Numeric fields are bounded ASCII digit runs
+    * (`isDigit` accepts Unicode digits `toInt` rejects, and an
+    * overlong run overflows Long) and the parses ride in Try, so a
+    * corrupted line SKIPS instead of aborting the resume.
     */
   private[graft] def readManifest(dir: String): Map[(String, Int), (Long, String)] = {
     val f = manifestFile(dir)
     if (!f.exists()) Map.empty
     else {
-      val src = scala.io.Source.fromFile(f, "UTF-8")
-      try src.getLines().flatMap { line =>
+      val raw = new String(
+        java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val complete = raw.substring(0, raw.lastIndexOf('\n') + 1)
+      def asciiDigits(s: String, maxLen: Int): Boolean =
+        s.nonEmpty && s.length <= maxLen && s.forall(c => c >= '0' && c <= '9')
+      complete.split("\n").iterator.flatMap { line =>
         line.split("\t", -1) match {
-          case Array(t, r, n, cs) if r.forall(_.isDigit) && n.forall(_.isDigit)
-              && r.nonEmpty && n.nonEmpty && cs.nonEmpty =>
-            Some((t, r.toInt) -> (n.toLong, cs))
+          // range ≤ 4 digits (nRanges ≤ 4096); rows ≤ 18 digits
+          // (< Long.MaxValue's 19) so toLong cannot overflow.
+          case Array(t, r, n, cs)
+              if asciiDigits(r, 4) && asciiDigits(n, 18) && cs.nonEmpty =>
+            scala.util.Try((t, r.toInt) -> (n.toLong, cs)).toOption
           case _ => None
         }
       }.toMap
-      finally src.close()
     }
   }
 
   /** Durable append of one completed unit: open → write → flush →
-    * close per line, so the cursor survives the very next kill.
+    * close per line, so the cursor survives the very next kill. If a
+    * previous kill left a torn (newline-less) fragment at the tail,
+    * the fragment is TRUNCATED first — appending straight after it
+    * would concatenate this line into garbage, and merely terminating
+    * it with '\n' would LEGITIMIZE a tear that happens to split into
+    * 4 plausible fields (a truncated checksum would then read as
+    * trusted — the exact failure readManifest's newline rule exists
+    * to prevent). The fragment's unit was never recorded complete, so
+    * dropping the bytes loses nothing: the unit re-copies.
     */
-  private def appendManifest(
+  private[graft] def appendManifest(
       dir: String, table: String, range: Int, rows: Long, checksum: String): Unit = {
-    val w = new FileWriter(manifestFile(dir), true)
+    val f = manifestFile(dir)
+    if (f.exists() && f.length() > 0) {
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      if (bytes.last != '\n') {
+        val keep = bytes.lastIndexOf('\n'.toByte) + 1
+        val raf = new java.io.RandomAccessFile(f, "rw")
+        try raf.setLength(keep.toLong) finally raf.close()
+      }
+    }
+    val w = new FileWriter(f, true)
     try { w.write(s"$table\t$range\t$rows\t$checksum\n"); w.flush() }
     finally w.close()
   }
@@ -190,8 +225,11 @@ object KeyspaceCopy {
       dstRead: TableSource,
       conf: WriteConf,
       manifestDir: String,
-      nRanges: Int = 16): Report = {
+      nRanges: Int = 16,
+      rangeParallelism: Int = 1): Report = {
     require(nRanges >= 1 && nRanges <= 4096, s"nRanges out of range: $nRanges")
+    require(rangeParallelism >= 1 && rangeParallelism <= 64,
+      s"rangeParallelism out of range: $rangeParallelism")
     new File(manifestDir).mkdirs()
     // Pin the range-function arity to the manifest: a (table, range)
     // cursor is only meaningful under the nRanges it was written at —
@@ -218,10 +256,26 @@ object KeyspaceCopy {
     // run must not clobber the statement the target was created from).
     val ddl = tables.map(t =>
       t -> Migration.createTableDdl(t, src.read(spark, t).schema)).toMap
+    val ddlText = tables.map(ddl).mkString("", ";\n\n", ";\n")
     val ddlFile = new File(manifestDir, "keyspace.ddl")
     if (!ddlFile.exists()) {
       val w = new FileWriter(ddlFile)
-      try w.write(tables.map(ddl).mkString("", ";\n\n", ";\n")) finally w.close()
+      try w.write(ddlText) finally w.close()
+    } else {
+      // Schema drift guard (same refuse-to-resume discipline as the
+      // nRanges pin): keyspace.ddl is write-once, so if the SOURCE
+      // schema changed between the killed run and this resume, the
+      // regenerated DDL would silently disagree with the bootstrap
+      // artifact the target was created from — and ranges copied
+      // under the old schema would not union with ranges copied under
+      // the new one. Fail loudly instead.
+      val pinned = new String(
+        java.nio.file.Files.readAllBytes(ddlFile.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      require(pinned == ddlText,
+        s"source schema drifted since the manifest at $manifestDir was " +
+          "started: regenerated DDL does not match keyspace.ddl — finish " +
+          "under the original schema or start a fresh manifest dir")
     }
 
     // 3+4 — per-range copy with read-back audit and durable cursor.
@@ -250,25 +304,61 @@ object KeyspaceCopy {
           // so empty ranges complete without a write job.
           val counts = cached.groupBy(col("__graft_range")).count()
             .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-          pending.foreach { r =>
-            val expected = counts.getOrElse(r, 0L)
-            if (expected == 0L) {
-              appendManifest(manifestDir, table, r, 0L, "0")
-              results += RangeResult(table, r, 0L, "0", skipped = false)
-            } else {
-              val part = cached.where(col("__graft_range") === r)
-                .drop("__graft_range")
-              sink.write(part, rangeTable(table, r))
-              // Read-back audit: count+checksum of what LANDED, via the
-              // destination's own read path.
-              val (n, cs) = countAndChecksum(dstRead.read(spark, rangeTable(table, r)))
-              require(n == expected,
-                s"$table range $r landed $n rows, source holds $expected — " +
-                  "refusing to mark complete")
-              appendManifest(manifestDir, table, r, n, cs)
-              results += RangeResult(table, r, n, cs, skipped = false)
-            }
+          val (emptyRs, liveRs) = pending.partition(r => counts.getOrElse(r, 0L) == 0L)
+          emptyRs.foreach { r =>
+            appendManifest(manifestDir, table, r, 0L, "0")
+            results += RangeResult(table, r, 0L, "0", skipped = false)
           }
+          // `rangeParallelism` units in flight: a live migrator
+          // overlaps range copies to hide per-job scheduling latency
+          // and the sink's write/ack round-trips (Spark's scheduler
+          // accepts jobs from many threads). The manifest append is
+          // the only shared mutable state — serialized under `lock`
+          // so two units can never interleave a line. Every in-flight
+          // unit SETTLES (success or failure) before the first error
+          // propagates, so the manifest records each unit that truly
+          // completed and `cached` is never unpersisted under a
+          // running job.
+          val lock = new Object
+          val doneUnits = new java.util.concurrent.ConcurrentLinkedQueue[RangeResult]()
+          if (liveRs.nonEmpty) {
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(
+              math.min(rangeParallelism, liveRs.size))
+            try {
+              val outcomes = liveRs.map { r =>
+                pool.submit(new java.util.concurrent.Callable[Unit] {
+                  def call(): Unit = {
+                    val expected = counts(r)
+                    val part = cached.where(col("__graft_range") === r)
+                      .drop("__graft_range")
+                    sink.write(part, rangeTable(table, r))
+                    // Read-back audit: count+checksum of what LANDED,
+                    // via the destination's own read path.
+                    val (n, cs) =
+                      countAndChecksum(dstRead.read(spark, rangeTable(table, r)))
+                    require(n == expected,
+                      s"$table range $r landed $n rows, source holds $expected — " +
+                        "refusing to mark complete")
+                    lock.synchronized {
+                      appendManifest(manifestDir, table, r, n, cs)
+                    }
+                    doneUnits.add(RangeResult(table, r, n, cs, skipped = false))
+                    ()
+                  }
+                })
+              }
+              val errs = outcomes.flatMap(f => scala.util.Try(f.get()).failed.toOption)
+              errs.headOption.foreach {
+                case e: java.util.concurrent.ExecutionException => throw e.getCause
+                case e => throw e
+              }
+            } finally { pool.shutdown(); () }
+          }
+          // Completion order is nondeterministic under concurrency;
+          // the Report is range-ordered regardless.
+          val completed = scala.collection.mutable.ArrayBuffer.empty[RangeResult]
+          doneUnits.forEach(u => completed += u)
+          results ++= completed.sortBy(_.range)
         } finally { cached.unpersist(); () }
       }
     }

@@ -447,6 +447,118 @@ class MigrationSpec extends AnyFunSuite {
     assert(report.ok, s"parity after torn-write resume: ${report.verify}")
   }
 
+  test("composed copyKeyspace: rangeParallelism=4 lands identical state, manifest intact") {
+    // Concurrent range units (the live-migrator posture): four units
+    // in flight at once must land the same per-range content, append
+    // a clean manifest (no interleaved lines), and keep the a18
+    // range-checksums-sum-to-table-checksum algebra.
+    import graft.sources._
+    import graft.ops.KeyspaceCopy
+    val dstDir = "/tmp/graft_copy_par_dst"
+    val manDir = "/tmp/graft_copy_par_manifest"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rm)
+      p.delete(); ()
+    }
+    Seq(dstDir, manDir).foreach(d => rm(new java.io.File(d)))
+    val nRanges = 8
+    val src = new ParquetSource(TestSpark.sf0001)
+    val dstRead = new ParquetSource(dstDir)
+    val report = graft.ops.Migration.copyKeyspace(spark, src,
+      new ParquetSink(dstDir), dstRead, WriteConf(), manDir, nRanges,
+      rangeParallelism = 4)
+    assert(report.ok, s"parity under concurrency: ${report.verify}")
+    assert(report.ranges.size == Tables.names.size * nRanges)
+    assert(report.ranges.forall(!_.skipped))
+    // Every manifest line parses (no interleaving under the append
+    // lock) and the unit set is exactly the full (table, range) grid.
+    val manifest = KeyspaceCopy.readManifest(manDir)
+    assert(manifest.size == Tables.names.size * nRanges,
+      s"manifest holds ${manifest.size} units")
+    val rawLines = scala.io.Source.fromFile(s"$manDir/manifest.tsv", "UTF-8")
+      .getLines().toSeq
+    assert(rawLines.size == manifest.size, "every appended line must parse")
+    report.verify.foreach { v =>
+      val sumOfRanges = report.ranges.filter(_.table == v.table)
+        .map(r => BigInt(r.checksum)).sum
+      assert(sumOfRanges == BigInt(v.dstChecksum),
+        s"${v.table}: concurrent range checksums don't sum to the table checksum")
+    }
+    // Whole-row identity on one table against a SEQUENTIAL copy of the
+    // same source: concurrency must be invisible in the landed data.
+    val seqDst = "/tmp/graft_copy_seq_dst"
+    val seqMan = "/tmp/graft_copy_seq_manifest"
+    Seq(seqDst, seqMan).foreach(d => rm(new java.io.File(d)))
+    val seqReport = graft.ops.Migration.copyKeyspace(spark, src,
+      new ParquetSink(seqDst), new ParquetSource(seqDst), WriteConf(),
+      seqMan, nRanges, rangeParallelism = 1)
+    assert(seqReport.ok)
+    seqReport.verify.zip(report.verify).foreach { case (s, p) =>
+      assert(s.table == p.table && s.dstChecksum == p.dstChecksum,
+        s"${s.table}: sequential vs concurrent checksum drift")
+    }
+  }
+
+  test("copy manifest: torn tail inside the checksum field is untrusted and healed") {
+    import graft.ops.KeyspaceCopy
+    val manDir = "/tmp/graft_manifest_torn_cs"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rm)
+      p.delete(); ()
+    }
+    rm(new java.io.File(manDir))
+    new java.io.File(manDir).mkdirs()
+    val w = new java.io.FileWriter(s"$manDir/manifest.tsv")
+    // One complete unit; two corrupt-but-complete lines that must
+    // SKIP (not abort): a Unicode digit (isDigit-true, toInt-rejected)
+    // and a Long-overflowing run; then a tear INSIDE the checksum
+    // field — the fragment still splits into 4 plausible fields, so
+    // only the missing newline can reveal the tear (the ADVICE case).
+    w.write("orders\t3\t100\t987654321\n")
+    w.write("lineitem\t٣\t10\tcs\n") // Arabic-Indic digit THREE
+    w.write("lineitem\t2\t99999999999999999999999\tcs\n") // > Long.MaxValue
+    w.write("orders\t4\t100\t12") // torn checksum, no '\n'
+    w.close()
+    val done = KeyspaceCopy.readManifest(manDir)
+    assert(done == Map(("orders", 3) -> ((100L, "987654321"))),
+      s"torn/corrupt lines must be untrusted, got $done")
+    // The next append must DROP the fragment, not terminate it into a
+    // trusted-looking line with a truncated checksum.
+    KeyspaceCopy.appendManifest(manDir, "orders", 5, 7L, "42")
+    val healed = KeyspaceCopy.readManifest(manDir)
+    assert(healed == done + (("orders", 5) -> ((7L, "42")))
+      && !healed.contains(("orders", 4)),
+      s"append over a torn tail must truncate the fragment, got $healed")
+  }
+
+  test("composed copyKeyspace: refuses to resume under a drifted source schema") {
+    import graft.sources._
+    val dstDir = "/tmp/graft_copy_drift_dst"
+    val manDir = "/tmp/graft_copy_drift_manifest"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rm)
+      p.delete(); ()
+    }
+    Seq(dstDir, manDir).foreach(d => rm(new java.io.File(d)))
+    val src = new ParquetSource(TestSpark.sf0001)
+    val dstRead = new ParquetSource(dstDir)
+    val report = graft.ops.Migration.copyKeyspace(spark, src,
+      new ParquetSink(dstDir), dstRead, WriteConf(), manDir, nRanges = 2)
+    assert(report.ok)
+    // Simulate schema drift between the original run and a resume: the
+    // pinned bootstrap DDL no longer matches what the source generates.
+    val ddlPath = java.nio.file.Paths.get(s"$manDir/keyspace.ddl")
+    val pinned = new String(java.nio.file.Files.readAllBytes(ddlPath), "UTF-8")
+    java.nio.file.Files.write(ddlPath,
+      pinned.replaceFirst("CREATE TABLE orders \\(",
+        "CREATE TABLE orders (legacy_col TEXT, ").getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Migration.copyKeyspace(spark, src,
+        new ParquetSink(dstDir), dstRead, WriteConf(), manDir, nRanges = 2)
+    }
+    assert(e.getMessage.contains("schema drifted"), e.getMessage)
+  }
+
   test("A15: resume manifest partitions the key space into 16 trusted ranges") {
     val sf = TestSpark.sf0001
     val total = Tables.t(spark, sf, "orders").count()
