@@ -39,18 +39,30 @@ object StreamScale {
         Streams.streamGapHistogramTws(_, _)),
       ("c150_session_paths", Streams.streamSessionPaths(_, _),
         Streams.streamSessionPathsTws(_, _)))
-    topos.foreach { case (tag, legacy, tws) =>
+    topos.zipWithIndex.foreach { case ((tag, legacy, tws), i) =>
+      // Wall covers ONLY stream execution: the topology functions run
+      // their bounded query eagerly (runToParquet awaits termination
+      // during construction); the sink re-read count and the exceptAll
+      // diffs below are batch jobs and stay OUTSIDE the timer
+      // (round-13 ADVICE — the old timing folded the re-read in).
       def run(f: (SparkSession, String) => DataFrame): (Double, Long, DataFrame) = {
         val t0 = System.nanoTime()
         val df = f(spark, sfDir)
-        val n = df.count()
-        ((System.nanoTime() - t0) / 1e9, n, df)
+        val wall = (System.nanoTime() - t0) / 1e9
+        (wall, df.count(), df)
       }
-      val (wallLegacy, nLegacy, dfLegacy) = run(legacy)
-      val (wallTws, nTws, dfTws) = run(tws)
+      // Alternate which API runs first per topology: the first run of
+      // each pair absorbs scheduler/code warm-up, so pinning legacy
+      // first biased wall_legacy high (round-13 ADVICE). Over the five
+      // topologies each API runs first for ~half.
+      val legacyFirst = i % 2 == 0
+      val ((wallLegacy, nLegacy, dfLegacy), (wallTws, nTws, dfTws)) =
+        if (legacyFirst) { val l = run(legacy); (l, run(tws)) }
+        else { val t = run(tws); (run(legacy), t) }
       val diff = dfLegacy.exceptAll(dfTws).count() + dfTws.exceptAll(dfLegacy).count()
       println(s"""{"topology":"$tag","wall_legacy_sec":$wallLegacy,""" +
-        s""""wall_tws_sec":$wallTws,"emissions":$nLegacy,""" +
+        s""""wall_tws_sec":$wallTws,"ran_first":"${if (legacyFirst) "legacy" else "tws"}",""" +
+        s""""emissions":$nLegacy,""" +
         s""""emissions_tws":$nTws,"state_keys":$users,"diff_rows":$diff}""")
       require(diff == 0L, s"$tag: tws emissions diverge from the legacy twin")
     }

@@ -183,6 +183,51 @@ object Streams {
     }
   }
 
+  /** Checkpoint PREFLIGHT for resuming a stateful topology from a
+    * DURABLE checkpoint (the production path; the verification
+    * harness always runs fresh temp checkpoints and never needs
+    * this). Round-14 finding, pinned by StreamingSpec "state-schema
+    * versioning": Spark 4.1's transformWithState treats state-variable
+    * ADD and REMOVE between restarts as allowed schema evolution — so
+    * resuming a pre-round-12 checkpoint (state variable `scd2`) under
+    * the current kernel (state variable `scd2_v2`) does NOT fail
+    * schema validation; it silently drops the old variable and starts
+    * the new one EMPTY. That is state LOSS, not an error. This guard
+    * closes the hole: it reads the state-variable names the
+    * checkpoint's operator metadata records
+    * (`state/0/_metadata/v2/<latest>`) and refuses — with an error
+    * naming both sides — when the recorded set doesn't cover the
+    * kernel's current versioned names. Call it before `start()` on
+    * any durable checkpoint; a fresh (or non-TWS) checkpoint records
+    * nothing and passes. It MUST run before the first incompatible
+    * start: an incompatible run rewrites the operator metadata to the
+    * new variable set, after which the loss has already happened and
+    * the guard can no longer see the old names.
+    */
+  def requireStateVersion(checkpointDir: String, required: Set[String]): Unit = {
+    val metaDir = new java.io.File(checkpointDir, "state/0/_metadata/v2")
+    if (!metaDir.isDirectory) return
+    val files = Option(metaDir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && !f.getName.startsWith("."))
+    if (files.isEmpty) return
+    val latest = files.maxBy(f => scala.util.Try(f.getName.toLong).getOrElse(-1L))
+    val txt = new String(java.nio.file.Files.readAllBytes(latest.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    // stateVariables ride inside operatorPropertiesJson (escaped JSON),
+    // so match both the escaped and unescaped spellings.
+    val recorded = """stateName\\?":\\?"([^"\\]+)""".r
+      .findAllMatchIn(txt).map(_.group(1)).toSet
+    if (recorded.nonEmpty && !required.subsetOf(recorded))
+      throw new IllegalStateException(
+        s"checkpoint at $checkpointDir records state variable(s) " +
+          s"[${recorded.toSeq.sorted.mkString(", ")}] but this kernel requires " +
+          s"[${required.toSeq.sorted.mkString(", ")}] — an incompatible " +
+          "(pre-v2) checkpoint cannot be resumed: Spark 4.x would silently " +
+          "drop the old variable and start the new one EMPTY (state loss, " +
+          "not an error). Drain and restart from a fresh checkpoint, or run " +
+          "an offline state rewrite.")
+  }
+
   /** Run a bounded streaming query (Trigger.AvailableNow) to a
     * DISTRIBUTED parquet result directory and read it back — the one
     * sink harness every verification key uses. Append mode goes
@@ -586,18 +631,26 @@ object Streams {
     * extent. Each kernel persists the last processed (ts_us, event_id)
     * per key in its state and calls this on every row.
     *
-    * CHECKPOINT-COMPATIBILITY BREAK (round 12 → documented round 13):
+    * CHECKPOINT-COMPATIBILITY BREAK (round 12 → versioned round 14):
     * prepending the frontier tuple to each kernel's state type CHANGED
-    * the checkpointed state schema — a stream resumed from a
-    * pre-round-12 checkpoint fails Spark's state-schema validation
-    * (loudly, at query start; never silent corruption). There is no
+    * the checkpointed state schema, so the five frontier-carrying
+    * transformWithState kernels now declare VERSIONED state names —
+    * `scd2_v2`, `island_v2`, `ewma_v2`, `last_v2`, `trigram_v2` (v2 =
+    * the frontier-prepended shape). MEASURED round-14 caveat: Spark
+    * 4.1 treats state-variable ADD/REMOVE across restarts as allowed
+    * evolution, so the rename alone would make a pre-v2 resume
+    * SILENTLY start the v2 variable empty (state loss) — which is why
+    * [[requireStateVersion]] exists: call it on any durable
+    * checkpoint before start() and an incompatible resume fails with
+    * an error naming both the recorded and the required variables
+    * (StreamingSpec "state-schema versioning" pins both the silent
+    * Spark behavior and the guard's refusal). There is still no
     * migration path in-engine: a deployment upgrading across that
     * boundary must either drain + restart from a fresh checkpoint
     * (replaying from the source, exact because every kernel's fold is
-    * deterministic) or run an offline state rewrite. New state-type
-    * changes to these kernels must version the state NAME (e.g.
-    * "scd2" → "scd2_v2") so the incompatibility is explicit at the
-    * store layer rather than discovered by schema validation.
+    * deterministic) or run an offline state rewrite. Any FUTURE
+    * state-type change to these kernels must bump the version suffix
+    * the same way.
     */
   private def advanceFrontier(kernel: String, key: Long,
       frontier: (Long, Long), ts: Long, eid: Long): (Long, Long) = {
@@ -670,7 +723,7 @@ object Streams {
     @transient private var st: ValueState[((Long, Long), (String, Long, Long, Long))] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       st = getHandle.getValueState[((Long, Long), (String, Long, Long, Long))](
-        "scd2", Encoders.product[((Long, Long), (String, Long, Long, Long))],
+        "scd2_v2", Encoders.product[((Long, Long), (String, Long, Long, Long))],
         TTLConfig.NONE)
     override def handleInputRows(user: Long,
         rows: Iterator[(Long, Long, String, Long)],
@@ -802,7 +855,7 @@ object Streams {
     @transient private var st: ValueState[((Long, Long), (Long, Long, Long))] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       st = getHandle.getValueState[((Long, Long), (Long, Long, Long))](
-        "island", Encoders.product[((Long, Long), (Long, Long, Long))],
+        "island_v2", Encoders.product[((Long, Long), (Long, Long, Long))],
         TTLConfig.NONE)
     override def handleInputRows(user: Long, rows: Iterator[(Long, Long, Long)],
         timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
@@ -885,7 +938,7 @@ object Streams {
     @transient private var st: ValueState[((Long, Long), List[Double])] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       st = getHandle.getValueState[((Long, Long), List[Double])](
-        "ewma", Encoders.product[((Long, Long), List[Double])], TTLConfig.NONE)
+        "ewma_v2", Encoders.product[((Long, Long), List[Double])], TTLConfig.NONE)
     override def handleInputRows(user: Long,
         rows: Iterator[(Long, Long, Double, Long)],
         timerValues: TimerValues): Iterator[(Long, Long, Double, Double)] = {
@@ -1018,7 +1071,7 @@ object Streams {
     @transient private var st: ValueState[(Long, Long)] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       st = getHandle.getValueState[(Long, Long)](
-        "last", Encoders.product[(Long, Long)], TTLConfig.NONE)
+        "last_v2", Encoders.product[(Long, Long)], TTLConfig.NONE)
     override def handleInputRows(user: Long, rows: Iterator[(Long, Long, Long)],
         timerValues: TimerValues): Iterator[(Long, Int)] = {
       val prior = if (st.exists()) Some(st.get()) else None
@@ -1123,7 +1176,7 @@ object Streams {
     @transient private var st: ValueState[((Long, Long), List[String])] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       st = getHandle.getValueState[((Long, Long), List[String])](
-        "trigram", Encoders.product[((Long, Long), List[String])], TTLConfig.NONE)
+        "trigram_v2", Encoders.product[((Long, Long), List[String])], TTLConfig.NONE)
     override def handleInputRows(user: Long,
         rows: Iterator[(Long, Long, String, Long)],
         timerValues: TimerValues): Iterator[Tuple1[String]] = {

@@ -484,6 +484,96 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("state-schema versioning: a pre-v2 checkpoint resumed under the v2 state name fails LOUDLY, naming the variable") {
+    // The round-12 frontier prepend changed the five stateful kernels'
+    // checkpointed state schema; the stores are now NAMED *_v2
+    // (scd2_v2, island_v2, ewma_v2, last_v2, trigram_v2) so an
+    // incompatible resume is refused at the STORE layer with the
+    // variable's name in the error — not a raw state-schema-validation
+    // dump. Simulated with the scd2 kernel: a v1-SHAPED probe (state
+    // "scd2", the pre-round-12 un-frontiered type, same output schema)
+    // writes a checkpoint; the production Scd2RunsProcessor (state
+    // "scd2_v2") must refuse to resume it, and the error must name the
+    // versioned variable so the operator knows WHICH kernel broke.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+    class V1Scd2 extends StatefulProcessor[Long,
+        (Long, Long, String, Long), (Long, Long, String, Long, Long, Long)] {
+      @transient private var st: ValueState[(String, Long, Long, Long)] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        st = getHandle.getValueState[(String, Long, Long, Long)](
+          "scd2", Encoders.product[(String, Long, Long, Long)], TTLConfig.NONE)
+      override def handleInputRows(user: Long,
+          rows: Iterator[(Long, Long, String, Long)],
+          timerValues: TimerValues): Iterator[(Long, Long, String, Long, Long, Long)] = {
+        rows.foreach(r => st.update((r._3, r._4, r._4, 1L)))
+        Iterator.empty
+      }
+    }
+    withRocksDb {
+      val base = java.nio.file.Files.createTempDirectory("graft_ckpt_vmix").toFile
+      graft.streaming.Streams.trackTmpDir(base.toString)
+      val ckpt = new java.io.File(base, "ckpt").toString
+      val outDir = new java.io.File(base, "out").toString
+      val input = MemoryStream[(Long, Long, String, Long)]
+      val v1 = input.toDS().groupByKey(_._1)
+        .transformWithState(new V1Scd2, TimeMode.None(), OutputMode.Append())
+        .toDF("user_id", "version", "state", "valid_from_us", "valid_to_us",
+          "n_events")
+      val q1 = v1.writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      input.addData((1L, 1L, "A", 10L))
+      q1.processAllAvailable(); q1.stop()
+      // THE GUARD, run where it belongs — BEFORE start(): the
+      // preflight reads the checkpoint's recorded state variables and
+      // refuses, naming both sides. (It must run before the first
+      // incompatible start — an incompatible run REWRITES the
+      // operator metadata to the new variable set, after which the
+      // loss has already happened.)
+      val e = intercept[IllegalStateException] {
+        graft.streaming.Streams.requireStateVersion(ckpt, Set("scd2_v2"))
+      }
+      assert(e.getMessage.contains("scd2") && e.getMessage.contains("scd2_v2"),
+        s"the refusal must name recorded and required variables: ${e.getMessage}")
+      // THE HAZARD, pinned: Spark 4.1 treats variable add/remove as
+      // allowed evolution, so a bare resume under the v2 kernel does
+      // NOT fail — it silently starts scd2_v2 empty. If a Spark
+      // upgrade ever makes this throw, the guard above becomes
+      // redundant and this pin should be revisited.
+      val v2 = graft.streaming.Streams.scd2RunsTws(input.toDS())
+      val q2 = v2.writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try { input.addData((1L, 2L, "B", 20L)); q2.processAllAvailable() }
+      finally q2.stop()
+      // ...and the silent resume DID lose user 1's open (A, from 10)
+      // run: batch 2's B event found empty state, so no closed run
+      // (A, 10 → 20) was emitted. This loss is why the guard exists.
+      val emitted = spark.read.schema(v1.schema).parquet(outDir).collect()
+        .map(_.mkString("|")).toSeq
+      assert(!emitted.exists(_.contains("|A|10|20|")),
+        s"expected the pre-v2 open run to be silently LOST, got: $emitted")
+      // A v2-written checkpoint passes the same preflight, and a fresh
+      // (nonexistent) checkpoint passes trivially.
+      val base2 = java.nio.file.Files.createTempDirectory("graft_ckpt_v2ok").toFile
+      graft.streaming.Streams.trackTmpDir(base2.toString)
+      val ckpt2 = new java.io.File(base2, "ckpt").toString
+      val input2 = MemoryStream[(Long, Long, String, Long)]
+      val q3 = graft.streaming.Streams.scd2RunsTws(input2.toDS())
+        .writeStream.format("parquet")
+        .option("path", new java.io.File(base2, "out").toString)
+        .option("checkpointLocation", ckpt2)
+        .outputMode("append").start()
+      input2.addData((1L, 1L, "A", 10L))
+      q3.processAllAvailable(); q3.stop()
+      graft.streaming.Streams.requireStateVersion(ckpt2, Set("scd2_v2"))
+      graft.streaming.Streams.requireStateVersion(
+        new java.io.File(base2, "never_started").toString, Set("scd2_v2"))
+    }
+  }
+
   test("c129/c136/c149/c150: the transformWithState PRODUCTION topologies equal the oracle-verified legacy twins") {
     // Item: "same oracles green through the new API" — each Tws twin
     // is the identical file-source topology with only the state API
