@@ -802,4 +802,20 @@ class OperatorPropertiesSpec extends AnyFunSuite {
     assert(rows(1) == 0.0 && rows(2) == 1.0)
     assert(rows(3) > 0.6 && rows(3) < 0.7)
   }
+
+  test("b18/b50 sketch accuracy: measured error stays within each sketch's configured bound (CI twin of ACCURACY.json)") {
+    // b18/b50 are the gate's two rows-only keys BY DESIGN (no
+    // cross-engine sketch reproduction); their green-board evidence is
+    // the measured accuracy vs the configured bound. Until round 14
+    // that check lived only in the Verify run that writes
+    // ACCURACY.json — this asserts the SAME bounds on a fresh sf0.01
+    // computation inside `sbt test`, so a sketch-parameter or fixture
+    // regression fails CI, not just the next audit dump.
+    val (b18Within, b50Within, json) =
+      Verify.sketchAccuracy(spark, TestSpark.sf001)
+    assert(b18Within,
+      s"b18 HLL++ rel err exceeded its 3·rsd (15%) band:\n$json")
+    assert(b50Within,
+      s"b50 approx_percentile rank err exceeded its n/1000 (+1) bound:\n$json")
+  }
 }
