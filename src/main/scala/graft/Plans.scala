@@ -159,6 +159,12 @@ object Plans {
       "c117_edit_distance_pairs" ->
         ("Levenshtein runs ONLY on the memoized LSH pair table (InMemoryTableScan) " +
           "— the candidates-only discipline for an O(len^2)-per-pair metric."),
+      "c158_edit_join_exact" ->
+        ("PassJoin pigeonhole: candidates are an equi-join on (xxhash64(segment), " +
+          "idx, clean_len) — ids + 8-byte keys only through the probe exchanges, " +
+          "never text or a cartesian; the bit-parallel kernel verifies as the " +
+          "text join's condition (once per candidate) plus an output-sized " +
+          "survivor projection."),
       "b77_interval_coalesce" ->
         ("EXACTLY ONE hash exchange (user_id): the island window and both " +
           "downstream aggregations all run on the same partitioning — " +

@@ -56,7 +56,12 @@ object Verify {
     // corpus, with the sketch's configured bound. Written next to the
     // results (accuracy.json) and to the repo root (ACCURACY.json) so
     // the driver's `no_oracle` rows carry proof, not a shrug.
-    try {
+    // Skipped for targeted dev-loop runs (SPARK_GRAFT_ONLY set without
+    // a sketch key): the ANN-recall brute force dominates a one-key
+    // loop's wall. The driver sets no filter and always writes it.
+    val wantAccuracy = only.forall(keys =>
+      keys.contains("b18_approx_distinct") || keys.contains("b50_approx_quantiles"))
+    if (wantAccuracy) try {
       val acc = accuracyReport(spark, sfDir)
       Files.writeString(Paths.get(s"$outDir/accuracy.json"), acc)
       try Files.writeString(Paths.get("ACCURACY.json"), acc)

@@ -570,17 +570,49 @@ class PlanSpec extends AnyFunSuite {
       s"builtin levenshtein back in the c117 plan:\n$p")
   }
 
-  test("c158: PassJoin candidates come from a segment equi-join — no cartesian, one kernel") {
+  test("c158: PassJoin candidates come from a segment equi-join — no cartesian, kernel verifies in the join") {
     // The exact micro-edit join must never degenerate to all-pairs:
-    // candidates are an equi-join on (segment, idx, clean_len), and
-    // the verify stage holds exactly ONE bit-parallel kernel (the
-    // c117 discipline — the brute-force shape lives only in the
-    // DuckDB oracle).
+    // candidates are an equi-join on (xxhash64(segment), idx,
+    // clean_len). Kernel shape (round 14): the `<= D` gate rides the
+    // TEXT JOIN as its condition — one kernel eval per candidate, the
+    // unavoidable verify work, with survivors-only flowing on — plus
+    // one output-sized eval in the survivor projection. Exactly two
+    // textual sites, and the brute-force shape lives only in the
+    // DuckDB oracle.
     val p = plan(ops.Llm.editJoinExact(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), s"theta-join crept into c158:\n$p")
-    val kernels = "edit_distance".r.findAllIn(p).length
-    assert(kernels == 1, s"expected one edit_distance kernel, got $kernels:\n$p")
+    val lines = p.linesIterator.toSeq
+    val joinKernel = lines.count(l =>
+      l.contains("Join") && l.contains("edit_distance"))
+    val projKernel = lines.count(l =>
+      l.trim.startsWith("+- Project [") && l.contains("edit_distance") ||
+        l.trim.startsWith("Project [") && l.contains("edit_distance"))
+    val total = "edit_distance".r.findAllIn(p).length
+    assert(joinKernel == 1,
+      s"the candidate verify must be the text join's condition:\n$p")
+    assert(total == 2 && projKernel >= 1,
+      s"expected join-condition + survivor-projection kernel sites, got $total:\n$p")
+  }
+
+  test("c158: segment-keyed exchanges carry ids + fixed-width keys only — text crosses once, at the kernel join") {
+    // Round-13 verdict item 1: the probe/candidate pipeline must key
+    // on (xxhash64(seg), seg_idx, clean_len) + ids ONLY; the ~300 B
+    // document text may cross an exchange only at the final join that
+    // feeds the verify kernel. Every Exchange whose partitioning
+    // involves the segment hash is checked for text columns in its
+    // input.
+    val df = ops.Llm.editJoinExact(spark, sf)
+    val fm = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val sections = fm.split("\n\n")
+    val segExchanges = sections.filter(s =>
+      s.contains("Exchange") && s.contains("seg_h"))
+    assert(segExchanges.nonEmpty, s"expected seg_h-keyed exchanges:\n$fm")
+    segExchanges.foreach { s =>
+      assert(!s.contains("text#") && """[\[, ]t#""".r.findFirstIn(s).isEmpty,
+        s"segment-keyed exchange still carries document text:\n$s")
+    }
   }
 
   test("b74: Q19's disjunction is one residual on one partkey join, one lineitem scan") {
