@@ -52,20 +52,27 @@ import org.apache.spark.sql.functions._
   * or fixture-non-null keys; a new caller with nullable semantics
   * must decide where nulls rank and encode that BEFORE the kernel.
   *
-  * COST — the input is evaluated ~3× (round-12 ADVICE): the bounds
-  * aggregate, the per-bucket totals, and the within-bucket window
-  * each recompute `df`'s lineage (scan-heavy callers pay ~3 scans
-  * where the retired single-task window paid one). That is the priced
-  * trade — 3 parallel scans beat 1 sequential sort at any real scale,
-  * and SCALE.md's round-12 tables measured it (c112 ~4× faster at
-  * 100× than its 5-task floor) — but a caller whose upstream is
-  * EXPENSIVE (joins, explodes, multi-table pipelines) rather than a
-  * bare scan or a map-side-combined tally should persist its input
-  * before calling. Not persisted HERE because every current caller
-  * passes a key-sized count table (c153's per-score tallies, a21's
-  * per-customer counts, c151's per-user sums) or a single-scan
-  * projection, where a MEMORY_AND_DISK write costs more than the
-  * rescans it saves.
+  * COST — the input appears ~3× in the plan (bounds aggregate,
+  * per-bucket totals, within-bucket window), and round 14 PRICED what
+  * that actually costs (graft.PersistPrice; SCALE.md round 14): for
+  * any upstream whose tail is an EXCHANGE (groupBy / join — the
+  * "expensive pipeline" class round 12 worried about), Spark reuses
+  * the upstream's shuffle stages across all three references inside
+  * the one rank query, so the unpersisted 3-pass run costs ≈ ONE
+  * evaluation — measured at 100× docs: a bigram-explode ⋈ token-tally
+  * upstream ran the full unpersisted rank in 22.9 s while a SINGLE
+  * standalone evaluation of the same upstream took 26.1 s, and
+  * MEMORY_AND_DISK persist made it SLOWER (25.9 s; +108% on the
+  * tally-grade upstream, 3.1 s vs 1.5 s) by paying a cache write and
+  * pinning the post-AQE low-parallelism layout. So: DO NOT persist
+  * exchange-terminated inputs. The one genuinely recomputed class is
+  * a purely NARROW expensive upstream (a per-row kernel projection
+  * over a scan, no shuffle at its tail — 3 real kernel passes);
+  * arithmetic prices that trade (3× kernel CPU vs one cache write of
+  * the projected columns), and such callers may persist after
+  * measuring. Every current caller passes a key-sized tally or a
+  * single-scan projection — none persists, now by measurement rather
+  * than estimate.
   */
 private[graft] object OrderStats {
 

@@ -32,7 +32,18 @@ trait TableSink {
   * directory (TESTDATA.md).
   */
 final class ParquetSource(dir: String) extends TableSource {
-  def tableNames(spark: SparkSession): Seq[String] = graft.Tables.names
+  /** DISCOVERED from the directory (the a2 claim must be literal: a
+    * keyspace copy enumerates what the source actually holds, not a
+    * compiled-in fixture list — a 100× rehearsal corpus without an
+    * `events` table must simply copy what's there). Sorted for a
+    * deterministic DDL artifact and manifest walk.
+    */
+  def tableNames(spark: SparkSession): Seq[String] = {
+    val entries = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+    entries.map(_.getName).filter(_.endsWith(".parquet"))
+      .map(_.stripSuffix(".parquet")).sorted.toSeq
+  }
   def read(spark: SparkSession, table: String): DataFrame =
     graft.Tables.canonical(spark, dir, table)
 }
