@@ -165,6 +165,11 @@ object Plans {
           "never text or a cartesian; the bit-parallel kernel verifies as the " +
           "text join's condition (once per candidate) plus an output-sized " +
           "survivor projection."),
+      "c159_record_linkage" ->
+        ("Two blocking equi-join passes (nation+segment+balance-cents / " +
+          "nation+segment+exact-name), DISTINCT-unioned id pairs, fields joined " +
+          "back by id for the integer FS score — high-cardinality block keys, " +
+          "no cartesian, the edit kernel only at scoring."),
       "b77_interval_coalesce" ->
         ("EXACTLY ONE hash exchange (user_id): the island window and both " +
           "downstream aggregations all run on the same partitioning — " +

@@ -549,6 +549,99 @@ object Llm {
       .orderBy("doc_id", "dirty_id")
   }
 
+  /** c159 — blocked PROBABILISTIC RECORD LINKAGE (Fellegi & Sunter
+    * 1969 — public; the reconciliation step after a migration whose
+    * legacy rows lost their keys: a13's drift diff assumes key-joined
+    * rows, this key links them when no join key survives). The dirty
+    * side is the md5-dealt half of `customer`, trisected by a second
+    * md5 digit into two deterministic corruption classes: class 0
+    * deletes one name character at an md5-derived position (balance
+    * stable), class 1 adds one cent to the balance (name stable) —
+    * so NO single field survives every record, the condition that
+    * makes naive exact joins lose rows and linkage earn its keep.
+    *
+    * BLOCKING (the scale story): two equi-join passes, each keyed on
+    * the fields the OTHER corruption class leaves stable — pass A on
+    * (nation, segment, balance-cents) catches name-corrupted records,
+    * pass B on (nation, segment, exact name) catches
+    * balance-corrupted ones; candidates = the DISTINCT union. Both
+    * keys are high-cardinality (cents ≈ 1.2M values, names unique),
+    * so block occupancy — and the candidate count — scales LINEARLY
+    * with the corpus, never n² (the standard multi-pass FS posture:
+    * blocking recall comes from the union, not from widening any one
+    * block). Every planted pair is caught by construction: class 0
+    * via pass A, class 1 via pass B (spec-asserted).
+    *
+    * SCORING: integer agreement weights — rounded Fellegi-Sunter
+    * log2(m/u) odds under the documented assumptions m ≈ 0.95 and
+    * u_name ≈ 0.06 (log2 ≈ 4), u_bal ≈ 0.12 (log2 ≈ 3), block base 2
+    * for the always-agreeing (nation, segment) — kept INTEGER so the
+    * score hashes identically cross-engine (an EM-estimated float
+    * m/u would be the production refinement; it adds nothing at
+    * fixture determinism and breaks exact comparison). Name agreement
+    * is edit distance ≤ 1 on the bit-parallel
+    * [[graft.functions.EditDistance]] kernel (DuckDB: levenshtein);
+    * balance agreement is exact cents. `score = 2 + 4·name + 3·bal`,
+    * link threshold ≥ [[LinkThreshold]]: a class-0 self-pair scores
+    * 9, a class-1 self-pair 6, a balance-collision stranger with a
+    * far name scores 5 and is refused. FS is honest about ambiguity:
+    * a stranger sharing the block AND a 1-edit name (TPC-H names
+    * differ by digits) links at 9 — deterministically, in both
+    * engines, with the score on the row for the analyst.
+    *
+    * Balance-cents canon: `CAST(round(c_acctbal * 100) AS BIGINT)` —
+    * round() lands exactly on the integer the 2-decimal fixture
+    * value means, so Spark's truncating cast and DuckDB's rounding
+    * cast agree (never CAST a raw double product).
+    */
+  private[graft] val LinkNameW = 4
+  private[graft] val LinkBalW = 3
+  private[graft] val LinkBlockW = 2
+  private[graft] val LinkThreshold = 6
+
+  def recordLinkage(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.t(spark, sfDir, "customer")
+    val balCents = "CAST(round(c_acctbal * 100) AS BIGINT)"
+    val clean = cust.select(
+      col("c_custkey").as("cust_id"), col("c_name").as("name"),
+      col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+      expr(balCents).as("bal_cents"))
+    val dirty = cust
+      .where(substring(md5(concat(lit("link:"), col("c_custkey").cast("string"))), 1, 1) < "8")
+      .withColumn("cls",
+        when(substring(md5(concat(lit("link:"), col("c_custkey").cast("string"))), 2, 1) < "8", 0)
+          .otherwise(1))
+      .withColumn("npos",
+        expr("CAST(conv(substring(md5(concat('lpos:', CAST(c_custkey AS STRING))), 1, 4), 16, 10) AS INT) % length(c_name)"))
+      .select(
+        col("c_custkey").as("dirty_id"),
+        expr("CASE WHEN cls = 0 THEN concat(substring(c_name, 1, npos), substring(c_name, npos + 2)) ELSE c_name END").as("name_d"),
+        col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+        expr(s"CASE WHEN cls = 0 THEN $balCents ELSE $balCents + 1 END").as("bal_cents_d"))
+    val cleanKeys = clean.select(col("cust_id"), col("nat"), col("seg"),
+      col("name"), col("bal_cents"))
+    val passA = cleanKeys.join(dirty,
+      cleanKeys("nat") === dirty("nat") && cleanKeys("seg") === dirty("seg") &&
+        col("bal_cents") === col("bal_cents_d"))
+      .select(col("cust_id"), col("dirty_id"))
+    val passB = cleanKeys.join(dirty,
+      cleanKeys("nat") === dirty("nat") && cleanKeys("seg") === dirty("seg") &&
+        col("name") === col("name_d"))
+      .select(col("cust_id"), col("dirty_id"))
+    val cands = passA.unionByName(passB).distinct()
+    cands
+      .join(clean.select(col("cust_id"), col("name"), col("bal_cents")), "cust_id")
+      .join(dirty.select(col("dirty_id"), col("name_d"), col("bal_cents_d")), "dirty_id")
+      .select(col("cust_id"), col("dirty_id"),
+        (graft.functions.EditDistance.edist(col("name"), col("name_d")) <= 1)
+          .cast("int").as("name_agree"),
+        (col("bal_cents") === col("bal_cents_d")).cast("int").as("bal_agree"))
+      .withColumn("score", lit(LinkBlockW) +
+        lit(LinkNameW) * col("name_agree") + lit(LinkBalW) * col("bal_agree"))
+      .where(col("score") >= LinkThreshold)
+      .orderBy("cust_id", "dirty_id")
+  }
+
   /** c43 — token-set CONTAINMENT over the LSH candidate pairs:
     * containment(A→B) = |A∩B| / |A| is the ASYMMETRIC near-dup
     * measure — a short doc quoted whole inside a long one scores
@@ -994,6 +1087,7 @@ object Llm {
     "c3_jaccard_pairs" -> (jaccardPairs(_, _)),
     "c117_edit_distance_pairs" -> (editDistancePairs(_, _)),
     "c158_edit_join_exact" -> (editJoinExact(_, _)),
+    "c159_record_linkage" -> (recordLinkage(_, _)),
     "c43_containment_pairs" -> (containmentPairs(_, _)),
     "c64_minhash_calibration" -> (minhashCalibration(_, _)),
     "c50_incremental_dedup" -> (incrementalDedup(_, _)),
@@ -1101,6 +1195,51 @@ object Llm {
          |WHERE length(c.text) >= ${EditJoinK}
          |  AND levenshtein(c.text, d.t) <= ${EditJoinD}
          |ORDER BY doc_id ASC NULLS FIRST, dirty_id ASC NULLS FIRST""".stripMargin,
+
+    // The c159 oracle replays both blocking passes, the distinct
+    // union, and the integer FS score — every branch is exact
+    // integer/string arithmetic, so a lost candidate, an invented
+    // one, or a mis-scored field fails the hash.
+    "c159_record_linkage" ->
+      s"""WITH dirty AS (
+         |  SELECT c_custkey AS dirty_id,
+         |    CASE WHEN cls = 0
+         |      THEN substr(c_name, 1, npos) || substr(c_name, npos + 2)
+         |      ELSE c_name END AS name_d,
+         |    c_nationkey AS nat, c_mktsegment AS seg,
+         |    CASE WHEN cls = 0 THEN bal_cents ELSE bal_cents + 1 END AS bal_cents_d
+         |  FROM (
+         |    SELECT *,
+         |      CAST(('0x' || substr(md5('lpos:' || CAST(c_custkey AS VARCHAR)), 1, 4)) AS INT)
+         |        % length(c_name) AS npos,
+         |      CASE WHEN substr(md5('link:' || CAST(c_custkey AS VARCHAR)), 2, 1) < '8'
+         |        THEN 0 ELSE 1 END AS cls,
+         |      CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+         |    FROM customer
+         |    WHERE substr(md5('link:' || CAST(c_custkey AS VARCHAR)), 1, 1) < '8')
+         |), clean AS (
+         |  SELECT c_custkey AS cust_id, c_name AS name, c_nationkey AS nat,
+         |    c_mktsegment AS seg, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+         |  FROM customer
+         |), cands AS (
+         |  SELECT DISTINCT cust_id, dirty_id FROM (
+         |    SELECT c.cust_id, d.dirty_id FROM clean c JOIN dirty d
+         |      ON c.nat = d.nat AND c.seg = d.seg AND c.bal_cents = d.bal_cents_d
+         |    UNION ALL
+         |    SELECT c.cust_id, d.dirty_id FROM clean c JOIN dirty d
+         |      ON c.nat = d.nat AND c.seg = d.seg AND c.name = d.name_d)
+         |)
+         |SELECT cust_id, dirty_id,
+         |  CAST(levenshtein(c.name, d.name_d) <= 1 AS INT) AS name_agree,
+         |  CAST(c.bal_cents = d.bal_cents_d AS INT) AS bal_agree,
+         |  ${LinkBlockW} + ${LinkNameW} * CAST(levenshtein(c.name, d.name_d) <= 1 AS INT)
+         |    + ${LinkBalW} * CAST(c.bal_cents = d.bal_cents_d AS INT) AS score
+         |FROM cands
+         |JOIN clean c USING (cust_id)
+         |JOIN dirty d USING (dirty_id)
+         |WHERE ${LinkBlockW} + ${LinkNameW} * CAST(levenshtein(c.name, d.name_d) <= 1 AS INT)
+         |    + ${LinkBalW} * CAST(c.bal_cents = d.bal_cents_d AS INT) >= ${LinkThreshold}
+         |ORDER BY cust_id ASC NULLS FIRST, dirty_id ASC NULLS FIRST""".stripMargin,
 
     "c3_jaccard_pairs" ->
       s"""$oraclePairsCte

@@ -112,6 +112,44 @@ class EditDistanceSpec extends AnyFunSuite {
     assert(out.size < n * 4, s"${out.size} pairs looks quadratic for $n docs")
   }
 
+  test("c159: every planted dirty record links back to its source, at the class's exact score") {
+    import org.apache.spark.sql.functions._
+    val out = graft.ops.Llm.recordLinkage(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(r.fieldIndex("cust_id")),
+        r.getLong(r.fieldIndex("dirty_id")), r.getInt(r.fieldIndex("score"))))
+    val links = out.map(t => (t._1, t._2) -> t._3).toMap
+    val dealt = Tables.t(spark, TestSpark.sf0001, "customer")
+      .select(col("c_custkey"),
+        when(substring(md5(concat(lit("link:"), col("c_custkey").cast("string"))), 2, 1) < "8", 0)
+          .otherwise(1).as("cls"))
+      .where(substring(md5(concat(lit("link:"), col("c_custkey").cast("string"))), 1, 1) < "8")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(dealt.nonEmpty && dealt.exists(_._2 == 0) && dealt.exists(_._2 == 1),
+      "fixture must exercise both corruption classes")
+    dealt.foreach { case (id, cls) =>
+      // class 0 (name-corrupted): caught by the balance pass, scores
+      // block 2 + name 4 (dist 1 <= 1) + bal 3 = 9; class 1
+      // (balance-corrupted): caught by the exact-name pass, scores
+      // 2 + 4 + 0 = 6 — exactly the link threshold.
+      val expected = if (cls == 0) 9 else 6
+      assert(links.get((id, id)).contains(expected),
+        s"planted record $id (class $cls) should self-link at $expected, " +
+          s"got ${links.get((id, id))}")
+    }
+    // Blocking keeps the candidate set linear: links are the planted
+    // pairs plus rare block-collisions, nowhere near n^2.
+    val n = Tables.t(spark, TestSpark.sf0001, "customer").count()
+    assert(out.length < n * 4, s"${out.length} links looks quadratic for $n customers")
+  }
+
+  test("c159: the linkage plan is blocking equi-joins — no cartesian, kernel only at scoring") {
+    val p = graft.ops.Llm.recordLinkage(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"theta-join crept into c159:\n$p")
+    assert("edit_distance".r.findAllIn(p).nonEmpty, "kernel missing from scoring")
+  }
+
   test("value identity with Spark's builtin levenshtein through a real query") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
