@@ -599,14 +599,21 @@ object Llm {
   private[graft] val LinkBlockW = 2
   private[graft] val LinkThreshold = 6
 
-  def recordLinkage(spark: SparkSession, sfDir: String): DataFrame = {
-    val cust = Tables.t(spark, sfDir, "customer")
-    val balCents = "CAST(round(c_acctbal * 100) AS BIGINT)"
-    val clean = cust.select(
+  /** The clean linkage side: id + fields + block attributes. */
+  private[graft] def linkClean(cust: DataFrame): DataFrame =
+    cust.select(
       col("c_custkey").as("cust_id"), col("c_name").as("name"),
       col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
-      expr(balCents).as("bal_cents"))
-    val dirty = cust
+      expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+
+  /** The deterministic dirty side (md5-dealt half, two corruption
+    * classes) — works on a static OR a streaming customer frame
+    * (pure row-wise expressions), the c51 batch/stream-sharing
+    * discipline.
+    */
+  private[graft] def linkDirty(cust: DataFrame): DataFrame = {
+    val balCents = "CAST(round(c_acctbal * 100) AS BIGINT)"
+    cust
       .where(substring(md5(concat(lit("link:"), col("c_custkey").cast("string"))), 1, 1) < "8")
       .withColumn("cls",
         when(substring(md5(concat(lit("link:"), col("c_custkey").cast("string"))), 2, 1) < "8", 0)
@@ -616,22 +623,21 @@ object Llm {
       .select(
         col("c_custkey").as("dirty_id"),
         expr("CASE WHEN cls = 0 THEN concat(substring(c_name, 1, npos), substring(c_name, npos + 2)) ELSE c_name END").as("name_d"),
-        col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+        col("c_nationkey").as("nat_d"), col("c_mktsegment").as("seg_d"),
         expr(s"CASE WHEN cls = 0 THEN $balCents ELSE $balCents + 1 END").as("bal_cents_d"))
-    val cleanKeys = clean.select(col("cust_id"), col("nat"), col("seg"),
-      col("name"), col("bal_cents"))
-    val passA = cleanKeys.join(dirty,
-      cleanKeys("nat") === dirty("nat") && cleanKeys("seg") === dirty("seg") &&
-        col("bal_cents") === col("bal_cents_d"))
-      .select(col("cust_id"), col("dirty_id"))
-    val passB = cleanKeys.join(dirty,
-      cleanKeys("nat") === dirty("nat") && cleanKeys("seg") === dirty("seg") &&
-        col("name") === col("name_d"))
-      .select(col("cust_id"), col("dirty_id"))
-    val cands = passA.unionByName(passB).distinct()
-    cands
-      .join(clean.select(col("cust_id"), col("name"), col("bal_cents")), "cust_id")
-      .join(dirty.select(col("dirty_id"), col("name_d"), col("bal_cents_d")), "dirty_id")
+  }
+
+  /** Both blocking passes + FS scoring, STATELESSLY: instead of a
+    * DISTINCT over the pass union (a stateful dedup no append-mode
+    * stream can run), pass B drops the pairs pass A already caught —
+    * a B-pair is also an A-pair iff its balances match, a row-local
+    * predicate — so `A ∪ (B where bal≠) ≡ DISTINCT(A ∪ B)` exactly.
+    * Each pass carries its fields through the join (no re-join by
+    * id), which keeps the whole pipeline stream-static-safe and
+    * drops the batch plan's distinct exchange + two joins-back.
+    */
+  private[graft] def linkPairs(clean: DataFrame, dirty: DataFrame): DataFrame = {
+    def score(pairs: DataFrame): DataFrame = pairs
       .select(col("cust_id"), col("dirty_id"),
         (graft.functions.EditDistance.edist(col("name"), col("name_d")) <= 1)
           .cast("int").as("name_agree"),
@@ -639,6 +645,19 @@ object Llm {
       .withColumn("score", lit(LinkBlockW) +
         lit(LinkNameW) * col("name_agree") + lit(LinkBalW) * col("bal_agree"))
       .where(col("score") >= LinkThreshold)
+    val passA = dirty.join(clean,
+      col("nat") === col("nat_d") && col("seg") === col("seg_d") &&
+        col("bal_cents") === col("bal_cents_d"))
+    val passB = dirty.join(clean,
+      col("nat") === col("nat_d") && col("seg") === col("seg_d") &&
+        col("name") === col("name_d"))
+      .where(col("bal_cents") =!= col("bal_cents_d"))
+    score(passA).unionByName(score(passB))
+  }
+
+  def recordLinkage(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.t(spark, sfDir, "customer")
+    linkPairs(linkClean(cust), linkDirty(cust))
       .orderBy("cust_id", "dirty_id")
   }
 

@@ -606,6 +606,28 @@ object Streams {
     runToParquet(verified, "append", "c51").orderBy("doc_new", "doc_base", "band_idx")
   }
 
+  /** c160 — STREAMING record linkage: the c159 reconciliation as a
+    * live ingest topology. Dirty legacy records ARRIVE (file stream
+    * of the customer table, md5-dealt and corrupted in-stream by the
+    * same deterministic expressions batch c159 uses) and link
+    * against the STATIC clean corpus through the two stateless
+    * stream-static blocking joins of [[graft.ops.Llm.linkPairs]].
+    * NO state anywhere — the pass-union DISTINCT that would need a
+    * stateful dedup is replaced by linkPairs' row-local disjointness
+    * filter (a pass-B pair is also a pass-A pair iff the balances
+    * match), and a pair can never emit twice ACROSS batches because
+    * each dirty record arrives in exactly one micro-batch (the c51
+    * stateless-probe discipline). Oracle: the batch c159 SQL
+    * verbatim — the streamed union must BE the batch answer.
+    */
+  def streamRecordLinkage(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.Llm
+    val dirty = Llm.linkDirty(streamTable(spark, sfDir, "customer"))
+    val clean = Llm.linkClean(graft.Tables.t(spark, sfDir, "customer"))
+    runToParquet(Llm.linkPairs(clean, dirty), "append", "c160")
+      .orderBy("cust_id", "dirty_id")
+  }
+
   /** SCD2 run compaction as a STATEFUL STREAM TRANSFORM: per user,
     * consecutive identical states collapse to versioned runs; each
     * CLOSED run emits exactly once (append semantics) and the OPEN
@@ -1352,6 +1374,7 @@ object Streams {
     "c149_stream_gap_histogram" -> (streamGapHistogram(_, _)),
     "c150_stream_session_paths" -> (streamSessionPaths(_, _)),
     "c51_stream_incremental_dedup" -> (streamIncrementalDedup(_, _)),
+    "c160_stream_record_linkage" -> (streamRecordLinkage(_, _)),
     "c25_stream_tumbling" -> (streamTumbling(_, _)),
     "c30_stream_sessions" -> (streamSessions(_, _)),
     "c36_stream_append" -> (streamAppend(_, _)),
@@ -1365,6 +1388,9 @@ object Streams {
     * both the batch path and DuckDB on the same input.
     */
   val oracle: Map[String, String] = Map(
+    // The streamed linkage must BE the batch c159 answer — same
+    // oracle text, drift-proof by construction.
+    "c160_stream_record_linkage" -> graft.ops.Llm.oracle("c159_record_linkage"),
     // The stream must converge to the BATCH snapshot exactly — same
     // oracle text as a16.
     "c89_stream_latest_snapshot" ->

@@ -608,6 +608,26 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("c160: streaming record linkage is STATELESS — no dedup/agg/window state, append-safe by shape") {
+    // The pass-union DISTINCT a naive port would need is a stateful
+    // dedup; linkPairs replaces it with a row-local disjointness
+    // filter, so the whole topology must analyze to joins + filters +
+    // union only — nothing that holds cross-batch state.
+    val sfDir = TestSpark.sf0001
+    val schema = Tables.t(spark, sfDir, "customer").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "customer.parquet").parquet(sfDir)
+    val linked = graft.ops.Llm.linkPairs(
+      graft.ops.Llm.linkClean(Tables.t(spark, sfDir, "customer")),
+      graft.ops.Llm.linkDirty(stream))
+    assert(linked.isStreaming)
+    val plan = linked.queryExecution.analyzed.toString
+    Seq("Deduplicate", "Aggregate", "Window", "FlatMapGroupsWithState",
+      "TransformWithState").foreach { op =>
+      assert(!plan.contains(op), s"stateful operator $op in the c160 plan:\n$plan")
+    }
+  }
+
   test("order guard: an out-of-order event across batches fails LOUDLY, never silently corrupts") {
     // ADVICE round 11: streamTable streams a DIRECTORY with no
     // file-order guarantee — an island start arriving BEFORE the
