@@ -145,18 +145,39 @@ object KeyspaceCopy {
 
   private def manifestFile(dir: String) = new File(dir, "manifest.tsv")
 
+  /** CRC32 (lowercase hex) of a manifest line's payload fields — the
+    * in-line corruption guard: the newline rule below proves an append
+    * COMPLETED, but a bit flip INSIDE a completed line (disk rot, a
+    * partial sector rewrite) still splits into plausible fields and
+    * would read as trusted state. The CRC covers exactly the four
+    * payload fields as written, so any single-byte change in table,
+    * range, rows or checksum mismatches and the line demotes to
+    * incomplete — the safe direction (the unit re-copies).
+    */
+  private def lineCrc(payload: String): String = {
+    val crc = new java.util.zip.CRC32
+    crc.update(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.toHexString(crc.getValue)
+  }
+
   /** Completed units from the manifest: NEWLINE-TERMINATED lines that
-    * parse as exactly (table, range, rows, checksum). The terminator
-    * check matters: a killed JVM can tear the final append anywhere —
-    * including INSIDE the checksum field, where the surviving prefix
-    * still splits into 4 plausible fields — so field count alone
-    * cannot prove the append completed; only the trailing '\n' (the
-    * last byte the writer emits) can. An untrusted line is treated as
+    * parse as exactly (table, range, rows, checksum, crc) with the CRC
+    * matching the first four fields. The terminator check matters: a
+    * killed JVM can tear the final append anywhere — including INSIDE
+    * the checksum field, where the surviving prefix still splits into
+    * plausible fields — so field count alone cannot prove the append
+    * completed; only the trailing '\n' (the last byte the writer
+    * emits) can. The per-line CRC then proves the line's CONTENT is
+    * the content the writer emitted (a bit flip inside an otherwise
+    * complete line fails it). An untrusted line is treated as
     * incomplete — the safe direction, because re-copying a range is
     * idempotent. Numeric fields are bounded ASCII digit runs
     * (`isDigit` accepts Unicode digits `toInt` rejects, and an
     * overlong run overflows Long) and the parses ride in Try, so a
-    * corrupted line SKIPS instead of aborting the resume.
+    * corrupted line SKIPS instead of aborting the resume. Version
+    * branch by field count: pre-CRC manifests wrote 4 fields and
+    * still parse (their lines carry no CRC to check) — a manifest
+    * written by an older build resumes under this one.
     */
   private[graft] def readManifest(dir: String): Map[(String, Int), (Long, String)] = {
     val f = manifestFile(dir)
@@ -172,7 +193,11 @@ object KeyspaceCopy {
         line.split("\t", -1) match {
           // range ≤ 4 digits (nRanges ≤ 4096); rows ≤ 18 digits
           // (< Long.MaxValue's 19) so toLong cannot overflow.
-          case Array(t, r, n, cs)
+          case Array(t, r, n, cs, crc)
+              if asciiDigits(r, 4) && asciiDigits(n, 18) && cs.nonEmpty &&
+                crc == lineCrc(s"$t\t$r\t$n\t$cs") =>
+            scala.util.Try((t, r.toInt) -> (n.toLong, cs)).toOption
+          case Array(t, r, n, cs) // legacy pre-CRC line
               if asciiDigits(r, 4) && asciiDigits(n, 18) && cs.nonEmpty =>
             scala.util.Try((t, r.toInt) -> (n.toLong, cs)).toOption
           case _ => None
@@ -191,20 +216,32 @@ object KeyspaceCopy {
     * trusted — the exact failure readManifest's newline rule exists
     * to prevent). The fragment's unit was never recorded complete, so
     * dropping the bytes loses nothing: the unit re-copies.
+    *
+    * The tear probe is O(1) per append: one seek to the final byte.
+    * A torn tail exists only immediately after a kill, so the
+    * whole-file backward scan for the last newline runs at most once
+    * per resume, never on the hot append path — the old
+    * readAllBytes-per-append probe made the copy loop O(n²) in
+    * completed units (~40k appends at nRanges=4096).
     */
   private[graft] def appendManifest(
       dir: String, table: String, range: Int, rows: Long, checksum: String): Unit = {
     val f = manifestFile(dir)
     if (f.exists() && f.length() > 0) {
-      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
-      if (bytes.last != '\n') {
-        val keep = bytes.lastIndexOf('\n'.toByte) + 1
-        val raf = new java.io.RandomAccessFile(f, "rw")
-        try raf.setLength(keep.toLong) finally raf.close()
-      }
+      val raf = new java.io.RandomAccessFile(f, "rw")
+      try {
+        raf.seek(raf.length() - 1)
+        if (raf.read() != '\n') {
+          // Rare path (post-kill only): find the last complete line.
+          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+          val keep = bytes.lastIndexOf('\n'.toByte) + 1
+          raf.setLength(keep.toLong)
+        }
+      } finally raf.close()
     }
+    val payload = s"$table\t$range\t$rows\t$checksum"
     val w = new FileWriter(f, true)
-    try { w.write(s"$table\t$range\t$rows\t$checksum\n"); w.flush() }
+    try { w.write(s"$payload\t${lineCrc(payload)}\n"); w.flush() }
     finally w.close()
   }
 
@@ -250,6 +287,10 @@ object KeyspaceCopy {
           "use the original value or a fresh manifest dir")
     }
     val tables = src.tableNames(spark)
+    // Discovery backstop for sources that can't validate their own
+    // location: a copy over zero tables would "succeed" vacuously.
+    require(tables.nonEmpty,
+      s"keyspace copy: source $src discovered zero tables — nothing to copy")
     val sink = new ConfiguredSink(dst, conf)
 
     // 1+2 — discover + DDL bootstrap artifact (write-once: a resumed

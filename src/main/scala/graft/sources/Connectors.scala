@@ -39,7 +39,13 @@ final class ParquetSource(dir: String) extends TableSource {
     * deterministic DDL artifact and manifest walk.
     */
   def tableNames(spark: SparkSession): Seq[String] = {
-    val entries = Option(new java.io.File(dir).listFiles())
+    // A mis-pointed migration must fail LOUDLY at discovery, naming
+    // the path — not via a vacuous downstream verify over zero tables
+    // with an unexplanatory {"tables":0} report.
+    val d = new java.io.File(dir)
+    require(d.isDirectory,
+      s"ParquetSource: source directory does not exist: $dir")
+    val entries = Option(d.listFiles())
       .getOrElse(Array.empty[java.io.File])
     entries.map(_.getName).filter(_.endsWith(".parquet"))
       .map(_.stripSuffix(".parquet")).sorted.toSeq

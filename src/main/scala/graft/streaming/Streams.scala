@@ -205,19 +205,46 @@ object Streams {
     * the guard can no longer see the old names.
     */
   def requireStateVersion(checkpointDir: String, required: Set[String]): Unit = {
-    val metaDir = new java.io.File(checkpointDir, "state/0/_metadata/v2")
-    if (!metaDir.isDirectory) return
-    val files = Option(metaDir.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isFile && !f.getName.startsWith("."))
-    if (files.isEmpty) return
-    val latest = files.maxBy(f => scala.util.Try(f.getName.toLong).getOrElse(-1L))
-    val txt = new String(java.nio.file.Files.readAllBytes(latest.toPath),
-      java.nio.charset.StandardCharsets.UTF_8)
+    // Every stateful operator, not just operator 0: a multi-operator
+    // topology records per-operator metadata under state/<opId>.
+    val stateRoot = new java.io.File(checkpointDir, "state")
+    if (!stateRoot.isDirectory) return
+    val opDirs = Option(stateRoot.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(d => d.isDirectory && d.getName.forall(_.isDigit))
+    val metaTexts = opDirs.toSeq.sortBy(_.getName.toLong).flatMap { opDir =>
+      val metaDir = new java.io.File(opDir, "_metadata/v2")
+      if (!metaDir.isDirectory) None
+      else {
+        val files = Option(metaDir.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isFile && !f.getName.startsWith("."))
+        if (files.isEmpty) None
+        else {
+          val latest = files.maxBy(f => scala.util.Try(f.getName.toLong).getOrElse(-1L))
+          Some(new String(java.nio.file.Files.readAllBytes(latest.toPath),
+            java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
+    }
+    if (metaTexts.isEmpty) return // fresh / non-TWS checkpoint: records nothing
     // stateVariables ride inside operatorPropertiesJson (escaped JSON),
     // so match both the escaped and unescaped spellings.
-    val recorded = """stateName\\?":\\?"([^"\\]+)""".r
-      .findAllMatchIn(txt).map(_.group(1)).toSet
-    if (recorded.nonEmpty && !required.subsetOf(recorded))
+    val recorded = metaTexts.flatMap(txt =>
+      """stateName\\?":\\?"([^"\\]+)""".r
+        .findAllMatchIn(txt).map(_.group(1))).toSet
+    // FAIL CLOSED: operator metadata exists but no stateName parsed —
+    // either a future Spark changed the layout/spelling, or the
+    // metadata is corrupt. Silently passing here would re-open the
+    // exact silent-state-loss hole this guard exists to prevent.
+    if (recorded.isEmpty)
+      throw new IllegalStateException(
+        s"checkpoint at $checkpointDir has operator state metadata but zero " +
+          "stateName entries parsed from it — the metadata layout or " +
+          "spelling this guard reads (state/<opId>/_metadata/v2, " +
+          "operatorPropertiesJson.stateVariables[].stateName) may have " +
+          "changed in this Spark version. Refusing to resume blind: verify " +
+          "the checkpoint's recorded state variables manually, or restart " +
+          "from a fresh checkpoint.")
+    if (!required.subsetOf(recorded))
       throw new IllegalStateException(
         s"checkpoint at $checkpointDir records state variable(s) " +
           s"[${recorded.toSeq.sorted.mkString(", ")}] but this kernel requires " +

@@ -531,6 +531,87 @@ class MigrationSpec extends AnyFunSuite {
       s"append over a torn tail must truncate the fragment, got $healed")
   }
 
+  test("copy manifest: a bit flip INSIDE a completed line fails its CRC; resume re-copies exactly that unit") {
+    // The newline rule proves an append COMPLETED; it cannot see a
+    // byte corrupted later inside an otherwise complete line (disk
+    // rot) — the per-line CRC can. Corrupt one middle byte of one
+    // completed line: readManifest must drop exactly that unit, and a
+    // resume must re-copy exactly it (idempotent, parity stays green).
+    import graft.sources._
+    import graft.ops.KeyspaceCopy
+    val dstDir = "/tmp/graft_copy_crc_dst"
+    val manDir = "/tmp/graft_copy_crc_manifest"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rm)
+      p.delete(); ()
+    }
+    Seq(dstDir, manDir).foreach(d => rm(new java.io.File(d)))
+    val nRanges = 4
+    val src = new ParquetSource(TestSpark.sf0001)
+    val dstRead = new ParquetSource(dstDir)
+    val r1 = graft.ops.Migration.copyKeyspace(spark, src,
+      new ParquetSink(dstDir), dstRead, WriteConf(), manDir, nRanges)
+    assert(r1.ok)
+    val before = KeyspaceCopy.readManifest(manDir)
+    assert(before.size == Tables.names.size * nRanges)
+    // Flip one digit in the middle of a non-empty unit's checksum
+    // field — the line stays newline-terminated and splits into the
+    // same five plausible fields; only the CRC can reject it.
+    val manPath = java.nio.file.Paths.get(s"$manDir/manifest.tsv")
+    val lines = new String(java.nio.file.Files.readAllBytes(manPath), "UTF-8")
+      .split("\n").toSeq
+    val victimIdx = lines.indexWhere { l =>
+      val f = l.split("\t", -1)
+      f.length == 5 && f(2).toLong > 0 && f(3).length > 2
+    }
+    assert(victimIdx >= 0, "need a non-empty unit to corrupt")
+    val vf = lines(victimIdx).split("\t", -1)
+    val victimKey = (vf(0), vf(1).toInt)
+    val cs = vf(3).toCharArray
+    val mid = cs.length / 2
+    cs(mid) = if (cs(mid) == '5') '6' else '5'
+    val corrupted = lines.updated(victimIdx,
+      Seq(vf(0), vf(1), vf(2), new String(cs), vf(4)).mkString("\t"))
+    java.nio.file.Files.write(manPath,
+      corrupted.mkString("", "\n", "\n").getBytes("UTF-8"))
+    val after = KeyspaceCopy.readManifest(manDir)
+    assert(after == before - victimKey,
+      s"CRC must reject exactly the corrupted unit $victimKey")
+    // Resume: exactly the corrupted unit re-copies, everything else
+    // skips, parity green.
+    final class Recording(underlying: TableSink) extends TableSink {
+      val written = scala.collection.mutable.ArrayBuffer.empty[String]
+      def write(df: org.apache.spark.sql.DataFrame, t: String,
+          o: Map[String, String]): Unit = {
+        written += t; underlying.write(df, t, o)
+      }
+    }
+    val rec = new Recording(new ParquetSink(dstDir))
+    val r2 = graft.ops.Migration.copyKeyspace(spark, src, rec, dstRead,
+      WriteConf(), manDir, nRanges)
+    assert(rec.written.toSeq ==
+      Seq(KeyspaceCopy.rangeTable(victimKey._1, victimKey._2)),
+      s"resume must re-copy exactly $victimKey, wrote ${rec.written}")
+    assert(r2.ok, s"parity after CRC-driven re-copy: ${r2.verify}")
+    // Version branch: a legacy 4-field manifest (pre-CRC build) still
+    // parses — an old manifest resumes under this build.
+    val legacyDir = "/tmp/graft_copy_crc_legacy"
+    rm(new java.io.File(legacyDir))
+    new java.io.File(legacyDir).mkdirs()
+    val w = new java.io.FileWriter(s"$legacyDir/manifest.tsv")
+    w.write("orders\t3\t100\t987654321\n"); w.close()
+    assert(KeyspaceCopy.readManifest(legacyDir) ==
+      Map(("orders", 3) -> ((100L, "987654321"))))
+  }
+
+  test("ParquetSource: a missing source directory fails loudly at discovery, naming the path") {
+    import graft.sources._
+    val e = intercept[IllegalArgumentException] {
+      new ParquetSource("/tmp/graft_no_such_dir_xyz").tableNames(spark)
+    }
+    assert(e.getMessage.contains("/tmp/graft_no_such_dir_xyz"), e.getMessage)
+  }
+
   test("composed copyKeyspace: refuses to resume under a drifted source schema") {
     import graft.sources._
     val dstDir = "/tmp/graft_copy_drift_dst"

@@ -574,6 +574,53 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("state-version guard FAILS CLOSED on unparseable metadata and reads every operator, not just 0") {
+    // ADVICE (r14): the guard used to inspect only state/0 and, if a
+    // future Spark changed the metadata layout or the stateName JSON
+    // spelling, parsed zero names and silently PASSED — the exact
+    // silent-state-loss scenario it exists to prevent.
+    def mkCkpt(tag: String): java.io.File = {
+      val base = java.nio.file.Files.createTempDirectory(s"graft_ckpt_$tag").toFile
+      graft.streaming.Streams.trackTmpDir(base.toString)
+      base
+    }
+    def writeMeta(ckpt: java.io.File, opId: Int, content: String): Unit = {
+      val d = new java.io.File(ckpt, s"state/$opId/_metadata/v2")
+      d.mkdirs()
+      java.nio.file.Files.write(new java.io.File(d, "0").toPath,
+        content.getBytes("UTF-8"))
+      ()
+    }
+    // 1. Metadata exists but zero stateName entries parse → throw,
+    //    never pass blind.
+    val blind = mkCkpt("blind")
+    writeMeta(blind, 0, """{"someFutureLayout":{"vars":[{"name":"scd2"}]}}""")
+    val e1 = intercept[IllegalStateException] {
+      graft.streaming.Streams.requireStateVersion(blind.toString, Set("scd2_v2"))
+    }
+    assert(e1.getMessage.contains("zero") && e1.getMessage.contains("Refusing"),
+      e1.getMessage)
+    // 2. An incompatible variable recorded under operator 1 (not 0)
+    //    is seen — the guard iterates all state/<opId> directories.
+    val multi = mkCkpt("multiop")
+    writeMeta(multi, 0, """{"stateName":"ewma_v2"}""")
+    writeMeta(multi, 1, """{"stateName":"scd2"}""")
+    val e2 = intercept[IllegalStateException] {
+      graft.streaming.Streams.requireStateVersion(multi.toString,
+        Set("ewma_v2", "scd2_v2"))
+    }
+    assert(e2.getMessage.contains("scd2") && e2.getMessage.contains("scd2_v2"),
+      e2.getMessage)
+    // 3. Compatible names across both operators pass.
+    graft.streaming.Streams.requireStateVersion(multi.toString, Set("ewma_v2"))
+    // 4. A checkpoint with a state dir but NO v2 metadata (legacy
+    //    non-TWS operators) records nothing and passes — the guard
+    //    only binds what the checkpoint can prove.
+    val legacy = mkCkpt("legacyop")
+    new java.io.File(legacy, "state/0/_metadata").mkdirs()
+    graft.streaming.Streams.requireStateVersion(legacy.toString, Set("scd2_v2"))
+  }
+
   test("c129/c136/c149/c150: the transformWithState PRODUCTION topologies equal the oracle-verified legacy twins") {
     // Item: "same oracles green through the new API" — each Tws twin
     // is the identical file-source topology with only the state API
