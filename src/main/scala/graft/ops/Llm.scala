@@ -661,6 +661,43 @@ object Llm {
       .orderBy("cust_id", "dirty_id")
   }
 
+  /** c161 — linkage RESOLUTION, the Fellegi-Sunter DECISION step that
+    * completes the c159 family: c159 emits scored candidate PAIRS; a
+    * real reconciliation ends in an ASSIGNMENT — each dirty record →
+    * its single best clean match, or an explicit `unmatched` decision
+    * (the c22-survivors analog for linkage). Per dirty record the
+    * winner is one whole-row `max(struct(score, cust_id))` — the a16
+    * map-side argmax discipline: partial aggregation combines on the
+    * map side and the shuffle carries ONE row per dirty record, never
+    * a corpus-scaled window sort. Ties (two clean records at the same
+    * score — e.g. two block-sharing strangers whose names are both
+    * within 1 edit) break to the HIGHEST cust_id, deterministically
+    * in both engines. Every dirty record appears EXACTLY once (the
+    * c50 complete-gate convention): the dirty side left-joins the
+    * argmax result, and a record with no candidate ≥ threshold gets
+    * `(matched_id NULL, score 0, 'unmatched')` — the honest FS
+    * non-link decision, visible to the analyst instead of silently
+    * dropped. Scale: candidates are linear (c159's blocking), the
+    * argmax is one combine-side agg, and the dirty⋈best join keys on
+    * dirty_id — nothing here is n² or corpus-windowed.
+    */
+  def linkageResolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.t(spark, sfDir, "customer")
+    val dirty = linkDirty(cust)
+    val best = linkPairs(linkClean(cust), dirty)
+      .groupBy(col("dirty_id"))
+      .agg(max(struct(col("score"), col("cust_id"))).as("m"))
+      .select(col("dirty_id"), col("m.cust_id").as("matched_id"),
+        col("m.score").as("best_score"))
+    dirty.select(col("dirty_id"))
+      .join(best, Seq("dirty_id"), "left")
+      .select(col("dirty_id"), col("matched_id"),
+        coalesce(col("best_score"), lit(0)).as("score"),
+        when(col("matched_id").isNotNull, lit("linked"))
+          .otherwise(lit("unmatched")).as("decision"))
+      .orderBy("dirty_id")
+  }
+
   /** c43 — token-set CONTAINMENT over the LSH candidate pairs:
     * containment(A→B) = |A∩B| / |A| is the ASYMMETRIC near-dup
     * measure — a short doc quoted whole inside a long one scores
@@ -1107,6 +1144,7 @@ object Llm {
     "c117_edit_distance_pairs" -> (editDistancePairs(_, _)),
     "c158_edit_join_exact" -> (editJoinExact(_, _)),
     "c159_record_linkage" -> (recordLinkage(_, _)),
+    "c161_linkage_resolution" -> (linkageResolution(_, _)),
     "c43_containment_pairs" -> (containmentPairs(_, _)),
     "c64_minhash_calibration" -> (minhashCalibration(_, _)),
     "c50_incremental_dedup" -> (incrementalDedup(_, _)),
@@ -1259,6 +1297,64 @@ object Llm {
          |WHERE ${LinkBlockW} + ${LinkNameW} * CAST(levenshtein(c.name, d.name_d) <= 1 AS INT)
          |    + ${LinkBalW} * CAST(c.bal_cents = d.bal_cents_d AS INT) >= ${LinkThreshold}
          |ORDER BY cust_id ASC NULLS FIRST, dirty_id ASC NULLS FIRST""".stripMargin,
+
+    // The c161 oracle replays c159's candidate generation and scoring,
+    // then the SAME decision rule — best score, ties to highest
+    // cust_id — via a window (the oracle may window; the Spark side
+    // must not), and left-joins the full dirty side so unmatched
+    // records surface explicitly. A dirty record resolved to a
+    // different winner, a lost unmatched row, or a duplicated decision
+    // fails the hash.
+    "c161_linkage_resolution" ->
+      s"""WITH dirty AS (
+         |  SELECT c_custkey AS dirty_id,
+         |    CASE WHEN cls = 0
+         |      THEN substr(c_name, 1, npos) || substr(c_name, npos + 2)
+         |      ELSE c_name END AS name_d,
+         |    c_nationkey AS nat, c_mktsegment AS seg,
+         |    CASE WHEN cls = 0 THEN bal_cents ELSE bal_cents + 1 END AS bal_cents_d
+         |  FROM (
+         |    SELECT *,
+         |      CAST(('0x' || substr(md5('lpos:' || CAST(c_custkey AS VARCHAR)), 1, 4)) AS INT)
+         |        % length(c_name) AS npos,
+         |      CASE WHEN substr(md5('link:' || CAST(c_custkey AS VARCHAR)), 2, 1) < '8'
+         |        THEN 0 ELSE 1 END AS cls,
+         |      CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+         |    FROM customer
+         |    WHERE substr(md5('link:' || CAST(c_custkey AS VARCHAR)), 1, 1) < '8')
+         |), clean AS (
+         |  SELECT c_custkey AS cust_id, c_name AS name, c_nationkey AS nat,
+         |    c_mktsegment AS seg, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+         |  FROM customer
+         |), cands AS (
+         |  SELECT DISTINCT cust_id, dirty_id FROM (
+         |    SELECT c.cust_id, d.dirty_id FROM clean c JOIN dirty d
+         |      ON c.nat = d.nat AND c.seg = d.seg AND c.bal_cents = d.bal_cents_d
+         |    UNION ALL
+         |    SELECT c.cust_id, d.dirty_id FROM clean c JOIN dirty d
+         |      ON c.nat = d.nat AND c.seg = d.seg AND c.name = d.name_d)
+         |), scored AS (
+         |  SELECT cust_id, dirty_id,
+         |    ${LinkBlockW} + ${LinkNameW} * CAST(levenshtein(c.name, d.name_d) <= 1 AS INT)
+         |      + ${LinkBalW} * CAST(c.bal_cents = d.bal_cents_d AS INT) AS score
+         |  FROM cands
+         |  JOIN clean c USING (cust_id)
+         |  JOIN dirty d USING (dirty_id)
+         |  WHERE ${LinkBlockW} + ${LinkNameW} * CAST(levenshtein(c.name, d.name_d) <= 1 AS INT)
+         |      + ${LinkBalW} * CAST(c.bal_cents = d.bal_cents_d AS INT) >= ${LinkThreshold}
+         |), best AS (
+         |  SELECT dirty_id, cust_id AS matched_id, score FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY dirty_id
+         |      ORDER BY score DESC, cust_id DESC) AS rn
+         |    FROM scored)
+         |  WHERE rn = 1
+         |)
+         |SELECT d.dirty_id, b.matched_id,
+         |  coalesce(b.score, 0) AS score,
+         |  CASE WHEN b.matched_id IS NOT NULL THEN 'linked'
+         |    ELSE 'unmatched' END AS decision
+         |FROM dirty d LEFT JOIN best b USING (dirty_id)
+         |ORDER BY dirty_id ASC NULLS FIRST""".stripMargin,
 
     "c3_jaccard_pairs" ->
       s"""$oraclePairsCte
