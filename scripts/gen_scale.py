@@ -194,12 +194,64 @@ def gen_tpch(src, out, factor):
     return (on, on * factor, ln, ln * factor)
 
 
+def gen_customers(src, out, factor):
+    """Customer-DIMENSION scaling for the c159/c160/c161 record-linkage
+    rehearsal (the one family whose scale axis is customers, not
+    facts). Replica k shifts c_custkey by k*(max+1), derives the TPC-H
+    name from the NEW key (names stay unique — the pass-B blocking
+    key), and RE-SPREADS the balance by a fixed stride over the
+    fixture's observed cents range, so 1.5M balances collide the way
+    1.5M fresh uniform draws over ~1.1M cent values do — the exact
+    pass-A question the rehearsal asks. Replicating balances
+    byte-identical instead would put all `factor` family members in
+    one (nation, segment, cents) block and grow pass-A candidates
+    quadratically in family size — a replication ARTIFACT, not a
+    property of a big customer table (the c117 r12 lesson). k=0 rides
+    the original rows unchanged. Deterministic, no RNG."""
+    t = pq.read_table(f"{src}/customer.parquet")
+    n = t.num_rows
+    max_key = pc.max(t.column("c_custkey")).as_py()
+    keys = t.column("c_custkey").to_pylist()
+    names = t.column("c_name").to_pylist()
+    nats = t.column("c_nationkey").to_pylist()
+    bals = t.column("c_acctbal").to_pylist()
+    segs = t.column("c_mktsegment").to_pylist()
+    cents = [round(b * 100) for b in bals]
+    lo, span = min(cents), max(cents) - min(cents) + 1
+    stride = 10861
+    ok, on, onat, obal, oseg = [], [], [], [], []
+    for k in range(factor):
+        for i in range(n):
+            key = keys[i] + k * (max_key + 1)
+            ok.append(key)
+            on.append(names[i] if k == 0 else f"Customer#{key:09d}")
+            onat.append(nats[i])
+            c = cents[i] if k == 0 else lo + (cents[i] - lo + k * stride) % span
+            obal.append(c / 100.0)
+            oseg.append(segs[i])
+    schema = pa.schema([(f.name, f.type) for f in t.schema])
+    write_sharded({"c_custkey": ok, "c_name": on, "c_nationkey": onat,
+                   "c_acctbal": obal, "c_mktsegment": oseg},
+                  schema, f"{out}/customer.parquet")
+    return n, n * factor
+
+
 def main():
-    flags = ("--boilerplate", "--events", "--tpch")
+    flags = ("--boilerplate", "--events", "--tpch", "--customers")
     args = [a for a in sys.argv[1:] if a not in flags]
     boilerplate = "--boilerplate" in sys.argv[1:]
     with_events = "--events" in sys.argv[1:]
     with_tpch = "--tpch" in sys.argv[1:]
+    with_customers = "--customers" in sys.argv[1:]
+    if with_customers:
+        # Customer-only corpus: the linkage family reads nothing else.
+        src = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
+        out = args[1] if len(args) > 1 else "/tmp/graft_cust100"
+        factor = int(args[2]) if len(args) > 2 else 100
+        os.makedirs(out, exist_ok=True)
+        cn, cN = gen_customers(src, out, factor)
+        print(f"customers: {cn} -> {cN} rows -> {out}")
+        return
     src = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
     out = args[1] if len(args) > 1 else "/tmp/graft_scale10"
     factor = int(args[2]) if len(args) > 2 else 10

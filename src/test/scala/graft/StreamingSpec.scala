@@ -487,7 +487,7 @@ class StreamingSpec extends AnyFunSuite {
   test("state-schema versioning: a pre-v2 checkpoint resumed under the v2 state name fails LOUDLY, naming the variable") {
     // The round-12 frontier prepend changed the five stateful kernels'
     // checkpointed state schema; the stores are now NAMED *_v2
-    // (scd2_v2, island_v2, ewma_v2, last_v2, trigram_v2) so an
+    // (scd2_v2, island_v2, ewma_v3, last_v2, trigram_v2) so an
     // incompatible resume is refused at the STORE layer with the
     // variable's name in the error — not a raw state-schema-validation
     // dump. Simulated with the scd2 kernel: a v1-SHAPED probe (state
@@ -571,6 +571,75 @@ class StreamingSpec extends AnyFunSuite {
       graft.streaming.Streams.requireStateVersion(ckpt2, Set("scd2_v2"))
       graft.streaming.Streams.requireStateVersion(
         new java.io.File(base2, "never_started").toString, Set("scd2_v2"))
+    }
+  }
+
+  test("c160 multi-batch: per-batch emissions sum to the batch answer; no pair emits twice across >=3 batches") {
+    // The verification key drains the dirty source as one AvailableNow
+    // gulp; a LIVE reconciliation ingests micro-batch by micro-batch.
+    // Statelessness makes that safe ONLY IF each dirty record arrives
+    // in exactly one batch — pinned here: 3 feed files, one per
+    // micro-batch, per-batch emission counts must SUM to the batch
+    // answer, the pair set must be duplicate-free across batches, and
+    // the union must equal batch c159 exactly.
+    import org.apache.spark.sql.{Dataset, Row}
+    val sfDir = TestSpark.sf0001
+    val cust = Tables.t(spark, sfDir, "customer")
+    val base = java.nio.file.Files.createTempDirectory("graft_c160_mb").toFile
+    graft.streaming.Streams.trackTmpDir(base.toString)
+    val feed = new java.io.File(base, "feed").toString
+    cust.repartition(3).write.parquet(feed)
+    val out = new java.io.File(base, "out").toString
+    val ckpt = new java.io.File(base, "ckpt").toString
+    val stream = spark.readStream.schema(cust.schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+    val linked = graft.ops.Llm.linkPairs(
+      graft.ops.Llm.linkClean(cust), graft.ops.Llm.linkDirty(stream))
+    val q = linked.writeStream.outputMode("append")
+      .foreachBatch((b: Dataset[Row], id: Long) =>
+        b.withColumn("batch_id", lit(id)).write.mode("append").parquet(out))
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      s"one-file-per-trigger must yield >=3 micro-batches, " +
+        s"got ${q.recentProgress.map(_.numInputRows).mkString(",")}")
+    val emitted = spark.read.parquet(out)
+    val batch = graft.ops.Llm.recordLinkage(spark, sfDir)
+    val batchN = batch.count()
+    val perBatch = emitted.groupBy("batch_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perBatch.values.sum == batchN,
+      s"per-batch sums ${perBatch} != batch answer $batchN")
+    assert(emitted.select("cust_id", "dirty_id").distinct().count() == batchN,
+      "a pair emitted twice across micro-batches")
+    val streamed = emitted.drop("batch_id")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "multi-batch union diverges from batch c159")
+  }
+
+  test("c136 ewma_v3 state: pack → unpack is the identity; the buffer is one fixed-width array") {
+    // The v3 re-encoding replaces List[Double] product encoding with
+    // one flat binary buffer (RocksDB serialization cost, round-14
+    // verdict item 3). Exactness rests on putDouble/getDouble being
+    // raw IEEE-754 bit moves — pinned here over the edge doubles.
+    import graft.streaming.Streams
+    val frontiers = Seq((Long.MinValue, Long.MinValue), (0L, 0L),
+      (123456789012L, 42L))
+    val lists = Seq(Nil, List(1.5),
+      List.fill(graft.ops.Insights.EwmaTaps - 1)(math.Pi),
+      List(-0.0, Double.MinPositiveValue, Double.MaxValue, -1e308, 1e-308))
+    for (f <- frontiers; l <- lists) {
+      val b = Streams.packEwmaState(f, l)
+      assert(b.length == Streams.EwmaStateBytes,
+        s"buffer must be fixed-width: ${b.length} != ${Streams.EwmaStateBytes}")
+      val (f2, l2) = Streams.unpackEwmaState(b)
+      assert(f2 == f)
+      assert(l2.length == l.length && l2.zip(l).forall { case (x, y) =>
+        java.lang.Double.doubleToRawLongBits(x) ==
+          java.lang.Double.doubleToRawLongBits(y) },
+        s"doubles not bit-identical through pack/unpack: $l -> $l2")
     }
   }
 
