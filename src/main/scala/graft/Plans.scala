@@ -170,6 +170,12 @@ object Plans {
           "nation+segment+exact-name), DISTINCT-unioned id pairs, fields joined " +
           "back by id for the integer FS score — high-cardinality block keys, " +
           "no cartesian, the edit kernel only at scoring."),
+      "c161_linkage_resolution" ->
+        ("The decision step is a map-side argmax: groupBy(dirty_id) with ONE " +
+          "max-of-struct HashAggregate (partial combine before the exchange — " +
+          "one row per dirty record crosses it), never a window over " +
+          "candidates; the dirty side left-joins the argmax on dirty_id for " +
+          "the explicit unmatched rows; no cartesian product."),
       "b77_interval_coalesce" ->
         ("EXACTLY ONE hash exchange (user_id): the island window and both " +
           "downstream aggregations all run on the same partitioning — " +

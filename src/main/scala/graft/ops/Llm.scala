@@ -636,7 +636,16 @@ object Llm {
     * id), which keeps the whole pipeline stream-static-safe and
     * drops the batch plan's distinct exchange + two joins-back.
     */
-  private[graft] def linkPairs(clean: DataFrame, dirty: DataFrame): DataFrame = {
+  private[graft] def linkPairs(clean: DataFrame, dirty: DataFrame): DataFrame =
+    linkCandidates(clean, dirty).where(col("score") >= LinkThreshold)
+
+  /** The scored candidate set BEFORE the link threshold — shared by
+    * [[linkPairs]] (≥ threshold) and c163's two-threshold banding
+    * (which needs the sub-threshold candidates too). Catalyst pushes
+    * linkPairs' threshold filter back inside each pass, so the split
+    * costs nothing.
+    */
+  private[graft] def linkCandidates(clean: DataFrame, dirty: DataFrame): DataFrame = {
     def score(pairs: DataFrame): DataFrame = pairs
       .select(col("cust_id"), col("dirty_id"),
         (graft.functions.EditDistance.edist(col("name"), col("name_d")) <= 1)
@@ -644,7 +653,6 @@ object Llm {
         (col("bal_cents") === col("bal_cents_d")).cast("int").as("bal_agree"))
       .withColumn("score", lit(LinkBlockW) +
         lit(LinkNameW) * col("name_agree") + lit(LinkBalW) * col("bal_agree"))
-      .where(col("score") >= LinkThreshold)
     val passA = dirty.join(clean,
       col("nat") === col("nat_d") && col("seg") === col("seg_d") &&
         col("bal_cents") === col("bal_cents_d"))
@@ -681,10 +689,17 @@ object Llm {
     * argmax is one combine-side agg, and the dirty⋈best join keys on
     * dirty_id — nothing here is n² or corpus-windowed.
     */
-  def linkageResolution(spark: SparkSession, sfDir: String): DataFrame = {
-    val cust = Tables.t(spark, sfDir, "customer")
-    val dirty = linkDirty(cust)
-    val best = linkPairs(linkClean(cust), dirty)
+  /** The resolution kernel shared by batch c161 and its per-micro-
+    * batch streaming twin c162 (the c51 batch/stream-sharing
+    * discipline): works on ANY (clean, dirty) pair of static frames —
+    * c162 calls it inside `foreachBatch` on each micro-batch's dirty
+    * slice, where it is exact because each dirty record arrives in
+    * exactly one micro-batch and the clean side is static, so the
+    * batch-local candidate set (and hence the argmax) IS the global
+    * one.
+    */
+  private[graft] def resolveFrom(clean: DataFrame, dirty: DataFrame): DataFrame = {
+    val best = linkPairs(clean, dirty)
       .groupBy(col("dirty_id"))
       .agg(max(struct(col("score"), col("cust_id"))).as("m"))
       .select(col("dirty_id"), col("m.cust_id").as("matched_id"),
@@ -695,7 +710,40 @@ object Llm {
         coalesce(col("best_score"), lit(0)).as("score"),
         when(col("matched_id").isNotNull, lit("linked"))
           .otherwise(lit("unmatched")).as("decision"))
-      .orderBy("dirty_id")
+  }
+
+  def linkageResolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.t(spark, sfDir, "customer")
+    resolveFrom(linkClean(cust), linkDirty(cust)).orderBy("dirty_id")
+  }
+
+  /** c163 — the FULL Fellegi-Sunter TWO-THRESHOLD decision structure
+    * (FS 1969 §3: an upper threshold above which pairs auto-link, a
+    * lower threshold below which they auto-reject, and the band
+    * between routed to CLERICAL REVIEW — the error-bounded triage
+    * every production linkage runs; c159/c161 implement the
+    * single-threshold cut, this key exposes the review queue). Bands
+    * over the UNthresholded candidate set ([[linkCandidates]] — same
+    * blocking, same integer scoring): score ≥ 9 (both fields agree)
+    * = `link`, ≥ 6 (exactly one strong agreement — the c159
+    * threshold) = `review`, below = `nonlink` (block-only or
+    * balance-only agreement; kept in the output so the audit sees
+    * what blocking proposed and scoring refused). Row-level — the
+    * review band IS the clerical work queue — with the score on the
+    * row. Candidates are blocking-bounded (linear, measured at 1.5M
+    * in SCALE.md round 15), so the full banded output is
+    * candidate-sized, never n².
+    */
+  private[graft] val LinkUpper = 9
+
+  def linkageBands(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.t(spark, sfDir, "customer")
+    linkCandidates(linkClean(cust), linkDirty(cust))
+      .select(col("cust_id"), col("dirty_id"), col("score"),
+        when(col("score") >= LinkUpper, lit("link"))
+          .when(col("score") >= LinkThreshold, lit("review"))
+          .otherwise(lit("nonlink")).as("band"))
+      .orderBy("cust_id", "dirty_id")
   }
 
   /** c43 — token-set CONTAINMENT over the LSH candidate pairs:
@@ -1145,6 +1193,7 @@ object Llm {
     "c158_edit_join_exact" -> (editJoinExact(_, _)),
     "c159_record_linkage" -> (recordLinkage(_, _)),
     "c161_linkage_resolution" -> (linkageResolution(_, _)),
+    "c163_linkage_bands" -> (linkageBands(_, _)),
     "c43_containment_pairs" -> (containmentPairs(_, _)),
     "c64_minhash_calibration" -> (minhashCalibration(_, _)),
     "c50_incremental_dedup" -> (incrementalDedup(_, _)),
@@ -1296,6 +1345,53 @@ object Llm {
          |JOIN dirty d USING (dirty_id)
          |WHERE ${LinkBlockW} + ${LinkNameW} * CAST(levenshtein(c.name, d.name_d) <= 1 AS INT)
          |    + ${LinkBalW} * CAST(c.bal_cents = d.bal_cents_d AS INT) >= ${LinkThreshold}
+         |ORDER BY cust_id ASC NULLS FIRST, dirty_id ASC NULLS FIRST""".stripMargin,
+
+    // The c163 oracle replays the same candidates + integer score with
+    // NO threshold, then the two-threshold band CASE — a pair banded
+    // differently, a lost sub-threshold candidate, or an invented one
+    // fails the hash.
+    "c163_linkage_bands" ->
+      s"""WITH dirty AS (
+         |  SELECT c_custkey AS dirty_id,
+         |    CASE WHEN cls = 0
+         |      THEN substr(c_name, 1, npos) || substr(c_name, npos + 2)
+         |      ELSE c_name END AS name_d,
+         |    c_nationkey AS nat, c_mktsegment AS seg,
+         |    CASE WHEN cls = 0 THEN bal_cents ELSE bal_cents + 1 END AS bal_cents_d
+         |  FROM (
+         |    SELECT *,
+         |      CAST(('0x' || substr(md5('lpos:' || CAST(c_custkey AS VARCHAR)), 1, 4)) AS INT)
+         |        % length(c_name) AS npos,
+         |      CASE WHEN substr(md5('link:' || CAST(c_custkey AS VARCHAR)), 2, 1) < '8'
+         |        THEN 0 ELSE 1 END AS cls,
+         |      CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+         |    FROM customer
+         |    WHERE substr(md5('link:' || CAST(c_custkey AS VARCHAR)), 1, 1) < '8')
+         |), clean AS (
+         |  SELECT c_custkey AS cust_id, c_name AS name, c_nationkey AS nat,
+         |    c_mktsegment AS seg, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+         |  FROM customer
+         |), cands AS (
+         |  SELECT DISTINCT cust_id, dirty_id FROM (
+         |    SELECT c.cust_id, d.dirty_id FROM clean c JOIN dirty d
+         |      ON c.nat = d.nat AND c.seg = d.seg AND c.bal_cents = d.bal_cents_d
+         |    UNION ALL
+         |    SELECT c.cust_id, d.dirty_id FROM clean c JOIN dirty d
+         |      ON c.nat = d.nat AND c.seg = d.seg AND c.name = d.name_d)
+         |), scored AS (
+         |  SELECT cust_id, dirty_id,
+         |    ${LinkBlockW} + ${LinkNameW} * CAST(levenshtein(c.name, d.name_d) <= 1 AS INT)
+         |      + ${LinkBalW} * CAST(c.bal_cents = d.bal_cents_d AS INT) AS score
+         |  FROM cands
+         |  JOIN clean c USING (cust_id)
+         |  JOIN dirty d USING (dirty_id)
+         |)
+         |SELECT cust_id, dirty_id, score,
+         |  CASE WHEN score >= ${LinkUpper} THEN 'link'
+         |    WHEN score >= ${LinkThreshold} THEN 'review'
+         |    ELSE 'nonlink' END AS band
+         |FROM scored
          |ORDER BY cust_id ASC NULLS FIRST, dirty_id ASC NULLS FIRST""".stripMargin,
 
     // The c161 oracle replays c159's candidate generation and scoring,

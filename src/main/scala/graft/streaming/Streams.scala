@@ -655,6 +655,45 @@ object Streams {
       .orderBy("cust_id", "dirty_id")
   }
 
+  /** c162 — STREAMING linkage RESOLUTION: c161's decision step as
+    * live ingest, via the `foreachBatch` micro-batch pattern (the
+    * documented Structured Streaming recipe for per-batch batch
+    * transforms a pure append plan can't express — the argmax is an
+    * aggregation, and append mode without a watermark rejects it).
+    * EXACT per micro-batch, no state: each dirty record arrives in
+    * exactly one micro-batch and the clean side is STATIC, so the
+    * batch-local candidate set — and hence the batch-local
+    * [[graft.ops.Llm.resolveFrom]] argmax and its unmatched rows —
+    * IS the global answer for that record; the per-batch emission
+    * union is therefore c161 verbatim (the oracle is c161's SQL) and
+    * every dirty record decides exactly once across any batching
+    * (StreamingSpec pins it across a 3-file feed). The foreachBatch
+    * write is a distributed parquet append, never a driver-side
+    * collect.
+    */
+  def streamLinkageResolution(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.Llm
+    val cust = graft.Tables.t(spark, sfDir, "customer")
+    val clean = Llm.linkClean(cust)
+    val stream = streamTable(spark, sfDir, "customer")
+    val out = java.nio.file.Files.createTempDirectory("graft_c162_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_c162_ckpt").toString
+    trackTmpDir(out); trackTmpDir(ckpt)
+    // Schema from the static twin: a dirty-free corpus emits nothing
+    // and an empty directory must still read back typed (the
+    // runToParquet discipline).
+    val schema = Llm.resolveFrom(clean, Llm.linkDirty(cust)).schema
+    val q = stream.writeStream
+      .foreachBatch((batch: Dataset[Row], _: Long) =>
+        Llm.resolveFrom(clean, Llm.linkDirty(batch))
+          .write.mode("append").parquet(out))
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.schema(schema).parquet(out).orderBy("dirty_id")
+  }
+
   /** SCD2 run compaction as a STATEFUL STREAM TRANSFORM: per user,
     * consecutive identical states collapse to versioned runs; each
     * CLOSED run emits exactly once (append semantics) and the OPEN
@@ -1436,6 +1475,7 @@ object Streams {
     "c150_stream_session_paths" -> (streamSessionPaths(_, _)),
     "c51_stream_incremental_dedup" -> (streamIncrementalDedup(_, _)),
     "c160_stream_record_linkage" -> (streamRecordLinkage(_, _)),
+    "c162_stream_linkage_resolution" -> (streamLinkageResolution(_, _)),
     "c25_stream_tumbling" -> (streamTumbling(_, _)),
     "c30_stream_sessions" -> (streamSessions(_, _)),
     "c36_stream_append" -> (streamAppend(_, _)),
@@ -1452,6 +1492,8 @@ object Streams {
     // The streamed linkage must BE the batch c159 answer — same
     // oracle text, drift-proof by construction.
     "c160_stream_record_linkage" -> graft.ops.Llm.oracle("c159_record_linkage"),
+    // c162 streams the c161 DECISION: the oracle is c161's SQL verbatim.
+    "c162_stream_linkage_resolution" -> graft.ops.Llm.oracle("c161_linkage_resolution"),
     // The stream must converge to the BATCH snapshot exactly — same
     // oracle text as a16.
     "c89_stream_latest_snapshot" ->

@@ -197,6 +197,43 @@ class EditDistanceSpec extends AnyFunSuite {
       s"argmax should partial-aggregate map-side:\n$p")
   }
 
+  test("c163: bands follow the two-threshold rule; planted classes land in their exact band") {
+    import org.apache.spark.sql.functions._
+    val out = graft.ops.Llm.linkageBands(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getInt(r.fieldIndex("score")), r.getString(r.fieldIndex("band"))))
+    assert(out.nonEmpty)
+    // Band is a pure function of score — the two-threshold rule.
+    out.foreach { case (c, d, s, b) =>
+      val expected = if (s >= 9) "link" else if (s >= 6) "review" else "nonlink"
+      assert(b == expected, s"pair ($c,$d) score $s banded $b, rule says $expected")
+    }
+    // Candidate pairs are unique (the two passes are disjoint by the
+    // balance predicate even without the threshold).
+    assert(out.map(t => (t._1, t._2)).distinct.length == out.length,
+      "a candidate pair appeared in both passes")
+    // Planted class 0 (name-corrupted, balance stable) self-links at
+    // 9 → 'link'; class 1 (balance-corrupted, name stable) at 6 →
+    // 'review' — the FS triage sends exactly the single-field
+    // agreements to clerical review.
+    val bands = out.map(t => (t._1, t._2) -> t._4).toMap
+    val dealt = Tables.t(spark, TestSpark.sf0001, "customer")
+      .select(col("c_custkey"),
+        when(substring(md5(concat(lit("link:"), col("c_custkey").cast("string"))), 2, 1) < "8", 0)
+          .otherwise(1).as("cls"))
+      .where(substring(md5(concat(lit("link:"), col("c_custkey").cast("string"))), 1, 1) < "8")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    dealt.foreach { case (id, cls) =>
+      val expected = if (cls == 0) "link" else "review"
+      assert(bands.get((id, id)).contains(expected),
+        s"planted record $id (class $cls) banded ${bands.get((id, id))}, expected $expected")
+    }
+    // And the thresholded c159 output is exactly the link+review bands.
+    val kept = graft.ops.Llm.recordLinkage(spark, TestSpark.sf0001).count()
+    assert(out.count(_._4 != "nonlink").toLong == kept,
+      "link+review bands must equal the thresholded pair set")
+  }
+
   test("c159: the linkage plan is blocking equi-joins — no cartesian, kernel only at scoring") {
     val p = graft.ops.Llm.recordLinkage(spark, TestSpark.sf0001)
       .queryExecution.executedPlan.toString

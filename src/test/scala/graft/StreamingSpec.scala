@@ -619,6 +619,43 @@ class StreamingSpec extends AnyFunSuite {
       "multi-batch union diverges from batch c159")
   }
 
+  test("c162 multi-batch: every dirty record decides exactly once; union equals batch c161 across >=3 batches") {
+    // The per-micro-batch resolution claim: a dirty record's candidate
+    // set is complete within its own batch (static clean side), so the
+    // batch-local argmax + unmatched rows ARE the global decision —
+    // pinned across a real 3-file feed.
+    import org.apache.spark.sql.{Dataset, Row}
+    val sfDir = TestSpark.sf0001
+    val cust = Tables.t(spark, sfDir, "customer")
+    val base = java.nio.file.Files.createTempDirectory("graft_c162_mb").toFile
+    graft.streaming.Streams.trackTmpDir(base.toString)
+    val feed = new java.io.File(base, "feed").toString
+    cust.repartition(3).write.parquet(feed)
+    val out = new java.io.File(base, "out").toString
+    val ckpt = new java.io.File(base, "ckpt").toString
+    val clean = graft.ops.Llm.linkClean(cust)
+    val stream = spark.readStream.schema(cust.schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+    val q = stream.writeStream
+      .foreachBatch((b: Dataset[Row], id: Long) =>
+        graft.ops.Llm.resolveFrom(clean, graft.ops.Llm.linkDirty(b))
+          .withColumn("batch_id", lit(id)).write.mode("append").parquet(out))
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      "one-file-per-trigger must yield >=3 micro-batches")
+    val emitted = spark.read.parquet(out)
+    val batch = graft.ops.Llm.linkageResolution(spark, sfDir)
+    val batchN = batch.count()
+    assert(emitted.count() == batchN && emitted.select("dirty_id").distinct().count() == batchN,
+      "every dirty record must decide exactly once across batches")
+    val streamed = emitted.drop("batch_id")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "multi-batch resolution union diverges from batch c161")
+  }
+
   test("c136 ewma_v3 state: pack → unpack is the identity; the buffer is one fixed-width array") {
     // The v3 re-encoding replaces List[Double] product encoding with
     // one flat binary buffer (RocksDB serialization cost, round-14
