@@ -140,6 +140,50 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** c164 — FRAME-LEVEL DEDUP across the media corpus: explode every
+    * blob into its [[FrameBytes]]-byte frames, hash each frame, and
+    * report every frame content that occurs MORE THAN ONCE anywhere —
+    * within one medium (still frames, silence) or across media
+    * (shared intros/outros/boilerplate overlays) — with its occurrence
+    * count, reach (distinct media), and a deterministic canonical
+    * keeper (the lexicographically first (doc_id, frame_idx), the c1
+    * min-keeper convention as a whole-row argmin — the a16
+    * discipline). This is the storage/training dedup step a video or
+    * audio ingest runs BEFORE feature extraction: duplicated frames
+    * decode once, store once, and train once.
+    *
+    * Scale: the md5 PROJECTION runs inside the per-row Generate —
+    * only (doc_id, frame_idx, 32-char hash) rows ever reach the
+    * exchange, the blob itself never shuffles (the c42 discipline);
+    * the group-by is a map-side-combined HashAggregate on the hash,
+    * and output is duplicate-sized. Frames per blob derive from each
+    * row's own length — no constant cap, no truncation.
+    */
+  def frameDedup(spark: SparkSession, sfDir: String): DataFrame =
+    frameDedupOf(mediaTable(spark, sfDir))
+
+  private[graft] def frameDedupOf(media: DataFrame): DataFrame = {
+    val frames = media.select(
+      col("doc_id"),
+      expr(
+        s"""explode(transform(
+           |  sequence(0, int(greatest(ceil(length(content) / $FrameBytes.0), 1)) - 1),
+           |  f -> named_struct(
+           |    'fidx', cast(f AS BIGINT),
+           |    'fhash', md5(substring(content, 1 + f * $FrameBytes, $FrameBytes)))))""".stripMargin)
+        .as("fr"))
+      .select(col("doc_id"), col("fr.fidx").as("frame_idx"),
+        col("fr.fhash").as("frame_md5"))
+    frames.groupBy("frame_md5")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(struct(col("doc_id"), col("frame_idx"))).as("k"))
+      .where(col("n_occurrences") >= 2)
+      .select(col("frame_md5"), col("n_occurrences"), col("n_docs"),
+        col("k.doc_id").as("keep_doc"), col("k.frame_idx").as("keep_frame_idx"))
+      .orderBy("frame_md5")
+  }
+
   // c85 knobs: 32-byte patches, 8 groups of 4 bytes, top-5 retrieval.
   private[graft] val PatchBytes = 32
   private[graft] val EmbedGroups = 8
@@ -337,6 +381,7 @@ object Multimodal {
   val queries: Map[String, Q] = Map(
     "c18_multimodal_binary" -> (binaryFeatures(_, _)),
     "c42_frame_sample" -> (frameSample(_, _)),
+    "c164_frame_dedup" -> (frameDedup(_, _)),
     "c85_media_embed_topk" -> (mediaEmbedTopk(_, _))
   )
 
@@ -353,6 +398,30 @@ object Multimodal {
         |  lang
         |FROM documents
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    // Same ASCII char-slice = byte-slice identity as c42. The keeper
+    // argmin replays Spark's min-of-struct as a PACKED bigint min —
+    // lexicographically identical because frame_idx < 2^30 always
+    // (a 16-byte-frame blob would need 16 GiB to overflow it).
+    "c164_frame_dedup" ->
+      """WITH f AS (
+        |  SELECT doc_id, CAST(fr AS BIGINT) AS frame_idx,
+        |    md5(substr(text, 1 + CAST(fr AS INT) * 16, 16)) AS frame_md5
+        |  FROM (SELECT doc_id, text,
+        |          CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+        |        FROM documents),
+        |    LATERAL unnest(range(0, greatest(CAST(ceil(n_bytes / 16.0) AS BIGINT), 1))) AS t(fr)
+        |), g AS (
+        |  SELECT frame_md5, COUNT(*) AS n_occurrences,
+        |    COUNT(DISTINCT doc_id) AS n_docs,
+        |    MIN(doc_id * 1073741824 + frame_idx) AS packed
+        |  FROM f GROUP BY frame_md5
+        |)
+        |SELECT frame_md5, n_occurrences, n_docs,
+        |  packed // 1073741824 AS keep_doc,
+        |  packed % 1073741824 AS keep_frame_idx
+        |FROM g WHERE n_occurrences >= 2
+        |ORDER BY frame_md5 ASC NULLS FIRST""".stripMargin,
 
     // The fixture corpus is pure ASCII (verified), so char slices of
     // `text` are byte slices of the UTF-8 blob. The scalar list form

@@ -93,6 +93,46 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("c164: duplicated frames found within and across media; keeper is the lexicographic first; blobs stay out of the shuffle") {
+    // Synthetic blobs with KNOWN 16-byte-aligned duplicates:
+    //   frame "AAAAAAAAAAAAAAAA" at doc 1 idx 0, doc 1 idx 2 (within-
+    //   doc repeat) and doc 3 idx 1 (cross-doc) → 3 occurrences,
+    //   2 docs, keeper (1, 0);
+    //   frame "BBBBBBBBBBBBBBBB" at doc 2 idx 0 and doc 3 idx 0 →
+    //   2 occurrences, 2 docs, keeper (2, 0).
+    // Every other frame is unique and must NOT appear.
+    val fA = "A" * 16; val fB = "B" * 16
+    val docs = Seq(
+      1L -> (fA + ("c" * 16) + fA),
+      2L -> (fB + ("d" * 16)),
+      3L -> (fB + fA + ("e" * 7))) // ragged tail frame, unique
+    val media = docs.toDF("doc_id", "text").select(
+      $"doc_id",
+      to_binary($"text", lit("utf-8")).as("content"),
+      struct(lit("text/plain").as("mime"),
+        length($"text").cast("long").as("n_chars"),
+        lit("en").as("lang")).as("meta"))
+    def h(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = Multimodal.frameDedupOf(media)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    assert(got.keySet == Set(h(fA), h(fB)), s"wrong duplicate set: ${got.keySet}")
+    assert(got(h(fA)) == ((3L, 2L, 1L, 0L)), s"fA: ${got(h(fA))}")
+    assert(got(h(fB)) == ((2L, 2L, 2L, 0L)), s"fB: ${got(h(fB))}")
+    // Scale pin: the hash projection runs inside the Generate — the
+    // binary `content` column must not survive past the explode into
+    // the aggregate's exchange (only doc_id/frame_idx/frame_md5 do).
+    val p = Multimodal.frameDedupOf(media).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // The plan prints top-down, so "content is only used BELOW every
+    // exchange" (i.e. the blob never ships) is: the first content#
+    // reference comes after the last Exchange line.
+    assert(p.contains("Exchange") && p.contains("content#"), p)
+    assert(p.indexOf("content#") > p.lastIndexOf("Exchange"),
+      s"blob column crosses an exchange:\n$p")
+  }
+
   test("c85: group counts from length arithmetic match a positional brute force") {
     // cnt(g, n) must equal |{p in 1..n : ((p-1) % 32) div 4 == g}|.
     for (n <- Seq(0, 1, 4, 6, 31, 32, 36, 63, 64, 100); g <- 0 until 8) {
