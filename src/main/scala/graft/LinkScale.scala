@@ -197,6 +197,42 @@ object LinkScale {
       s"stream emissions must sum to the batch answer with no pair twice: " +
         s"emitted=$nEmitted distinct=$nDistinct batch=$nPairs")
     require(diff == 0L, s"c160 stream/batch divergence at 100x: $diff rows")
+
+    // 6 — c162 (streaming RESOLUTION) over the same multi-batch feed:
+    // each micro-batch's dirty slice resolves batch-locally through
+    // the shared kernel; the emission union must be batch c161
+    // verbatim with exactly one decision per dirty record.
+    val resOut = s"$outDir/stream_c162.parquet"
+    val resCkpt = s"$outDir/stream_c162_ckpt"
+    Seq(resOut, resCkpt).foreach(d => rm(new java.io.File(d)))
+    val streamCust2 = spark.readStream.schema(cust.schema)
+      .option("maxFilesPerTrigger", "1").parquet(feedDir)
+    val t1 = System.nanoTime()
+    val q2 = streamCust2.writeStream
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        Llm.resolveFrom(clean, Llm.linkDirty(batch))
+          .withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(resOut))
+      .option("checkpointLocation", resCkpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    val resWall = (System.nanoTime() - t1) / 1e9
+    val resEmitted = spark.read.parquet(resOut)
+    val resBatches = resEmitted.select("batch_id").distinct().count()
+    val nDecisions = resEmitted.count()
+    val nUniqueDirty = resEmitted.select("dirty_id").distinct().count()
+    val batchRes = Llm.resolveFrom(clean, dirty)
+    val resDiff = resEmitted.drop("batch_id").exceptAll(batchRes).count() +
+      batchRes.exceptAll(resEmitted.drop("batch_id")).count()
+    println(s"""{"probe":"c162_multibatch","wall_sec":$resWall,""" +
+      s""""batches":$resBatches,"decisions":$nDecisions,""" +
+      s""""unique_dirty":$nUniqueDirty,"diff_vs_batch":$resDiff}""")
+    require(resBatches >= 3 && nDecisions == nDirty && nUniqueDirty == nDirty,
+      s"c162 must decide exactly once per dirty record across >=3 batches: " +
+        s"batches=$resBatches decisions=$nDecisions unique=$nUniqueDirty dirty=$nDirty")
+    require(resDiff == 0L, s"c162 stream/batch divergence at 100x: $resDiff rows")
     spark.stop()
   }
 }
