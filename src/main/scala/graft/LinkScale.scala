@@ -169,18 +169,20 @@ object LinkScale {
       .option("maxFilesPerTrigger", "1").parquet(feedDir)
     val linked = Llm.linkPairs(clean, Llm.linkDirty(streamCust))
     val t0 = System.nanoTime()
+    // Idempotent per-batch writes (the c162 discipline): overwrite a
+    // deterministic batch_id=<id> directory so a foreachBatch replay
+    // after a crash cannot double-write.
     val q = linked.writeStream.outputMode("append")
       .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           id: Long) =>
-        batch.withColumn("batch_id", lit(id))
-          .write.mode("append").parquet(streamOut))
+        batch.write.mode("overwrite").parquet(s"$streamOut/batch_id=$id"))
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     val streamWall = (System.nanoTime() - t0) / 1e9
     val emitted = spark.read.parquet(streamOut)
-    val perBatch = emitted.groupBy("batch_id").count()
+    val perBatch = emitted.groupBy(col("batch_id").cast("long").as("batch_id")).count()
       .orderBy("batch_id").collect().map(r => r.getLong(0) -> r.getLong(1))
     val nBatches = perBatch.length
     val nEmitted = perBatch.map(_._2).sum
@@ -212,8 +214,7 @@ object LinkScale {
       .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           id: Long) =>
         Llm.resolveFrom(clean, Llm.linkDirty(batch))
-          .withColumn("batch_id", lit(id))
-          .write.mode("append").parquet(resOut))
+          .write.mode("overwrite").parquet(s"$resOut/batch_id=$id"))
       .option("checkpointLocation", resCkpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

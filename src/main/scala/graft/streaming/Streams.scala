@@ -668,8 +668,19 @@ object Streams {
     * union is therefore c161 verbatim (the oracle is c161's SQL) and
     * every dirty record decides exactly once across any batching
     * (StreamingSpec pins it across a 3-file feed). The foreachBatch
-    * write is a distributed parquet append, never a driver-side
-    * collect.
+    * write is a distributed parquet job, never a driver-side collect.
+    *
+    * IDEMPOTENT per-batch writes: foreachBatch is AT-LEAST-ONCE — a
+    * query killed after the write job but before the checkpoint
+    * commit RE-EXECUTES that batch on restart, and a plain
+    * `mode("append")` sink would then hold the replayed batch's
+    * decisions TWICE (the file sink avoids this with its own
+    * transaction log; foreachBatch has none). The standard recipe
+    * (Spark's foreachBatch guide): make the write a deterministic
+    * function of the batch id — each batch OVERWRITES its own
+    * `batch_id=<id>` directory, so a replay lands byte-identical in
+    * the same place and exactly-once holds end-to-end. StreamingSpec
+    * replays a batch write and pins no duplication.
     */
   def streamLinkageResolution(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.ops.Llm
@@ -679,19 +690,18 @@ object Streams {
     val out = java.nio.file.Files.createTempDirectory("graft_c162_out").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_c162_ckpt").toString
     trackTmpDir(out); trackTmpDir(ckpt)
-    // Schema from the static twin: a dirty-free corpus emits nothing
-    // and an empty directory must still read back typed (the
-    // runToParquet discipline).
-    val schema = Llm.resolveFrom(clean, Llm.linkDirty(cust)).schema
     val q = stream.writeStream
-      .foreachBatch((batch: Dataset[Row], _: Long) =>
+      .foreachBatch((batch: Dataset[Row], id: Long) =>
         Llm.resolveFrom(clean, Llm.linkDirty(batch))
-          .write.mode("append").parquet(out))
+          .write.mode("overwrite").parquet(s"$out/batch_id=$id"))
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.schema(schema).parquet(out).orderBy("dirty_id")
+    // The customer source always yields >= 1 micro-batch, so partition
+    // discovery over the batch_id=N subdirectories always sees data;
+    // the discovered batch_id partition column is dropped.
+    spark.read.parquet(out).drop("batch_id").orderBy("dirty_id")
   }
 
   /** SCD2 run compaction as a STATEFUL STREAM TRANSFORM: per user,

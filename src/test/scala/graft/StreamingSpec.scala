@@ -595,9 +595,12 @@ class StreamingSpec extends AnyFunSuite {
       .option("maxFilesPerTrigger", "1").parquet(feed)
     val linked = graft.ops.Llm.linkPairs(
       graft.ops.Llm.linkClean(cust), graft.ops.Llm.linkDirty(stream))
+    // Idempotent per-batch writes (the c162 discipline): each batch
+    // overwrites its own batch_id=<id> directory, so a foreachBatch
+    // replay after a crash cannot double-write.
     val q = linked.writeStream.outputMode("append")
       .foreachBatch((b: Dataset[Row], id: Long) =>
-        b.withColumn("batch_id", lit(id)).write.mode("append").parquet(out))
+        b.write.mode("overwrite").parquet(s"$out/batch_id=$id"))
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -608,7 +611,8 @@ class StreamingSpec extends AnyFunSuite {
     val emitted = spark.read.parquet(out)
     val batch = graft.ops.Llm.recordLinkage(spark, sfDir)
     val batchN = batch.count()
-    val perBatch = emitted.groupBy("batch_id").count().collect()
+    val perBatch = emitted.groupBy(col("batch_id").cast("long").as("batch_id"))
+      .count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(perBatch.values.sum == batchN,
       s"per-batch sums ${perBatch} != batch answer $batchN")
@@ -639,7 +643,7 @@ class StreamingSpec extends AnyFunSuite {
     val q = stream.writeStream
       .foreachBatch((b: Dataset[Row], id: Long) =>
         graft.ops.Llm.resolveFrom(clean, graft.ops.Llm.linkDirty(b))
-          .withColumn("batch_id", lit(id)).write.mode("append").parquet(out))
+          .write.mode("overwrite").parquet(s"$out/batch_id=$id"))
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -654,6 +658,19 @@ class StreamingSpec extends AnyFunSuite {
     val streamed = emitted.drop("batch_id")
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
       "multi-batch resolution union diverges from batch c161")
+    // Exactly-once under foreachBatch's at-least-once contract: a
+    // crash between a batch's write job and its checkpoint commit
+    // REPLAYS the batch on restart. The deterministic batch_id=<id>
+    // overwrite makes the replay idempotent — pinned by re-writing
+    // batch 0's own decisions into its directory and observing no
+    // growth anywhere.
+    val b0 = spark.read.parquet(s"$out/batch_id=0")
+    val b0Rows = b0.collect().toSeq
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(b0Rows), b0.schema)
+      .write.mode("overwrite").parquet(s"$out/batch_id=0")
+    assert(spark.read.parquet(out).count() == batchN,
+      "a replayed batch write must not change the decision set")
   }
 
   test("c136 ewma_v3 state: pack → unpack is the identity; the buffer is one fixed-width array") {
