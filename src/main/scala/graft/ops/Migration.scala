@@ -230,6 +230,51 @@ object Migration {
       .orderBy("status")
   }
 
+  /** A23 — DRIFT-TO-RANGE attribution, the TARGETED-REPAIR planner
+    * (round 15): A13 tells you THAT rows drifted; a production
+    * migrator then needs to know WHERE — which token ranges to
+    * re-copy — because the repair unit is the range (A15's resume
+    * cursor, A22's copy unit), never the whole keyspace. Composes
+    * A13's row-status classification with a 256-way (two md5 hex
+    * digits) token-range partition of the key space and emits, per
+    * range: total rows, changed rows, rows missing in the target, and
+    * the repair decision (`needs_recopy` ⇔ any divergence) — the
+    * exact work list a resumed repair run feeds back into A22's
+    * range copier instead of re-copying 100 TB to fix 0.1%.
+    *
+    * Scale shape: A13's one key-equi-join (both sides shuffle once on
+    * the primary key — the price of any row-level verify), then a
+    * 256-group map-side-combined aggregate; output is
+    * range-catalog-sized, never row-sized. The 256-way granularity is
+    * the planner knob: finer ranges → smaller re-copy units → less
+    * redundant repair I/O, at the cost of more manifest rows.
+    */
+  def driftRanges(spark: SparkSession, sfDir: String): DataFrame = {
+    def nib(c: org.apache.spark.sql.Column) =
+      substring(md5(concat(lit("drift:"), c.cast("string"))), 1, 1)
+    val src = Tables.t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val tgt = Tables.t(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("t_key"), col("o_totalprice").as("t_price"))
+      .where(nib(col("t_key")) =!= "0")
+      .withColumn("t_price",
+        when(nib(col("t_key")) === "f", col("t_price") + 1.0).otherwise(col("t_price")))
+    src.join(tgt, col("o_orderkey") === col("t_key"), "left")
+      .select(
+        substring(md5(concat(lit("tok:"), col("o_orderkey").cast("string"))), 1, 2)
+          .as("token_range"),
+        when(col("t_key").isNull, "missing_in_target")
+          .when(col("o_totalprice") =!= col("t_price"), "changed")
+          .otherwise("same").as("status"))
+      .groupBy(col("token_range"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("status") === "missing_in_target", 1L).otherwise(0L))
+          .as("n_missing"))
+      .withColumn("needs_recopy", col("n_changed") + col("n_missing") > 0)
+      .orderBy("token_range")
+  }
+
   /** A14 — UNSET-vs-NULL write merge: CQL distinguishes three write
     * intents per cell — SET a value (overwrite), write NULL (a
     * tombstone that DELETES the target cell), and leave the column
@@ -660,6 +705,7 @@ object Migration {
     "a17_schema_evolution" -> (schemaEvolution(_, _)),
     "a16_latest_snapshot" -> (latestSnapshot(_, _)),
     "a13_migration_diff" -> (migrationDiff(_, _)),
+    "a23_drift_ranges" -> (driftRanges(_, _)),
     "a14_unset_merge" -> (unsetMerge(_, _)),
     "a15_resume_manifest" -> (resumeManifest(_, _)),
     "a1_full_scan_count" -> (fullScanCount(_, _)),
@@ -770,6 +816,29 @@ object Migration {
         |  ROUND(value, 4) AS last_value, n_mutations
         |FROM ranked WHERE rn = 1
         |ORDER BY user_id ASC NULLS FIRST""".stripMargin,
+
+    // a23 replays a13's drift classification joined to the 2-digit
+    // token-range partition; integer counts and a boolean decision.
+    "a23_drift_ranges" ->
+      """WITH tgt AS (
+        |  SELECT o_orderkey AS t_key,
+        |    CASE WHEN substr(md5('drift:' || CAST(o_orderkey AS VARCHAR)), 1, 1) = 'f'
+        |      THEN o_totalprice + 1.0 ELSE o_totalprice END AS t_price
+        |  FROM orders
+        |  WHERE substr(md5('drift:' || CAST(o_orderkey AS VARCHAR)), 1, 1) != '0'
+        |), st AS (
+        |  SELECT substr(md5('tok:' || CAST(o_orderkey AS VARCHAR)), 1, 2) AS token_range,
+        |    CASE WHEN t_key IS NULL THEN 'missing_in_target'
+        |      WHEN o_totalprice != t_price THEN 'changed'
+        |      ELSE 'same' END AS status
+        |  FROM orders LEFT JOIN tgt ON o_orderkey = t_key
+        |)
+        |SELECT token_range, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(SUM(CASE WHEN status = 'missing_in_target' THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+        |  SUM(CASE WHEN status != 'same' THEN 1 ELSE 0 END) > 0 AS needs_recopy
+        |FROM st GROUP BY token_range
+        |ORDER BY token_range ASC NULLS FIRST""".stripMargin,
 
     "a13_migration_diff" ->
       """WITH tgt AS (

@@ -640,6 +640,31 @@ class MigrationSpec extends AnyFunSuite {
     assert(e.getMessage.contains("schema drifted"), e.getMessage)
   }
 
+  test("A23: drift attribution partitions every row into 256 ranges; repair decisions match the counts") {
+    val sf = TestSpark.sf0001
+    val total = Tables.t(spark, sf, "orders").count()
+    val out = ops.Migration.driftRanges(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSeq
+    assert(out.map(_._2).sum == total, "ranges must partition every source row")
+    out.foreach { case (rng, n, ch, mi, recopy) =>
+      assert(rng.length == 2 && rng.forall("0123456789abcdef".contains(_)), rng)
+      assert(ch + mi <= n, s"$rng: drift counts exceed rows")
+      assert(recopy == (ch + mi > 0), s"$rng: decision inconsistent with counts")
+    }
+    // The per-range drift counts must SUM to a13's whole-keyspace
+    // diff — attribution re-buckets the same classification.
+    val a13 = ops.Migration.migrationDiff(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.map(_._3).sum == a13.getOrElse("changed", 0L))
+    assert(out.map(_._4).sum == a13.getOrElse("missing_in_target", 0L))
+    // The planner decision is non-trivial at this density: the work
+    // list must be a strict subset of the range catalog (some ranges
+    // are clean, some need re-copy).
+    assert(out.exists(_._5) && out.exists(!_._5),
+      "expected a mix of clean and re-copy ranges")
+  }
+
   test("A15: resume manifest partitions the key space into 16 trusted ranges") {
     val sf = TestSpark.sf0001
     val total = Tables.t(spark, sf, "orders").count()
