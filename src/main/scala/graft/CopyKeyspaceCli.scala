@@ -10,6 +10,7 @@ package graft
   *
   * Usage:
   *   sbt "runMain graft.CopyKeyspaceCli <srcDir> <dstDir> <manifestDir> [nRanges] [rangeParallelism]"
+  *   sbt "runMain graft.CopyKeyspaceCli --repair <srcDir> <dstDir> <manifestDir> [nRanges]"
   *
   * Re-running with the same manifestDir RESUMES: completed
   * (table, range) units are skipped. Exit 0 iff every table passes
@@ -17,19 +18,34 @@ package graft
   * `rangeParallelism` (default 4) is the number of range units in
   * flight at once — the live-migrator posture that hides per-job
   * scheduling latency; 1 reproduces the strictly sequential walk.
+  * `--repair` runs the anti-entropy verify-and-heal instead
+  * ([[graft.ops.KeyspaceCopy.repair]]): every destination range unit
+  * audits against a one-pass source truth and exactly the diverged
+  * units re-copy.
   */
 object CopyKeyspaceCli {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3,
-      "usage: CopyKeyspaceCli <srcDir> <dstDir> <manifestDir> [nRanges] [rangeParallelism]")
-    val Array(srcDir, dstDir, manifestDir) = args.take(3)
-    val nRanges = if (args.length > 3) args(3).toInt else 16
-    val rangeParallelism = if (args.length > 4) args(4).toInt else 4
+    val repairMode = args.headOption.contains("--repair")
+    val rest = if (repairMode) args.drop(1) else args
+    require(rest.length >= 3,
+      "usage: CopyKeyspaceCli [--repair] <srcDir> <dstDir> <manifestDir> [nRanges] [rangeParallelism]")
+    val Array(srcDir, dstDir, manifestDir) = rest.take(3)
+    val nRanges = if (rest.length > 3) rest(3).toInt else 16
+    val rangeParallelism = if (rest.length > 4) rest(4).toInt else 4
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .appName("graft-copy-keyspace").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.sources._
-    val report = ops.Migration.copyKeyspace(
+    val report = if (repairMode)
+      ops.Migration.repairKeyspace(
+        spark,
+        new ParquetSource(srcDir),
+        new ParquetSink(dstDir),
+        new ParquetSource(dstDir),
+        WriteConf(),
+        manifestDir,
+        nRanges)
+    else ops.Migration.copyKeyspace(
       spark,
       new ParquetSource(srcDir),
       new ParquetSink(dstDir),
@@ -41,7 +57,8 @@ object CopyKeyspaceCli {
     val copied = report.ranges.count(!_.skipped)
     val skipped = report.ranges.count(_.skipped)
     System.err.println(
-      s"[copy] ranges: $copied copied, $skipped resumed-as-complete")
+      s"[${if (repairMode) "repair" else "copy"}] ranges: $copied copied, " +
+        s"$skipped ${if (repairMode) "audited-healthy" else "resumed-as-complete"}")
     report.verify.foreach { v =>
       System.err.println(s"[verify] ${v.table}: rows ${v.srcRows}=${v.dstRows} " +
         s"checksum ${if (v.srcChecksum == v.dstChecksum) "MATCH" else "MISMATCH"} " +

@@ -407,8 +407,15 @@ object KeyspaceCopy {
     // 5 — independent full-table verification (a7 count parity + a18
     // content parity). The destination table is the union of its
     // non-empty range units.
+    Report(ddl, results.toSeq,
+      verifyTables(spark, src, dstRead, tables, results.toSeq))
+  }
+
+  private def verifyTables(
+      spark: SparkSession, src: TableSource, dstRead: TableSource,
+      tables: Seq[String], results: Seq[RangeResult]): Seq[TableVerify] = {
     val byTable = results.groupBy(_.table)
-    val verify = tables.map { table =>
+    tables.map { table =>
       val (srcN, srcCs) = countAndChecksum(src.read(spark, table))
       val live = byTable(table).filter(_.rows > 0L).map(_.range).sorted
       val (dstN, dstCs) =
@@ -418,6 +425,109 @@ object KeyspaceCopy {
             .reduce(_ unionByName _))
       TableVerify(table, srcN, dstN, srcCs, dstCs)
     }
-    Report(ddl, results.toSeq, verify)
+  }
+
+  /** ANTI-ENTROPY REPAIR (round 15) — verify-and-heal an EXISTING
+    * copy at range granularity, the `nodetool repair` analog and the
+    * execution half of a23's targeted-repair planning: a completed
+    * migration's target can rot AFTER the copy (bit flips, a partial
+    * restore, an operator deleting the wrong directory, drift from a
+    * write that slipped in), and re-running the full copy to fix 0.1%
+    * re-moves 100 TB. `repair` instead:
+    *
+    *   1. Recomputes the SOURCE's per-range (count, checksum) truth in
+    *      ONE grouped aggregate per table (the a15 planning pass — no
+    *      per-range rescans).
+    *   2. Audits every destination range unit through the
+    *      destination's own read path (the A22 trust discipline: never
+    *      the writer's word), including units the manifest never
+    *      recorded.
+    *   3. Re-copies EXACTLY the units whose audit disagrees with the
+    *      source truth — a missing unit, a torn/partial unit, a
+    *      corrupted or drifted one — with the standard read-back audit
+    *      and a corrected manifest line appended (readManifest keeps
+    *      the LAST line per unit, so the manifest heals too).
+    *   4. Finishes with the independent full-table verification run()
+    *      performs.
+    *
+    * Healthy units cost one metadata-sized audit read each and report
+    * `skipped = true`; only diverged units move data. The source scan
+    * is persisted once per table while >1 unit may need healing.
+    * Refuses to run against a manifest written under a different
+    * nRanges (the same arity pin as run — a repair under the wrong
+    * range function would "heal" every unit into a different
+    * partition of the key space).
+    */
+  def repair(
+      spark: SparkSession,
+      src: TableSource,
+      dst: TableSink,
+      dstRead: TableSource,
+      conf: WriteConf,
+      manifestDir: String,
+      nRanges: Int = 16): Report = {
+    require(nRanges >= 1 && nRanges <= 4096, s"nRanges out of range: $nRanges")
+    val confFile = new File(manifestDir, "copy.conf")
+    if (confFile.exists()) {
+      val pinned = scala.io.Source.fromFile(confFile, "UTF-8").getLines()
+        .collectFirst { case l if l.startsWith("nRanges=") =>
+          l.stripPrefix("nRanges=").trim.toInt }
+      require(pinned.contains(nRanges),
+        s"manifest at $manifestDir was written with nRanges=${pinned.orNull}; " +
+          s"repairing with nRanges=$nRanges would re-partition the key space — " +
+          "use the original value")
+    }
+    val tables = src.tableNames(spark)
+    require(tables.nonEmpty,
+      s"keyspace repair: source $src discovered zero tables — nothing to repair")
+    val sink = new ConfiguredSink(dst, conf)
+    val ddl = tables.map(t =>
+      t -> Migration.createTableDdl(t, src.read(spark, t).schema)).toMap
+    val results = scala.collection.mutable.ArrayBuffer.empty[RangeResult]
+    tables.foreach { table =>
+      val base = src.read(spark, table)
+      val withRange = base.withColumn("__graft_range",
+        rangeCol(base.schema, nRanges))
+      val cached = if (nRanges > 1)
+        withRange.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else withRange
+      try {
+        // Source truth per range: ONE grouped pass (count + a18 sum).
+        val h = conv(substring(md5(rowRender(base.schema)), 1, 8), 16, 10)
+          .cast("bigint").cast(DecimalType(38, 0))
+        val truth = cached.groupBy(col("__graft_range"))
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(h), lit(0).cast(DecimalType(38, 0)))
+              .cast(DecimalType(38, 0)).cast("string").as("cs"))
+          .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getString(2)))).toMap
+        (0 until nRanges).foreach { r =>
+          val (en, ecs) = truth.getOrElse(r, (0L, "0"))
+          // Audit through the dst read path; a missing/unreadable unit
+          // audits as absent (healthy ONLY for a source-empty range —
+          // run() never writes empty units).
+          val audit = scala.util.Try(
+            countAndChecksum(dstRead.read(spark, rangeTable(table, r)))).toOption
+          val healthy = audit match {
+            case Some((dn, dcs)) => dn == en && dcs == ecs
+            case None => en == 0L
+          }
+          if (healthy) {
+            results += RangeResult(table, r, en, ecs, skipped = true)
+          } else {
+            val part = cached.where(col("__graft_range") === r)
+              .drop("__graft_range")
+            sink.write(part, rangeTable(table, r))
+            val (n, cs) = countAndChecksum(dstRead.read(spark, rangeTable(table, r)))
+            require(n == en && cs == ecs,
+              s"$table range $r landed ($n, $cs), source truth is ($en, $ecs) — " +
+                "refusing to mark repaired")
+            appendManifest(manifestDir, table, r, n, cs)
+            results += RangeResult(table, r, n, cs, skipped = false)
+          }
+        }
+      } finally { cached.unpersist(); () }
+    }
+    Report(ddl, results.toSeq,
+      verifyTables(spark, src, dstRead, tables, results.toSeq))
   }
 }

@@ -697,6 +697,21 @@ object Migration {
     KeyspaceCopy.run(spark, src, dst, dstRead, conf, manifestDir, nRanges,
       rangeParallelism)
 
+  /** Anti-entropy verify-and-heal of an EXISTING copy — audits every
+    * destination range unit against a one-pass per-range source truth
+    * and re-copies exactly the diverged units (A23's planning turned
+    * into execution). See [[KeyspaceCopy.repair]].
+    */
+  def repairKeyspace(
+      spark: SparkSession,
+      src: graft.sources.TableSource,
+      dst: graft.sources.TableSink,
+      dstRead: graft.sources.TableSource,
+      conf: graft.sources.WriteConf,
+      manifestDir: String,
+      nRanges: Int = 16): KeyspaceCopy.Report =
+    KeyspaceCopy.repair(spark, src, dst, dstRead, conf, manifestDir, nRanges)
+
   val queries: Map[String, Q] = Map(
     "a21_shard_balance_plan" -> (shardBalancePlan(_, _)),
     "a20_split_planner" -> (splitPlanner(_, _)),

@@ -604,6 +604,81 @@ class MigrationSpec extends AnyFunSuite {
       Map(("orders", 3) -> ((100L, "987654321"))))
   }
 
+  test("composed repairKeyspace: verify-and-heal re-copies exactly the rotted/missing units, parity green") {
+    // Target rot AFTER a completed copy: one unit's files deleted
+    // (missing), one unit truncated to a single row (partial restore),
+    // one unit's parquet overwritten with drifted values (corruption).
+    // repair must re-copy exactly those three units — every healthy
+    // unit audits as skipped — and end verify-green with the manifest
+    // healed (last line wins).
+    import graft.sources._
+    import graft.ops.KeyspaceCopy
+    val dstDir = "/tmp/graft_repair_dst"
+    val manDir = "/tmp/graft_repair_manifest"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rm)
+      p.delete(); ()
+    }
+    Seq(dstDir, manDir).foreach(d => rm(new java.io.File(d)))
+    val nRanges = 4
+    val src = new ParquetSource(TestSpark.sf0001)
+    val dstRead = new ParquetSource(dstDir)
+    val r1 = graft.ops.Migration.copyKeyspace(spark, src,
+      new ParquetSink(dstDir), dstRead, WriteConf(), manDir, nRanges)
+    assert(r1.ok)
+    // Pick three non-empty units to rot, on different tables.
+    val live = r1.ranges.filter(_.rows > 1).map(u => (u.table, u.range))
+    val missing = live.find(_._1 == "orders").get
+    val truncated = live.find(_._1 == "lineitem").get
+    val drifted = live.find(_._1 == "customer").get
+    rm(new java.io.File(s"$dstDir/${KeyspaceCopy.rangeTable(missing._1, missing._2)}.parquet"))
+    def unitPath(u: (String, Int)) =
+      s"$dstDir/${KeyspaceCopy.rangeTable(u._1, u._2)}.parquet"
+    val trunc = spark.read.parquet(unitPath(truncated)).limit(1).collect()
+    val truncDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(trunc.toSeq),
+      spark.read.parquet(unitPath(truncated)).schema)
+    truncDf.write.mode("overwrite").parquet(unitPath(truncated) + ".tmp")
+    rm(new java.io.File(unitPath(truncated)))
+    new java.io.File(unitPath(truncated) + ".tmp")
+      .renameTo(new java.io.File(unitPath(truncated)))
+    val driftRows = spark.read.parquet(unitPath(drifted))
+    val driftedDf = driftRows.withColumn("c_acctbal",
+      org.apache.spark.sql.functions.col("c_acctbal") + 1.0)
+    driftedDf.write.mode("overwrite").parquet(unitPath(drifted) + ".tmp")
+    rm(new java.io.File(unitPath(drifted)))
+    new java.io.File(unitPath(drifted) + ".tmp")
+      .renameTo(new java.io.File(unitPath(drifted)))
+    // Repair: exactly the three rotted units re-copy.
+    final class Recording(underlying: TableSink) extends TableSink {
+      val written = scala.collection.mutable.ArrayBuffer.empty[String]
+      def write(df: org.apache.spark.sql.DataFrame, t: String,
+          o: Map[String, String]): Unit = {
+        written += t; underlying.write(df, t, o)
+      }
+    }
+    val rec = new Recording(new ParquetSink(dstDir))
+    val r2 = graft.ops.Migration.repairKeyspace(spark, src, rec, dstRead,
+      WriteConf(), manDir, nRanges)
+    val expected = Set(missing, truncated, drifted)
+      .map(u => KeyspaceCopy.rangeTable(u._1, u._2))
+    assert(rec.written.toSet == expected,
+      s"repair must re-copy exactly $expected, wrote ${rec.written}")
+    assert(r2.ranges.count(!_.skipped) == 3)
+    assert(r2.ok, s"parity after repair: ${r2.verify}")
+    // Idempotence: a second repair finds nothing to heal.
+    val rec2 = new Recording(new ParquetSink(dstDir))
+    val r3 = graft.ops.Migration.repairKeyspace(spark, src, rec2, dstRead,
+      WriteConf(), manDir, nRanges)
+    assert(rec2.written.isEmpty && r3.ok && r3.ranges.forall(_.skipped))
+    // Arity pin: repairing under a different nRanges must refuse.
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Migration.repairKeyspace(spark, src,
+        new ParquetSink(dstDir), dstRead, WriteConf(), manDir, nRanges * 2)
+    }
+    assert(e.getMessage.contains("nRanges"), e.getMessage)
+  }
+
   test("ParquetSource: a missing source directory fails loudly at discovery, naming the path") {
     import graft.sources._
     val e = intercept[IllegalArgumentException] {
