@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.{Canon, Tables}
@@ -384,6 +384,141 @@ object Migration {
         col("n_mutations"))
       .orderBy("user_id")
 
+  /** A24's gc_grace window (µs): 10 days against a ~30-day fixture
+    * log, so the latest tombstone per key lands on both sides of the
+    * cutoff (a mix of retained markers and purged ones — the case
+    * split the operator exists to demonstrate).
+    */
+  private[graft] val GcGraceUs: Long = 10L * 24 * 3600 * 1000000L
+
+  /** A24 — TOMBSTONE GC compaction: A16's latest-wins compaction
+    * extended with Cassandra's DELETE semantics (CQL-public:
+    * `gc_grace_seconds`). A delete is a TOMBSTONE — a timestamped
+    * marker that shadows every earlier-writetime mutation of its key
+    * and must survive long enough to propagate to replicas that
+    * missed it; once older than the grace window, full compaction
+    * may drop it (and, if nothing newer was written, the row
+    * vanishes entirely — the GC). Deletes are md5-dealt (1/16 of
+    * event_ids), so the log is content-stable; "now" is the log's own
+    * max timestamp (deterministic for the oracle — production would
+    * use wall-clock), cutoff = now − [[GcGraceUs]].
+    *
+    * Per key, the output row is the compaction verdict:
+    * - latest mutation is a WRITE → live row (state/ts/value from the
+    *   whole-row argmax, the a16 discipline) + tombstone disposition
+    *   `none` / `retained` / `purged` for the newest delete below it;
+    * - latest mutation is a DELETE within grace → a retained MARKER
+    *   row (state NULL — deleted, but the marker still replicates);
+    * - latest mutation is a DELETE past grace → NO row (fully
+    *   collected), the one case that removes a key from the output.
+    *
+    * Scale shape: same as a16 — ONE map-side-combined aggregation
+    * over the log (the tombstone timestamp and the delete/write
+    * counts ride the same groupBy; the whole-row argmax carries
+    * `is_del` INSIDE the struct after the unique (ts_us, event_id)
+    * prefix, so the delete/write decision shuffles zero extra rows),
+    * plus a 1-row broadcast of the global max-ts cutoff. This is the
+    * single-pass "major compaction" case; a real multi-SSTable purge
+    * must also prove no older shadowed data lives outside the
+    * compacting set — a per-range manifest check (A15), not a
+    * different plan.
+    */
+  def tombstoneGc(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.t(spark, sfDir, "events")
+    tombstoneGcFrom(ev.select(col("user_id"), col("event_id"),
+      col("event_type"), col("value"), Tables.tsUs(ev).as("ts_us")))
+  }
+
+  /** Kernel of [[tombstoneGc]] over any (user_id, event_id,
+    * event_type, value, ts_us) mutation log.
+    */
+  private[graft] def tombstoneGcFrom(e: DataFrame): DataFrame = {
+    val tagged = e.withColumn("is_del",
+      substring(md5(concat(lit("del:"), col("event_id").cast("string"))), 1, 1) === "0")
+    val cutoff = tagged.agg((max(col("ts_us")) - lit(GcGraceUs)).as("cutoff"))
+    tagged.groupBy(col("user_id"))
+      .agg(
+        max(struct(col("ts_us"), col("event_id"), col("is_del"),
+          col("event_type"), col("value"))).as("m"),
+        max(when(col("is_del"), col("ts_us"))).as("tomb_ts"),
+        sum(when(col("is_del"), 0L).otherwise(1L)).as("n_writes"),
+        sum(when(col("is_del"), 1L).otherwise(0L)).as("n_deletes"))
+      .crossJoin(broadcast(cutoff))
+      .select(col("user_id"),
+        when(col("m.is_del"), lit(null)).otherwise(col("m.event_type")).as("state"),
+        when(col("m.is_del"), lit(null)).otherwise(col("m.ts_us")).as("last_ts_us"),
+        when(col("m.is_del"), lit(null)).otherwise(round(col("m.value"), 4)).as("last_value"),
+        col("n_writes"), col("n_deletes"),
+        when(col("tomb_ts").isNull, lit("none"))
+          .when(col("tomb_ts") >= col("cutoff"), lit("retained"))
+          .otherwise(lit("purged")).as("tombstone"))
+      .where(!(col("state").isNull && col("tombstone") === "purged"))
+      .orderBy("user_id")
+  }
+
+  /** A25 — CELL-level last-write-wins merge of two replica snapshots
+    * by WRITETIME (CQL-public: Cassandra reconciles divergent
+    * replicas cell by cell — each column independently takes the
+    * newer writetime — which is exactly why A16's ROW-grain argmax,
+    * correct for compacting one replica's own log, is WRONG across
+    * replicas: a merged row legitimately stitches cells from
+    * different sides; this operator is the read-repair / two-cluster
+    * reconcile step, the A8 writetime seam's payoff). Replicas are
+    * md5-derived from orders: each side independently misses 1/16 of
+    * rows (a dropped mutation), and replica B carries a newer price
+    * on 1/4 of keys and a newer status on an independent 1/4 — so
+    * the fixture provably contains rows whose merged price comes
+    * from B while the status stays A's (the cell-stitching case).
+    *
+    * Output per surviving key: each cell's merged value, its chosen
+    * writetime, and its provenance (`a`/`b`; ties — equal writetime —
+    * break to `a`, deterministic in both engines because untouched
+    * cells carry byte-identical values), plus row presence
+    * (`both`/`a_only`/`b_only`).
+    *
+    * Scale shape: ONE full-outer equi-join on the key (both sides
+    * shuffle co-partitioned on o_orderkey — the unavoidable price of
+    * row-level reconcile, same as A13) and row-local CASE per cell;
+    * no windows, no skew (keys are unique per side), output is
+    * key-sized. At 100 TB this is the A22 composed-copy audit shape
+    * with a repair-write instead of a report.
+    */
+  def cellLwwMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.t(spark, sfDir, "orders").select(
+      col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+      col("o_orderstatus").as("status"),
+      expr("unix_micros(cast(o_orderdate as timestamp))").as("wt0"))
+    def nib(tag: String): Column =
+      substring(md5(concat(lit(tag), col("k").cast("string"))), 1, 1)
+    val a = o.where(nib("lwwa:") =!= "f").select(
+      col("k").as("ka"), col("price").as("price_a"), col("wt0").as("wtp_a"),
+      col("status").as("status_a"), col("wt0").as("wts_a"))
+    val b = o.where(nib("lwwm:") =!= "f").select(
+      col("k").as("kb"),
+      when(nib("lwwp:") < "4", col("price") + 5.0).otherwise(col("price")).as("price_b"),
+      when(nib("lwwp:") < "4", col("wt0") + 1000L).otherwise(col("wt0")).as("wtp_b"),
+      when(nib("lwws:") < "4", lit("X")).otherwise(col("status")).as("status_b"),
+      when(nib("lwws:") < "4", col("wt0") + 2000L).otherwise(col("wt0")).as("wts_b"))
+    val j = a.join(b, col("ka") === col("kb"), "full_outer")
+    def lww(wa: Column, wb: Column, va: Column, vb: Column): (Column, Column, Column) = {
+      val takeB = coalesce(wb, lit(-1L)) > coalesce(wa, lit(-1L))
+      (when(takeB, vb).otherwise(va),
+        when(takeB, wb).otherwise(wa),
+        when(takeB, lit("b")).otherwise(lit("a")))
+    }
+    val (price, priceWt, priceSrc) =
+      lww(col("wtp_a"), col("wtp_b"), col("price_a"), col("price_b"))
+    val (status, statusWt, statusSrc) =
+      lww(col("wts_a"), col("wts_b"), col("status_a"), col("status_b"))
+    j.select(coalesce(col("ka"), col("kb")).as("o_orderkey"),
+        round(price, 4).as("price"), priceWt.as("price_wt"), priceSrc.as("price_src"),
+        status.as("status"), statusWt.as("status_wt"), statusSrc.as("status_src"),
+        when(col("ka").isNotNull && col("kb").isNotNull, lit("both"))
+          .when(col("ka").isNotNull, lit("a_only"))
+          .otherwise(lit("b_only")).as("presence"))
+      .orderBy("o_orderkey")
+  }
+
   /** A17 — SCHEMA-EVOLUTION merged read: a long-lived keyspace ships
     * parquet in VINTAGES (early files lack columns later ones carry),
     * and the migration must read them as one table without rewriting
@@ -719,6 +854,8 @@ object Migration {
     "a18_content_checksum" -> (contentChecksum(_, _)),
     "a17_schema_evolution" -> (schemaEvolution(_, _)),
     "a16_latest_snapshot" -> (latestSnapshot(_, _)),
+    "a24_tombstone_gc" -> (tombstoneGc(_, _)),
+    "a25_cell_lww_merge" -> (cellLwwMerge(_, _)),
     "a13_migration_diff" -> (migrationDiff(_, _)),
     "a23_drift_ranges" -> (driftRanges(_, _)),
     "a14_unset_merge" -> (unsetMerge(_, _)),
@@ -831,6 +968,79 @@ object Migration {
         |  ROUND(value, 4) AS last_value, n_mutations
         |FROM ranked WHERE rn = 1
         |ORDER BY user_id ASC NULLS FIRST""".stripMargin,
+
+    // a24 replays the argmax as a rank window (the oracle may window;
+    // the engine must not) plus the same conditional aggregates; the
+    // grace cutoff is a scalar CTE off the same log.
+    "a24_tombstone_gc" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         |    substr(md5('del:' || CAST(event_id AS VARCHAR)), 1, 1) = '0' AS is_del
+         |  FROM events
+         |), cut AS (SELECT max(ts_us) - $GcGraceUs AS cutoff FROM e),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts_us DESC NULLS LAST, event_id DESC NULLS LAST) AS rn
+         |  FROM e
+         |), agg AS (
+         |  SELECT user_id,
+         |    max(CASE WHEN is_del THEN ts_us END) AS tomb_ts,
+         |    CAST(SUM(CASE WHEN is_del THEN 0 ELSE 1 END) AS BIGINT) AS n_writes,
+         |    CAST(SUM(CASE WHEN is_del THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
+         |  FROM e GROUP BY user_id
+         |)
+         |SELECT a.user_id,
+         |  CASE WHEN r.is_del THEN NULL ELSE r.event_type END AS state,
+         |  CASE WHEN r.is_del THEN NULL ELSE r.ts_us END AS last_ts_us,
+         |  CASE WHEN r.is_del THEN NULL ELSE ROUND(r.value, 4) END AS last_value,
+         |  a.n_writes, a.n_deletes,
+         |  CASE WHEN a.tomb_ts IS NULL THEN 'none'
+         |       WHEN a.tomb_ts >= cut.cutoff THEN 'retained'
+         |       ELSE 'purged' END AS tombstone
+         |FROM agg a JOIN ranked r ON a.user_id = r.user_id AND r.rn = 1
+         |CROSS JOIN cut
+         |WHERE NOT (r.is_del AND a.tomb_ts < cut.cutoff)
+         |ORDER BY a.user_id ASC NULLS FIRST""".stripMargin,
+
+    // a25 rebuilds both md5-derived replicas and replays the per-cell
+    // LWW CASEs over the same full outer join.
+    "a25_cell_lww_merge" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS status,
+        |    epoch_us(o_orderdate) AS wt0
+        |  FROM orders
+        |), a AS (
+        |  SELECT k AS ka, price AS price_a, wt0 AS wtp_a, status AS status_a, wt0 AS wts_a
+        |  FROM o WHERE substr(md5('lwwa:' || CAST(k AS VARCHAR)), 1, 1) != 'f'
+        |), b AS (
+        |  SELECT k AS kb,
+        |    CASE WHEN substr(md5('lwwp:' || CAST(k AS VARCHAR)), 1, 1) < '4'
+        |      THEN price + 5.0 ELSE price END AS price_b,
+        |    CASE WHEN substr(md5('lwwp:' || CAST(k AS VARCHAR)), 1, 1) < '4'
+        |      THEN wt0 + 1000 ELSE wt0 END AS wtp_b,
+        |    CASE WHEN substr(md5('lwws:' || CAST(k AS VARCHAR)), 1, 1) < '4'
+        |      THEN 'X' ELSE status END AS status_b,
+        |    CASE WHEN substr(md5('lwws:' || CAST(k AS VARCHAR)), 1, 1) < '4'
+        |      THEN wt0 + 2000 ELSE wt0 END AS wts_b
+        |  FROM o WHERE substr(md5('lwwm:' || CAST(k AS VARCHAR)), 1, 1) != 'f'
+        |)
+        |SELECT COALESCE(ka, kb) AS o_orderkey,
+        |  ROUND(CASE WHEN COALESCE(wtp_b, -1) > COALESCE(wtp_a, -1)
+        |    THEN price_b ELSE price_a END, 4) AS price,
+        |  CASE WHEN COALESCE(wtp_b, -1) > COALESCE(wtp_a, -1)
+        |    THEN wtp_b ELSE wtp_a END AS price_wt,
+        |  CASE WHEN COALESCE(wtp_b, -1) > COALESCE(wtp_a, -1)
+        |    THEN 'b' ELSE 'a' END AS price_src,
+        |  CASE WHEN COALESCE(wts_b, -1) > COALESCE(wts_a, -1)
+        |    THEN status_b ELSE status_a END AS status,
+        |  CASE WHEN COALESCE(wts_b, -1) > COALESCE(wts_a, -1)
+        |    THEN wts_b ELSE wts_a END AS status_wt,
+        |  CASE WHEN COALESCE(wts_b, -1) > COALESCE(wts_a, -1)
+        |    THEN 'b' ELSE 'a' END AS status_src,
+        |  CASE WHEN ka IS NOT NULL AND kb IS NOT NULL THEN 'both'
+        |       WHEN ka IS NOT NULL THEN 'a_only' ELSE 'b_only' END AS presence
+        |FROM a FULL OUTER JOIN b ON ka = kb
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
 
     // a23 replays a13's drift classification joined to the 2-digit
     // token-range partition; integer counts and a boolean decision.

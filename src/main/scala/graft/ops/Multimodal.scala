@@ -61,7 +61,14 @@ object Multimodal {
     * shape for any media type.
     */
   def mediaTable(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.t(spark, sfDir, "documents").select(
+    mediaOf(Tables.t(spark, sfDir, "documents"))
+
+  /** The media projection over any documents-shaped frame (pure
+    * row-wise — works on a static OR a streaming source, the c51
+    * batch/stream-sharing discipline; c166 streams it).
+    */
+  private[graft] def mediaOf(docs: DataFrame): DataFrame =
+    docs.select(
       col("doc_id"),
       to_binary(col("text"), lit("utf-8")).as("content"),
       struct(
@@ -162,8 +169,15 @@ object Multimodal {
   def frameDedup(spark: SparkSession, sfDir: String): DataFrame =
     frameDedupOf(mediaTable(spark, sfDir))
 
-  private[graft] def frameDedupOf(media: DataFrame): DataFrame = {
-    val frames = media.select(
+  /** Every blob exploded into (doc_id, frame_idx, frame_md5) rows with
+    * the hash computed INSIDE the per-row Generate — the only frame
+    * representation that ever reaches an exchange (blob bytes never
+    * ship). Shared by c164's global dedup, c165's incremental gate,
+    * and c166's streaming twin (pure row-wise generate — legal on an
+    * unbounded stream).
+    */
+  private[graft] def framesOf(media: DataFrame): DataFrame =
+    media.select(
       col("doc_id"),
       expr(
         s"""explode(transform(
@@ -174,6 +188,9 @@ object Multimodal {
         .as("fr"))
       .select(col("doc_id"), col("fr.fidx").as("frame_idx"),
         col("fr.fhash").as("frame_md5"))
+
+  private[graft] def frameDedupOf(media: DataFrame): DataFrame = {
+    val frames = framesOf(media)
     frames.groupBy("frame_md5")
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct(col("doc_id")).as("n_docs"),
@@ -183,6 +200,110 @@ object Multimodal {
         col("k.doc_id").as("keep_doc"), col("k.frame_idx").as("keep_frame_idx"))
       .orderBy("frame_md5")
   }
+
+  /** c165's gate threshold: an incoming medium ≥ half of whose frames
+    * already exist in the store is referenced, not re-stored.
+    */
+  private[graft] val FrameDupTau = 0.5
+
+  /** c165 — INCREMENTAL frame dedup: gate an incoming media batch
+    * against the EXISTING corpus's frame store without re-deduping
+    * the corpus side — c164's global dedup re-shaped to the 100 TB
+    * production cadence (the c50 incremental discipline: signatures
+    * are computed once and persisted; each ingest increment probes
+    * them). The incoming/base split is the shared md5 deal
+    * ([[graft.ops.Llm.isIncoming]] — content-independent, stable
+    * under edits, like a real ingest timestamp). Per incoming medium
+    * the output is the complete STORE-OR-REFERENCE decision: total
+    * frames, frames whose content already exists in the base store,
+    * the dup fraction, and the verdict (`skip_store` at ≥
+    * [[FrameDupTau]]) — every incoming doc gets exactly one row
+    * (no-hit docs keep), the c50 complete-gate convention.
+    * Incoming×incoming frame dups are deliberately NOT counted —
+    * intra-batch dedup is c164's job on the increment alone.
+    *
+    * Scale shape: the base side collapses to its DISTINCT hash set
+    * (hash-sized — bounded by stored content volume / frame size,
+    * never by media bytes) before the join; the probe joins on the
+    * hash and the per-doc rollup is a map-side-combined count — blob
+    * bytes never shuffle anywhere (the [[framesOf]] guarantee). At
+    * 100 TB the base hash set is the persisted artifact (the c50
+    * band-store analog); only the increment's hashes move.
+    */
+  def incrementalFrameDedup(spark: SparkSession, sfDir: String): DataFrame =
+    incFrameGateOf(mediaTable(spark, sfDir))
+
+  private[graft] def incFrameGateOf(media: DataFrame): DataFrame = {
+    val frames = framesOf(media)
+    val baseHashes = frames
+      .where(!graft.ops.Llm.isIncoming(col("doc_id")))
+      .select(col("frame_md5")).distinct()
+      .withColumn("hit", lit(1L))
+    frames.where(graft.ops.Llm.isIncoming(col("doc_id")))
+      .join(baseHashes, Seq("frame_md5"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_dup"))
+      .select(col("doc_id"), col("n_frames"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_frames"), 4).as("dup_fraction"),
+        when(col("n_dup").cast("double") / col("n_frames") >= FrameDupTau,
+          lit("skip_store")).otherwise(lit("store")).as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  /** c166's oracle (lives here so the frame CTE stays in one file
+    * next to c164/c165's): per-frame reference rows — every incoming
+    * frame occurrence whose content exists in the base store, with
+    * the packed-bigint keeper argmin (identical to Spark's
+    * min-of-struct because frame_idx < 2^30, the c164 note).
+    */
+  private[graft] val frameHitsOracleSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, CAST(fr AS BIGINT) AS frame_idx,
+       |    md5(substr(text, 1 + CAST(fr AS INT) * 16, 16)) AS frame_md5,
+       |    CAST('0x' || substr(md5('inc:' || doc_id::VARCHAR), 1, 15) AS BIGINT)
+       |      % ${graft.ops.Llm.IncMod} = 0 AS inc
+       |  FROM (SELECT doc_id, text,
+       |          CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+       |        FROM documents),
+       |    LATERAL unnest(range(0, greatest(CAST(ceil(n_bytes / 16.0) AS BIGINT), 1))) AS t(fr)
+       |), store AS (
+       |  SELECT frame_md5, COUNT(*) AS n_base,
+       |    MIN(doc_id * 1073741824 + frame_idx) AS packed
+       |  FROM f WHERE NOT inc GROUP BY frame_md5
+       |)
+       |SELECT i.doc_id, i.frame_idx, i.frame_md5,
+       |  packed // 1073741824 AS keep_doc,
+       |  packed % 1073741824 AS keep_frame_idx,
+       |  n_base
+       |FROM f i JOIN store ON i.frame_md5 = store.frame_md5
+       |WHERE i.inc
+       |ORDER BY doc_id ASC NULLS FIRST, frame_idx ASC NULLS FIRST""".stripMargin
+
+  /** The base-corpus frame STORE for c166's stream-static join: one
+    * row per distinct base frame content with its occurrence count
+    * and canonical keeper (whole-row argmin, the c164 keeper
+    * convention) — the persisted artifact a streaming ingest probes.
+    */
+  private[graft] def baseFrameStore(media: DataFrame): DataFrame =
+    framesOf(media.where(!graft.ops.Llm.isIncoming(col("doc_id"))))
+      .groupBy(col("frame_md5"))
+      .agg(count(lit(1)).as("n_base"),
+        min(struct(col("doc_id"), col("frame_idx"))).as("k"))
+      .select(col("frame_md5"), col("n_base"),
+        col("k.doc_id").as("keep_doc"), col("k.frame_idx").as("keep_frame_idx"))
+
+  /** Per-frame REFERENCE rows for the streaming twin: every incoming
+    * frame occurrence whose content exists in the base store, joined
+    * to its canonical keeper — the row a streaming ingest writes
+    * instead of storing the frame bytes. Pure generate + inner
+    * stream-static join: legal and STATELESS on an unbounded stream.
+    */
+  private[graft] def frameHitsOf(incoming: DataFrame, store: DataFrame): DataFrame =
+    framesOf(incoming.where(graft.ops.Llm.isIncoming(col("doc_id"))))
+      .join(store, Seq("frame_md5"))
+      .select(col("doc_id"), col("frame_idx"), col("frame_md5"),
+        col("keep_doc"), col("keep_frame_idx"), col("n_base"))
 
   // c85 knobs: 32-byte patches, 8 groups of 4 bytes, top-5 retrieval.
   private[graft] val PatchBytes = 32
@@ -382,6 +503,7 @@ object Multimodal {
     "c18_multimodal_binary" -> (binaryFeatures(_, _)),
     "c42_frame_sample" -> (frameSample(_, _)),
     "c164_frame_dedup" -> (frameDedup(_, _)),
+    "c165_incremental_frame_dedup" -> (incrementalFrameDedup(_, _)),
     "c85_media_embed_topk" -> (mediaEmbedTopk(_, _))
   )
 
@@ -422,6 +544,32 @@ object Multimodal {
         |  packed % 1073741824 AS keep_frame_idx
         |FROM g WHERE n_occurrences >= 2
         |ORDER BY frame_md5 ASC NULLS FIRST""".stripMargin,
+
+    // c165 replays the incoming/base md5 deal, the distinct base hash
+    // set, and the same unrounded gate comparison.
+    "c165_incremental_frame_dedup" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, CAST(fr AS BIGINT) AS frame_idx,
+         |    md5(substr(text, 1 + CAST(fr AS INT) * 16, 16)) AS frame_md5,
+         |    CAST('0x' || substr(md5('inc:' || doc_id::VARCHAR), 1, 15) AS BIGINT)
+         |      % ${graft.ops.Llm.IncMod} = 0 AS inc
+         |  FROM (SELECT doc_id, text,
+         |          CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+         |        FROM documents),
+         |    LATERAL unnest(range(0, greatest(CAST(ceil(n_bytes / 16.0) AS BIGINT), 1))) AS t(fr)
+         |), base AS (
+         |  SELECT DISTINCT frame_md5 FROM f WHERE NOT inc
+         |), g AS (
+         |  SELECT i.doc_id, COUNT(*) AS n_frames,
+         |    CAST(SUM(CASE WHEN b.frame_md5 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         |  FROM f i LEFT JOIN base b ON i.frame_md5 = b.frame_md5
+         |  WHERE i.inc GROUP BY i.doc_id
+         |)
+         |SELECT doc_id, n_frames, n_dup,
+         |  ROUND(n_dup / CAST(n_frames AS DOUBLE), 4) AS dup_fraction,
+         |  CASE WHEN n_dup / CAST(n_frames AS DOUBLE) >= $FrameDupTau
+         |    THEN 'skip_store' ELSE 'store' END AS verdict
+         |FROM g ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
 
     // The fixture corpus is pure ASCII (verified), so char slices of
     // `text` are byte slices of the UTF-8 blob. The scalar list form

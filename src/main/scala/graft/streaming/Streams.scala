@@ -655,6 +655,29 @@ object Streams {
       .orderBy("cust_id", "dirty_id")
   }
 
+  /** c166 — STREAMING frame dedup: c165's store-or-reference gate as
+    * live media ingest, re-grained to the row a streaming pipeline
+    * actually writes — one REFERENCE row per incoming frame
+    * occurrence that already exists in the base frame store (store
+    * the pointer, not the bytes). STATELESS by construction: the
+    * frame explosion is a pure per-row generate (hash computed inside
+    * it — blob bytes never reach an exchange, the c42/c164
+    * discipline), and the store probe is one inner stream-static join
+    * against the PERSISTED base aggregate
+    * ([[graft.ops.Multimodal.baseFrameStore]] — computed once on the
+    * static side, exactly the c50 band-store role). No watermark, no
+    * state store, and a frame occurrence can never emit twice across
+    * batches because its document arrives in exactly one micro-batch
+    * (the c51/c160 stateless-probe discipline).
+    */
+  def streamFrameDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.Multimodal
+    val incoming = Multimodal.mediaOf(streamTable(spark, sfDir, "documents"))
+    val store = Multimodal.baseFrameStore(Multimodal.mediaTable(spark, sfDir))
+    runToParquet(Multimodal.frameHitsOf(incoming, store), "append", "c166")
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** c162 — STREAMING linkage RESOLUTION: c161's decision step as
     * live ingest, via the `foreachBatch` micro-batch pattern (the
     * documented Structured Streaming recipe for per-batch batch
@@ -1486,6 +1509,7 @@ object Streams {
     "c51_stream_incremental_dedup" -> (streamIncrementalDedup(_, _)),
     "c160_stream_record_linkage" -> (streamRecordLinkage(_, _)),
     "c162_stream_linkage_resolution" -> (streamLinkageResolution(_, _)),
+    "c166_stream_frame_dedup" -> (streamFrameDedup(_, _)),
     "c25_stream_tumbling" -> (streamTumbling(_, _)),
     "c30_stream_sessions" -> (streamSessions(_, _)),
     "c36_stream_append" -> (streamAppend(_, _)),
@@ -1504,6 +1528,9 @@ object Streams {
     "c160_stream_record_linkage" -> graft.ops.Llm.oracle("c159_record_linkage"),
     // c162 streams the c161 DECISION: the oracle is c161's SQL verbatim.
     "c162_stream_linkage_resolution" -> graft.ops.Llm.oracle("c161_linkage_resolution"),
+    // c166's per-frame reference rows (SQL lives next to c164/c165's
+    // shared frame CTE in Multimodal).
+    "c166_stream_frame_dedup" -> graft.ops.Multimodal.frameHitsOracleSql,
     // The stream must converge to the BATCH snapshot exactly — same
     // oracle text as a16.
     "c89_stream_latest_snapshot" ->

@@ -790,4 +790,86 @@ class MigrationSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(
       (1L, "B", 10L, 3.0, 2L), (2L, "C", 7L, 5.0, 2L)))
   }
+
+  test("A24: tombstones shadow by writetime; grace splits retained/purged; fully-collected keys vanish") {
+    import spark.implicits._
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // The kernel deals deletes by md5 nibble of event_id — pick ids on
+    // each side of the deal so every case is constructed, not sampled.
+    val delIds = Iterator.from(1).map(_.toLong)
+      .filter(id => md5hex(s"del:$id").head == '0').take(3).toSeq
+    val wIds = Iterator.from(1).map(_.toLong)
+      .filter(id => md5hex(s"del:$id").head != '0').take(4).toSeq
+    val G = ops.Migration.GcGraceUs // cutoff = maxTs - G = G (maxTs = 2G below)
+    val e = Seq(
+      // user 1: write then a RECENT delete on top → retained MARKER row
+      (1L, wIds(0), "A", 1.0, G + 1),
+      (1L, delIds(0), "D", 0.0, G + 2),
+      // user 2: OLD delete, then a later write → live row, tombstone purged
+      (2L, delIds(1), "D", 0.0, 10L),
+      (2L, wIds(1), "B", 2.0, G + 3),
+      // user 3: OLD delete is the LATEST mutation → fully collected, no row
+      (3L, wIds(2), "C", 3.0, 10L),
+      (3L, delIds(2), "D", 0.0, 20L),
+      // user 4: writes only → tombstone 'none'; anchors maxTs = 2G
+      (4L, wIds(3), "E", 4.0, 2 * G))
+      .toDF("user_id", "event_id", "event_type", "value", "ts_us")
+    val out = ops.Migration.tombstoneGcFrom(e).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)).map(_.toString),
+        Option(r.get(2)), r.getLong(4), r.getLong(5), r.getString(6)))).toMap
+    assert(!out.contains(3L), s"fully-collected key must vanish: $out")
+    assert(out(1L) == ((None, None, 1L, 1L, "retained")), s"u1: ${out(1L)}")
+    assert(out(2L) == ((Some("B"), Some(G + 3), 1L, 1L, "purged")), s"u2: ${out(2L)}")
+    assert(out(4L) == ((Some("E"), Some(2 * G), 1L, 0L, "none")), s"u4: ${out(4L)}")
+  }
+
+  test("A25: cells merge independently by writetime — full Scala re-derivation matches; stitched rows exist") {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def nib(tag: String, k: Long): Char = md5hex(s"$tag$k").head
+    val o = Tables.t(spark, TestSpark.sf0001, "orders")
+      .selectExpr("o_orderkey", "o_totalprice", "o_orderstatus",
+        "unix_micros(cast(o_orderdate as timestamp)) as wt0")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getLong(3)))
+    // Independent row-by-row re-derivation of the merge semantics.
+    val exp = o.flatMap { case (k, p, s, w) =>
+      val inA = nib("lwwa:", k) != 'f'
+      val inB = nib("lwwm:", k) != 'f'
+      if (!inA && !inB) None else {
+        val pm = inB && nib("lwwp:", k) < '4'
+        val sm = inB && nib("lwws:", k) < '4'
+        val (pb, wpb) = if (pm) (p + 5.0, w + 1000L) else (p, w)
+        val (sb, wsb) = if (sm) ("X", w + 2000L) else (s, w)
+        val price =
+          if (!inA) (pb, wpb, "b")
+          else if (!inB || wpb <= w) (p, w, "a")
+          else (pb, wpb, "b")
+        val st =
+          if (!inA) (sb, wsb, "b")
+          else if (!inB || wsb <= w) (s, w, "a")
+          else (sb, wsb, "b")
+        val pres = if (inA && inB) "both" else if (inA) "a_only" else "b_only"
+        Some(k -> ((price, st, pres)))
+      }
+    }.toMap
+    val got = ops.Migration.cellLwwMerge(spark, TestSpark.sf0001).collect()
+    assert(got.length == exp.size, s"${got.length} vs ${exp.size}")
+    got.foreach { r =>
+      val k = r.getLong(0)
+      val ((ep, epw, eps), (es, esw, ess), epres) = exp(k)
+      assert(math.abs(r.getDouble(1) - ep) < 1e-6, s"k=$k price")
+      assert(r.getLong(2) == epw && r.getString(3) == eps, s"k=$k price wt/src")
+      assert(r.getString(4) == es && r.getLong(5) == esw && r.getString(6) == ess,
+        s"k=$k status")
+      assert(r.getString(7) == epres, s"k=$k presence")
+    }
+    // The case A16's row-grain argmax cannot produce: B's price with A's
+    // status in one merged row (price mutated in B, status untouched).
+    assert(got.exists(r => r.getString(3) == "b" && r.getString(6) == "a" &&
+      r.getString(7) == "both"), "no cell-stitched row — fixture deal broken")
+    // Single-side rows survive with full provenance.
+    assert(got.exists(_.getString(7) == "a_only"))
+    assert(got.exists(_.getString(7) == "b_only"))
+  }
 }

@@ -191,4 +191,76 @@ class MultimodalSpec extends AnyFunSuite {
     val e = intercept[org.apache.spark.SparkException] { bad.collect() }
     assert(e.getMessage != null)
   }
+
+  /** Construct a media frame from (doc_id, text) pairs. */
+  private def mediaFrom(docs: Seq[(Long, String)]) =
+    docs.toDF("doc_id", "text").select(
+      $"doc_id",
+      to_binary($"text", lit("utf-8")).as("content"),
+      struct(lit("text/plain").as("mime"),
+        length($"text").cast("long").as("n_chars"),
+        lit("en").as("lang")).as("meta"))
+
+  test("c165: incoming media gate against the base frame store — constructed hits, misses, and the intra-batch exclusion") {
+    // isIncoming is the md5 deal — pick ids on each side so every
+    // case is constructed, not sampled.
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def isInc(id: Long): Boolean =
+      BigInt(md5hex(s"inc:$id").take(15), 16) % 5 == 0
+    val incIds = Iterator.from(1).map(_.toLong).filter(isInc).take(3).toSeq
+    val baseIds = Iterator.from(1).map(_.toLong).filterNot(isInc).take(2).toSeq
+    val fX = "X" * 16; val fY = "Y" * 16; val fZ = "Z" * 16
+    val media = mediaFrom(Seq(
+      baseIds(0) -> (fX + fY),          // base: frames X, Y
+      baseIds(1) -> fX,                 // base: X again (count 2 in store)
+      incIds(0) -> (fX + ("u" * 16)),   // incoming: 1 of 2 hits → 0.5 → skip_store
+      incIds(1) -> (fZ + ("v" * 16)),   // incoming: Z only shared with ANOTHER
+      incIds(2) -> (fZ + ("w" * 16))))  //   incoming doc — must NOT count
+    val got = Multimodal.incFrameGateOf(media)
+      .as[(Long, Long, Long, Double, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    assert(got.keySet == Set(incIds(0), incIds(1), incIds(2)),
+      s"every incoming doc gets exactly one decision: $got")
+    assert(got(incIds(0)) == ((2L, 1L, 0.5, "skip_store")), s"${got(incIds(0))}")
+    // Z is incoming×incoming — intra-batch dups are c164's job, not the gate's.
+    assert(got(incIds(1)) == ((2L, 0L, 0.0, "store")), s"${got(incIds(1))}")
+    assert(got(incIds(2)) == ((2L, 0L, 0.0, "store")), s"${got(incIds(2))}")
+  }
+
+  test("c166 kernel: per-frame reference rows point at the canonical base keeper; blobs stay below every exchange") {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def isInc(id: Long): Boolean =
+      BigInt(md5hex(s"inc:$id").take(15), 16) % 5 == 0
+    val incIds = Iterator.from(1).map(_.toLong).filter(isInc).take(1).toSeq
+    val baseIds = Iterator.from(1).map(_.toLong).filterNot(isInc).take(2).toSeq
+    val fX = "X" * 16
+    val media = mediaFrom(Seq(
+      baseIds(0) -> (("a" * 16) + fX),  // X at (base0, 1)
+      baseIds(1) -> fX,                 // X at (base1, 0)
+      incIds(0) -> (fX + fX)))          // two incoming occurrences of X
+    val keeper = Seq(baseIds(0) -> 1L, baseIds(1) -> 0L).minBy(identity)
+    val got = Multimodal.frameHitsOf(media, Multimodal.baseFrameStore(media))
+      .as[(Long, Long, String, Long, Long, Long)].collect().sortBy(t => (t._1, t._2))
+    assert(got.toSeq == Seq(
+      (incIds(0), 0L, md5hex(fX), keeper._1, keeper._2, 2L),
+      (incIds(0), 1L, md5hex(fX), keeper._1, keeper._2, 2L)), got.mkString(","))
+    // The c164 discipline holds on the probe path too: no Exchange —
+    // shuffle OR broadcast — ever carries the blob column (the c164
+    // textual check assumes a single-chain plan; this one has a join,
+    // so walk the tree instead).
+    val plan = Multimodal.frameHitsOf(media, Multimodal.baseFrameStore(media))
+      .queryExecution.executedPlan match {
+        // collect() does not descend into an AQE root's captured plan
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e }
+    assert(exchanges.nonEmpty, plan.toString)
+    exchanges.foreach(e => assert(!e.output.exists(_.name == "content"),
+      s"blob column crosses an exchange:\n$plan"))
+  }
 }

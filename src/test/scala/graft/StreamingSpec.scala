@@ -778,6 +778,46 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("c166: streaming frame dedup is STATELESS and equals the batch kernel across real micro-batches") {
+    // Same discipline as c160: the topology must analyze to generate +
+    // stream-static join only, and per-frame reference rows must union
+    // to the batch answer across a multi-file feed (each doc arrives
+    // in exactly one micro-batch, so no hit can emit twice).
+    import org.apache.spark.sql.{Dataset, Row}
+    import graft.ops.Multimodal
+    val sfDir = TestSpark.sf0001
+    val docs = Tables.t(spark, sfDir, "documents")
+    val store = Multimodal.baseFrameStore(Multimodal.mediaTable(spark, sfDir))
+    val base = java.nio.file.Files.createTempDirectory("graft_c166_mb").toFile
+    graft.streaming.Streams.trackTmpDir(base.toString)
+    val feed = new java.io.File(base, "feed").toString
+    docs.repartition(3).write.parquet(feed)
+    val out = new java.io.File(base, "out").toString
+    val ckpt = new java.io.File(base, "ckpt").toString
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+    val hits = Multimodal.frameHitsOf(Multimodal.mediaOf(stream), store)
+    assert(hits.isStreaming)
+    val plan = hits.queryExecution.analyzed.toString
+    Seq("Deduplicate", "FlatMapGroupsWithState", "TransformWithState")
+      .foreach(op => assert(!plan.contains(op), s"stateful $op:\n$plan"))
+    val q = hits.writeStream.outputMode("append")
+      .foreachBatch((b: Dataset[Row], id: Long) =>
+        b.write.mode("overwrite").parquet(s"$out/batch_id=$id"))
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      s"expected >=3 micro-batches: ${q.recentProgress.map(_.numInputRows).mkString(",")}")
+    val emitted = spark.read.parquet(out).drop("batch_id")
+    val batch = Multimodal.frameHitsOf(
+      Multimodal.mediaTable(spark, sfDir), store)
+    assert(emitted.count() == batch.count() && batch.count() > 0)
+    assert(emitted.exceptAll(batch).isEmpty && batch.exceptAll(emitted).isEmpty,
+      "streamed frame references diverge from the batch kernel")
+  }
+
   test("c160: streaming record linkage is STATELESS — no dedup/agg/window state, append-safe by shape") {
     // The pass-union DISTINCT a naive port would need is a stateful
     // dedup; linkPairs replaces it with a row-local disjointness
