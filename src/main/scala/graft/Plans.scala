@@ -176,6 +176,31 @@ object Plans {
           "one row per dirty record crosses it), never a window over " +
           "candidates; the dirty side left-joins the argmax on dirty_id for " +
           "the explicit unmatched rows; no cartesian product."),
+      "c163_linkage_bands" ->
+        ("Same two blocking passes as c159 with the threshold filter split " +
+          "out — Catalyst pushes each pass's residual back inside the join; " +
+          "the band CASE is a row-local projection; no cartesian, no window."),
+      "a23_drift_ranges" ->
+        ("A13's one key-equi-join then a 256-group map-side-combined " +
+          "HashAggregate — one row per (partition, range) crosses the " +
+          "exchange; output range-catalog-sized."),
+      "a24_tombstone_gc" ->
+        ("ONE map-side-combined HashAggregate over the log (argmax struct " +
+          "carries is_del; tombstone ts and counts ride the same groupBy); " +
+          "the grace cutoff is a 1-row broadcast crossJoin — no window, no " +
+          "second log shuffle."),
+      "a25_cell_lww_merge" ->
+        ("One full-outer SortMergeJoin on the key (both replica sides " +
+          "co-partition) plus row-local CASE per cell — no window, no " +
+          "second join, output key-sized."),
+      "c164_frame_dedup" ->
+        ("Frame hash computed INSIDE the per-row Generate; only (doc_id, " +
+          "frame_idx, hash) triples reach the map-side-combined " +
+          "HashAggregate — the blob column never crosses an Exchange."),
+      "c165_incremental_frame_dedup" ->
+        ("Base side collapses to DISTINCT hashes before the probe join; " +
+          "per-doc gate rollup partial-aggregates map-side; the blob " +
+          "column never crosses an Exchange on either path."),
       "b77_interval_coalesce" ->
         ("EXACTLY ONE hash exchange (user_id): the island window and both " +
           "downstream aggregations all run on the same partitioning — " +

@@ -458,6 +458,28 @@ class PlanSpec extends AnyFunSuite {
       s"struct-max must combine map-side:\n$p")
   }
 
+  test("a24: tombstone GC is ONE mergeable aggregate + a 1-row broadcast cutoff — no window, no second log shuffle") {
+    val p = plan(Migration.tombstoneGc(spark, sf))
+    assert(!p.contains("Window"), s"GC must not window the log:\n$p")
+    assert(p.contains("partial_max") || p.contains("partial_"),
+      s"argmax must combine map-side:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"cutoff must broadcast as one row:\n$p")
+    // The log is aggregated once: exactly one per-user hash exchange.
+    val userExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(user_id"))
+    assert(userExchanges == 1, s"expected one user_id exchange, got $userExchanges:\n$p")
+  }
+
+  test("a25: cell LWW merge is ONE full-outer join on the key — no window, both replica scans co-partition") {
+    val p = plan(Migration.cellLwwMerge(spark, sf))
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("Window"), s"cell merge must be row-local after the join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val orderScans = p.linesIterator.count(_.contains("orders.parquet"))
+    assert(orderScans == 2, s"expected the two replica scans only, got $orderScans:\n$p")
+  }
+
   test("b53: Q5 broadcasts the nation-region dim and pushes the date filter to the scan") {
     val p = plan(Relational.q5LocalSupplier(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)
