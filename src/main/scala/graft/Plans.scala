@@ -193,6 +193,9 @@ object Plans {
         ("One full-outer SortMergeJoin on the key (both replica sides " +
           "co-partition) plus row-local CASE per cell — no window, no " +
           "second join, output key-sized."),
+      "a26_ttl_expiry" ->
+        ("ONE orders scan + row-local expiry CASEs; the max-writetime " +
+          "'now' is a 1-row broadcast — no window, no key join."),
       "c164_frame_dedup" ->
         ("Frame hash computed INSIDE the per-row Generate; only (doc_id, " +
           "frame_idx, hash) triples reach the map-side-combined " +

@@ -519,6 +519,63 @@ object Migration {
       .orderBy("o_orderkey")
   }
 
+  /** A26's two TTL classes (µs): 1000 / 2000 days against the TPC-H
+    * fixture's ~2557-day o_orderdate span, so each class expires a
+    * substantial but different fraction of cells — the mix the
+    * operator exists to demonstrate.
+    */
+  private[graft] val TtlShortUs: Long = 1000L * 86400000000L
+  private[graft] val TtlLongUs: Long = 2000L * 86400000000L
+
+  /** A26 — TTL EXPIRY at read (CQL-public: a cell written `USING TTL
+    * t` expires when writetime + t < now; an expired cell reads NULL,
+    * and a row whose live cells ALL expired disappears entirely — no
+    * tombstone needed, expiry is a pure function of the clock). This
+    * is the read-side payoff of the A8 writetime/TTL seam (the copy
+    * carries the two extra columns; THIS key is what they mean), and
+    * the third of the three CQL cell-lifecycle semantics next to
+    * A24's delete tombstones and A14's UNSET/NULL distinction.
+    * Each cell (price, status) independently draws an md5-dealt TTL
+    * class — short / long / none — against its o_orderdate writetime;
+    * "now" is the table's max writetime (deterministic for the
+    * oracle; production uses wall-clock).
+    *
+    * Scale shape: ONE scan + row-local expiry CASEs + a 1-row
+    * broadcast of the global max-writetime "now" (the a24 cutoff
+    * discipline) — no window, no join, output ≤ input rows. At
+    * 100 TB expiry-at-read composes with compaction: the same
+    * predicate dropped into A22's copy makes the migration itself
+    * skip dead cells (the Cassandra compaction `expired` path).
+    */
+  def ttlExpiry(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.t(spark, sfDir, "orders").select(
+      col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+      col("o_orderstatus").as("status"),
+      expr("unix_micros(cast(o_orderdate as timestamp))").as("wt"))
+    def ttl(tag: String): Column = {
+      val nib = substring(md5(concat(lit(tag), col("k").cast("string"))), 1, 1)
+      when(nib < "4", lit(TtlShortUs)).when(nib < "8", lit(TtlLongUs))
+        .otherwise(lit(null).cast("long"))
+    }
+    val now = o.agg(max(col("wt")).as("now_us"))
+    o.withColumn("ttl_p", ttl("ttlp:")).withColumn("ttl_s", ttl("ttls:"))
+      .crossJoin(broadcast(now))
+      .select(col("k").as("o_orderkey"),
+        (col("ttl_p").isNotNull && col("wt") + col("ttl_p") < col("now_us"))
+          .as("price_expired"),
+        (col("ttl_s").isNotNull && col("wt") + col("ttl_s") < col("now_us"))
+          .as("status_expired"),
+        col("price"), col("status"))
+      .select(col("o_orderkey"),
+        when(col("price_expired"), lit(null)).otherwise(round(col("price"), 4))
+          .as("price"),
+        when(col("status_expired"), lit(null)).otherwise(col("status"))
+          .as("status"),
+        col("price_expired"), col("status_expired"))
+      .where(!(col("price_expired") && col("status_expired")))
+      .orderBy("o_orderkey")
+  }
+
   /** A17 — SCHEMA-EVOLUTION merged read: a long-lived keyspace ships
     * parquet in VINTAGES (early files lack columns later ones carry),
     * and the migration must read them as one table without rewriting
@@ -856,6 +913,7 @@ object Migration {
     "a16_latest_snapshot" -> (latestSnapshot(_, _)),
     "a24_tombstone_gc" -> (tombstoneGc(_, _)),
     "a25_cell_lww_merge" -> (cellLwwMerge(_, _)),
+    "a26_ttl_expiry" -> (ttlExpiry(_, _)),
     "a13_migration_diff" -> (migrationDiff(_, _)),
     "a23_drift_ranges" -> (driftRanges(_, _)),
     "a14_unset_merge" -> (unsetMerge(_, _)),
@@ -1001,6 +1059,37 @@ object Migration {
          |CROSS JOIN cut
          |WHERE NOT (r.is_del AND a.tomb_ts < cut.cutoff)
          |ORDER BY a.user_id ASC NULLS FIRST""".stripMargin,
+
+    // a26 replays the md5 TTL deal and the same expiry predicate; the
+    // "now" clock is a scalar CTE off the same table.
+    "a26_ttl_expiry" ->
+      s"""WITH o AS (
+         |  SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS status,
+         |    epoch_us(o_orderdate) AS wt,
+         |    CASE WHEN substr(md5('ttlp:' || CAST(o_orderkey AS VARCHAR)), 1, 1) < '4'
+         |           THEN ${TtlShortUs}
+         |         WHEN substr(md5('ttlp:' || CAST(o_orderkey AS VARCHAR)), 1, 1) < '8'
+         |           THEN ${TtlLongUs} END AS ttl_p,
+         |    CASE WHEN substr(md5('ttls:' || CAST(o_orderkey AS VARCHAR)), 1, 1) < '4'
+         |           THEN ${TtlShortUs}
+         |         WHEN substr(md5('ttls:' || CAST(o_orderkey AS VARCHAR)), 1, 1) < '8'
+         |           THEN ${TtlLongUs} END AS ttl_s
+         |  FROM orders
+         |), now_cte AS (SELECT max(wt) AS now_us FROM o),
+         |e AS (
+         |  SELECT k AS o_orderkey,
+         |    (ttl_p IS NOT NULL AND wt + ttl_p < now_us) AS price_expired,
+         |    (ttl_s IS NOT NULL AND wt + ttl_s < now_us) AS status_expired,
+         |    price, status
+         |  FROM o CROSS JOIN now_cte
+         |)
+         |SELECT o_orderkey,
+         |  CASE WHEN price_expired THEN NULL ELSE ROUND(price, 4) END AS price,
+         |  CASE WHEN status_expired THEN NULL ELSE status END AS status,
+         |  price_expired, status_expired
+         |FROM e
+         |WHERE NOT (price_expired AND status_expired)
+         |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
 
     // a25 rebuilds both md5-derived replicas and replays the per-cell
     // LWW CASEs over the same full outer join.

@@ -1460,6 +1460,114 @@ object Streams {
     }
   }
 
+  /** State fold for c167 — the a24 tombstone-GC aggregate is fully
+    * MERGEABLE (whole-row argmax with the delete flag inside it, max
+    * tombstone ts, write/delete counts, max ts), so the processor
+    * folds each micro-batch into ONE fixed-shape ValueState row per
+    * user and emits the updated fold. State variable is VERSIONED
+    * (`gc_v1`) per the checkpoint-evolution discipline
+    * ([[requireStateVersion]]).
+    * state/emission = (m_ts, m_eid, m_del, m_type, m_val, tomb_ts,
+    * n_writes, n_deletes, max_ts); tomb_ts rides Long.MinValue for
+    * "no tombstone yet" (product encoders have no NULL slot).
+    */
+  class TombstoneGcProcessor
+      extends StatefulProcessor[Long,
+        (Long, Long, String, Double, Long, Boolean),
+        (Long, Long, Long, Boolean, String, Double, Long, Long, Long, Long)] {
+    type S = (Long, Long, Boolean, String, Double, Long, Long, Long, Long)
+    @transient private var st: ValueState[S] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[S]("gc_v1", Encoders.product[S], TTLConfig.NONE)
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Long, String, Double, Long, Boolean)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long, Boolean, String, Double, Long, Long, Long, Long)] = {
+      var cur = if (st.exists()) st.get()
+        else (Long.MinValue, Long.MinValue, false, "", 0.0,
+          Long.MinValue, 0L, 0L, Long.MinValue)
+      rows.foreach { case (_, eid, et, v, ts, del) =>
+        val newer = ts > cur._1 || (ts == cur._1 && eid > cur._2)
+        cur = (
+          if (newer) ts else cur._1,
+          if (newer) eid else cur._2,
+          if (newer) del else cur._3,
+          if (newer) et else cur._4,
+          if (newer) v else cur._5,
+          if (del && ts > cur._6) ts else cur._6,
+          cur._7 + (if (del) 0L else 1L),
+          cur._8 + (if (del) 1L else 0L),
+          math.max(cur._9, ts))
+      }
+      st.update(cur)
+      Iterator((user, cur._1, cur._2, cur._3, cur._4, cur._5, cur._6,
+        cur._7, cur._8, cur._9))
+    }
+  }
+
+  /** c167 — STREAMING tombstone-GC compaction: a24's delete-aware
+    * compaction maintained LIVE on `transformWithState` (the c89
+    * pattern: Update-mode emissions log to parquet, the read side
+    * compacts by the MONOTONE total mutation count — so the
+    * max-struct row IS the final fold under any batching). The grace
+    * decision needs the GLOBAL max timestamp, which no single user's
+    * state can know mid-stream — it is applied exactly once at read
+    * time over the compacted folds (a 1-row broadcast, the a24
+    * cutoff discipline), which is also where production would inject
+    * wall-clock "now". Oracle: a24's SQL verbatim — the stream must
+    * converge to the batch compaction exactly, including the
+    * fully-collected keys DISAPPEARING.
+    */
+  def streamTombstoneGc(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = stateSession(spark, statePartitions = 8)
+    streamTombstoneGcOf(streamTable(s, sfDir, "events"))
+  }
+
+  /** Kernel of [[streamTombstoneGc]] over any streaming events-shaped
+    * frame — split out so the spec can drive it through a real
+    * multi-file feed (maxFilesPerTrigger=1).
+    */
+  private[graft] def streamTombstoneGcOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    s.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
+    import s.implicits._
+    val typed = ev
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), graft.Tables.tsUs(ev).as("ts_us"),
+        (substring(md5(concat(lit("del:"), col("event_id").cast("string"))), 1, 1)
+          === "0").as("is_del"))
+      .as[(Long, Long, String, Double, Long, Boolean)]
+    val emissions = typed.groupByKey(_._1)
+      .transformWithState(new TombstoneGcProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "m_ts", "m_eid", "m_del", "m_type", "m_val",
+        "tomb_ts", "n_writes", "n_deletes", "max_ts")
+    val compacted = runToParquet(emissions, "update_log", "c167")
+      .groupBy(col("user_id"))
+      .agg(max(struct((col("n_writes") + col("n_deletes")).as("n"),
+        col("m_ts"), col("m_eid"), col("m_del"), col("m_type"),
+        col("m_val"), col("tomb_ts"), col("n_writes"), col("n_deletes"),
+        col("max_ts"))).as("m"))
+      .select(col("user_id"), col("m.m_ts").as("m_ts"),
+        col("m.m_del").as("m_del"), col("m.m_type").as("m_type"),
+        col("m.m_val").as("m_val"), col("m.tomb_ts").as("tomb_ts"),
+        col("m.n_writes").as("n_writes"), col("m.n_deletes").as("n_deletes"),
+        col("m.max_ts").as("max_ts"))
+    val cutoff = compacted
+      .agg((max(col("max_ts")) - graft.ops.Migration.GcGraceUs).as("cutoff"))
+    compacted.crossJoin(broadcast(cutoff))
+      .select(col("user_id"),
+        when(col("m_del"), lit(null)).otherwise(col("m_type")).as("state"),
+        when(col("m_del"), lit(null)).otherwise(col("m_ts")).as("last_ts_us"),
+        when(col("m_del"), lit(null)).otherwise(round(col("m_val"), 4))
+          .as("last_value"),
+        col("n_writes"), col("n_deletes"),
+        when(col("tomb_ts") === Long.MinValue, lit("none"))
+          .when(col("tomb_ts") >= col("cutoff"), lit("retained"))
+          .otherwise(lit("purged")).as("tombstone"))
+      .where(!(col("state").isNull && col("tombstone") === "purged"))
+      .orderBy("user_id")
+  }
+
   /** c89 — STREAMING latest-wins snapshot, oracle-verified on the
     * Spark 4.x `transformWithState` API (RocksDB state store — the
     * provider a 100 TB/day deployment runs, state on disk not heap;
@@ -1500,6 +1608,7 @@ object Streams {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c89_stream_latest_snapshot" -> (streamLatestSnapshot(_, _)),
+    "c167_stream_tombstone_gc" -> (streamTombstoneGc(_, _)),
     "c83_stream_scd2" -> (streamScd2(_, _)),
     "c129_stream_interval_coalesce" -> (streamIntervalCoalesce(_, _)),
     "c136_stream_ewma" -> (streamEwma(_, _)),
@@ -1535,6 +1644,10 @@ object Streams {
     // oracle text as a16.
     "c89_stream_latest_snapshot" ->
       graft.ops.Migration.oracle("a16_latest_snapshot"),
+    // The streamed GC must converge to the batch compaction exactly —
+    // a24's oracle text verbatim (including the vanished keys).
+    "c167_stream_tombstone_gc" ->
+      graft.ops.Migration.oracle("a24_tombstone_gc"),
 
     // c76's SCD2 build minus its open (NULL valid_to) versions —
     // derived from the SAME SQL text so the two cannot drift: append

@@ -872,4 +872,45 @@ class MigrationSpec extends AnyFunSuite {
     assert(got.exists(_.getString(7) == "a_only"))
     assert(got.exists(_.getString(7) == "b_only"))
   }
+
+  test("A26: per-cell TTL expiry — full Scala re-derivation matches; fully-expired rows vanish; all classes present") {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val o = Tables.t(spark, TestSpark.sf0001, "orders")
+      .selectExpr("o_orderkey", "o_totalprice", "o_orderstatus",
+        "unix_micros(cast(o_orderdate as timestamp)) as wt")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getLong(3)))
+    val now = o.map(_._4).max
+    def ttl(tag: String, k: Long): Option[Long] = md5hex(s"$tag$k").head match {
+      case c if c < '4' => Some(ops.Migration.TtlShortUs)
+      case c if c < '8' => Some(ops.Migration.TtlLongUs)
+      case _ => None
+    }
+    val exp = o.flatMap { case (k, p, s, w) =>
+      val pe = ttl("ttlp:", k).exists(t => w + t < now)
+      val se = ttl("ttls:", k).exists(t => w + t < now)
+      if (pe && se) None
+      else Some(k -> ((if (pe) None else Some(p), if (se) None else Some(s), pe, se)))
+    }.toMap
+    val got = ops.Migration.ttlExpiry(spark, TestSpark.sf0001).collect()
+    assert(got.length == exp.size && got.length < o.length,
+      s"${got.length} vs ${exp.size} (of ${o.length})")
+    got.foreach { r =>
+      val k = r.getLong(0)
+      val (ep, es, epe, ese) = exp(k)
+      (Option(r.get(1)), ep) match {
+        case (None, None) => ()
+        case (Some(x), Some(v)) =>
+          assert(math.abs(x.asInstanceOf[Double] - v) < 1e-6, s"k=$k price")
+        case other => fail(s"k=$k price null-mismatch: $other")
+      }
+      assert(Option(r.get(2)).map(_.toString) == es, s"k=$k status")
+      assert(r.getBoolean(3) == epe && r.getBoolean(4) == ese, s"k=$k flags")
+    }
+    // All three lifecycle outcomes present: live cell, expired cell
+    // (NULL with its flag), and vanished rows (count shrank above).
+    assert(got.exists(r => r.getBoolean(3) && !r.getBoolean(4)))
+    assert(got.exists(r => !r.getBoolean(3) && r.getBoolean(4)))
+    assert(got.exists(r => !r.getBoolean(3) && !r.getBoolean(4)))
+  }
 }

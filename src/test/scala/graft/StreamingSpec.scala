@@ -778,6 +778,28 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("c167: streaming tombstone GC converges to batch a24 across real micro-batches") {
+    // The fold is mergeable, so the compacted emission log must equal
+    // the batch compaction under ANY batching — pinned on a 3-file
+    // feed (one file per trigger), including the grace decisions and
+    // the vanished fully-collected keys.
+    val sfDir = TestSpark.sf0001
+    val ev = Tables.t(spark, sfDir, "events")
+    val base = java.nio.file.Files.createTempDirectory("graft_c167_mb").toFile
+    graft.streaming.Streams.trackTmpDir(base.toString)
+    val feed = new java.io.File(base, "feed").toString
+    ev.repartition(3).write.parquet(feed)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val stream = s2.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+    val got = graft.streaming.Streams.streamTombstoneGcOf(stream)
+    val batch = graft.ops.Migration.tombstoneGc(spark, sfDir)
+    assert(got.count() == batch.count() && batch.count() > 0)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty,
+      "streamed GC diverges from batch a24")
+  }
+
   test("c166: streaming frame dedup is STATELESS and equals the batch kernel across real micro-batches") {
     // Same discipline as c160: the topology must analyze to generate +
     // stream-static join only, and per-frame reference rows must union
