@@ -856,6 +856,41 @@ object NearDup {
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame =
     clusterLabels(spark, sfDir).orderBy("doc_id")
 
+  /** c168 — CLUSTER-SAFE train/val/test split: c32's hash split keyed
+    * on the near-dup CLUSTER id instead of the doc id, so an entire
+    * duplicate family lands on ONE side of the split. A per-doc hash
+    * split (c32, the standard recipe) leaks: two near-duplicate
+    * documents hash independently, one lands in train and its twin in
+    * test, and the benchmark measures memorization — the exact hole
+    * c29's decontamination exists to patch after the fact, closed
+    * here at SPLIT TIME instead. Same md5 tag and thresholds as c32,
+    * so (a) the split fractions are directly comparable and (b) a
+    * singleton doc — its own cluster — gets exactly its c32
+    * assignment; only clustered docs move, and they move TOGETHER
+    * (spec-pinned: every cluster is split-pure, and the fixture
+    * contains clusters c32 provably tears across sets).
+    *
+    * Scale shape: the cluster-label table is the memoized per-corpus
+    * artifact (the c21/c22 discipline — at 100 TB it is materialized
+    * next to the band store); this key adds ONE doc_id-equi left
+    * join and a row-local hash CASE. Output is doc-sized, the
+    * assignment is deterministic and engine-free (md5), and no new
+    * aggregate or window appears anywhere.
+    */
+  def clusterSafeSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = clusterLabels(spark, sfDir)
+      .select(col("doc_id"), col("cluster_id"))
+    val keyed = Tables.t(spark, sfDir, "documents").select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val byte = substring(
+      md5(concat(lit("split:"), col("cluster_id").cast("string"))), 1, 2)
+    keyed.withColumn("split",
+        when(byte < "1a", "val").when(byte < "34", "test").otherwise("train"))
+      .orderBy("doc_id")
+  }
+
   /** Memoized cluster-label table, one per (application, corpus dir) —
     * the same per-corpus-materialization discipline as [[Llm.lshBands]].
     * The CC loop is the dedup family's second one-time pass (after the
@@ -1872,6 +1907,7 @@ object NearDup {
     "c73_simhash_wide_pairs" -> (simhashWidePairs(_, _)),
     "c21_dedup_clusters" -> (dedupClusters(_, _)),
     "c22_dedup_survivors" -> (dedupSurvivors(_, _)),
+    "c168_cluster_safe_split" -> (clusterSafeSplit(_, _)),
     "c24_embedding_quantize" -> (embeddingQuantize(_, _)),
     "c34_kmeans_assign" -> (kmeansAssign(_, _)),
     "c35_kmeans_iterate" -> (kmeansIterate(_, _)),
@@ -2529,6 +2565,19 @@ object NearDup {
       s"""$oracleClustersCte
          |SELECT doc_id, cluster_id FROM clusters
          |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    // c168 replays c32's hash CASE over the coalesced cluster key.
+    "c168_cluster_safe_split" ->
+      s"""$oracleClustersCte
+         |SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+         |  CASE
+         |    WHEN substr(md5('split:' ||
+         |      CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 2) < '1a' THEN 'val'
+         |    WHEN substr(md5('split:' ||
+         |      CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 2) < '34' THEN 'test'
+         |    ELSE 'train' END AS split
+         |FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+         |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin,
 
     "c22_dedup_survivors" ->
       s"""$oracleClustersCte

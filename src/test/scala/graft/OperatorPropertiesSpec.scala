@@ -818,4 +818,31 @@ class OperatorPropertiesSpec extends AnyFunSuite {
     assert(b50Within,
       s"b50 approx_percentile rank err exceeded its n/1000 (+1) bound:\n$json")
   }
+
+  test("c168: every dedup cluster is split-PURE; singletons keep their c32 assignment; c32 provably tears clusters") {
+    val out = ops.NearDup.clusterSafeSplit(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def splitOf(key: Long): String = {
+      val b = md5hex(s"split:$key").take(2)
+      if (b < "1a") "val" else if (b < "34") "test" else "train"
+    }
+    // (1) split is a FUNCTION of the cluster id (cluster-purity), and
+    // it is exactly the c32 hash rule applied to that id.
+    out.foreach { case (_, cid, sp) => assert(sp == splitOf(cid)) }
+    val byCluster = out.groupBy(_._2).map { case (cid, rows) =>
+      cid -> rows.map(_._3).toSet }
+    assert(byCluster.values.forall(_.size == 1), "a cluster straddles splits")
+    // (2) singletons (cluster_id == doc_id) match the per-doc c32 rule.
+    val singles = out.filter { case (d, c, _) => d == c }
+    assert(singles.nonEmpty)
+    singles.foreach { case (d, _, sp) => assert(sp == splitOf(d)) }
+    // (3) the leakage this key closes EXISTS on the fixture: some
+    // multi-doc cluster's members would land in DIFFERENT splits under
+    // the per-doc hash.
+    val torn = out.groupBy(_._2).filter(_._2.length >= 2).exists {
+      case (_, rows) => rows.map(r => splitOf(r._1)).toSet.size >= 2 }
+    assert(torn, "fixture has no cluster the per-doc split would tear — test vacuous")
+  }
 }
