@@ -1536,12 +1536,29 @@ object Streams {
         (substring(md5(concat(lit("del:"), col("event_id").cast("string"))), 1, 1)
           === "0").as("is_del"))
       .as[(Long, Long, String, Double, Long, Boolean)]
-    val emissions = typed.groupByKey(_._1)
+    gcCompact(runToParquet(gcFoldTws(typed), "update_log", "c167"))
+  }
+
+  /** The c167 TWS fold over a pre-typed mutation stream — split out so
+    * the checkpoint-recovery spec can drive it through MemoryStream
+    * stop/restart scripts (the c83 pattern).
+    */
+  private[graft] def gcFoldTws(
+      typed: Dataset[(Long, Long, String, Double, Long, Boolean)]): DataFrame =
+    typed.groupByKey(_._1)(Encoders.scalaLong)
       .transformWithState(new TombstoneGcProcessor,
-        TimeMode.None(), OutputMode.Update())
+        TimeMode.None(), OutputMode.Update())(
+        Encoders.product[(Long, Long, Long, Boolean, String, Double, Long, Long, Long, Long)])
       .toDF("user_id", "m_ts", "m_eid", "m_del", "m_type", "m_val",
         "tomb_ts", "n_writes", "n_deletes", "max_ts")
-    val compacted = runToParquet(emissions, "update_log", "c167")
+
+  /** Read-side compaction of the c167 emission log: latest fold per
+    * key by the MONOTONE total mutation count, then the grace cutoff
+    * applied exactly once — shared by the verification key and the
+    * recovery spec so the two cannot drift.
+    */
+  private[graft] def gcCompact(log: DataFrame): DataFrame = {
+    val compacted = log
       .groupBy(col("user_id"))
       .agg(max(struct((col("n_writes") + col("n_deletes")).as("n"),
         col("m_ts"), col("m_eid"), col("m_del"), col("m_type"),

@@ -819,6 +819,51 @@ class OperatorPropertiesSpec extends AnyFunSuite {
       s"b50 approx_percentile rank err exceeded its n/1000 (+1) bound:\n$json")
   }
 
+  test("a24: random mutation logs match a brute-force Scala GC (shadowing, grace, collection)") {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val G = ops.Migration.GcGraceUs
+    val logs: Gen[List[(Long, Long, String, Double, Long)]] = Gen.nonEmptyListOf(
+      for {
+        u <- Gen.choose(1L, 5L)
+        eid <- Gen.choose(1L, 2000L)
+        et <- Gen.oneOf("A", "B", "C")
+        v <- Gen.choose(0, 100).map(_.toDouble)
+        // ts spread over ~2 grace windows so both sides of the cutoff occur
+        ts <- Gen.choose(0L, 2 * G)
+      } yield (u, eid, et, v, ts))
+    samples(logs, 8).foreach { rowsRaw =>
+      // one mutation per (unique) event id — the fixture property the
+      // (ts, event_id) tie order relies on
+      val rows = rowsRaw.groupBy(_._2).map(_._2.head).toList
+      val df = rows.toDF("user_id", "event_id", "event_type", "value", "ts_us")
+      val got = ops.Migration.tombstoneGcFrom(df).collect()
+        .map(r => r.getLong(0) -> ((Option(r.get(1)).map(_.toString),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          r.getLong(4), r.getLong(5), r.getString(6)))).toMap
+      // brute force
+      val cutoff = rows.map(_._5).max - G
+      val exp = rows.groupBy(_._1).flatMap { case (u, ms) =>
+        def isDel(eid: Long) = md5hex(s"del:$eid").head == '0'
+        val latest = ms.maxBy(m => (m._5, m._2))
+        val tomb = ms.filter(m => isDel(m._2)).map(_._5).maxOption
+        val nW = ms.count(m => !isDel(m._2)).toLong
+        val nD = ms.count(m => isDel(m._2)).toLong
+        val deleted = isDel(latest._2)
+        val disp = tomb match {
+          case None => "none"
+          case Some(t) if t >= cutoff => "retained"
+          case _ => "purged"
+        }
+        if (deleted && disp == "purged") None
+        else Some(u -> ((if (deleted) None else Some(latest._3),
+          if (deleted) None else Some(latest._5), nW, nD, disp)))
+      }
+      assert(got.keySet == exp.keySet, s"keys: ${got.keySet} vs ${exp.keySet}")
+      exp.foreach { case (u, e) => assert(got(u) == e, s"u=$u: ${got(u)} vs $e") }
+    }
+  }
+
   test("c168: every dedup cluster is split-PURE; singletons keep their c32 assignment; c32 provably tears clusters") {
     val out = ops.NearDup.clusterSafeSplit(spark, TestSpark.sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))

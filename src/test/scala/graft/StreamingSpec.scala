@@ -778,6 +778,59 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("checkpoint recovery: c167 stop/restart resumes the GC fold exactly — no loss, no double-count") {
+    // The c83 recovery script applied to the tombstone-GC fold: ingest
+    // a batch, stop, let mutations (including the DELETE) arrive while
+    // the query is down, restart from the checkpoint, and require the
+    // compacted emission log to equal the batch kernel over ALL data —
+    // counts prove state survived (a lost fold undercounts, a replayed
+    // one overcounts), the delete's shadowing proves the argmax
+    // resumed, and an idle third restart must change nothing.
+    implicit val sqlCtx = spark.sqlContext
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def isDel(eid: Long): Boolean = md5hex(s"del:$eid").head == '0'
+    val delId = Iterator.from(1).map(_.toLong).find(isDel).get
+    val wIds = Iterator.from(1).map(_.toLong).filterNot(isDel).take(3).toSeq
+    val G = graft.ops.Migration.GcGraceUs
+    withRocksDb {
+      val base = java.nio.file.Files.createTempDirectory("graft_ckpt_c167").toFile
+      graft.streaming.Streams.trackTmpDir(base.toString)
+      val ckpt = new java.io.File(base, "ckpt").toString
+      val outDir = new java.io.File(base, "out").toString
+      val input = MemoryStream[(Long, Long, String, Double, Long, Boolean)]
+      val emissions = graft.streaming.Streams.gcFoldTws(input.toDS())
+      def start() = emissions.writeStream.outputMode("update")
+        .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.write.mode("append").parquet(outDir))
+        .option("checkpointLocation", ckpt).start()
+      val batch1 = Seq(
+        (1L, wIds(0), "A", 1.0, G + 1, isDel(wIds(0))),
+        (2L, wIds(1), "B", 2.0, 2 * G, isDel(wIds(1))))
+      val batch2 = Seq(
+        (1L, delId, "D", 0.0, G + 2, isDel(delId)), // delete lands AFTER the stop
+        (1L, wIds(2), "C", 3.0, G + 3, isDel(wIds(2))))
+      val q1 = start(); input.addData(batch1: _*)
+      q1.processAllAvailable(); q1.stop()
+      input.addData(batch2: _*) // arrives while the query is DOWN
+      val q2 = start(); q2.processAllAvailable(); q2.stop()
+      val q3 = start(); q3.processAllAvailable(); q3.stop() // idle restart
+      val got = graft.streaming.Streams.gcCompact(spark.read.parquet(outDir))
+        .collect().map(_.mkString("|")).sorted.toSeq
+      import spark.implicits._
+      val all = (batch1 ++ batch2).map(t => (t._1, t._2, t._3, t._4, t._5))
+        .toDF("user_id", "event_id", "event_type", "value", "ts_us")
+      val oneShot = graft.ops.Migration.tombstoneGcFrom(all)
+        .collect().map(_.mkString("|")).sorted.toSeq
+      assert(got == oneShot,
+        s"resumed GC diverges from the one-shot batch kernel:\n$got\nvs\n$oneShot")
+      // The recovery actually exercised the interesting rows: user 1
+      // ends with 2 writes + 1 delete and a RETAINED disposition.
+      assert(oneShot.exists(r => r.startsWith("1|C|") && r.endsWith("|2|1|retained")),
+        s"script lost its target shape: $oneShot")
+    }
+  }
+
   test("c167: streaming tombstone GC converges to batch a24 across real micro-batches") {
     // The fold is mergeable, so the compacted emission log must equal
     // the batch compaction under ANY batching — pinned on a 3-file
