@@ -193,6 +193,11 @@ object Plans {
         ("One full-outer SortMergeJoin on the key (both replica sides " +
           "co-partition) plus row-local CASE per cell — no window, no " +
           "second join, output key-sized."),
+      "c169_fs_em_weights" ->
+        ("The only data pass is the c159 blocking-join candidate " +
+          "generation collapsing to ONE map-side-combined 4-cell " +
+          "aggregate; both EM rounds are scalar projections on the " +
+          "1-row table — no loop, no window, no second scan."),
       "a26_ttl_expiry" ->
         ("ONE orders scan + row-local expiry CASEs; the max-writetime " +
           "'now' is a 1-row broadcast — no window, no key join."),

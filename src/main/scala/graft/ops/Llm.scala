@@ -746,6 +746,112 @@ object Llm {
       .orderBy("cust_id", "dirty_id")
   }
 
+  /** c169 — Fellegi-Sunter EM parameter estimation: the PRODUCTION
+    * refinement c159's scaladoc names and defers — instead of assumed
+    * m/u odds, estimate them from the candidate set itself by EM
+    * (Fellegi & Sunter 1969 §5 / Winkler's unsupervised formulation —
+    * public). The whole algorithm runs on the SUFFICIENT STATISTIC:
+    * with 2 binary agreement fields a candidate's E-step weight is a
+    * function of its (name_agree, bal_agree) PATTERN only, so the
+    * corpus collapses to a 4-cell contingency table in ONE map-side-
+    * combined aggregate and two unrolled EM rounds are pure scalar
+    * arithmetic on that 1-row table — in-plan, no loop, no driver
+    * math, no window (the c35 fixed-round discipline applied to a
+    * 4-number state). This is exactly how production FS scales: EM
+    * over pattern counts is O(2^k) per round regardless of corpus
+    * size; only the pattern count aggregation touches data.
+    *
+    * Cross-engine determinism: both engines evaluate the SAME
+    * machine-generated formula text ([[emLayers]] — one builder emits
+    * the Spark selectExpr layers AND the DuckDB CTE chain, the
+    * a18/c78 shared-spec discipline) over IEEE doubles derived from
+    * integer counts in a fixed operation order, so the unrounded
+    * intermediates agree bit-for-bit and the r4-rounded outputs hash.
+    * Init (p=0.1, m=0.9, u=0.1) and exactly 2 rounds are part of the
+    * spec: EM is monotone in likelihood but init-dependent, so a
+    * reproducible estimate pins both.
+    *
+    * What the estimate SAYS (and the textbook caveat it demonstrates,
+    * spec-pinned): the balance weight comes back ≈ 3.1 — EM RECOVERS
+    * c159's assumed integer `LinkBalW = 3` from the data — while the
+    * name weight comes back ≈ 0, because WITHIN blocked candidates
+    * name agreement is nearly universal (pass B conditions on name
+    * equality and class-0 corruption stays inside edit-1), so the
+    * field carries no in-block discrimination. That is the classic
+    * conditioning-on-blocking bias (u must be estimated on random
+    * pairs, not blocked candidates, to recover a field's GLOBAL
+    * weight) — and exactly why c159 takes its name weight from prior
+    * knowledge rather than in-block estimation. The key surfaces the
+    * bias honestly instead of hiding it.
+    */
+  private[graft] def emLayers: Seq[Seq[(String, String)]] = {
+    def lit(x: String) = s"CAST($x AS DOUBLE)"
+    val init = Seq(
+      "p_0" -> lit("0.1"), "m1_0" -> lit("0.9"), "u1_0" -> lit("0.1"),
+      "m2_0" -> lit("0.9"), "u2_0" -> lit("0.1"))
+    def round(r: Int): Seq[Seq[(String, String)]] = {
+      val i = r - 1
+      def t(x: String, a: Int) = if (a == 1) x else s"(${lit("1.0")} - $x)"
+      def w(a1: Int, a2: Int): String = {
+        val pm = s"(p_$i * ${t(s"m1_$i", a1)} * ${t(s"m2_$i", a2)})"
+        val pu = s"((${lit("1.0")} - p_$i) * ${t(s"u1_$i", a1)} * ${t(s"u2_$i", a2)})"
+        s"($pm / ($pm + $pu))"
+      }
+      val wLayer = Seq(
+        s"w11_$r" -> w(1, 1), s"w10_$r" -> w(1, 0),
+        s"w01_$r" -> w(0, 1), s"w00_$r" -> w(0, 0))
+      val sLayer = Seq(
+        s"s_$r" -> s"(((n11 * w11_$r + n10 * w10_$r) + n01 * w01_$r) + n00 * w00_$r)")
+      // Winkler's boundary clamp: a degenerate cell (n00 is ZERO by
+      // construction here — every candidate agrees on its blocking
+      // field) drives m/u to exactly 0/1 and the next E-step to 0/0;
+      // clamping into [1e-4, 1-1e-4] keeps every denominator strictly
+      // positive, identically in both engines.
+      def clamp(e: String) =
+        s"least(greatest($e, ${lit("0.0001")}), ${lit("0.9999")})"
+      val eLayer = Seq(
+        s"p_$r" -> clamp(s"(s_$r / n)"),
+        s"m1_$r" -> clamp(s"((n11 * w11_$r + n10 * w10_$r) / s_$r)"),
+        s"m2_$r" -> clamp(s"((n11 * w11_$r + n01 * w01_$r) / s_$r)"),
+        s"u1_$r" -> clamp(s"((n11 * (${lit("1.0")} - w11_$r) + n10 * (${lit("1.0")} - w10_$r)) / (n - s_$r))"),
+        s"u2_$r" -> clamp(s"((n11 * (${lit("1.0")} - w11_$r) + n01 * (${lit("1.0")} - w01_$r)) / (n - s_$r))"))
+      Seq(wLayer, sLayer, eLayer)
+    }
+    Seq(init) ++ round(1) ++ round(2)
+  }
+
+  /** The r4-rounded one-row output of the 2-round EM chain. */
+  private[graft] def emFinalExprs: Seq[(String, String)] = Seq(
+    "n_candidates" -> "CAST(n AS BIGINT)",
+    "p_match" -> "ROUND(p_2, 4)",
+    "m_name" -> "ROUND(m1_2, 4)", "u_name" -> "ROUND(u1_2, 4)",
+    "m_bal" -> "ROUND(m2_2, 4)", "u_bal" -> "ROUND(u2_2, 4)",
+    "w_name" -> "ROUND(log2(m1_2 / u1_2), 4)",
+    "w_bal" -> "ROUND(log2(m2_2 / u2_2), 4)")
+
+  def fsEmWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.t(spark, sfDir, "customer")
+    fsEmWeightsOf(linkCandidates(linkClean(cust), linkDirty(cust)))
+  }
+
+  /** EM chain over any scored candidate frame carrying integer
+    * (name_agree, bal_agree) — split out for the spec's independent
+    * Scala-EM cross-check.
+    */
+  private[graft] def fsEmWeightsOf(cands: DataFrame): DataFrame = {
+    def pat(a1: Int, a2: Int): Column =
+      sum(when(col("name_agree") === a1 && col("bal_agree") === a2, 1L)
+        .otherwise(0L))
+    var df = cands.agg(
+      pat(1, 1).cast("double").as("n11"), pat(1, 0).cast("double").as("n10"),
+      pat(0, 1).cast("double").as("n01"), pat(0, 0).cast("double").as("n00"),
+      count(org.apache.spark.sql.functions.lit(1)).cast("double").as("n"))
+    emLayers.foreach { layer =>
+      df = df.selectExpr("*" +: layer.map { case (a, e) => s"$e AS $a" }: _*)
+    }
+    df.selectExpr(emFinalExprs.map { case (a, e) => s"$e AS $a" }: _*)
+  }
+
   /** c43 — token-set CONTAINMENT over the LSH candidate pairs:
     * containment(A→B) = |A∩B| / |A| is the ASYMMETRIC near-dup
     * measure — a short doc quoted whole inside a long one scores
@@ -1194,6 +1300,7 @@ object Llm {
     "c159_record_linkage" -> (recordLinkage(_, _)),
     "c161_linkage_resolution" -> (linkageResolution(_, _)),
     "c163_linkage_bands" -> (linkageBands(_, _)),
+    "c169_fs_em_weights" -> (fsEmWeights(_, _)),
     "c43_containment_pairs" -> (containmentPairs(_, _)),
     "c64_minhash_calibration" -> (minhashCalibration(_, _)),
     "c50_incremental_dedup" -> (incrementalDedup(_, _)),
@@ -1351,6 +1458,62 @@ object Llm {
     // NO threshold, then the two-threshold band CASE — a pair banded
     // differently, a lost sub-threshold candidate, or an invented one
     // fails the hash.
+    // c169 replays the candidate agreements, collapses them to the
+    // 4-cell pattern table, and runs the SAME machine-generated EM
+    // layer chain (emLayers/emFinalExprs — one builder, two engines).
+    "c169_fs_em_weights" -> {
+      val layerCtes = emLayers.zipWithIndex.map { case (layer, i) =>
+        val cols = layer.map { case (a, e) => s"$e AS $a" }.mkString(",\n    ")
+        s"l$i AS (SELECT *,\n    $cols\n  FROM ${if (i == 0) "c0" else s"l${i - 1}"})"
+      }.mkString(",\n")
+      val finals = emFinalExprs.map { case (a, e) => s"$e AS $a" }.mkString(",\n  ")
+      s"""WITH dirty AS (
+         |  SELECT c_custkey AS dirty_id,
+         |    CASE WHEN cls = 0
+         |      THEN substr(c_name, 1, npos) || substr(c_name, npos + 2)
+         |      ELSE c_name END AS name_d,
+         |    c_nationkey AS nat, c_mktsegment AS seg,
+         |    CASE WHEN cls = 0 THEN bal_cents ELSE bal_cents + 1 END AS bal_cents_d
+         |  FROM (
+         |    SELECT *,
+         |      CAST(('0x' || substr(md5('lpos:' || CAST(c_custkey AS VARCHAR)), 1, 4)) AS INT)
+         |        % length(c_name) AS npos,
+         |      CASE WHEN substr(md5('link:' || CAST(c_custkey AS VARCHAR)), 2, 1) < '8'
+         |        THEN 0 ELSE 1 END AS cls,
+         |      CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+         |    FROM customer
+         |    WHERE substr(md5('link:' || CAST(c_custkey AS VARCHAR)), 1, 1) < '8')
+         |), clean AS (
+         |  SELECT c_custkey AS cust_id, c_name AS name, c_nationkey AS nat,
+         |    c_mktsegment AS seg, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+         |  FROM customer
+         |), cands AS (
+         |  SELECT DISTINCT cust_id, dirty_id FROM (
+         |    SELECT c.cust_id, d.dirty_id FROM clean c JOIN dirty d
+         |      ON c.nat = d.nat AND c.seg = d.seg AND c.bal_cents = d.bal_cents_d
+         |    UNION ALL
+         |    SELECT c.cust_id, d.dirty_id FROM clean c JOIN dirty d
+         |      ON c.nat = d.nat AND c.seg = d.seg AND c.name = d.name_d)
+         |), agr AS (
+         |  SELECT CAST(levenshtein(c.name, d.name_d) <= 1 AS INT) AS na,
+         |    CAST(c.bal_cents = d.bal_cents_d AS INT) AS ba
+         |  FROM cands
+         |  JOIN clean c USING (cust_id)
+         |  JOIN dirty d USING (dirty_id)
+         |), c0 AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN na = 1 AND ba = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n11,
+         |    CAST(SUM(CASE WHEN na = 1 AND ba = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n10,
+         |    CAST(SUM(CASE WHEN na = 0 AND ba = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n01,
+         |    CAST(SUM(CASE WHEN na = 0 AND ba = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n00,
+         |    CAST(COUNT(*) AS DOUBLE) AS n
+         |  FROM agr
+         |),
+         |$layerCtes
+         |SELECT $finals
+         |FROM l${emLayers.size - 1}""".stripMargin
+    },
+
     "c163_linkage_bands" ->
       s"""WITH dirty AS (
          |  SELECT c_custkey AS dirty_id,

@@ -864,6 +864,51 @@ class OperatorPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("c169: the EM chain matches an independent Scala EM; balance weight recovers ~3; the blocking bias is visible") {
+    val sf = TestSpark.sf0001
+    val cust = Tables.t(spark, sf, "customer")
+    val cands = ops.Llm.linkCandidates(
+      ops.Llm.linkClean(cust), ops.Llm.linkDirty(cust))
+      .select($"name_agree", $"bal_agree").collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    // Independent Scala EM over the same 4-cell sufficient statistic.
+    val n = cands.length.toDouble
+    def cnt(a1: Int, a2: Int) = cands.count(t => t == ((a1, a2))).toDouble
+    val (n11, n10, n01, n00) = (cnt(1, 1), cnt(1, 0), cnt(0, 1), cnt(0, 0))
+    def clamp(x: Double) = math.min(math.max(x, 0.0001), 0.9999)
+    var (p, m1, u1, m2, u2) = (0.1, 0.9, 0.1, 0.9, 0.1)
+    for (_ <- 1 to 2) {
+      def w(a1: Int, a2: Int): Double = {
+        def t(m: Double, a: Int) = if (a == 1) m else 1.0 - m
+        val pm = p * t(m1, a1) * t(m2, a2)
+        val pu = (1.0 - p) * t(u1, a1) * t(u2, a2)
+        pm / (pm + pu)
+      }
+      val (w11, w10, w01, w00) = (w(1, 1), w(1, 0), w(0, 1), w(0, 0))
+      val s = ((n11 * w11 + n10 * w10) + n01 * w01) + n00 * w00
+      val (pN, m1N, m2N) = (clamp(s / n),
+        clamp((n11 * w11 + n10 * w10) / s), clamp((n11 * w11 + n01 * w01) / s))
+      val u1N = clamp((n11 * (1 - w11) + n10 * (1 - w10)) / (n - s))
+      val u2N = clamp((n11 * (1 - w11) + n01 * (1 - w01)) / (n - s))
+      p = pN; m1 = m1N; u1 = u1N; m2 = m2N; u2 = u2N
+    }
+    val got = ops.Llm.fsEmWeights(spark, sf).collect().head
+    assert(got.getLong(0) == cands.length)
+    // r4 display rounding differs at exact .00005 boundaries between
+    // BigDecimal HALF_UP and float math — compare at rounding tolerance.
+    def close(a: Double, b: Double) = math.abs(a - b) < 1.5e-4
+    assert(close(got.getDouble(1), p), s"p: ${got.getDouble(1)} vs $p")
+    assert(close(got.getDouble(2), m1) && close(got.getDouble(3), u1), "name m/u")
+    assert(close(got.getDouble(4), m2) && close(got.getDouble(5), u2), "bal m/u")
+    // The data recovers the assumed balance weight (LinkBalW = 3)...
+    assert(got.getDouble(7) > 2.0 && got.getDouble(7) < 4.5,
+      s"w_bal ${got.getDouble(7)} should recover ~3")
+    // ...and exposes the conditioning-on-blocking bias on the name
+    // field (in-block name agreement is nearly universal → weight ~0).
+    assert(math.abs(got.getDouble(6)) < 0.5,
+      s"w_name ${got.getDouble(6)} should be ~0 within blocked candidates")
+  }
+
   test("c168: every dedup cluster is split-PURE; singletons keep their c32 assignment; c32 provably tears clusters") {
     val out = ops.NearDup.clusterSafeSplit(spark, TestSpark.sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
