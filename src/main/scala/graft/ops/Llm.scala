@@ -852,6 +852,68 @@ object Llm {
     df.selectExpr(emFinalExprs.map { case (a, e) => s"$e AS $a" }: _*)
   }
 
+  /** c170 — FS GLOBAL u from RANDOM pairs: the other half of the
+    * weight story c169 exposes. u_j is "P(field j agrees | NON-match)"
+    * — estimated correctly it must come from pairs with no systematic
+    * relationship, NOT from blocked candidates (conditioning on the
+    * blocking key is exactly the bias c169 measures: in-block
+    * u_name ≈ m_name ≈ 1 → weight 0, while the field is highly
+    * discriminative globally). The random-pair sample here is the
+    * deterministic MODULAR-SHIFT pairing: each dirty record pairs
+    * with the clean record at
+    * `cust_id = (dirty_id + `[[UShift]]` − 1) mod maxKey + 1` —
+    * wrap-around keeps the sample n-SIZED at every corpus size (a
+    * plain shift starves small tables: at sf0.001's 150 customers a
+    * +137 shift leaves 6 pairs), ids are arbitrary so the pair is as
+    * unrelated as a uniform draw, the pairing is linear never n²
+    * (the production posture: u needs only a sample), and the shift
+    * ≢ 0 (mod maxKey) at every fixture size so no record meets its
+    * own clean row or planted partner. maxKey rides a 1-row
+    * broadcast (the a24 cutoff discipline). Weights use c159's
+    * documented m ≈ 0.95 over the clamped global u:
+    * `w_j = log2(0.95 / max(u_j, 1e-4))`.
+    *
+    * Read together with c169 (spec-pinned): w_name_global ≈ 13
+    * (unique names almost never agree by chance — the clamp floor
+    * binds) vs c169's in-block w_name ≈ 0; u_bal_global ≪ c169's
+    * in-block u_bal 0.12. Same fields, opposite verdicts — which is
+    * the Fellegi-Sunter lesson this pair of keys exists to make
+    * measurable: a field's weight is a property of the PAIR
+    * DISTRIBUTION you score it on.
+    *
+    * Scale shape: ONE key-equi join (dirty_id + shift = cust_id, both
+    * sides shuffle co-partitioned) and one map-side-combined 2-column
+    * average — output is one row.
+    */
+  private[graft] val UShift = 137L
+  private[graft] val AssumedM = 0.95
+
+  def fsGlobalU(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.t(spark, sfDir, "customer")
+    val clean = linkClean(cust)
+    val dirty = linkDirty(cust)
+    val maxKey = clean.agg(max(col("cust_id")).as("max_key"))
+    val pairs = dirty.crossJoin(broadcast(maxKey))
+      .withColumn("mate", (col("dirty_id") + UShift - 1) % col("max_key") + 1)
+      .join(clean, col("mate") === col("cust_id"))
+      .select(
+        (graft.functions.EditDistance.edist(col("name"), col("name_d")) <= 1)
+          .cast("int").as("na"),
+        (col("bal_cents") === col("bal_cents_d")).cast("int").as("ba"))
+    val floor = "CAST(0.0001 AS DOUBLE)"
+    val m = s"CAST($AssumedM AS DOUBLE)"
+    pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        avg(col("na")).as("u_name_raw"),
+        avg(col("ba")).as("u_bal_raw"))
+      .selectExpr(
+        "n_pairs",
+        "ROUND(u_name_raw, 6) AS u_name",
+        "ROUND(u_bal_raw, 6) AS u_bal",
+        s"ROUND(log2($m / greatest(u_name_raw, $floor)), 4) AS w_name",
+        s"ROUND(log2($m / greatest(u_bal_raw, $floor)), 4) AS w_bal")
+  }
+
   /** c43 — token-set CONTAINMENT over the LSH candidate pairs:
     * containment(A→B) = |A∩B| / |A| is the ASYMMETRIC near-dup
     * measure — a short doc quoted whole inside a long one scores
@@ -1301,6 +1363,7 @@ object Llm {
     "c161_linkage_resolution" -> (linkageResolution(_, _)),
     "c163_linkage_bands" -> (linkageBands(_, _)),
     "c169_fs_em_weights" -> (fsEmWeights(_, _)),
+    "c170_fs_global_u" -> (fsGlobalU(_, _)),
     "c43_containment_pairs" -> (containmentPairs(_, _)),
     "c64_minhash_calibration" -> (minhashCalibration(_, _)),
     "c50_incremental_dedup" -> (incrementalDedup(_, _)),
@@ -1458,6 +1521,43 @@ object Llm {
     // NO threshold, then the two-threshold band CASE — a pair banded
     // differently, a lost sub-threshold candidate, or an invented one
     // fails the hash.
+    // c170 replays the shift pairing and the same clamped weight math.
+    "c170_fs_global_u" ->
+      s"""WITH dirty AS (
+         |  SELECT c_custkey AS dirty_id,
+         |    CASE WHEN cls = 0
+         |      THEN substr(c_name, 1, npos) || substr(c_name, npos + 2)
+         |      ELSE c_name END AS name_d,
+         |    CASE WHEN cls = 0 THEN bal_cents ELSE bal_cents + 1 END AS bal_cents_d
+         |  FROM (
+         |    SELECT *,
+         |      CAST(('0x' || substr(md5('lpos:' || CAST(c_custkey AS VARCHAR)), 1, 4)) AS INT)
+         |        % length(c_name) AS npos,
+         |      CASE WHEN substr(md5('link:' || CAST(c_custkey AS VARCHAR)), 2, 1) < '8'
+         |        THEN 0 ELSE 1 END AS cls,
+         |      CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+         |    FROM customer
+         |    WHERE substr(md5('link:' || CAST(c_custkey AS VARCHAR)), 1, 1) < '8')
+         |), clean AS (
+         |  SELECT c_custkey AS cust_id, c_name AS name,
+         |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+         |  FROM customer
+         |), mk AS (SELECT max(cust_id) AS max_key FROM clean),
+         |pairs AS (
+         |  SELECT CAST(levenshtein(c.name, d.name_d) <= 1 AS INT) AS na,
+         |    CAST(c.bal_cents = d.bal_cents_d AS INT) AS ba
+         |  FROM dirty d CROSS JOIN mk
+         |  JOIN clean c ON (d.dirty_id + $UShift - 1) % mk.max_key + 1 = c.cust_id
+         |)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  ROUND(AVG(na), 6) AS u_name,
+         |  ROUND(AVG(ba), 6) AS u_bal,
+         |  ROUND(log2(CAST($AssumedM AS DOUBLE)
+         |    / greatest(AVG(na), CAST(0.0001 AS DOUBLE))), 4) AS w_name,
+         |  ROUND(log2(CAST($AssumedM AS DOUBLE)
+         |    / greatest(AVG(ba), CAST(0.0001 AS DOUBLE))), 4) AS w_bal
+         |FROM pairs""".stripMargin,
+
     // c169 replays the candidate agreements, collapses them to the
     // 4-cell pattern table, and runs the SAME machine-generated EM
     // layer chain (emLayers/emFinalExprs — one builder, two engines).

@@ -909,6 +909,28 @@ class OperatorPropertiesSpec extends AnyFunSuite {
       s"w_name ${got.getDouble(6)} should be ~0 within blocked candidates")
   }
 
+  test("c170: modular pairing covers every dirty record, meets no planted partner, and flips c169's in-block verdict") {
+    val sf = TestSpark.sf0001
+    val cust = Tables.t(spark, sf, "customer")
+    val nDirty = ops.Llm.linkDirty(cust).count()
+    val maxKey = cust.agg(org.apache.spark.sql.functions.max($"c_custkey"))
+      .collect().head.getLong(0)
+    // Wrap-around keeps the u sample n-SIZED (one mate per dirty
+    // record) and the shift never pairs a record with its own clean
+    // row / planted partner (shift ≢ 0 mod maxKey).
+    assert(ops.Llm.UShift % maxKey != 0)
+    val got = ops.Llm.fsGlobalU(spark, sf).collect().head
+    assert(got.getLong(0) == nDirty, s"${got.getLong(0)} vs $nDirty dirty")
+    // The two-key FS lesson: the SAME name field that carries ~zero
+    // weight within blocked candidates (c169) is highly discriminative
+    // on random pairs.
+    val inBlock = ops.Llm.fsEmWeights(spark, sf).collect().head.getDouble(6)
+    assert(math.abs(inBlock) < 0.5, s"c169 in-block w_name: $inBlock")
+    assert(got.getDouble(3) > 5.0, s"c170 global w_name: ${got.getDouble(3)}")
+    assert(got.getDouble(1) < 0.05 && got.getDouble(2) < 0.05,
+      "global u must be small on random pairs")
+  }
+
   test("c168: every dedup cluster is split-PURE; singletons keep their c32 assignment; c32 provably tears clusters") {
     val out = ops.NearDup.clusterSafeSplit(spark, TestSpark.sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
