@@ -820,7 +820,25 @@ object Llm {
     Seq(init) ++ round(1) ++ round(2)
   }
 
-  /** The r4-rounded one-row output of the 2-round EM chain. */
+  /** The r4-rounded one-row output of the 2-round EM chain.
+    *
+    * Cross-engine ulp note (the one ACCEPTED risk in the bit-for-bit
+    * claim): everything upstream of the weights is rational IEEE
+    * arithmetic in a fixed operation order — exact-rounded per op, so
+    * bit-identical in Spark and DuckDB — but `log2` is a
+    * transcendental: Spark evaluates `Math.log(x)/Math.log(2)` while
+    * DuckDB calls libm `log2`, and the two may differ in the last ulp
+    * (~1e-16 relative). An unrounded weight sitting WITHIN an ulp of
+    * an r4 rounding boundary (k·1e-4 + 5e-5) could therefore round
+    * differently per engine and flip the verification hash. We accept
+    * the risk rather than dropping log-weights (they are the FS
+    * literature's unit and c171 consumes them), and we CAGE it: the
+    * OperatorPropertiesSpec guard "c169/c170: r4 boundary distance"
+    * asserts every fixture weight sits ≥ 1e-9 from the nearest
+    * boundary — seven orders of magnitude beyond any ulp drift — so a
+    * fixture change that lands a weight near a boundary fails CI
+    * loudly instead of making the oracle flicker.
+    */
   private[graft] def emFinalExprs: Seq[(String, String)] = Seq(
     "n_candidates" -> "CAST(n AS BIGINT)",
     "p_match" -> "ROUND(p_2, 4)",
@@ -902,10 +920,21 @@ object Llm {
         (col("bal_cents") === col("bal_cents_d")).cast("int").as("ba"))
     val floor = "CAST(0.0001 AS DOUBLE)"
     val m = s"CAST($AssumedM AS DOUBLE)"
+    // The modular-shift pairing is n-sized ONLY if every computed mate key
+    // exists in the clean table; a gap in the cust_id sequence would
+    // silently shrink the sample and bias u. Enforce the invariant IN the
+    // plan (assert_true rides the 1-row result as a filter, so a
+    // non-contiguous key space fails the key loudly at every corpus size,
+    // not just on the fixture the spec happens to pin).
+    val nDirty = dirty.agg(count(lit(1)).as("n_dirty"))
     pairs.agg(
         count(lit(1)).as("n_pairs"),
         avg(col("na")).as("u_name_raw"),
         avg(col("ba")).as("u_bal_raw"))
+      .crossJoin(broadcast(nDirty))
+      .where(assert_true(col("n_pairs") === col("n_dirty"),
+        lit("c170: u-sample lost pairs — modular-shift mate keys missing " +
+          "from clean table (non-contiguous cust_id space?)")).isNull)
       .selectExpr(
         "n_pairs",
         "ROUND(u_name_raw, 6) AS u_name",

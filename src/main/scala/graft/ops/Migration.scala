@@ -451,8 +451,14 @@ object Migration {
         col("n_writes"), col("n_deletes"),
         when(col("tomb_ts").isNull, lit("none"))
           .when(col("tomb_ts") >= col("cutoff"), lit("retained"))
-          .otherwise(lit("purged")).as("tombstone"))
-      .where(!(col("state").isNull && col("tombstone") === "purged"))
+          .otherwise(lit("purged")).as("tombstone"),
+        col("m.is_del").as("latest_is_del"))
+      // The drop predicate keys on the argmax's OWN delete flag, not on
+      // state.isNull — a latest WRITE whose event_type happens to be NULL
+      // is a live row and must survive even above an old purged tombstone
+      // (state NULL ⇏ deleted; only m.is_del does).
+      .where(!(col("latest_is_del") && col("tombstone") === "purged"))
+      .drop("latest_is_del")
       .orderBy("user_id")
   }
 

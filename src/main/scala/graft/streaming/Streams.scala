@@ -1580,8 +1580,13 @@ object Streams {
         col("n_writes"), col("n_deletes"),
         when(col("tomb_ts") === Long.MinValue, lit("none"))
           .when(col("tomb_ts") >= col("cutoff"), lit("retained"))
-          .otherwise(lit("purged")).as("tombstone"))
-      .where(!(col("state").isNull && col("tombstone") === "purged"))
+          .otherwise(lit("purged")).as("tombstone"),
+        col("m_del").as("latest_is_del"))
+      // Drop keys on the fold's OWN delete flag, not state.isNull — a
+      // latest WRITE with a NULL event_type is live and must survive an
+      // old purged tombstone (mirrors the a24 batch kernel exactly).
+      .where(!(col("latest_is_del") && col("tombstone") === "purged"))
+      .drop("latest_is_del")
       .orderBy("user_id")
   }
 

@@ -931,6 +931,75 @@ class OperatorPropertiesSpec extends AnyFunSuite {
       "global u must be small on random pairs")
   }
 
+  test("c169/c170: r4 boundary distance — every log2 weight sits far from a rounding boundary at both oracle SFs") {
+    // The weights are the ONE cross-engine transcendental (Spark
+    // Math.log vs DuckDB libm log2, last-ulp divergence possible); the
+    // accepted-risk contract (Llm.emFinalExprs scaladoc) is that every
+    // fixture value sits ≥ 1e-9 from the nearest r4 boundary so an ulp
+    // cannot flip the rounded hash. Guard it at sf0.001 (specs) and
+    // sf0.01 (the driver's oracle gate).
+    def r4BoundaryDist(x: Double): Double = {
+      val scaled = math.abs(x) * 10000.0
+      val frac = scaled - math.floor(scaled)
+      math.abs(frac - 0.5) / 10000.0
+    }
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    for (sf <- Seq(TestSpark.sf0001, TestSpark.sf001)) {
+      // c169: unrounded weights via the independent Scala EM (same
+      // fixed-order arithmetic as both engines' formula text).
+      val cust = Tables.t(spark, sf, "customer")
+      val cands = ops.Llm.linkCandidates(
+        ops.Llm.linkClean(cust), ops.Llm.linkDirty(cust))
+        .select($"name_agree", $"bal_agree").collect()
+        .map(r => (r.getInt(0), r.getInt(1)))
+      val n = cands.length.toDouble
+      def cnt(a1: Int, a2: Int) = cands.count(t => t == ((a1, a2))).toDouble
+      val (n11, n10, n01, n00) = (cnt(1, 1), cnt(1, 0), cnt(0, 1), cnt(0, 0))
+      def clamp(x: Double) = math.min(math.max(x, 0.0001), 0.9999)
+      var (p, m1, u1, m2, u2) = (0.1, 0.9, 0.1, 0.9, 0.1)
+      for (_ <- 1 to 2) {
+        def w(a1: Int, a2: Int): Double = {
+          def t(m: Double, a: Int) = if (a == 1) m else 1.0 - m
+          val pm = p * t(m1, a1) * t(m2, a2)
+          val pu = (1.0 - p) * t(u1, a1) * t(u2, a2)
+          pm / (pm + pu)
+        }
+        val (w11, w10, w01, w00) = (w(1, 1), w(1, 0), w(0, 1), w(0, 0))
+        val s = ((n11 * w11 + n10 * w10) + n01 * w01) + n00 * w00
+        val (pN, m1N, m2N) = (clamp(s / n),
+          clamp((n11 * w11 + n10 * w10) / s), clamp((n11 * w11 + n01 * w01) / s))
+        val u1N = clamp((n11 * (1 - w11) + n10 * (1 - w10)) / (n - s))
+        val u2N = clamp((n11 * (1 - w11) + n01 * (1 - w01)) / (n - s))
+        p = pN; m1 = m1N; u1 = u1N; m2 = m2N; u2 = u2N
+      }
+      // c170: unrounded global u via the same modular-shift pairing.
+      val clean = ops.Llm.linkClean(cust)
+      val dirty = ops.Llm.linkDirty(cust)
+      val maxKey = clean.agg(org.apache.spark.sql.functions.max($"cust_id"))
+        .collect().head.getLong(0)
+      import org.apache.spark.sql.functions.{col, lit, avg, broadcast}
+      val uRow = dirty
+        .withColumn("mate", (col("dirty_id") + ops.Llm.UShift - 1) % lit(maxKey) + 1)
+        .join(clean, col("mate") === col("cust_id"))
+        .select(
+          (graft.functions.EditDistance.edist(col("name"), col("name_d")) <= 1)
+            .cast("int").as("na"),
+          (col("bal_cents") === col("bal_cents_d")).cast("int").as("ba"))
+        .agg(avg(col("na")), avg(col("ba"))).collect().head
+      val (uN, uB) = (uRow.getDouble(0), uRow.getDouble(1))
+      val weights = Seq(
+        s"c169 w_name@$sf" -> log2(m1 / u1),
+        s"c169 w_bal@$sf" -> log2(m2 / u2),
+        s"c170 w_name@$sf" -> log2(ops.Llm.AssumedM / math.max(uN, 1e-4)),
+        s"c170 w_bal@$sf" -> log2(ops.Llm.AssumedM / math.max(uB, 1e-4)))
+      weights.foreach { case (name, v) =>
+        val d = r4BoundaryDist(v)
+        assert(d > 1e-9, s"$name = $v is only $d from an r4 boundary — " +
+          "a last-ulp log2 divergence could flip the cross-engine hash")
+      }
+    }
+  }
+
   test("c168: every dedup cluster is split-PURE; singletons keep their c32 assignment; c32 provably tears clusters") {
     val out = ops.NearDup.clusterSafeSplit(spark, TestSpark.sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
