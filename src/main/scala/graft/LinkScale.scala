@@ -234,6 +234,31 @@ object LinkScale {
       s"c162 must decide exactly once per dirty record across >=3 batches: " +
         s"batches=$resBatches decisions=$nDecisions unique=$nUniqueDirty dirty=$nDirty")
     require(resDiff == 0L, s"c162 stream/batch divergence at 100x: $resDiff rows")
+
+    // 7 — c171 (round 16): estimated-weight rescore at 100×. The
+    // band-migration matrix IS the "how many decisions flip" answer;
+    // the non-demotion invariant is re-proved at scale by direct
+    // count, not by trusting the sf-gate spec.
+    val r171 = (1 to 2).map(_ => timeOnce {
+      Llm.fsEstimatedRescore(spark, sfDir).queryExecution.toRdd.count(); ()
+    })
+    val b171 = r171.minBy(_._1)
+    val matrix = Llm.fsEstimatedRescore(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val totalCands = matrix.map(_._3).sum
+    val flipped = matrix.filter(m => m._1 != m._2).map(_._3).sum
+    val cells = matrix.map(m =>
+      s"""{"assumed":"${m._1}","est":"${m._2}","n":${m._3}}""").mkString(",")
+    val demoted = Llm.estRescoredOf(clean, dirty)
+      .where(col("cust_id") === col("dirty_id") &&
+        !col("band_est").isin("link", "review")).count()
+    println(s"""{"probe":"c171_rescore","wall_sec":${b171._1},""" +
+      s""""cpu_sec":${b171._2},"spilled_bytes":${b171._3},"tasks":${b171._4},""" +
+      s""""candidates":$totalCands,"decisions_flipped":$flipped,""" +
+      s""""w_name_est":${matrix.head._4},"w_bal_est":${matrix.head._5},""" +
+      s""""planted_demoted":$demoted,"matrix":[$cells]}""")
+    require(demoted == 0L, s"c171 planted pairs demoted at 100x: $demoted")
     spark.stop()
   }
 }

@@ -852,11 +852,14 @@ object Llm {
     fsEmWeightsOf(linkCandidates(linkClean(cust), linkDirty(cust)))
   }
 
-  /** EM chain over any scored candidate frame carrying integer
-    * (name_agree, bal_agree) — split out for the spec's independent
-    * Scala-EM cross-check.
+  /** The full 2-round EM layer chain over any scored candidate frame
+    * carrying integer (name_agree, bal_agree): one map-side-combined
+    * 4-cell aggregate, then [[emLayers]] applied as selectExpr layers
+    * — the 1-row result carries every intermediate including the
+    * UNROUNDED m1_2/u1_2/m2_2/u2_2. Shared by c169 (display-rounds
+    * it) and c171 (consumes the unrounded m's for estimated weights).
     */
-  private[graft] def fsEmWeightsOf(cands: DataFrame): DataFrame = {
+  private[graft] def emChainOf(cands: DataFrame): DataFrame = {
     def pat(a1: Int, a2: Int): Column =
       sum(when(col("name_agree") === a1 && col("bal_agree") === a2, 1L)
         .otherwise(0L))
@@ -867,8 +870,15 @@ object Llm {
     emLayers.foreach { layer =>
       df = df.selectExpr("*" +: layer.map { case (a, e) => s"$e AS $a" }: _*)
     }
-    df.selectExpr(emFinalExprs.map { case (a, e) => s"$e AS $a" }: _*)
+    df
   }
+
+  /** EM chain over any scored candidate frame carrying integer
+    * (name_agree, bal_agree) — split out for the spec's independent
+    * Scala-EM cross-check.
+    */
+  private[graft] def fsEmWeightsOf(cands: DataFrame): DataFrame =
+    emChainOf(cands).selectExpr(emFinalExprs.map { case (a, e) => s"$e AS $a" }: _*)
 
   /** c170 — FS GLOBAL u from RANDOM pairs: the other half of the
     * weight story c169 exposes. u_j is "P(field j agrees | NON-match)"
@@ -906,10 +916,17 @@ object Llm {
   private[graft] val UShift = 137L
   private[graft] val AssumedM = 0.95
 
-  def fsGlobalU(spark: SparkSession, sfDir: String): DataFrame = {
-    val cust = Tables.t(spark, sfDir, "customer")
-    val clean = linkClean(cust)
-    val dirty = linkDirty(cust)
+  /** The 1-row UNROUNDED global-u aggregate over the modular-shift
+    * random pairing — shared by c170 (display-rounds + assumed-m
+    * weights) and c171 (consumes the raw u's under c169's estimated
+    * m's). The n-sized invariant rides the plan: the pairing is
+    * n-sized ONLY if every computed mate key exists in the clean
+    * table; a gap in the cust_id sequence would silently shrink the
+    * sample and bias u, so assert_true filters the 1-row result and a
+    * non-contiguous key space fails loudly at every corpus size, not
+    * just on the fixture the spec happens to pin.
+    */
+  private[graft] def globalURawOf(clean: DataFrame, dirty: DataFrame): DataFrame = {
     val maxKey = clean.agg(max(col("cust_id")).as("max_key"))
     val pairs = dirty.crossJoin(broadcast(maxKey))
       .withColumn("mate", (col("dirty_id") + UShift - 1) % col("max_key") + 1)
@@ -918,14 +935,6 @@ object Llm {
         (graft.functions.EditDistance.edist(col("name"), col("name_d")) <= 1)
           .cast("int").as("na"),
         (col("bal_cents") === col("bal_cents_d")).cast("int").as("ba"))
-    val floor = "CAST(0.0001 AS DOUBLE)"
-    val m = s"CAST($AssumedM AS DOUBLE)"
-    // The modular-shift pairing is n-sized ONLY if every computed mate key
-    // exists in the clean table; a gap in the cust_id sequence would
-    // silently shrink the sample and bias u. Enforce the invariant IN the
-    // plan (assert_true rides the 1-row result as a filter, so a
-    // non-contiguous key space fails the key loudly at every corpus size,
-    // not just on the fixture the spec happens to pin).
     val nDirty = dirty.agg(count(lit(1)).as("n_dirty"))
     pairs.agg(
         count(lit(1)).as("n_pairs"),
@@ -935,12 +944,103 @@ object Llm {
       .where(assert_true(col("n_pairs") === col("n_dirty"),
         lit("c170: u-sample lost pairs — modular-shift mate keys missing " +
           "from clean table (non-contiguous cust_id space?)")).isNull)
+      .drop("n_dirty")
+  }
+
+  def fsGlobalU(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.t(spark, sfDir, "customer")
+    val floor = "CAST(0.0001 AS DOUBLE)"
+    val m = s"CAST($AssumedM AS DOUBLE)"
+    globalURawOf(linkClean(cust), linkDirty(cust))
       .selectExpr(
         "n_pairs",
         "ROUND(u_name_raw, 6) AS u_name",
         "ROUND(u_bal_raw, 6) AS u_bal",
         s"ROUND(log2($m / greatest(u_name_raw, $floor)), 4) AS w_name",
         s"ROUND(log2($m / greatest(u_bal_raw, $floor)), 4) AS w_bal")
+  }
+
+  /** c171 — FS ESTIMATED-WEIGHT RESCORE: the decision step that makes
+    * c169/c170 consequential. Those two keys ESTIMATE the
+    * Fellegi-Sunter parameters — c169's EM gives m_j = P(agree |
+    * match) from the blocked candidates (where the matches live, so
+    * in-block m is estimable), c170's random pairing gives the GLOBAL
+    * u_j = P(agree | non-match) (the one quantity blocking poisons) —
+    * but through round 15 nothing consumed them: c159/c161/c163 score
+    * with the ASSUMED integer weights. This key closes the loop: the
+    * estimated weight `w_j = log2(m_j_EM / max(u_j_global, 1e-4))`
+    * re-scores the c163 UNthresholded candidate set on the same
+    * log2-odds scale (`score_est = block 2 + w_name·name_agree +
+    * w_bal·bal_agree`), the SAME two thresholds re-band it (they are
+    * odds thresholds, valid on any weight set sharing the scale), and
+    * the output is the BAND-MIGRATION MATRIX — (assumed band ×
+    * estimated band, pair count, the weights on the row) — the audit
+    * a production linkage runs before switching weight sets.
+    *
+    * What it shows (spec-pinned): the estimated weights PROMOTE every
+    * single-agreement candidate to auto-link — w_name ≈ 13 and
+    * w_bal ≈ 12 (vs the assumed 4 and 3) because the globally
+    * estimated u says agreement on a near-unique field is
+    * overwhelming evidence — so the `review` queue drains to `link`
+    * and even the assumed-NONLINK balance-only pairs (score 5 under
+    * integer weights) auto-link. No planted pair ever demotes. That
+    * is the measured, honest consequence of estimating u on random
+    * pairs instead of assuming it — and exactly the decision shift
+    * (clerical queue size) the matrix exists to price.
+    *
+    * Determinism: everything upstream of log2 is rational arithmetic
+    * in fixed order over one machine-generated formula text per
+    * expression ([[emLayers]], [[estWeightExprs]], [[estScoreExpr]],
+    * [[bandCaseSql]] — one builder each, both engines); log2 carries
+    * the c169/c170 accepted ulp risk, CI-caged by the same
+    * boundary-distance guard extended to the (finitely many: 4)
+    * distinct rescored values' distances from the band thresholds and
+    * their r4 boundaries.
+    *
+    * Scale shape: candidates are blocking-bounded (linear); the two
+    * parameter estimates are one map-side-combined aggregate each
+    * (4-cell EM statistic, 2-column u average); weights are a 1-row
+    * broadcast onto the candidate set (the a24 cutoff discipline);
+    * the matrix is a groupBy over ≤ 9 band pairs. Nothing windows,
+    * nothing is n².
+    */
+  private[graft] def estWeightExprs: Seq[(String, String)] = Seq(
+    "w_name_est" -> "log2(m1_2 / greatest(u_name_raw, CAST(0.0001 AS DOUBLE)))",
+    "w_bal_est" -> "log2(m2_2 / greatest(u_bal_raw, CAST(0.0001 AS DOUBLE)))")
+
+  private[graft] def estScoreExpr: String =
+    s"(CAST($LinkBlockW AS DOUBLE) + w_name_est * name_agree + w_bal_est * bal_agree)"
+
+  private[graft] def bandCaseSql(score: String): String =
+    s"CASE WHEN $score >= $LinkUpper THEN 'link' " +
+      s"WHEN $score >= $LinkThreshold THEN 'review' ELSE 'nonlink' END"
+
+  /** Row-level rescored candidates — split out so the spec can pin
+    * planted-pair non-demotion and the per-pattern score values.
+    */
+  private[graft] def estRescoredOf(clean: DataFrame, dirty: DataFrame): DataFrame = {
+    val cands = linkCandidates(clean, dirty)
+    val weights = emChainOf(cands)
+      .crossJoin(broadcast(globalURawOf(clean, dirty)))
+      .selectExpr(estWeightExprs.map { case (a, e) => s"$e AS $a" }: _*)
+    cands.crossJoin(broadcast(weights))
+      .selectExpr("cust_id", "dirty_id", "name_agree", "bal_agree", "score",
+        s"${bandCaseSql("score")} AS band",
+        s"$estScoreExpr AS score_est", "w_name_est", "w_bal_est")
+      .withColumn("band_est", expr(bandCaseSql("score_est")))
+  }
+
+  def fsEstimatedRescore(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.t(spark, sfDir, "customer")
+    estRescoredOf(linkClean(cust), linkDirty(cust))
+      .groupBy(col("band"), col("band_est"))
+      // The weights are plan-constant (1-row broadcast), so min() IS
+      // the value — it just rides the same aggregate.
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("w_name_est")).as("wn"), min(col("w_bal_est")).as("wb"))
+      .selectExpr("band AS band_assumed", "band_est", "n_pairs",
+        "ROUND(wn, 4) AS w_name_est", "ROUND(wb, 4) AS w_bal_est")
+      .orderBy("band_assumed", "band_est")
   }
 
   /** c43 — token-set CONTAINMENT over the LSH candidate pairs:
@@ -1393,6 +1493,7 @@ object Llm {
     "c163_linkage_bands" -> (linkageBands(_, _)),
     "c169_fs_em_weights" -> (fsEmWeights(_, _)),
     "c170_fs_global_u" -> (fsGlobalU(_, _)),
+    "c171_fs_estimated_rescore" -> (fsEstimatedRescore(_, _)),
     "c43_containment_pairs" -> (containmentPairs(_, _)),
     "c64_minhash_calibration" -> (minhashCalibration(_, _)),
     "c50_incremental_dedup" -> (incrementalDedup(_, _)),
@@ -1641,6 +1742,93 @@ object Llm {
          |$layerCtes
          |SELECT $finals
          |FROM l${emLayers.size - 1}""".stripMargin
+    },
+
+    // The c171 oracle replays the candidate generation, BOTH parameter
+    // estimates (the c169 EM layer chain and the c170 modular-shift
+    // u-sample — same machine-generated formula text, one builder per
+    // expression), the estimated-weight rescore, and the band-migration
+    // matrix. A mis-estimated parameter, a mis-scored pattern, or a
+    // pair landing in the wrong band cell fails the hash.
+    "c171_fs_estimated_rescore" -> {
+      val layerCtes = emLayers.zipWithIndex.map { case (layer, i) =>
+        val cols = layer.map { case (a, e) => s"$e AS $a" }.mkString(",\n    ")
+        s"l$i AS (SELECT *,\n    $cols\n  FROM ${if (i == 0) "c0" else s"l${i - 1}"})"
+      }.mkString(",\n")
+      val wcols = estWeightExprs.map { case (a, e) => s"$e AS $a" }.mkString(",\n    ")
+      s"""WITH dirty AS (
+         |  SELECT c_custkey AS dirty_id,
+         |    CASE WHEN cls = 0
+         |      THEN substr(c_name, 1, npos) || substr(c_name, npos + 2)
+         |      ELSE c_name END AS name_d,
+         |    c_nationkey AS nat, c_mktsegment AS seg,
+         |    CASE WHEN cls = 0 THEN bal_cents ELSE bal_cents + 1 END AS bal_cents_d
+         |  FROM (
+         |    SELECT *,
+         |      CAST(('0x' || substr(md5('lpos:' || CAST(c_custkey AS VARCHAR)), 1, 4)) AS INT)
+         |        % length(c_name) AS npos,
+         |      CASE WHEN substr(md5('link:' || CAST(c_custkey AS VARCHAR)), 2, 1) < '8'
+         |        THEN 0 ELSE 1 END AS cls,
+         |      CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+         |    FROM customer
+         |    WHERE substr(md5('link:' || CAST(c_custkey AS VARCHAR)), 1, 1) < '8')
+         |), clean AS (
+         |  SELECT c_custkey AS cust_id, c_name AS name, c_nationkey AS nat,
+         |    c_mktsegment AS seg, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+         |  FROM customer
+         |), cands AS (
+         |  SELECT DISTINCT cust_id, dirty_id FROM (
+         |    SELECT c.cust_id, d.dirty_id FROM clean c JOIN dirty d
+         |      ON c.nat = d.nat AND c.seg = d.seg AND c.bal_cents = d.bal_cents_d
+         |    UNION ALL
+         |    SELECT c.cust_id, d.dirty_id FROM clean c JOIN dirty d
+         |      ON c.nat = d.nat AND c.seg = d.seg AND c.name = d.name_d)
+         |), agr AS (
+         |  SELECT cust_id, dirty_id,
+         |    CAST(levenshtein(c.name, d.name_d) <= 1 AS INT) AS name_agree,
+         |    CAST(c.bal_cents = d.bal_cents_d AS INT) AS bal_agree
+         |  FROM cands
+         |  JOIN clean c USING (cust_id)
+         |  JOIN dirty d USING (dirty_id)
+         |), c0 AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN name_agree = 1 AND bal_agree = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n11,
+         |    CAST(SUM(CASE WHEN name_agree = 1 AND bal_agree = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n10,
+         |    CAST(SUM(CASE WHEN name_agree = 0 AND bal_agree = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n01,
+         |    CAST(SUM(CASE WHEN name_agree = 0 AND bal_agree = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n00,
+         |    CAST(COUNT(*) AS DOUBLE) AS n
+         |  FROM agr
+         |),
+         |$layerCtes,
+         |mk AS (SELECT max(cust_id) AS max_key FROM clean),
+         |upairs AS (
+         |  SELECT CAST(levenshtein(c.name, d.name_d) <= 1 AS INT) AS na,
+         |    CAST(c.bal_cents = d.bal_cents_d AS INT) AS ba
+         |  FROM dirty d CROSS JOIN mk
+         |  JOIN clean c ON (d.dirty_id + $UShift - 1) % mk.max_key + 1 = c.cust_id
+         |), uagg AS (
+         |  SELECT AVG(na) AS u_name_raw, AVG(ba) AS u_bal_raw FROM upairs
+         |), weights AS (
+         |  SELECT
+         |    $wcols
+         |  FROM l${emLayers.size - 1} CROSS JOIN uagg
+         |), scored AS (
+         |  SELECT a.*, ${LinkBlockW} + ${LinkNameW} * name_agree
+         |      + ${LinkBalW} * bal_agree AS score,
+         |    $estScoreExpr AS score_est, w_name_est, w_bal_est
+         |  FROM agr a CROSS JOIN weights
+         |), banded AS (
+         |  SELECT ${bandCaseSql("score")} AS band_assumed,
+         |    ${bandCaseSql("score_est")} AS band_est,
+         |    w_name_est, w_bal_est
+         |  FROM scored
+         |)
+         |SELECT band_assumed, band_est, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  ROUND(min(w_name_est), 4) AS w_name_est,
+         |  ROUND(min(w_bal_est), 4) AS w_bal_est
+         |FROM banded
+         |GROUP BY band_assumed, band_est
+         |ORDER BY band_assumed ASC NULLS FIRST, band_est ASC NULLS FIRST""".stripMargin
     },
 
     "c163_linkage_bands" ->

@@ -558,6 +558,16 @@ object Migration {
       col("o_orderkey").as("k"), col("o_totalprice").as("price"),
       col("o_orderstatus").as("status"),
       expr("unix_micros(cast(o_orderdate as timestamp))").as("wt"))
+    ttlExpiryFrom(o)
+  }
+
+  /** The a26 READ kernel over any (k, price, status, wt) cell frame —
+    * split out because TTL expiry is a property of the READ, not the
+    * store: c172 applies exactly this over its live compacted folds
+    * (the c167 read-side-cutoff discipline), so batch and stream
+    * cannot drift.
+    */
+  private[graft] def ttlExpiryFrom(o: DataFrame): DataFrame = {
     def ttl(tag: String): Column = {
       val nib = substring(md5(concat(lit(tag), col("k").cast("string"))), 1, 1)
       when(nib < "4", lit(TtlShortUs)).when(nib < "8", lit(TtlLongUs))

@@ -1590,6 +1590,57 @@ object Streams {
       .orderBy("user_id")
   }
 
+  /** c172 — STREAMING TTL EXPIRY: a26's cell-lifecycle read semantic
+    * over LIVE state, completing the streaming twin set for all three
+    * CQL lifecycle keys (c89 latest-wins, c167 tombstone GC, this).
+    * The design point it demonstrates: TTL expiry is a property of
+    * the READ, not the store — the stream state is the PLAIN
+    * latest-wins fold (the [[LatestSnapshotProcessor]] kernel,
+    * unchanged: the store doesn't know TTLs exist), and the grace
+    * clock is applied exactly once at read time over the compacted
+    * folds via the SAME batch kernel
+    * ([[graft.ops.Migration.ttlExpiryFrom]] — one kernel, so batch
+    * and stream cannot drift), with "now" the global max writetime no
+    * single key's state can know mid-stream (the c167 read-side-
+    * cutoff discipline; production injects wall-clock there and the
+    * state store needs no rewrite when the clock advances — rows
+    * expire by PREDICATE, not by mutation). Oracle: a26's SQL
+    * verbatim — the stream must converge to the batch expiry exactly,
+    * including fully-expired rows DISAPPEARING.
+    */
+  def streamTtlExpiry(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = stateSession(spark, statePartitions = 8)
+    streamTtlExpiryOf(streamTable(s, sfDir, "orders"))
+  }
+
+  /** Kernel of [[streamTtlExpiry]] over any streaming orders-shaped
+    * frame — split out so the spec can drive it through a real
+    * multi-file feed (maxFilesPerTrigger=1).
+    */
+  private[graft] def streamTtlExpiryOf(o: DataFrame): DataFrame = {
+    val s = o.sparkSession
+    s.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
+    import s.implicits._
+    // (key, eid=key, state=status, value=price, ts=writetime): the
+    // c89 fold is cell-agnostic LWW; orders carries one writetime per
+    // row so the row-grain argmax IS a26's cell state.
+    val typed = o.select(col("o_orderkey"), col("o_orderkey").as("eid"),
+        col("o_orderstatus"), col("o_totalprice"),
+        expr("unix_micros(cast(o_orderdate as timestamp))").as("wt"))
+      .as[(Long, Long, String, Double, Long)]
+    val emissions = typed.groupByKey(_._1)
+      .transformWithState(new LatestSnapshotProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF("k", "wt", "eid", "status", "price", "n_mutations")
+    val compacted = runToParquet(emissions, "update_log", "c172")
+      .groupBy(col("k"))
+      .agg(max(struct(col("n_mutations"), col("wt"), col("eid"),
+        col("status"), col("price"))).as("m"))
+      .select(col("k"), col("m.price").as("price"),
+        col("m.status").as("status"), col("m.wt").as("wt"))
+    graft.ops.Migration.ttlExpiryFrom(compacted)
+  }
+
   /** c89 — STREAMING latest-wins snapshot, oracle-verified on the
     * Spark 4.x `transformWithState` API (RocksDB state store — the
     * provider a 100 TB/day deployment runs, state on disk not heap;
@@ -1631,6 +1682,7 @@ object Streams {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c89_stream_latest_snapshot" -> (streamLatestSnapshot(_, _)),
     "c167_stream_tombstone_gc" -> (streamTombstoneGc(_, _)),
+    "c172_stream_ttl_expiry" -> (streamTtlExpiry(_, _)),
     "c83_stream_scd2" -> (streamScd2(_, _)),
     "c129_stream_interval_coalesce" -> (streamIntervalCoalesce(_, _)),
     "c136_stream_ewma" -> (streamEwma(_, _)),
@@ -1670,6 +1722,11 @@ object Streams {
     // a24's oracle text verbatim (including the vanished keys).
     "c167_stream_tombstone_gc" ->
       graft.ops.Migration.oracle("a24_tombstone_gc"),
+    // The streamed TTL read must converge to the batch expiry exactly
+    // — a26's oracle text verbatim (including the fully-expired rows
+    // that disappear).
+    "c172_stream_ttl_expiry" ->
+      graft.ops.Migration.oracle("a26_ttl_expiry"),
 
     // c76's SCD2 build minus its open (NULL valid_to) versions —
     // derived from the SAME SQL text so the two cannot drift: append

@@ -997,6 +997,53 @@ class OperatorPropertiesSpec extends AnyFunSuite {
         assert(d > 1e-9, s"$name = $v is only $d from an r4 boundary — " +
           "a last-ulp log2 divergence could flip the cross-engine hash")
       }
+      // c171's estimated weights and all 4 distinct rescored values:
+      // r4 boundary distance (hash risk) AND band-threshold distance
+      // (decision-flip risk) must both exceed the ulp cage.
+      val wn = log2(m1 / math.max(uN, 1e-4))
+      val wb = log2(m2 / math.max(uB, 1e-4))
+      Seq(s"c171 w_name_est@$sf" -> wn, s"c171 w_bal_est@$sf" -> wb)
+        .foreach { case (name, v) =>
+          assert(r4BoundaryDist(v) > 1e-9, s"$name = $v near r4 boundary")
+        }
+      val scores = Seq(2.0, 2.0 + wn, 2.0 + wb, 2.0 + wn + wb)
+      scores.foreach { s =>
+        Seq(6.0, 9.0).foreach { thr =>
+          assert(math.abs(s - thr) > 1e-9,
+            s"c171 score_est $s sits on band threshold $thr@$sf — " +
+              "an ulp could flip the band decision cross-engine")
+        }
+      }
+    }
+  }
+
+  test("c171: planted pairs never demote; the review queue drains to link under estimated weights; matrix ≡ regrouped rows") {
+    for (sf <- Seq(TestSpark.sf0001, TestSpark.sf001)) {
+      val cust = Tables.t(spark, sf, "customer")
+      val rows = ops.Llm.estRescoredOf(
+        ops.Llm.linkClean(cust), ops.Llm.linkDirty(cust)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(4),
+          r.getString(5), r.getString(9)))
+      assert(rows.nonEmpty)
+      // (1) every planted pair (dirty record vs its own clean row)
+      // stays linkable — never demoted below review.
+      val planted = rows.filter { case (c, d, _, _, _) => c == d }
+      assert(planted.nonEmpty)
+      planted.foreach { case (_, _, _, _, bEst) =>
+        assert(bEst == "link" || bEst == "review", s"planted pair demoted: $bEst")
+      }
+      // (2) no assumed-link pair demotes, and every assumed-review pair
+      // PROMOTES to link (w_name_est ≈ 13 ≫ 4: one agreement suffices).
+      rows.foreach { case (c, d, _, b, bEst) =>
+        if (b == "link") assert(bEst == "link", s"($c,$d) link demoted to $bEst")
+        if (b == "review") assert(bEst == "link", s"($c,$d) review → $bEst, expected link")
+      }
+      // (3) the published matrix is exactly the regrouped row set.
+      val matrix = ops.Llm.fsEstimatedRescore(spark, sf).collect()
+        .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+      val regrouped = rows.groupBy { case (_, _, _, b, bEst) => (b, bEst) }
+        .map { case (k, v) => k -> v.length.toLong }
+      assert(matrix == regrouped, s"$matrix vs $regrouped")
     }
   }
 

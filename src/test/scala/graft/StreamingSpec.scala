@@ -853,6 +853,30 @@ class StreamingSpec extends AnyFunSuite {
       "streamed GC diverges from batch a24")
   }
 
+  test("c172: streaming TTL expiry converges to batch a26 across real micro-batches") {
+    // The state is the plain latest-wins fold (the store doesn't know
+    // TTLs exist); expiry is a read-side predicate over the compacted
+    // emissions. Pinned on a 3-file feed (one file per trigger): the
+    // read must equal batch a26 exactly, including fully-expired rows
+    // DISAPPEARING (count strictly below the input keys).
+    val sfDir = TestSpark.sf0001
+    val o = Tables.t(spark, sfDir, "orders")
+    val base = java.nio.file.Files.createTempDirectory("graft_c172_mb").toFile
+    graft.streaming.Streams.trackTmpDir(base.toString)
+    val feed = new java.io.File(base, "feed").toString
+    o.repartition(3).write.parquet(feed)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val stream = s2.readStream.schema(o.schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+    val got = graft.streaming.Streams.streamTtlExpiryOf(stream)
+    val batch = graft.ops.Migration.ttlExpiry(spark, sfDir)
+    assert(got.count() == batch.count() && batch.count() > 0)
+    assert(batch.count() < o.count(), "fixture must contain fully-expired rows")
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty,
+      "streamed TTL read diverges from batch a26")
+  }
+
   test("c166: streaming frame dedup is STATELESS and equals the batch kernel across real micro-batches") {
     // Same discipline as c160: the topology must analyze to generate +
     // stream-static join only, and per-frame reference rows must union
