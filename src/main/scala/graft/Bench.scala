@@ -126,6 +126,14 @@ object Bench {
       ops.NearDup.warmGrams(spark, sfDir))
     val setupToks = setupIf(wanted("c3_", "c11_", "c43_", "c50_", "c51_", "c64_"),
       "setup_token_sets")(ops.Llm.warmTokenSets(spark, sfDir))
+    // Round 16: the persisted vector index (refined centroids +
+    // cluster-partitioned inverted lists + PQ sub-codebook) — built
+    // once per corpus, consumed by the ANN family.
+    val setupVec = setupIf(wanted("c38_", "c56_", "c57_"), "setup_vec_index") {
+      ops.NearDup.writeIvfIndexStore(spark, sfDir)
+      ops.NearDup.writePqCodebookStore(spark, sfDir)
+      ()
+    }
     // Every query runs twice, min taken (total runtime ~2 min permits
     // it): first-touch parquet footer reads + codegen compilation on
     // this shared machine add ±1-2 s of noise per query, and round 4's
@@ -204,11 +212,12 @@ object Bench {
     // are never a place to hide per-query work — each one is a
     // memoized artifact consumed by 2+ keys, and moving single-key
     // work there would still be visible right here.
-    val setupSecs = Seq(setupBands, setupPairs, setupLabels, setupGrams, setupToks)
+    val setupSecs = Seq(setupBands, setupPairs, setupLabels, setupGrams,
+      setupToks, setupVec)
       .filter(_ != Double.MaxValue)
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_sec":$cpuJson,""" +
-        s""""spilled_bytes":$spillJson,"spilled_bytes_total":${spillBytes.get()},"tasks":$tasksJson,"setup_lsh_bands":${setupVal(setupBands)},"setup_lsh_pairs":${setupVal(setupPairs)},"setup_cc_labels":${setupVal(setupLabels)},"setup_substr_grams":${setupVal(setupGrams)},"setup_token_sets":${setupVal(setupToks)},""" +
+        s""""spilled_bytes":$spillJson,"spilled_bytes_total":${spillBytes.get()},"tasks":$tasksJson,"setup_lsh_bands":${setupVal(setupBands)},"setup_lsh_pairs":${setupVal(setupPairs)},"setup_cc_labels":${setupVal(setupLabels)},"setup_substr_grams":${setupVal(setupGrams)},"setup_token_sets":${setupVal(setupToks)},"setup_vec_index":${setupVal(setupVec)},""" +
         s""""setup_sec_total":${setupSecs.sum},"grading_note":"end-to-end cost = value + setup_sec_total; setups are one-time per-corpus artifacts shared by 2+ keys (BASELINE.md: Reading setup_*)",""" +
         s""""failed":$failedJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outFile), json + "\n")

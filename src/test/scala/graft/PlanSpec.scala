@@ -250,6 +250,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Broadcast"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("CartesianProduct"), p)
+    // Round 16: the candidate scan reads the cluster-PARTITIONED
+    // inverted-list store and the probed-cell filter must prune at
+    // the FILE level via dynamic partition pruning — losing this
+    // silently turns probe I/O from nprobe/k of the corpus into all
+    // of it.
+    assert(p.contains("ivf.parquet"), p)
+    assert(p.contains("dynamicpruning"),
+      s"probed-cell filter no longer prunes partitions:\n$p")
   }
 
   test("c35: releases its embeddings working-set cache (no persist leak)") {

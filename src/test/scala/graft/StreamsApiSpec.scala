@@ -126,6 +126,68 @@ class StreamsApiSpec extends AnyFunSuite {
       "band store drifted from the signature kernel")
   }
 
+  test("the vector-index store is a cross-process artifact: disk read, corpus never scanned, bit-identical to a fresh train pass") {
+    import graft.ops.NearDup
+    val sfd = TestSpark.sf0001
+    val dir = NearDup.writeCentroidStore(spark, sfd)
+    assert(new java.io.File(s"$dir/centroids.parquet/_SUCCESS").exists())
+    assert(NearDup.writePqCodebookStore(spark, sfd) == dir)
+    assert(new java.io.File(s"$dir/pq_codebook.parquet/_SUCCESS").exists())
+    assert(NearDup.writeIvfIndexStore(spark, sfd) == dir)
+    assert(new java.io.File(s"$dir/ivf.parquet/_SUCCESS").exists())
+    // The inverted lists are a LOSSLESS cluster-partitioned copy of
+    // the corpus under the persisted centroids' assignment.
+    import org.apache.spark.sql.functions.col
+    val emb2 = Tables.t(spark, sfd, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val freshAsg = NearDup.kmAssign(emb2, NearDup.centroidStore(spark, sfd))
+      .select(col("vec_id"), col("cluster"))
+    val expectedIvf = emb2.join(freshAsg, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+    val storedIvf = NearDup.ivfIndexStore(spark, sfd)
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+    assert(storedIvf.exceptAll(expectedIvf).isEmpty
+      && expectedIvf.exceptAll(storedIvf).isEmpty,
+      "IVF inverted lists drifted from the assignment kernel")
+    // The store frames must be parquet scans of the artifact (the
+    // _SUCCESS gate skips the write), never a recompute that touches
+    // the corpus.
+    Seq(NearDup.centroidStore(spark, sfd), NearDup.pqCodebookStore(spark, sfd))
+      .foreach { fromDisk =>
+        val leaves = fromDisk.queryExecution.executedPlan.collectLeaves()
+          .map(_.toString).mkString("\n")
+        assert(leaves.contains("vec-") && !leaves.contains("embeddings"),
+          s"store read should scan the vec store, not the corpus:\n$leaves")
+      }
+    // Bit-identity: the persisted centroids equal a fresh decimal-exact
+    // Lloyd pass (exceptAll compares doubles bitwise), and the codebook
+    // equals a fresh seed slice.
+    import org.apache.spark.sql.functions.{col, expr, lit, explode, sequence}
+    val emb = Tables.t(spark, sfd, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val kmSeeds = emb
+      .where(col("vec_id") % NearDup.kmSeedStride(NearDup.embCount(spark, sfd)) === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent"))
+    val freshCents = NearDup.kmUpdate(emb, NearDup.kmAssign(emb, kmSeeds))
+    val storedCents = NearDup.centroidStore(spark, sfd)
+    assert(storedCents.exceptAll(freshCents).isEmpty
+      && freshCents.exceptAll(storedCents).isEmpty,
+      "centroid store drifted from the Lloyd kernel")
+    val stride = NearDup.pqSeedStride(NearDup.embCount(spark, sfd))
+    val freshCsubs = Tables.t(spark, sfd, "embeddings")
+      .where(col("vec_id") % stride === 0)
+      .select(expr(s"vec_id div $stride").as("centroid_id"),
+        explode(sequence(lit(0), lit(NearDup.PqM - 1))).as("j"),
+        col("embedding").as("cent"))
+      .select(col("centroid_id"), col("j"),
+        expr(s"slice(cent, j * (size(cent) div ${NearDup.PqM}) + 1, " +
+          s"size(cent) div ${NearDup.PqM})").as("csub"))
+    val storedCsubs = NearDup.pqCodebookStore(spark, sfd)
+    assert(storedCsubs.exceptAll(freshCsubs).isEmpty
+      && freshCsubs.exceptAll(storedCsubs).isEmpty,
+      "PQ codebook store drifted from the seed slice")
+  }
+
   test("c36/c37 leave no session-conf drift, no cached RDDs, and reap their temp dirs") {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
