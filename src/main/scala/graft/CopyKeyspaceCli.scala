@@ -44,7 +44,8 @@ object CopyKeyspaceCli {
         new ParquetSource(dstDir),
         WriteConf(),
         manifestDir,
-        nRanges)
+        nRanges,
+        rangeParallelism)
     else ops.Migration.copyKeyspace(
       spark,
       new ParquetSource(srcDir),

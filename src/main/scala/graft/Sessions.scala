@@ -63,6 +63,16 @@ object Sessions {
     "spark.sql.adaptive.coalescePartitions.initialPartitionNum" ->
       initialPartitions(cpus).toString,
     "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16m",
+    // Let AQE coalesce CACHED plan output too (default false): the
+    // memoized pair/band/gram tables otherwise freeze at the 256-wide
+    // initialPartitionNum, and every InMemoryTableScan of a KB-sized
+    // pair table pays 256 task dispatches — measured round 16 as the
+    // dominant cost of the iterative graph keys (c68's 4109 tasks:
+    // ~16 rescans × 256; the r15 "host dispatch" watch item was real
+    // but AMPLIFIED 256× by this). With coalescing the same tables
+    // cache at size-appropriate widths and the rescans dispatch a
+    // handful of tasks.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     // State-store background maintenance (snapshot + cleanup) is

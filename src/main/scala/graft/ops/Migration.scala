@@ -917,8 +917,10 @@ object Migration {
       dstRead: graft.sources.TableSource,
       conf: graft.sources.WriteConf,
       manifestDir: String,
-      nRanges: Int = 16): KeyspaceCopy.Report =
-    KeyspaceCopy.repair(spark, src, dst, dstRead, conf, manifestDir, nRanges)
+      nRanges: Int = 16,
+      rangeParallelism: Int = 1): KeyspaceCopy.Report =
+    KeyspaceCopy.repair(spark, src, dst, dstRead, conf, manifestDir, nRanges,
+      rangeParallelism)
 
   val queries: Map[String, Q] = Map(
     "a21_shard_balance_plan" -> (shardBalancePlan(_, _)),

@@ -28,6 +28,11 @@ class SessionsSpec extends AnyFunSuite {
     assert(p("spark.sql.adaptive.enabled") == "true")
     assert(p("spark.sql.shuffle.partitions") == "4")
     assert(p("spark.sql.legacy.parquet.nanosAsLong") == "true")
+    // Cached-plan repartitioning must stay ON: without it every
+    // memoized pair/band/gram InMemoryTableScan is frozen at the
+    // 256-wide initial partitioning and the iterative graph keys pay
+    // per-task dispatch 256× per rescan (round-16 measurement).
+    assert(p("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning") == "true")
     // and a session built from the posture actually carries it: apply
     // the SQL-conf subset to a child session of the shared context
     // (master/core settings are fixed by the running context).
