@@ -68,7 +68,11 @@ object Plans {
       "c35_kmeans_iterate" ->
         "Seed/refined centroids broadcast each Lloyd round; the update aggregation is map-side-combined HashAggregate; no cartesian product anywhere.",
       "c38_ann_ivf_adaptive" ->
-        "Refined centroids + probed-cell list broadcast; candidate top-k fuses to TakeOrderedAndProject; no cartesian product.",
+        ("Centroids read from the persisted index (vec- store scan, not a train " +
+          "recompute); the candidate scan reads the cluster-PARTITIONED inverted " +
+          "lists with the probed-cell filter as a dynamicpruning PartitionFilter " +
+          "(probe I/O = nprobe/k of the corpus); top-k fuses to " +
+          "TakeOrderedAndProject; no cartesian product."),
       "c47_semantic_dedup" ->
         ("In-cell pair work is an equi-join on the cell id (no cartesian besides the broadcast " +
           "seed-centroid pass); the duplicate-sized loser list broadcasts into a LeftAnti."),
@@ -247,7 +251,63 @@ object Plans {
       "c146_cuped_adjustment" ->
         ("Per-user conditional collapse then ONE moment aggregate over " +
           "user-count rows; decimal cross-products inside the aggregate — " +
-          "no second scan, no join."))
+          "no second scan, no join."),
+      // Round 16 (verdict item 3): the remaining top-10 cost centers
+      // plus the round-15/16 keys that postdate the last full regen.
+      "c96_prefix_filter_join" ->
+        ("Rare-first prefix tokens equi-join (token, then doc-pair dedup) — " +
+          "candidates only; the exact Jaccard verify runs on the candidate " +
+          "join's output, never a corpus self-join; per-doc rank window is " +
+          "doc-bounded (no global window); no cartesian product."),
+      "c68_pagerank" ->
+        ("Each damped round is ONE edge equi-join + a map-side-combined " +
+          "DECIMAL sum; the rank and out-degree tables broadcast; edge table " +
+          "is an InMemoryTableScan of the memoized pair table (coalesced " +
+          "post-round-16, a handful of partitions); no window, no cartesian."),
+      "c64_minhash_calibration" ->
+        ("The audit budget cut compares against a 1-row broadcast pair count; " +
+          "signature and shingle passes run only on the broadcast-semi-pruned " +
+          "sampled docs — never the corpus; estimate and exact scores join " +
+          "back by pair id; no cartesian."),
+      "c59_simhash_hamming_pairs" ->
+        ("Block-pigeonhole equi-join on (block_idx, block_val) — candidate " +
+          "work scales with bucket occupancy; the Hamming verify (xor+popcount) " +
+          "runs as the join condition on candidates only; no cartesian."),
+      "c73_simhash_wide_pairs" ->
+        ("Same pigeonhole shape as c59 at the 60-bit production width — " +
+          "wider blocks, ~65x fewer candidate pairs through the exchange; " +
+          "no cartesian."),
+      "c99_label_propagation" ->
+        ("Each LPA round is one edge equi-join + a per-(node, label) count " +
+          "collapse and an argmax HashAggregate (mode-with-tiebreak, no " +
+          "window); label tables localCheckpoint each round; edge scans are " +
+          "coalesced InMemoryTableScans; no cartesian."),
+      "c95_hilbert_skipping" ->
+        ("The Hilbert key is a codegen'd row-local projection; the range " +
+          "probe filters on the persisted layout's min/max (file skipping), " +
+          "reading a bounded fraction of row groups; no shuffle besides the " +
+          "final order."),
+      "c168_cluster_safe_split" ->
+        ("One doc_id-equi LEFT join against the memoized cluster-label " +
+          "table (coalesced InMemoryTableScan) + a row-local md5 CASE on " +
+          "the cluster id — no window, no second scan, no cartesian."),
+      "c170_fs_global_u" ->
+        ("The modular-shift mate key rides a 1-row broadcast maxKey " +
+          "crossJoin; ONE key-equi join pairs dirty records with clean " +
+          "mates; the u estimate is one map-side-combined 2-column average " +
+          "with the n-sized assert_true filter on the 1-row result; no " +
+          "window, no cartesian beyond the 1-row broadcasts."),
+      "c171_fs_estimated_rescore" ->
+        ("Both parameter estimates are 1-row aggregates (4-cell EM " +
+          "statistic + modular-pair u average) crossJoined and broadcast " +
+          "onto the candidate set; the rescore is a row-local projection; " +
+          "the migration matrix is a <=9-group map-side-combined " +
+          "HashAggregate; no window, no corpus-sized shuffle."),
+      "c172_stream_ttl_expiry" ->
+        ("Read-side compaction is one max-of-struct HashAggregate over the " +
+          "emission log; the TTL classes are row-local md5 CASEs and the " +
+          "'now' cutoff a 1-row broadcast — the a26 read kernel verbatim; " +
+          "no window."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans` on ")
       .append(sfDir).append(")\n\n")
