@@ -30,8 +30,20 @@ trait TableSink {
 
 /** The runnable source: one parquet file per table under a scale-factor
   * directory (TESTDATA.md).
+  *
+  * `mergeSchema = true` is the two-VINTAGE read (a17's evolution
+  * contract composed into the copier, round-16 verdict item 7): a
+  * long-lived keyspace ships files in vintages — early ones lack
+  * columns later ones carry — and a migration must copy them as ONE
+  * table, v1 rows surfacing the missing columns as NULL, without
+  * rewriting history first. Cost note for 100 TB: mergeSchema is a
+  * footer read per file at plan time — enable it per-TABLE on the
+  * vintage'd ones only, or skip the discovery pass entirely by
+  * pinning the merged schema from A2's manifest (the schema-manifest
+  * artifact is exactly the discovered union, recorded once).
   */
-final class ParquetSource(dir: String) extends TableSource {
+final class ParquetSource(dir: String,
+    mergeSchema: Boolean = false) extends TableSource {
   /** DISCOVERED from the directory (the a2 claim must be literal: a
     * keyspace copy enumerates what the source actually holds, not a
     * compiled-in fixture list — a 100× rehearsal corpus without an
@@ -51,7 +63,9 @@ final class ParquetSource(dir: String) extends TableSource {
       .map(_.stripSuffix(".parquet")).sorted.toSeq
   }
   def read(spark: SparkSession, table: String): DataFrame =
-    graft.Tables.canonical(spark, dir, table)
+    if (mergeSchema)
+      spark.read.option("mergeSchema", "true").parquet(s"$dir/$table.parquet")
+    else graft.Tables.canonical(spark, dir, table)
 }
 
 final class ParquetSink(dir: String) extends TableSink {
