@@ -129,6 +129,8 @@ object Bench {
     // Round 16: the persisted vector index (refined centroids +
     // cluster-partitioned inverted lists + PQ sub-codebook) — built
     // once per corpus, consumed by the ANN family.
+    val setupSimhash = setupIf(wanted("c59_", "c73_"), "setup_simhash_prints")(
+      ops.NearDup.warmSimhash(spark, sfDir))
     val setupVec = setupIf(wanted("c38_", "c56_", "c57_"), "setup_vec_index") {
       ops.NearDup.writeIvfIndexStore(spark, sfDir)
       ops.NearDup.writePqCodebookStore(spark, sfDir)
@@ -213,11 +215,11 @@ object Bench {
     // memoized artifact consumed by 2+ keys, and moving single-key
     // work there would still be visible right here.
     val setupSecs = Seq(setupBands, setupPairs, setupLabels, setupGrams,
-      setupToks, setupVec)
+      setupToks, setupSimhash, setupVec)
       .filter(_ != Double.MaxValue)
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_sec":$cpuJson,""" +
-        s""""spilled_bytes":$spillJson,"spilled_bytes_total":${spillBytes.get()},"tasks":$tasksJson,"setup_lsh_bands":${setupVal(setupBands)},"setup_lsh_pairs":${setupVal(setupPairs)},"setup_cc_labels":${setupVal(setupLabels)},"setup_substr_grams":${setupVal(setupGrams)},"setup_token_sets":${setupVal(setupToks)},"setup_vec_index":${setupVal(setupVec)},""" +
+        s""""spilled_bytes":$spillJson,"spilled_bytes_total":${spillBytes.get()},"tasks":$tasksJson,"setup_lsh_bands":${setupVal(setupBands)},"setup_lsh_pairs":${setupVal(setupPairs)},"setup_cc_labels":${setupVal(setupLabels)},"setup_substr_grams":${setupVal(setupGrams)},"setup_token_sets":${setupVal(setupToks)},"setup_simhash_prints":${setupVal(setupSimhash)},"setup_vec_index":${setupVal(setupVec)},""" +
         s""""setup_sec_total":${setupSecs.sum},"grading_note":"end-to-end cost = value + setup_sec_total; setups are one-time per-corpus artifacts shared by 2+ keys (BASELINE.md: Reading setup_*)",""" +
         s""""failed":$failedJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outFile), json + "\n")

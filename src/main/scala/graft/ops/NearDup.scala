@@ -199,7 +199,7 @@ object NearDup {
     */
   def simhashHammingPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val bits = SimhashBlocks * simhashBlockW(docCount(spark, sfDir))
-    val prints = simhashValuesWide(spark, sfDir)
+    val prints = simhashWideTable(spark, sfDir)
       .select(col("doc_id"), shiftright(col("v"), SimhashWideBits - bits).as("v"))
     simhashBlockJoin(prints, bits, SimhashBlocks)
   }
@@ -274,6 +274,36 @@ object NearDup {
             .otherwise(lit(0L))).reduce(_ + _).as("v"))
   }
 
+  /** The 60-bit fingerprint table memoized per (application, corpus)
+    * — the sixth one-time pass of the dedup family (bands → pairs →
+    * labels → grams → token sets → simhash prints): c59 and c73 each
+    * re-ran the corpus-wide word-explode + double-md5 + 60-bit-sum
+    * aggregate (measured ~4-5 cpu-s EACH at sf0.1, the dominant cost
+    * of both keys); the print table is doc-count-sized (one long per
+    * doc) and at 100 TB is exactly the fingerprint store Manku et al.
+    * maintain as a standing artifact next to the crawl. Rides the
+    * label cache's eviction listener.
+    */
+  private[graft] def simhashWideTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val appId = spark.sparkContext.applicationId
+    if (labelEvictionHooked.putIfAbsent(appId + ":sh", true).isEmpty)
+      spark.sparkContext.addSparkListener(new LabelEvictionListener(appId))
+    simhashCache.getOrElseUpdate(s"$appId:$sfDir", {
+      val df = simhashValuesWide(spark, sfDir)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      df.count() // materialize eagerly: ONE fingerprint pass ever runs
+      df
+    })
+  }
+  private[graft] val simhashCache = TrieMap[String, DataFrame]()
+
+  /** Pre-materialize the print table — its own Bench setup key (the
+    * bands/pairs/labels/grams/token-sets attribution discipline).
+    */
+  private[graft] def warmSimhash(spark: SparkSession, sfDir: String): Unit = {
+    simhashWideTable(spark, sfDir); ()
+  }
+
   /** c73 — c59 at the PRODUCTION print width: the same Hamming ≤ 3
     * block-pigeonhole pairing on a 60-bit fingerprint. This is the
     * measured answer to c59's output-sized cost: at 32 bits the
@@ -288,7 +318,7 @@ object NearDup {
     * al. size production prints (64 bit) against corpus scale.
     */
   def simhashWidePairs(spark: SparkSession, sfDir: String): DataFrame =
-    simhashBlockJoin(simhashValuesWide(spark, sfDir), SimhashWideBits, SimhashBlocks)
+    simhashBlockJoin(simhashWideTable(spark, sfDir), SimhashWideBits, SimhashBlocks)
 
   /** c11 — character-trigram Jaccard over the MinHash/LSH candidate
     * pairs (char-level near-dup verify — catches token-reordered
@@ -1056,7 +1086,7 @@ object NearDup {
     * context itself at application end).
     */
   private[graft] def evictLabels(appId: String): Unit =
-    Seq(labelCache, gramCache).foreach { cache =>
+    Seq(labelCache, gramCache, simhashCache).foreach { cache =>
       cache.keys.filter(_.startsWith(appId + ":")).foreach { k =>
         cache.remove(k).foreach { df =>
           try df.unpersist(blocking = false) catch { case _: Throwable => () }

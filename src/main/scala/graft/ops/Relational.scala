@@ -1173,9 +1173,14 @@ object Relational {
     * encodes exactly once).
     */
   def hilbertSkipping(spark: SparkSession, sfDir: String): DataFrame = {
-    val rows = skipRows(spark, sfDir)
-      .withColumn("q1", col("px")).withColumn("q2", col("sx"))
-      .withColumn("z", expr(Layout.hilbertKey(8)))
+    // The index runs as the UNROLLED flat-column walk (round 16:
+    // Layout.hilbertLayers — plain-long CASEs whole-stage-codegen;
+    // the HOF named_struct fold measured 6.1 cpu-s/6M rows and does
+    // not), bit-identical to both the fold and the oracle's CTEs.
+    val rows = Layout.withHilbertZ(
+      skipRows(spark, sfDir)
+        .withColumn("q1", col("px")).withColumn("q2", col("sx")),
+      8, "z")
     skipFinish(skipAudit(rows, "hilbert", s"z div $ZBlockDiv"), rows)
   }
 

@@ -103,6 +103,28 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("hilbertLayers: the unrolled flat-column walk is bit-identical to the HOF fold on the full grid") {
+    // Round 16 swapped the hot path (c95, hilbertBy) from the
+    // named_struct aggregate fold to codegen'd per-level CASE columns;
+    // this pins the two forms equal on every cell at the production
+    // order (any divergence breaks the cross-engine hash, so it must
+    // fail HERE first).
+    import org.apache.spark.sql.functions.{expr, sum}
+    val bits = 8
+    val grid = spark.range(0L, 1L << (2 * bits)).selectExpr(
+      s"id div ${1 << bits} AS q1", s"id % ${1 << bits} AS q2")
+    // Compare via an AGGREGATE, not a row filter on z: a filter
+    // directly above the unrolled layers is exactly the consumer
+    // shape withHilbertZ's scaladoc forbids (predicate substitution
+    // expands ~5x per projection hop — the optimizer runs for
+    // minutes; found the hard way by this test's first version).
+    val mismatches = Layout.withHilbertZ(grid, bits, "z")
+      .withColumn("d_fold", expr(Layout.hilbertKey(bits)))
+      .selectExpr("CAST(z != d_fold AS INT) AS m")
+      .agg(sum("m")).collect().head.getLong(0)
+    assert(mismatches == 0, "unrolled Hilbert walk diverged from the fold")
+  }
+
   test("hilbertBy gives compact per-partition bounding boxes in BOTH dims") {
     val orders = Tables.t(spark, TestSpark.sf0001, "orders")
     val h = Layout.hilbertBy(orders, "o_custkey", "o_totalprice", 16)
