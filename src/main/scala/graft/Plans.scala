@@ -307,7 +307,14 @@ object Plans {
         ("Read-side compaction is one max-of-struct HashAggregate over the " +
           "emission log; the TTL classes are row-local md5 CASEs and the " +
           "'now' cutoff a 1-row broadcast — the a26 read kernel verbatim; " +
-          "no window."))
+          "no window."),
+      "c173_ivf_pq_search" ->
+        ("IVFADC composition: persisted centroids broadcast for cell " +
+          "ranking; BOTH candidate reads (encode + re-rank fetch) scan the " +
+          "cluster-partitioned inverted lists with dynamicpruning " +
+          "PartitionFilters; codebook + LUT + shortlist broadcast; the raw " +
+          "corpus is scanned only for the pushed 1-row probe; top-k fuses " +
+          "to TakeOrderedAndProject."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans` on ")
       .append(sfDir).append(")\n\n")

@@ -1681,6 +1681,77 @@ object NearDup {
       .limit(PqTopK)
   }
 
+  /** c173 — composed IVF-ADC search (Jégou et al. 2011 §IV.A "IVFADC"
+    * — public): THE production ANN read path, now expressible as pure
+    * composition because round 16 persisted all three index artifacts.
+    * The coarse quantizer prunes WHICH vectors are scored (c38's
+    * probed cells); product quantization prunes WHAT is read to score
+    * them (c56's codes, M lookups per vector instead of a d-dim
+    * pass); the exact pass removes the quantization error from the
+    * final ranking (c57's re-rank). The probe: (1) ranks the
+    * PERSISTED centroids ([[centroidStore]], KBs broadcast); (2)
+    * scans ONLY the probed cells' files of the cluster-partitioned
+    * inverted lists ([[ivfIndexStore]] — the cell filter prunes
+    * partitions at runtime, so candidate I/O is nprobe/k of the
+    * corpus); (3) PQ-encodes the CANDIDATES against the persisted
+    * sub-codebook ([[pqCodebookStore]]) and ADC-scores them from the
+    * M×k broadcast LUT; (4) exactly re-ranks the top-[[PqShortlist]]
+    * — the shortlist fetch reads the same pruned cell files, so no
+    * full-corpus pass exists anywhere in the plan.
+    *
+    * vs c57 (ADC over the whole corpus): the scored set shrinks
+    * k/nprobe-fold; vs c38 (exact over probed cells): scoring is M
+    * lookups, not d multiplies — at 10^11 vectors the probed cells'
+    * CODE tables are what production keeps hot. Determinism: the c38
+    * cell-ranking canon + the c56/c57 code/ADC canon verbatim —
+    * every rounded value and tiebreak is shared machinery.
+    */
+  def ivfPqSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val dot = graft.functions.ArrayDot.adot _
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val probe = emb.where(col("vec_id") === 0).select(col("embedding").as("probe"))
+    val cents = centroidStore(spark, sfDir)
+    val topCells = cents.crossJoin(broadcast(probe))
+      .select(col("centroid_id"), round(cosine(col("cent"), col("probe")), 4).as("cell_cos"))
+      .agg(expr(s"slice(array_sort(collect_list(struct(-cell_cos AS nc, centroid_id))), 1, $IvfProbeCells)")
+        .as("top"))
+      .select(posexplode(col("top")).as(Seq("r0", "s")))
+      .select(col("s.centroid_id").as("cluster"), (col("r0") + 1).cast("long").as("cell_rank"))
+    val cands = ivfIndexStore(spark, sfDir)
+      .join(broadcast(topCells), "cluster")
+      .where(col("vec_id") =!= 0)
+    val subs = cands
+      .select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("j"), col("embedding"))
+      .select(col("vec_id"), col("j"),
+        expr(s"slice(embedding, j * (size(embedding) div $PqM) + 1, size(embedding) div $PqM)")
+          .as("sub"))
+    val csubs = pqCodebookStore(spark, sfDir)
+    val psubs = emb.where(col("vec_id") === 0)
+      .select(explode(sequence(lit(0), lit(PqM - 1))).as("j"), col("embedding"))
+      .select(col("j"),
+        expr(s"slice(embedding, j * (size(embedding) div $PqM) + 1, size(embedding) div $PqM)")
+          .as("psub"))
+    val lut = psubs.join(csubs, "j")
+      .select(col("j").as("lj"), col("centroid_id").as("lcode"),
+        dot(col("psub"), col("csub")).as("pdot"))
+    val shortlist = pqCodes((subs, csubs))
+      .join(broadcast(lut), col("j") === col("lj") && col("code") === col("lcode"))
+      .groupBy(col("vec_id"))
+      .agg(Canon.rsum6(Canon.dsum(col("pdot"))).as("adc_score"))
+      .orderBy(col("adc_score").desc, col("vec_id").asc)
+      .limit(PqShortlist)
+    // Exact re-rank fetches raw vectors from the SAME pruned cell
+    // scan (never the full corpus), carrying the cell rank for the
+    // analyst.
+    cands.select(col("vec_id"), col("cell_rank"), col("embedding"))
+      .join(broadcast(shortlist), "vec_id")
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("cell_rank"), col("adc_score"),
+        round(dot(col("embedding"), col("probe")), 4).as("ip"))
+      .orderBy(col("ip").desc, col("vec_id").asc)
+      .limit(PqTopK)
+  }
+
   /** c69 — dedup CLUSTER-SIZE distribution: for every duplicate-
     * cluster size, how many clusters and how many docs — the "how
     * duplicated is this corpus" audit that sizes a dedup run's
@@ -2086,6 +2157,7 @@ object NearDup {
     "c49_dup_fraction" -> (dupFraction(_, _)),
     "c13_ann_ivf" -> (annIvf(_, _)),
     "c38_ann_ivf_adaptive" -> (annIvfAdaptive(_, _)),
+    "c173_ivf_pq_search" -> (ivfPqSearch(_, _)),
     "c19_batch_ann_topk" -> (batchAnnTopk(_, _)),
     "c79_hard_negatives" -> (hardNegatives(_, _))
   )
@@ -2215,6 +2287,97 @@ object NearDup {
          |  ROUND(sqrt(${Canon.oDsum("d2")}), 4) AS recon_err
          |FROM best GROUP BY vec_id
          |ORDER BY vec_id ASC NULLS FIRST""".stripMargin,
+    // The c173 oracle composes the c38 chain (refined cells, probed
+    // cells, assignment) with the c56/c57 chain (sub-codebook, argmin
+    // codes, ADC LUT) restricted to probed-cell candidates, then the
+    // exact re-rank — every rounded value and tiebreak replays the
+    // shared canon, so a candidate from an unprobed cell, a
+    // mis-encoded sub-vector, or a shortlist off-by-one fails the
+    // hash.
+    "c173_ivf_pq_search" ->
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS centroid_id, embedding AS cent
+         |  FROM embeddings WHERE vec_id % $oSeedStride = 0
+         |), scored0 AS (
+         |  ${oKmScored("seeds")}
+         |), best0 AS (
+         |  ${oKmBest("scored0")}
+         |), cents1 AS (
+         |  ${oKmCents("best0")}
+         |), scored1 AS (
+         |  ${oKmScored("cents1")}
+         |), best1 AS (
+         |  ${oKmBest("scored1")}
+         |), probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+         |cells AS (
+         |  SELECT centroid_id AS cluster, cell_rank FROM (
+         |    SELECT centroid_id,
+         |      row_number() OVER (ORDER BY cell_cos DESC NULLS LAST, centroid_id ASC) AS cell_rank
+         |    FROM (
+         |      SELECT centroid_id, ROUND(
+         |        list_sum(list_transform(range(1, len(cent) + 1), i -> cent[i] * CAST(p[i] AS DOUBLE)))
+         |        / (sqrt(list_sum(list_transform(cent, x -> x * x)))
+         |           * sqrt(list_sum(list_transform(p, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cell_cos
+         |      FROM cents1, probe
+         |    )
+         |  ) WHERE cell_rank <= $IvfProbeCells
+         |), cand AS (
+         |  SELECT b.vec_id, cells.cell_rank
+         |  FROM best1 b JOIN cells ON b.cluster = cells.cluster
+         |  WHERE b.vec_id != 0
+         |), qseeds AS (
+         |  SELECT vec_id // $oPqSeedStride AS centroid_id, embedding AS cent
+         |  FROM embeddings WHERE vec_id % $oPqSeedStride = 0
+         |), qsubs AS (
+         |  SELECT e.vec_id, j,
+         |    embedding[(j * (len(embedding) // $PqM) + 1):((j + 1) * (len(embedding) // $PqM))] AS sub
+         |  FROM embeddings e JOIN cand USING (vec_id), range($PqM) t(j)
+         |), qcsubs AS (
+         |  SELECT centroid_id, j,
+         |    cent[(j * (len(cent) // $PqM) + 1):((j + 1) * (len(cent) // $PqM))] AS csub
+         |  FROM qseeds, range($PqM) t(j)
+         |), qscored AS (
+         |  SELECT u.vec_id, u.j, c.centroid_id,
+         |    ROUND(
+         |      list_sum(list_transform(range(1, len(u.sub) + 1),
+         |        i -> CAST(u.sub[i] AS DOUBLE) * CAST(u.sub[i] AS DOUBLE)))
+         |      + list_sum(list_transform(range(1, len(c.csub) + 1),
+         |        i -> CAST(c.csub[i] AS DOUBLE) * CAST(c.csub[i] AS DOUBLE)))
+         |      - 2 * list_sum(list_transform(range(1, len(u.sub) + 1),
+         |        i -> CAST(u.sub[i] AS DOUBLE) * CAST(c.csub[i] AS DOUBLE))), 4) AS d2
+         |  FROM qsubs u JOIN qcsubs c ON u.j = c.j
+         |), qbest AS (
+         |  SELECT vec_id, j, centroid_id AS code, d2 FROM (
+         |    SELECT vec_id, j, centroid_id, d2,
+         |      row_number() OVER (PARTITION BY vec_id, j
+         |        ORDER BY d2 ASC NULLS LAST, centroid_id ASC) AS rn
+         |    FROM qscored
+         |  ) WHERE rn = 1
+         |), lut AS (
+         |  SELECT c.j AS lj, c.centroid_id AS lcode,
+         |    list_sum(list_transform(range(1, len(p.psub) + 1),
+         |      i -> CAST(p.psub[i] AS DOUBLE) * CAST(c.csub[i] AS DOUBLE))) AS pdot
+         |  FROM (
+         |    SELECT j,
+         |      embedding[(j * (len(embedding) // $PqM) + 1):((j + 1) * (len(embedding) // $PqM))] AS psub
+         |    FROM embeddings, range($PqM) t(j) WHERE vec_id = 0
+         |  ) p JOIN qcsubs c ON p.j = c.j
+         |), shortlist AS (
+         |  SELECT b.vec_id, ROUND(${Canon.oDsum("l.pdot")}, 6) AS adc_score
+         |  FROM qbest b JOIN lut l ON b.j = l.lj AND b.code = l.lcode
+         |  GROUP BY b.vec_id
+         |  ORDER BY adc_score DESC NULLS LAST, b.vec_id ASC
+         |  LIMIT $PqShortlist
+         |)
+         |SELECT s.vec_id, cand.cell_rank, s.adc_score,
+         |  ROUND(list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.p[i] AS DOUBLE))), 4) AS ip
+         |FROM shortlist s
+         |JOIN cand USING (vec_id)
+         |JOIN embeddings e ON s.vec_id = e.vec_id, probe p
+         |ORDER BY ip DESC NULLS LAST, s.vec_id ASC
+         |LIMIT $PqTopK""".stripMargin,
+
     "c57_pq_adc_topk" ->
       s"""$oraclePqBestCte, lut AS (
          |  SELECT c.j AS lj, c.centroid_id AS lcode,

@@ -1047,6 +1047,46 @@ class OperatorPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("c173: IVFADC returns exactly-re-ranked probed-cell candidates, shortlist is ADC-consistent, recall vs exact is measured") {
+    for (sf <- Seq(TestSpark.sf0001, TestSpark.sf001)) {
+      val out = ops.NearDup.ivfPqSearch(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      assert(out.length == ops.NearDup.PqTopK, s"rows: ${out.length}")
+      // (1) every hit comes from a probed cell.
+      out.foreach { case (_, cellRank, _, _) =>
+        assert(cellRank >= 1 && cellRank <= ops.NearDup.IvfProbeCells,
+          s"hit from unprobed cell rank $cellRank")
+      }
+      // (2) the exact re-rank is EXACT: each returned ip equals the
+      // brute-force probe·vec inner product (float→double canon).
+      import org.apache.spark.sql.functions.{col, round, broadcast}
+      val emb = Tables.t(spark, sf, "embeddings")
+      val probe = emb.where(col("vec_id") === 0).select(col("embedding").as("pe"))
+      val ids = out.map(_._1).toSeq
+      val exact = emb.where(col("vec_id").isin(ids: _*))
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"),
+          round(graft.functions.ArrayDot.adot(col("embedding"), col("pe")), 4).as("ip"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      out.foreach { case (id, _, _, ip) =>
+        assert(exact(id) == ip, s"re-rank drift on $id: $ip vs ${exact(id)}")
+      }
+      // (3) recall vs the exact whole-corpus top-k is a MEASUREMENT
+      // (uniform random vectors are PQ+IVF's worst case), but the
+      // composition must still find at least one true neighbour here,
+      // and the measured value goes to the log for ACCURACY tracking.
+      val exactTop = emb.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"),
+          round(graft.functions.ArrayDot.adot(col("embedding"), col("pe")), 4).as("ip"))
+        .orderBy(col("ip").desc, col("vec_id").asc)
+        .limit(ops.NearDup.PqTopK).collect().map(_.getLong(0)).toSet
+      val recall = ids.count(exactTop) / exactTop.size.toDouble
+      info(s"c173 recall@${ops.NearDup.PqTopK} vs exact at $sf: $recall")
+      assert(recall > 0.0, "IVFADC found no true neighbour at all")
+    }
+  }
+
   test("c168: every dedup cluster is split-PURE; singletons keep their c32 assignment; c32 provably tears clusters") {
     val out = ops.NearDup.clusterSafeSplit(spark, TestSpark.sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))

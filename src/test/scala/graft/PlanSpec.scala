@@ -260,6 +260,23 @@ class PlanSpec extends AnyFunSuite {
       s"probed-cell filter no longer prunes partitions:\n$p")
   }
 
+  test("c173: IVFADC — both candidate reads DPP-prune the inverted lists; LUT/shortlist broadcast; no full-corpus pass") {
+    val p = plan(NearDup.ivfPqSearch(spark, sf))
+    assert(p.contains("ivf.parquet"), p)
+    assert(p.contains("dynamicpruning"),
+      s"probed-cell filter must prune inverted-list partitions:\n$p")
+    assert(p.contains("Broadcast"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // The only reads of the raw embeddings table are the 1-row probe
+    // lookups (vec_id = 0, pushed to the scan) — every
+    // candidate-sized read must come from the pruned store files.
+    val corpusScans = p.split("\n").filter(_.contains("embeddings.parquet"))
+    assert(corpusScans.nonEmpty &&
+      corpusScans.forall(_.contains("EqualTo(vec_id,0)")),
+      s"IVFADC must never scan the raw corpus beyond the probe row:\n${corpusScans.mkString("\n")}")
+  }
+
   test("c35: releases its embeddings working-set cache (no persist leak)") {
     NearDup.kmeansIterate(spark, sf).queryExecution.toRdd.count()
     // CacheManager matches by logical plan: if the emb cache leaked,
