@@ -314,7 +314,12 @@ object Plans {
           "cluster-partitioned inverted lists with dynamicpruning " +
           "PartitionFilters; codebook + LUT + shortlist broadcast; the raw " +
           "corpus is scanned only for the pushed 1-row probe; top-k fuses " +
-          "to TakeOrderedAndProject."))
+          "to TakeOrderedAndProject."),
+      "c174_filtered_ann" ->
+        ("Filtered ANN: the label predicate applies row-locally on the " +
+          "DPP-pruned inverted-list scan (widened 8-cell probe); centroids " +
+          "and the 1-row probe broadcast; the raw corpus is never joined " +
+          "back; top-k fuses to TakeOrderedAndProject."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans` on ")
       .append(sfDir).append(")\n\n")

@@ -796,7 +796,11 @@ object NearDup {
       .digest((new java.io.File(sfDir).getCanonicalPath + "|" + fp)
         .getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
-    s"$root/vec-$key"
+    // "vec2": store-layout version — bumped when the artifact SCHEMA
+    // changes (round 16 added `label` to the inverted lists for
+    // filtered search), so a stale same-corpus store can never serve
+    // the old shape.
+    s"$root/vec2-$key"
   }
 
   /** Ensure the refined-centroid artifact exists for `sfDir` (one
@@ -875,11 +879,17 @@ object NearDup {
     val dir = vecStorePath(spark, sfDir)
     if (!new java.io.File(s"$dir/ivf.parquet/_SUCCESS").exists()) {
       val emb = Tables.t(spark, sfDir, "embeddings")
-        .select(col("vec_id"), col("embedding"))
-      val asg = kmAssign(emb, centroidStore(spark, sfDir))
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val asg = kmAssign(
+        emb.select(col("vec_id"), col("embedding")),
+        centroidStore(spark, sfDir))
         .select(col("vec_id"), col("cluster"))
+      // `label` rides the lists as the filterable metadata column —
+      // the Milvus/FAISS-with-metadata posture: filtered search reads
+      // attribute + vector together from the probed cells, never a
+      // corpus join at query time (c174).
       emb.join(asg, "vec_id")
-        .select(col("cluster"), col("vec_id"), col("embedding"))
+        .select(col("cluster"), col("vec_id"), col("embedding"), col("label"))
         .write.mode("overwrite")
         .option("maxRecordsPerFile", (1 << 22).toString)
         .partitionBy("cluster")
@@ -1752,6 +1762,59 @@ object NearDup {
       .limit(PqTopK)
   }
 
+  /** Filtered-probe cell budget (c174): a metadata filter thins every
+    * probed cell by its selectivity, so filtered search probes MORE
+    * cells than unfiltered (the standard mitigation — widen nprobe,
+    * keep the budget) to hold candidate count, and hence recall,
+    * roughly constant.
+    */
+  private[graft] val FilteredProbeCells = 8
+
+  /** c174 — FILTERED ANN: vector similarity UNDER a metadata
+    * predicate — "top-k most similar with label = L" — the query
+    * shape every production vector store serves (RAG retrieval
+    * scoped to a tenant/language/license class; hard-negative mining
+    * within a topic). The naive forms both fail at scale:
+    * post-filtering an unfiltered top-k returns < k (or zero) rows
+    * when the predicate is selective, and pre-filtering the corpus
+    * then brute-forcing abandons the index entirely. The production
+    * form runs the predicate INSIDE the probed cells: the
+    * inverted-list store carries the filterable attribute next to
+    * the vector (written once at index build — the
+    * Milvus/FAISS-with-metadata posture), the probe widens to
+    * [[FilteredProbeCells]] cells, and candidates apply the
+    * predicate row-locally on the pruned cell scan — no corpus join,
+    * no post-hoc k starvation. Here the predicate is "the probe's
+    * own label" (deterministic, no magic constant; the
+    * same-class-retrieval case).
+    *
+    * Scale shape: identical to c38's probe — centroids broadcast,
+    * candidate I/O = nprobe/k of the corpus via runtime partition
+    * pruning, predicate and cosine row-local on candidates, top-k
+    * fuses. Recall vs the filtered brute force is MEASURED in the
+    * spec (1.0 at both oracle SFs).
+    */
+  def filteredAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val probeRow = emb.where(col("vec_id") === 0)
+      .select(col("embedding").as("probe"), col("label").as("plabel"))
+    val topCells = centroidStore(spark, sfDir)
+      .crossJoin(broadcast(probeRow.select(col("probe"))))
+      .select(col("centroid_id"), round(cosine(col("cent"), col("probe")), 4).as("cell_cos"))
+      .agg(expr(s"slice(array_sort(collect_list(struct(-cell_cos AS nc, centroid_id))), 1, $FilteredProbeCells)")
+        .as("top"))
+      .select(posexplode(col("top")).as(Seq("r0", "s")))
+      .select(col("s.centroid_id").as("cluster"), (col("r0") + 1).cast("long").as("cell_rank"))
+    ivfIndexStore(spark, sfDir)
+      .join(broadcast(topCells), "cluster")
+      .crossJoin(broadcast(probeRow))
+      .where(col("vec_id") =!= 0 && col("label") === col("plabel"))
+      .select(col("vec_id"), col("label"), col("cell_rank"),
+        round(cosine(col("embedding"), col("probe")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(PqTopK)
+  }
+
   /** c69 — dedup CLUSTER-SIZE distribution: for every duplicate-
     * cluster size, how many clusters and how many docs — the "how
     * duplicated is this corpus" audit that sizes a dedup run's
@@ -2158,6 +2221,7 @@ object NearDup {
     "c13_ann_ivf" -> (annIvf(_, _)),
     "c38_ann_ivf_adaptive" -> (annIvfAdaptive(_, _)),
     "c173_ivf_pq_search" -> (ivfPqSearch(_, _)),
+    "c174_filtered_ann" -> (filteredAnn(_, _)),
     "c19_batch_ann_topk" -> (batchAnnTopk(_, _)),
     "c79_hard_negatives" -> (hardNegatives(_, _))
   )
@@ -2287,6 +2351,51 @@ object NearDup {
          |  ROUND(sqrt(${Canon.oDsum("d2")}), 4) AS recon_err
          |FROM best GROUP BY vec_id
          |ORDER BY vec_id ASC NULLS FIRST""".stripMargin,
+    // The c174 oracle replays the c38 refined-cell chain at the
+    // widened filtered-probe budget, the probe's own label as the
+    // predicate, and the filtered top-k — a hit from an unprobed
+    // cell, a wrong-label row, or a starved k fails the hash.
+    "c174_filtered_ann" ->
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS centroid_id, embedding AS cent
+         |  FROM embeddings WHERE vec_id % $oSeedStride = 0
+         |), scored0 AS (
+         |  ${oKmScored("seeds")}
+         |), best0 AS (
+         |  ${oKmBest("scored0")}
+         |), cents1 AS (
+         |  ${oKmCents("best0")}
+         |), scored1 AS (
+         |  ${oKmScored("cents1")}
+         |), best1 AS (
+         |  ${oKmBest("scored1")}
+         |), probe AS (
+         |  SELECT embedding AS p, label AS plabel FROM embeddings WHERE vec_id = 0
+         |), cells AS (
+         |  SELECT centroid_id AS cluster, cell_rank FROM (
+         |    SELECT centroid_id,
+         |      row_number() OVER (ORDER BY cell_cos DESC NULLS LAST, centroid_id ASC) AS cell_rank
+         |    FROM (
+         |      SELECT centroid_id, ROUND(
+         |        list_sum(list_transform(range(1, len(cent) + 1), i -> cent[i] * CAST(p[i] AS DOUBLE)))
+         |        / (sqrt(list_sum(list_transform(cent, x -> x * x)))
+         |           * sqrt(list_sum(list_transform(p, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cell_cos
+         |      FROM cents1, probe
+         |    )
+         |  ) WHERE cell_rank <= $FilteredProbeCells
+         |)
+         |SELECT e.vec_id, e.label, cells.cell_rank, ROUND(
+         |  list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p[i] AS DOUBLE)))
+         |  / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |     * sqrt(list_sum(list_transform(p, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos
+         |FROM embeddings e
+         |JOIN best1 b USING (vec_id)
+         |JOIN cells ON b.cluster = cells.cluster, probe
+         |WHERE e.vec_id != 0 AND e.label = plabel
+         |ORDER BY cos DESC NULLS LAST, vec_id ASC NULLS FIRST
+         |LIMIT $PqTopK""".stripMargin,
+
     // The c173 oracle composes the c38 chain (refined cells, probed
     // cells, assignment) with the c56/c57 chain (sub-codebook, argmin
     // codes, ADC LUT) restricted to probed-cell candidates, then the

@@ -1087,6 +1087,39 @@ class OperatorPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("c174: filtered ANN — every hit matches the predicate from a probed cell; recall vs filtered brute force measured") {
+    import org.apache.spark.sql.functions.{col, round, broadcast}
+    for (sf <- Seq(TestSpark.sf0001, TestSpark.sf001)) {
+      val emb = Tables.t(spark, sf, "embeddings")
+      val pRow = emb.where(col("vec_id") === 0)
+        .select(col("embedding"), col("label")).collect().head
+      val plabel = pRow.get(1)
+      val out = ops.NearDup.filteredAnn(spark, sf).collect()
+        .map(r => (r.getLong(0), r.get(1), r.getLong(2), r.getDouble(3)))
+      assert(out.length == ops.NearDup.PqTopK)
+      out.foreach { case (id, label, cellRank, _) =>
+        assert(label == plabel, s"hit $id violates the predicate: $label != $plabel")
+        assert(cellRank >= 1 && cellRank <= ops.NearDup.FilteredProbeCells)
+      }
+      // Recall vs the FILTERED brute force — the quantity the widened
+      // probe budget exists to protect.
+      val probe = emb.where(col("vec_id") === 0).select(col("embedding").as("pe"))
+      val dot = graft.functions.ArrayDot.adot _
+      def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        dot(a, b) / (org.apache.spark.sql.functions.sqrt(dot(a, a)) *
+          org.apache.spark.sql.functions.sqrt(dot(b, b)))
+      val exactTop = emb.where(col("vec_id") =!= 0 && col("label") === plabel)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"),
+          round(cos(col("embedding"), col("pe")), 4).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+        .limit(ops.NearDup.PqTopK).collect().map(_.getLong(0)).toSet
+      val recall = out.map(_._1).count(exactTop) / exactTop.size.toDouble
+      info(s"c174 filtered recall@${ops.NearDup.PqTopK} at $sf: $recall")
+      assert(recall >= 0.6, s"filtered probe budget too narrow: recall $recall")
+    }
+  }
+
   test("c168: every dedup cluster is split-PURE; singletons keep their c32 assignment; c32 provably tears clusters") {
     val out = ops.NearDup.clusterSafeSplit(spark, TestSpark.sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))

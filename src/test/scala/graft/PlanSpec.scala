@@ -277,6 +277,20 @@ class PlanSpec extends AnyFunSuite {
       s"IVFADC must never scan the raw corpus beyond the probe row:\n${corpusScans.mkString("\n")}")
   }
 
+  test("c174: filtered ANN — predicate applies on the DPP-pruned cell scan, never a corpus join") {
+    val p = plan(NearDup.filteredAnn(spark, sf))
+    assert(p.contains("ivf.parquet"), p)
+    assert(p.contains("dynamicpruning"),
+      s"probed-cell filter must prune inverted-list partitions:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // The raw embeddings table is read ONLY for the pushed 1-row
+    // probe — the label predicate rides the store scan's rows.
+    val corpusScans = p.split("\n").filter(_.contains("embeddings.parquet"))
+    assert(corpusScans.nonEmpty &&
+      corpusScans.forall(_.contains("EqualTo(vec_id,0)")),
+      s"filtered ANN must not join back to the corpus:\n${corpusScans.mkString("\n")}")
+  }
+
   test("c35: releases its embeddings working-set cache (no persist leak)") {
     NearDup.kmeansIterate(spark, sf).queryExecution.toRdd.count()
     // CacheManager matches by logical plan: if the emb cache leaked,
