@@ -156,7 +156,7 @@ class StreamsApiSpec extends AnyFunSuite {
       .foreach { fromDisk =>
         val leaves = fromDisk.queryExecution.executedPlan.collectLeaves()
           .map(_.toString).mkString("\n")
-        assert(leaves.contains("vec-") && !leaves.contains("embeddings"),
+        assert(leaves.contains("vec2-") && !leaves.contains("embeddings"),
           s"store read should scan the vec store, not the corpus:\n$leaves")
       }
     // Bit-identity: the persisted centroids equal a fresh decimal-exact
