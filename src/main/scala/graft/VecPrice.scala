@@ -48,6 +48,8 @@ object VecPrice {
     val (_, ivfSec) = time(NearDup.writeIvfIndexStore(spark, sfDir))
     val (r1, probe1) = time(NearDup.annIvfAdaptive(spark, sfDir).collect())
     val (_, probe2) = time(NearDup.annIvfAdaptive(spark, sfDir).collect())
+    val (_, ivfadc) = time(NearDup.ivfPqSearch(spark, sfDir).collect())
+    val (_, filtered) = time(NearDup.filteredAnn(spark, sfDir).collect())
     val centRows = spark.read.parquet(s"$dir/centroids.parquet").count()
     def du(f: java.io.File): Long =
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(du).sum
@@ -61,6 +63,7 @@ object VecPrice {
       s""""centroid_build_sec":$buildSec,"pq_codebook_sec":$pqSec,""" +
       s""""ivf_build_sec":$ivfSec,""" +
       s""""c38_probe1_sec":$probe1,"c38_probe2_sec":$probe2,""" +
+      s""""c173_ivfadc_sec":$ivfadc,"c174_filtered_sec":$filtered,""" +
       s""""topk_rows":${r1.length}}""")
     spark.stop()
   }
