@@ -134,6 +134,7 @@ object Bench {
     val setupVec = setupIf(wanted("c38_", "c56_", "c57_", "c173_", "c174_"), "setup_vec_index") {
       ops.NearDup.writeIvfIndexStore(spark, sfDir)
       ops.NearDup.writePqCodebookStore(spark, sfDir)
+      ops.NearDup.writePqCodesStore(spark, sfDir)
       ()
     }
     // Every query runs twice, min taken (total runtime ~2 min permits

@@ -46,6 +46,7 @@ object VecPrice {
     val (dir, buildSec) = time(NearDup.writeCentroidStore(spark, sfDir))
     val (_, pqSec) = time(NearDup.writePqCodebookStore(spark, sfDir))
     val (_, ivfSec) = time(NearDup.writeIvfIndexStore(spark, sfDir))
+    val (_, codesSec) = time(NearDup.writePqCodesStore(spark, sfDir))
     val (r1, probe1) = time(NearDup.annIvfAdaptive(spark, sfDir).collect())
     val (_, probe2) = time(NearDup.annIvfAdaptive(spark, sfDir).collect())
     val (_, ivfadc) = time(NearDup.ivfPqSearch(spark, sfDir).collect())
@@ -61,7 +62,7 @@ object VecPrice {
       s""""centroids":$centRows,"meta_store_bytes":$metaBytes,""" +
       s""""ivf_store_bytes":$ivfBytes,""" +
       s""""centroid_build_sec":$buildSec,"pq_codebook_sec":$pqSec,""" +
-      s""""ivf_build_sec":$ivfSec,""" +
+      s""""ivf_build_sec":$ivfSec,"pq_codes_build_sec":$codesSec,""" +
       s""""c38_probe1_sec":$probe1,"c38_probe2_sec":$probe2,""" +
       s""""c173_ivfadc_sec":$ivfadc,"c174_filtered_sec":$filtered,""" +
       s""""topk_rows":${r1.length}}""")

@@ -908,6 +908,47 @@ object NearDup {
       // written type so consumers' schemas are store-independent.
       .withColumn("cluster", col("cluster").cast("long"))
 
+  /** Ensure the PQ CODE table exists: every vector's [[PqM]]
+    * sub-codebook ids (the c56 encode, same [[pqCodes]] kernel),
+    * written cluster-partitioned like the lists — the final piece of
+    * Jégou's IVFADC index: at search time the ADC stage reads CODES
+    * from the probed cells' files (M small ints per vector), never
+    * raw embeddings, which is the entire memory story of PQ. One
+    * encode pass per corpus, amortized across every probe (c173's
+    * probe-time re-encode measured 1.8 s of its 3.2 s at 200k
+    * vectors before this store existed).
+    */
+  private[graft] def writePqCodesStore(spark: SparkSession, sfDir: String): String = {
+    val dir = vecStorePath(spark, sfDir)
+    if (!new java.io.File(s"$dir/pq_codes.parquet/_SUCCESS").exists()) {
+      val emb = Tables.t(spark, sfDir, "embeddings")
+      val subs = emb
+        .select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("j"),
+          col("embedding"))
+        .select(col("vec_id"), col("j"),
+          expr(s"slice(embedding, j * (size(embedding) div $PqM) + 1, size(embedding) div $PqM)")
+            .as("sub"))
+      val asg = kmAssign(emb.select(col("vec_id"), col("embedding")),
+        centroidStore(spark, sfDir))
+        .select(col("vec_id"), col("cluster"))
+      pqCodes((subs, pqCodebookStore(spark, sfDir)))
+        .join(asg, "vec_id")
+        .select(col("cluster"), col("vec_id"), col("j"), col("code"))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", (1 << 22).toString)
+        .partitionBy("cluster")
+        .parquet(s"$dir/pq_codes.parquet")
+    }
+    dir
+  }
+
+  /** The code table as a frame (cross-process read path; cell
+    * predicates prune files).
+    */
+  private[graft] def pqCodesStore(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${writePqCodesStore(spark, sfDir)}/pq_codes.parquet")
+      .withColumn("cluster", col("cluster").cast("long"))
+
   def annIvfAdaptive(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.t(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
     val cents = centroidStore(spark, sfDir)
@@ -1585,7 +1626,7 @@ object NearDup {
     * Spark's ROUND(4) double bit-for-bit), so code assignment is
     * engine-deterministic.
     */
-  private def pqCodes(parts: (DataFrame, DataFrame)): DataFrame = {
+  private[graft] def pqCodes(parts: (DataFrame, DataFrame)): DataFrame = {
     val dot = graft.functions.ArrayDot.adot _
     val (subs, csubs) = parts
     subs.join(broadcast(csubs), "j")
@@ -1703,8 +1744,10 @@ object NearDup {
     * scans ONLY the probed cells' files of the cluster-partitioned
     * inverted lists ([[ivfIndexStore]] — the cell filter prunes
     * partitions at runtime, so candidate I/O is nprobe/k of the
-    * corpus); (3) PQ-encodes the CANDIDATES against the persisted
-    * sub-codebook ([[pqCodebookStore]]) and ADC-scores them from the
+    * corpus); (3) ADC-scores the candidates by reading their
+    * PERSISTED CODES from the same pruned cell files
+    * ([[pqCodesStore]] — M small ints per vector, no raw embedding
+    * and no probe-time encode anywhere in the ADC stage) against the
     * M×k broadcast LUT; (4) exactly re-ranks the top-[[PqShortlist]]
     * — the shortlist fetch reads the same pruned cell files, so no
     * full-corpus pass exists anywhere in the plan.
@@ -1730,11 +1773,14 @@ object NearDup {
     val cands = ivfIndexStore(spark, sfDir)
       .join(broadcast(topCells), "cluster")
       .where(col("vec_id") =!= 0)
-    val subs = cands
-      .select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("j"), col("embedding"))
-      .select(col("vec_id"), col("j"),
-        expr(s"slice(embedding, j * (size(embedding) div $PqM) + 1, size(embedding) div $PqM)")
-          .as("sub"))
+    // The ADC stage reads persisted CODES from the probed cells'
+    // files — M small ints per candidate, never a raw embedding
+    // (Jégou's memory story; the probe-time re-encode this replaces
+    // measured 1.8 s of c173's 3.2 s at 200k vectors).
+    val candCodes = pqCodesStore(spark, sfDir)
+      .join(broadcast(topCells), "cluster")
+      .where(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("j"), col("code"))
     val csubs = pqCodebookStore(spark, sfDir)
     val psubs = emb.where(col("vec_id") === 0)
       .select(explode(sequence(lit(0), lit(PqM - 1))).as("j"), col("embedding"))
@@ -1744,7 +1790,7 @@ object NearDup {
     val lut = psubs.join(csubs, "j")
       .select(col("j").as("lj"), col("centroid_id").as("lcode"),
         dot(col("psub"), col("csub")).as("pdot"))
-    val shortlist = pqCodes((subs, csubs))
+    val shortlist = candCodes
       .join(broadcast(lut), col("j") === col("lj") && col("code") === col("lcode"))
       .groupBy(col("vec_id"))
       .agg(Canon.rsum6(Canon.dsum(col("pdot"))).as("adc_score"))

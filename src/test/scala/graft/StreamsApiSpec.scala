@@ -149,6 +149,25 @@ class StreamsApiSpec extends AnyFunSuite {
     assert(storedIvf.exceptAll(expectedIvf).isEmpty
       && expectedIvf.exceptAll(storedIvf).isEmpty,
       "IVF inverted lists drifted from the assignment kernel")
+    // And the persisted code table is the c56 encode verbatim.
+    assert(NearDup.writePqCodesStore(spark, sfd) == dir)
+    val storedCodes = NearDup.pqCodesStore(spark, sfd)
+      .select(col("vec_id"), col("j"), col("code"))
+    val freshSubs = emb2
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.sequence(
+            org.apache.spark.sql.functions.lit(0),
+            org.apache.spark.sql.functions.lit(NearDup.PqM - 1))).as("j"),
+        col("embedding"))
+      .selectExpr("vec_id", "j",
+        s"slice(embedding, j * (size(embedding) div ${NearDup.PqM}) + 1, " +
+          s"size(embedding) div ${NearDup.PqM}) AS sub")
+    val freshCodes = NearDup.pqCodes((freshSubs, NearDup.pqCodebookStore(spark, sfd)))
+      .select(col("vec_id"), col("j"), col("code"))
+    assert(storedCodes.exceptAll(freshCodes).isEmpty
+      && freshCodes.exceptAll(storedCodes).isEmpty,
+      "PQ code store drifted from the encode kernel")
     // The store frames must be parquet scans of the artifact (the
     // _SUCCESS gate skips the write), never a recompute that touches
     // the corpus.
