@@ -131,7 +131,9 @@ object Bench {
     // once per corpus, consumed by the ANN family.
     val setupSimhash = setupIf(wanted("c59_", "c73_"), "setup_simhash_prints")(
       ops.NearDup.warmSimhash(spark, sfDir))
-    val setupVec = setupIf(wanted("c38_", "c56_", "c57_", "c173_", "c174_"), "setup_vec_index") {
+    val setupVec = setupIf(
+      wanted("c38_", "c56_", "c57_", "c173_", "c174_", "c175_", "c176_"),
+      "setup_vec_index") {
       ops.NearDup.writeIvfIndexStore(spark, sfDir)
       ops.NearDup.writePqCodebookStore(spark, sfDir)
       ops.NearDup.writePqCodesStore(spark, sfDir)

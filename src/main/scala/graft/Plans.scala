@@ -319,7 +319,12 @@ object Plans {
         ("Filtered ANN: the label predicate applies row-locally on the " +
           "DPP-pruned inverted-list scan (widened 8-cell probe); centroids " +
           "and the 1-row probe broadcast; the raw corpus is never joined " +
-          "back; top-k fuses to TakeOrderedAndProject."))
+          "back; top-k fuses to TakeOrderedAndProject."),
+      "c175_batch_ann_ivf" ->
+        ("Batched IVF: probe batch broadcasts; per-probe cell rank and " +
+          "per-probe top-3 both execute as WindowGroupLimit (probe-bounded, " +
+          "map-side pre-prune); ONE DPP-pruned inverted-list scan serves " +
+          "the union of probed cells; no cartesian, no corpus-wide window."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans` on ")
       .append(sfDir).append(")\n\n")

@@ -1861,6 +1861,55 @@ object NearDup {
       .limit(PqTopK)
   }
 
+  /** c175 — BATCHED IVF ANN: c19's probe-batch shape on the persisted
+    * index — the serving-side scale path. c19 brute-forces every
+    * (probe, vector) pair (right when the corpus fits a scan); at
+    * 10^9+ vectors the batch goes through the index instead: every
+    * probe ranks the broadcast centroids, the per-probe top-nprobe
+    * cells come out of a probe-bounded rank window (WindowGroupLimit
+    * — never corpus-scaled), and ONE DPP-pruned scan of the
+    * cluster-partitioned inverted lists serves the UNION of all
+    * probed cells — the batch amortizes index I/O across probes,
+    * which is exactly why production ANN serves queries in batches.
+    * Per-probe top-3 by exact cosine (self-match excluded, the c19
+    * convention), rank window again probe-bounded.
+    */
+  def batchAnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    batchAnnIvfOf(spark, sfDir,
+      emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe")))
+  }
+
+  /** Kernel of [[batchAnnIvf]] over ANY (probe_id, pe) batch — shared
+    * with the c176 streaming twin (each probe arrives in exactly one
+    * micro-batch and the index is static, so the batch-local answer
+    * IS the global one — the c162 discipline).
+    */
+  private[graft] def batchAnnIvfOf(spark: SparkSession, sfDir: String,
+      probes: DataFrame): DataFrame = {
+    val topCells = centroidStore(spark, sfDir)
+      .crossJoin(broadcast(probes))
+      .select(col("probe_id"), col("centroid_id"),
+        round(cosine(col("cent"), col("pe")), 4).as("cell_cos"))
+      .withColumn("cell_rank", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("cell_cos").desc, col("centroid_id").asc)).cast("long"))
+      .where(col("cell_rank") <= IvfProbeCells)
+      .select(col("probe_id"), col("centroid_id").as("cluster"), col("cell_rank"))
+    ivfIndexStore(spark, sfDir)
+      .join(broadcast(topCells), "cluster")
+      .join(broadcast(probes), "probe_id")
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), col("cell_rank"),
+        round(cosine(col("embedding"), col("pe")), 4).as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)).cast("long"))
+      .where(col("rn") <= 3)
+      .orderBy("probe_id", "rn")
+  }
+
   /** c69 — dedup CLUSTER-SIZE distribution: for every duplicate-
     * cluster size, how many clusters and how many docs — the "how
     * duplicated is this corpus" audit that sizes a dedup run's
@@ -2268,6 +2317,7 @@ object NearDup {
     "c38_ann_ivf_adaptive" -> (annIvfAdaptive(_, _)),
     "c173_ivf_pq_search" -> (ivfPqSearch(_, _)),
     "c174_filtered_ann" -> (filteredAnn(_, _)),
+    "c175_batch_ann_ivf" -> (batchAnnIvf(_, _)),
     "c19_batch_ann_topk" -> (batchAnnTopk(_, _)),
     "c79_hard_negatives" -> (hardNegatives(_, _))
   )
@@ -2397,6 +2447,58 @@ object NearDup {
          |  ROUND(sqrt(${Canon.oDsum("d2")}), 4) AS recon_err
          |FROM best GROUP BY vec_id
          |ORDER BY vec_id ASC NULLS FIRST""".stripMargin,
+    // The c175 oracle replays the refined-cell chain once, then the
+    // per-probe cell ranking and the per-probe candidate top-3 as
+    // windows (the oracle may window; the engine's windows are
+    // probe-bounded WindowGroupLimits).
+    "c175_batch_ann_ivf" ->
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS centroid_id, embedding AS cent
+         |  FROM embeddings WHERE vec_id % $oSeedStride = 0
+         |), scored0 AS (
+         |  ${oKmScored("seeds")}
+         |), best0 AS (
+         |  ${oKmBest("scored0")}
+         |), cents1 AS (
+         |  ${oKmCents("best0")}
+         |), scored1 AS (
+         |  ${oKmScored("cents1")}
+         |), best1 AS (
+         |  ${oKmBest("scored1")}
+         |), probes AS (
+         |  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 10
+         |), cells AS (
+         |  SELECT probe_id, centroid_id AS cluster, cell_rank FROM (
+         |    SELECT probe_id, centroid_id,
+         |      row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY cell_cos DESC NULLS LAST, centroid_id ASC) AS cell_rank
+         |    FROM (
+         |      SELECT probe_id, centroid_id, ROUND(
+         |        list_sum(list_transform(range(1, len(cent) + 1), i -> cent[i] * CAST(pe[i] AS DOUBLE)))
+         |        / (sqrt(list_sum(list_transform(cent, x -> x * x)))
+         |           * sqrt(list_sum(list_transform(pe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cell_cos
+         |      FROM cents1, probes
+         |    )
+         |  ) WHERE cell_rank <= $IvfProbeCells
+         |), cand AS (
+         |  SELECT c.probe_id, e.vec_id, c.cell_rank, ROUND(
+         |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.pe[i] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform(p.pe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos
+         |  FROM embeddings e
+         |  JOIN best1 b USING (vec_id)
+         |  JOIN cells c ON b.cluster = c.cluster
+         |  JOIN probes p ON c.probe_id = p.probe_id
+         |  WHERE e.vec_id != c.probe_id
+         |)
+         |SELECT probe_id, vec_id, cell_rank, cos, rn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos DESC NULLS LAST, vec_id ASC) AS rn
+         |  FROM cand
+         |) WHERE rn <= 3
+         |ORDER BY probe_id ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin,
+
     // The c174 oracle replays the c38 refined-cell chain at the
     // widened filtered-probe budget, the probe's own label as the
     // predicate, and the filtered top-k — a hit from an unprobed

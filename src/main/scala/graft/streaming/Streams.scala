@@ -705,6 +705,38 @@ object Streams {
     * the same place and exactly-once holds end-to-end. StreamingSpec
     * replays a batch write and pins no duplication.
     */
+  /** c176 — STREAMING ANN probes against the PERSISTED index: the
+    * production serving loop — queries arrive as a stream, the index
+    * (centroids + cluster-partitioned inverted lists, built once by
+    * the round-16 vec store) is STATIC — run as per-micro-batch
+    * batched search through the SHARED c175 kernel inside
+    * `foreachBatch` (the c162 discipline: each probe arrives in
+    * exactly one micro-batch and the index side is static, so the
+    * batch-local top-k IS the global answer — no state, no window
+    * across batches, exact under any batching). Every micro-batch
+    * pays one DPP-pruned scan of ITS probes' cell union — the batch
+    * amortization c175 documents, applied per trigger. Oracle: c175's
+    * SQL verbatim — the streamed union must equal the batch answer
+    * exactly.
+    */
+  def streamAnnProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    val stream = streamTable(spark, sfDir, "embeddings")
+      .where(col("vec_id") < 10)
+    val out = java.nio.file.Files.createTempDirectory("graft_c176_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_c176_ckpt").toString
+    trackTmpDir(out); trackTmpDir(ckpt)
+    val q = stream.writeStream
+      .foreachBatch((batch: Dataset[Row], id: Long) =>
+        graft.ops.NearDup.batchAnnIvfOf(batch.sparkSession, sfDir,
+          batch.select(col("vec_id").as("probe_id"), col("embedding").as("pe")))
+          .write.mode("overwrite").parquet(s"$out/batch_id=$id"))
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out).drop("batch_id").orderBy("probe_id", "rn")
+  }
+
   def streamLinkageResolution(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.ops.Llm
     val cust = graft.Tables.t(spark, sfDir, "customer")
@@ -1683,6 +1715,7 @@ object Streams {
     "c89_stream_latest_snapshot" -> (streamLatestSnapshot(_, _)),
     "c167_stream_tombstone_gc" -> (streamTombstoneGc(_, _)),
     "c172_stream_ttl_expiry" -> (streamTtlExpiry(_, _)),
+    "c176_stream_ann_probe" -> (streamAnnProbe(_, _)),
     "c83_stream_scd2" -> (streamScd2(_, _)),
     "c129_stream_interval_coalesce" -> (streamIntervalCoalesce(_, _)),
     "c136_stream_ewma" -> (streamEwma(_, _)),
@@ -1727,6 +1760,10 @@ object Streams {
     // that disappear).
     "c172_stream_ttl_expiry" ->
       graft.ops.Migration.oracle("a26_ttl_expiry"),
+    // The streamed probe union must equal the batched-index answer —
+    // c175's oracle text verbatim.
+    "c176_stream_ann_probe" ->
+      graft.ops.NearDup.oracle("c175_batch_ann_ivf"),
 
     // c76's SCD2 build minus its open (NULL valid_to) versions —
     // derived from the SAME SQL text so the two cannot drift: append

@@ -291,6 +291,14 @@ class PlanSpec extends AnyFunSuite {
       s"filtered ANN must not join back to the corpus:\n${corpusScans.mkString("\n")}")
   }
 
+  test("c175: batched IVF — probe-bounded windows group-limit; one DPP-pruned list scan serves the probe union") {
+    val p = plan(NearDup.batchAnnIvf(spark, sf))
+    assert(p.contains("WindowGroupLimit"),
+      s"per-probe rank must pre-prune map-side:\n$p")
+    assert(p.contains("ivf.parquet") && p.contains("dynamicpruning"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("c35: releases its embeddings working-set cache (no persist leak)") {
     NearDup.kmeansIterate(spark, sf).queryExecution.toRdd.count()
     // CacheManager matches by logical plan: if the emb cache leaked,

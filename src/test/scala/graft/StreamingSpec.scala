@@ -877,6 +877,40 @@ class StreamingSpec extends AnyFunSuite {
       "streamed TTL read diverges from batch a26")
   }
 
+  test("c176: streaming ANN probes equal the batched-index answer across real micro-batches") {
+    // Probes split across >= 3 micro-batches; the index side is the
+    // static persisted store, so per-batch answers must union to the
+    // batch kernel exactly (each probe in exactly one batch).
+    import org.apache.spark.sql.{Dataset, Row}
+    val sfDir = TestSpark.sf0001
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val base = java.nio.file.Files.createTempDirectory("graft_c176_mb").toFile
+    graft.streaming.Streams.trackTmpDir(base.toString)
+    val feed = new java.io.File(base, "feed").toString
+    emb.repartition(3).write.parquet(feed)
+    val out = new java.io.File(base, "out").toString
+    val ckpt = new java.io.File(base, "ckpt").toString
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+      .where(col("vec_id") < 10)
+    val q = stream.writeStream
+      .foreachBatch((batch: Dataset[Row], id: Long) =>
+        graft.ops.NearDup.batchAnnIvfOf(batch.sparkSession, sfDir,
+          batch.select(col("vec_id").as("probe_id"), col("embedding").as("pe")))
+          .write.mode("overwrite").parquet(s"$out/batch_id=$id"))
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.length >= 3,
+      s"expected >=3 micro-batches: ${q.recentProgress.length}")
+    val emitted = spark.read.parquet(out).drop("batch_id")
+    val batch = graft.ops.NearDup.batchAnnIvf(spark, sfDir)
+    assert(emitted.count() == batch.count() && batch.count() > 0)
+    assert(emitted.exceptAll(batch).isEmpty && batch.exceptAll(emitted).isEmpty,
+      "streamed probe answers diverge from the batched-index kernel")
+  }
+
   test("c166: streaming frame dedup is STATELESS and equals the batch kernel across real micro-batches") {
     // Same discipline as c160: the topology must analyze to generate +
     // stream-static join only, and per-frame reference rows must union
