@@ -1910,6 +1910,65 @@ object NearDup {
       .orderBy("probe_id", "rn")
   }
 
+  /** Retrain-signal threshold for c177: a cell whose ingested mass
+    * exceeds base/4 (25% growth) flags for retrain — integer
+    * cross-multiplied so the flag can never flip on an FP ulp.
+    */
+  private[graft] val IngestRetrainDen = 4
+
+  /** c177 — INCREMENTAL INDEX INGEST: how a production IVF index
+    * absorbs new vectors WITHOUT retraining (FAISS `add` /
+    * Milvus ingest — the coarse quantizer is trained once; arrivals
+    * are assigned to the EXISTING cells and appended to their
+    * inverted lists; retraining is a scheduled rebuild, not a
+    * per-ingest cost). The arrivals slice is DRIFTED BY CONSTRUCTION
+    * — every vector with `embedding[0] > 0.1`, a distribution REGION
+    * (≈1/5 of the fixture) rather than an md5 deal, because a uniform
+    * deal grows every cell by the same few percent and the retrain
+    * signal never fires anywhere: real ingest drift concentrates mass
+    * where the quantizer trained thin, and a region predicate makes
+    * that structural (cells aligned with the region flood, opposite
+    * cells see nothing — BOTH verdicts present at any corpus size).
+    * Centroids train on the BASE ONLY (one Lloyd round, the
+    * c38 kernel — so the key is exact about what the index knew);
+    * both slices then assign to those fixed centroids and the output
+    * is the per-cell ingest ledger: base occupancy, ingested count,
+    * growth ratio, and the RETRAIN flag (integer-compared against
+    * [[IngestRetrainDen]] — the drift signal that schedules the
+    * rebuild; quantizer quality degrades exactly where ingest
+    * concentrates mass the training never saw).
+    *
+    * Scale shape: two broadcast-assignment passes (map-side argmax,
+    * the c34 shape) + two cell-count aggregates + a cell-keyed full
+    * join — cells-sized output, nothing corpus-windowed. In
+    * production the "append to lists" is a partition-wise parquet
+    * append to [[ivfIndexStore]]'s cell files; this key is the
+    * LEDGER that ingest emits.
+    */
+  def incrementalIndexIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val isNew = col("embedding").getItem(0) > 0.1
+    val base = emb.where(!isNew)
+    val fresh = emb.where(isNew)
+    val seeds = base.where(col("vec_id") % kmSeedStride(embCount(spark, sfDir)) === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent"))
+    val cents = kmUpdate(base, kmAssign(base, seeds)).localCheckpoint(true)
+    val nBase = kmAssign(base, cents).groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_base"))
+    val nNew = kmAssign(fresh, cents).groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_new"))
+    nBase.join(nNew, Seq("cluster"), "full")
+      .select(col("cluster"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("growth",
+        round(col("n_new").cast("double") / greatest(col("n_base"), lit(1L)), 4))
+      .withColumn("retrain",
+        col("n_new") * IngestRetrainDen > col("n_base"))
+      .orderBy("cluster")
+  }
+
   /** c69 — dedup CLUSTER-SIZE distribution: for every duplicate-
     * cluster size, how many clusters and how many docs — the "how
     * duplicated is this corpus" audit that sizes a dedup run's
@@ -2318,6 +2377,7 @@ object NearDup {
     "c173_ivf_pq_search" -> (ivfPqSearch(_, _)),
     "c174_filtered_ann" -> (filteredAnn(_, _)),
     "c175_batch_ann_ivf" -> (batchAnnIvf(_, _)),
+    "c177_incremental_index_ingest" -> (incrementalIndexIngest(_, _)),
     "c19_batch_ann_topk" -> (batchAnnTopk(_, _)),
     "c79_hard_negatives" -> (hardNegatives(_, _))
   )
@@ -2346,7 +2406,7 @@ object NearDup {
     * (decimal-exact element-wise mean). Emitted per round so the
     * unrolled two-round CTE chain below cannot drift between rounds.
     */
-  private def oKmScored(centsRel: String): String =
+  private def oKmScored(centsRel: String, embRel: String = "embeddings"): String =
     s"""SELECT e.vec_id, s.centroid_id,
        |    ROUND(
        |      list_sum(list_transform(range(1, len(e.embedding) + 1),
@@ -2354,7 +2414,7 @@ object NearDup {
        |      / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
        |        * sqrt(list_sum(list_transform(s.cent, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
        |      4) AS cos
-       |  FROM embeddings e, $centsRel s""".stripMargin
+       |  FROM $embRel e, $centsRel s""".stripMargin
 
   private def oKmBest(scoredRel: String): String =
     s"""SELECT vec_id, centroid_id AS cluster, cos FROM (
@@ -2364,11 +2424,11 @@ object NearDup {
        |    FROM $scoredRel
        |  ) WHERE rn = 1""".stripMargin
 
-  private def oKmCents(bestRel: String): String =
+  private def oKmCents(bestRel: String, embRel: String = "embeddings"): String =
     s"""SELECT cluster AS centroid_id, list(c ORDER BY idx ASC) AS cent FROM (
        |    SELECT b.cluster, i AS idx,
        |      CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS c
-       |    FROM embeddings e JOIN $bestRel b USING (vec_id), range(1, 65) t(i)
+       |    FROM $embRel e JOIN $bestRel b USING (vec_id), range(1, 65) t(i)
        |    GROUP BY b.cluster, i
        |  ) GROUP BY cluster""".stripMargin
 
@@ -2447,6 +2507,44 @@ object NearDup {
          |  ROUND(sqrt(${Canon.oDsum("d2")}), 4) AS recon_err
          |FROM best GROUP BY vec_id
          |ORDER BY vec_id ASC NULLS FIRST""".stripMargin,
+    // The c177 oracle replays the base/new deal, the base-trained
+    // Lloyd round (the km chain parameterized onto the base slice),
+    // both fixed-centroid assignments, and the integer retrain flag.
+    "c177_incremental_index_ingest" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE NOT (CAST(embedding[1] AS DOUBLE) > 0.1)
+         |), fresh AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE CAST(embedding[1] AS DOUBLE) > 0.1
+         |), seeds AS (
+         |  SELECT vec_id AS centroid_id, embedding AS cent
+         |  FROM base WHERE vec_id % $oSeedStride = 0
+         |), scored0 AS (
+         |  ${oKmScored("seeds", "base")}
+         |), best0 AS (
+         |  ${oKmBest("scored0")}
+         |), cents1 AS (
+         |  ${oKmCents("best0", "base")}
+         |), scoredB AS (
+         |  ${oKmScored("cents1", "base")}
+         |), bestB AS (
+         |  ${oKmBest("scoredB")}
+         |), scoredN AS (
+         |  ${oKmScored("cents1", "fresh")}
+         |), bestN AS (
+         |  ${oKmBest("scoredN")}
+         |), nb AS (SELECT cluster, COUNT(*) AS n_base FROM bestB GROUP BY cluster),
+         |nn AS (SELECT cluster, COUNT(*) AS n_new FROM bestN GROUP BY cluster)
+         |SELECT COALESCE(nb.cluster, nn.cluster) AS cluster,
+         |  CAST(COALESCE(n_base, 0) AS BIGINT) AS n_base,
+         |  CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+         |  ROUND(CAST(COALESCE(n_new, 0) AS DOUBLE)
+         |    / greatest(COALESCE(n_base, 0), 1), 4) AS growth,
+         |  COALESCE(n_new, 0) * $IngestRetrainDen > COALESCE(n_base, 0) AS retrain
+         |FROM nb FULL OUTER JOIN nn ON nb.cluster = nn.cluster
+         |ORDER BY cluster ASC NULLS FIRST""".stripMargin,
+
     // The c175 oracle replays the refined-cell chain once, then the
     // per-probe cell ranking and the per-probe candidate top-3 as
     // windows (the oracle may window; the engine's windows are

@@ -1120,6 +1120,24 @@ class OperatorPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("c177: the ingest ledger is complete (base+new == corpus), the flag is the integer rule, and the fixture contains both verdicts") {
+    for (sf <- Seq(TestSpark.sf0001, TestSpark.sf001)) {
+      val out = ops.NearDup.incrementalIndexIngest(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(4)))
+      val corpus = Tables.t(spark, sf, "embeddings").count()
+      assert(out.map(t => t._2 + t._3).sum == corpus,
+        "every vector must land in exactly one cell of the ledger")
+      out.foreach { case (cl, nb, nn, flag) =>
+        assert(flag == (nn * ops.NearDup.IngestRetrainDen > nb),
+          s"cell $cl flag drifted from the integer rule")
+      }
+      // The 1/16 deal plus small cells make both verdicts present —
+      // a ledger that can only ever say one thing audits nothing.
+      assert(out.exists(_._4) && out.exists(!_._4),
+        s"fixture at $sf lacks a verdict: ${out.count(_._4)} retrain of ${out.length}")
+    }
+  }
+
   test("c168: every dedup cluster is split-PURE; singletons keep their c32 assignment; c32 provably tears clusters") {
     val out = ops.NearDup.clusterSafeSplit(spark, TestSpark.sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
