@@ -256,6 +256,29 @@ object Verify {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val prefHits = (prefGot & bfCosTopNoProbe).size
     val prefRecall = prefHits.toDouble / prefK
+    // c173 (IVFADC) approximates the inner product like c57 — same
+    // exact counterpart (bfIpTop). c174 (filtered ANN) approximates
+    // cosine UNDER the probe's-label predicate — its exact
+    // counterpart is the filtered brute force.
+    val (adc2Hits, adc2Recall) = {
+      val got = SparkEntry.queries("c173_ivf_pq_search")(spark, sfDir)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val hit = (got & bfIpTop).size
+      (hit, hit.toDouble / pqK)
+    }
+    val (filtHits, filtRecall) = {
+      val plabel = emb.where(col("vec_id") === 0).select(col("label"))
+        .collect().head.get(0)
+      val bfFiltered = emb.crossJoin(broadcast(probe))
+        .where(col("vec_id") =!= 0 && col("label") === plabel)
+        .select(col("vec_id"), cosTo(col("embedding"), col("probe")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(pqK).select("vec_id").collect().map(_.getLong(0)).toSet
+      val got = SparkEntry.queries("c174_filtered_ann")(spark, sfDir)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val hit = (got & bfFiltered).size
+      (hit, hit.toDouble / pqK)
+    }
     // c13's cells are the LABEL partition. On fixtures whose labels
     // are geometrically uninformative (random labels → every label
     // centroid ≈ the global mean), centroid ranking is noise and the
@@ -343,6 +366,14 @@ object Verify {
        |  "shortlist": ${ops.NearDup.PqShortlist},
        |  "random_baseline": ${jNum(math.min(1.0, ops.NearDup.PqShortlist.toDouble / math.max(1L, nEmb - 1)))},
        |  "contract": "two-stage PQ search (ADC shortlist, exact re-rank, oracle-verified); the uniform-random fixture is PQ's worst case - no cluster structure for the codebook - so the evidence bar is recall far above the shortlist/n random baseline, and the shortlist size is the recall-vs-cost knob"},
+       |"c173_ivf_pq_search": {"kind": "recall_at_k_vs_brute_force_inner_product", "k": $pqK,
+       |  "hits": $adc2Hits, "recall": ${jNum(adc2Recall)},
+       |  "nprobe": ${ops.NearDup.IvfProbeCells}, "shortlist": ${ops.NearDup.PqShortlist},
+       |  "contract": "composed IVFADC (probed cells -> persisted-code ADC shortlist -> exact re-rank, oracle-verified); recall compounds the cell-pruning and quantization trades, both measured on the uniform-random worst case"},
+       |"c174_filtered_ann": {"kind": "recall_at_k_vs_filtered_brute_force", "k": $pqK,
+       |  "hits": $filtHits, "recall": ${jNum(filtRecall)},
+       |  "nprobe": ${ops.NearDup.FilteredProbeCells},
+       |  "contract": "top-k under the probe's-label predicate vs the filtered brute force; the widened probe budget is the selectivity-vs-recall knob"},
        |"c62_ann_prefix_rerank": {"kind": "recall_at_k_vs_brute_force", "k": $prefK,
        |  "hits": $prefHits, "recall": ${jNum(prefRecall)},
        |  "prefix_dims": ${ops.NearDup.PrefixDims}, "shortlist": ${ops.NearDup.PrefixShortlist},
