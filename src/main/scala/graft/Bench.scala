@@ -139,6 +139,15 @@ object Bench {
       ops.NearDup.writePqCodesStore(spark, sfDir)
       ()
     }
+    // Round 17: the ingest-MAINTAINED vec3 store (base generation +
+    // applied ingest segment + flag-gated generation-2 rebuild) —
+    // write-once per corpus, consumed by c178 (segment reads), c179
+    // (gen-2 reads) and c180 (base centroids).
+    val setupIngest = setupIf(wanted("c178_", "c179_", "c180_"),
+      "setup_ingest_index") {
+      ops.NearDup.writeRebuiltIndexStore(spark, sfDir)
+      ()
+    }
     // Every query runs twice, min taken (total runtime ~2 min permits
     // it): first-touch parquet footer reads + codegen compilation on
     // this shared machine add ±1-2 s of noise per query, and round 4's
@@ -218,11 +227,11 @@ object Bench {
     // memoized artifact consumed by 2+ keys, and moving single-key
     // work there would still be visible right here.
     val setupSecs = Seq(setupBands, setupPairs, setupLabels, setupGrams,
-      setupToks, setupSimhash, setupVec)
+      setupToks, setupSimhash, setupVec, setupIngest)
       .filter(_ != Double.MaxValue)
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_sec":$cpuJson,""" +
-        s""""spilled_bytes":$spillJson,"spilled_bytes_total":${spillBytes.get()},"tasks":$tasksJson,"setup_lsh_bands":${setupVal(setupBands)},"setup_lsh_pairs":${setupVal(setupPairs)},"setup_cc_labels":${setupVal(setupLabels)},"setup_substr_grams":${setupVal(setupGrams)},"setup_token_sets":${setupVal(setupToks)},"setup_simhash_prints":${setupVal(setupSimhash)},"setup_vec_index":${setupVal(setupVec)},""" +
+        s""""spilled_bytes":$spillJson,"spilled_bytes_total":${spillBytes.get()},"tasks":$tasksJson,"setup_lsh_bands":${setupVal(setupBands)},"setup_lsh_pairs":${setupVal(setupPairs)},"setup_cc_labels":${setupVal(setupLabels)},"setup_substr_grams":${setupVal(setupGrams)},"setup_token_sets":${setupVal(setupToks)},"setup_simhash_prints":${setupVal(setupSimhash)},"setup_vec_index":${setupVal(setupVec)},"setup_ingest_index":${setupVal(setupIngest)},""" +
         s""""setup_sec_total":${setupSecs.sum},"grading_note":"end-to-end cost = value + setup_sec_total; setups are one-time per-corpus artifacts shared by 2+ keys (BASELINE.md: Reading setup_*)",""" +
         s""""failed":$failedJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outFile), json + "\n")

@@ -32,12 +32,24 @@ object VecPrice {
     spark.sparkContext.setLogLevel("WARN")
     import graft.ops.NearDup
 
-    // Fresh store: a price run measures the COLD build.
+    // Fresh store: a price run measures the COLD build. GUARD before
+    // the recursive delete (round-16 advice: an env var pointing this
+    // at the shared default store — or any unrelated directory —
+    // destroyed it): only a directory that is absent or holds nothing
+    // but vec-store artifacts (`vec<N>-<hash>` entries and `.tmp-`
+    // scratch) is deletable; anything else aborts loudly.
     def rm(p: java.io.File): Unit = {
       if (p.isDirectory) Option(p.listFiles()).getOrElse(Array.empty).foreach(rm)
       p.delete(); ()
     }
-    rm(new java.io.File(spark.conf.get(NearDup.VecStoreDirConf)))
+    val storeRoot = new java.io.File(spark.conf.get(NearDup.VecStoreDirConf))
+    val foreign = Option(storeRoot.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filterNot(f => f.getName.matches("vec\\d+-[0-9a-f]{16}") ||
+        f.getName.startsWith(".tmp-"))
+    require(foreign.isEmpty,
+      s"VecPrice: refusing to delete $storeRoot — it contains entries that " +
+        s"are not vec-store artifacts: ${foreign.take(5).map(_.getName).mkString(", ")}")
+    rm(storeRoot)
 
     def time[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)

@@ -279,6 +279,30 @@ object Verify {
       val hit = (got & bfFiltered).size
       (hit, hit.toDouble / pqK)
     }
+    // c178/c179: the recall CONSEQUENCE of index maintenance under
+    // drift — a probe FROM the ingested region, exact top-5 over the
+    // full corpus as truth, retrieved via (a) generation 1 (base-
+    // trained centroids with the ingest segment applied — c178, no
+    // retrain) and (b) generation 2 (the flag-consumed warm-start
+    // rebuild — c179). The delta is what the scheduled rebuild buys
+    // exactly where ingest concentrated mass the quantizer never
+    // trained on.
+    val (g1Hits, g2Hits, driftProbeId) = {
+      ops.NearDup.writeRebuiltIndexStore(spark, sfDir)
+      val probeId = emb.where(ops.NearDup.ingestIsNew)
+        .agg(min("vec_id")).head.getLong(0)
+      val probeVec = emb.where(col("vec_id") === probeId)
+        .select(col("vec_id"), col("embedding"))
+      val pv = emb.where(col("vec_id") === probeId)
+        .select(col("embedding").as("probe"))
+      val bf = emb.crossJoin(broadcast(pv))
+        .select(col("vec_id"), cosTo(col("embedding"), col("probe")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(annK)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      def hits(gen: Int) = (ops.NearDup.ingestProbe(spark, sfDir, probeVec, gen)
+        .select("vec_id").collect().map(_.getLong(0)).toSet & bf).size
+      (hits(1), hits(2), probeId)
+    }
     // c13's cells are the LABEL partition. On fixtures whose labels
     // are geometrically uninformative (random labels → every label
     // centroid ≈ the global mean), centroid ranking is noise and the
@@ -374,6 +398,11 @@ object Verify {
        |  "hits": $filtHits, "recall": ${jNum(filtRecall)},
        |  "nprobe": ${ops.NearDup.FilteredProbeCells},
        |  "contract": "top-k under the probe's-label predicate vs the filtered brute force; the widened probe budget is the selectivity-vs-recall knob"},
+       |"c179_index_rebuild": {"kind": "recall_at_k_under_ingest_drift", "k": $annK,
+       |  "probe_vec_id": $driftProbeId,
+       |  "gen1_hits": $g1Hits, "recall_gen1": ${jNum(g1Hits.toDouble / annK)},
+       |  "gen2_hits": $g2Hits, "recall_gen2": ${jNum(g2Hits.toDouble / annK)},
+       |  "contract": "probe from the drifted (ingested) region vs the exact full-corpus top-5; gen1 = base-trained quantizer with the ingest segment applied (c178, no retrain), gen2 = the flag-consumed warm-start rebuild (c179) - the delta is what the scheduled rebuild buys where ingest concentrated mass the quantizer never trained on"},
        |"c62_ann_prefix_rerank": {"kind": "recall_at_k_vs_brute_force", "k": $prefK,
        |  "hits": $prefHits, "recall": ${jNum(prefRecall)},
        |  "prefix_dims": ${ops.NearDup.PrefixDims}, "shortlist": ${ops.NearDup.PrefixShortlist},

@@ -286,7 +286,12 @@ object NearDup {
     */
   private[graft] def simhashWideTable(spark: SparkSession, sfDir: String): DataFrame = {
     val appId = spark.sparkContext.applicationId
-    if (labelEvictionHooked.putIfAbsent(appId + ":sh", true).isEmpty)
+    // Shared hook key with the label/gram caches: evictLabels already
+    // drops simhashCache entries, and one listener per application is
+    // enough — a second key (the old `appId + ":sh"`) registered a
+    // duplicate listener that evictLabels never removed (round-16
+    // advice: idempotent, but leaked one entry per application).
+    if (labelEvictionHooked.putIfAbsent(appId, true).isEmpty)
       spark.sparkContext.addSparkListener(new LabelEvictionListener(appId))
     simhashCache.getOrElseUpdate(s"$appId:$sfDir", {
       val df = simhashValuesWide(spark, sfDir)
@@ -784,7 +789,8 @@ object NearDup {
     */
   private[graft] val VecStoreDirConf = "spark.graft.vecStoreDir"
 
-  private[graft] def vecStorePath(spark: SparkSession, sfDir: String): String = {
+  private[graft] def vecStorePath(spark: SparkSession, sfDir: String,
+      layout: String = "vec2"): String = {
     val root = spark.conf.getOption(VecStoreDirConf)
       .getOrElse(sys.props("java.io.tmpdir") + "/graft-vecstore")
     val src = new java.io.File(sfDir, "embeddings.parquet")
@@ -792,15 +798,66 @@ object NearDup {
       if (src.isDirectory) src.listFiles().toSeq.sortBy(_.getName) else Seq(src)
     val fp = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
       .mkString("|")
+    // Kernel constants baked into the ARTIFACTS ride the hashed key
+    // (round-16 advice: the hand-bumped layout tag alone meant a PqM
+    // or seed-stride-rule change silently served an index trained
+    // under the old constants). The strides are the RULES' computed
+    // values for this corpus, so a rule change — not just a constant
+    // rename — invalidates automatically; PqM shapes the codebook and
+    // code tables directly.
+    val n = embCount(spark, sfDir)
+    val kfp = s"PqM=$PqM;seed=${kmSeedStride(n)};pqseed=${pqSeedStride(n)}"
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest((new java.io.File(sfDir).getCanonicalPath + "|" + fp)
+      .digest((new java.io.File(sfDir).getCanonicalPath + "|" + fp + "|" + kfp)
         .getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
-    // "vec2": store-layout version — bumped when the artifact SCHEMA
-    // changes (round 16 added `label` to the inverted lists for
-    // filtered search), so a stale same-corpus store can never serve
-    // the old shape.
-    s"$root/vec2-$key"
+    // Layout tag: bumped when the artifact SCHEMA changes (round 16's
+    // "vec2" added `label` to the inverted lists for filtered search;
+    // round 17's "vec3" is the ingest-SEGMENTED generation layout),
+    // so a stale same-corpus store can never serve the old shape.
+    s"$root/$layout-$key"
+  }
+
+  /** Write-once artifact publication, made SAFE for concurrent
+    * builders and readers (round-16 advice: the bare
+    * check-`_SUCCESS`-then-overwrite let two processes sharing a
+    * store root both see the marker missing, overwrite the same path,
+    * and expose a partially-written artifact to readers). The
+    * discipline here is the standard temp-dir + atomic-rename
+    * publish: `write` produces `<scratch>/<name>` (with parquet's own
+    * `_SUCCESS`) in a private scratch dir inside the store, then ONE
+    * `ATOMIC_MOVE` rename publishes it — a reader either sees the
+    * complete artifact or nothing, and when two builders race the
+    * loser's rename fails against the winner's published dir and its
+    * scratch copy is discarded. Local-FS rename is atomic; on an
+    * object store the same contract comes from the committer, which
+    * is why the write goes through a directory rename and not a
+    * file-by-file copy.
+    */
+  private[graft] def atomicArtifact(dir: String, name: String)
+      (write: String => Unit): Unit = {
+    val target = new java.io.File(dir, name)
+    if (new java.io.File(target, "_SUCCESS").exists()) return
+    new java.io.File(dir).mkdirs()
+    val scratch = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get(dir), ".tmp-").toFile
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    try {
+      write(scratch.toString)
+      try java.nio.file.Files.move(
+        new java.io.File(scratch, name).toPath, target.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case e: java.nio.file.FileSystemException =>
+          // Lost the publish race iff a COMPLETE artifact now exists;
+          // anything else is a real failure and must surface.
+          if (!new java.io.File(target, "_SUCCESS").exists()) throw e
+      }
+      ()
+    } finally rm(scratch)
   }
 
   /** Ensure the refined-centroid artifact exists for `sfDir` (one
@@ -808,12 +865,12 @@ object NearDup {
     */
   private[graft] def writeCentroidStore(spark: SparkSession, sfDir: String): String = {
     val dir = vecStorePath(spark, sfDir)
-    if (!new java.io.File(s"$dir/centroids.parquet/_SUCCESS").exists()) {
+    atomicArtifact(dir, "centroids.parquet") { scratch =>
       val emb = Tables.t(spark, sfDir, "embeddings")
         .select(col("vec_id"), col("embedding"))
       val seeds = emb.where(col("vec_id") % kmSeedStride(embCount(spark, sfDir)) === 0)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cent"))
-      new graft.sources.ConfiguredSink(new graft.sources.ParquetSink(dir),
+      new graft.sources.ConfiguredSink(new graft.sources.ParquetSink(scratch),
         graft.sources.WriteConf(batchRows = 1 << 22))
         .write(kmUpdate(emb, kmAssign(emb, seeds)), "centroids")
     }
@@ -835,7 +892,7 @@ object NearDup {
     */
   private[graft] def writePqCodebookStore(spark: SparkSession, sfDir: String): String = {
     val dir = vecStorePath(spark, sfDir)
-    if (!new java.io.File(s"$dir/pq_codebook.parquet/_SUCCESS").exists()) {
+    atomicArtifact(dir, "pq_codebook.parquet") { scratch =>
       val emb = Tables.t(spark, sfDir, "embeddings")
       val stride = pqSeedStride(embCount(spark, sfDir))
       val seeds = emb.where(col("vec_id") % stride === 0)
@@ -847,7 +904,7 @@ object NearDup {
         .select(col("centroid_id"), col("j"),
           expr(s"slice(cent, j * (size(cent) div $PqM) + 1, size(cent) div $PqM)")
             .as("csub"))
-      new graft.sources.ConfiguredSink(new graft.sources.ParquetSink(dir),
+      new graft.sources.ConfiguredSink(new graft.sources.ParquetSink(scratch),
         graft.sources.WriteConf(batchRows = 1 << 22))
         .write(csubs, "pq_codebook")
     }
@@ -877,7 +934,7 @@ object NearDup {
     */
   private[graft] def writeIvfIndexStore(spark: SparkSession, sfDir: String): String = {
     val dir = vecStorePath(spark, sfDir)
-    if (!new java.io.File(s"$dir/ivf.parquet/_SUCCESS").exists()) {
+    atomicArtifact(dir, "ivf.parquet") { scratch =>
       val emb = Tables.t(spark, sfDir, "embeddings")
         .select(col("vec_id"), col("embedding"), col("label"))
       val asg = kmAssign(
@@ -893,7 +950,7 @@ object NearDup {
         .write.mode("overwrite")
         .option("maxRecordsPerFile", (1 << 22).toString)
         .partitionBy("cluster")
-        .parquet(s"$dir/ivf.parquet")
+        .parquet(s"$scratch/ivf.parquet")
     }
     dir
   }
@@ -920,7 +977,7 @@ object NearDup {
     */
   private[graft] def writePqCodesStore(spark: SparkSession, sfDir: String): String = {
     val dir = vecStorePath(spark, sfDir)
-    if (!new java.io.File(s"$dir/pq_codes.parquet/_SUCCESS").exists()) {
+    atomicArtifact(dir, "pq_codes.parquet") { scratch =>
       val emb = Tables.t(spark, sfDir, "embeddings")
       val subs = emb
         .select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("j"),
@@ -937,7 +994,7 @@ object NearDup {
         .write.mode("overwrite")
         .option("maxRecordsPerFile", (1 << 22).toString)
         .partitionBy("cluster")
-        .parquet(s"$dir/pq_codes.parquet")
+        .parquet(s"$scratch/pq_codes.parquet")
     }
     dir
   }
@@ -1948,9 +2005,8 @@ object NearDup {
   def incrementalIndexIngest(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.t(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    val isNew = col("embedding").getItem(0) > 0.1
-    val base = emb.where(!isNew)
-    val fresh = emb.where(isNew)
+    val base = emb.where(!ingestIsNew)
+    val fresh = emb.where(ingestIsNew)
     val seeds = base.where(col("vec_id") % kmSeedStride(embCount(spark, sfDir)) === 0)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cent"))
     val cents = kmUpdate(base, kmAssign(base, seeds)).localCheckpoint(true)
@@ -1958,6 +2014,26 @@ object NearDup {
       .agg(count(lit(1)).as("n_base"))
     val nNew = kmAssign(fresh, cents).groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_new"))
+    ingestLedgerFrom(nBase, nNew)
+  }
+
+  /** Drifted "arrivals" predicate shared by the whole ingest family
+    * (c177 ledger, c178 apply, c179 rebuild, c180 streaming ledger):
+    * every vector in the `embedding[0] > 0.1` REGION is the ingest
+    * increment — a distribution region rather than an md5 deal, for
+    * the reason [[incrementalIndexIngest]] documents (drift must
+    * concentrate mass where the quantizer trained thin, or the
+    * retrain signal never fires anywhere).
+    */
+  private[graft] def ingestIsNew: Column = col("embedding").getItem(0) > 0.1
+
+  /** The per-cell ingest ledger from already-aggregated per-cell
+    * counts: cell-keyed full join, zero-coalesced counts, r4 growth,
+    * and the integer-cross-multiplied retrain flag. Shared VERBATIM
+    * by batch c177 and streaming c180 (the ttlExpiryFrom one-kernel
+    * discipline — batch and stream cannot drift).
+    */
+  private[graft] def ingestLedgerFrom(nBase: DataFrame, nNew: DataFrame): DataFrame =
     nBase.join(nNew, Seq("cluster"), "full")
       .select(col("cluster"),
         coalesce(col("n_base"), lit(0L)).as("n_base"),
@@ -1966,6 +2042,235 @@ object NearDup {
         round(col("n_new").cast("double") / greatest(col("n_base"), lit(1L)), 4))
       .withColumn("retrain",
         col("n_new") * IngestRetrainDen > col("n_base"))
+      .orderBy("cluster")
+
+  /** Round-17 INGEST-MAINTAINED index store — the `vec3-` layout
+    * (round-16 verdict item 1: c177 emitted the ledger but nothing
+    * APPLIED the ingest to persisted lists, and nothing consumed the
+    * retrain flag). The store is SEGMENTED, the LSM posture every
+    * production vector store takes (Milvus sealed segments, Lucene/
+    * FAISS shards): the base index is one immutable cell-partitioned
+    * segment (`seg0`), each ingest APPENDS a new immutable segment of
+    * arrivals assigned to the FIXED base-trained centroids (`seg1` —
+    * never a rewrite of seg0), and a reader serves the union of
+    * complete segments. Torn-write safety is structural: a segment is
+    * visible iff its own `_SUCCESS` exists and publication is the
+    * [[atomicArtifact]] rename, so a crashed or concurrent ingest can
+    * never serve half a segment. At 100 TB the append costs ONE pass
+    * over the ARRIVALS (assign + cell-partitioned write, increment-
+    * sized) vs the full-corpus rewrite it replaces — priced in
+    * SCALE.md round 17.
+    */
+  private[graft] def ingestStoreDir(spark: SparkSession, sfDir: String): String =
+    vecStorePath(spark, sfDir, layout = "vec3")
+
+  /** The base-trained centroids of the vec3 store as a frame (the
+    * quantizer c177's ledger is exact about: trained on the BASE
+    * slice only). Callers must have ensured the store exists.
+    */
+  private[graft] def ingestCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${ingestStoreDir(spark, sfDir)}/centroids.parquet")
+
+  /** Ensure the vec3 BASE generation exists: base-trained centroids
+    * (the c177 quantizer — one Lloyd round over the base slice) and
+    * the base inverted-list segment, cluster-partitioned like vec2's
+    * lists. Both publish atomically.
+    */
+  private[graft] def writeIngestBaseStore(spark: SparkSession, sfDir: String): String = {
+    val dir = ingestStoreDir(spark, sfDir)
+    atomicArtifact(dir, "centroids.parquet") { scratch =>
+      val base = Tables.t(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding")).where(!ingestIsNew)
+      val seeds = base.where(col("vec_id") % kmSeedStride(embCount(spark, sfDir)) === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cent"))
+      new graft.sources.ConfiguredSink(new graft.sources.ParquetSink(scratch),
+        graft.sources.WriteConf(batchRows = 1 << 22))
+        .write(kmUpdate(base, kmAssign(base, seeds)), "centroids")
+    }
+    atomicArtifact(dir, "seg0.parquet") { scratch =>
+      val base = Tables.t(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label")).where(!ingestIsNew)
+      val asg = kmAssign(base.select(col("vec_id"), col("embedding")),
+        ingestCentroids(spark, sfDir)).select(col("vec_id"), col("cluster"))
+      base.join(asg, "vec_id")
+        .select(col("cluster"), col("vec_id"), col("embedding"), col("label"))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", (1 << 22).toString)
+        .partitionBy("cluster")
+        .parquet(s"$scratch/seg0.parquet")
+    }
+    dir
+  }
+
+  /** APPLY the ingest (the FAISS `add` write path c177's scaladoc
+    * promised): assign the arrivals to the FIXED base centroids and
+    * publish them as a NEW immutable cell-partitioned segment —
+    * increment-sized work, the base segment untouched. Idempotent
+    * (write-once per store key) and torn-write-safe (atomic publish).
+    */
+  private[graft] def writeIngestSegment(spark: SparkSession, sfDir: String): String = {
+    val dir = writeIngestBaseStore(spark, sfDir)
+    atomicArtifact(dir, "seg1.parquet") { scratch =>
+      val fresh = Tables.t(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label")).where(ingestIsNew)
+      val asg = kmAssign(fresh.select(col("vec_id"), col("embedding")),
+        ingestCentroids(spark, sfDir)).select(col("vec_id"), col("cluster"))
+      fresh.join(asg, "vec_id")
+        .select(col("cluster"), col("vec_id"), col("embedding"), col("label"))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", (1 << 22).toString)
+        .partitionBy("cluster")
+        .parquet(s"$scratch/seg1.parquet")
+    }
+    dir
+  }
+
+  /** The post-ingest generation-1 index as a frame: the union of the
+    * `_SUCCESS`-complete segments with their segment id (`cluster`
+    * stays the parquet partition column in each, so cell predicates
+    * still prune FILES in both segments — a probe's I/O is nprobe/k
+    * of base PLUS nprobe/k of the increment).
+    */
+  private[graft] def ingestSegStore(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = writeIngestSegment(spark, sfDir)
+    def seg(name: String, id: Int) =
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("cluster", col("cluster").cast("long"))
+        .withColumn("segment", lit(id))
+    seg("seg0", 0).unionByName(seg("seg1", 1))
+  }
+
+  /** c178 — INDEX APPLY-INGEST: the write path that makes c177's
+    * ledger consequential. The query reads the per-cell occupancy
+    * FROM THE PUBLISHED SEGMENTS (never the kernel): n_base from the
+    * base segment, n_ingested from the appended one, n_total their
+    * sum — so a hash match proves the persisted store CONTAINS
+    * exactly the rows the ingest kernel assigns, cell by cell. The
+    * retrieval consequence (a c38-shaped probe over the segmented
+    * store returns ingested vectors WITHOUT retrain) is pinned in
+    * NearDupSpec via [[ingestProbe]].
+    *
+    * Scale shape: two file-pruned segment scans + one cells-sized
+    * aggregate; the ingest write itself touched only the arrivals.
+    */
+  def indexApplyIngest(spark: SparkSession, sfDir: String): DataFrame =
+    ingestSegStore(spark, sfDir)
+      .groupBy(col("cluster"))
+      .agg(sum(when(col("segment") === 0, 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("segment") === 1, 1L).otherwise(0L)).as("n_ingested"),
+        count(lit(1)).as("n_total"))
+      .orderBy("cluster")
+
+  /** A c38-shaped top-5 probe over the ingest-maintained store, used
+    * by the c178/c179 specs and the ACCURACY drift measurement:
+    * generation 1 serves the SEGMENT UNION under base-trained
+    * centroids; generation 2 serves the rebuilt lists under retrained
+    * centroids. Same canon as [[annIvfAdaptive]] (rounded cell-cos
+    * ranking, nprobe = [[IvfProbeCells]], rounded cosine + id
+    * tiebreak).
+    */
+  private[graft] def ingestProbe(spark: SparkSession, sfDir: String,
+      probeVec: DataFrame, gen: Int): DataFrame = {
+    val dir = writeIngestSegment(spark, sfDir)
+    val (cents, lists) =
+      if (gen == 2)
+        (spark.read.parquet(s"$dir/centroids_g2.parquet"),
+          spark.read.parquet(s"$dir/lists_g2.parquet")
+            .withColumn("cluster", col("cluster").cast("long")))
+      else
+        (ingestCentroids(spark, sfDir),
+          ingestSegStore(spark, sfDir).drop("segment"))
+    val probe = probeVec.select(col("embedding").as("probe"))
+    val topCells = cents.crossJoin(broadcast(probe))
+      .select(col("centroid_id"), round(cosine(col("cent"), col("probe")), 4).as("cell_cos"))
+      .agg(expr(s"slice(array_sort(collect_list(struct(-cell_cos AS nc, centroid_id))), 1, $IvfProbeCells)")
+        .as("top"))
+      .select(posexplode(col("top")).as(Seq("r0", "s")))
+      .select(col("s.centroid_id").as("cluster"), (col("r0") + 1).cast("long").as("cell_rank"))
+    lists.join(broadcast(topCells), "cluster")
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("cluster"), col("cell_rank"),
+        round(cosine(col("embedding"), col("probe")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  /** Which generation the vec3 store currently SERVES: 2 iff BOTH
+    * generation-2 artifacts are complete — the atomic-swap read rule,
+    * so a half-published rebuild (centroids landed, lists did not)
+    * keeps serving generation 1.
+    */
+  private[graft] def ingestStoreGeneration(dir: String): Int =
+    if (new java.io.File(s"$dir/centroids_g2.parquet/_SUCCESS").exists() &&
+        new java.io.File(s"$dir/lists_g2.parquet/_SUCCESS").exists()) 2 else 1
+
+  /** CONSUME the retrain flag (round-16 verdict item 2): when any
+    * cell's ingest crosses the [[IngestRetrainDen]] threshold —
+    * decided from the PERSISTED segments, a cells-sized aggregate the
+    * driver reads as one boolean, exactly the scheduling decision a
+    * production index maintainer makes — retrain the coarse quantizer
+    * with ONE more Lloyd round over base+arrivals STARTING from the
+    * stored base centroids (the c35 kernel: warm-start refinement,
+    * not a from-scratch re-seed), rewrite the lists under the new
+    * assignment as generation-2 artifacts, and publish both
+    * atomically. Readers swap generations only when both artifacts
+    * are complete ([[ingestStoreGeneration]]); generation 1 stays
+    * on disk and serviceable throughout — the blue/green swap.
+    */
+  private[graft] def writeRebuiltIndexStore(spark: SparkSession, sfDir: String): String = {
+    val dir = writeIngestSegment(spark, sfDir)
+    if (ingestStoreGeneration(dir) == 2) return dir
+    val flagged = !ingestSegStore(spark, sfDir)
+      .groupBy(col("cluster"))
+      .agg(sum(when(col("segment") === 0, 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("segment") === 1, 1L).otherwise(0L)).as("n_new"))
+      .where(col("n_new") * IngestRetrainDen > col("n_base"))
+      .isEmpty
+    require(flagged,
+      s"indexRebuildSwap: no cell crossed the 1/$IngestRetrainDen ingest " +
+        "threshold — nothing schedules a rebuild on this corpus (the c177 " +
+        "fixture is drifted by construction, so this indicates a broken store)")
+    atomicArtifact(dir, "centroids_g2.parquet") { scratch =>
+      val all = Tables.t(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      new graft.sources.ConfiguredSink(new graft.sources.ParquetSink(scratch),
+        graft.sources.WriteConf(batchRows = 1 << 22))
+        .write(kmUpdate(all, kmAssign(all, ingestCentroids(spark, sfDir))),
+          "centroids_g2")
+    }
+    atomicArtifact(dir, "lists_g2.parquet") { scratch =>
+      val emb = Tables.t(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val cents2 = spark.read.parquet(s"$dir/centroids_g2.parquet")
+      val asg = kmAssign(emb.select(col("vec_id"), col("embedding")), cents2)
+        .select(col("vec_id"), col("cluster"))
+      emb.join(asg, "vec_id")
+        .select(col("cluster"), col("vec_id"), col("embedding"), col("label"))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", (1 << 22).toString)
+        .partitionBy("cluster")
+        .parquet(s"$scratch/lists_g2.parquet")
+    }
+    dir
+  }
+
+  /** c179 — INDEX REBUILD-AND-SWAP: the scheduled maintenance c177's
+    * retrain flag exists to trigger. The query reads the per-cell
+    * occupancy FROM THE SWAPPED generation-2 lists, so a hash match
+    * proves (a) the flag fired and was consumed, (b) the retrained
+    * quantizer is exactly one warm-started Lloyd round over
+    * base+arrivals, and (c) the published lists hold every vector
+    * under the RETRAINED assignment. The recall consequence on the
+    * drifted region (before vs after rebuild) is measured into
+    * ACCURACY.json by Verify.
+    */
+  def indexRebuildSwap(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = writeRebuiltIndexStore(spark, sfDir)
+    require(ingestStoreGeneration(dir) == 2,
+      s"indexRebuildSwap: generation-2 artifacts incomplete under $dir")
+    spark.read.parquet(s"$dir/lists_g2.parquet")
+      .withColumn("cluster", col("cluster").cast("long"))
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_vecs"))
       .orderBy("cluster")
   }
 
@@ -2378,6 +2683,8 @@ object NearDup {
     "c174_filtered_ann" -> (filteredAnn(_, _)),
     "c175_batch_ann_ivf" -> (batchAnnIvf(_, _)),
     "c177_incremental_index_ingest" -> (incrementalIndexIngest(_, _)),
+    "c178_index_apply_ingest" -> (indexApplyIngest(_, _)),
+    "c179_index_rebuild_swap" -> (indexRebuildSwap(_, _)),
     "c19_batch_ann_topk" -> (batchAnnTopk(_, _)),
     "c79_hard_negatives" -> (hardNegatives(_, _))
   )
@@ -2507,6 +2814,77 @@ object NearDup {
          |  ROUND(sqrt(${Canon.oDsum("d2")}), 4) AS recon_err
          |FROM best GROUP BY vec_id
          |ORDER BY vec_id ASC NULLS FIRST""".stripMargin,
+    // The c178 oracle replays what the SEGMENTED STORE must contain
+    // after the ingest is applied: the c177 base-trained chain, both
+    // fixed-centroid assignments, and the per-cell base/ingested/total
+    // occupancy the published segments sum to — a missing arrival, a
+    // mis-assigned cell, or a double-applied ingest all fail the hash.
+    "c178_index_apply_ingest" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE NOT (CAST(embedding[1] AS DOUBLE) > 0.1)
+         |), fresh AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE CAST(embedding[1] AS DOUBLE) > 0.1
+         |), seeds AS (
+         |  SELECT vec_id AS centroid_id, embedding AS cent
+         |  FROM base WHERE vec_id % $oSeedStride = 0
+         |), scored0 AS (
+         |  ${oKmScored("seeds", "base")}
+         |), best0 AS (
+         |  ${oKmBest("scored0")}
+         |), cents1 AS (
+         |  ${oKmCents("best0", "base")}
+         |), scoredB AS (
+         |  ${oKmScored("cents1", "base")}
+         |), bestB AS (
+         |  ${oKmBest("scoredB")}
+         |), scoredN AS (
+         |  ${oKmScored("cents1", "fresh")}
+         |), bestN AS (
+         |  ${oKmBest("scoredN")}
+         |), nb AS (SELECT cluster, COUNT(*) AS n_base FROM bestB GROUP BY cluster),
+         |nn AS (SELECT cluster, COUNT(*) AS n_ingested FROM bestN GROUP BY cluster)
+         |SELECT COALESCE(nb.cluster, nn.cluster) AS cluster,
+         |  CAST(COALESCE(n_base, 0) AS BIGINT) AS n_base,
+         |  CAST(COALESCE(n_ingested, 0) AS BIGINT) AS n_ingested,
+         |  CAST(COALESCE(n_base, 0) + COALESCE(n_ingested, 0) AS BIGINT) AS n_total
+         |FROM nb FULL OUTER JOIN nn ON nb.cluster = nn.cluster
+         |ORDER BY cluster ASC NULLS FIRST""".stripMargin,
+
+    // The c179 oracle replays the REBUILT quantizer — the base-trained
+    // chain warm-started into one more Lloyd round over base+arrivals
+    // — and the full-corpus assignment the swapped generation-2 lists
+    // must hold; a stale (unswapped) store or a cold re-seeded retrain
+    // both fail the hash.
+    "c179_index_rebuild_swap" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE NOT (CAST(embedding[1] AS DOUBLE) > 0.1)
+         |), seeds AS (
+         |  SELECT vec_id AS centroid_id, embedding AS cent
+         |  FROM base WHERE vec_id % $oSeedStride = 0
+         |), scored0 AS (
+         |  ${oKmScored("seeds", "base")}
+         |), best0 AS (
+         |  ${oKmBest("scored0")}
+         |), cents1 AS (
+         |  ${oKmCents("best0", "base")}
+         |), scoredR AS (
+         |  ${oKmScored("cents1", "embeddings")}
+         |), bestR AS (
+         |  ${oKmBest("scoredR")}
+         |), cents2 AS (
+         |  ${oKmCents("bestR", "embeddings")}
+         |), scoredF AS (
+         |  ${oKmScored("cents2", "embeddings")}
+         |), bestF AS (
+         |  ${oKmBest("scoredF")}
+         |)
+         |SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs
+         |FROM bestF GROUP BY cluster
+         |ORDER BY cluster ASC NULLS FIRST""".stripMargin,
+
     // The c177 oracle replays the base/new deal, the base-trained
     // Lloyd round (the km chain parameterized onto the base slice),
     // both fixed-centroid assignments, and the integer retrain flag.

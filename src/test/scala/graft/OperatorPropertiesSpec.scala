@@ -1138,6 +1138,116 @@ class OperatorPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("c178: the served segment union IS the corpus, and a gen-1 probe retrieves INGESTED vectors without retrain") {
+    for (sf <- Seq(TestSpark.sf0001, TestSpark.sf001)) {
+      val emb = Tables.t(spark, sf, "embeddings")
+      // (1) Segment completeness: every corpus vector lives in exactly
+      // one published segment, arrivals in seg1 and base in seg0.
+      val segs = ops.NearDup.ingestSegStore(spark, sf)
+        .select("vec_id", "segment").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+      assert(segs.length == emb.count(), "segment union must equal the corpus")
+      assert(segs.map(_._1).distinct.length == segs.length,
+        "a vector appears in more than one segment")
+      val freshIds = emb.where(ops.NearDup.ingestIsNew)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      segs.foreach { case (id, seg) =>
+        assert((seg == 1) == freshIds(id),
+          s"vec $id landed in segment $seg but isNew=${freshIds(id)}")
+      }
+      // (2) The retrieval consequence: a probe FROM THE DRIFTED REGION
+      // served by generation 1 (base-trained centroids, base + ingest
+      // segments) returns ingested vectors — the index absorbed the
+      // arrivals without retraining. The probe itself is an arrival,
+      // so its own cos=1.0 self-hit must appear, and on this fixture
+      // the drifted region is dense enough that other arrivals rank
+      // into the top-5 too.
+      val probeId = freshIds.min
+      val probeVec = emb.where(col("vec_id") === probeId)
+        .select(col("vec_id"), col("embedding"))
+      val got = ops.NearDup.ingestProbe(spark, sf, probeVec, gen = 1)
+        .select("vec_id", "cos").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.length == 5)
+      assert(got.exists { case (id, c) => id == probeId && c == 1.0 },
+        "the ingested probe vector itself must be retrievable at cos 1.0")
+      val ingestedHits = got.count { case (id, _) => freshIds(id) }
+      info(s"c178 gen-1 probe at $sf: $ingestedHits/5 hits are ingested vectors")
+      assert(ingestedHits >= 2,
+        s"probe from the drifted region found only $ingestedHits ingested hits")
+    }
+  }
+
+  test("c179: the swap read rule serves gen 2 only when BOTH artifacts are complete; gen-2 lists hold the whole corpus") {
+    // (1) The atomic-swap read rule on synthetic store dirs: a
+    // half-published rebuild (either artifact missing its _SUCCESS)
+    // must keep serving generation 1.
+    val dir = java.nio.file.Files.createTempDirectory("graft_swap").toFile
+    def mk(name: String, success: Boolean): Unit = {
+      val d = new java.io.File(dir, name); d.mkdirs()
+      if (success) new java.io.File(d, "_SUCCESS").createNewFile()
+      ()
+    }
+    assert(ops.NearDup.ingestStoreGeneration(dir.toString) == 1)
+    mk("centroids_g2.parquet", success = true)
+    mk("lists_g2.parquet", success = false)
+    assert(ops.NearDup.ingestStoreGeneration(dir.toString) == 1,
+      "lists without _SUCCESS must not swap the generation")
+    new java.io.File(new java.io.File(dir, "lists_g2.parquet"), "_SUCCESS")
+      .createNewFile()
+    assert(ops.NearDup.ingestStoreGeneration(dir.toString) == 2)
+    // (2) On the real fixture: the rebuild fires (the c177 drift), the
+    // swapped lists hold every corpus vector exactly once, and the
+    // post-rebuild ledger matches the occupancy the query reports.
+    val sf = TestSpark.sf0001
+    val out = ops.NearDup.indexRebuildSwap(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.map(_._2).sum == Tables.t(spark, sf, "embeddings").count(),
+      "generation-2 lists must hold the whole corpus")
+    val storeDir = ops.NearDup.ingestStoreDir(spark, sf)
+    assert(ops.NearDup.ingestStoreGeneration(storeDir) == 2)
+    // (3) Generation 1 stays serviceable after the swap (blue/green):
+    // the same drifted probe still answers against the old segments.
+    val emb = Tables.t(spark, sf, "embeddings")
+    val probeId = emb.where(ops.NearDup.ingestIsNew)
+      .agg(min("vec_id")).head.getLong(0)
+    val probeVec = emb.where(col("vec_id") === probeId)
+      .select(col("vec_id"), col("embedding"))
+    assert(ops.NearDup.ingestProbe(spark, sf, probeVec, gen = 1).count() == 5)
+    assert(ops.NearDup.ingestProbe(spark, sf, probeVec, gen = 2).count() == 5)
+  }
+
+  test("atomicArtifact: write-once, atomic publish, and a lost race discards the loser's scratch") {
+    val root = java.nio.file.Files.createTempDirectory("graft_atomic").toString
+    import spark.implicits._
+    var writes = 0
+    def build(v: Int): Unit =
+      ops.NearDup.atomicArtifact(root, "art.parquet") { scratch =>
+        writes += 1
+        Seq(v).toDF("x").write.parquet(s"$scratch/art.parquet")
+      }
+    build(1)
+    assert(writes == 1)
+    assert(spark.read.parquet(s"$root/art.parquet").head.getInt(0) == 1)
+    // Write-once: a second build is a no-op — the writer never runs.
+    build(2)
+    assert(writes == 1)
+    assert(spark.read.parquet(s"$root/art.parquet").head.getInt(0) == 1)
+    // Lost race: a competitor publishes BETWEEN the _SUCCESS check and
+    // this builder's rename (simulated inside the writer). The loser
+    // must neither throw nor clobber the winner, and its scratch must
+    // be cleaned up.
+    ops.NearDup.atomicArtifact(root, "race.parquet") { scratch =>
+      Seq(10).toDF("x").write.parquet(s"$root/race.parquet") // the winner
+      Seq(20).toDF("x").write.parquet(s"$scratch/race.parquet") // the loser
+    }
+    assert(spark.read.parquet(s"$root/race.parquet").head.getInt(0) == 10,
+      "the losing builder must not clobber the published artifact")
+    val leftovers = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith(".tmp-"))
+    assert(leftovers.isEmpty, s"scratch not cleaned: ${leftovers.mkString(", ")}")
+  }
+
   test("c168: every dedup cluster is split-PURE; singletons keep their c32 assignment; c32 provably tears clusters") {
     val out = ops.NearDup.clusterSafeSplit(spark, TestSpark.sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
