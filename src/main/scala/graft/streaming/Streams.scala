@@ -737,6 +737,51 @@ object Streams {
     spark.read.parquet(out).drop("batch_id").orderBy("probe_id", "rn")
   }
 
+  /** c180 — STREAMING index ingest: the WRITE side of the serving
+    * loop c176 reads (round-16 verdict item 5) — arrivals stream in
+    * and the c177 ingest ledger is maintained LIVE. Each micro-batch
+    * assigns ITS arrivals to the PERSISTED base-trained centroids
+    * (the vec3 quantizer — static, exactly c176's static-index
+    * discipline applied to the write path) and emits its per-cell
+    * counts as a deterministic function of the batch id (the
+    * exactly-once foreachBatch recipe). STATELESS by construction:
+    * each arrival lands in exactly one micro-batch, so its cell
+    * increment is complete batch-locally; counts are associative, so
+    * the read-side merge (one cells-sized sum) is batching-invariant.
+    * The merged arrivals join the static base occupancy — read from
+    * the published base segment — through the SHARED
+    * [[graft.ops.NearDup.ingestLedgerFrom]] kernel (one kernel,
+    * batch c177 and this stream cannot drift), and the result equals
+    * batch c177 exactly: oracle = c177's SQL verbatim.
+    */
+  def streamIndexIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.NearDup
+    NearDup.writeIngestBaseStore(spark, sfDir)
+    val stream = streamTable(spark, sfDir, "embeddings")
+      .where(NearDup.ingestIsNew)
+      .select(col("vec_id"), col("embedding"))
+    val out = java.nio.file.Files.createTempDirectory("graft_c180_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_c180_ckpt").toString
+    trackTmpDir(out); trackTmpDir(ckpt)
+    val q = stream.writeStream
+      .foreachBatch((batch: Dataset[Row], id: Long) =>
+        NearDup.kmAssign(batch.select(col("vec_id"), col("embedding")),
+            NearDup.ingestCentroids(batch.sparkSession, sfDir))
+          .groupBy(col("cluster")).agg(count(lit(1)).as("n_new"))
+          .write.mode("overwrite").parquet(s"$out/batch_id=$id"))
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val nNew = spark.read.parquet(out).drop("batch_id")
+      .groupBy(col("cluster")).agg(sum(col("n_new")).as("n_new"))
+    val nBase = spark.read
+      .parquet(s"${NearDup.ingestStoreDir(spark, sfDir)}/seg0.parquet")
+      .withColumn("cluster", col("cluster").cast("long"))
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_base"))
+    NearDup.ingestLedgerFrom(nBase, nNew)
+  }
+
   def streamLinkageResolution(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.ops.Llm
     val cust = graft.Tables.t(spark, sfDir, "customer")
@@ -1716,6 +1761,7 @@ object Streams {
     "c167_stream_tombstone_gc" -> (streamTombstoneGc(_, _)),
     "c172_stream_ttl_expiry" -> (streamTtlExpiry(_, _)),
     "c176_stream_ann_probe" -> (streamAnnProbe(_, _)),
+    "c180_stream_index_ingest" -> (streamIndexIngest(_, _)),
     "c83_stream_scd2" -> (streamScd2(_, _)),
     "c129_stream_interval_coalesce" -> (streamIntervalCoalesce(_, _)),
     "c136_stream_ewma" -> (streamEwma(_, _)),
@@ -1764,6 +1810,10 @@ object Streams {
     // c175's oracle text verbatim.
     "c176_stream_ann_probe" ->
       graft.ops.NearDup.oracle("c175_batch_ann_ivf"),
+    // The streamed ingest ledger must converge to the batch ledger
+    // exactly — c177's oracle text verbatim.
+    "c180_stream_index_ingest" ->
+      graft.ops.NearDup.oracle("c177_incremental_index_ingest"),
 
     // c76's SCD2 build minus its open (NULL valid_to) versions —
     // derived from the SAME SQL text so the two cannot drift: append

@@ -911,6 +911,53 @@ class StreamingSpec extends AnyFunSuite {
       "streamed probe answers diverge from the batched-index kernel")
   }
 
+  test("c180: streaming index ingest converges to the batch c177 ledger across real micro-batches") {
+    // Arrivals split across >= 3 micro-batches; each batch assigns its
+    // own arrivals to the STATIC persisted quantizer and emits per-cell
+    // counts (stateless — each arrival in exactly one batch), the read
+    // side merges and joins the static base occupancy through the
+    // shared ledger kernel. The merged ledger must equal batch c177
+    // row-for-row under ANY batching.
+    import org.apache.spark.sql.{Dataset, Row}
+    import graft.ops.NearDup
+    val sfDir = TestSpark.sf0001
+    NearDup.writeIngestBaseStore(spark, sfDir)
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val base = java.nio.file.Files.createTempDirectory("graft_c180_mb").toFile
+    graft.streaming.Streams.trackTmpDir(base.toString)
+    val feed = new java.io.File(base, "feed").toString
+    emb.repartition(3).write.parquet(feed)
+    val out = new java.io.File(base, "out").toString
+    val ckpt = new java.io.File(base, "ckpt").toString
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+      .where(NearDup.ingestIsNew)
+      .select(col("vec_id"), col("embedding"))
+    val q = stream.writeStream
+      .foreachBatch((batch: Dataset[Row], id: Long) =>
+        NearDup.kmAssign(batch.select(col("vec_id"), col("embedding")),
+            NearDup.ingestCentroids(batch.sparkSession, sfDir))
+          .groupBy(col("cluster")).agg(count(lit(1)).as("n_new"))
+          .write.mode("overwrite").parquet(s"$out/batch_id=$id"))
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.length >= 3,
+      s"expected >=3 micro-batches: ${q.recentProgress.length}")
+    val nNew = spark.read.parquet(out).drop("batch_id")
+      .groupBy(col("cluster")).agg(sum(col("n_new")).as("n_new"))
+    val nBase = spark.read
+      .parquet(s"${NearDup.ingestStoreDir(spark, sfDir)}/seg0.parquet")
+      .withColumn("cluster", col("cluster").cast("long"))
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_base"))
+    val streamed = NearDup.ingestLedgerFrom(nBase, nNew)
+    val batch = NearDup.incrementalIndexIngest(spark, sfDir)
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed ingest ledger diverges from batch c177")
+  }
+
   test("c166: streaming frame dedup is STATELESS and equals the batch kernel across real micro-batches") {
     // Same discipline as c160: the topology must analyze to generate +
     // stream-static join only, and per-frame reference rows must union
