@@ -1865,13 +1865,42 @@ object NearDup {
       .limit(PqTopK)
   }
 
-  /** Filtered-probe cell budget (c174): a metadata filter thins every
-    * probed cell by its selectivity, so filtered search probes MORE
-    * cells than unfiltered (the standard mitigation — widen nprobe,
-    * keep the budget) to hold candidate count, and hence recall,
-    * roughly constant.
+  /** Filtered-probe cell budget FLOOR (c174): a metadata filter thins
+    * every probed cell by its selectivity, so filtered search probes
+    * MORE cells than unfiltered (the standard mitigation — widen
+    * nprobe, keep the budget) to hold candidate count, and hence
+    * recall, roughly constant. Round 16 fixed the widening at 8;
+    * round 17 made it SELECTIVITY-ADAPTIVE ([[filteredAnnBudget]])
+    * with this value as the floor (never narrower than the round-16
+    * behavior) and [[MaxFilteredProbeCells]] as the cost cap.
     */
   private[graft] val FilteredProbeCells = 8
+
+  /** Filtered-probe budget CEILING: the cost cap a production store
+    * puts on predicate-driven widening (an ultra-selective predicate
+    * would otherwise ask for every cell; past the cap the right tool
+    * is a label-partitioned index, not a wider probe).
+    */
+  private[graft] val MaxFilteredProbeCells = 32
+
+  /** Selectivity-adaptive filtered-probe budget (round-16 verdict
+    * item 3): the predicate keeps ~selectivity = n_label/n of every
+    * probed cell, so holding the CANDIDATE count at the unfiltered
+    * [[IvfProbeCells]]-cell level needs nprobe ≈ IvfProbeCells /
+    * selectivity — the rule production stores size the widening by,
+    * here in exact integer ceil-division (engine and oracle compute
+    * the identical value; no FP ulp can move a cell in or out of the
+    * probe set), clamped to [[[FilteredProbeCells]],
+    * [[MaxFilteredProbeCells]]]. The selectivity input is the
+    * label's corpus frequency — in production a one-row lookup
+    * against the label histogram kept next to the index; here two
+    * scalar aggregates the driver reads like any planner statistic.
+    */
+  private[graft] def filteredAnnBudget(n: Long, nLabel: Long): Int = {
+    val raw = (IvfProbeCells * n + nLabel - 1) / math.max(nLabel, 1L)
+    math.min(MaxFilteredProbeCells.toLong,
+      math.max(FilteredProbeCells.toLong, raw)).toInt
+  }
 
   /** c174 — FILTERED ANN: vector similarity UNDER a metadata
     * predicate — "top-k most similar with label = L" — the query
@@ -1884,27 +1913,44 @@ object NearDup {
     * form runs the predicate INSIDE the probed cells: the
     * inverted-list store carries the filterable attribute next to
     * the vector (written once at index build — the
-    * Milvus/FAISS-with-metadata posture), the probe widens to
-    * [[FilteredProbeCells]] cells, and candidates apply the
-    * predicate row-locally on the pruned cell scan — no corpus join,
-    * no post-hoc k starvation. Here the predicate is "the probe's
-    * own label" (deterministic, no magic constant; the
-    * same-class-retrieval case).
+    * Milvus/FAISS-with-metadata posture), the probe widens by the
+    * predicate's MEASURED selectivity ([[filteredAnnBudget]] —
+    * round-16's fixed 8 became the floor of a data-driven budget:
+    * nprobe ≈ IvfProbeCells/selectivity, integer-exact and clamped),
+    * and candidates apply the predicate row-locally on the pruned
+    * cell scan — no corpus join, no post-hoc k starvation. Here the
+    * predicate is "the probe's own label" (deterministic, no magic
+    * constant; the same-class-retrieval case).
     *
     * Scale shape: identical to c38's probe — centroids broadcast,
     * candidate I/O = nprobe/k of the corpus via runtime partition
     * pruning, predicate and cosine row-local on candidates, top-k
     * fuses. Recall vs the filtered brute force is MEASURED in the
-    * spec (1.0 at both oracle SFs).
+    * spec and in ACCURACY.json's budget curve (the fixed floor vs
+    * the adaptive budget).
     */
   def filteredAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val plabel = emb.where(col("vec_id") === 0).select(col("label")).head.get(0)
+    val nLabel = emb.where(col("label") === lit(plabel)).count()
+    filteredAnnAt(spark, sfDir,
+      filteredAnnBudget(embCount(spark, sfDir), nLabel))
+  }
+
+  /** The c174 probe at an EXPLICIT cell budget — the kernel
+    * [[filteredAnn]] wraps with the adaptive budget; kept
+    * parameterized so the ACCURACY report and the spec can measure
+    * the recall-vs-budget curve at fixed points.
+    */
+  private[graft] def filteredAnnAt(spark: SparkSession, sfDir: String,
+      budget: Int): DataFrame = {
     val emb = Tables.t(spark, sfDir, "embeddings")
     val probeRow = emb.where(col("vec_id") === 0)
       .select(col("embedding").as("probe"), col("label").as("plabel"))
     val topCells = centroidStore(spark, sfDir)
       .crossJoin(broadcast(probeRow.select(col("probe"))))
       .select(col("centroid_id"), round(cosine(col("cent"), col("probe")), 4).as("cell_cos"))
-      .agg(expr(s"slice(array_sort(collect_list(struct(-cell_cos AS nc, centroid_id))), 1, $FilteredProbeCells)")
+      .agg(expr(s"slice(array_sort(collect_list(struct(-cell_cos AS nc, centroid_id))), 1, $budget)")
         .as("top"))
       .select(posexplode(col("top")).as(Seq("r0", "s")))
       .select(col("s.centroid_id").as("cluster"), (col("r0") + 1).cast("long").as("cell_rank"))
@@ -2976,9 +3022,11 @@ object NearDup {
          |ORDER BY probe_id ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin,
 
     // The c174 oracle replays the c38 refined-cell chain at the
-    // widened filtered-probe budget, the probe's own label as the
-    // predicate, and the filtered top-k — a hit from an unprobed
-    // cell, a wrong-label row, or a starved k fails the hash.
+    // SELECTIVITY-ADAPTIVE filtered-probe budget (the same integer
+    // ceil-division rule as filteredAnnBudget, clamped the same way),
+    // the probe's own label as the predicate, and the filtered top-k
+    // — a hit from an unprobed cell, a wrong-label row, a starved k,
+    // or a drifted budget all fail the hash.
     "c174_filtered_ann" ->
       s"""WITH seeds AS (
          |  SELECT vec_id AS centroid_id, embedding AS cent
@@ -2995,6 +3043,10 @@ object NearDup {
          |  ${oKmBest("scored1")}
          |), probe AS (
          |  SELECT embedding AS p, label AS plabel FROM embeddings WHERE vec_id = 0
+         |), budget AS (
+         |  SELECT least($MaxFilteredProbeCells, greatest($FilteredProbeCells,
+         |    ($IvfProbeCells * (SELECT COUNT(*) FROM embeddings) + COUNT(*) - 1) // COUNT(*))) AS np
+         |  FROM embeddings e, probe WHERE e.label = plabel
          |), cells AS (
          |  SELECT centroid_id AS cluster, cell_rank FROM (
          |    SELECT centroid_id,
@@ -3006,7 +3058,7 @@ object NearDup {
          |           * sqrt(list_sum(list_transform(p, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cell_cos
          |      FROM cents1, probe
          |    )
-         |  ) WHERE cell_rank <= $FilteredProbeCells
+         |  ) WHERE cell_rank <= (SELECT np FROM budget)
          |)
          |SELECT e.vec_id, e.label, cells.cell_rank, ROUND(
          |  list_sum(list_transform(range(1, len(e.embedding) + 1),

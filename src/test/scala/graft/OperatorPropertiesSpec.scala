@@ -1094,12 +1094,25 @@ class OperatorPropertiesSpec extends AnyFunSuite {
       val pRow = emb.where(col("vec_id") === 0)
         .select(col("embedding"), col("label")).collect().head
       val plabel = pRow.get(1)
+      // The budget RULE (round 17, selectivity-adaptive): exact
+      // integer ceil-division of IvfProbeCells by the label's corpus
+      // selectivity, clamped to [floor, cap] — recomputed here
+      // independently and pinned against the kernel's value.
+      val n = emb.count()
+      val nLabel = emb.where(col("label") === lit(plabel)).count()
+      val budget = ops.NearDup.filteredAnnBudget(n, nLabel)
+      val rawExpect = (ops.NearDup.IvfProbeCells * n + nLabel - 1) / nLabel
+      assert(budget == math.min(ops.NearDup.MaxFilteredProbeCells.toLong,
+        math.max(ops.NearDup.FilteredProbeCells.toLong, rawExpect)).toInt,
+        "budget drifted from the integer selectivity rule")
+      assert(budget >= ops.NearDup.FilteredProbeCells,
+        "adaptive budget must never narrow below the round-16 floor")
       val out = ops.NearDup.filteredAnn(spark, sf).collect()
         .map(r => (r.getLong(0), r.get(1), r.getLong(2), r.getDouble(3)))
       assert(out.length == ops.NearDup.PqTopK)
       out.foreach { case (id, label, cellRank, _) =>
         assert(label == plabel, s"hit $id violates the predicate: $label != $plabel")
-        assert(cellRank >= 1 && cellRank <= ops.NearDup.FilteredProbeCells)
+        assert(cellRank >= 1 && cellRank <= budget)
       }
       // Recall vs the FILTERED brute force — the quantity the widened
       // probe budget exists to protect.
@@ -1115,8 +1128,16 @@ class OperatorPropertiesSpec extends AnyFunSuite {
         .orderBy(col("cos").desc, col("vec_id").asc)
         .limit(ops.NearDup.PqTopK).collect().map(_.getLong(0)).toSet
       val recall = out.map(_._1).count(exactTop) / exactTop.size.toDouble
-      info(s"c174 filtered recall@${ops.NearDup.PqTopK} at $sf: $recall")
+      info(s"c174 filtered recall@${ops.NearDup.PqTopK} at $sf (nprobe=$budget): $recall")
       assert(recall >= 0.6, s"filtered probe budget too narrow: recall $recall")
+      // The adaptive widening must never LOSE recall vs the round-16
+      // fixed floor (a superset of probed cells can only add
+      // candidates).
+      val floorHits = ops.NearDup
+        .filteredAnnAt(spark, sf, ops.NearDup.FilteredProbeCells)
+        .select("vec_id").collect().map(_.getLong(0)).count(exactTop)
+      assert(out.map(_._1).count(exactTop) >= floorHits,
+        "adaptive budget lost recall vs the fixed floor")
     }
   }
 
