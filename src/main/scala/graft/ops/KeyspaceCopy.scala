@@ -310,6 +310,22 @@ object KeyspaceCopy {
       // artifact the target was created from — and ranges copied
       // under the old schema would not union with ranges copied under
       // the new one. Fail loudly instead.
+      //
+      // 100 TB RUNBOOK (the mid-copy schema-evolution drill,
+      // MigrationSpec "v2 vintage APPEARING mid-copy"): when a new
+      // file vintage lands in the source WHILE a copy is down, REJECT
+      // is the only safe resume — [[rangeCol]] hashes the row-render
+      // over the schema's FIELDS, so v1-completed ranges and
+      // merged-schema ranges are different partitions of the table;
+      // resuming would interleave two incompatible partitionings
+      // under one manifest. Operator options, in order: (a) quarantine
+      // the new vintage files and finish under the original schema —
+      // the manifest stays trustworthy (the refused resume touches
+      // neither it nor the destination) — then copy the quarantined
+      // files as their own delta; or (b) start a fresh manifest dir
+      // and re-copy the affected table under the merged schema
+      // (proven a18-green in the drill). Never hand-edit keyspace.ddl
+      // to force a resume.
       val pinned = new String(
         java.nio.file.Files.readAllBytes(ddlFile.toPath),
         java.nio.charset.StandardCharsets.UTF_8)

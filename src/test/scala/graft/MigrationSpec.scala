@@ -740,6 +740,92 @@ class MigrationSpec extends AnyFunSuite {
       s"v1 content drifted across the copy: $srcV1Sum vs $dstV1Sum")
   }
 
+  test("composed copyKeyspace: a v2 vintage APPEARING mid-copy is rejected at resume; the runbook verdict is fresh-manifest re-copy, proven green") {
+    // The round-16 two-vintage drill copied a source that was ALREADY
+    // two-vintage; this is the nastier sequencing — the copy is killed
+    // after range k, the v2 files land in the source WHILE the copy is
+    // down, and the resume must not silently continue: the pinned
+    // bootstrap DDL no longer matches the (now widened) discovered
+    // schema, and — decisive for the verdict — the range hash is
+    // computed over the row-render of the SCHEMA'S fields, so ranges
+    // completed under v1 and ranges that would be copied under the
+    // merged schema are DIFFERENT partitions of the table. REJECT is
+    // therefore correct (resuming would interleave two incompatible
+    // range partitionings under one manifest); the runbook answer is a
+    // fresh manifest dir + full re-copy of the affected table under
+    // the merged schema, proven a18-green below.
+    import graft.sources._
+    import org.apache.spark.sql.functions.{col, substring, md5, concat, lit}
+    val base = java.nio.file.Files.createTempDirectory("graft_midcopy_evo").toFile
+    graft.streaming.Streams.trackTmpDir(base.toString)
+    val srcDir = new java.io.File(base, "src").toString
+    val dstDir = new java.io.File(base, "dst").toString
+    val manDir = new java.io.File(base, "man").toString
+    new java.io.File(srcDir).mkdirs()
+    val o = Tables.t(spark, TestSpark.sf0001, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val isV1 = substring(md5(concat(lit("evo:"),
+      col("o_orderkey").cast("string"))), 1, 1) < "8"
+    o.where(isV1).drop("o_orderstatus")
+      .write.mode("overwrite").parquet(s"$srcDir/orders.parquet")
+    // Run 1 over the v1-only source, killed after 2 of 4 ranges.
+    final class KillAfter(underlying: TableSink, allow: Int) extends TableSink {
+      var ok = 0
+      def write(df: org.apache.spark.sql.DataFrame, t: String,
+          o2: Map[String, String]): Unit = {
+        if (ok >= allow) throw new RuntimeException("sink lost mid-copy")
+        underlying.write(df, t, o2); ok += 1
+      }
+    }
+    val srcV1 = new ParquetSource(srcDir, mergeSchema = true)
+    intercept[RuntimeException] {
+      graft.ops.Migration.copyKeyspace(spark, srcV1,
+        new KillAfter(new ParquetSink(dstDir), allow = 2),
+        new ParquetSource(dstDir), WriteConf(), manDir, nRanges = 4)
+    }
+    val afterKill = graft.ops.KeyspaceCopy.readManifest(manDir)
+    assert(afterKill.nonEmpty && afterKill.size < 4,
+      s"the kill must leave work pending: ${afterKill.size}")
+    // The v2 vintage lands while the copy is down.
+    o.where(!isV1)
+      .write.mode("append").parquet(s"$srcDir/orders.parquet")
+    // Resume under the widened schema: REFUSED before any write, and
+    // the kill-run manifest is left intact (trustworthy for a resume
+    // under the ORIGINAL vintage set, e.g. after quarantining the v2
+    // files).
+    final class Recording(underlying: TableSink) extends TableSink {
+      val written = scala.collection.mutable.ArrayBuffer.empty[String]
+      def write(df: org.apache.spark.sql.DataFrame, t: String,
+          o2: Map[String, String]): Unit = {
+        written += t; underlying.write(df, t, o2)
+      }
+    }
+    val rec = new Recording(new ParquetSink(dstDir))
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Migration.copyKeyspace(spark,
+        new ParquetSource(srcDir, mergeSchema = true), rec,
+        new ParquetSource(dstDir), WriteConf(), manDir, nRanges = 4)
+    }
+    assert(e.getMessage.contains("schema drifted"), e.getMessage)
+    assert(rec.written.isEmpty, "refused resume must write nothing")
+    assert(graft.ops.KeyspaceCopy.readManifest(manDir) == afterKill,
+      "refused resume must not touch the manifest")
+    // The runbook verdict applied: fresh manifest + fresh destination,
+    // full re-copy under the merged schema — parity green, v1 rows
+    // NULL-status, nothing lost.
+    val dst2 = new java.io.File(base, "dst2").toString
+    val man2 = new java.io.File(base, "man2").toString
+    val r = graft.ops.Migration.copyKeyspace(spark,
+      new ParquetSource(srcDir, mergeSchema = true), new ParquetSink(dst2),
+      new ParquetSource(dst2), WriteConf(), man2, nRanges = 4)
+    assert(r.ok, s"fresh-manifest re-copy parity: ${r.verify}")
+    val landed = r.ranges.map(u => new ParquetSource(dst2).read(spark,
+        graft.ops.KeyspaceCopy.rangeTable(u.table, u.range)))
+      .reduce(_ unionByName _)
+    assert(landed.count() == o.count())
+    assert(landed.where(col("o_orderstatus").isNull).count() == o.where(isV1).count())
+  }
+
   test("ParquetSource: a missing source directory fails loudly at discovery, naming the path") {
     import graft.sources._
     val e = intercept[IllegalArgumentException] {
