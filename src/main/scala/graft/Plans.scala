@@ -324,7 +324,22 @@ object Plans {
         ("Batched IVF: probe batch broadcasts; per-probe cell rank and " +
           "per-probe top-3 both execute as WindowGroupLimit (probe-bounded, " +
           "map-side pre-prune); ONE DPP-pruned inverted-list scan serves " +
-          "the union of probed cells; no cartesian, no corpus-wide window."))
+          "the union of probed cells; no cartesian, no corpus-wide window."),
+      "c177_incremental_index_ingest" ->
+        ("Ingest ledger: two broadcast-assignment passes (centroids " +
+          "broadcast, per-vector min_by argmax collapses map-side), two " +
+          "map-side-combined cell-count HashAggregates, ONE cells-sized " +
+          "full outer join; growth/flag row-local; no corpus-sized " +
+          "shuffle beyond the two count exchanges."),
+      "c178_index_apply_ingest" ->
+        ("Apply-ingest audit: per-cell occupancy read FROM the published " +
+          "segments — two cluster-partitioned file scans unioned, one " +
+          "map-side-combined HashAggregate; NO join anywhere (the ingest " +
+          "write itself was increment-sized and ran at store-build time)."),
+      "c179_index_rebuild_swap" ->
+        ("Rebuild-swap audit: one scan of the swapped generation-2 lists " +
+          "+ one cells-sized HashAggregate; the retrain cost lives in the " +
+          "flag-gated store write, never in the serving query."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans` on ")
       .append(sfDir).append(")\n\n")
@@ -336,6 +351,44 @@ object Plans {
         org.apache.spark.sql.execution.FormattedMode)
       sb.append(s"\n## $key\n\n**Expected shape:** $expectation\n\n```\n")
         .append(formatted).append("```\n")
+    }
+    // The streaming serving/ingest keys are audited through their
+    // per-micro-batch KERNELS (running the stream here would audit
+    // only the final sink read): what executes per trigger IS these
+    // plans; the streaming wrapper adds only a foreachBatch parquet
+    // append.
+    locally {
+      import org.apache.spark.sql.functions.col
+      import graft.ops.NearDup
+      val kernelAudits = Seq(
+        ("c176_stream_ann_probe (per-micro-batch kernel = c175's)",
+          "Every trigger runs the c175 kernel against the static store: " +
+            "ONE DPP-pruned inverted-list scan for the batch's probe-cell " +
+            "union, probe-bounded WindowGroupLimits; no state store.",
+          () => NearDup.batchAnnIvfOf(spark, sfDir,
+            Tables.t(spark, sfDir, "embeddings").where(col("vec_id") < 10)
+              .select(col("vec_id").as("probe_id"), col("embedding").as("pe")))),
+        ("c180_stream_index_ingest (per-micro-batch kernel)",
+          "Every trigger assigns ITS arrivals to the broadcast persisted " +
+            "centroids (map-side min_by argmax) and emits one cells-sized " +
+            "count aggregate; no state store, no cross-batch window — the " +
+            "read-side merge is the c177 ledger join audited above.",
+          () => {
+            NearDup.writeIngestBaseStore(spark, sfDir)
+            NearDup.kmAssign(
+              Tables.t(spark, sfDir, "embeddings").where(NearDup.ingestIsNew)
+                .select(col("vec_id"), col("embedding")),
+              NearDup.ingestCentroids(spark, sfDir))
+              .groupBy(col("cluster"))
+              .agg(org.apache.spark.sql.functions.count(
+                org.apache.spark.sql.functions.lit(1)).as("n_new"))
+          }))
+      kernelAudits.foreach { case (title, expectation, mk) =>
+        val formatted = mk().queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        sb.append(s"\n## $title\n\n**Expected shape:** $expectation\n\n```\n")
+          .append(formatted).append("```\n")
+      }
     }
     Files.writeString(Paths.get(out), sb.toString)
     println(s"wrote ${audited.size} plans to $out")

@@ -299,6 +299,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("c177: ingest ledger — broadcast assignment argmax, map-side cell counts, no corpus-sized shuffle join") {
+    val p = plan(NearDup.incrementalIndexIngest(spark, sf))
+    assert(p.contains("Broadcast"), s"centroids must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // Both count aggregates must partial-aggregate map-side.
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("c178: apply-ingest occupancy — segment scans read ONLY the partition column, one aggregate, NO join") {
+    val df = NearDup.indexApplyIngest(spark, sf)
+    val p = plan(df)
+    assert(p.contains("seg0.parquet") && p.contains("seg1.parquet"),
+      s"must read both published segments:\n$p")
+    // The occupancy query is pure partition-column metadata: no data
+    // column may be read (ReadSchema empty on both scans) and no join
+    // may appear anywhere.
+    assert(p.contains("ReadSchema: struct<>"), s"segment scan reads data columns:\n$p")
+    assert(!p.contains("Join"), s"occupancy must not join:\n$p")
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("c179: rebuild-swap occupancy — one gen-2 scan, one aggregate, no join; the rebuild lives in the store write") {
+    val p = plan(NearDup.indexRebuildSwap(spark, sf))
+    assert(p.contains("lists_g2.parquet"), s"must read the swapped generation:\n$p")
+    assert(!p.contains("seg0.parquet") && !p.contains("seg1.parquet"),
+      s"gen-2 serving must not touch gen-1 segments:\n$p")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("ReadSchema: struct<>"), s"gen-2 scan reads data columns:\n$p")
+  }
+
   test("c35: releases its embeddings working-set cache (no persist leak)") {
     NearDup.kmeansIterate(spark, sf).queryExecution.toRdd.count()
     // CacheManager matches by logical plan: if the emb cache leaked,
