@@ -2013,6 +2013,94 @@ object NearDup {
       .orderBy("probe_id", "rn")
   }
 
+  /** MMR trade-off weight λ as an exact RATIONAL (Carbonell &
+    * Goldstein 1998 — public; λ=0.7 is the common relevance-leaning
+    * default): the greedy score is computed as 7·R − 3·P in integer
+    * units of 1e-5 (R, P = the r4-rounded rel/penalty × 10⁴, exact
+    * integers), the [[IngestRetrainDen]] cross-multiplication
+    * discipline — a 0.7·rel double product would sit EXACTLY on a
+    * ROUND(·,4) decimal boundary whenever rel's 4th digit is 5, the
+    * one place engine rounding conventions can disagree.
+    */
+  private[graft] val MmrLambdaNum = 7
+  private[graft] val MmrLambdaDen = 10
+  private[graft] val MmrPool = 12
+  private[graft] val MmrK = 5
+
+  /** c181 — MMR DIVERSIFIED RE-RANK (Maximal Marginal Relevance,
+    * Carbonell & Goldstein 1998 — public): the post-retrieval step a
+    * RAG serving stack runs so the k passages handed to the model
+    * aren't five near-copies of the same chunk — greedily pick the
+    * candidate maximizing λ·rel(q,v) − (1−λ)·max_{s∈selected}
+    * sim(v,s). Dedup (c12/c47) removes duplicates from the CORPUS;
+    * MMR removes redundancy from each ANSWER — both exist in
+    * production because near-dups survive any τ threshold.
+    *
+    * Scale shape: the corpus is touched exactly ONCE (the c4
+    * broadcast-probe top-[[MmrPool]] pool, TakeOrderedAndProject);
+    * everything after is pool-bounded — the pool and its pairwise
+    * sim table are materialized via localCheckpoint (12 and 132
+    * rows), and the [[MmrK]] greedy steps are each a broadcast-join
+    * argmax over ≤12 rows. Determinism: rel and sims rounded r4, the
+    * MMR score recomputed from rounded inputs with one shared
+    * formula, (mmr DESC, vec_id ASC) tiebreak at every step — the
+    * oracle unrolls the identical greedy chain.
+    */
+  def mmrRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val probe = emb.where(col("vec_id") === 0).select(col("embedding").as("probe"))
+    val cands = emb.crossJoin(broadcast(probe))
+      .where(col("vec_id") =!= 0)
+      .select(col("vec_id"), round(cosine(col("embedding"), col("probe")), 4).as("rel"),
+        col("embedding"))
+      .orderBy(col("rel").desc, col("vec_id").asc)
+      .limit(MmrPool)
+      .localCheckpoint(true)
+    val sims = cands.select(col("vec_id").as("a_id"), col("embedding").as("ae"))
+      .join(cands.select(col("vec_id").as("b_id"), col("embedding").as("be")),
+        col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), round(cosine(col("ae"), col("be")), 4).as("s"))
+      .localCheckpoint(true)
+    // Integer fixed-point units: rel/penalty are r4-rounded, so ×10⁴
+    // is integer-valued to within an ulp and ROUND + cast recovers
+    // the exact integer in both engines. The greedy score 7R − 3P is
+    // then pure integer arithmetic (no decimal boundary exists), and
+    // the emitted mmr double = units / 10⁵ is one identical IEEE
+    // division everywhere.
+    val relOnly = cands.select(col("vec_id"), col("rel"),
+      round(col("rel") * 10000).cast("long").as("rel_u"))
+    val unitsOf = (relU: Column, penU: Column) =>
+      lit(MmrLambdaNum.toLong) * relU -
+        lit((MmrLambdaDen - MmrLambdaNum).toLong) * penU
+    var selected = List.empty[DataFrame]
+    val picks = (1 to MmrK).map { i =>
+      val pick =
+        if (selected.isEmpty)
+          relOnly.select(col("vec_id"), col("rel"),
+            unitsOf(col("rel_u"), lit(0L)).as("units"))
+            .orderBy(col("units").desc, col("vec_id").asc).limit(1)
+        else {
+          val selIds = selected.map(_.select(col("vec_id").as("sel_id")))
+            .reduce(_ unionByName _)
+          val pen = sims.join(broadcast(selIds), col("b_id") === col("sel_id"))
+            .groupBy(col("a_id"))
+            .agg(max(round(col("s") * 10000).cast("long")).as("pen_u"))
+          relOnly
+            .join(broadcast(selIds), col("vec_id") === col("sel_id"), "left_anti")
+            .join(broadcast(pen.withColumnRenamed("a_id", "vec_id")), Seq("vec_id"))
+            .select(col("vec_id"), col("rel"),
+              unitsOf(col("rel_u"), col("pen_u")).as("units"))
+            .orderBy(col("units").desc, col("vec_id").asc).limit(1)
+        }
+      val p = pick.localCheckpoint(true)
+      selected ::= p
+      p.select(lit(i.toLong).as("rank"), col("vec_id"), col("rel"),
+        (col("units").cast("double") / 100000.0).as("mmr"))
+    }
+    picks.reduce(_ unionByName _).orderBy("rank")
+  }
+
   /** Retrain-signal threshold for c177: a cell whose ingested mass
     * exceeds base/4 (25% growth) flags for retrain — integer
     * cross-multiplied so the flag can never flip on an FP ulp.
@@ -2731,6 +2819,7 @@ object NearDup {
     "c177_incremental_index_ingest" -> (incrementalIndexIngest(_, _)),
     "c178_index_apply_ingest" -> (indexApplyIngest(_, _)),
     "c179_index_rebuild_swap" -> (indexRebuildSwap(_, _)),
+    "c181_mmr_rerank" -> (mmrRerank(_, _)),
     "c19_batch_ann_topk" -> (batchAnnTopk(_, _)),
     "c79_hard_negatives" -> (hardNegatives(_, _))
   )
@@ -2860,6 +2949,59 @@ object NearDup {
          |  ROUND(sqrt(${Canon.oDsum("d2")}), 4) AS recon_err
          |FROM best GROUP BY vec_id
          |ORDER BY vec_id ASC NULLS FIRST""".stripMargin,
+    // The c181 oracle unrolls the identical greedy chain (the c35
+    // unrolled-rounds discipline, machine-generated per step so the
+    // steps cannot drift): top-pool candidates, pairwise sims, then
+    // sel_i = integer-units argmax over the not-yet-selected pool
+    // against the union of prior selections.
+    "c181_mmr_rerank" -> {
+      def oCos(a: String, b: String) =
+        s"""ROUND(
+           |      list_sum(list_transform(range(1, len($a) + 1),
+           |        i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+           |      / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           |        * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)""".stripMargin
+      val lamN = MmrLambdaNum
+      val lamC = MmrLambdaDen - MmrLambdaNum
+      val selSteps = (2 to MmrK).map { i =>
+        val prior = (1 until i).map(j => s"SELECT vec_id FROM sel$j")
+          .mkString(" UNION ALL ")
+        s"""sel$i AS (
+           |  SELECT CAST($i AS BIGINT) AS rank, c.vec_id, c.rel,
+           |    $lamN * c.rel_u - $lamC * p.pen_u AS units
+           |  FROM cands c JOIN (
+           |    SELECT a_id, MAX(CAST(ROUND(s * 10000) AS BIGINT)) AS pen_u
+           |    FROM sims WHERE b_id IN ($prior) GROUP BY a_id
+           |  ) p ON c.vec_id = p.a_id
+           |  WHERE c.vec_id NOT IN ($prior)
+           |  ORDER BY units DESC NULLS LAST, c.vec_id ASC LIMIT 1
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+         |cands AS (
+         |  SELECT vec_id, rel, CAST(ROUND(rel * 10000) AS BIGINT) AS rel_u, embedding
+         |  FROM (
+         |    SELECT e.vec_id, ${oCos("e.embedding", "p")} AS rel, e.embedding
+         |    FROM embeddings e, probe WHERE e.vec_id != 0
+         |    ORDER BY rel DESC NULLS LAST, e.vec_id ASC LIMIT $MmrPool
+         |  )
+         |),
+         |sims AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    ${oCos("a.embedding", "b.embedding")} AS s
+         |  FROM cands a JOIN cands b ON a.vec_id != b.vec_id
+         |),
+         |sel1 AS (
+         |  SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel, $lamN * rel_u AS units
+         |  FROM cands ORDER BY units DESC NULLS LAST, vec_id ASC LIMIT 1
+         |),
+         |$selSteps
+         |SELECT rank, vec_id, rel, CAST(units AS DOUBLE) / 100000.0 AS mmr FROM (
+         |${(1 to MmrK).map(i => s"  SELECT * FROM sel$i").mkString("\n  UNION ALL\n")}
+         |)
+         |ORDER BY rank ASC NULLS FIRST""".stripMargin
+    },
+
     // The c178 oracle replays what the SEGMENTED STORE must contain
     // after the ingest is applied: the c177 base-trained chain, both
     // fixed-centroid assignments, and the per-cell base/ingested/total

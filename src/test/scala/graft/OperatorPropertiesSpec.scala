@@ -1159,6 +1159,57 @@ class OperatorPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("c181: MMR greedy chain recomputed independently in Scala matches pick-for-pick; picks are distinct pool members") {
+    import graft.functions.ArrayDot.adot
+    for (sf <- Seq(TestSpark.sf0001, TestSpark.sf001)) {
+      val out = ops.NearDup.mmrRerank(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      assert(out.map(_._1).toSeq == (1L to ops.NearDup.MmrK.toLong))
+      assert(out.map(_._2).distinct.length == out.length, "a pick repeats")
+      // Independent greedy replay on the collected pool (the c169
+      // two-implementations discipline): exact top-pool by r4 cosine,
+      // pairwise r4 sims, integer-units argmax per step.
+      val emb = Tables.t(spark, sf, "embeddings")
+      val probe = emb.where(col("vec_id") === 0).select(col("embedding").as("pe"))
+      def cosC(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        round(adot(a, b) / (sqrt(adot(a, a)) * sqrt(adot(b, b))), 4)
+      val pool = emb.where(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+        .select(col("vec_id"), cosC(col("embedding"), col("pe")).as("rel"),
+          col("embedding"))
+        .orderBy(col("rel").desc, col("vec_id").asc)
+        .limit(ops.NearDup.MmrPool).collect()
+        .map(r => (r.getLong(0), r.getDouble(1),
+          r.getSeq[Float](2).toArray))
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        def dot(x: Array[Float], y: Array[Float]) =
+          x.indices.map(i => x(i).toDouble * y(i).toDouble).sum
+        BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val relU = pool.map { case (id, rel, _) =>
+        id -> math.round(rel * 10000) }.toMap
+      var sel = List.empty[Long]
+      val expect = (1 to ops.NearDup.MmrK).map { _ =>
+        val cand = pool.filterNot(p => sel.contains(p._1)).map { case (id, _, e) =>
+          val penU =
+            if (sel.isEmpty) 0L
+            else sel.map(s => math.round(
+              cos(e, pool.find(_._1 == s).get._3) * 10000)).max
+          id -> (7L * relU(id) - 3L * penU)
+        }
+        val pick = cand.minBy { case (id, u) => (-u, id) }
+        sel ::= pick._1
+        (pick._1, pick._2)
+      }
+      out.zip(expect).foreach { case ((rk, id, _, mmr), (eid, eu)) =>
+        assert(id == eid, s"rank $rk picked $id, independent greedy says $eid")
+        assert(mmr == eu.toDouble / 100000.0, s"rank $rk mmr drifted")
+      }
+      // Rank 1 is the pure-relevance top-1 (no penalty yet).
+      assert(out.head._2 == pool.head._1)
+    }
+  }
+
   test("c178: the served segment union IS the corpus, and a gen-1 probe retrieves INGESTED vectors without retrain") {
     for (sf <- Seq(TestSpark.sf0001, TestSpark.sf001)) {
       val emb = Tables.t(spark, sf, "embeddings")
