@@ -1696,7 +1696,108 @@ object Insights {
 
   // --- registry ----------------------------------------------------
 
+  /** c183 bin count, and the ONE machine-generated WOE formula text
+    * that feeds BOTH engines (the a18/c78/c171 shared-spec
+    * discipline): Laplace-smoothed log-odds of the bin's event share
+    * vs its non-event share. Inputs are integer counts, so the
+    * expression is engine-identical up to the shared `ln`.
+    */
+  private[graft] val WoeBins = 10
+  // CAST ... AS DOUBLE before the +0.5: a bare `n_pos + 0.5` promotes
+  // BIGINT + DECIMAL(1,1) to DECIMAL arithmetic whose division SCALE
+  // rules are engine-specific (measured: a 7th-decimal drift that
+  // flipped one r4 rounding at sf0.1); all-double keeps both engines
+  // on identical IEEE ops.
+  private[graft] val woeSql: String =
+    "ln(((CAST(n_pos AS DOUBLE) + 0.5) / pos_tot) / ((CAST(n_neg AS DOUBLE) + 0.5) / neg_tot))"
+  private[graft] val ivSql: String =
+    s"(CAST(n_pos AS DOUBLE) / pos_tot - CAST(n_neg AS DOUBLE) / neg_tot) * ($woeSql)"
+
+  /** c183 — WEIGHT-OF-EVIDENCE feature binning (the credit-scoring /
+    * feature-engineering classic — Siddiqi's scorecard formulation,
+    * public): bin a numeric feature, score each bin by the
+    * log-odds of event vs non-event concentration (WOE), and weight
+    * the per-bin divergence into the feature's Information Value —
+    * the "is this feature predictive, and where" audit a training
+    * pipeline runs before model fitting. Feature = order total
+    * price; event = urgent priority.
+    *
+    * Determinism at the bin boundary is the whole trick: bins are
+    * EQUAL-WIDTH over exact integer cents ((cents − lo) div width,
+    * width = (hi − lo) div 10 + 1 — pure integer arithmetic, no FP
+    * boundary can move a row between engines; the quantile-binned
+    * variant would need a global sort the c28 histogram path
+    * deliberately avoids). Scale shape: one scan + a 2-value
+    * min/max broadcast + a ≤10-group map-side-combined aggregate;
+    * the WOE/IV math runs on the 10-row bin table.
+    */
+  def woeBinning(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.t(spark, sfDir, "orders")
+      .select(round(col("o_totalprice") * 100).cast("long").as("cents"),
+        (col("o_orderpriority") === "1-URGENT").as("pos"))
+    val bounds = o.agg(min("cents").as("lo"), max("cents").as("hi"))
+    val agg = o.crossJoin(broadcast(bounds))
+      .select(expr(s"(cents - lo) div ((hi - lo) div $WoeBins + 1)").as("bin"),
+        col("pos"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("n_neg"))
+    val tot = agg.agg(sum(col("n_pos")).as("pos_tot"), sum(col("n_neg")).as("neg_tot"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("n_pos"), col("n_neg"),
+        round(expr(woeSql), 4).as("woe"),
+        round(expr(ivSql), 4).as("iv"))
+      .orderBy("bin")
+  }
+
+  /** c184 embargo width DENOMINATOR: the dropped band is
+    * (hi − lo) div 20 — 5% of the observed span, integer µs — so the
+    * band is non-vacuous at every fixture SF (a fixed 1-hour band
+    * measured empty at sf0.001, where the mean event gap is ~43 min).
+    * In production the width is the autocorrelation/label horizon;
+    * the span-proportional default is the fixture-safe stand-in.
+    */
+  private[graft] val EmbargoDen = 20
+
+  /** c184 — TEMPORAL train/test split with an EMBARGO gap (the purged
+    * time split of financial ML — López de Prado's purging/embargo,
+    * public — and of any forecasting eval): a hash split (c32) is
+    * WRONG for time-ordered data because train rows later than the
+    * test window leak the future, and rows immediately before the
+    * cut leak through autocorrelation/session overlap; the fix is a
+    * time cut PLUS a dropped embargo band just before it. Completes
+    * the leakage-control family: c32 (iid hash), c168 (near-dup
+    * cluster-safe), this (temporal).
+    *
+    * Determinism: the cut is lo + (hi−lo)·4 div 5 and the embargo
+    * band [cut − (hi−lo) div [[EmbargoDen]], cut) — pure integer µs
+    * arithmetic on the min/max broadcast, no FP anywhere. Scale
+    * shape: one scan + a 2-value broadcast + a 3-group aggregate;
+    * the split column composes with any training-set scan as a
+    * pushed-down predicate.
+    */
+  def temporalSplitEmbargo(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.t(spark, sfDir, "events")
+    val e = ev.select(col("user_id"), Tables.tsUs(ev).as("ts_us"))
+    val bounds = e.agg(min("ts_us").as("lo"), max("ts_us").as("hi"))
+    e.crossJoin(broadcast(bounds))
+      .withColumn("cut", expr("lo + ((hi - lo) * 4) div 5"))
+      .withColumn("emb", expr(s"(hi - lo) div $EmbargoDen"))
+      .withColumn("split",
+        when(col("ts_us") >= col("cut"), lit("test"))
+          .when(col("ts_us") >= col("cut") - col("emb"), lit("embargo_dropped"))
+          .otherwise(lit("train")))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min("ts_us").as("min_ts_us"), max("ts_us").as("max_ts_us"))
+      .orderBy("split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c184_temporal_split_embargo" -> (temporalSplitEmbargo(_, _)),
+    "c183_woe_binning" -> (woeBinning(_, _)),
     "b77_interval_coalesce" -> (intervalCoalesce(_, _)),
     "b78_resample_ffill" -> (resampleFfill(_, _)),
     "c121_kmv_pair_overlap" -> (kmvPairOverlap(_, _)),
@@ -1779,6 +1880,50 @@ object Insights {
     }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    // The c184 oracle replays the integer cut/embargo arithmetic and
+    // the three-way classification verbatim.
+    "c184_temporal_split_embargo" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+         |b AS (SELECT MIN(ts_us) AS lo, MAX(ts_us) AS hi FROM e),
+         |s AS (
+         |  SELECT user_id, ts_us,
+         |    CASE WHEN ts_us >= lo + ((hi - lo) * 4) // 5 THEN 'test'
+         |         WHEN ts_us >= lo + ((hi - lo) * 4) // 5 - (hi - lo) // $EmbargoDen
+         |           THEN 'embargo_dropped'
+         |         ELSE 'train' END AS split
+         |  FROM e CROSS JOIN b
+         |)
+         |SELECT split, COUNT(*) AS n_events,
+         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         |  MIN(ts_us) AS min_ts_us, MAX(ts_us) AS max_ts_us
+         |FROM s GROUP BY split
+         |ORDER BY split ASC NULLS FIRST""".stripMargin,
+
+    // The c183 oracle replays integer-cents binning and the SHARED
+    // WOE/IV formula texts verbatim — a moved bin boundary or a
+    // drifted smoothing constant fails the hash.
+    "c183_woe_binning" ->
+      s"""WITH o AS (
+         |  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         |    o_orderpriority = '1-URGENT' AS pos
+         |  FROM orders
+         |), b AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM o),
+         |agg AS (
+         |  SELECT (cents - lo) // ((hi - lo) // $WoeBins + 1) AS bin,
+         |    COUNT(*) AS n,
+         |    CAST(COUNT(*) FILTER (WHERE pos) AS BIGINT) AS n_pos,
+         |    CAST(COUNT(*) FILTER (WHERE NOT pos) AS BIGINT) AS n_neg
+         |  FROM o CROSS JOIN b GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(SUM(n_pos) AS BIGINT) AS pos_tot,
+         |    CAST(SUM(n_neg) AS BIGINT) AS neg_tot FROM agg
+         |)
+         |SELECT bin, n, n_pos, n_neg,
+         |  ROUND($woeSql, 4) AS woe,
+         |  ROUND($ivSql, 4) AS iv
+         |FROM agg CROSS JOIN tot
+         |ORDER BY bin ASC NULLS FIRST""".stripMargin,
+
     "b77_interval_coalesce" ->
       s"""WITH iv AS (
          |  SELECT user_id, event_id, epoch_us(ts) AS s,

@@ -1134,7 +1134,57 @@ object TextAnalysis {
       .orderBy("actual_lang", "predicted_lang")
   }
 
+  /** c182 vocabulary and output bounds: PMI runs on the top-[[PmiVocab]]
+    * terms by document frequency (df-desc, term-asc tiebreak — the
+    * boundary is deterministic in both engines) and emits the top
+    * [[PmiTopPairs]] pairs.
+    */
+  private[graft] val PmiVocab = 50
+  private[graft] val PmiTopPairs = 30
+
+  /** c182 — TERM CO-OCCURRENCE PMI (Church & Hanks 1990 — public):
+    * pointwise mutual information ln(p(a,b) / (p(a)·p(b))) over
+    * document-level co-occurrence — the classic association measure
+    * behind collocation/phrase mining and the lexical-association
+    * audit a corpus curation runs (which term pairs travel together
+    * far more than chance — boilerplate templates, mined phrases,
+    * topic markers).
+    *
+    * Scale shape: the corpus-sized work is ONE token scan collapsed
+    * to distinct (doc, term) presence; everything pair-shaped is
+    * VOCABULARY-bounded (the c53 discipline) — the top-50 df vocab
+    * broadcasts back onto the presence stream, the per-doc pair
+    * fan-out is ≤ C(50,2) rows before the map-side-combined pair
+    * count, and the result is a ≤1225-row table at any corpus size.
+    * PMI's ln runs on integer counts (engine-identical, the c8 idf
+    * convention), r4-rounded; ties at the top-30 cut break
+    * lexicographically.
+    */
+  def termPmi(spark: SparkSession, sfDir: String): DataFrame = {
+    val docTerms = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .distinct()
+    val vocab = docTerms.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("w").asc).limit(PmiVocab)
+    val vt = docTerms.join(broadcast(vocab), "w")
+    val pairs = vt.select(col("doc_id"), col("w").as("term_a"), col("df").as("df_a"))
+      .join(vt.select(col("doc_id"), col("w").as("term_b"), col("df").as("df_b")),
+        Seq("doc_id"))
+      .where(col("term_a") < col("term_b"))
+      .groupBy(col("term_a"), col("term_b"), col("df_a"), col("df_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= 2)
+    val n = Tables.t(spark, sfDir, "documents").agg(count(lit(1)).as("n_docs"))
+    pairs.crossJoin(broadcast(n))
+      .select(col("term_a"), col("term_b"), col("df_a"), col("df_b"), col("n_ab"),
+        round(log(col("n_ab").cast("double") * col("n_docs") /
+          (col("df_a") * col("df_b"))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("term_a").asc, col("term_b").asc)
+      .limit(PmiTopPairs)
+  }
+
   val queries: Map[String, Q] = Map(
+    "c182_term_pmi" -> (termPmi(_, _)),
     "c153_auc_exact" -> (aucExact(_, _)),
     "c154_calibration_bins" -> (calibrationBins(_, _)),
     "c156_lang_confusion" -> (langConfusion(_, _)),
@@ -1217,6 +1267,35 @@ object TextAnalysis {
        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // The c182 oracle replays presence → df → the top-vocab cut →
+    // vocab-bounded pair counts → the integer-count ln, with the same
+    // tiebreaks at both deterministic cuts.
+    "c182_term_pmi" ->
+      s"""WITH words AS (
+         |  SELECT DISTINCT doc_id, w FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+         |  )
+         |), df AS (
+         |  SELECT w, COUNT(*) AS df FROM words GROUP BY w
+         |), vocab AS (
+         |  SELECT w, df FROM (
+         |    SELECT w, df, row_number() OVER (
+         |      ORDER BY df DESC NULLS LAST, w ASC) AS rn FROM df
+         |  ) WHERE rn <= $PmiVocab
+         |), vt AS (
+         |  SELECT doc_id, w, df FROM words JOIN vocab USING (w)
+         |), pairs AS (
+         |  SELECT a.w AS term_a, b.w AS term_b, a.df AS df_a, b.df AS df_b,
+         |    COUNT(*) AS n_ab
+         |  FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.w < b.w
+         |  GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 2
+         |), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+         |SELECT term_a, term_b, df_a, df_b, n_ab,
+         |  ROUND(ln(CAST(n_ab AS DOUBLE) * n_docs / (df_a * df_b)), 4) AS pmi
+         |FROM pairs CROSS JOIN n
+         |ORDER BY pmi DESC NULLS LAST, term_a ASC NULLS FIRST, term_b ASC NULLS FIRST
+         |LIMIT $PmiTopPairs""".stripMargin,
+
     "c100_linear_quality_gate" ->
       s"""$lqOracleCte
          |SELECT doc_id, lang, n_tokens, score, keep FROM lq

@@ -593,4 +593,57 @@ class InsightsSpec extends AnyFunSuite {
       }, s"dropped ($pr,$sz) is not dominated")
     }
   }
+
+  test("c183: bins partition every order; WOE/IV recomputed independently for every bin") {
+    val out = Insights.woeBinning(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    val orders = Tables.t(spark, sf, "orders")
+      .select(col("o_totalprice"), col("o_orderpriority")).collect()
+      .map(r => (math.round(r.getDouble(0) * 100), r.getString(1) == "1-URGENT"))
+    assert(out.map(_._2).sum == orders.length, "bins must partition every order")
+    assert(out.forall(b => b._1 >= 0 && b._1 < Insights.WoeBins))
+    // Independent replay: integer-cents equal-width bins, smoothed
+    // log-odds, IV contribution — per bin, bit for bit.
+    val lo = orders.map(_._1).min; val hi = orders.map(_._1).max
+    val width = (hi - lo) / Insights.WoeBins + 1
+    val byBin = orders.groupBy { case (c, _) => (c - lo) / width }
+    val posTot = orders.count(_._2).toLong
+    val negTot = orders.length - posTot
+    out.foreach { case (bin, n, nPos, nNeg, woe, iv) =>
+      val rows = byBin(bin)
+      assert(n == rows.length && nPos == rows.count(_._2) && nNeg == rows.count(!_._2))
+      val w = math.log(((nPos.toDouble + 0.5) / posTot) / ((nNeg.toDouble + 0.5) / negTot))
+      def r4(d: Double) = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(woe == r4(w), s"bin $bin woe drifted: $woe vs ${r4(w)}")
+      assert(iv == r4((nPos.toDouble / posTot - nNeg.toDouble / negTot) * w))
+    }
+    // The event concentrates somewhere: at least one bin carries a
+    // non-zero IV contribution, or the audit is vacuous.
+    assert(out.exists(_._6 != 0.0), "every bin has zero IV — test vacuous")
+  }
+
+  test("c184: the temporal split is leakage-free — train ends a full embargo before test begins, and all three buckets are populated") {
+    for (sfd <- Seq(TestSpark.sf0001, TestSpark.sf001)) {
+      val out = Insights.temporalSplitEmbargo(spark, sfd).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+      assert(out.keySet == Set("train", "embargo_dropped", "test"),
+        s"missing bucket at $sfd: ${out.keySet}")
+      val ev = Tables.t(spark, sfd, "events")
+      val all = ev.select(Tables.tsUs(ev).as("t")).collect().map(_.getLong(0))
+      assert(out.values.map(_._1).sum == all.length, "buckets must partition the events")
+      val lo = all.min; val hi = all.max
+      val cut = lo + (hi - lo) * 4 / 5
+      val emb = (hi - lo) / Insights.EmbargoDen
+      // The structural guarantee: no train row inside the embargo, no
+      // test row before the cut — so every (train, test) pair is at
+      // least `emb` apart.
+      assert(out("train")._4 < cut - emb, "a train row leaked into the embargo band")
+      assert(out("test")._3 >= cut, "a test row precedes the cut")
+      assert(out("test")._3 - out("train")._4 > emb,
+        "train/test gap narrower than the embargo")
+      assert(out("embargo_dropped")._3 >= cut - emb && out("embargo_dropped")._4 < cut)
+    }
+  }
 }

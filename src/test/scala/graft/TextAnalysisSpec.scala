@@ -356,4 +356,37 @@ class TextAnalysisSpec extends AnyFunSuite {
     def toMap2: Map[A, (B, C, D, E)] =
       rows.map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
   }
+
+  test("c182: PMI pairs come from the top-df vocabulary; counts and pmi recomputed independently per pair") {
+    val sf = TestSpark.sf0001
+    val out = TextAnalysis.termPmi(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(out.nonEmpty && out.length <= TextAnalysis.PmiTopPairs)
+    // Independent replay from the raw corpus: doc-level presence,
+    // document frequency, the deterministic top-vocab cut, pair
+    // co-occurrence by doc-set intersection, and the integer-count ln.
+    val presence = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ").distinct.map(w => (w, r.getLong(0))))
+    val nDocs = Tables.t(spark, sf, "documents").count()
+    val docsOf = presence.groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).toSet }
+    val vocab = docsOf.toSeq.map { case (w, ds) => (w, ds.size) }
+      .sortBy { case (w, df) => (-df, w) }.take(TextAnalysis.PmiVocab).toMap
+    def r4(d: Double) = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out.foreach { case (a, b, dfA, dfB, nAb, pmi) =>
+      assert(a < b, s"pair ($a,$b) not canonically ordered")
+      assert(vocab.contains(a) && vocab.contains(b),
+        s"pair ($a,$b) escapes the top-${TextAnalysis.PmiVocab} vocabulary")
+      assert(dfA == vocab(a).toLong && dfB == vocab(b).toLong)
+      val expectAb = (docsOf(a) & docsOf(b)).size.toLong
+      assert(nAb == expectAb, s"($a,$b) co-occurrence drifted: $nAb vs $expectAb")
+      assert(nAb >= 2)
+      assert(pmi == r4(math.log(nAb.toDouble * nDocs / (dfA * dfB))),
+        s"($a,$b) pmi drifted")
+    }
+    // The ranking is the stated one: pmi desc with lexicographic ties.
+    val keys = out.map { case (a, b, _, _, _, p) => (-p, a, b) }
+    assert(keys.sameElements(keys.sorted), "output order drifted from (pmi desc, a, b)")
+  }
 }
