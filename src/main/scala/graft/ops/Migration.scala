@@ -922,7 +922,52 @@ object Migration {
     KeyspaceCopy.repair(spark, src, dst, dstRead, conf, manifestDir, nRanges,
       rangeParallelism)
 
+  /** Shard counts for the a27 reshard drill: the cluster grows from
+    * [[ReshardOld]] to [[ReshardNew]] shards.
+    */
+  private[graft] val ReshardOld = 4
+  private[graft] val ReshardNew = 6
+
+  /** a27 — RESHARD MOVEMENT PLAN under rendezvous (HRW) hashing
+    * (Thaler & Ravishankar 1998 — public; the minimal-movement
+    * placement behind consistent-hash rings, Cassandra vnode
+    * rebalancing, and every cache/shard tier): when the cluster grows
+    * from 4 to 6 shards, WHERE does each row go and HOW MUCH data
+    * moves? Every row's placement is argmax over shards of
+    * md5(shard ':' key) — so growing the shard set can only move a
+    * key TO A NEW shard (an old shard that already won against the
+    * other old shards still wins among them), giving the structural
+    * minimal-movement guarantee ~(new−old)/new moved; the naive
+    * `key mod n` placement is computed side by side as the
+    * cautionary matrix (~every key moves). This is the capacity-
+    * planning artifact a migration runs BEFORE a20/a21 split/balance
+    * execution: the (old, new) matrix IS the copy plan, and at 100 TB
+    * the moved fraction is the bill.
+    *
+    * Scale shape: one scan, row-local argmax over a compile-time
+    * shard array (codegen'd transform + array_max — no fan-out join,
+    * no window), one ≤(4·6·2)-group map-side-combined aggregate.
+    * Determinism: md5 hex argmax (ties impossible), integer mod.
+    */
+  def reshardMovement(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.t(spark, sfDir, "orders").select(col("o_orderkey").as("k"))
+    def hrw(n: Int) = expr(
+      s"array_max(transform(sequence(0, ${n - 1}), " +
+        "s -> struct(md5(concat(cast(s as string), ':', cast(k as string))) as h, " +
+        "cast(s as bigint) as s))).s")
+    val hrwM = o.select(lit("hrw").as("scheme"),
+      hrw(ReshardOld).as("old_shard"), hrw(ReshardNew).as("new_shard"))
+    val modM = o.select(lit("mod").as("scheme"),
+      (col("k") % ReshardOld).as("old_shard"), (col("k") % ReshardNew).as("new_shard"))
+    hrwM.unionByName(modM)
+      .groupBy(col("scheme"), col("old_shard"), col("new_shard"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("moved", col("old_shard") =!= col("new_shard"))
+      .orderBy("scheme", "old_shard", "new_shard")
+  }
+
   val queries: Map[String, Q] = Map(
+    "a27_reshard_movement" -> (reshardMovement(_, _)),
     "a21_shard_balance_plan" -> (shardBalancePlan(_, _)),
     "a20_split_planner" -> (splitPlanner(_, _)),
     "a19_cdc_apply" -> (cdcApply(_, _)),
@@ -947,6 +992,42 @@ object Migration {
   )
 
   val oracle: Map[String, String] = Map(
+    // The a27 oracle replays the HRW argmax as a per-key window over
+    // the shard fan (the oracle may window; the engine's argmax is a
+    // row-local array fold) plus the integer mod placement.
+    "a27_reshard_movement" ->
+      s"""WITH k AS (SELECT o_orderkey AS k FROM orders),
+         |hrw_old AS (
+         |  SELECT k, s AS old_shard FROM (
+         |    SELECT k.k, t.s,
+         |      row_number() OVER (PARTITION BY k.k
+         |        ORDER BY md5(CAST(t.s AS VARCHAR) || ':' || CAST(k.k AS VARCHAR)) DESC,
+         |          t.s DESC) AS rn
+         |    FROM k, range($ReshardOld) t(s)
+         |  ) WHERE rn = 1
+         |),
+         |hrw_new AS (
+         |  SELECT k, s AS new_shard FROM (
+         |    SELECT k.k, t.s,
+         |      row_number() OVER (PARTITION BY k.k
+         |        ORDER BY md5(CAST(t.s AS VARCHAR) || ':' || CAST(k.k AS VARCHAR)) DESC,
+         |          t.s DESC) AS rn
+         |    FROM k, range($ReshardNew) t(s)
+         |  ) WHERE rn = 1
+         |),
+         |placed AS (
+         |  SELECT 'hrw' AS scheme, CAST(old_shard AS BIGINT) AS old_shard,
+         |    CAST(new_shard AS BIGINT) AS new_shard
+         |  FROM hrw_old JOIN hrw_new USING (k)
+         |  UNION ALL
+         |  SELECT 'mod' AS scheme, k % $ReshardOld, k % $ReshardNew FROM k
+         |)
+         |SELECT scheme, old_shard, new_shard, COUNT(*) AS n_rows,
+         |  old_shard != new_shard AS moved
+         |FROM placed GROUP BY 1, 2, 3
+         |ORDER BY scheme ASC NULLS FIRST, old_shard ASC NULLS FIRST,
+         |  new_shard ASC NULLS FIRST""".stripMargin,
+
     "a21_shard_balance_plan" ->
       s"""WITH groups AS (
          |  SELECT o_custkey, COUNT(*) AS g_rows FROM orders GROUP BY o_custkey

@@ -1060,4 +1060,46 @@ class MigrationSpec extends AnyFunSuite {
     assert(got.exists(r => !r.getBoolean(3) && r.getBoolean(4)))
     assert(got.exists(r => !r.getBoolean(3) && !r.getBoolean(4)))
   }
+
+  test("a27: HRW resharding moves keys ONLY to the new shards and moves far less than mod-hashing") {
+    val sf = TestSpark.sf0001
+    val out = ops.Migration.reshardMovement(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    val total = Tables.t(spark, sf, "orders").count()
+    // Both matrices partition every order.
+    Seq("hrw", "mod").foreach { sch =>
+      assert(out.filter(_._1 == sch).map(_._4).sum == total, s"$sch matrix incomplete")
+    }
+    // THE structural guarantee of rendezvous hashing: growing the
+    // shard set can only move a key to a shard that did not exist
+    // before — no old→old churn, ever.
+    out.filter(r => r._1 == "hrw" && r._5).foreach { case (_, o, n, c, _) =>
+      assert(n >= ops.Migration.ReshardOld,
+        s"HRW moved $c keys old-shard $o → old-shard $n — breaks minimal movement")
+    }
+    // The quantified lesson: HRW moves ~(new−old)/new ≈ 1/3; mod-hash
+    // moves ~(1 − 1/lcm-ish) ≈ 5/6 — the capacity-planning difference
+    // at 100 TB. Bound loosely so fixture noise can't flake.
+    def movedFrac(sch: String) =
+      out.filter(r => r._1 == sch && r._5).map(_._4).sum.toDouble / total
+    val (hf, mf) = (movedFrac("hrw"), movedFrac("mod"))
+    info(f"a27 moved fraction: hrw $hf%.3f vs mod $mf%.3f")
+    assert(hf < 0.45 && mf > 0.6 && hf < mf / 2,
+      s"movement lesson not visible: hrw $hf vs mod $mf")
+    // Every key's HRW placement replayed independently in Scala.
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def hrwOf(k: Long, n: Int): Long =
+      (0 until n).maxBy(s => (md5hex(s"$s:$k"), s)).toLong
+    val keys = Tables.t(spark, sf, "orders")
+      .select(org.apache.spark.sql.functions.col("o_orderkey"))
+      .collect().map(_.getLong(0))
+    val expect = keys.groupBy(k => (hrwOf(k, ops.Migration.ReshardOld),
+        hrwOf(k, ops.Migration.ReshardNew)))
+      .map { case (os, ks) => os -> ks.length.toLong }
+    out.filter(_._1 == "hrw").foreach { case (_, o, n, c, _) =>
+      assert(expect.getOrElse((o, n), 0L) == c, s"hrw cell ($o,$n) drifted")
+    }
+  }
 }
