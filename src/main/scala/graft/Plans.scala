@@ -339,7 +339,18 @@ object Plans {
       "c179_index_rebuild_swap" ->
         ("Rebuild-swap audit: one scan of the swapped generation-2 lists " +
           "+ one cells-sized HashAggregate; the retrain cost lives in the " +
-          "flag-gated store write, never in the serving query."))
+          "flag-gated store write, never in the serving query."),
+      "c181_mmr_rerank" ->
+        ("MMR greedy: the corpus appears ONCE (broadcast-probe " +
+          "TakeOrderedAndProject pool); every greedy step is a " +
+          "broadcast join + ≤pool-sized TakeOrdered over checkpointed " +
+          "12/132-row inputs — no corpus re-scan, no window, no " +
+          "cartesian beyond the 1-row probe."),
+      "a27_reshard_movement" ->
+        ("Reshard plan: both placements are row-local codegen'd " +
+          "projections (HRW = transform + array_max fold — no shard " +
+          "fan-out join, no window); one scan per scheme + one " +
+          "≤48-group map-side-combined HashAggregate."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans` on ")
       .append(sfDir).append(")\n\n")

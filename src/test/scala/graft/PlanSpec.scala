@@ -329,6 +329,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<>"), s"gen-2 scan reads data columns:\n$p")
   }
 
+  test("c181: MMR — the served plan is pool-bounded (checkpointed 1-row picks only; no corpus scan, no window)") {
+    // The greedy chain materializes each pick via localCheckpoint at
+    // build time, so the SERVED plan must contain nothing but the
+    // union of those 1-row RDD scans — the corpus parquet, windows,
+    // and joins have all been paid once, pool-side.
+    val p = plan(NearDup.mmrRerank(spark, sf))
+    assert(p.contains("ExistingRDD"), s"picks must be checkpointed:\n$p")
+    assert(!p.contains("Scan parquet"), s"a corpus scan leaked into serving:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+    // And the POOL plan (the one corpus pass the key pays) fuses its
+    // top-k: assert on the pool kernel directly.
+    val emb = Tables.t(spark, sf, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val probe = emb.where(org.apache.spark.sql.functions.col("vec_id") === 0)
+      .select(org.apache.spark.sql.functions.col("embedding").as("probe"))
+    val pool = emb.crossJoin(org.apache.spark.sql.functions.broadcast(probe))
+      .orderBy(org.apache.spark.sql.functions.col("vec_id"))
+      .limit(NearDup.MmrPool)
+    assert(plan(pool).contains("TakeOrderedAndProject"),
+      s"pool shape must fuse top-k:\n${plan(pool)}")
+  }
+
+  test("a27: reshard placements are row-local (no shard fan-out join, no window)") {
+    val p = plan(Migration.reshardMovement(spark, sf))
+    assert(!p.contains("Window"), s"HRW argmax must be a row-local fold:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_count"), "movement matrix must map-side combine")
+  }
+
   test("c35: releases its embeddings working-set cache (no persist leak)") {
     NearDup.kmeansIterate(spark, sf).queryExecution.toRdd.count()
     // CacheManager matches by logical plan: if the emb cache leaked,
