@@ -1183,7 +1183,47 @@ object TextAnalysis {
       .limit(PmiTopPairs)
   }
 
+  /** c185 — N-GRAM NOVELTY (the memorization audit — Lee et al. 2022,
+    * arXiv:2107.06499 §5's substring-overlap measurement, public; and
+    * the quantity memorization studies report): for every TEST-split
+    * document, what fraction of its word 5-grams already appears
+    * ANYWHERE in the TRAIN split. c29 asks the mirror question for a
+    * tiny benchmark (train docs touching eval grams — eval side
+    * broadcasts); this audits the whole test split, where NEITHER
+    * side is small: the measurement behind "the eval was novel" /
+    * "the model saw this verbatim" claims, and the follow-up audit
+    * after a c32/c168/c184 split.
+    *
+    * Scale shape: one gram-explode scan feeds both sides; the train
+    * gram SET and the per-doc-distinct test grams hash-partition on
+    * the gram — an equi-join where broadcast would be wrong (both
+    * sides are corpus-scale), which is exactly the honest shape; the
+    * per-doc aggregate map-side combines. In production the train
+    * gram set is a standing artifact (the bandStore discipline)
+    * probed by each new eval candidate.
+    */
+  def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val byte = substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 2)
+    val grams = Tables.t(spark, sfDir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .where(size(col("ws")) >= 5)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(1, size(ws) - 4), i -> concat_ws(' ', slice(ws, i, 5)))")).as("g"))
+      .withColumn("split",
+        when(byte < "1a", "val").when(byte < "34", "test").otherwise("train"))
+    val trainG = grams.where(col("split") === "train").select(col("g")).distinct()
+    grams.where(col("split") === "test")
+      .select(col("doc_id"), col("lang"), col("g")).distinct()
+      .join(trainG.withColumn("seen", lit(1)), Seq("g"), "left")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_grams"), count(col("seen")).as("n_seen"))
+      .withColumn("novelty",
+        round(lit(1.0) - col("n_seen").cast("double") / col("n_grams"), 4))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "c185_ngram_novelty" -> (ngramNovelty(_, _)),
     "c182_term_pmi" -> (termPmi(_, _)),
     "c153_auc_exact" -> (aucExact(_, _)),
     "c154_calibration_bins" -> (calibrationBins(_, _)),
@@ -1267,6 +1307,28 @@ object TextAnalysis {
        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // The c185 oracle replays grams → the c32 split rule → the
+    // distinct train set → per-test-doc seen/novelty.
+    "c185_ngram_novelty" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang, unnest(list_transform(
+        |    range(1, greatest(len(string_split(text, ' ')) - 4, 0) + 1),
+        |    i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS g
+        |  FROM documents
+        |), sp AS (
+        |  SELECT doc_id, lang, g,
+        |    CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'val'
+        |         WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '34' THEN 'test'
+        |         ELSE 'train' END AS split
+        |  FROM g
+        |), tr AS (SELECT DISTINCT g AS tg FROM sp WHERE split = 'train'),
+        |te AS (SELECT DISTINCT doc_id, lang, g FROM sp WHERE split = 'test')
+        |SELECT doc_id, lang, COUNT(*) AS n_grams, COUNT(tg) AS n_seen,
+        |  ROUND(1.0 - CAST(COUNT(tg) AS DOUBLE) / COUNT(*), 4) AS novelty
+        |FROM te LEFT JOIN tr ON te.g = tr.tg
+        |GROUP BY doc_id, lang
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
     // The c182 oracle replays presence → df → the top-vocab cut →
     // vocab-bounded pair counts → the integer-count ln, with the same
     // tiebreaks at both deterministic cuts.

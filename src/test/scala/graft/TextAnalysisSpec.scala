@@ -389,4 +389,44 @@ class TextAnalysisSpec extends AnyFunSuite {
     val keys = out.map { case (a, b, _, _, _, p) => (-p, a, b) }
     assert(keys.sameElements(keys.sorted), "output order drifted from (pmi desc, a, b)")
   }
+
+  test("c185: novelty replayed independently per test doc; only test docs emit; the fixture carries both ends") {
+    val sf = TestSpark.sf0001
+    val out = TextAnalysis.ngramNovelty(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.nonEmpty)
+    def md5hex(x: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def splitOf(id: Long): String = {
+      val b = md5hex(s"split:$id").take(2)
+      if (b < "1a") "val" else if (b < "34") "test" else "train"
+    }
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def gramsOf(t: String): Seq[String] = {
+      val ws = t.split(" ")
+      if (ws.length < 5) Seq.empty
+      else (0 to ws.length - 5).map(i => ws.slice(i, i + 5).mkString(" "))
+    }
+    val trainSet = docs.filter(d => splitOf(d._1) == "train")
+      .flatMap(d => gramsOf(d._2)).toSet
+    val expect = docs.filter(d => splitOf(d._1) == "test")
+      .map { case (id, t) =>
+        val gs = gramsOf(t).distinct
+        id -> (gs.length.toLong, gs.count(trainSet).toLong)
+      }.filter(_._2._1 > 0).toMap
+    assert(out.length == expect.size, "row set must be exactly the gram-bearing test docs")
+    out.foreach { case (id, _, n, seen, nov) =>
+      val (en, eseen) = expect(id)
+      assert(n == en && seen == eseen, s"doc $id counts drifted")
+      assert(nov == BigDecimal(1.0 - seen.toDouble / n)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(nov >= 0.0 && nov <= 1.0 && seen <= n)
+    }
+    // Non-vacuous both ways: the planted near-dups give some test doc
+    // with memorized grams, and some doc stays (partly) novel.
+    assert(out.exists(_._4 > 0), "no test doc shares any gram with train - audit vacuous")
+    assert(out.exists(_._5 > 0.0), "every test doc fully memorized - audit vacuous")
+  }
 }
