@@ -1222,7 +1222,60 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** c186 fit window: the OLS runs on the top-[[ZipfTopK]]
+    * rank-frequency points (the head is where the power law lives
+    * and where corpus pathologies show; the tail is Heaps-dominated
+    * and noisy at any corpus size).
+    */
+  private[graft] val ZipfTopK = 100
+
+  /** c186 — ZIPF RANK-FREQUENCY FIT (Zipf 1949 — public; the corpus
+    * health audit curation pipelines run: natural language sits near
+    * slope −1 on log rank vs log frequency, and a corpus that drifts
+    * far off is telling you something — boilerplate floods flatten
+    * the head, template spam steepens it, tokenizer damage bends it).
+    * OLS of ln(frequency) on ln(rank) over the top-100 terms: slope,
+    * intercept, and r² — one row, the number a corpus report quotes.
+    *
+    * Scale shape: one token scan collapses to (term, tf) with
+    * map-side combine; the rank cut is a vocabulary-sized
+    * TakeOrdered and the rank window orders the 100 SURVIVORS (the
+    * c53 rank-after-limit discipline — never a corpus window); the
+    * moment sums ride the c91 decimal canon so the fit is
+    * partition- and engine-invariant.
+    */
+  def zipfFit(spark: SparkSession, sfDir: String): DataFrame = {
+    val top = Tables.t(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("w").asc).limit(ZipfTopK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("tf").desc, col("w").asc)).cast("long"))
+    val pts = top.select(log(col("rank").cast("double")).as("x"),
+      log(col("tf").cast("double")).as("y"))
+    def d(c: org.apache.spark.sql.Column) =
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 6))
+    pts.agg(count(lit(1)).as("n"),
+        sum(d(col("x"))).cast("double").as("sx"),
+        sum(d(col("y"))).cast("double").as("sy"),
+        sum(d(col("x") * col("y"))).cast("double").as("sxy"),
+        sum(d(col("x") * col("x"))).cast("double").as("sxx"),
+        sum(d(col("y") * col("y"))).cast("double").as("syy"))
+      .select(col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("den"),
+        col("sx"), col("sy"), col("syy"))
+      .select(col("n"),
+        round(col("num") / col("den"), 4).as("slope"),
+        round((col("sy") - col("num") / col("den") * col("sx")) / col("n"), 4)
+          .as("intercept"),
+        round(col("num") * col("num") /
+          (col("den") * (col("n") * col("syy") - col("sy") * col("sy"))), 4)
+          .as("r2"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "c186_zipf_fit" -> (zipfFit(_, _)),
     "c185_ngram_novelty" -> (ngramNovelty(_, _)),
     "c182_term_pmi" -> (termPmi(_, _)),
     "c153_auc_exact" -> (aucExact(_, _)),
@@ -1307,6 +1360,38 @@ object TextAnalysis {
        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // The c186 oracle replays term frequencies, the deterministic
+    // top-100 rank cut, and the c91 decimal-canon OLS verbatim.
+    "c186_zipf_fit" ->
+      s"""WITH tf AS (
+         |  SELECT w, COUNT(*) AS tf FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+         |  ) GROUP BY w
+         |), top AS (
+         |  SELECT tf, rank FROM (
+         |    SELECT tf, row_number() OVER (ORDER BY tf DESC NULLS LAST, w ASC) AS rank
+         |    FROM tf
+         |  ) WHERE rank <= $ZipfTopK
+         |), pts AS (
+         |  SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(tf AS DOUBLE)) AS y FROM top
+         |), m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+         |    CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+         |    CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+         |    CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+         |    CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+         |  FROM pts
+         |), i AS (
+         |  SELECT n, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den,
+         |    sx, sy, syy FROM m
+         |)
+         |SELECT n,
+         |  ROUND(num / den, 4) AS slope,
+         |  ROUND((sy - num / den * sx) / n, 4) AS intercept,
+         |  ROUND(num * num / (den * (n * syy - sy * sy)), 4) AS r2
+         |FROM i""".stripMargin,
+
     // The c185 oracle replays grams → the c32 split rule → the
     // distinct train set → per-test-doc seen/novelty.
     "c185_ngram_novelty" ->
