@@ -2101,6 +2101,78 @@ object NearDup {
     picks.reduce(_ unionByName _).orderBy("rank")
   }
 
+  /** c187 — BATCHED MMR: c181's greedy diversification composed with
+    * the c19/c175 probe-batch serving shape — a RAG serving tier
+    * diversifies EVERY query's results, not one probe's, and the
+    * greedy advances all probes in lockstep (step i picks one result
+    * per probe via one probe-partitioned rank window — probe-bounded
+    * WindowGroupLimit work, never corpus-scaled). The corpus is
+    * touched exactly once (broadcast probe batch → per-probe
+    * top-[[MmrPool]] rank window); the pool (probes×12 rows) and its
+    * per-probe pairwise sims (probes×132) are checkpointed, and each
+    * of the [[MmrK]] steps is a join + window over those bounded
+    * tables. Scoring is the c181 integer fixed-point canon (7R − 3P
+    * in 1e-5 units), self-match excluded (the c19 convention).
+    */
+  def batchMmr(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val probes = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val pool = emb.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("pe")), 4).as("rel"), col("embedding"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("rel").desc, col("vec_id").asc)))
+      .where(col("rn") <= MmrPool)
+      .select(col("probe_id"), col("vec_id"),
+        col("rel"), round(col("rel") * 10000).cast("long").as("rel_u"),
+        col("embedding"))
+      .localCheckpoint(true)
+    val sims = pool.select(col("probe_id"), col("vec_id").as("a_id"),
+        col("embedding").as("ae"))
+      .join(pool.select(col("probe_id"), col("vec_id").as("b_id"),
+        col("embedding").as("be")), Seq("probe_id"))
+      .where(col("a_id") =!= col("b_id"))
+      .select(col("probe_id"), col("a_id"), col("b_id"),
+        round(round(cosine(col("ae"), col("be")), 4) * 10000).cast("long").as("s_u"))
+      .localCheckpoint(true)
+    val relOnly = pool.select(col("probe_id"), col("vec_id"), col("rel"), col("rel_u"))
+    val pickW = Window.partitionBy(col("probe_id"))
+      .orderBy(col("units").desc, col("vec_id").asc)
+    var selected = List.empty[DataFrame]
+    val picks = (1 to MmrK).map { i =>
+      val pick =
+        if (selected.isEmpty)
+          relOnly.select(col("probe_id"), col("vec_id"), col("rel"),
+            (lit(MmrLambdaNum.toLong) * col("rel_u")).as("units"))
+            .withColumn("prn", row_number().over(pickW)).where(col("prn") === 1)
+            .drop("prn")
+        else {
+          val sel = selected.reduce(_ unionByName _)
+            .select(col("probe_id"), col("vec_id"))
+          val pen = sims.join(sel.withColumnRenamed("vec_id", "b_id"),
+              Seq("probe_id", "b_id"))
+            .groupBy(col("probe_id"), col("a_id")).agg(max(col("s_u")).as("pen_u"))
+          relOnly
+            .join(sel, Seq("probe_id", "vec_id"), "left_anti")
+            .join(pen.withColumnRenamed("a_id", "vec_id"),
+              Seq("probe_id", "vec_id"))
+            .select(col("probe_id"), col("vec_id"), col("rel"),
+              (lit(MmrLambdaNum.toLong) * col("rel_u") -
+                lit((MmrLambdaDen - MmrLambdaNum).toLong) * col("pen_u")).as("units"))
+            .withColumn("prn", row_number().over(pickW)).where(col("prn") === 1)
+            .drop("prn")
+        }
+      val p = pick.localCheckpoint(true)
+      selected ::= p
+      p.select(col("probe_id"), lit(i.toLong).as("rank"), col("vec_id"),
+        col("rel"), (col("units").cast("double") / 100000.0).as("mmr"))
+    }
+    picks.reduce(_ unionByName _).orderBy("probe_id", "rank")
+  }
+
   /** Retrain-signal threshold for c177: a cell whose ingested mass
     * exceeds base/4 (25% growth) flags for retrain — integer
     * cross-multiplied so the flag can never flip on an FP ulp.
@@ -2820,6 +2892,7 @@ object NearDup {
     "c178_index_apply_ingest" -> (indexApplyIngest(_, _)),
     "c179_index_rebuild_swap" -> (indexRebuildSwap(_, _)),
     "c181_mmr_rerank" -> (mmrRerank(_, _)),
+    "c187_batch_mmr" -> (batchMmr(_, _)),
     "c19_batch_ann_topk" -> (batchAnnTopk(_, _)),
     "c79_hard_negatives" -> (hardNegatives(_, _))
   )
@@ -2910,7 +2983,84 @@ object NearDup {
        |  ) WHERE rn = 1
        |)""".stripMargin
 
+  /** Rounded-cosine DuckDB fragment shared by the MMR oracles. */
+  private def oMmrCos(a: String, b: String): String =
+    s"""ROUND(
+       |      list_sum(list_transform(range(1, len($a) + 1),
+       |        i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |        * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // The c187 oracle unrolls the per-probe greedy chain: pool and
+    // sims replayed per probe, each step a probe-partitioned
+    // integer-units argmax over the not-yet-selected pool against the
+    // union of prior selections (machine-generated steps, the c181
+    // discipline batched).
+    "c187_batch_mmr" -> {
+      val lamN = MmrLambdaNum
+      val lamC = MmrLambdaDen - MmrLambdaNum
+      def prior(i: Int) = (1 until i)
+        .map(j => s"SELECT probe_id, vec_id FROM sel$j").mkString(" UNION ALL ")
+      val selSteps = (2 to MmrK).map { i =>
+        s"""sel$i AS (
+           |  SELECT probe_id, CAST($i AS BIGINT) AS rank, vec_id, rel, units FROM (
+           |    SELECT c.probe_id, c.vec_id, c.rel,
+           |      $lamN * c.rel_u - $lamC * p.pen_u AS units,
+           |      row_number() OVER (PARTITION BY c.probe_id
+           |        ORDER BY $lamN * c.rel_u - $lamC * p.pen_u DESC NULLS LAST,
+           |          c.vec_id ASC) AS prn
+           |    FROM pool c JOIN (
+           |      SELECT s.probe_id, s.a_id, MAX(s.s_u) AS pen_u FROM sims s
+           |      WHERE EXISTS (SELECT 1 FROM (${prior(i)}) q
+           |        WHERE q.probe_id = s.probe_id AND q.vec_id = s.b_id)
+           |      GROUP BY s.probe_id, s.a_id
+           |    ) p ON c.probe_id = p.probe_id AND c.vec_id = p.a_id
+           |    WHERE NOT EXISTS (SELECT 1 FROM (${prior(i)}) q
+           |      WHERE q.probe_id = c.probe_id AND q.vec_id = c.vec_id)
+           |  ) WHERE prn = 1
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH probes AS (
+         |  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 10
+         |),
+         |pool AS (
+         |  SELECT probe_id, vec_id, rel,
+         |    CAST(ROUND(rel * 10000) AS BIGINT) AS rel_u, embedding
+         |  FROM (
+         |    SELECT p.probe_id, e.vec_id, ${oMmrCos("e.embedding", "p.pe")} AS rel,
+         |      e.embedding,
+         |      row_number() OVER (PARTITION BY p.probe_id
+         |        ORDER BY ${oMmrCos("e.embedding", "p.pe")} DESC NULLS LAST,
+         |          e.vec_id ASC) AS rn
+         |    FROM embeddings e, probes p WHERE e.vec_id != p.probe_id
+         |  ) WHERE rn <= $MmrPool
+         |),
+         |sims AS (
+         |  SELECT a.probe_id, a.vec_id AS a_id, b.vec_id AS b_id,
+         |    CAST(ROUND((${oMmrCos("a.embedding", "b.embedding")}) * 10000) AS BIGINT) AS s_u
+         |  FROM pool a JOIN pool b
+         |    ON a.probe_id = b.probe_id AND a.vec_id != b.vec_id
+         |),
+         |sel1 AS (
+         |  SELECT probe_id, CAST(1 AS BIGINT) AS rank, vec_id, rel,
+         |    $lamN * rel_u AS units
+         |  FROM (
+         |    SELECT probe_id, vec_id, rel, rel_u,
+         |      row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY $lamN * rel_u DESC NULLS LAST, vec_id ASC) AS prn
+         |    FROM pool
+         |  ) WHERE prn = 1
+         |),
+         |$selSteps
+         |SELECT probe_id, rank, vec_id, rel,
+         |  CAST(units AS DOUBLE) / 100000.0 AS mmr
+         |FROM (
+         |${(1 to MmrK).map(i => s"  SELECT * FROM sel$i").mkString("\n  UNION ALL\n")}
+         |)
+         |ORDER BY probe_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin
+    },
+
     "c79_hard_negatives" ->
       """WITH anchors AS (
         |  SELECT vec_id AS anchor_id, label AS anchor_label, embedding AS ae
@@ -2955,12 +3105,7 @@ object NearDup {
     // sel_i = integer-units argmax over the not-yet-selected pool
     // against the union of prior selections.
     "c181_mmr_rerank" -> {
-      def oCos(a: String, b: String) =
-        s"""ROUND(
-           |      list_sum(list_transform(range(1, len($a) + 1),
-           |        i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
-           |      / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-           |        * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)""".stripMargin
+      val oCos = oMmrCos _
       val lamN = MmrLambdaNum
       val lamC = MmrLambdaDen - MmrLambdaNum
       val selSteps = (2 to MmrK).map { i =>

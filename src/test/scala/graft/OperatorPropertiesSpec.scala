@@ -1210,6 +1210,28 @@ class OperatorPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("c187: every probe gets 5 distinct picks; probe 0's batched chain equals single-probe c181 row-for-row") {
+    val sf = TestSpark.sf0001
+    val out = ops.NearDup.batchMmr(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val byProbe = out.groupBy(_._1)
+    assert(byProbe.keySet == (0L until 10L).toSet, s"probes: ${byProbe.keySet}")
+    byProbe.foreach { case (p, rows) =>
+      assert(rows.map(_._2).sorted.sameElements(1L to ops.NearDup.MmrK.toLong))
+      assert(rows.map(_._3).distinct.length == rows.length, s"probe $p repeats a pick")
+      assert(rows.forall(_._3 != p), s"probe $p picked itself")
+    }
+    // Cross-operator consistency: the batch greedy for probe 0 IS the
+    // c181 single-probe greedy (same pool rule, same integer canon) —
+    // the batching must change nothing about any one probe's answer.
+    val single = ops.NearDup.mmrRerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val batch0 = out.filter(_._1 == 0L).sortBy(_._2)
+      .map { case (_, rk, id, rel, mmr) => (rk, id, rel, mmr) }
+    assert(batch0.sameElements(single),
+      s"probe-0 batched chain diverged:\n batch=${batch0.mkString(",")}\n single=${single.mkString(",")}")
+  }
+
   test("c178: the served segment union IS the corpus, and a gen-1 probe retrieves INGESTED vectors without retrain") {
     for (sf <- Seq(TestSpark.sf0001, TestSpark.sf001)) {
       val emb = Tables.t(spark, sf, "embeddings")
