@@ -89,7 +89,10 @@ class MiniOracleSpec extends AnyFunSuite {
     "c155_mrr_eval" -> "inherits c97's bounded query-panel ranks",
     "c127_largest_remainder_alloc" -> ("largest-remainder ranks over the " +
       "≤ 25-row nation share table"),
-    "c132_sharded_topk_bounds" -> "rank over the 20-row published-list union")
+    "c132_sharded_topk_bounds" -> "rank over the 20-row published-list union",
+    "c186_zipf_fit" -> ("rank AFTER .limit(ZipfTopK=100) — the c53 " +
+      "rank-after-limit discipline: the window orders the 100 cut " +
+      "survivors, never the vocabulary"))
 
   /** Keys observed carrying a global window during the per-key tests
     * (feeds the dead-entry check).
