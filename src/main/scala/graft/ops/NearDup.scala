@@ -664,6 +664,90 @@ object NearDup {
       .orderBy("doc_id")
   }
 
+  /** c188 boundary-hash knobs: the rolling window is [[CdcWindow]]
+    * bytes and a window ends a chunk when its md5's last-two-hex-digit
+    * value ≡ 0 mod [[CdcDiv]] — expected chunk length ≈ CdcDiv bytes
+    * (measured ~61 on the fixtures). No min/max chunk clamp (FastCDC's
+    * normalization); the fixture chunk-length spread is spec-pinned
+    * instead, and the clamp is a one-line predicate change when a
+    * production corpus needs it.
+    */
+  private[graft] val CdcWindow = 8
+  private[graft] val CdcDiv = 64
+
+  /** c188 — CONTENT-DEFINED CHUNKING dedup (the LBFS/Venti/FastCDC
+    * family — Muthitacharoen et al. 2001 (LBFS), Quinlan & Dorward
+    * 2002 (Venti), Xia et al. 2016 (FastCDC), all public): split every
+    * document at positions where a rolling hash of the trailing
+    * [[CdcWindow]] bytes hits a divisor pattern, fingerprint the
+    * chunks, and account storage by FIRST OWNER. Because boundaries
+    * depend only on LOCAL content, an insertion early in a document
+    * shifts every byte offset but re-synchronizes the chunking within
+    * one window — the property that makes CDC the storage/transfer
+    * dedup answer where c48's position-sampled grams and c11's
+    * shingle sets only *measure* overlap: this key computes what a
+    * dedup STORE would actually keep. Output per source: instance
+    * chunks/chars scanned, fingerprints first-owned by the source
+    * (owner = min doc_id, struct-min so the tiebreak is total),
+    * owned chars, and stored_frac = owned/scanned — the source's
+    * marginal storage bill after corpus-wide dedup.
+    *
+    * Boundary hash = md5 of the 8-byte window (the c48 discipline:
+    * O(1) BINARY slices on the Spark side, identical hex in DuckDB on
+    * the ASCII corpora Verify enforces) — not a Rabin polynomial; md5
+    * is engine-shared and the 1/[[CdcDiv]] selection needs no
+    * modular-arithmetic parity proof. Work is O(bytes) per doc with
+    * whole-stage-codegen'd lambdas, no UDF.
+    *
+    * Scale shape: ONE corpus scan; the chunk stream is ~bytes/CdcDiv
+    * rows and feeds two map-side-combined aggregates — per-source
+    * (sources-sized) and per-fingerprint (the Venti index build: at
+    * 100 TB this shuffle IS the product, a standing chunk-index
+    * artifact next to the band store, ~1.6B rows per PB at 64-byte
+    * chunks — hash-partitioned, never collected); the final join is
+    * sources × sources. Nothing is corpus-windowed, nothing pairwise.
+    */
+  def cdcChunkDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val inst = cdcInstancesOf(Tables.t(spark, sfDir, "documents"))
+    val bySrc = inst.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("clen")).as("n_chars"))
+    val owned = inst.groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("source"))).as("o"),
+        max(col("clen")).as("clen"))
+      .groupBy(col("o.source").as("source"))
+      .agg(count(lit(1)).as("n_owned"), sum(col("clen")).as("owned_chars"))
+    bySrc.join(owned, Seq("source"), "left")
+      .select(col("source"), col("n_chunks"), col("n_chars"),
+        coalesce(col("n_owned"), lit(0L)).as("n_owned"),
+        coalesce(col("owned_chars"), lit(0L)).as("owned_chars"),
+        round(coalesce(col("owned_chars"), lit(0L)).cast("double") / col("n_chars"), 4)
+          .as("stored_frac"))
+      .orderBy("source")
+  }
+
+  /** The c188 chunk-instance stream over any (doc_id, source, text)
+    * frame: one row per chunk occurrence with its md5 fingerprint and
+    * byte length. Factored so the spec can drive synthetic docs
+    * through the EXACT kernel (losslessness + shift-resistance are
+    * properties of this stream, not of the per-source rollup).
+    */
+  private[graft] def cdcInstancesOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"), col("text").cast("binary").as("tb"))
+      .withColumn("bnd", expr(
+        s"""filter(sequence($CdcWindow, greatest(length(tb), $CdcWindow)),
+           |  i -> conv(substring(md5(substring(tb, i - ${CdcWindow - 1}, $CdcWindow)), 31, 2), 16, 10) % $CdcDiv = 0)""".stripMargin))
+      .withColumn("cuts", expr(
+        "concat(array(0), filter(bnd, x -> x < length(tb)), array(length(tb)))"))
+      .select(col("doc_id"), col("source"), explode(expr(
+        """transform(sequence(2, size(cuts)),
+          |  k -> substring(tb, element_at(cuts, k - 1) + 1,
+          |    element_at(cuts, k) - element_at(cuts, k - 1)))""".stripMargin))
+        .as("chunk"))
+      .select(col("doc_id"), col("source"),
+        md5(col("chunk")).as("fp"), length(col("chunk")).cast("long").as("clen"),
+        col("chunk").cast("string").as("chunk_text"))
+
   /** c47 — SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540, public): partition the embedding space into
     * k-means cells (the c34 kernel — deterministic seed centroids,
@@ -2883,6 +2967,7 @@ object NearDup {
     "c47_semantic_dedup" -> (semanticDedup(_, _)),
     "c48_substring_dup_spans" -> (substringDupSpans(_, _)),
     "c49_dup_fraction" -> (dupFraction(_, _)),
+    "c188_cdc_chunking" -> (cdcChunkDedup(_, _)),
     "c13_ann_ivf" -> (annIvf(_, _)),
     "c38_ann_ivf_adaptive" -> (annIvfAdaptive(_, _)),
     "c173_ivf_pq_search" -> (ivfPqSearch(_, _)),
@@ -3825,6 +3910,44 @@ object NearDup {
          |FROM grams g LEFT JOIN shared s ON g.h = s.h
          |GROUP BY g.doc_id
          |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    // Boundary positions from the 8-byte-window md5 (char-based here,
+    // byte-based on the Spark side — the c48 ASCII precondition),
+    // cuts → chunks → fingerprint instances, then the same two
+    // aggregates: per-source instances and per-fingerprint first
+    // owner (min_by doc_id ≡ Spark's struct-min). Sums CAST to
+    // BIGINT to match Spark's long (DuckDB SUM(BIGINT) is HUGEINT).
+    "c188_cdc_chunking" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, text, len(text) AS n FROM documents
+         |), b AS (
+         |  SELECT doc_id, source, text, n, list_filter(range($CdcWindow, n + 1),
+         |    i -> CAST('0x' || substr(md5(substr(text, CAST(i - ${CdcWindow - 1} AS INT), $CdcWindow)), 31, 2) AS BIGINT) % $CdcDiv = 0) AS bnd
+         |  FROM d
+         |), c AS (
+         |  SELECT doc_id, source, text, list_prepend(CAST(0 AS BIGINT),
+         |    list_append(list_filter(bnd, x -> x < n), CAST(n AS BIGINT))) AS cuts
+         |  FROM b
+         |), ch AS (
+         |  SELECT doc_id, source, unnest(list_transform(range(2, CAST(len(cuts) AS BIGINT) + 1),
+         |    k -> substr(text, CAST(cuts[k-1] + 1 AS INT), CAST(cuts[k] - cuts[k-1] AS INT)))) AS chunk
+         |  FROM c
+         |), inst AS (
+         |  SELECT doc_id, source, md5(chunk) AS fp, CAST(len(chunk) AS BIGINT) AS clen FROM ch
+         |), bysrc AS (
+         |  SELECT source, COUNT(*) AS n_chunks, CAST(SUM(clen) AS BIGINT) AS n_chars
+         |  FROM inst GROUP BY source
+         |), own AS (
+         |  SELECT fp, min_by(source, doc_id) AS osrc, MAX(clen) AS clen FROM inst GROUP BY fp
+         |), osrc AS (
+         |  SELECT osrc AS source, COUNT(*) AS n_owned, CAST(SUM(clen) AS BIGINT) AS owned_chars
+         |  FROM own GROUP BY osrc
+         |)
+         |SELECT source, n_chunks, n_chars,
+         |  COALESCE(n_owned, 0) AS n_owned,
+         |  COALESCE(owned_chars, 0) AS owned_chars,
+         |  ROUND(CAST(COALESCE(owned_chars, 0) AS DOUBLE) / n_chars, 4) AS stored_frac
+         |FROM bysrc LEFT JOIN osrc USING (source)
+         |ORDER BY source ASC NULLS FIRST""".stripMargin,
     // Same seeds/scored/best pipeline as c34, then: in-cell pairs ≥ τ
     // → per-pair loser = the member with the lexicographically larger
     // (rounded centroid cos, vec_id) — i.e. closer to the centroid,

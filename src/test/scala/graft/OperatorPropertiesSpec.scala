@@ -538,6 +538,53 @@ class OperatorPropertiesSpec extends AnyFunSuite {
       "boilerplate (present in 40 docs) must count as duplicated content for the doc-level gate")
   }
 
+  test("c188: chunking is lossless, matches an independent Scala replay, and re-syncs after an insertion") {
+    import ops.NearDup.{cdcInstancesOf, CdcWindow, CdcDiv}
+    // Independent replay of the boundary rule: md5 of every trailing
+    // 8-byte window, last-two-hex-digit value % 64 == 0 ends a chunk.
+    def replayChunks(text: String): Seq[String] = {
+      val bytes = text.getBytes("UTF-8")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val bnd = (CdcWindow to bytes.length).filter { i =>
+        val hex = md.digest(bytes.slice(i - CdcWindow, i))
+          .map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.substring(30, 32), 16) % CdcDiv == 0
+      }.filter(_ < bytes.length)
+      val cuts = 0 +: bnd :+ bytes.length
+      cuts.sliding(2).map { case Seq(a, b) => text.substring(a, b) }.toSeq
+    }
+    val base = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "green turtles watch quietly from a mossy log nearby and the rain " +
+      "keeps falling on the old tin roof of the abandoned station house " +
+      "where nobody has lived for forty years except the stray cats"
+    val shifted = "INSERTED PREFIX 17" + base // 18 bytes prepended
+    val docs = Seq((1L, "srcA", base), (2L, "srcB", shifted), (3L, "srcA", "tiny"))
+      .toDF("doc_id", "source", "text")
+    val inst = cdcInstancesOf(docs)
+      .select($"doc_id", $"fp", $"clen", $"chunk_text")
+      .as[(Long, String, Long, String)].collect()
+    val byDoc = inst.groupBy(_._1)
+    // losslessness: concatenating a doc's chunks in stream order
+    // reassembles it exactly, and clen is the chunk's byte length
+    assert(byDoc(1L).map(_._4).mkString == base)
+    assert(byDoc(2L).map(_._4).mkString == shifted)
+    assert(byDoc(3L).map(_._4).mkString == "tiny", "short-doc path (< window) must yield the whole doc")
+    assert(inst.forall(r => r._3 == r._4.getBytes("UTF-8").length.toLong))
+    // kernel == independent Scala replay, chunk for chunk
+    assert(byDoc(1L).map(_._4).toSeq == replayChunks(base))
+    assert(byDoc(2L).map(_._4).toSeq == replayChunks(shifted))
+    // shift-resistance (the CDC property c48's position grams lack):
+    // boundaries depend only on the trailing window, so after the
+    // first post-insertion boundary the chunking of `shifted` is the
+    // chunking of `base` — every base chunk except the first appears
+    // verbatim in the shifted doc's chunk set
+    val baseChunks = byDoc(1L).map(_._4).toSeq
+    val shiftedSet = byDoc(2L).map(_._4).toSet
+    assert(baseChunks.size >= 3, s"fixture too short to exercise re-sync: $baseChunks")
+    assert(baseChunks.tail.forall(shiftedSet.contains),
+      s"chunking did not re-synchronize after the insertion: ${baseChunks.tail.filterNot(shiftedSet.contains)}")
+  }
+
   test("c59: width dial follows the ivfPlanes-style clamp rule") {
     // The corpus-scaled block width: clamp(bitLength((n-1)/2), 8, 15).
     // Pinned so the scale story (occupancy n/2^w ~ budget) is a
