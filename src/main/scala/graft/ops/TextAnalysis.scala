@@ -1274,7 +1274,97 @@ object TextAnalysis {
           .as("r2"))
   }
 
+  /** c189's ONE shared probability formula text, feeding both engines
+    * (the c183/a18 machine-generated-spec discipline: a DECIMAL
+    * promotion or evaluation-order drift between hand-kept twins is
+    * exactly the class of bug this prevents). Interpolated Kneser-Ney
+    * with absolute discount 0.75 over integer count columns
+    * (cvw, cv, n1f, n1b, tt — all cast to DOUBLE before any
+    * arithmetic): seen context → discounted MLE + backoff mass ×
+    * continuation probability; unseen context → continuation alone.
+    * The continuation distribution is OOV-floored at one pseudo-type
+    * ((n1b + 1)/(tt + 1)) so a test word never seen as a bigram
+    * continuation still scores a positive probability — the UNK
+    * convention, deterministic in both engines.
+    */
+  private[graft] val KnProbSql: String = {
+    val pcont = "((CAST(n1b AS DOUBLE) + 1.0) / (CAST(tt AS DOUBLE) + 1.0))"
+    s"CASE WHEN cv > 0 THEN (GREATEST(CAST(cvw AS DOUBLE) - 0.75, 0.0) " +
+      s"+ 0.75 * CAST(n1f AS DOUBLE) * $pcont) / CAST(cv AS DOUBLE) " +
+      s"ELSE $pcont END"
+  }
+
+  /** c189 — KNESER-NEY held-out perplexity (Kneser & Ney 1995; Chen &
+    * Goodman 1999's interpolated formulation — public; the CCNet
+    * perplexity filter of Wenzek et al. 2019 in its PROPER form): c54
+    * scores every doc under a model trained on the whole corpus
+    * including itself — fine as a fluency gate, but a curation
+    * pipeline that ranks documents by LM fit must hold the model out
+    * or the duplicated boilerplate it wants to kill scores as the
+    * most fluent text in the corpus. This key trains the bigram LM on
+    * the c32 TRAIN split only and scores TEST docs, with smoothing
+    * (c54's raw MLE assigns zero to any unseen bigram and cannot
+    * score held-out text at all): discounted seen-bigram mass is
+    * redistributed via the CONTINUATION distribution — "how many
+    * distinct contexts precede w" — the Kneser-Ney insight that
+    * frequency alone overweights words that only ever follow one
+    * context. Output per test doc: bigram count, unseen-bigram count,
+    * and average negative log-likelihood (ppl = e^avg_nll is monotone
+    * in it; the exp is omitted — the c100 no-sigmoid discipline, one
+    * less cross-engine libm call).
+    *
+    * Scale shape: one corpus scan fans to the bigram stream; the
+    * model is THREE map-side-combined integer count tables derived
+    * from one (v,w) aggregate — bigram counts, per-context totals +
+    * follower types (a regroup of the bigram table, not a rescan),
+    * continuation types — plus a 1-row type-count broadcast; scoring
+    * is three hash-partitioned equi-joins of the test bigram stream
+    * against vocabulary-bounded tables (never assumed broadcastable —
+    * the c54 posture) and a per-doc map-side-combined fold. At 100 TB
+    * the count tables are the standing LM artifact next to the band
+    * store; the probability arithmetic is [[KnProbSql]] — integer
+    * counts to IEEE doubles, identical text in both engines.
+    */
+  def knPerplexity(spark: SparkSession, sfDir: String): DataFrame = {
+    val byte = substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 2)
+    val docs = Tables.t(spark, sfDir, "documents")
+      .withColumn("split",
+        when(byte < "1a", "val").when(byte < "34", "test").otherwise("train"))
+    def bigrams(df: DataFrame) = df
+      .withColumn("ws", split(col("text"), " "))
+      .where(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+          |  i -> struct(element_at(ws, i) AS v, element_at(ws, i + 1) AS w))""".stripMargin))
+        .as("p"))
+      .select(col("doc_id"), col("p.v").as("v"), col("p.w").as("w"))
+    val cvw = bigrams(docs.where(col("split") === "train"))
+      .groupBy(col("v"), col("w")).agg(count(lit(1)).as("cvw"))
+    val ctx = cvw.groupBy(col("v"))
+      .agg(sum(col("cvw")).as("cv"), count(lit(1)).as("n1f"))
+    val cont = cvw.groupBy(col("w")).agg(count(lit(1)).as("n1b"))
+    val tt = cvw.agg(count(lit(1)).as("tt"))
+    bigrams(docs.where(col("split") === "test"))
+      .join(cvw, Seq("v", "w"), "left")
+      .join(ctx, Seq("v"), "left")
+      .join(cont, Seq("w"), "left")
+      .crossJoin(broadcast(tt))
+      .select(col("doc_id"),
+        coalesce(col("cvw"), lit(0L)).as("cvw"),
+        coalesce(col("cv"), lit(0L)).as("cv"),
+        coalesce(col("n1f"), lit(0L)).as("n1f"),
+        coalesce(col("n1b"), lit(0L)).as("n1b"),
+        col("tt"))
+      .withColumn("p", expr(KnProbSql))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("cvw") === 0L, 1L).otherwise(0L)).as("n_unseen"),
+        Canon.davgFloor6(-log(col("p")), count(lit(1))).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "c189_kn_perplexity" -> (knPerplexity(_, _)),
     "c186_zipf_fit" -> (zipfFit(_, _)),
     "c185_ngram_novelty" -> (ngramNovelty(_, _)),
     "c182_term_pmi" -> (termPmi(_, _)),
@@ -1413,6 +1503,48 @@ object TextAnalysis {
         |FROM te LEFT JOIN tr ON te.g = tr.tg
         |GROUP BY doc_id, lang
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    // The c189 oracle replays split → train bigram counts → the three
+    // derived KN tables → the SHARED probability formula (KnProbSql
+    // verbatim) → the floored per-doc average. Bigrams emit as
+    // "v w" strings and re-split (tokens carry no spaces); SUM casts
+    // to BIGINT to match Spark's long.
+    "c189_kn_perplexity" ->
+      s"""WITH sp AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'val'
+         |         WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '34' THEN 'test'
+         |         ELSE 'train' END AS split
+         |  FROM documents
+         |), bg AS (
+         |  SELECT doc_id, split,
+         |    string_split(g, ' ')[1] AS v, string_split(g, ' ')[2] AS w
+         |  FROM (
+         |    SELECT doc_id, split, unnest(list_transform(
+         |      range(1, greatest(len(string_split(text, ' ')) - 1, 0) + 1),
+         |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS g
+         |    FROM sp)
+         |), cvw AS (
+         |  SELECT v, w, COUNT(*) AS cvw FROM bg WHERE split = 'train' GROUP BY v, w
+         |), ctx AS (
+         |  SELECT v, CAST(SUM(cvw) AS BIGINT) AS cv, COUNT(*) AS n1f FROM cvw GROUP BY v
+         |), cont AS (
+         |  SELECT w, COUNT(*) AS n1b FROM cvw GROUP BY w
+         |), tt AS (SELECT COUNT(*) AS tt FROM cvw
+         |), j AS (
+         |  SELECT doc_id, COALESCE(cvw, 0) AS cvw, COALESCE(cv, 0) AS cv,
+         |    COALESCE(n1f, 0) AS n1f, COALESCE(n1b, 0) AS n1b, tt
+         |  FROM (SELECT doc_id, v, w FROM bg WHERE split = 'test') te
+         |  LEFT JOIN cvw USING (v, w) LEFT JOIN ctx USING (v)
+         |  LEFT JOIN cont USING (w) CROSS JOIN tt
+         |), pr AS (
+         |  SELECT doc_id, cvw, $KnProbSql AS p FROM j
+         |)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  CAST(SUM(CASE WHEN cvw = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+         |  ${Canon.oDavgFloor6("-ln(p)", "COUNT(*)")} AS avg_nll
+         |FROM pr GROUP BY doc_id
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
 
     // The c182 oracle replays presence → df → the top-vocab cut →
     // vocab-bounded pair counts → the integer-count ln, with the same

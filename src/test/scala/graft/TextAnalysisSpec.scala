@@ -430,6 +430,68 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.exists(_._5 > 0.0), "every test doc fully memorized - audit vacuous")
   }
 
+  test("c189: KN perplexity replays independently per test doc; smoothing scores what MLE cannot") {
+    val sf = TestSpark.sf0001
+    val out = TextAnalysis.knPerplexity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    def md5hex(x: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def splitOf(id: Long): String = {
+      val b = md5hex(s"split:$id").take(2)
+      if (b < "1a") "val" else if (b < "34") "test" else "train"
+    }
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def bigramsOf(t: String): Seq[(String, String)] = {
+      val ws = t.split(" ")
+      if (ws.length < 2) Seq.empty else ws.dropRight(1).zip(ws.drop(1)).toSeq
+    }
+    // independent model build: train bigram counts and the three
+    // derived KN tables, then the interpolated-KN probability
+    val train = docs.filter(d => splitOf(d._1) == "train").flatMap(d => bigramsOf(d._2))
+    val cvw = train.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val cv = cvw.groupBy(_._1._1).map { case (v, m) => v -> m.values.sum }
+    val n1f = cvw.groupBy(_._1._1).map { case (v, m) => v -> m.size.toLong }
+    val n1b = cvw.groupBy(_._1._2).map { case (w, m) => w -> m.size.toLong }
+    val tt = cvw.size.toLong
+    def p(v: String, w: String): Double = {
+      val pcont = (n1b.getOrElse(w, 0L).toDouble + 1.0) / (tt.toDouble + 1.0)
+      val cvv = cv.getOrElse(v, 0L)
+      if (cvv > 0)
+        (math.max(cvw.getOrElse((v, w), 0L).toDouble - 0.75, 0.0) +
+          0.75 * n1f(v).toDouble * pcont) / cvv.toDouble
+      else pcont
+    }
+    val expect = docs.filter(d => splitOf(d._1) == "test")
+      .map { case (id, t) =>
+        val bs = bigramsOf(t)
+        val terms = bs.map { case (v, w) =>
+          BigDecimal(-math.log(p(v, w))).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        }
+        val nll = // davgFloor6 replay: exact micro-unit sum, floored mean
+          if (bs.isEmpty) 0.0
+          else math.floor((terms.sum * 1000000).toLongExact.toDouble / bs.length) / 1000000.0
+        id -> (bs.length.toLong, bs.count { case (v, w) => !cvw.contains((v, w)) }.toLong, nll)
+      }.filter(_._2._1 > 0).toMap
+    assert(out.length == expect.size, "row set must be exactly the bigram-bearing test docs")
+    out.foreach { case (id, n, unseen, nll) =>
+      val (en, eunseen, enll) = expect(id)
+      assert(n == en && unseen == eunseen, s"doc $id counts drifted: ($n,$unseen) vs ($en,$eunseen)")
+      assert(nll == enll, s"doc $id avg_nll drifted: $nll vs $enll")
+      assert(nll > 0.0, s"doc $id scored non-positive NLL")
+    }
+    // The point of smoothing: held-out docs DO contain bigrams the
+    // train split never saw (c54's MLE would assign p=0 and -ln p=inf
+    // there), and every one of them still scored finitely above.
+    assert(out.map(_._3).sum > 0, "no unseen bigram in any test doc - the held-out posture is vacuous")
+    // the probability is a genuine (sub-)distribution: every scored
+    // term sits in (0, 1], so avg_nll >= 0 with equality impossible
+    // on mixed-vocabulary text
+    assert(out.forall(_._4 > 0.0))
+  }
+
   test("c186: the Zipf fit replays independently from raw term counts; r2 is a genuine fit quality") {
     val sf = TestSpark.sf0001
     val row = TextAnalysis.zipfFit(spark, sf).collect().head
