@@ -1251,8 +1251,17 @@ object TextAnalysis {
       .orderBy(col("tf").desc, col("w").asc).limit(ZipfTopK)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("tf").desc, col("w").asc)).cast("long"))
-    val pts = top.select(log(col("rank").cast("double")).as("x"),
-      log(col("tf").cast("double")).as("y"))
+    olsOf(top.select(log(col("rank").cast("double")).as("x"),
+      log(col("tf").cast("double")).as("y")))
+  }
+
+  /** Closed-form simple OLS over an (x, y) frame with the c91
+    * DECIMAL(38,6) moment canon — one row (n, slope, intercept, r²).
+    * Shared by c186 (Zipf) and c190 (Heaps) so the two corpus-health
+    * fits cannot drift in their arithmetic; [[OlsOracleTail]] is the
+    * DuckDB mirror over a CTE named `pts`.
+    */
+  private def olsOf(pts: DataFrame): DataFrame = {
     def d(c: org.apache.spark.sql.Column) =
       c.cast(org.apache.spark.sql.types.DecimalType(38, 6))
     pts.agg(count(lit(1)).as("n"),
@@ -1272,6 +1281,75 @@ object TextAnalysis {
         round(col("num") * col("num") /
           (col("den") * (col("n") * col("syy") - col("sy") * col("sy"))), 4)
           .as("r2"))
+  }
+
+  /** DuckDB tail mirroring [[olsOf]] — append after a WITH chain
+    * whose last CTE is `pts(x, y)`. */
+  private val OlsOracleTail: String =
+    """, m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+      |  FROM pts
+      |), i AS (
+      |  SELECT n, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den,
+      |    sx, sy, syy FROM m
+      |)
+      |SELECT n,
+      |  ROUND(num / den, 4) AS slope,
+      |  ROUND((sy - num / den * sx) / n, 4) AS intercept,
+      |  ROUND(num * num / (den * (n * syy - sy * sy)), 4) AS r2
+      |FROM i""".stripMargin
+
+  /** c190 fit resolution: vocabulary growth is sampled at
+    * [[HeapsPoints]] doc-id cutoffs evenly spaced over the observed
+    * id span (integer arithmetic on a 2-value broadcast — the c184
+    * cut discipline). */
+  private[graft] val HeapsPoints = 10
+
+  /** c190 — HEAPS-LAW VOCABULARY GROWTH fit (Heaps 1978 — public; the
+    * companion corpus-health audit to c186's Zipf fit, and the
+    * capacity-planning curve behind every vocabulary/tokenizer
+    * budget: V(N) ≈ K·N^β with β ≈ 0.4-0.6 for natural text, so the
+    * fit answers "how fast does this corpus mint new types" — a β
+    * near 1 means unbounded novelty (IDs, hashes, OCR damage), a β
+    * near 0 means a closed template vocabulary, and the projection to
+    * the full-corpus N is how a pipeline sizes its term dictionaries
+    * BEFORE paying the full scan). OLS of ln V on ln N over
+    * [[HeapsPoints]] cumulative checkpoints: slope = β, intercept =
+    * ln K, plus r² — one row.
+    *
+    * The cumulative curve needs no sequential scan: checkpoint k's
+    * token count is a SUM over docs with id ≤ cut_k, and its
+    * vocabulary size counts terms whose FIRST-OCCURRENCE doc (one
+    * vocab-sized min aggregate) is ≤ cut_k — both are broadcast-cut
+    * crossjoins over 10 rows, the c184 integer-cut discipline, never
+    * a corpus window. Scale shape: one token scan → per-doc counts
+    * (map-side) + term first-occurrence (vocab-sized, map-side min);
+    * 10-row broadcast; two ≤10-group aggregates; OLS on ≤10 points
+    * through [[olsOf]]'s decimal canon.
+    */
+  def heapsFit(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val cuts = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .select(explode(expr(
+        s"array_distinct(transform(sequence(1, $HeapsPoints), k -> lo + ((hi - lo) * k) div $HeapsPoints))"))
+        .as("cut"))
+    val cumTok = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .crossJoin(broadcast(cuts)).where(col("doc_id") <= col("cut"))
+      .groupBy(col("cut")).agg(sum(col("nt")).as("ntok"))
+    val cumVoc = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(min(col("doc_id")).as("fd"))
+      .crossJoin(broadcast(cuts)).where(col("fd") <= col("cut"))
+      .groupBy(col("cut")).agg(count(lit(1)).as("v"))
+    olsOf(cumTok.join(cumVoc, "cut")
+      .select(log(col("ntok").cast("double")).as("x"),
+        log(col("v").cast("double")).as("y")))
   }
 
   /** c189's ONE shared probability formula text, feeding both engines
@@ -1364,6 +1442,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, Q] = Map(
+    "c190_heaps_fit" -> (heapsFit(_, _)),
     "c189_kn_perplexity" -> (knPerplexity(_, _)),
     "c186_zipf_fit" -> (zipfFit(_, _)),
     "c185_ngram_novelty" -> (ngramNovelty(_, _)),
@@ -1464,23 +1543,31 @@ object TextAnalysis {
          |  ) WHERE rank <= $ZipfTopK
          |), pts AS (
          |  SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(tf AS DOUBLE)) AS y FROM top
-         |), m AS (
-         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         |    CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-         |    CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
-         |    CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
-         |    CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
-         |    CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
-         |  FROM pts
-         |), i AS (
-         |  SELECT n, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den,
-         |    sx, sy, syy FROM m
-         |)
-         |SELECT n,
-         |  ROUND(num / den, 4) AS slope,
-         |  ROUND((sy - num / den * sx) / n, 4) AS intercept,
-         |  ROUND(num * num / (den * (n * syy - sy * sy)), 4) AS r2
-         |FROM i""".stripMargin,
+         |)$OlsOracleTail""".stripMargin,
+
+    // The c190 oracle replays cuts → cumulative tokens/vocab →
+    // ln-ln points → the shared OLS tail (OlsOracleTail verbatim —
+    // the same fit arithmetic as c186).
+    "c190_heaps_fit" ->
+      s"""WITH b AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+         |cuts AS (
+         |  SELECT DISTINCT unnest(list_transform(range(1, $HeapsPoints + 1),
+         |    k -> lo + ((hi - lo) * k) // $HeapsPoints)) AS cut
+         |  FROM b
+         |), ct AS (
+         |  SELECT cut, CAST(SUM(nt) AS BIGINT) AS ntok
+         |  FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents)
+         |  CROSS JOIN cuts WHERE doc_id <= cut GROUP BY cut
+         |), fo AS (
+         |  SELECT w, MIN(doc_id) AS fd FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+         |  ) GROUP BY w
+         |), cv AS (
+         |  SELECT cut, COUNT(*) AS v FROM fo CROSS JOIN cuts WHERE fd <= cut GROUP BY cut
+         |), pts AS (
+         |  SELECT ln(CAST(ntok AS DOUBLE)) AS x, ln(CAST(v AS DOUBLE)) AS y
+         |  FROM ct JOIN cv USING (cut)
+         |)$OlsOracleTail""".stripMargin,
 
     // The c185 oracle replays grams → the c32 split rule → the
     // distinct train set → per-test-doc seen/novelty.

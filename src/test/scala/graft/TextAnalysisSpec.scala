@@ -532,4 +532,50 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(slope <= 0.0, s"rank-frequency slope cannot be positive: $slope")
     assert(r2 >= 0.0 && r2 <= 1.0, s"r2 out of range: $r2")
   }
+
+  test("c190: the Heaps fit replays independently from raw text; the fixture's closed vocabulary reads as beta = 0") {
+    val sf = TestSpark.sf0001
+    val row = TextAnalysis.heapsFit(spark, sf).collect().head
+    val (n, beta, lnk, r2) =
+      (row.getLong(0), row.getDouble(1), row.getDouble(2), row.getDouble(3))
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // independent replay: integer cuts over the id span, cumulative
+    // token counts, first-occurrence vocabulary growth, the same
+    // decimal-quantized OLS as the c186 replay
+    val lo = docs.map(_._1).min; val hi = docs.map(_._1).max
+    val cuts = (1 to TextAnalysis.HeapsPoints)
+      .map(k => lo + (hi - lo) * k / TextAnalysis.HeapsPoints).distinct
+    val firstOcc = docs.flatMap { case (id, t) => t.split(" ").map(_ -> id) }
+      .groupBy(_._1).map { case (_, xs) => xs.map(_._2).min }.toSeq
+    val pts = cuts.map { c =>
+      val ntok = docs.filter(_._1 <= c).map(_._2.split(" ").length.toLong).sum
+      val v = firstOcc.count(_ <= c).toLong
+      (math.log(ntok.toDouble), math.log(v.toDouble))
+    }
+    assert(n == pts.length.toLong)
+    def d6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val (sx, sy) = (pts.map(p => d6(p._1)).sum.toDouble, pts.map(p => d6(p._2)).sum.toDouble)
+    val sxy = pts.map(p => d6(p._1 * p._2)).sum.toDouble
+    val sxx = pts.map(p => d6(p._1 * p._1)).sum.toDouble
+    val nn = pts.length.toDouble
+    val num = nn * sxy - sx * sy; val den = nn * sxx - sx * sx
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(beta == r4(num / den), s"beta drifted: $beta vs ${r4(num / den)}")
+    assert(lnk == r4((sy - num / den * sx) / nn))
+    // The audit's honest finding on this corpus, pinned: every one of
+    // the 31 synthetic types first occurs in the very first document
+    // (vocabulary saturates immediately), so V is flat across all 10
+    // checkpoints and the growth exponent is EXACTLY the "closed
+    // template vocabulary" verdict beta = 0 — the opposite end of the
+    // dial from the beta ~ 1 unbounded-novelty pathology, and nothing
+    // like natural text's 0.4-0.6. A corpus report reading this fit
+    // would conclude "templated/synthetic", which this corpus is.
+    info(s"c190 heaps fit at sf0.001: beta=$beta lnK=$lnk r2=$r2 n=$n")
+    assert(beta == 0.0, s"closed-vocabulary fixture must fit beta = 0: $beta")
+    assert(math.exp(lnk).round == firstOcc.size.toLong,
+      s"flat-V fit must put e^lnK at the vocabulary size: e^$lnk vs ${firstOcc.size}")
+    assert(r2 >= 0.0 && r2 <= 1.0, s"r2 out of range: $r2")
+  }
 }
