@@ -1202,25 +1202,49 @@ object TextAnalysis {
     * gram set is a standing artifact (the bandStore discipline)
     * probed by each new eval candidate.
     */
-  def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+  def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame =
+    noveltyOf(
+      gramSplit(Tables.t(spark, sfDir, "documents")).where(col("split") === "test"),
+      trainGramSet(spark, sfDir))
+      .orderBy("doc_id")
+
+  /** The c185 gram stream with its split tag over any (doc_id, lang,
+    * text) frame — word 5-grams + the c32 hash split. Stateless
+    * (pure per-row generate), so it runs unchanged on a STREAMING
+    * frame — the c191 ingest side.
+    */
+  private[graft] def gramSplit(docs: DataFrame): DataFrame = {
     val byte = substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 2)
-    val grams = Tables.t(spark, sfDir, "documents")
+    docs
       .withColumn("ws", split(col("text"), " "))
       .where(size(col("ws")) >= 5)
       .select(col("doc_id"), col("lang"), explode(expr(
         "transform(sequence(1, size(ws) - 4), i -> concat_ws(' ', slice(ws, i, 5)))")).as("g"))
       .withColumn("split",
         when(byte < "1a", "val").when(byte < "34", "test").otherwise("train"))
-    val trainG = grams.where(col("split") === "train").select(col("g")).distinct()
-    grams.where(col("split") === "test")
-      .select(col("doc_id"), col("lang"), col("g")).distinct()
+  }
+
+  /** The distinct TRAIN gram set — c185's standing artifact side (in
+    * production a parquet-persisted gram store next to the band
+    * store, probed by every new eval candidate; c191 models exactly
+    * that with a materialized static frame).
+    */
+  private[graft] def trainGramSet(spark: SparkSession, sfDir: String): DataFrame =
+    gramSplit(Tables.t(spark, sfDir, "documents"))
+      .where(col("split") === "train").select(col("g")).distinct()
+
+  /** The c185 scoring kernel: per-doc-distinct candidate grams LEFT
+    * JOIN the train gram set → n_grams / n_seen / novelty. Shared by
+    * batch c185 and streaming c191 (one kernel — the two cannot
+    * drift).
+    */
+  private[graft] def noveltyOf(testGrams: DataFrame, trainG: DataFrame): DataFrame =
+    testGrams.select(col("doc_id"), col("lang"), col("g")).distinct()
       .join(trainG.withColumn("seen", lit(1)), Seq("g"), "left")
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_grams"), count(col("seen")).as("n_seen"))
       .withColumn("novelty",
         round(lit(1.0) - col("n_seen").cast("double") / col("n_grams"), 4))
-      .orderBy("doc_id")
-  }
 
   /** c186 fit window: the OLS runs on the top-[[ZipfTopK]]
     * rank-frequency points (the head is where the power law lives

@@ -782,6 +782,45 @@ object Streams {
     NearDup.ingestLedgerFrom(nBase, nNew)
   }
 
+  /** c191 — STREAMING n-gram novelty: c185's memorization audit as
+    * live eval-candidate ingest — exactly the production posture
+    * c185's scaladoc names (the train gram set is a STANDING artifact
+    * probed by each new candidate; here a materialized static frame,
+    * in production the parquet gram store next to the band store).
+    * STATELESS by construction (the c51/c162/c176 discipline): a
+    * candidate doc arrives in exactly one micro-batch, its novelty
+    * depends only on its OWN grams and the static train set, so the
+    * batch-local answer IS the global answer under any batching — no
+    * state store, no watermark, and the gram explode + per-doc fold
+    * run batch-locally through the SHARED
+    * [[graft.ops.TextAnalysis.noveltyOf]] kernel (one kernel — batch
+    * c185 and this stream cannot drift). Exactly-once via the
+    * batch-id-keyed overwrite (the c162 foreachBatch recipe). Oracle:
+    * c185's SQL verbatim.
+    */
+  def streamNgramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.TextAnalysis
+    val trainG = TextAnalysis.trainGramSet(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    trainG.count() // materialize: the standing artifact is built ONCE
+    val stream = streamTable(spark, sfDir, "documents")
+    val out = java.nio.file.Files.createTempDirectory("graft_c191_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_c191_ckpt").toString
+    trackTmpDir(out); trackTmpDir(ckpt)
+    val q = stream.writeStream
+      .foreachBatch((batch: Dataset[Row], id: Long) =>
+        TextAnalysis.noveltyOf(
+            TextAnalysis.gramSplit(batch).where(col("split") === "test"), trainG)
+          .write.mode("overwrite").parquet(s"$out/batch_id=$id"))
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val res = spark.read.parquet(out).drop("batch_id").orderBy("doc_id")
+    trainG.unpersist()
+    res
+  }
+
   def streamLinkageResolution(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.ops.Llm
     val cust = graft.Tables.t(spark, sfDir, "customer")
@@ -1762,6 +1801,7 @@ object Streams {
     "c172_stream_ttl_expiry" -> (streamTtlExpiry(_, _)),
     "c176_stream_ann_probe" -> (streamAnnProbe(_, _)),
     "c180_stream_index_ingest" -> (streamIndexIngest(_, _)),
+    "c191_stream_ngram_novelty" -> (streamNgramNovelty(_, _)),
     "c83_stream_scd2" -> (streamScd2(_, _)),
     "c129_stream_interval_coalesce" -> (streamIntervalCoalesce(_, _)),
     "c136_stream_ewma" -> (streamEwma(_, _)),
@@ -1814,6 +1854,10 @@ object Streams {
     // exactly — c177's oracle text verbatim.
     "c180_stream_index_ingest" ->
       graft.ops.NearDup.oracle("c177_incremental_index_ingest"),
+    // The streamed novelty union must equal the batch memorization
+    // audit — c185's oracle text verbatim.
+    "c191_stream_ngram_novelty" ->
+      graft.ops.TextAnalysis.oracle("c185_ngram_novelty"),
 
     // c76's SCD2 build minus its open (NULL valid_to) versions —
     // derived from the SAME SQL text so the two cannot drift: append
