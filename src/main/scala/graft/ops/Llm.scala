@@ -335,6 +335,86 @@ object Llm {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** c192's shared formula texts over the joined count columns
+    * (m1/m2 = clipped matches, rlen/clen = reference/candidate word
+    * lengths) — ONE text per quantity feeds both engines (the
+    * c183/c189 discipline). Deliberately libm-FREE: every arithmetic
+    * op here (integer→double casts, division, multiplication, sqrt)
+    * is IEEE-754 exactly-rounded and therefore bit-identical across
+    * engines — the brevity penalty's exp(1 − r/c) is NOT (platform
+    * libm), so instead of baking it into the score the monotone
+    * ingredient `len_ratio` ships as its own column (the c100
+    * no-sigmoid discipline: a gate can threshold the pair (bleu2,
+    * len_ratio) and loses nothing the exp would add).
+    */
+  private[graft] val BleuP1Sql = "CAST(m1 AS DOUBLE) / CAST(clen AS DOUBLE)"
+  private[graft] val BleuP2Sql = "CAST(m2 AS DOUBLE) / CAST(clen - 1 AS DOUBLE)"
+  private[graft] val BleuSql =
+    s"CASE WHEN m1 > 0 AND m2 > 0 THEN sqrt(($BleuP1Sql) * ($BleuP2Sql)) ELSE 0.0 END"
+
+  /** c192 — BLEU-style MODIFIED n-GRAM PRECISION over the LSH
+    * candidate pairs (Papineni et al. 2002 §2.1, public — the
+    * clipped-count precision behind MT eval, repurposed as the
+    * dedup-verification metric a curation REVIEW wants: c3's Jaccard
+    * says "the token SETS overlap", this says "the candidate REUSES
+    * the reference's phrasing, repetition-aware and order-aware at
+    * the bigram level"). For each banded pair (a = reference, b =
+    * candidate; the a<b convention): p_n = Σ_g min(count_b(g),
+    * count_a(g)) / #n-grams(b) for n = 1,2 — the CLIP is what stops
+    * a candidate repeating one shared word from scoring 1.0 —
+    * bleu2 = √(p1·p2) when both match counts are positive (the
+    * smoothing-free convention: a pair with zero shared bigrams
+    * scores 0), plus len_ratio = |b|/|a|, the brevity-penalty
+    * ingredient (see [[BleuSql]] for why the exp form is not baked
+    * in). Every pair in this table already carries ≥3 words per side
+    * (band membership requires a 3-shingle), so the p2 denominator
+    * clen−1 ≥ 2 is structurally safe.
+    *
+    * Scale shape: the candidates-only discipline (the c3/c117
+    * posture — never all-pairs): two per-doc n-gram COUNT tables
+    * (map-side combined, corpus-bounded) are probed by the memoized
+    * pair table via doc-keyed equi-joins; the clipped sum is one
+    * map-side-combined aggregate per order over pairs×doc-length
+    * rows; lengths ride a doc-sized join. At 100 TB the gram-count
+    * tables are the same standing artifact family as the band store.
+    */
+  def bleuPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashPairs(spark, sfDir)
+    val docs = Tables.t(spark, sfDir, "documents")
+    val uni = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val bi = docs
+      .withColumn("ws", split(col("text"), " "))
+      .where(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> concat_ws(' ', slice(ws, i, 2)))")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val lens = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("len1"))
+    def clipped(grams: DataFrame, name: String) = pairs
+      .join(grams.select(col("doc_id").as("doc_b"), col("g"), col("c").as("cb")), "doc_b")
+      .join(grams.select(col("doc_id").as("doc_a"), col("g"), col("c").as("ca")),
+        Seq("doc_a", "g"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(least(col("ca"), col("cb"))).as(name))
+    pairs
+      .join(clipped(uni, "m1"), Seq("doc_a", "doc_b"), "left")
+      .join(clipped(bi, "m2"), Seq("doc_a", "doc_b"), "left")
+      .join(lens.select(col("doc_id").as("doc_a"), col("len1").as("rlen")), "doc_a")
+      .join(lens.select(col("doc_id").as("doc_b"), col("len1").as("clen")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("m1"), lit(0L)).as("m1"),
+        coalesce(col("m2"), lit(0L)).as("m2"),
+        col("rlen"), col("clen"))
+      .select(col("doc_a"), col("doc_b"), col("m1"), col("m2"),
+        round(expr(BleuP1Sql), 4).as("p1"),
+        round(expr(BleuP2Sql), 4).as("p2"),
+        round(col("clen").cast("double") / col("rlen"), 4).as("len_ratio"),
+        round(expr(BleuSql), 4).as("bleu2"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** c117 — LEVENSHTEIN edit-distance verification over the LSH
     * candidate pairs: the CHARACTER-level near-dup measure closing
     * the verification triple (c3 = token-set Jaccard, c11 =
@@ -1486,6 +1566,7 @@ object Llm {
     "c1_dedup_exact" -> (dedupExact(_, _)),
     "c2_dedup_minhash_pairs" -> (dedupMinhashPairs(_, _)),
     "c3_jaccard_pairs" -> (jaccardPairs(_, _)),
+    "c192_bleu_pairs" -> (bleuPairs(_, _)),
     "c117_edit_distance_pairs" -> (editDistancePairs(_, _)),
     "c158_edit_join_exact" -> (editJoinExact(_, _)),
     "c159_record_linkage" -> (recordLinkage(_, _)),
@@ -1942,6 +2023,50 @@ object Llm {
          |      FROM documents) ta ON ta.doc_id = doc_a
          |JOIN (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tset
          |      FROM documents) tb ON tb.doc_id = doc_b
+         |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
+
+    // The c192 oracle replays the banded pairs + per-doc n-gram count
+    // tables + clipped-match sums, then the SHARED libm-free formula
+    // texts (BleuP1Sql/BleuP2Sql/BleuSql verbatim).
+    "c192_bleu_pairs" ->
+      s"""$oraclePairsCte, unic AS (
+         |  SELECT doc_id, g, COUNT(*) AS c FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS g FROM documents
+         |  ) GROUP BY doc_id, g
+         |), bic AS (
+         |  SELECT doc_id, g, COUNT(*) AS c FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+         |      i -> ws[i] || ' ' || ws[i+1])) AS g
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+         |    WHERE len(ws) >= 2
+         |  ) GROUP BY doc_id, g
+         |), lens AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len1 FROM documents
+         |), mm1 AS (
+         |  SELECT p.doc_a, p.doc_b, CAST(SUM(LEAST(ca.c, cb.c)) AS BIGINT) AS m1
+         |  FROM pairs p JOIN unic cb ON cb.doc_id = p.doc_b
+         |  JOIN unic ca ON ca.doc_id = p.doc_a AND ca.g = cb.g
+         |  GROUP BY p.doc_a, p.doc_b
+         |), mm2 AS (
+         |  SELECT p.doc_a, p.doc_b, CAST(SUM(LEAST(ca.c, cb.c)) AS BIGINT) AS m2
+         |  FROM pairs p JOIN bic cb ON cb.doc_id = p.doc_b
+         |  JOIN bic ca ON ca.doc_id = p.doc_a AND ca.g = cb.g
+         |  GROUP BY p.doc_a, p.doc_b
+         |), j AS (
+         |  SELECT p.doc_a, p.doc_b, COALESCE(m1, 0) AS m1, COALESCE(m2, 0) AS m2,
+         |    la.len1 AS rlen, lb.len1 AS clen
+         |  FROM pairs p
+         |  LEFT JOIN mm1 ON mm1.doc_a = p.doc_a AND mm1.doc_b = p.doc_b
+         |  LEFT JOIN mm2 ON mm2.doc_a = p.doc_a AND mm2.doc_b = p.doc_b
+         |  JOIN lens la ON la.doc_id = p.doc_a
+         |  JOIN lens lb ON lb.doc_id = p.doc_b
+         |)
+         |SELECT doc_a, doc_b, m1, m2,
+         |  ROUND($BleuP1Sql, 4) AS p1,
+         |  ROUND($BleuP2Sql, 4) AS p2,
+         |  ROUND(CAST(clen AS DOUBLE) / rlen, 4) AS len_ratio,
+         |  ROUND($BleuSql, 4) AS bleu2
+         |FROM j
          |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
 
     "c43_containment_pairs" ->

@@ -585,6 +585,46 @@ class OperatorPropertiesSpec extends AnyFunSuite {
       s"chunking did not re-synchronize after the insertion: ${baseChunks.tail.filterNot(shiftedSet.contains)}")
   }
 
+  test("c192: BLEU pair scores replay independently from raw text over the banded pairs") {
+    val sf = TestSpark.sf0001
+    val out = ops.Llm.bleuPairs(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6), r.getDouble(7)))).toMap
+    assert(out.nonEmpty)
+    val texts = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def counts(ws: Array[String], n: Int): Map[String, Long] =
+      ws.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+        .groupBy(identity).map { case (g, xs) => g -> xs.length.toLong }
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out.foreach { case ((a, b), (m1, m2, p1, p2, lr, bleu)) =>
+      val (wa, wb) = (texts(a).split(" "), texts(b).split(" "))
+      def clip(n: Int): Long = {
+        val (ca, cb) = (counts(wa, n), counts(wb, n))
+        cb.map { case (g, c) => math.min(c, ca.getOrElse(g, 0L)) }.sum
+      }
+      val (em1, em2) = (clip(1), clip(2))
+      assert(m1 == em1 && m2 == em2, s"pair ($a,$b) clipped counts drifted: ($m1,$m2) vs ($em1,$em2)")
+      // the clip is live: a candidate's n-gram can never contribute
+      // more matches than the reference holds
+      assert(m1 <= wb.length.toLong && m2 <= (wb.length - 1).toLong)
+      assert(p1 == r4(m1.toDouble / wb.length), s"pair ($a,$b) p1 drifted")
+      assert(p2 == r4(m2.toDouble / (wb.length - 1)), s"pair ($a,$b) p2 drifted")
+      assert(lr == r4(wb.length.toDouble / wa.length))
+      val eb = if (m1 > 0 && m2 > 0)
+        math.sqrt((m1.toDouble / wb.length) * (m2.toDouble / (wb.length - 1))) else 0.0
+      assert(bleu == r4(eb), s"pair ($a,$b) bleu2 drifted: $bleu vs ${r4(eb)}")
+      assert(bleu >= 0.0 && bleu <= 1.0 && p1 >= 0.0 && p1 <= 1.0 && p2 >= 0.0 && p2 <= 1.0)
+    }
+    // non-vacuous both ways on the planted near-dups: some pair
+    // genuinely reuses phrasing, and no pair is REQUIRED to be a
+    // verbatim copy for the metric to separate
+    assert(out.values.exists(_._6 > 0.5), "no high-BLEU pair among banded candidates - fixture vacuous")
+    assert(out.values.forall(v => v._3 > 0.0), "a banded pair with zero unigram overlap should not exist")
+  }
+
   test("c59: width dial follows the ivfPlanes-style clamp rule") {
     // The corpus-scaled block width: clamp(bitLength((n-1)/2), 8, 15).
     // Pinned so the scale story (occupancy n/2^w ~ budget) is a
