@@ -381,31 +381,39 @@ object Llm {
   def bleuPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = minhashPairs(spark, sfDir)
     val docs = Tables.t(spark, sfDir, "documents")
-    val uni = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("g"))
+    // Per-doc gram-count MAPS, not a gram-instance join: the pair
+    // side carries TWO doc-sized maps per row and the clipped sum is
+    // a row-local fold (the c3 tokenSets posture). The instance-join
+    // alternative shuffles pairs × doc-length ROWS — measured 46 GB
+    // of spill-to-death on the 100× rehearsal corpus, whose
+    // 100-replica families inflate the pair count quadratically; the
+    // map form holds the same pairs at a handful of shuffled GB.
+    def gramMap(grams: DataFrame) = grams
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-    val bi = docs
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("g"), col("c")))).as("m"))
+    val uniM = gramMap(docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("g")))
+    val biM = gramMap(docs
       .withColumn("ws", split(col("text"), " "))
       .where(size(col("ws")) >= 2)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(ws) - 1), i -> concat_ws(' ', slice(ws, i, 2)))")).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        "transform(sequence(1, size(ws) - 1), i -> concat_ws(' ', slice(ws, i, 2)))")).as("g")))
     val lens = docs
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("len1"))
-    def clipped(grams: DataFrame, name: String) = pairs
-      .join(grams.select(col("doc_id").as("doc_b"), col("g"), col("c").as("cb")), "doc_b")
-      .join(grams.select(col("doc_id").as("doc_a"), col("g"), col("c").as("ca")),
-        Seq("doc_a", "g"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(sum(least(col("ca"), col("cb"))).as(name))
+    def clip(ma: String, mb: String): String =
+      s"""aggregate(map_keys($mb), 0L,
+         |  (acc, k) -> acc + least(element_at($mb, k), coalesce(element_at($ma, k), 0L)))""".stripMargin
     pairs
-      .join(clipped(uni, "m1"), Seq("doc_a", "doc_b"), "left")
-      .join(clipped(bi, "m2"), Seq("doc_a", "doc_b"), "left")
+      .join(uniM.select(col("doc_id").as("doc_a"), col("m").as("ua")), "doc_a")
+      .join(uniM.select(col("doc_id").as("doc_b"), col("m").as("ub")), "doc_b")
+      .join(biM.select(col("doc_id").as("doc_a"), col("m").as("ba")), "doc_a")
+      .join(biM.select(col("doc_id").as("doc_b"), col("m").as("bb")), "doc_b")
       .join(lens.select(col("doc_id").as("doc_a"), col("len1").as("rlen")), "doc_a")
       .join(lens.select(col("doc_id").as("doc_b"), col("len1").as("clen")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        coalesce(col("m1"), lit(0L)).as("m1"),
-        coalesce(col("m2"), lit(0L)).as("m2"),
+        expr(clip("ua", "ub")).as("m1"),
+        expr(clip("ba", "bb")).as("m2"),
         col("rlen"), col("clen"))
       .select(col("doc_a"), col("doc_b"), col("m1"), col("m2"),
         round(expr(BleuP1Sql), 4).as("p1"),
