@@ -230,6 +230,79 @@ object Migration {
       .orderBy("status")
   }
 
+  /** A28 — MERKLE token-range diff (round 17; Merkle 1987 — public —
+    * and the anti-entropy repair mechanism of Dynamo §4.7 /
+    * Cassandra's repair, both public): A13/A23 FIND drift with a
+    * row-level key-equi join — both 100 TB sides shuffle on the key,
+    * the honest price of a row-level verify. But a production repair
+    * does not START there: each replica independently folds its rows
+    * into a hash TREE and only DIGESTS cross the wire; comparing
+    * trees top-down localizes divergence to leaf ranges BEFORE any
+    * row moves. This key is that detection pass: a 2-level tree over
+    * the token space (16 ranges × 16 leaves = 256 leaves, the 'tok:'
+    * hash A23 plans repairs over), leaf digest = order-free exact
+    * DECIMAL(38,0) sum of per-row md5 fingerprints over (key, cents)
+    * — the A18 checksum canon, associative so the fold map-side
+    * combines and a range digest is the sum of its leaves. Output
+    * per range: rows both sides, leaf count, diverged-leaf count,
+    * and the verdict — the descent result a repair feeds to A23/A22
+    * as its work list.
+    *
+    * Drift here is CLUSTERED (keys whose token range is 'a': drift
+    * nibble '0' → row missing in target, 'f' → price shifted one
+    * unit), the shape real corruption takes — one node's bad
+    * SSTable, one lost commit-log segment — and the shape that makes
+    * Merkle detection pay: 15 of 16 ranges match on ONE digest
+    * compare each, and the descent opens only the bad range's
+    * leaves. (A13/A23's uniform per-key drift would diverge every
+    * leaf at any realistic row count — true, but vacuous for a
+    * LOCALIZATION mechanism.)
+    *
+    * Scale shape: one scan per side + a 256-group map-side-combined
+    * decimal sum each; ONLY 2×256 digest rows meet (a broadcast-size
+    * full outer join) — no row ever crosses between the sides, which
+    * is exactly the bandwidth argument for Merkle repair at 100 TB.
+    * Row fingerprints are integer-exact (md5 → 15 hex digits →
+    * DECIMAL(38,0)), cents integer — no FP anywhere.
+    */
+  def merkleRangeDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    def drift(c: org.apache.spark.sql.Column) =
+      substring(md5(concat(lit("drift:"), c.cast("string"))), 1, 1)
+    def tok(c: org.apache.spark.sql.Column, n: Int) =
+      substring(md5(concat(lit("tok:"), c.cast("string"))), 1, n)
+    def cents(p: org.apache.spark.sql.Column) = round(p * 100).cast("long")
+    def fp(key: org.apache.spark.sql.Column, cts: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(key.cast("string"), lit(":"), cts.cast("string"))), 1, 15),
+        16, 10).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val o = Tables.t(spark, sfDir, "orders")
+    val src = o.select(col("o_orderkey").as("key"), cents(col("o_totalprice")).as("cts"))
+    val tgt = o
+      .where(tok(col("o_orderkey"), 1) =!= "a" || drift(col("o_orderkey")) =!= "0")
+      .select(col("o_orderkey").as("key"),
+        when(tok(col("o_orderkey"), 1) === "a" && drift(col("o_orderkey")) === "f",
+          cents(col("o_totalprice")) + 100L)
+          .otherwise(cents(col("o_totalprice"))).as("cts"))
+    def leafDigests(df: DataFrame) = df
+      .groupBy(tok(col("key"), 1).as("range"), tok(col("key"), 2).as("leaf"))
+      .agg(sum(fp(col("key"), col("cts"))).as("dig"), count(lit(1)).as("n"))
+    val s = leafDigests(src)
+      .select(col("range"), col("leaf"), col("dig").as("s_dig"), col("n").as("s_n"))
+    val t = leafDigests(tgt)
+      .select(col("range"), col("leaf"), col("dig").as("t_dig"), col("n").as("t_n"))
+    s.join(t, Seq("range", "leaf"), "full")
+      .select(col("range"),
+        coalesce(col("s_n"), lit(0L)).as("s_n"),
+        coalesce(col("t_n"), lit(0L)).as("t_n"),
+        when(col("s_dig").isNull || col("t_dig").isNull ||
+          col("s_dig") =!= col("t_dig") || col("s_n") =!= col("t_n"), 1L)
+          .otherwise(0L).as("div"))
+      .groupBy(col("range"))
+      .agg(sum(col("s_n")).as("src_rows"), sum(col("t_n")).as("tgt_rows"),
+        count(lit(1)).as("n_leaves"), sum(col("div")).as("n_leaves_diverged"))
+      .withColumn("range_match", col("n_leaves_diverged") === 0L)
+      .orderBy("range")
+  }
+
   /** A23 — DRIFT-TO-RANGE attribution, the TARGETED-REPAIR planner
     * (round 15): A13 tells you THAT rows drifted; a production
     * migrator then needs to know WHERE — which token ranges to
@@ -979,6 +1052,7 @@ object Migration {
     "a26_ttl_expiry" -> (ttlExpiry(_, _)),
     "a13_migration_diff" -> (migrationDiff(_, _)),
     "a23_drift_ranges" -> (driftRanges(_, _)),
+    "a28_merkle_range_diff" -> (merkleRangeDiff(_, _)),
     "a14_unset_merge" -> (unsetMerge(_, _)),
     "a15_resume_manifest" -> (resumeManifest(_, _)),
     "a1_full_scan_count" -> (fullScanCount(_, _)),
@@ -1232,6 +1306,50 @@ object Migration {
 
     // a23 replays a13's drift classification joined to the 2-digit
     // token-range partition; integer counts and a boolean decision.
+    // The a28 oracle replays the clustered drift sim, both sides'
+    // leaf digests (exact DECIMAL(38,0) fingerprint sums — the a18
+    // canon), the digest-level full outer join, and the per-range
+    // descent rollup.
+    "a28_merkle_range_diff" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS key, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cts
+        |  FROM orders
+        |), tgt AS (
+        |  SELECT o_orderkey AS key,
+        |    CASE WHEN substr(md5('tok:' || CAST(o_orderkey AS VARCHAR)), 1, 1) = 'a'
+        |          AND substr(md5('drift:' || CAST(o_orderkey AS VARCHAR)), 1, 1) = 'f'
+        |      THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) + 100
+        |      ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END AS cts
+        |  FROM orders
+        |  WHERE NOT (substr(md5('tok:' || CAST(o_orderkey AS VARCHAR)), 1, 1) = 'a'
+        |         AND substr(md5('drift:' || CAST(o_orderkey AS VARCHAR)), 1, 1) = '0')
+        |), sd AS (
+        |  SELECT substr(md5('tok:' || CAST(key AS VARCHAR)), 1, 1) AS range,
+        |    substr(md5('tok:' || CAST(key AS VARCHAR)), 1, 2) AS leaf,
+        |    SUM(CAST(CAST('0x' || substr(md5(CAST(key AS VARCHAR) || ':' || CAST(cts AS VARCHAR)), 1, 15) AS BIGINT) AS DECIMAL(38,0))) AS s_dig,
+        |    COUNT(*) AS s_n
+        |  FROM src GROUP BY 1, 2
+        |), td AS (
+        |  SELECT substr(md5('tok:' || CAST(key AS VARCHAR)), 1, 1) AS range,
+        |    substr(md5('tok:' || CAST(key AS VARCHAR)), 1, 2) AS leaf,
+        |    SUM(CAST(CAST('0x' || substr(md5(CAST(key AS VARCHAR) || ':' || CAST(cts AS VARCHAR)), 1, 15) AS BIGINT) AS DECIMAL(38,0))) AS t_dig,
+        |    COUNT(*) AS t_n
+        |  FROM tgt GROUP BY 1, 2
+        |), lv AS (
+        |  SELECT COALESCE(sd.range, td.range) AS range,
+        |    COALESCE(s_n, 0) AS s_n, COALESCE(t_n, 0) AS t_n,
+        |    CASE WHEN s_dig IS NULL OR t_dig IS NULL
+        |          OR s_dig != t_dig OR s_n != t_n THEN 1 ELSE 0 END AS div
+        |  FROM sd FULL OUTER JOIN td ON sd.range = td.range AND sd.leaf = td.leaf
+        |)
+        |SELECT range, CAST(SUM(s_n) AS BIGINT) AS src_rows,
+        |  CAST(SUM(t_n) AS BIGINT) AS tgt_rows,
+        |  COUNT(*) AS n_leaves,
+        |  CAST(SUM(div) AS BIGINT) AS n_leaves_diverged,
+        |  SUM(div) = 0 AS range_match
+        |FROM lv GROUP BY range
+        |ORDER BY range ASC NULLS FIRST""".stripMargin,
+
     "a23_drift_ranges" ->
       """WITH tgt AS (
         |  SELECT o_orderkey AS t_key,

@@ -1102,4 +1102,49 @@ class MigrationSpec extends AnyFunSuite {
       assert(expect.getOrElse((o, n), 0L) == c, s"hrw cell ($o,$n) drifted")
     }
   }
+
+  test("a28: Merkle descent replays independently and localizes the clustered drift to range 'a'") {
+    import org.apache.spark.sql.functions.col
+    val out = Migration.merkleRangeDiff(spark, TestSpark.sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toMap
+    def md5hex(x: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val orders = Tables.t(spark, TestSpark.sf0001, "orders")
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+    // independent replay: clustered drift -> leaf digests (BigInt
+    // fingerprint sums) on both sides -> per-range descent rollup
+    def fp(key: Long, cts: Long): BigInt =
+      BigInt(md5hex(s"$key:$cts").take(15), 16)
+    def digests(rows: Seq[(Long, Long)]) = rows
+      .groupBy { case (k, _) => md5hex(s"tok:$k").take(2) }
+      .map { case (leaf, rs) =>
+        leaf -> (rs.map { case (k, c) => fp(k, c) }.sum, rs.size.toLong) }
+    val src = digests(orders.toSeq)
+    val tgtRows = orders.toSeq.flatMap { case (k, c) =>
+      val bad = md5hex(s"tok:$k").take(1) == "a"
+      val nib = md5hex(s"drift:$k").take(1)
+      if (bad && nib == "0") None
+      else Some((k, if (bad && nib == "f") c + 100 else c))
+    }
+    val tgt = digests(tgtRows)
+    val expect = (src.keySet ++ tgt.keySet).groupBy(_.take(1)).map { case (rg, leaves) =>
+      val div = leaves.count(l => src.get(l) != tgt.get(l))
+      rg -> (leaves.toSeq.map(l => src.get(l).map(_._2).getOrElse(0L)).sum,
+        leaves.toSeq.map(l => tgt.get(l).map(_._2).getOrElse(0L)).sum,
+        leaves.size.toLong, div.toLong, div == 0)
+    }
+    assert(out == expect, s"descent drifted from the independent replay")
+    // the localization claim itself: every clean range matched on ONE
+    // digest compare, only the corrupted token range opened
+    assert(!out("a")._5 && out("a")._4 > 0, s"corrupted range must diverge: ${out("a")}")
+    assert(out.filter(_._1 != "a").values.forall(v => v._5 && v._4 == 0L),
+      "a clean range must match without descending")
+    // leaf-level pruning is non-vacuous at this SF: the bad range's
+    // descent does NOT open every leaf
+    assert(out("a")._4 < out("a")._3,
+      s"every leaf of range 'a' diverged - leaf pruning vacuous: ${out("a")}")
+    assert(out("a")._2 < out("a")._1, "dropped rows must show in the target count")
+  }
 }
