@@ -1428,29 +1428,57 @@ object TextAnalysis {
     * counts to IEEE doubles, identical text in both engines.
     */
   def knPerplexity(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = knSplitDocs(Tables.t(spark, sfDir, "documents"))
+    val m = knModel(docs.where(col("split") === "train"))
+    knScoreOf(docs.where(col("split") === "test"), m).orderBy("doc_id")
+  }
+
+  /** The c189 split tag over any (doc_id, text) frame — the c32/c185
+    * hash rule. Stateless, so it runs unchanged on a STREAMING frame
+    * (the c193 ingest side). */
+  private[graft] def knSplitDocs(docs: DataFrame): DataFrame = {
     val byte = substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 2)
-    val docs = Tables.t(spark, sfDir, "documents")
-      .withColumn("split",
-        when(byte < "1a", "val").when(byte < "34", "test").otherwise("train"))
-    def bigrams(df: DataFrame) = df
-      .withColumn("ws", split(col("text"), " "))
-      .where(size(col("ws")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(ws) - 1),
-          |  i -> struct(element_at(ws, i) AS v, element_at(ws, i + 1) AS w))""".stripMargin))
-        .as("p"))
-      .select(col("doc_id"), col("p.v").as("v"), col("p.w").as("w"))
-    val cvw = bigrams(docs.where(col("split") === "train"))
+    docs.withColumn("split",
+      when(byte < "1a", "val").when(byte < "34", "test").otherwise("train"))
+  }
+
+  private[graft] def knBigrams(df: DataFrame): DataFrame = df
+    .withColumn("ws", split(col("text"), " "))
+    .where(size(col("ws")) >= 2)
+    .select(col("doc_id"), explode(expr(
+      """transform(sequence(1, size(ws) - 1),
+        |  i -> struct(element_at(ws, i) AS v, element_at(ws, i + 1) AS w))""".stripMargin))
+      .as("p"))
+    .select(col("doc_id"), col("p.v").as("v"), col("p.w").as("w"))
+
+  /** The c189 LM artifact: the four KN count tables trained on a
+    * (doc_id, text) frame — bigram counts, context totals + follower
+    * types, continuation types, and the 1-row type count. In
+    * production these persist next to the band store; c193
+    * materializes them once and probes them per micro-batch.
+    */
+  private[graft] case class KnModel(cvw: DataFrame, ctx: DataFrame,
+      cont: DataFrame, tt: DataFrame)
+
+  private[graft] def knModel(trainDocs: DataFrame): KnModel = {
+    val cvw = knBigrams(trainDocs)
       .groupBy(col("v"), col("w")).agg(count(lit(1)).as("cvw"))
     val ctx = cvw.groupBy(col("v"))
       .agg(sum(col("cvw")).as("cv"), count(lit(1)).as("n1f"))
     val cont = cvw.groupBy(col("w")).agg(count(lit(1)).as("n1b"))
     val tt = cvw.agg(count(lit(1)).as("tt"))
-    bigrams(docs.where(col("split") === "test"))
-      .join(cvw, Seq("v", "w"), "left")
-      .join(ctx, Seq("v"), "left")
-      .join(cont, Seq("w"), "left")
-      .crossJoin(broadcast(tt))
+    KnModel(cvw, ctx, cont, tt)
+  }
+
+  /** The c189 scoring kernel: candidate docs' bigram stream against a
+    * trained [[KnModel]] — shared by batch c189 and streaming c193
+    * (one kernel, the two cannot drift). */
+  private[graft] def knScoreOf(testDocs: DataFrame, m: KnModel): DataFrame =
+    knBigrams(testDocs)
+      .join(m.cvw, Seq("v", "w"), "left")
+      .join(m.ctx, Seq("v"), "left")
+      .join(m.cont, Seq("w"), "left")
+      .crossJoin(broadcast(m.tt))
       .select(col("doc_id"),
         coalesce(col("cvw"), lit(0L)).as("cvw"),
         coalesce(col("cv"), lit(0L)).as("cv"),
@@ -1462,8 +1490,6 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"),
         sum(when(col("cvw") === 0L, 1L).otherwise(0L)).as("n_unseen"),
         Canon.davgFloor6(-log(col("p")), count(lit(1))).as("avg_nll"))
-      .orderBy("doc_id")
-  }
 
   val queries: Map[String, Q] = Map(
     "c190_heaps_fit" -> (heapsFit(_, _)),

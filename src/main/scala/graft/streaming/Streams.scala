@@ -821,6 +821,48 @@ object Streams {
     res
   }
 
+  /** c193 — STREAMING Kneser-Ney scoring: c189's held-out perplexity
+    * filter as live candidate ingest — the per-crawl-batch posture a
+    * CCNet-style pipeline actually runs (the LM is a standing
+    * artifact trained once on the reference corpus; every new batch
+    * of candidate documents scores against it). STATELESS (the
+    * c191 discipline): a candidate arrives in exactly one
+    * micro-batch, its avg_nll depends only on its OWN bigrams and
+    * the static model tables, so the batch-local answer IS the
+    * global answer under any batching; the four count tables
+    * materialize ONCE ([[graft.ops.TextAnalysis.knModel]] persisted
+    * — the parquet LM artifact in production) and every batch
+    * scores through the SHARED [[graft.ops.TextAnalysis.knScoreOf]]
+    * kernel. Exactly-once via the batch-id-keyed overwrite. Oracle:
+    * c189's SQL verbatim.
+    */
+  def streamKnScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.TextAnalysis
+    val m = TextAnalysis.knModel(
+      TextAnalysis.knSplitDocs(graft.Tables.t(spark, sfDir, "documents"))
+        .where(col("split") === "train"))
+    val persisted = Seq(m.cvw, m.ctx, m.cont, m.tt)
+      .map(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    persisted.foreach(_.count())
+    val mp = TextAnalysis.KnModel(persisted(0), persisted(1), persisted(2), persisted(3))
+    val stream = streamTable(spark, sfDir, "documents")
+    val out = java.nio.file.Files.createTempDirectory("graft_c193_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_c193_ckpt").toString
+    trackTmpDir(out); trackTmpDir(ckpt)
+    val q = stream.writeStream
+      .foreachBatch((batch: Dataset[Row], id: Long) =>
+        TextAnalysis.knScoreOf(
+            TextAnalysis.knSplitDocs(batch).where(col("split") === "test"), mp)
+          .write.mode("overwrite").parquet(s"$out/batch_id=$id"))
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val res = spark.read.parquet(out).drop("batch_id").orderBy("doc_id")
+    persisted.foreach(_.unpersist())
+    res
+  }
+
   def streamLinkageResolution(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.ops.Llm
     val cust = graft.Tables.t(spark, sfDir, "customer")
@@ -1802,6 +1844,7 @@ object Streams {
     "c176_stream_ann_probe" -> (streamAnnProbe(_, _)),
     "c180_stream_index_ingest" -> (streamIndexIngest(_, _)),
     "c191_stream_ngram_novelty" -> (streamNgramNovelty(_, _)),
+    "c193_stream_kn_score" -> (streamKnScore(_, _)),
     "c83_stream_scd2" -> (streamScd2(_, _)),
     "c129_stream_interval_coalesce" -> (streamIntervalCoalesce(_, _)),
     "c136_stream_ewma" -> (streamEwma(_, _)),
@@ -1858,6 +1901,10 @@ object Streams {
     // audit — c185's oracle text verbatim.
     "c191_stream_ngram_novelty" ->
       graft.ops.TextAnalysis.oracle("c185_ngram_novelty"),
+    // The streamed KN scores must equal the batch held-out filter —
+    // c189's oracle text verbatim.
+    "c193_stream_kn_score" ->
+      graft.ops.TextAnalysis.oracle("c189_kn_perplexity"),
 
     // c76's SCD2 build minus its open (NULL valid_to) versions —
     // derived from the SAME SQL text so the two cannot drift: append

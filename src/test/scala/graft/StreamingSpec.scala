@@ -995,6 +995,43 @@ class StreamingSpec extends AnyFunSuite {
       "streamed novelty diverges from batch c185")
   }
 
+  test("c193: streaming KN scoring equals batch c189 across real micro-batches") {
+    // Candidate docs split across >= 3 micro-batches; each batch
+    // scores ITS test docs against the STATIC persisted model tables
+    // through the shared knScoreOf kernel (stateless — a doc's score
+    // depends only on its own bigrams + the standing LM artifact).
+    import org.apache.spark.sql.{Dataset, Row}
+    import graft.ops.TextAnalysis
+    val sfDir = TestSpark.sf0001
+    val docs = Tables.t(spark, sfDir, "documents")
+    val m = TextAnalysis.knModel(
+      TextAnalysis.knSplitDocs(docs).where(col("split") === "train"))
+    val base = java.nio.file.Files.createTempDirectory("graft_c193_mb").toFile
+    graft.streaming.Streams.trackTmpDir(base.toString)
+    val feed = new java.io.File(base, "feed").toString
+    docs.repartition(3).write.parquet(feed)
+    val out = new java.io.File(base, "out").toString
+    val ckpt = new java.io.File(base, "ckpt").toString
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+    val q = stream.writeStream
+      .foreachBatch((batch: Dataset[Row], id: Long) =>
+        TextAnalysis.knScoreOf(
+            TextAnalysis.knSplitDocs(batch).where(col("split") === "test"), m)
+          .write.mode("overwrite").parquet(s"$out/batch_id=$id"))
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.length >= 3,
+      s"expected >=3 micro-batches: ${q.recentProgress.length}")
+    val streamed = spark.read.parquet(out).drop("batch_id")
+    val batch = TextAnalysis.knPerplexity(spark, sfDir)
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed KN scores diverge from batch c189")
+  }
+
   test("c166: streaming frame dedup is STATELESS and equals the batch kernel across real micro-batches") {
     // Same discipline as c160: the topology must analyze to generate +
     // stream-static join only, and per-frame reference rows must union
