@@ -350,7 +350,30 @@ object Plans {
         ("Reshard plan: both placements are row-local codegen'd " +
           "projections (HRW = transform + array_max fold — no shard " +
           "fan-out join, no window); one scan per scheme + one " +
-          "≤48-group map-side-combined HashAggregate."))
+          "≤48-group map-side-combined HashAggregate."),
+      "c188_cdc_chunking" ->
+        ("CDC chunking: ONE documents scan; boundary hash + chunk " +
+          "explode are codegen'd higher-order projections (no UDF); " +
+          "two map-side-combined HashAggregates (per-source, " +
+          "per-fingerprint first-owner) + a sources×sources join — " +
+          "nothing corpus-windowed, nothing pairwise."),
+      "c189_kn_perplexity" ->
+        ("KN scoring: train bigram aggregate feeds ctx/cont/tt as " +
+          "REGROUPS (no second corpus scan); the three probability " +
+          "joins are hash-partitioned equi-joins (count tables never " +
+          "assumed broadcastable — the c54 posture) except the 1-row " +
+          "tt broadcast; per-doc fold map-side combines."),
+      "c192_bleu_pairs" ->
+        ("BLEU pairs: candidates-only (memoized pair table — never " +
+          "all-pairs); gram-count MAPS join doc-keyed (one doc-sized " +
+          "payload per pair side), clipped sums are row-local lambda " +
+          "folds — no pairs×gram-instance exchange (the 46 GB spill " +
+          "shape the rework removed), no re-aggregate after the join."),
+      "a28_merkle_range_diff" ->
+        ("Merkle diff: one scan per side into 256-group map-side-" +
+          "combined DECIMAL sums; ONLY digest rows meet (broadcast-" +
+          "size full outer join) — no row-level join between the " +
+          "sides, no window, no exchange beyond the two digest aggs."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans` on ")
       .append(sfDir).append(")\n\n")

@@ -748,6 +748,57 @@ object NearDup {
         md5(col("chunk")).as("fp"), length(col("chunk")).cast("long").as("clen"),
         col("chunk").cast("string").as("chunk_text"))
 
+  /** The c194/c195 BASE chunk store: distinct fingerprints of the
+    * base slice's chunks — the standing CDC chunk index (Venti's
+    * fingerprint index) each ingest increment probes. In production
+    * a persisted parquet artifact next to the band store; derived
+    * here so the oracle can replay it.
+    */
+  private[graft] def cdcBaseStore(docs: DataFrame): DataFrame =
+    cdcInstancesOf(docs.where(!Llm.isIncoming(col("doc_id"))))
+      .select(col("fp")).distinct()
+
+  /** The c194 gate kernel over an incoming (doc_id, source, text)
+    * frame and a base fingerprint store — shared by batch c194 and
+    * streaming c195 (one kernel, the two cannot drift). Stateless
+    * per doc: a doc's verdict depends only on its own chunks and the
+    * static store (intra-increment duplication is c188's corpus-wide
+    * accounting job — the c50 mixed-pairs-only discipline).
+    */
+  private[graft] def cdcGateOf(incoming: DataFrame, store: DataFrame): DataFrame =
+    cdcInstancesOf(incoming)
+      .join(store.withColumn("hit", lit(1)), Seq("fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        count(col("hit")).as("n_ref"),
+        sum(col("clen")).as("n_chars"),
+        sum(when(col("hit").isNotNull, col("clen")).otherwise(0L)).as("ref_chars"))
+      .select(col("doc_id"), col("n_chunks"), col("n_ref"), col("n_chars"),
+        col("ref_chars"), (col("n_chars") - col("ref_chars")).as("stored_chars"),
+        round(col("ref_chars").cast("double") / col("n_chars"), 4).as("dedup_frac"))
+
+  /** c194 — INCREMENTAL CDC chunk-store probe: gate an ingest
+    * increment against the EXISTING chunk index without re-chunking
+    * the base (the c50 posture applied to c188's storage dedup — and
+    * exactly how an LBFS/restic/borg-style store ingests: chunk the
+    * new data, look each fingerprint up, store only the misses).
+    * Output per incoming doc: chunk count, chunks already present in
+    * the base store (n_ref), byte accounting (ref/stored), and the
+    * dedup fraction — the increment's marginal storage bill, the
+    * per-doc complement of c188's per-source rollup.
+    *
+    * Scale shape: the increment side chunks ONLY incoming docs (1/5
+    * of the corpus by the shared `inc:` deal); the store probe is one
+    * fingerprint equi-join against the persisted index (duplicate-
+    * sized semi side, hash-partitioned — never assumed broadcastable
+    * on a 100 TB store); per-doc fold map-side combines.
+    */
+  def cdcIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.t(spark, sfDir, "documents")
+    cdcGateOf(docs.where(Llm.isIncoming(col("doc_id"))), cdcBaseStore(docs))
+      .orderBy("doc_id")
+  }
+
   /** c47 — SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540, public): partition the embedding space into
     * k-means cells (the c34 kernel — deterministic seed centroids,
@@ -2968,6 +3019,7 @@ object NearDup {
     "c48_substring_dup_spans" -> (substringDupSpans(_, _)),
     "c49_dup_fraction" -> (dupFraction(_, _)),
     "c188_cdc_chunking" -> (cdcChunkDedup(_, _)),
+    "c194_cdc_incremental" -> (cdcIncremental(_, _)),
     "c13_ann_ivf" -> (annIvf(_, _)),
     "c38_ann_ivf_adaptive" -> (annIvfAdaptive(_, _)),
     "c173_ivf_pq_search" -> (ivfPqSearch(_, _)),
@@ -2986,6 +3038,28 @@ object NearDup {
     * symmetric edges → recursive transitive closure → `clusters`
     * (doc_id, cluster_id = component min). Used by c21 and c22.
     */
+  /** The c188/c194 chunk-instance chain as a reusable oracle CTE
+    * (ends at `inst(doc_id, source, fp, clen)`) — one chunker text
+    * for both keys. */
+  private[ops] val cdcOracleInstCte: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, text, len(text) AS n FROM documents
+       |), b AS (
+       |  SELECT doc_id, source, text, n, list_filter(range($CdcWindow, n + 1),
+       |    i -> CAST('0x' || substr(md5(substr(text, CAST(i - ${CdcWindow - 1} AS INT), $CdcWindow)), 31, 2) AS BIGINT) % $CdcDiv = 0) AS bnd
+       |  FROM d
+       |), c AS (
+       |  SELECT doc_id, source, text, list_prepend(CAST(0 AS BIGINT),
+       |    list_append(list_filter(bnd, x -> x < n), CAST(n AS BIGINT))) AS cuts
+       |  FROM b
+       |), ch AS (
+       |  SELECT doc_id, source, unnest(list_transform(range(2, CAST(len(cuts) AS BIGINT) + 1),
+       |    k -> substr(text, CAST(cuts[k-1] + 1 AS INT), CAST(cuts[k] - cuts[k-1] AS INT)))) AS chunk
+       |  FROM c
+       |), inst AS (
+       |  SELECT doc_id, source, md5(chunk) AS fp, CAST(len(chunk) AS BIGINT) AS clen FROM ch
+       |)""".stripMargin
+
   private[ops] val oracleClustersCte: String =
     s"""${Llm.oraclePairsCte.replaceFirst("WITH toks", "WITH RECURSIVE toks")},
        |edges AS (
@@ -3916,24 +3990,10 @@ object NearDup {
     // aggregates: per-source instances and per-fingerprint first
     // owner (min_by doc_id ≡ Spark's struct-min). Sums CAST to
     // BIGINT to match Spark's long (DuckDB SUM(BIGINT) is HUGEINT).
+    // The chunk-instance chain is cdcOracleInstCte, shared with c194
+    // so the two chunkers cannot drift.
     "c188_cdc_chunking" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, source, text, len(text) AS n FROM documents
-         |), b AS (
-         |  SELECT doc_id, source, text, n, list_filter(range($CdcWindow, n + 1),
-         |    i -> CAST('0x' || substr(md5(substr(text, CAST(i - ${CdcWindow - 1} AS INT), $CdcWindow)), 31, 2) AS BIGINT) % $CdcDiv = 0) AS bnd
-         |  FROM d
-         |), c AS (
-         |  SELECT doc_id, source, text, list_prepend(CAST(0 AS BIGINT),
-         |    list_append(list_filter(bnd, x -> x < n), CAST(n AS BIGINT))) AS cuts
-         |  FROM b
-         |), ch AS (
-         |  SELECT doc_id, source, unnest(list_transform(range(2, CAST(len(cuts) AS BIGINT) + 1),
-         |    k -> substr(text, CAST(cuts[k-1] + 1 AS INT), CAST(cuts[k] - cuts[k-1] AS INT)))) AS chunk
-         |  FROM c
-         |), inst AS (
-         |  SELECT doc_id, source, md5(chunk) AS fp, CAST(len(chunk) AS BIGINT) AS clen FROM ch
-         |), bysrc AS (
+      s"""$cdcOracleInstCte, bysrc AS (
          |  SELECT source, COUNT(*) AS n_chunks, CAST(SUM(clen) AS BIGINT) AS n_chars
          |  FROM inst GROUP BY source
          |), own AS (
@@ -3948,6 +4008,25 @@ object NearDup {
          |  ROUND(CAST(COALESCE(owned_chars, 0) AS DOUBLE) / n_chars, 4) AS stored_frac
          |FROM bysrc LEFT JOIN osrc USING (source)
          |ORDER BY source ASC NULLS FIRST""".stripMargin,
+    // The c194 oracle replays the SAME chunk chain, splits it by the
+    // shared inc: deal (the c50 convention), derives the base
+    // fingerprint store, and scores each incoming doc against it.
+    "c194_cdc_incremental" ->
+      s"""$cdcOracleInstCte, inc AS (
+         |  SELECT doc_id, fp, clen FROM inst
+         |  WHERE CAST('0x' || substr(md5('inc:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % ${Llm.IncMod} = 0
+         |), store AS (
+         |  SELECT DISTINCT fp FROM inst
+         |  WHERE CAST('0x' || substr(md5('inc:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % ${Llm.IncMod} != 0
+         |)
+         |SELECT doc_id, COUNT(*) AS n_chunks, COUNT(s.fp) AS n_ref,
+         |  CAST(SUM(clen) AS BIGINT) AS n_chars,
+         |  CAST(SUM(CASE WHEN s.fp IS NOT NULL THEN clen ELSE 0 END) AS BIGINT) AS ref_chars,
+         |  CAST(SUM(clen) - SUM(CASE WHEN s.fp IS NOT NULL THEN clen ELSE 0 END) AS BIGINT) AS stored_chars,
+         |  ROUND(CAST(SUM(CASE WHEN s.fp IS NOT NULL THEN clen ELSE 0 END) AS DOUBLE) / SUM(clen), 4) AS dedup_frac
+         |FROM inc LEFT JOIN store s USING (fp)
+         |GROUP BY doc_id
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     // Same seeds/scored/best pipeline as c34, then: in-cell pairs ≥ τ
     // → per-pair loser = the member with the lexicographically larger
     // (rounded centroid cos, vec_id) — i.e. closer to the centroid,

@@ -863,6 +863,42 @@ object Streams {
     res
   }
 
+  /** c195 — STREAMING CDC chunk-store ingest gate: c194's increment
+    * probe as live ingest — the restic/borg backup loop (chunk the
+    * arriving data, look fingerprints up in the standing index,
+    * store only the misses), and the write-side complement of c191/
+    * c193's read-side probes. STATELESS (the c51/c191 discipline): a
+    * doc arrives in exactly one micro-batch and its chunk verdicts
+    * depend only on its own bytes + the static base store, so the
+    * batch-local answer IS the global answer under any batching; the
+    * base fingerprint store materializes ONCE and every micro-batch
+    * probes it through the SHARED [[graft.ops.NearDup.cdcGateOf]]
+    * kernel. Exactly-once via the batch-id-keyed overwrite. Oracle:
+    * c194's SQL verbatim.
+    */
+  def streamCdcGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.{Llm, NearDup}
+    val store = NearDup.cdcBaseStore(graft.Tables.t(spark, sfDir, "documents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    store.count()
+    val stream = streamTable(spark, sfDir, "documents")
+      .where(Llm.isIncoming(col("doc_id")))
+    val out = java.nio.file.Files.createTempDirectory("graft_c195_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_c195_ckpt").toString
+    trackTmpDir(out); trackTmpDir(ckpt)
+    val q = stream.writeStream
+      .foreachBatch((batch: Dataset[Row], id: Long) =>
+        NearDup.cdcGateOf(batch, store)
+          .write.mode("overwrite").parquet(s"$out/batch_id=$id"))
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val res = spark.read.parquet(out).drop("batch_id").orderBy("doc_id")
+    store.unpersist()
+    res
+  }
+
   def streamLinkageResolution(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.ops.Llm
     val cust = graft.Tables.t(spark, sfDir, "customer")
@@ -1845,6 +1881,7 @@ object Streams {
     "c180_stream_index_ingest" -> (streamIndexIngest(_, _)),
     "c191_stream_ngram_novelty" -> (streamNgramNovelty(_, _)),
     "c193_stream_kn_score" -> (streamKnScore(_, _)),
+    "c195_stream_cdc_gate" -> (streamCdcGate(_, _)),
     "c83_stream_scd2" -> (streamScd2(_, _)),
     "c129_stream_interval_coalesce" -> (streamIntervalCoalesce(_, _)),
     "c136_stream_ewma" -> (streamEwma(_, _)),
@@ -1905,6 +1942,10 @@ object Streams {
     // c189's oracle text verbatim.
     "c193_stream_kn_score" ->
       graft.ops.TextAnalysis.oracle("c189_kn_perplexity"),
+    // The streamed chunk-gate union must equal the batch increment
+    // probe — c194's oracle text verbatim.
+    "c195_stream_cdc_gate" ->
+      graft.ops.NearDup.oracle("c194_cdc_incremental"),
 
     // c76's SCD2 build minus its open (NULL valid_to) versions —
     // derived from the SAME SQL text so the two cannot drift: append

@@ -585,6 +585,46 @@ class OperatorPropertiesSpec extends AnyFunSuite {
       s"chunking did not re-synchronize after the insertion: ${baseChunks.tail.filterNot(shiftedSet.contains)}")
   }
 
+  test("c194: the CDC ingest gate replays independently; the store probe is live both ways") {
+    import ops.{NearDup, Llm}
+    val sf = TestSpark.sf0001
+    val out = NearDup.cdcIncremental(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+    assert(out.nonEmpty)
+    def md5hex(x: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def incoming(id: Long): Boolean =
+      BigInt(md5hex(s"inc:$id").take(15), 16) % Llm.IncMod == 0
+    def chunks(text: String): Seq[String] = {
+      val bytes = text.getBytes("UTF-8")
+      val bnd = (NearDup.CdcWindow to bytes.length).filter { i =>
+        val hex = md5hex(new String(bytes.slice(i - NearDup.CdcWindow, i), "UTF-8"))
+        java.lang.Long.parseLong(hex.substring(30, 32), 16) % NearDup.CdcDiv == 0
+      }.filter(_ < bytes.length)
+      val cuts = 0 +: bnd :+ bytes.length
+      cuts.sliding(2).map { case Seq(a, b) => text.substring(a, b) }.toSeq
+    }
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val store = docs.filterNot(d => incoming(d._1))
+      .flatMap(d => chunks(d._2)).map(md5hex).toSet
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = docs.filter(d => incoming(d._1)).map { case (id, t) =>
+      val cs = chunks(t)
+      val refs = cs.filter(c => store(md5hex(c)))
+      val (nc, rc) = (cs.map(_.length.toLong).sum, refs.map(_.length.toLong).sum)
+      id -> (cs.length.toLong, refs.length.toLong, nc, rc, nc - rc,
+        r4(rc.toDouble / nc))
+    }.toMap
+    assert(out == expect, "gate drifted from the independent replay")
+    // the probe is non-vacuous both ways on the planted near-dups:
+    // some incoming doc re-uses base chunks, some brings new bytes
+    assert(out.values.exists(_._2 > 0), "no incoming chunk hit the base store - probe vacuous")
+    assert(out.values.exists(_._5 > 0), "every incoming byte deduplicated - fixture vacuous")
+  }
+
   test("c192: BLEU pair scores replay independently from raw text over the banded pairs") {
     val sf = TestSpark.sf0001
     val out = ops.Llm.bleuPairs(spark, sf).collect()

@@ -1032,6 +1032,42 @@ class StreamingSpec extends AnyFunSuite {
       "streamed KN scores diverge from batch c189")
   }
 
+  test("c195: streaming CDC gate equals batch c194 across real micro-batches") {
+    // Incoming docs split across >= 3 micro-batches; each batch
+    // chunks ITS docs and probes the STATIC base fingerprint store
+    // through the shared cdcGateOf kernel (stateless — a doc's
+    // verdicts depend only on its own bytes + the standing index).
+    import org.apache.spark.sql.{Dataset, Row}
+    import graft.ops.{Llm, NearDup}
+    val sfDir = TestSpark.sf0001
+    val docs = Tables.t(spark, sfDir, "documents")
+    val store = NearDup.cdcBaseStore(docs)
+    val base = java.nio.file.Files.createTempDirectory("graft_c195_mb").toFile
+    graft.streaming.Streams.trackTmpDir(base.toString)
+    val feed = new java.io.File(base, "feed").toString
+    docs.repartition(3).write.parquet(feed)
+    val out = new java.io.File(base, "out").toString
+    val ckpt = new java.io.File(base, "ckpt").toString
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+      .where(Llm.isIncoming(col("doc_id")))
+    val q = stream.writeStream
+      .foreachBatch((batch: Dataset[Row], id: Long) =>
+        NearDup.cdcGateOf(batch, store)
+          .write.mode("overwrite").parquet(s"$out/batch_id=$id"))
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.length >= 3,
+      s"expected >=3 micro-batches: ${q.recentProgress.length}")
+    val streamed = spark.read.parquet(out).drop("batch_id")
+    val batch = NearDup.cdcIncremental(spark, sfDir)
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed CDC gate diverges from batch c194")
+  }
+
   test("c166: streaming frame dedup is STATELESS and equals the batch kernel across real micro-batches") {
     // Same discipline as c160: the topology must analyze to generate +
     // stream-static join only, and per-frame reference rows must union
