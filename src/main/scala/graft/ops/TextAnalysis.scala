@@ -1491,7 +1491,57 @@ object TextAnalysis {
         sum(when(col("cvw") === 0L, 1L).otherwise(0L)).as("n_unseen"),
         Canon.davgFloor6(-log(col("p")), count(lit(1))).as("avg_nll"))
 
+  /** c196 — SOURCE-OVERLAP matrix (round 17; the cross-dump
+    * provenance audit every multi-source pretraining mix needs —
+    * Common Crawl snapshots overlap month-to-month, curated dumps
+    * embed each other, and a mixing plan that double-counts a source
+    * pair silently up-weights their shared content: the measurement
+    * behind "these two dumps are 40% the same data". c185 audits
+    * train↔test leakage; this audits source↔source duplication at
+    * the same 5-gram grain): for every source pair, the shared
+    * distinct-gram count, each side's gram-set size, Jaccard, and
+    * containment (shared / smaller side — the "is B inside A"
+    * signal Jaccard dilutes when sizes differ).
+    *
+    * Scale shape: one gram scan → distinct (source, gram) presence;
+    * the pair fan is generated ROW-LOCALLY from each gram's sorted
+    * source set (collect_set is ≤#sources by construction, the pair
+    * fan ≤ C(#sources,2) per gram — never a gram-keyed self-join
+    * whose planner could pick the unconstrained order; the
+    * round-17 DuckDB 79 GB lesson, SCALE.md) and map-side combines
+    * into a ≤C(20,2)-row matrix. Output is sources²-bounded at any
+    * corpus size.
+    */
+  def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val pres = Tables.t(spark, sfDir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .where(size(col("ws")) >= 5)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(ws) - 4), i -> concat_ws(' ', slice(ws, i, 5)))")).as("g"))
+      .distinct()
+    val bySrc = pres.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val shared = pres
+      .groupBy(col("g")).agg(sort_array(collect_set(col("source"))).as("ss"))
+      .where(size(col("ss")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ss, (a, i) ->
+          |  transform(slice(ss, i + 2, size(ss) - i - 1),
+          |    b -> struct(a AS sa, b AS sb))))""".stripMargin)).as("p"))
+      .select(col("p.sa").as("sa"), col("p.sb").as("sb"))
+      .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(bySrc.select(col("source").as("sa"), col("n").as("n_a")), "sa")
+      .join(bySrc.select(col("source").as("sb"), col("n").as("n_b")), "sb")
+      .select(col("sa"), col("sb"), col("n_shared"), col("n_a"), col("n_b"),
+        round(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")), 4).as("jaccard"),
+        round(col("n_shared").cast("double") / least(col("n_a"), col("n_b")), 4)
+          .as("containment"))
+      .orderBy("sa", "sb")
+  }
+
   val queries: Map[String, Q] = Map(
+    "c196_source_overlap" -> (sourceOverlap(_, _)),
     "c190_heaps_fit" -> (heapsFit(_, _)),
     "c189_kn_perplexity" -> (knPerplexity(_, _)),
     "c186_zipf_fit" -> (zipfFit(_, _)),
@@ -1618,6 +1668,29 @@ object TextAnalysis {
          |  SELECT ln(CAST(ntok AS DOUBLE)) AS x, ln(CAST(v AS DOUBLE)) AS y
          |  FROM ct JOIN cv USING (cut)
          |)$OlsOracleTail""".stripMargin,
+
+    // The c196 oracle replays distinct (source, gram) presence and
+    // counts pairs via the plain gram-keyed self-join — the honest
+    // quadratic form the engine's row-local fan avoids.
+    "c196_source_overlap" ->
+      """WITH pres AS (
+        |  SELECT DISTINCT source, g FROM (
+        |    SELECT source, unnest(list_transform(
+        |      range(1, greatest(len(string_split(text, ' ')) - 4, 0) + 1),
+        |      i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS g
+        |    FROM documents)
+        |), bysrc AS (
+        |  SELECT source, COUNT(*) AS n FROM pres GROUP BY source
+        |), shared AS (
+        |  SELECT a.source AS sa, b.source AS sb, COUNT(*) AS n_shared
+        |  FROM pres a JOIN pres b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT sa, sb, n_shared, na.n AS n_a, nb.n AS n_b,
+        |  ROUND(CAST(n_shared AS DOUBLE) / (na.n + nb.n - n_shared), 4) AS jaccard,
+        |  ROUND(CAST(n_shared AS DOUBLE) / LEAST(na.n, nb.n), 4) AS containment
+        |FROM shared JOIN bysrc na ON na.source = sa JOIN bysrc nb ON nb.source = sb
+        |ORDER BY sa ASC NULLS FIRST, sb ASC NULLS FIRST""".stripMargin,
 
     // The c185 oracle replays grams → the c32 split rule → the
     // distinct train set → per-test-doc seen/novelty.

@@ -492,6 +492,43 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.forall(_._4 > 0.0))
   }
 
+  test("c196: the source-overlap matrix replays independently; the row-local pair fan loses no pair") {
+    val sf = TestSpark.sf0001
+    val out = TextAnalysis.sourceOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))).toMap
+    assert(out.nonEmpty)
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def gramsOf(t: String): Seq[String] = {
+      val ws = t.split(" ")
+      if (ws.length < 5) Seq.empty
+      else (0 to ws.length - 5).map(i => ws.slice(i, i + 5).mkString(" "))
+    }
+    // independent replay as the honest pairwise form: per-source
+    // distinct gram sets, then every pair's intersection directly
+    val sets = docs.groupBy(_._1).map { case (s, ds) =>
+      s -> ds.flatMap(d => gramsOf(d._2)).toSet }
+    val srcs = sets.keys.toSeq.sorted
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = (for {
+      i <- srcs.indices; j <- (i + 1) until srcs.length
+      (a, b) = (srcs(i), srcs(j))
+      sh = (sets(a) intersect sets(b)).size.toLong if sh > 0
+    } yield (a, b) -> (sh, sets(a).size.toLong, sets(b).size.toLong,
+      r4(sh.toDouble / (sets(a).size + sets(b).size - sh)),
+      r4(sh.toDouble / math.min(sets(a).size, sets(b).size)))).toMap
+    assert(out == expect,
+      s"matrix drifted from the pairwise replay (missing=${(expect.keySet -- out.keySet).take(3)}, extra=${(out.keySet -- expect.keySet).take(3)})")
+    // sanity on the statistics, and non-vacuity: the planted
+    // near-dup families cross sources, so overlap exists but the
+    // matrix is not saturated at this SF
+    assert(out.values.forall { case (sh, na, nb, j, c) =>
+      j >= 0 && j <= c && c <= 1.0 && sh <= math.min(na, nb) })
+    assert(out.values.exists(_._5 > 0.0))
+  }
+
   test("c186: the Zipf fit replays independently from raw term counts; r2 is a genuine fit quality") {
     val sf = TestSpark.sf0001
     val row = TextAnalysis.zipfFit(spark, sf).collect().head
