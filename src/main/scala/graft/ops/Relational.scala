@@ -839,6 +839,59 @@ object Relational {
   /** Salt width of the c87 skew-mitigation join. */
   private[graft] val SaltWidth = 4
 
+  /** c197 knobs: hot keys reported per audited join key, and the cap
+    * on the recommended salt width (beyond ~32 the thin-side ×S
+    * replication cost of c87 dominates what the spread buys). */
+  private[graft] val SkewTopK = 3
+  private[graft] val SkewSaltCap = 32L
+
+  /** c197 — JOIN-SKEW AUDIT: the measurement that DECIDES c87 (the
+    * pre-join hot-key scan every 100 TB pipeline runs before picking
+    * plain / AQE-split / salted — public Spark operations practice;
+    * AQE's skew split fixes what it can SEE post-shuffle, salting is
+    * the plan-level answer, and this key computes the two numbers
+    * that choice needs): per audited join key, the top-[[SkewTopK]]
+    * hot keys with their row counts, the key-space stats, the skew
+    * factor (hot-key rows ÷ mean rows per key), and the RECOMMENDED
+    * salt width = ceil(skew factor) in exact integer ceil-division,
+    * clamped to [1, [[SkewSaltCap]]] — the c174 budget-rule
+    * discipline: the knob is data-derived, not hand-set, and both
+    * engines compute it identically from integer counts.
+    *
+    * Audited keys: lineitem.l_orderkey (c87's many-per-key side) and
+    * events.user_id (the behavioral stream's natural skew axis).
+    *
+    * Scale shape: per audit, ONE map-side-combined key-count
+    * aggregate (key-space-sized — the same table a shuffle would
+    * build anyway), a 2-value total broadcast, and a TakeOrdered
+    * top-3 cut; the rank window orders the ≤3 SURVIVORS (the
+    * c53/c186 rank-after-limit discipline — never the key space).
+    * Output is 2×[[SkewTopK]] rows at any corpus size.
+    */
+  def joinSkewAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    def audit(df: DataFrame, tbl: String, keyCol: String): DataFrame = {
+      val counts = df.select(col(keyCol).cast("long").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("nk"))
+      val tot = counts.agg(count(lit(1)).as("n_keys"), sum(col("nk")).as("n_rows"))
+      counts.orderBy(col("nk").desc, col("k").asc).limit(SkewTopK)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("nk").desc, col("k").asc)).cast("long"))
+        .crossJoin(broadcast(tot))
+        .select(lit(tbl).as("tbl"), lit(keyCol).as("key_col"), col("rank"),
+          col("k").as("hot_key"), col("nk").as("n_rows_key"),
+          col("n_rows"), col("n_keys"),
+          round(col("nk").cast("double") * col("n_keys") / col("n_rows"), 4)
+            .as("skew_x"),
+          least(lit(SkewSaltCap), greatest(lit(1L),
+            expr("(nk * n_keys + n_rows - 1) div n_rows"))).as("salt_rec"))
+    }
+    val ev = Tables.t(spark, sfDir, "events")
+    audit(Tables.t(spark, sfDir, "lineitem"), "lineitem", "l_orderkey")
+      .unionByName(audit(ev, "events", "user_id"))
+      .orderBy("tbl", "rank")
+  }
+
   /** c87 — SALTED join, the skew-mitigation pattern as an operator
     * whose output provably equals the plain join: the many-rows-per-
     * key side (lineitem) takes a DETERMINISTIC salt
@@ -1315,6 +1368,7 @@ object Relational {
     "c95_hilbert_skipping" -> (hilbertSkipping(_, _)),
     "c86_incremental_agg" -> (incrementalAgg(_, _)),
     "c87_salted_join" -> (saltedJoin(_, _)),
+    "c197_join_skew_audit" -> (joinSkewAudit(_, _)),
     "c88_bucketed_join" -> (bucketedJoin(_, _))
   )
 
@@ -1555,6 +1609,43 @@ object Relational {
 
     "c87_salted_join" -> plainJoinAggSql,
     "c88_bucketed_join" -> plainJoinAggSql,
+
+    // The c197 oracle replays per-key counts → totals → ranked top-3
+    // → the shared integer salt rule for both audited keys.
+    "c197_join_skew_audit" ->
+      s"""WITH li AS (
+         |  SELECT l_orderkey AS k, COUNT(*) AS nk FROM lineitem GROUP BY 1
+         |), lt AS (
+         |  SELECT COUNT(*) AS n_keys, CAST(SUM(nk) AS BIGINT) AS n_rows FROM li
+         |), lh AS (
+         |  SELECT k, nk, rnk FROM (
+         |    SELECT k, nk, row_number() OVER (ORDER BY nk DESC NULLS LAST, k ASC) AS rnk FROM li
+         |  ) WHERE rnk <= $SkewTopK
+         |), ev AS (
+         |  SELECT user_id AS k, COUNT(*) AS nk FROM events GROUP BY 1
+         |), et AS (
+         |  SELECT COUNT(*) AS n_keys, CAST(SUM(nk) AS BIGINT) AS n_rows FROM ev
+         |), eh AS (
+         |  SELECT k, nk, rnk FROM (
+         |    SELECT k, nk, row_number() OVER (ORDER BY nk DESC NULLS LAST, k ASC) AS rnk FROM ev
+         |  ) WHERE rnk <= $SkewTopK
+         |)
+         |SELECT * FROM (
+         |  SELECT 'lineitem' AS tbl, 'l_orderkey' AS key_col,
+         |    CAST(rnk AS BIGINT) AS rank, k AS hot_key, nk AS n_rows_key,
+         |    n_rows, n_keys,
+         |    ROUND(CAST(nk AS DOUBLE) * n_keys / n_rows, 4) AS skew_x,
+         |    LEAST($SkewSaltCap, GREATEST(1, (nk * n_keys + n_rows - 1) // n_rows)) AS salt_rec
+         |  FROM lh CROSS JOIN lt
+         |  UNION ALL
+         |  SELECT 'events' AS tbl, 'user_id' AS key_col,
+         |    CAST(rnk AS BIGINT) AS rank, k AS hot_key, nk AS n_rows_key,
+         |    n_rows, n_keys,
+         |    ROUND(CAST(nk AS DOUBLE) * n_keys / n_rows, 4) AS skew_x,
+         |    LEAST($SkewSaltCap, GREATEST(1, (nk * n_keys + n_rows - 1) // n_rows)) AS salt_rec
+         |  FROM eh CROSS JOIN et
+         |)
+         |ORDER BY tbl ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin,
 
     "b53_q5_local_supplier" ->
       s"""SELECT n_name,

@@ -92,7 +92,10 @@ class MiniOracleSpec extends AnyFunSuite {
     "c132_sharded_topk_bounds" -> "rank over the 20-row published-list union",
     "c186_zipf_fit" -> ("rank AFTER .limit(ZipfTopK=100) — the c53 " +
       "rank-after-limit discipline: the window orders the 100 cut " +
-      "survivors, never the vocabulary"))
+      "survivors, never the vocabulary"),
+    "c197_join_skew_audit" -> ("rank AFTER .limit(SkewTopK=3) per audited " +
+      "key — the c186 rank-after-limit discipline: the window orders the " +
+      "3 TakeOrdered survivors, never the key space"))
 
   /** Keys observed carrying a global window during the per-key tests
     * (feeds the dead-entry check).

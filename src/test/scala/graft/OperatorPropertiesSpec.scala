@@ -585,6 +585,35 @@ class OperatorPropertiesSpec extends AnyFunSuite {
       s"chunking did not re-synchronize after the insertion: ${baseChunks.tail.filterNot(shiftedSet.contains)}")
   }
 
+  test("c197: the skew audit replays independently and the salt rule is exact integer ceil") {
+    import ops.Relational.{SkewTopK, SkewSaltCap}
+    val sf = TestSpark.sf0001
+    val out = ops.Relational.joinSkewAudit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2)) -> (r.getString(1), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7), r.getLong(8))).toMap
+    assert(out.size == 2 * SkewTopK)
+    def replay(rows: Seq[Long], tbl: String, keyCol: String): Unit = {
+      val counts = rows.groupBy(identity).map { case (k, xs) => (k, xs.length.toLong) }
+      val nKeys = counts.size.toLong; val nRows = rows.length.toLong
+      val top = counts.toSeq.sortBy { case (k, n) => (-n, k) }.take(SkewTopK)
+      top.zipWithIndex.foreach { case ((k, nk), i) =>
+        val (kc, hk, nrk, nr, nks, sx, salt) = out((tbl, i + 1L))
+        assert(kc == keyCol && hk == k && nrk == nk && nr == nRows && nks == nKeys,
+          s"$tbl rank ${i + 1} drifted: got ($kc,$hk,$nrk,$nr,$nks)")
+        assert(sx == BigDecimal(nk.toDouble * nKeys / nRows)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        // the recommendation is ceil(skew) in pure integers, clamped
+        val ceil = (nk * nKeys + nRows - 1) / nRows
+        assert(salt == math.min(SkewSaltCap, math.max(1L, ceil)),
+          s"$tbl salt rule drifted: $salt vs ceil=$ceil")
+      }
+    }
+    replay(Tables.t(spark, sf, "lineitem").select(col("l_orderkey")).collect()
+      .map(_.getLong(0)).toSeq, "lineitem", "l_orderkey")
+    replay(Tables.t(spark, sf, "events").select(col("user_id")).collect()
+      .map(_.getLong(0)).toSeq, "events", "user_id")
+  }
+
   test("c194: the CDC ingest gate replays independently; the store probe is live both ways") {
     import ops.{NearDup, Llm}
     val sf = TestSpark.sf0001
