@@ -799,6 +799,71 @@ object NearDup {
       .orderBy("doc_id")
   }
 
+  /** c198 cap: clusters larger than this fall back to the min-id
+    * keeper — medoid selection is quadratic in cluster size, and on
+    * web data the giant clusters are boilerplate families where
+    * content centrality adds nothing over min-id (the c48 HotGramCap
+    * discipline applied to the keeper choice). */
+  private[graft] val MedoidCap = 16L
+
+  /** c198 — MEDOID KEEPER: upgrade c22's min-id survivor rule to a
+    * CONTENT choice (the curation question the arbitrary-keeper rule
+    * dodges: which copy best represents the family? — the medoid of
+    * the cluster under token-set Jaccard, the standard
+    * representative-selection move in clustering practice, public).
+    * Per near-dup cluster (c21's memoized CC labels): the member
+    * maximizing the sum of Jaccard similarity to its co-members
+    * (decimal-exact sum of the r4 pair similarities; ties break to
+    * the smaller doc_id via the partitioned rank window), with
+    * clusters above [[MedoidCap]] falling back to min-id
+    * (`minid_capped` — quadratic work refused, the cap is the knob).
+    *
+    * Scale shape: sizes from one label aggregate; the pairwise stage
+    * joins ONLY capped clusters' members on the cluster key (fan ≤
+    * MedoidCap−1 per member — never corpus-pairwise), reusing the
+    * memoized token-set table; per-member score map-side combines;
+    * the argmax is a cluster-partitioned rank window over ≤MedoidCap
+    * rows per group. Output is cluster-count-sized.
+    */
+  def medoidKeeper(spark: SparkSession, sfDir: String): DataFrame =
+    medoidOf(clusterLabels(spark, sfDir), Llm.tokenSets(spark, sfDir))
+      .orderBy("cluster_id")
+
+  /** The c198 keeper kernel over explicit (doc_id, cluster_id) labels
+    * and (doc_id, tset) token sets — spec-drivable on constructed
+    * clusters (the fixture's sf0.001 medoids all coincide with
+    * min-id; the constructed case pins that the rule genuinely MOVES
+    * the keeper when the min-id member is an outlier — and at sf0.1
+    * the oracle measures 50/348 clusters flipping). */
+  private[graft] def medoidOf(labels: DataFrame, toks: DataFrame): DataFrame = {
+    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+    val m = labels.join(sizes, "cluster_id")
+    val small = m.where(col("sz") <= MedoidCap)
+      .join(toks, "doc_id")
+    val sims = small.alias("a")
+      .join(small.select(col("cluster_id").as("bc"), col("doc_id").as("bd"),
+          col("tset").as("bt")),
+        col("a.cluster_id") === col("bc") && col("a.doc_id") =!= col("bd"))
+      .select(col("a.cluster_id").as("cluster_id"), col("a.doc_id").as("doc_id"),
+        col("a.sz").as("sz"),
+        round(size(array_intersect(col("a.tset"), col("bt"))).cast("double") /
+          size(array_union(col("a.tset"), col("bt"))), 4).as("j"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val med = sims
+      .groupBy(col("cluster_id"), col("doc_id"), col("sz"))
+      .agg(Canon.dsum(col("j")).as("score"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("cluster_id"), col("sz").as("size"), col("doc_id").as("keeper"),
+        lit("medoid").as("rule"), round(col("score"), 4).as("keeper_score"))
+    val capped = m.where(col("sz") > MedoidCap)
+      .groupBy(col("cluster_id"))
+      .agg(max(col("sz")).as("size"), min(col("doc_id")).as("keeper"))
+      .select(col("cluster_id"), col("size"), col("keeper"),
+        lit("minid_capped").as("rule"), lit(null).cast("double").as("keeper_score"))
+    med.unionByName(capped)
+  }
+
   /** c47 — SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540, public): partition the embedding space into
     * k-means cells (the c34 kernel — deterministic seed centroids,
@@ -3009,6 +3074,7 @@ object NearDup {
     "c73_simhash_wide_pairs" -> (simhashWidePairs(_, _)),
     "c21_dedup_clusters" -> (dedupClusters(_, _)),
     "c22_dedup_survivors" -> (dedupSurvivors(_, _)),
+    "c198_medoid_keeper" -> (medoidKeeper(_, _)),
     "c168_cluster_safe_split" -> (clusterSafeSplit(_, _)),
     "c24_embedding_quantize" -> (embeddingQuantize(_, _)),
     "c34_kmeans_assign" -> (kmeansAssign(_, _)),
@@ -4170,6 +4236,44 @@ object NearDup {
       s"""$oracleClustersCte
          |SELECT doc_id, cluster_id FROM clusters
          |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    // The c198 oracle replays the CC labels, per-cluster sizes, the
+    // within-cluster Jaccard sums (decimal-exact over r4 pair sims),
+    // the (score desc, doc asc) argmax, and the cap fallback.
+    "c198_medoid_keeper" ->
+      s"""$oracleClustersCte, csz AS (
+         |  SELECT cluster_id, COUNT(*) AS sz FROM clusters GROUP BY cluster_id
+         |), ts AS (
+         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tset FROM documents
+         |), sm AS (
+         |  SELECT c.doc_id, c.cluster_id, csz.sz, ts.tset
+         |  FROM clusters c JOIN csz USING (cluster_id) JOIN ts USING (doc_id)
+         |  WHERE csz.sz <= $MedoidCap
+         |), sims AS (
+         |  SELECT a.cluster_id, a.doc_id, a.sz,
+         |    ROUND(CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.tset, b.tset))), 4) AS j
+         |  FROM sm a JOIN sm b ON a.cluster_id = b.cluster_id AND a.doc_id != b.doc_id
+         |), sc AS (
+         |  SELECT cluster_id, doc_id, sz,
+         |    CAST(SUM(CAST(j AS DECIMAL(38,6))) AS DOUBLE) AS score
+         |  FROM sims GROUP BY 1, 2, 3
+         |), med AS (
+         |  SELECT cluster_id, CAST(sz AS BIGINT) AS size, doc_id AS keeper,
+         |    'medoid' AS rule, ROUND(score, 4) AS keeper_score
+         |  FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY score DESC NULLS LAST, doc_id ASC) AS rn FROM sc
+         |  ) WHERE rn = 1
+         |), cap AS (
+         |  SELECT c.cluster_id, CAST(MAX(csz.sz) AS BIGINT) AS size,
+         |    MIN(c.doc_id) AS keeper, 'minid_capped' AS rule,
+         |    CAST(NULL AS DOUBLE) AS keeper_score
+         |  FROM clusters c JOIN csz USING (cluster_id)
+         |  WHERE csz.sz > $MedoidCap GROUP BY c.cluster_id
+         |)
+         |SELECT * FROM (SELECT * FROM med UNION ALL SELECT * FROM cap)
+         |ORDER BY cluster_id ASC NULLS FIRST""".stripMargin,
 
     // c168 replays c32's hash CASE over the coalesced cluster key.
     "c168_cluster_safe_split" ->

@@ -614,6 +614,46 @@ class OperatorPropertiesSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSeq, "events", "user_id")
   }
 
+  test("c198: the medoid keeper moves off min-id when the min member is an outlier, and the cap refuses quadratic work") {
+    import ops.NearDup
+    // Constructed cluster 1: doc 1 (min-id) is the OUTLIER — docs 2/3/4
+    // share most tokens with each other; the medoid must be one of the
+    // central members, NOT the arbitrary min-id keeper c22 would pick.
+    val core = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"$core one two three four five six seven eight nine ten"),
+      (2L, s"$core x"), (3L, s"$core y"), (4L, s"$core z"),
+      // cluster 10: over-cap family (17 members > MedoidCap=16)
+      // falls back to min-id with a NULL score
+      (10L, "capped family base")
+    ) ++ (11L to 26L).map(i => (i, s"capped family member$i"))
+    val docsDf = docs.toDF("doc_id", "text")
+    val labels = (Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)) ++
+      (Seq(10L) ++ (11L to 26L)).map(_ -> 10L)).toDF("doc_id", "cluster_id")
+    val toks = docsDf.select($"doc_id",
+      array_distinct(split($"text", " ")).as("tset"))
+    val out = NearDup.medoidOf(labels, toks).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    val (sz1, keep1, rule1, score1) = out(1L)
+    assert(rule1 == "medoid" && sz1 == 4L)
+    assert(keep1 != 1L, s"medoid stayed on the outlier min-id member: $keep1")
+    assert(keep1 == 2L, s"tie among the central members must break to the smallest id: $keep1")
+    // independent replay of cluster 1's scores
+    def jac(a: Set[String], b: Set[String]) =
+      BigDecimal((a & b).size.toDouble / (a | b).size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val sets = docs.take(4).map { case (id, t) => id -> t.split(" ").toSet }.toMap
+    val scores = sets.keys.toSeq.map(d =>
+      d -> sets.keys.toSeq.filter(_ != d).map(o => jac(sets(d), sets(o))).sum).toMap
+    val best = scores.toSeq.sortBy { case (d, s) => (-s, d) }.head
+    assert(keep1 == best._1 && score1.contains(
+      BigDecimal(best._2.toDouble).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    val (sz10, keep10, rule10, score10) = out(10L)
+    assert(rule10 == "minid_capped" && sz10 == 17L && keep10 == 10L && score10.isEmpty,
+      s"over-cap cluster must refuse the quadratic medoid: ${out(10L)}")
+  }
+
   test("c194: the CDC ingest gate replays independently; the store probe is live both ways") {
     import ops.{NearDup, Llm}
     val sf = TestSpark.sf0001
