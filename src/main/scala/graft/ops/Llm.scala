@@ -348,7 +348,13 @@ object Llm {
     * len_ratio) and loses nothing the exp would add).
     */
   private[graft] val BleuP1Sql = "CAST(m1 AS DOUBLE) / CAST(clen AS DOUBLE)"
-  private[graft] val BleuP2Sql = "CAST(m2 AS DOUBLE) / CAST(clen - 1 AS DOUBLE)"
+  // clen > 1 is structurally guaranteed on the banded pair table
+  // (band membership requires a 3-shingle), but the formula text is
+  // reusable over ANY pair table, so the denominator guards itself
+  // (r17 ADVICE): a 1-word candidate scores p2 = 0, never a
+  // division-by-zero NULL/Inf.
+  private[graft] val BleuP2Sql =
+    "CASE WHEN clen > 1 THEN CAST(m2 AS DOUBLE) / CAST(clen - 1 AS DOUBLE) ELSE 0.0 END"
   private[graft] val BleuSql =
     s"CASE WHEN m1 > 0 AND m2 > 0 THEN sqrt(($BleuP1Sql) * ($BleuP2Sql)) ELSE 0.0 END"
 

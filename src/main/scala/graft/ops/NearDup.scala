@@ -720,7 +720,10 @@ object NearDup {
       .select(col("source"), col("n_chunks"), col("n_chars"),
         coalesce(col("n_owned"), lit(0L)).as("n_owned"),
         coalesce(col("owned_chars"), lit(0L)).as("owned_chars"),
-        round(coalesce(col("owned_chars"), lit(0L)).cast("double") / col("n_chars"), 4)
+        // Same zero guard as cdcGateOf's dedup_frac: a source whose
+        // every document is empty has n_chars = 0.
+        when(col("n_chars") > 0,
+          round(coalesce(col("owned_chars"), lit(0L)).cast("double") / col("n_chars"), 4))
           .as("stored_frac"))
       .orderBy("source")
   }
@@ -775,7 +778,11 @@ object NearDup {
         sum(when(col("hit").isNotNull, col("clen")).otherwise(0L)).as("ref_chars"))
       .select(col("doc_id"), col("n_chunks"), col("n_ref"), col("n_chars"),
         col("ref_chars"), (col("n_chars") - col("ref_chars")).as("stored_chars"),
-        round(col("ref_chars").cast("double") / col("n_chars"), 4).as("dedup_frac"))
+        // r17 ADVICE: an empty-text doc yields one zero-length chunk
+        // (n_chars = 0); the ratio guards itself to NULL rather than
+        // NaN/Inf, with the matching CASE in the oracle.
+        when(col("n_chars") > 0,
+          round(col("ref_chars").cast("double") / col("n_chars"), 4)).as("dedup_frac"))
 
   /** c194 — INCREMENTAL CDC chunk-store probe: gate an ingest
     * increment against the EXISTING chunk index without re-chunking
@@ -4071,7 +4078,8 @@ object NearDup {
          |SELECT source, n_chunks, n_chars,
          |  COALESCE(n_owned, 0) AS n_owned,
          |  COALESCE(owned_chars, 0) AS owned_chars,
-         |  ROUND(CAST(COALESCE(owned_chars, 0) AS DOUBLE) / n_chars, 4) AS stored_frac
+         |  CASE WHEN n_chars > 0
+         |    THEN ROUND(CAST(COALESCE(owned_chars, 0) AS DOUBLE) / n_chars, 4) END AS stored_frac
          |FROM bysrc LEFT JOIN osrc USING (source)
          |ORDER BY source ASC NULLS FIRST""".stripMargin,
     // The c194 oracle replays the SAME chunk chain, splits it by the
@@ -4089,7 +4097,8 @@ object NearDup {
          |  CAST(SUM(clen) AS BIGINT) AS n_chars,
          |  CAST(SUM(CASE WHEN s.fp IS NOT NULL THEN clen ELSE 0 END) AS BIGINT) AS ref_chars,
          |  CAST(SUM(clen) - SUM(CASE WHEN s.fp IS NOT NULL THEN clen ELSE 0 END) AS BIGINT) AS stored_chars,
-         |  ROUND(CAST(SUM(CASE WHEN s.fp IS NOT NULL THEN clen ELSE 0 END) AS DOUBLE) / SUM(clen), 4) AS dedup_frac
+         |  CASE WHEN SUM(clen) > 0 THEN ROUND(CAST(SUM(CASE WHEN s.fp IS NOT NULL
+         |    THEN clen ELSE 0 END) AS DOUBLE) / SUM(clen), 4) END AS dedup_frac
          |FROM inc LEFT JOIN store s USING (fp)
          |GROUP BY doc_id
          |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,

@@ -853,10 +853,17 @@ object Relational {
     * that choice needs): per audited join key, the top-[[SkewTopK]]
     * hot keys with their row counts, the key-space stats, the skew
     * factor (hot-key rows ÷ mean rows per key), and the RECOMMENDED
-    * salt width = ceil(skew factor) in exact integer ceil-division,
-    * clamped to [1, [[SkewSaltCap]]] — the c174 budget-rule
-    * discipline: the knob is data-derived, not hand-set, and both
-    * engines compute it identically from integer counts.
+    * salt width = ceil(skew factor) clamped to [1, [[SkewSaltCap]]] —
+    * the c174 budget-rule discipline: the knob is data-derived, not
+    * hand-set, and both engines compute it identically from integer
+    * counts. The ceil-division is computed WITHOUT the nk×n_keys
+    * 64-bit product (r17 ADVICE: at 100 TB hot-key rows × key-space
+    * count can exceed 2^63, where non-ANSI Spark silently wraps while
+    * DuckDB raises): min(cap, ceil(a/b)) = 1 + |{s ∈ 1..cap−1 :
+    * s·b < a}|, so the clamp is evaluated as a bounded comparison
+    * COUNT with both products carried exactly — DECIMAL(38,0) on the
+    * Spark side (nk, n_keys < 2^63 ⇒ the product < 8.6e37 fits), and
+    * HUGEINT on the DuckDB side.
     *
     * Audited keys: lineitem.l_orderkey (c87's many-per-key side) and
     * events.user_id (the behavioral stream's natural skew axis).
@@ -883,8 +890,11 @@ object Relational {
           col("n_rows"), col("n_keys"),
           round(col("nk").cast("double") * col("n_keys") / col("n_rows"), 4)
             .as("skew_x"),
-          least(lit(SkewSaltCap), greatest(lit(1L),
-            expr("(nk * n_keys + n_rows - 1) div n_rows"))).as("salt_rec"))
+          (lit(1L) + size(expr(
+            s"""filter(sequence(1L, ${SkewSaltCap - 1}L),
+               |  s -> CAST(s AS DECIMAL(38,0)) * n_rows <
+               |       CAST(nk AS DECIMAL(19,0)) * CAST(n_keys AS DECIMAL(19,0)))"""
+              .stripMargin)).cast("long")).as("salt_rec"))
     }
     val ev = Tables.t(spark, sfDir, "events")
     audit(Tables.t(spark, sfDir, "lineitem"), "lineitem", "l_orderkey")
@@ -1635,14 +1645,16 @@ object Relational {
          |    CAST(rnk AS BIGINT) AS rank, k AS hot_key, nk AS n_rows_key,
          |    n_rows, n_keys,
          |    ROUND(CAST(nk AS DOUBLE) * n_keys / n_rows, 4) AS skew_x,
-         |    LEAST($SkewSaltCap, GREATEST(1, (nk * n_keys + n_rows - 1) // n_rows)) AS salt_rec
+         |    CAST(1 + len(list_filter(range(1, $SkewSaltCap),
+ |      s -> CAST(s AS HUGEINT) * n_rows < CAST(nk AS HUGEINT) * n_keys)) AS BIGINT) AS salt_rec
          |  FROM lh CROSS JOIN lt
          |  UNION ALL
          |  SELECT 'events' AS tbl, 'user_id' AS key_col,
          |    CAST(rnk AS BIGINT) AS rank, k AS hot_key, nk AS n_rows_key,
          |    n_rows, n_keys,
          |    ROUND(CAST(nk AS DOUBLE) * n_keys / n_rows, 4) AS skew_x,
-         |    LEAST($SkewSaltCap, GREATEST(1, (nk * n_keys + n_rows - 1) // n_rows)) AS salt_rec
+         |    CAST(1 + len(list_filter(range(1, $SkewSaltCap),
+ |      s -> CAST(s AS HUGEINT) * n_rows < CAST(nk AS HUGEINT) * n_keys)) AS BIGINT) AS salt_rec
          |  FROM eh CROSS JOIN et
          |)
          |ORDER BY tbl ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin,

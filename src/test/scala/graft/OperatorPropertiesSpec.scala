@@ -612,6 +612,26 @@ class OperatorPropertiesSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSeq, "lineitem", "l_orderkey")
     replay(Tables.t(spark, sf, "events").select(col("user_id")).collect()
       .map(_.getLong(0)).toSeq, "events", "user_id")
+    // r17 ADVICE regression pin: the salt rule must stay exact where
+    // nk * n_keys exceeds 2^63 (64-bit wrap would silently corrupt the
+    // recommendation precisely on the corpora that need it). Drive the
+    // production expression text over constructed counts up to the
+    // 100 TB regime and compare against BigInt-exact clamped ceil-div.
+    val cases = Seq(
+      (1L, 1L, 1L), (7L, 3L, 20L), (1000L, 999L, 31000L),
+      (4000000000L, 5000000000L, 6000000000L),          // nk*n_keys = 2e19 > 2^63
+      (9000000000000000000L, 9000000000000000000L, 9000000000000000000L),
+      (9000000000000000000L, 4L, 9000000000000000000L))
+    val got = cases.toDF("nk", "n_keys", "n_rows").selectExpr(
+      s"""1L + size(filter(sequence(1L, ${SkewSaltCap - 1}L),
+         |  s -> CAST(s AS DECIMAL(38,0)) * n_rows <
+         |       CAST(nk AS DECIMAL(19,0)) * CAST(n_keys AS DECIMAL(19,0))))"""
+        .stripMargin).collect().map(_.getLong(0))
+    cases.zip(got).foreach { case ((nk, nks, nr), salt) =>
+      val exact = (BigInt(nk) * BigInt(nks) + BigInt(nr) - 1) / BigInt(nr)
+      val want = exact.min(BigInt(SkewSaltCap)).max(BigInt(1)).toLong
+      assert(salt == want, s"salt rule wrapped at ($nk, $nks, $nr): $salt vs $want")
+    }
   }
 
   test("c198: the medoid keeper moves off min-id when the min member is an outlier, and the cap refuses quadratic work") {
@@ -732,6 +752,44 @@ class OperatorPropertiesSpec extends AnyFunSuite {
     // verbatim copy for the metric to separate
     assert(out.values.exists(_._6 > 0.5), "no high-BLEU pair among banded candidates - fixture vacuous")
     assert(out.values.forall(v => v._3 > 0.0), "a banded pair with zero unigram overlap should not exist")
+  }
+
+  test("c192: len_ratio is monotone-equivalent to the BLEU brevity penalty on the pair table") {
+    // r17 verdict item 7: the docstring claims shipping len_ratio
+    // instead of BP = min(1, exp(1 - rlen/clen)) loses nothing because
+    // BP = f(len_ratio) with f non-decreasing (f(x) = min(1,
+    // exp(1 - 1/x))). Pin it on the REAL pair table: sort pairs by the
+    // true length ratio and assert the exact BP sequence (libm exp is
+    // fine in a TEST — the ban is on hashed outputs) never decreases,
+    // and saturates at exactly 1 once the candidate is no shorter
+    // than the reference.
+    val sf = TestSpark.sf0001
+    val texts = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").length).toMap
+    val pairs = ops.Llm.bleuPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(6)))
+    assert(pairs.nonEmpty)
+    val enriched = pairs.map { case (a, b, lrOut) =>
+      val (rlen, clen) = (texts(a).toDouble, texts(b).toDouble)
+      val lr = clen / rlen
+      val bp = if (clen >= rlen) 1.0 else math.exp(1.0 - rlen / clen)
+      assert(lrOut == BigDecimal(lr).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      (lr, bp)
+    }.sortBy(_._1)
+    enriched.sliding(2).foreach {
+      case Array((lr1, bp1), (lr2, bp2)) =>
+        assert(bp1 <= bp2,
+          s"BP ordering inverted vs len_ratio ordering: ($lr1,$bp1) then ($lr2,$bp2)")
+      case _ => ()
+    }
+    enriched.foreach { case (lr, bp) =>
+      if (lr >= 1.0) assert(bp == 1.0, s"BP must saturate at 1 for len_ratio $lr")
+      else assert(bp < 1.0, s"BP must penalize a short candidate: len_ratio $lr")
+    }
+    // non-vacuous: the fixture must exercise BOTH branches of f
+    assert(enriched.exists(_._1 < 1.0) && enriched.exists(_._1 >= 1.0),
+      "fixture exercises only one BP branch - monotone pin vacuous")
   }
 
   test("c59: width dial follows the ivfPlanes-style clamp rule") {

@@ -610,9 +610,14 @@ class TextAnalysisSpec extends AnyFunSuite {
     // like natural text's 0.4-0.6. A corpus report reading this fit
     // would conclude "templated/synthetic", which this corpus is.
     info(s"c190 heaps fit at sf0.001: beta=$beta lnK=$lnk r2=$r2 n=$n")
-    assert(beta == 0.0, s"closed-vocabulary fixture must fit beta = 0: $beta")
+    // r17 ADVICE: the flat-vocabulary fit is 0/0-adjacent (num and the
+    // y-variance term are ~1e-6 DECIMAL quantization residues), so pin
+    // the VERDICT (beta ~ 0, e^lnK = V) without depending on the SIGN
+    // of quantization noise: beta within 1e-3 of zero rather than
+    // exactly 0.0, and r2 allowed to be NaN (0/0) or in-range.
+    assert(math.abs(beta) < 1e-3, s"closed-vocabulary fixture must fit beta ~ 0: $beta")
     assert(math.exp(lnk).round == firstOcc.size.toLong,
       s"flat-V fit must put e^lnK at the vocabulary size: e^$lnk vs ${firstOcc.size}")
-    assert(r2 >= 0.0 && r2 <= 1.0, s"r2 out of range: $r2")
+    assert(r2.isNaN || (r2 >= 0.0 && r2 <= 1.0), s"r2 out of range: $r2")
   }
 }
