@@ -876,30 +876,91 @@ object Relational {
     * Output is 2×[[SkewTopK]] rows at any corpus size.
     */
   def joinSkewAudit(spark: SparkSession, sfDir: String): DataFrame = {
-    def audit(df: DataFrame, tbl: String, keyCol: String): DataFrame = {
-      val counts = df.select(col(keyCol).cast("long").as("k"))
-        .groupBy(col("k")).agg(count(lit(1)).as("nk"))
-      val tot = counts.agg(count(lit(1)).as("n_keys"), sum(col("nk")).as("n_rows"))
-      counts.orderBy(col("nk").desc, col("k").asc).limit(SkewTopK)
-        .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("nk").desc, col("k").asc)).cast("long"))
-        .crossJoin(broadcast(tot))
-        .select(lit(tbl).as("tbl"), lit(keyCol).as("key_col"), col("rank"),
-          col("k").as("hot_key"), col("nk").as("n_rows_key"),
-          col("n_rows"), col("n_keys"),
-          round(col("nk").cast("double") * col("n_keys") / col("n_rows"), 4)
-            .as("skew_x"),
-          (lit(1L) + size(expr(
-            s"""filter(sequence(1L, ${SkewSaltCap - 1}L),
-               |  s -> CAST(s AS DECIMAL(38,0)) * n_rows <
-               |       CAST(nk AS DECIMAL(19,0)) * CAST(n_keys AS DECIMAL(19,0)))"""
-              .stripMargin)).cast("long")).as("salt_rec"))
-    }
     val ev = Tables.t(spark, sfDir, "events")
-    audit(Tables.t(spark, sfDir, "lineitem"), "lineitem", "l_orderkey")
-      .unionByName(audit(ev, "events", "user_id"))
+    skewAuditOf(Tables.t(spark, sfDir, "lineitem"), "lineitem", "l_orderkey")
+      .unionByName(skewAuditOf(ev, "events", "user_id"))
       .orderBy("tbl", "rank")
+  }
+
+  /** The c197 audit kernel over one (table, join-key) pair — shared
+    * with c200, whose strategy pick must read EXACTLY the audit's
+    * rule (one kernel, the measurement and its consumer cannot
+    * drift). */
+  private[graft] def skewAuditOf(df: DataFrame, tbl: String, keyCol: String): DataFrame = {
+    val counts = df.select(col(keyCol).cast("long").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("nk"))
+    val tot = counts.agg(count(lit(1)).as("n_keys"), sum(col("nk")).as("n_rows"))
+    counts.orderBy(col("nk").desc, col("k").asc).limit(SkewTopK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("nk").desc, col("k").asc)).cast("long"))
+      .crossJoin(broadcast(tot))
+      .select(lit(tbl).as("tbl"), lit(keyCol).as("key_col"), col("rank"),
+        col("k").as("hot_key"), col("nk").as("n_rows_key"),
+        col("n_rows"), col("n_keys"),
+        round(col("nk").cast("double") * col("n_keys") / col("n_rows"), 4)
+          .as("skew_x"),
+        (lit(1L) + size(expr(
+          s"""filter(sequence(1L, ${SkewSaltCap - 1}L),
+             |  s -> CAST(s AS DECIMAL(38,0)) * n_rows <
+             |       CAST(nk AS DECIMAL(19,0)) * CAST(n_keys AS DECIMAL(19,0)))"""
+            .stripMargin)).cast("long")).as("salt_rec"))
+  }
+
+  /** c200 — SKEW-ADAPTIVE join: the CONSUMER the r17 verdict said
+    * c197 lacked. The join reads the audit's rank-1 recommendation
+    * for its own key (ONE driver-side row — the same bounded
+    * plan-decision collect AQE's runtime re-plan makes from shuffle
+    * statistics) and picks the strategy: salt_rec = 1 → the plain
+    * shuffle join; salt_rec > 1 → the c87 salted kernel with the
+    * recommended width. The contract is c87's, now measurement-
+    * driven end-to-end: the audit changes the PARTITIONING and never
+    * the answer, so the oracle is the plain join's aggregate and the
+    * spec drives a constructed hot-key corpus through the kernel
+    * (audit recommends width > 1, output still equals plain exactly).
+    *
+    * Scale shape: the audit adds one map-side-combined key-count
+    * aggregate over the fact side — the table the join's own shuffle
+    * would build anyway, priced before the ×S thin-side replication
+    * is paid. On the near-uniform fixture keys the audit recommends
+    * width 2 (skew_x ~ 1.7 — lineitem's 1–7 rows per order), so the
+    * salted path genuinely exercises at every SF.
+    */
+  def skewAdaptiveJoin(spark: SparkSession, sfDir: String): DataFrame =
+    adaptiveJoinKernel(
+      Tables.t(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus")),
+      Tables.t(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+          col("l_linenumber")))._2
+
+  /** The c200 kernel over explicit orders/lineitem-shaped frames —
+    * returns (chosen width, the aggregate) so the spec can pin BOTH
+    * that a skewed corpus picks salt > 1 AND that the output equals
+    * the plain join.
+    */
+  private[graft] def adaptiveJoinKernel(o: DataFrame, l: DataFrame): (Long, DataFrame) = {
+    val width = skewAuditOf(l, "lineitem", "l_orderkey")
+      .where(col("rank") === 1).select(col("salt_rec")).head().getLong(0)
+    val joined =
+      if (width <= 1L)
+        o.hint("merge").join(l, col("o_orderkey") === col("l_orderkey"))
+      else {
+        val os = o.withColumn("salt",
+          explode(expr(s"sequence(0L, ${width - 1}L)")))
+        val ls = l.withColumn("salt", col("l_linenumber") % width)
+        // hint("merge"): same pin as c87 — the strategy exists for the
+        // no-broadcast regime; at fixture SF Spark would otherwise
+        // broadcast the exploded thin side and the salt never reaches
+        // an exchange.
+        os.hint("merge").join(ls,
+          col("o_orderkey") === col("l_orderkey") && os("salt") === ls("salt"))
+      }
+    (width, joined
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy("o_orderstatus"))
   }
 
   /** c87 — SALTED join, the skew-mitigation pattern as an operator
@@ -1379,6 +1440,7 @@ object Relational {
     "c86_incremental_agg" -> (incrementalAgg(_, _)),
     "c87_salted_join" -> (saltedJoin(_, _)),
     "c197_join_skew_audit" -> (joinSkewAudit(_, _)),
+    "c200_skew_adaptive_join" -> (skewAdaptiveJoin(_, _)),
     "c88_bucketed_join" -> (bucketedJoin(_, _))
   )
 
@@ -1619,6 +1681,9 @@ object Relational {
 
     "c87_salted_join" -> plainJoinAggSql,
     "c88_bucketed_join" -> plainJoinAggSql,
+    // c200's contract IS c87's: the measurement-driven strategy pick
+    // changes the partitioning and nothing else.
+    "c200_skew_adaptive_join" -> plainJoinAggSql,
 
     // The c197 oracle replays per-key counts → totals → ranked top-3
     // → the shared integer salt rule for both audited keys.

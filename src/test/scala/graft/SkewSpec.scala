@@ -39,6 +39,38 @@ class SkewSpec extends AnyFunSuite {
     assert(plain.sameElements(salted))
   }
 
+  test("c200: a hot-key corpus makes the audit recommend salt > 1 and the adaptive join still equals plain") {
+    // Constructed skew: order 0 carries 600 lineitem rows, orders
+    // 1..100 carry 2 each → nk=600, n_keys=101, n_rows=800,
+    // skew_x = 600*101/800 ≈ 75.8 → salt_rec clamps to 32. The
+    // adaptive kernel must take the SALTED branch and produce
+    // byte-identical aggregates to the plain join.
+    val l = (
+      (1 to 600).map(i => (0L, 10.0 + i % 7, 0.05, i.toLong)) ++
+      (1 to 100).flatMap(k => Seq(
+        (k.toLong, 20.0 + k % 5, 0.02, 1L), (k.toLong, 30.0 + k % 3, 0.04, 2L)))
+    ).toDF("l_orderkey", "l_extendedprice", "l_discount", "l_linenumber")
+      .repartition(8)
+    val o = (0 to 100).map(k => (k.toLong, if (k % 3 == 0) "F" else "O"))
+      .toDF("o_orderkey", "o_orderstatus")
+    val (width, adaptive) = ops.Relational.adaptiveJoinKernel(o, l)
+    assert(width > 1L, s"audit failed to recommend salting on the hot-key corpus: $width")
+    assert(width == 32L, s"clamped recommendation drifted: $width")
+    val got = adaptive.as[(String, Long, Double)].collect().sortBy(_._1)
+    val want = o.join(l, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        graft.Canon.dsum($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"))
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    assert(got.sameElements(want),
+      s"adaptive join diverged from plain: ${got.toSeq} vs ${want.toSeq}")
+    // and a uniform corpus must pick the plain branch
+    val lu = (1 to 100).map(k => (k.toLong, 10.0, 0.0, 1L))
+      .toDF("l_orderkey", "l_extendedprice", "l_discount", "l_linenumber")
+    val (w2, _) = ops.Relational.adaptiveJoinKernel(o, lu)
+    assert(w2 == 1L, s"uniform corpus must not salt: $w2")
+  }
+
   test("salt actually spreads the hot key") {
     val spread = skewed.where($"k" === 0)
       .withColumn("_salt", pmod(hash($"v"), lit(16)))
