@@ -12,7 +12,7 @@ object SparkEntry {
       Functions.queries ++ Llm.queries ++ NearDup.queries ++
       TextAnalysis.queries ++ Multimodal.queries ++ Retrieval.queries ++
       Analytics.queries ++ TpchSuite.queries ++ Insights.queries ++
-      graft.streaming.Streams.queries
+      CurationRun.queries ++ graft.streaming.Streams.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (b18_approx_distinct: HLL
     * sketches aren't cross-engine comparable) get the driver's
@@ -22,5 +22,5 @@ object SparkEntry {
       Functions.oracle ++ Llm.oracle ++ NearDup.oracle ++
       TextAnalysis.oracle ++ Multimodal.oracle ++ Retrieval.oracle ++
       Analytics.oracle ++ TpchSuite.oracle ++ Insights.oracle ++
-      graft.streaming.Streams.oracle
+      CurationRun.oracle ++ graft.streaming.Streams.oracle
 }

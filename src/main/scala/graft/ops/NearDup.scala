@@ -806,12 +806,19 @@ object NearDup {
       .orderBy("doc_id")
   }
 
-  /** c198 cap: clusters larger than this fall back to the min-id
-    * keeper — medoid selection is quadratic in cluster size, and on
-    * web data the giant clusters are boilerplate families where
-    * content centrality adds nothing over min-id (the c48 HotGramCap
-    * discipline applied to the keeper choice). */
+  /** c198 cap: clusters larger than this refuse the full quadratic
+    * medoid — pairwise work is quadratic in cluster size, and on web
+    * data the giant clusters are boilerplate families (the c48
+    * HotGramCap discipline applied to the keeper choice). */
   private[graft] val MedoidCap = 16L
+
+  /** c198 over-cap candidate budget (round 18, r17 verdict item 4):
+    * instead of the arbitrary min-id fallback, a capped cluster takes
+    * a deterministic hash-ordered sample of [[MedoidCandK]] members
+    * as medoid CANDIDATES, each scored against ALL members — cost
+    * K×size, linear in the family, so the LARGEST families get a
+    * content keeper at bounded price. */
+  private[graft] val MedoidCandK = 8L
 
   /** c198 — MEDOID KEEPER: upgrade c22's min-id survivor rule to a
     * CONTENT choice (the curation question the arbitrary-keeper rule
@@ -821,16 +828,23 @@ object NearDup {
     * Per near-dup cluster (c21's memoized CC labels): the member
     * maximizing the sum of Jaccard similarity to its co-members
     * (decimal-exact sum of the r4 pair similarities; ties break to
-    * the smaller doc_id via the partitioned rank window), with
-    * clusters above [[MedoidCap]] falling back to min-id
-    * (`minid_capped` — quadratic work refused, the cap is the knob).
+    * the smaller doc_id via the partitioned rank window). Clusters
+    * above [[MedoidCap]] refuse the full quadratic pair fan and
+    * instead take [[MedoidCandK]] members as medoid CANDIDATES in
+    * deterministic hash order (md5('cand:'‖doc_id), doc_id —
+    * engine-identical and stable under corpus growth), each scored
+    * against ALL members (`medoid_sampled` — round 18, replacing the
+    * r17 arbitrary min-id fallback: the largest boilerplate families
+    * now get a content keeper at K×size linear cost).
     *
-    * Scale shape: sizes from one label aggregate; the pairwise stage
-    * joins ONLY capped clusters' members on the cluster key (fan ≤
+    * Scale shape: sizes from one label aggregate; the sub-cap
+    * pairwise stage joins members on the cluster key (fan ≤
     * MedoidCap−1 per member — never corpus-pairwise), reusing the
-    * memoized token-set table; per-member score map-side combines;
-    * the argmax is a cluster-partitioned rank window over ≤MedoidCap
-    * rows per group. Output is cluster-count-sized.
+    * memoized token-set table; the over-cap stage fans exactly K
+    * candidate rows per member; per-candidate scores map-side
+    * combine; each argmax is a cluster-partitioned rank window over
+    * ≤MedoidCap (resp. ≤K) rows per group. Output is
+    * cluster-count-sized.
     */
   def medoidKeeper(spark: SparkSession, sfDir: String): DataFrame =
     medoidOf(clusterLabels(spark, sfDir), Llm.tokenSets(spark, sfDir))
@@ -863,11 +877,33 @@ object NearDup {
       .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
       .select(col("cluster_id"), col("sz").as("size"), col("doc_id").as("keeper"),
         lit("medoid").as("rule"), round(col("score"), 4).as("keeper_score"))
-    val capped = m.where(col("sz") > MedoidCap)
-      .groupBy(col("cluster_id"))
-      .agg(max(col("sz")).as("size"), min(col("doc_id")).as("keeper"))
-      .select(col("cluster_id"), col("size"), col("keeper"),
-        lit("minid_capped").as("rule"), lit(null).cast("double").as("keeper_score"))
+    // Over-cap: hash-ordered candidate sample scored against ALL
+    // members — K×size fan, never size². The candidate rank window
+    // sorts within one family; a family's members co-partition on the
+    // cluster key, the same layout the CC pass already produced.
+    val capm = m.where(col("sz") > MedoidCap).join(toks, "doc_id")
+    val cw = Window.partitionBy(col("cluster_id"))
+      .orderBy(md5(concat(lit("cand:"), col("doc_id").cast("string"))).asc,
+        col("doc_id").asc)
+    val cand = capm.withColumn("crn", row_number().over(cw))
+      .where(col("crn") <= MedoidCandK)
+      .select(col("cluster_id"), col("doc_id").as("cand_id"),
+        col("sz"), col("tset").as("ct"))
+    val csims = cand
+      .join(capm.select(col("cluster_id").as("bc"), col("doc_id").as("bd"),
+          col("tset").as("bt")),
+        col("cluster_id") === col("bc") && col("cand_id") =!= col("bd"))
+      .select(col("cluster_id"), col("cand_id"), col("sz"),
+        round(size(array_intersect(col("ct"), col("bt"))).cast("double") /
+          size(array_union(col("ct"), col("bt"))), 4).as("j"))
+    val aw = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("score").desc, col("cand_id").asc)
+    val capped = csims
+      .groupBy(col("cluster_id"), col("cand_id"), col("sz"))
+      .agg(Canon.dsum(col("j")).as("score"))
+      .withColumn("rn", row_number().over(aw)).where(col("rn") === 1)
+      .select(col("cluster_id"), col("sz").as("size"), col("cand_id").as("keeper"),
+        lit("medoid_sampled").as("rule"), round(col("score"), 4).as("keeper_score"))
     med.unionByName(capped)
   }
 
@@ -3148,6 +3184,66 @@ object NearDup {
        |  FROM reach GROUP BY u
        |)""".stripMargin
 
+  /** The c198 keeper chain as a reusable oracle CTE suffix (appended
+    * after [[oracleClustersCte]]): per-cluster sizes → token sets →
+    * the sub-cap full medoid (`med`) and the over-cap hash-ordered
+    * candidate sample (`cap`, rule `medoid_sampled`). Shared by the
+    * c198 map entry and the c199 curation run so the two oracles
+    * replay ONE keeper rule.
+    */
+  private[ops] val oracleKeeperCtes: String =
+    s"""csz AS (
+       |  SELECT cluster_id, COUNT(*) AS sz FROM clusters GROUP BY cluster_id
+       |), ts AS (
+       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tset FROM documents
+       |), sm AS (
+       |  SELECT c.doc_id, c.cluster_id, csz.sz, ts.tset
+       |  FROM clusters c JOIN csz USING (cluster_id) JOIN ts USING (doc_id)
+       |  WHERE csz.sz <= $MedoidCap
+       |), sims AS (
+       |  SELECT a.cluster_id, a.doc_id, a.sz,
+       |    ROUND(CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.tset, b.tset))), 4) AS j
+       |  FROM sm a JOIN sm b ON a.cluster_id = b.cluster_id AND a.doc_id != b.doc_id
+       |), sc AS (
+       |  SELECT cluster_id, doc_id, sz,
+       |    CAST(SUM(CAST(j AS DECIMAL(38,6))) AS DOUBLE) AS score
+       |  FROM sims GROUP BY 1, 2, 3
+       |), med AS (
+       |  SELECT cluster_id, CAST(sz AS BIGINT) AS size, doc_id AS keeper,
+       |    'medoid' AS rule, ROUND(score, 4) AS keeper_score
+       |  FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY score DESC NULLS LAST, doc_id ASC) AS rn FROM sc
+       |  ) WHERE rn = 1
+       |), capm AS (
+       |  SELECT c.doc_id, c.cluster_id, csz.sz, ts.tset
+       |  FROM clusters c JOIN csz USING (cluster_id) JOIN ts USING (doc_id)
+       |  WHERE csz.sz > $MedoidCap
+       |), cand AS (
+       |  SELECT cluster_id, doc_id AS cand_id, sz, tset AS ct FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY md5('cand:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS crn
+       |    FROM capm
+       |  ) WHERE crn <= $MedoidCandK
+       |), csims AS (
+       |  SELECT a.cluster_id, a.cand_id, a.sz,
+       |    ROUND(CAST(len(list_intersect(a.ct, b.tset)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.ct, b.tset))), 4) AS j
+       |  FROM cand a JOIN capm b ON a.cluster_id = b.cluster_id AND a.cand_id != b.doc_id
+       |), csc AS (
+       |  SELECT cluster_id, cand_id, sz,
+       |    CAST(SUM(CAST(j AS DECIMAL(38,6))) AS DOUBLE) AS score
+       |  FROM csims GROUP BY 1, 2, 3
+       |), cap AS (
+       |  SELECT cluster_id, CAST(sz AS BIGINT) AS size, cand_id AS keeper,
+       |    'medoid_sampled' AS rule, ROUND(score, 4) AS keeper_score
+       |  FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY score DESC NULLS LAST, cand_id ASC) AS rn FROM csc
+       |  ) WHERE rn = 1
+       |)""".stripMargin
+
   /** c35 oracle templates: one Lloyd round = scored (cosine vs the
     * round's centroid relation) → best (argmax w/ rn tiebreak) → cents
     * (decimal-exact element-wise mean). Emitted per round so the
@@ -4248,39 +4344,11 @@ object NearDup {
 
     // The c198 oracle replays the CC labels, per-cluster sizes, the
     // within-cluster Jaccard sums (decimal-exact over r4 pair sims),
-    // the (score desc, doc asc) argmax, and the cap fallback.
+    // the (score desc, doc asc) argmax, and the sampled-candidate
+    // over-cap rule — through the SHARED keeper CTE chain, so the
+    // c199 curation run's oracle replays the identical keeper.
     "c198_medoid_keeper" ->
-      s"""$oracleClustersCte, csz AS (
-         |  SELECT cluster_id, COUNT(*) AS sz FROM clusters GROUP BY cluster_id
-         |), ts AS (
-         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tset FROM documents
-         |), sm AS (
-         |  SELECT c.doc_id, c.cluster_id, csz.sz, ts.tset
-         |  FROM clusters c JOIN csz USING (cluster_id) JOIN ts USING (doc_id)
-         |  WHERE csz.sz <= $MedoidCap
-         |), sims AS (
-         |  SELECT a.cluster_id, a.doc_id, a.sz,
-         |    ROUND(CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE)
-         |      / len(list_distinct(list_concat(a.tset, b.tset))), 4) AS j
-         |  FROM sm a JOIN sm b ON a.cluster_id = b.cluster_id AND a.doc_id != b.doc_id
-         |), sc AS (
-         |  SELECT cluster_id, doc_id, sz,
-         |    CAST(SUM(CAST(j AS DECIMAL(38,6))) AS DOUBLE) AS score
-         |  FROM sims GROUP BY 1, 2, 3
-         |), med AS (
-         |  SELECT cluster_id, CAST(sz AS BIGINT) AS size, doc_id AS keeper,
-         |    'medoid' AS rule, ROUND(score, 4) AS keeper_score
-         |  FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY cluster_id
-         |      ORDER BY score DESC NULLS LAST, doc_id ASC) AS rn FROM sc
-         |  ) WHERE rn = 1
-         |), cap AS (
-         |  SELECT c.cluster_id, CAST(MAX(csz.sz) AS BIGINT) AS size,
-         |    MIN(c.doc_id) AS keeper, 'minid_capped' AS rule,
-         |    CAST(NULL AS DOUBLE) AS keeper_score
-         |  FROM clusters c JOIN csz USING (cluster_id)
-         |  WHERE csz.sz > $MedoidCap GROUP BY c.cluster_id
-         |)
+      s"""$oracleClustersCte, $oracleKeeperCtes
          |SELECT * FROM (SELECT * FROM med UNION ALL SELECT * FROM cap)
          |ORDER BY cluster_id ASC NULLS FIRST""".stripMargin,
 

@@ -22,7 +22,7 @@ object TextAnalysis {
   type Q = (SparkSession, String) => DataFrame
 
   private val ProfileTopK = 10
-  private val Stopwords = Seq("the", "a", "of", "and", "in")
+  private[graft] val Stopwords = Seq("the", "a", "of", "and", "in")
 
   /** c14 — language identification by token-profile overlap: each
     * language's profile = its top-10 corpus tokens; a doc's score for
@@ -483,7 +483,7 @@ object TextAnalysis {
         md5(col("clean")).as("clean_md5"))
       .orderBy("doc_id")
 
-  private val PackBudget = 2048
+  private[graft] val PackBudget = 2048
 
   /** c26 — corpus MIXING: downsample each source to a target rate —
     * how a training mix rebalances web/books/code/… proportions. Rates
@@ -592,8 +592,12 @@ object TextAnalysis {
     * On these fixtures the planted near-dup pairs are exactly what it
     * catches (2 contaminated docs at sf0.001).
     */
-  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.t(spark, sfDir, "documents")
+  /** The c29 contamination kernel over any documents frame: distinct
+    * ids of TRAIN docs sharing a word 5-gram with the eval split
+    * (doc_id % 50 = 0). Column `cid`. Shared by c29 and the c199
+    * curation run's decontamination stage (one kernel — the batch
+    * report and the pipeline gate cannot drift). */
+  private[graft] def contamIds(docs: DataFrame): DataFrame = {
     def grams(d: DataFrame): DataFrame = d
       .withColumn("ws", split(col("text"), " "))
       .where(size(col("ws")) >= 5)
@@ -601,10 +605,14 @@ object TextAnalysis {
         "transform(sequence(1, size(ws) - 4), i -> concat_ws(' ', slice(ws, i, 5)))")).as("g"))
     val evalGrams = grams(docs.where(col("doc_id") % 50 === 0))
       .select(col("g")).distinct()
-    val train = docs.where(col("doc_id") % 50 =!= 0)
-    val contaminated = grams(train).join(broadcast(evalGrams), "g")
+    grams(docs.where(col("doc_id") % 50 =!= 0)).join(broadcast(evalGrams), "g")
       .select(col("doc_id").as("cid")).distinct()
-    train.join(broadcast(contaminated), col("doc_id") === col("cid"), "left")
+  }
+
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val train = docs.where(col("doc_id") % 50 =!= 0)
+    train.join(broadcast(contamIds(docs)), col("doc_id") === col("cid"), "left")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_train"), count(col("cid")).as("n_contaminated"))
       .withColumn("contam_rate",

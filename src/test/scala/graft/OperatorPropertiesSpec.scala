@@ -643,9 +643,11 @@ class OperatorPropertiesSpec extends AnyFunSuite {
     val docs = Seq(
       (1L, s"$core one two three four five six seven eight nine ten"),
       (2L, s"$core x"), (3L, s"$core y"), (4L, s"$core z"),
-      // cluster 10: over-cap family (17 members > MedoidCap=16)
-      // falls back to min-id with a NULL score
-      (10L, "capped family base")
+      // cluster 10: over-cap family (17 members > MedoidCap=16) —
+      // takes the hash-ordered candidate sample (round 18); the
+      // min-id member 10 is an OUTLIER sharing no token, so the
+      // sampled medoid must land on a central member, never min-id
+      (10L, "totally different text entirely")
     ) ++ (11L to 26L).map(i => (i, s"capped family member$i"))
     val docsDf = docs.toDF("doc_id", "text")
     val labels = (Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)) ++
@@ -670,8 +672,30 @@ class OperatorPropertiesSpec extends AnyFunSuite {
     assert(keep1 == best._1 && score1.contains(
       BigDecimal(best._2.toDouble).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
     val (sz10, keep10, rule10, score10) = out(10L)
-    assert(rule10 == "minid_capped" && sz10 == 17L && keep10 == 10L && score10.isEmpty,
-      s"over-cap cluster must refuse the quadratic medoid: ${out(10L)}")
+    assert(rule10 == "medoid_sampled" && sz10 == 17L,
+      s"over-cap cluster must take the sampled-candidate rule: ${out(10L)}")
+    assert(keep10 != 10L,
+      s"sampled medoid stayed on the outlier min-id member: $keep10")
+    // independent replay of the sampled rule: hash-ordered first K
+    // members are the candidates, each scored against ALL co-members
+    def md5hex(x: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val fam = (Seq(10L) ++ (11L to 26L))
+    val famSets = docs.filter(d => fam.contains(d._1))
+      .map { case (id, t) => id -> t.split(" ").toSet }.toMap
+    val candIds = fam.sortBy(id => (md5hex(s"cand:$id"), id))
+      .take(NearDup.MedoidCandK.toInt)
+    val best10 = candIds
+      .map(c => c -> fam.filter(_ != c).map(o => jac(famSets(c), famSets(o))).sum)
+      .sortBy { case (d, s) => (-s, d) }.head
+    assert(keep10 == best10._1,
+      s"sampled medoid drifted from the replay: $keep10 vs ${best10._1} (cands $candIds)")
+    assert(score10.contains(
+      BigDecimal(best10._2.toDouble).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    // the sample is live: had every member been a candidate the answer
+    // would be the same central family, so pin instead that the
+    // candidate CUT genuinely dropped members (17 > K)
+    assert(candIds.size == NearDup.MedoidCandK.toInt && fam.size > candIds.size)
   }
 
   test("c194: the CDC ingest gate replays independently; the store probe is live both ways") {
