@@ -1520,13 +1520,17 @@ object TextAnalysis {
     * into a ≤C(20,2)-row matrix. Output is sources²-bounded at any
     * corpus size.
     */
+  /** Distinct (source, 5-gram) presence — the shared grain of c196's
+    * overlap matrix and c201's mixing plan. */
+  private[graft] def gramPresence(docs: DataFrame): DataFrame = docs
+    .withColumn("ws", split(col("text"), " "))
+    .where(size(col("ws")) >= 5)
+    .select(col("source"), explode(expr(
+      "transform(sequence(1, size(ws) - 4), i -> concat_ws(' ', slice(ws, i, 5)))")).as("g"))
+    .distinct()
+
   def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
-    val pres = Tables.t(spark, sfDir, "documents")
-      .withColumn("ws", split(col("text"), " "))
-      .where(size(col("ws")) >= 5)
-      .select(col("source"), explode(expr(
-        "transform(sequence(1, size(ws) - 4), i -> concat_ws(' ', slice(ws, i, 5)))")).as("g"))
-      .distinct()
+    val pres = gramPresence(Tables.t(spark, sfDir, "documents"))
     val bySrc = pres.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val shared = pres
       .groupBy(col("g")).agg(sort_array(collect_set(col("source"))).as("ss"))
@@ -1548,8 +1552,69 @@ object TextAnalysis {
       .orderBy("sa", "sb")
   }
 
+  /** c201 decision thresholds on the marginal-novel fraction: at or
+    * above [[PlanKeepMin]] a source is kept at full weight; between
+    * [[PlanDwMin]] and it, down-weighted to its novel fraction;
+    * below, dropped. Data-derived consumable knobs (the c197→c200
+    * discipline): the weight column is exactly what a c26-style
+    * mixer multiplies its target rate by. */
+  private[graft] val PlanKeepMin = 0.5
+  private[graft] val PlanDwMin = 0.1
+
+  /** c201 — SOURCE-OVERLAP mixing PLAN (round 18; the decision
+    * artifact the r17 verdict said c196 lacked: the matrix measures
+    * "dumps A and B are 40% the same data", this emits the
+    * keep/down-weight/drop rows a mixing run consumes). Greedy
+    * marginal-novel-gram accounting under a DETERMINISTIC pick
+    * order — largest gram set first, ties to the lexicographically
+    * smaller source (the standard large-cover-first greedy order,
+    * fixed up front so the whole accounting is ONE pass): a gram is
+    * credited to the FIRST picked source containing it, so a
+    * source's `novel_grams` is exactly the marginal coverage it adds
+    * when picked in that order, and a source whose grams are already
+    * covered by earlier picks scores near zero — the redundant-dump
+    * signal the pairwise matrix can only hint at. (The fully
+    * ADAPTIVE set-cover greedy re-ranks after every pick — n_sources
+    * passes over the gram table; the fixed order keeps the 100 TB
+    * cost at one gram-keyed aggregate and is the accounting a
+    * mixing plan needs: deterministic, replayable, engine-identical.)
+    *
+    * Scale shape: c196's presence grain (distinct source×gram), one
+    * sources-bounded count, the pick-order rank over that ≤#sources
+    * aggregate (whitelisted global window — never data-sized), one
+    * map-side-combined per-gram MIN(pick_order), and a
+    * sources-bounded marginal count. Output is #sources rows.
+    */
+  def sourceOverlapPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val pres = gramPresence(Tables.t(spark, sfDir, "documents"))
+    val bySrc = pres.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+    val prio = bySrc.withColumn("pick_order",
+      row_number().over(Window.orderBy(col("n_grams").desc, col("source").asc))
+        .cast("long"))
+    val owners = pres
+      .join(Skew.maybeBroadcast(
+        prio.select(col("source"), col("pick_order").as("po")),
+        boundRows = 64L, rowBytes = 32L, session = pres.sparkSession), "source")
+      .groupBy(col("g")).agg(min(col("po")).as("mpo"))
+      .groupBy(col("mpo")).agg(count(lit(1)).as("novel_grams"))
+    prio.join(owners, col("pick_order") === col("mpo"), "left")
+      .withColumn("novel_grams", coalesce(col("novel_grams"), lit(0L)))
+      .withColumn("novel_frac",
+        round(col("novel_grams").cast("double") / col("n_grams"), 4))
+      .select(col("source"), col("pick_order"), col("n_grams"),
+        col("novel_grams"), col("novel_frac"),
+        when(col("novel_frac") >= PlanKeepMin, "keep")
+          .when(col("novel_frac") >= PlanDwMin, "down_weight")
+          .otherwise("drop").as("decision"),
+        when(col("novel_frac") >= PlanKeepMin, 1.0)
+          .when(col("novel_frac") >= PlanDwMin, col("novel_frac"))
+          .otherwise(0.0).as("weight"))
+      .orderBy("pick_order")
+  }
+
   val queries: Map[String, Q] = Map(
     "c196_source_overlap" -> (sourceOverlap(_, _)),
+    "c201_source_overlap_plan" -> (sourceOverlapPlan(_, _)),
     "c190_heaps_fit" -> (heapsFit(_, _)),
     "c189_kn_perplexity" -> (knPerplexity(_, _)),
     "c186_zipf_fit" -> (zipfFit(_, _)),
@@ -1699,6 +1764,44 @@ object TextAnalysis {
         |  ROUND(CAST(n_shared AS DOUBLE) / LEAST(na.n, nb.n), 4) AS containment
         |FROM shared JOIN bysrc na ON na.source = sa JOIN bysrc nb ON nb.source = sb
         |ORDER BY sa ASC NULLS FIRST, sb ASC NULLS FIRST""".stripMargin,
+
+    // The c201 oracle replays the fixed largest-first greedy: presence
+    // → per-source sizes → pick order → per-gram first-picked owner →
+    // marginal counts → the threshold decisions.
+    "c201_source_overlap_plan" ->
+      s"""WITH pres AS (
+         |  SELECT DISTINCT source, g FROM (
+         |    SELECT source, unnest(list_transform(
+         |      range(1, greatest(len(string_split(text, ' ')) - 4, 0) + 1),
+         |      i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS g
+         |    FROM documents)
+         |), bysrc AS (
+         |  SELECT source, COUNT(*) AS n_grams FROM pres GROUP BY source
+         |), prio AS (
+         |  SELECT source, n_grams, CAST(row_number() OVER (
+         |    ORDER BY n_grams DESC NULLS LAST, source ASC) AS BIGINT) AS pick_order
+         |  FROM bysrc
+         |), own AS (
+         |  SELECT g, MIN(po) AS mpo FROM (
+         |    SELECT p.g, pr.pick_order AS po FROM pres p JOIN prio pr USING (source)
+         |  ) GROUP BY g
+         |), nov AS (
+         |  SELECT mpo, COUNT(*) AS novel_grams FROM own GROUP BY mpo
+         |)
+         |SELECT source, pick_order, n_grams, novel_grams, novel_frac,
+         |  CASE WHEN novel_frac >= $PlanKeepMin THEN 'keep'
+         |       WHEN novel_frac >= $PlanDwMin THEN 'down_weight'
+         |       ELSE 'drop' END AS decision,
+         |  CASE WHEN novel_frac >= $PlanKeepMin THEN 1.0
+         |       WHEN novel_frac >= $PlanDwMin THEN novel_frac
+         |       ELSE 0.0 END AS weight
+         |FROM (
+         |  SELECT source, pick_order, n_grams,
+         |    COALESCE(novel_grams, 0) AS novel_grams,
+         |    ROUND(CAST(COALESCE(novel_grams, 0) AS DOUBLE) / n_grams, 4) AS novel_frac
+         |  FROM prio LEFT JOIN nov ON pick_order = mpo
+         |)
+         |ORDER BY pick_order ASC NULLS FIRST""".stripMargin,
 
     // The c185 oracle replays grams → the c32 split rule → the
     // distinct train set → per-test-doc seen/novelty.

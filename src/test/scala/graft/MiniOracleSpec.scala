@@ -95,7 +95,10 @@ class MiniOracleSpec extends AnyFunSuite {
       "survivors, never the vocabulary"),
     "c197_join_skew_audit" -> ("rank AFTER .limit(SkewTopK=3) per audited " +
       "key — the c186 rank-after-limit discipline: the window orders the " +
-      "3 TakeOrdered survivors, never the key space"))
+      "3 TakeOrdered survivors, never the key space"),
+    "c201_source_overlap_plan" -> ("pick-order rank over the ≤#sources " +
+      "gram-count aggregate (scaladoc'd: sources-bounded, never the " +
+      "gram table)"))
 
   /** Keys observed carrying a global window during the per-key tests
     * (feeds the dead-entry check).

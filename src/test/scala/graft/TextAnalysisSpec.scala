@@ -529,6 +529,49 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.values.exists(_._5 > 0.0))
   }
 
+  test("c201: the mixing plan replays the fixed largest-first greedy from the matrix's grain") {
+    val sf = TestSpark.sf0001
+    val out = TextAnalysis.sourceOverlapPlan(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getString(5), r.getDouble(6))).toMap
+    assert(out.nonEmpty)
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def gramsOf(t: String): Seq[String] = {
+      val ws = t.split(" ")
+      if (ws.length < 5) Seq.empty
+      else (0 to ws.length - 5).map(i => ws.slice(i, i + 5).mkString(" "))
+    }
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sets = docs.groupBy(_._1).map { case (s, ds) =>
+      s -> ds.flatMap(d => gramsOf(d._2)).toSet }
+    // the greedy, replayed literally: pick largest-first, credit each
+    // source with the grams not covered by earlier picks
+    val order = sets.toSeq.sortBy { case (s, g) => (-g.size, s) }.map(_._1)
+    var covered = Set.empty[String]
+    order.zipWithIndex.foreach { case (s, i) =>
+      val novel = (sets(s) -- covered).size.toLong
+      covered ++= sets(s)
+      val (po, ng, nv, nf, dec, w) = out(s)
+      assert(po == i + 1L && ng == sets(s).size.toLong && nv == novel,
+        s"greedy accounting drifted at $s: got ($po,$ng,$nv)")
+      val enf = r4(novel.toDouble / sets(s).size)
+      assert(nf == enf)
+      val (edec, ew) =
+        if (enf >= 0.5) ("keep", 1.0)
+        else if (enf >= 0.1) ("down_weight", enf)
+        else ("drop", 0.0)
+      assert(dec == edec && w == ew, s"decision drifted at $s: ($dec,$w) vs ($edec,$ew)")
+    }
+    // the marginal accounting is conservative: total novel grams
+    // across sources equals the union size (each gram credited once)
+    assert(out.values.map(_._3).sum == covered.size.toLong)
+    // non-vacuity: on the planted cross-source near-dups some source
+    // must lose grams to an earlier pick (novel_frac < 1 somewhere)
+    assert(out.values.exists(_._4 < 1.0), "no overlap reached the plan - vacuous")
+  }
+
   test("c186: the Zipf fit replays independently from raw term counts; r2 is a genuine fit quality") {
     val sf = TestSpark.sf0001
     val row = TextAnalysis.zipfFit(spark, sf).collect().head
