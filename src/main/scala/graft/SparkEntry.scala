@@ -13,10 +13,11 @@ object SparkEntry {
       TextAnalysis.queries ++ Multimodal.queries ++ Retrieval.queries ++
       Analytics.queries ++ TpchSuite.queries ++ Insights.queries ++
       CurationRun.queries ++ graft.streaming.Streams.queries
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted keys (b18_approx_distinct: HLL
-    * sketches aren't cross-engine comparable) get the driver's
-    * rows-only check. */
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB
+    * on the same parquet tables — since round 18 EVERY key ships one
+    * (the b18/b50 sketch keys hash exact-side values plus
+    * oracle-pinned within-bound verdicts; the sketch values stay
+    * engine-private). */
   def oracleSql: Map[String, String] =
     Migration.oracle ++ Relational.oracle ++ Windows.oracle ++
       Functions.oracle ++ Llm.oracle ++ NearDup.oracle ++

@@ -148,15 +148,36 @@ object Relational {
       countDistinct(col("l_partkey"), col("l_suppkey")).as("distinct_part_supp"),
       count(lit(1)).as("total_rows"))
 
-  /** b18 — approximate distinct (HLL++). Sketches are not
-    * cross-engine comparable, so this key ships WITHOUT oracle SQL
-    * (driver records a rows-only check) — SURVEY §2 B18.
+  /** b18's accuracy contract: the HLL estimate must sit within this
+    * relative error of the exact count (the ACCURACY.json bound the
+    * CI asserted for two rounds; measured max rel err 3.6%). */
+  private[graft] val HllRelErrBound = 0.15
+
+  /** b18 — approximate distinct (HLL++), now FULLY oracle-gated
+    * (r17 verdict item 6): the sketch VALUE stays engine-private —
+    * no oracle can recompute another engine's HLL — but the row the
+    * driver hashes carries only cross-engine-derivable content: the
+    * exact distinct counts (computed by both engines) and a
+    * within-bound verdict on the sketch (|approx−exact|/exact ≤
+    * [[HllRelErrBound]]), which the oracle pins as literal TRUE. A
+    * sketch drifting out of bound now FAILS the hash gate instead of
+    * merely a CI assertion — the ACCURACY.json rows retire into the
+    * oracle. The HLL still runs in the same aggregate; at 100 TB the
+    * exact side is the expensive verification pass you run on an
+    * audit sample, the sketch is the production estimator.
     */
   def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
     Tables.t(spark, sfDir, "lineitem").agg(
-      approx_count_distinct(col("l_partkey")).as("approx_parts"),
-      approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-      count(lit(1)).as("total_rows"))
+      count(lit(1)).as("total_rows"),
+      countDistinct(col("l_partkey")).as("exact_parts"),
+      countDistinct(col("l_orderkey")).as("exact_orders"),
+      approx_count_distinct(col("l_partkey")).as("ap"),
+      approx_count_distinct(col("l_orderkey")).as("ao"))
+    .select(col("total_rows"), col("exact_parts"), col("exact_orders"),
+      (abs(col("ap") - col("exact_parts")).cast("double") <=
+        lit(HllRelErrBound) * col("exact_parts")).as("parts_within_bound"),
+      (abs(col("ao") - col("exact_orders")).cast("double") <=
+        lit(HllRelErrBound) * col("exact_orders")).as("orders_within_bound"))
 
   /** b50 — approximate quantile/percentile sketches (companion to
     * b18's HLL): the monitoring aggregates a 100 TB pipeline runs
@@ -167,16 +188,43 @@ object Relational {
     * ArrayType in a final schema — the driver comparator can't hash
     * arrays), so the IQR ships as two scalar percentile columns.
     */
-  def approxQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+  /** b50's rank tolerance: the sketch value must land between the
+    * exact percentiles at q ± this (approx_percentile accuracy 1000
+    * bounds rank error at 1/1000 — the gate allows 10× slack). */
+  private[graft] val PctlRankEps = 0.01
+
+  /** b50 — approximate quantile sketches, FULLY oracle-gated like
+    * b18 (r17 verdict item 6): the hashed row carries the EXACT
+    * interpolated percentiles (both engines compute `percentile` /
+    * `quantile_cont` over the same doubles, r4-rounded) plus a
+    * within-bound verdict per sketch — the approx value must land
+    * between the exact percentiles at q ± [[PctlRankEps]] (a rank-
+    * tolerance band, the natural accuracy contract of a rank-error
+    * sketch) — which the oracle pins as literal TRUE. The sketch
+    * value itself stays engine-private.
+    */
+  def approxQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    def exact(c: String, q: Double) =
+      expr(s"percentile(CAST($c AS DOUBLE), ${q}D)")
+    def ok(c: String, q: Double) = {
+      val a = expr(s"approx_percentile(CAST($c AS DOUBLE), ${q}D, 1000)")
+      a.between(exact(c, math.max(0.0, q - PctlRankEps)),
+        exact(c, math.min(1.0, q + PctlRankEps)))
+    }
     Tables.t(spark, sfDir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_price"),
-        expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("p95_price"),
-        expr("approx_percentile(l_quantity, 0.25, 1000)").as("p25_qty"),
-        expr("approx_percentile(l_quantity, 0.75, 1000)").as("p75_qty"),
-        count(lit(1)).as("n"))
+        count(lit(1)).as("n"),
+        round(exact("l_extendedprice", 0.5), 4).as("p50_price"),
+        round(exact("l_extendedprice", 0.95), 4).as("p95_price"),
+        round(exact("l_quantity", 0.25), 4).as("p25_qty"),
+        round(exact("l_quantity", 0.75), 4).as("p75_qty"),
+        ok("l_extendedprice", 0.5).as("p50_within_bound"),
+        ok("l_extendedprice", 0.95).as("p95_within_bound"),
+        ok("l_quantity", 0.25).as("p25_within_bound"),
+        ok("l_quantity", 0.75).as("p75_within_bound"))
       .orderBy("l_returnflag")
+  }
 
   /** b19 — ROLLUP with grouping_id over orders status×priority. */
   def rollupQ(spark: SparkSession, sfDir: String): DataFrame =
@@ -1817,6 +1865,28 @@ object Relational {
         |                         FROM lineitem)) AS distinct_part_supp,
         |  COUNT(*) AS total_rows
         |FROM lineitem""".stripMargin,
+
+    // b18/b50 (r17 verdict item 6): the hashed rows carry only
+    // cross-engine-derivable content — exact counts/percentiles plus
+    // the within-bound verdicts, which the oracle pins as literal
+    // TRUE: a sketch drifting out of bound fails the hash gate.
+    "b18_approx_distinct" ->
+      """SELECT COUNT(*) AS total_rows,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+        |  TRUE AS parts_within_bound, TRUE AS orders_within_bound
+        |FROM lineitem""".stripMargin,
+
+    "b50_approx_quantiles" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 4) AS p50_price,
+        |  ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95), 4) AS p95_price,
+        |  ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25), 4) AS p25_qty,
+        |  ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.75), 4) AS p75_qty,
+        |  TRUE AS p50_within_bound, TRUE AS p95_within_bound,
+        |  TRUE AS p25_within_bound, TRUE AS p75_within_bound
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
 
     "b19_rollup" ->
       s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,

@@ -121,10 +121,9 @@ class MiniOracleSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle SQL without a query: $missing")
   }
 
-  test("every query key except the sketch ops has oracle SQL") {
+  test("every query key has oracle SQL (b18/b50 joined the gate in round 18)") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("b18_approx_distinct", "b50_approx_quantiles"),
-      s"unexpected no-oracle keys: $noOracle")
+    assert(noOracle.isEmpty, s"unexpected no-oracle keys: $noOracle")
   }
 
   test("entry returns rows (driver t1 smoke)") {
