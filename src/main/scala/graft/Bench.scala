@@ -235,10 +235,28 @@ object Bench {
         s""""setup_sec_total":${setupSecs.sum},"grading_note":"end-to-end cost = value + setup_sec_total; setups are one-time per-corpus artifacts shared by 2+ keys (BASELINE.md: Reading setup_*)",""" +
         s""""failed":$failedJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outFile), json + "\n")
+    // The driver keeps only the last ~2000 chars of stdout and parses
+    // the LAST line (r17 verdict item 8: two rounds of BENCH_r{N}
+    // shipping `parsed: null` because the full ~12 KB per-key map
+    // overflows that window). The complete record lives in
+    // `bench.json` (written above, committed with the round); stdout
+    // gets the full line for humans FIRST, then a compact final line
+    // — total/setup/failure surface plus the BASELINE.md headline
+    // keys — that always fits the driver's tail window.
+    val headline = Seq("b16_q1_pricing_summary", "b8_join_3way",
+      "b29_q3_topk_revenue", "b24_window_topk_per_group",
+      "b42_tumbling_window", "c1_dedup_exact", "c4_cosine_topk")
+    val okMap = ok.toMap
+    val hqs = headline.flatMap(k => okMap.get(k).map(v => "\"" + k + "\":" + v))
+      .mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$hqs,""" +
+        s""""n_queries":${ok.size},"setup_sec_total":${setupSecs.sum},""" +
+        s""""failed":$failedJson,"full":"bench.json","sf":"$sfDir"}"""
     // Stop Spark BEFORE printing: its shutdown logging must not be able
-    // to land after the JSON when a caller merges stderr into stdout —
-    // the driver parses the LAST line.
+    // to land after the JSON when a caller merges stderr into stdout.
     spark.stop()
     println(json)
+    println(compact)
   }
 }
