@@ -75,13 +75,23 @@ object Canon {
 
   /** Oracle-SQL fragments mirroring the helpers above, so the pair
     * cannot drift. Usage: s"${Canon.oDsum("x")} AS total".
+    *
+    * The decimal→double rendering goes through VARCHAR (round 18):
+    * DuckDB's direct `CAST(DECIMAL AS DOUBLE)` divides an int128 by
+    * 10^scale and can land one ulp off the correctly-rounded nearest
+    * double once the sum exceeds double precision (~17 significant
+    * digits — measured at the 100× rehearsal: 1011201859630.42 exact
+    * renders as …630.4199 direct but …630.42 via text, which is what
+    * Spark's BigDecimal.doubleValue produces). Text→double is
+    * correctly rounded, so the mediated cast equals the direct one at
+    * every graded SF and stays exact past double precision.
     */
   def oDsum(x: String): String =
-    s"CAST(SUM(CAST($x AS DECIMAL(38,6))) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST($x AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)"
   def oDavg(x: String): String =
-    s"ROUND(CAST(SUM(CAST($x AS DECIMAL(38,6))) AS DOUBLE)/COUNT($x), 4)"
+    s"ROUND(CAST(CAST(SUM(CAST($x AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)/COUNT($x), 4)"
   def oDsum18(x: String): String =
-    s"CAST(SUM(CAST($x AS DECIMAL(38,18))) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST($x AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)"
   def oDavgFloor6(x: String, n: String): String =
     s"floor(CAST(CAST(SUM(CAST($x AS DECIMAL(38,6))) * 1000000 AS BIGINT) AS DOUBLE) / $n) / 1000000.0"
 }

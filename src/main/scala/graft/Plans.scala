@@ -373,7 +373,63 @@ object Plans {
         ("Merkle diff: one scan per side into 256-group map-side-" +
           "combined DECIMAL sums; ONLY digest rows meet (broadcast-" +
           "size full outer join) — no row-level join between the " +
-          "sides, no window, no exchange beyond the two digest aggs."))
+          "sides, no window, no exchange beyond the two digest aggs."),
+      "c196_source_overlap" ->
+        ("Source overlap: ONE gram scan → distinct (source, gram) " +
+          "HashAggregate; the pair fan is a row-local lambda over each " +
+          "gram's ≤#sources collect_set (never a gram-keyed self-join " +
+          "— the DuckDB 79 GB planner-trap lesson); map-side combine " +
+          "to the ≤C(20,2)-row matrix."),
+      "c197_join_skew_audit" ->
+        ("Skew audit: per audited key ONE map-side-combined key-count " +
+          "HashAggregate + a 2-value broadcast total + TakeOrdered " +
+          "top-3; the rank window orders the 3 survivors, never the " +
+          "key space; salt rule is a codegen'd bounded filter-count " +
+          "(no 64-bit product anywhere)."),
+      "c198_medoid_keeper" ->
+        ("Medoid keeper: sizes from one label HashAggregate; sub-cap " +
+          "pair fan is a cluster-keyed equi-join bounded at 15 rows " +
+          "per member; over-cap stage fans exactly K=8 hash-ordered " +
+          "candidates per member (cluster-partitioned windows, never " +
+          "partition-less); scores map-side combine — nothing " +
+          "corpus-pairwise."),
+      "c199_curation_run" ->
+        ("Curation funnel: six stage-artifact scans into " +
+          "sources-sized map-side-combined HashAggregates + a " +
+          "unionByName — the pipeline's heavy lifting (CC labels, " +
+          "gram semi-join, prefix sums) ran ONCE into the gated " +
+          "artifacts; the funnel itself is scan+agg only."),
+      "c200_skew_adaptive_join" ->
+        ("Skew-adaptive join: the audit aggregate prices the fact " +
+          "side's key distribution (the same table its shuffle builds " +
+          "anyway), then ONE sort-merge join at the recommended salt " +
+          "width — exploded thin side, hot key spread over S " +
+          "partitions, aggregate map-side combines."),
+      "c201_source_overlap_plan" ->
+        ("Overlap plan: c196's presence grain + a sources-bounded " +
+          "count; pick-order rank over the ≤#sources aggregate " +
+          "(whitelisted); ONE per-gram MIN(pick_order) " +
+          "map-side-combined HashAggregate; marginal counts are " +
+          "sources-bounded — the gram table is touched twice, " +
+          "never windowed."),
+      "c112_autocorrelation" ->
+        ("Autocorrelation (cost-center audit): positions from the " +
+          "OrderStats two-pass bucketed rank (no partition-less " +
+          "window); the probe side explodes ×AcfLags per row and " +
+          "equi-joins on (type, pos) — a lags-bounded LINEAR fan, " +
+          "never quadratic; DECIMAL moment sums map-side combine; " +
+          "the lag spine is a broadcast cross of the tiny type set. " +
+          "The 2.6 s price is two passes + the ×8 probe explode over " +
+          "10M-row events — honest linear cost, no fixable exchange."),
+      "c37_stream_enrich" ->
+        ("Stream enrich (cost-center audit): the plan below is the " +
+          "SINK READ (orderBy over the appended parquet) — the cost " +
+          "center is the stream-stream join that produced it: four " +
+          "state stores per shuffle partition, statePartitions " +
+          "pinned at 8 to track state size not CPU count, " +
+          "watermark-bounded buffers; its 2.6 s is micro-batch " +
+          "machinery (checkpoint + state commit per batch), not a " +
+          "plan-shape defect."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans` on ")
       .append(sfDir).append(")\n\n")

@@ -108,14 +108,19 @@ object Verify {
     val li = Tables.t(spark, sfDir, "lineitem")
 
     // --- b18: HLL++ vs exact distinct ---
+    // Since round 18 the query's OUTPUT carries only exact values +
+    // within-bound verdicts (the sketch joined the hash gate), so the
+    // report computes the sketches itself — same aggregate, same
+    // params.
     val hllRsd = 0.05
-    val b18 = SparkEntry.queries("b18_approx_distinct")(spark, sfDir).head()
-    val exact = li.agg(
+    val b18 = li.agg(
+      approx_count_distinct(col("l_partkey")).as("ap"),
+      approx_count_distinct(col("l_orderkey")).as("ao"),
       countDistinct(col("l_partkey")).as("p"),
       countDistinct(col("l_orderkey")).as("o")).head()
     val b18Cols = Seq(
-      ("l_partkey", b18.getLong(b18.fieldIndex("approx_parts")), exact.getLong(0)),
-      ("l_orderkey", b18.getLong(b18.fieldIndex("approx_orders")), exact.getLong(1)))
+      ("l_partkey", b18.getLong(0), b18.getLong(2)),
+      ("l_orderkey", b18.getLong(1), b18.getLong(3)))
     val b18Metrics = b18Cols.map { case (c, ap, ex) =>
       val rel = math.abs(ap - ex).toDouble / ex
       (c, ap, ex, rel)
@@ -124,7 +129,19 @@ object Verify {
 
     // --- b50: approx_percentile rank error vs the n/1000 guarantee ---
     val accParam = 1000
-    val b50 = SparkEntry.queries("b50_approx_quantiles")(spark, sfDir).collect()
+    // Same round-18 note as b18: the sketch values come from a direct
+    // aggregate (the query's columns of these names now hold EXACT
+    // percentiles).
+    val b50 = li.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("n"),
+      expr(s"approx_percentile(CAST(l_extendedprice AS DOUBLE), 0.5D, $accParam)")
+        .as("p50_price"),
+      expr(s"approx_percentile(CAST(l_extendedprice AS DOUBLE), 0.95D, $accParam)")
+        .as("p95_price"),
+      expr(s"approx_percentile(CAST(l_quantity AS DOUBLE), 0.25D, $accParam)")
+        .as("p25_qty"),
+      expr(s"approx_percentile(CAST(l_quantity AS DOUBLE), 0.75D, $accParam)")
+        .as("p75_qty")).collect()
     val pcts = Seq(("p50_price", "l_extendedprice", 0.50),
       ("p95_price", "l_extendedprice", 0.95),
       ("p25_qty", "l_quantity", 0.25), ("p75_qty", "l_quantity", 0.75))

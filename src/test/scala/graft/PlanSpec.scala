@@ -918,4 +918,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("WindowExec") && !p.contains("Window,"),
       s"bars must come from min/max-of-struct aggregation, not a window:\n$p")
   }
+
+  test("c198: neither keeper stage goes cartesian; the pair fans ride the cluster key") {
+    val p = plan(NearDup.medoidKeeper(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"keeper pair fan went cartesian:\n$p")
+  }
+
+  test("c199: the funnel is scan+aggregate+union over the published artifacts — no joins") {
+    val p = plan(CurationRun.curationRun(spark, sf))
+    assert(p.contains("Union"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct"),
+      s"funnel must not re-join (the pipeline's joins ran once into the artifacts):\n$p")
+  }
+
+  test("c200: the fixture's skew pick takes the SALTED sort-merge branch") {
+    val p = plan(Relational.skewAdaptiveJoin(spark, sf))
+    assert(p.contains("SortMergeJoin"), s"merge hint lost:\n$p")
+    assert(p.contains("salt"), s"salt never reached the join key:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("c201: the plan's only broadcast is the ≤#sources pick-order table; no cartesian") {
+    val p = plan(TextAnalysis.sourceOverlapPlan(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"pick-order table must broadcast onto the presence scan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
