@@ -405,6 +405,11 @@ object Plans {
           "anyway), then ONE sort-merge join at the recommended salt " +
           "width — exploded thin side, hot key spread over S " +
           "partitions, aggregate map-side combines."),
+      "c202_weighted_mix" ->
+        ("Weighted mix: the sources-bounded plan BROADCASTS onto ONE " +
+          "corpus scan with the integer membership compare codegen'd; " +
+          "counts map-side combine to #sources rows — the plan build " +
+          "(c201's shape) is the only other work."),
       "c201_source_overlap_plan" ->
         ("Overlap plan: c196's presence grain + a sources-bounded " +
           "count; pick-order rank over the ≤#sources aggregate " +

@@ -1585,8 +1585,14 @@ object TextAnalysis {
     * map-side-combined per-gram MIN(pick_order), and a
     * sources-bounded marginal count. Output is #sources rows.
     */
-  def sourceOverlapPlan(spark: SparkSession, sfDir: String): DataFrame = {
-    val pres = gramPresence(Tables.t(spark, sfDir, "documents"))
+  def sourceOverlapPlan(spark: SparkSession, sfDir: String): DataFrame =
+    overlapPlanOf(Tables.t(spark, sfDir, "documents")).orderBy("pick_order")
+
+  /** The c201 plan kernel over any documents frame — shared with
+    * c202, which CONSUMES the weights (one kernel, the decision and
+    * its consumer cannot drift). */
+  private[graft] def overlapPlanOf(docs: DataFrame): DataFrame = {
+    val pres = gramPresence(docs)
     val bySrc = pres.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
     val prio = bySrc.withColumn("pick_order",
       row_number().over(Window.orderBy(col("n_grams").desc, col("source").asc))
@@ -1612,7 +1618,48 @@ object TextAnalysis {
       .orderBy("pick_order")
   }
 
+  /** c202 — WEIGHTED mix: the CONSUMER of c201's plan (the c197→c200
+    * discipline applied to the mixing side — the full
+    * measurement→decision→action chain c196→c201→this). Each
+    * source's c26 target rate is multiplied by its plan weight —
+    * a redundant dump's rate collapses toward zero, a
+    * fully-novel source keeps its full rate — and membership is the
+    * same deterministic first-md5-byte rule, compared as INTEGERS
+    * (conv(md5[0:2], 16) < floor(eff_rate·256)) so no hex-case or
+    * string-compare hazard exists between engines. Output is c26's
+    * accounting plus the consumed weight and effective rate.
+    *
+    * Scale shape: the plan is a sources-bounded artifact (broadcast);
+    * the corpus scans ONCE with the membership predicate codegen'd;
+    * counts map-side combine to #sources rows. The floor boundary is
+    * engine-identical: both engines compute the same double product
+    * of the same values, so the same floor.
+    */
+  def weightedMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val plan = overlapPlanOf(docs).select(col("source"), col("weight"))
+    docs
+      .join(broadcast(plan), "source")
+      .withColumn("src_num", substring(col("source"), 4, 10).cast("int"))
+      .withColumn("target_rate",
+        ((col("src_num") % 4) + 1).cast("double") / 8.0)
+      .withColumn("eff_rate", col("target_rate") * col("weight"))
+      .withColumn("kept",
+        conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 2),
+          16, 10).cast("int") < floor(col("eff_rate") * 256).cast("int"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("kept"), 1)).as("n_kept"),
+        first(col("target_rate")).as("target_rate"),
+        first(col("weight")).as("weight"),
+        round(first(col("eff_rate")), 4).as("eff_rate"))
+      .withColumn("actual_rate",
+        round(col("n_kept").cast("double") / col("n_total"), 4))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "c202_weighted_mix" -> (weightedMix(_, _)),
     "c196_source_overlap" -> (sourceOverlap(_, _)),
     "c201_source_overlap_plan" -> (sourceOverlapPlan(_, _)),
     "c190_heaps_fit" -> (heapsFit(_, _)),
@@ -1651,6 +1698,44 @@ object TextAnalysis {
     "c63_token_entropy" -> (tokenEntropy(_, _)),
     "c65_vocab_coverage" -> (vocabCoverage(_, _))
   )
+
+  /** The c201 greedy-plan chain as a reusable oracle CTE (ends at
+    * `plan(source, pick_order, n_grams, novel_grams, novel_frac,
+    * decision, weight)`) — shared by c201 and its consumer c202. */
+  private val overlapPlanCte: String =
+    s"""WITH pres AS (
+       |  SELECT DISTINCT source, g FROM (
+       |    SELECT source, unnest(list_transform(
+       |      range(1, greatest(len(string_split(text, ' ')) - 4, 0) + 1),
+       |      i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS g
+       |    FROM documents)
+       |), bysrc AS (
+       |  SELECT source, COUNT(*) AS n_grams FROM pres GROUP BY source
+       |), prio AS (
+       |  SELECT source, n_grams, CAST(row_number() OVER (
+       |    ORDER BY n_grams DESC NULLS LAST, source ASC) AS BIGINT) AS pick_order
+       |  FROM bysrc
+       |), own AS (
+       |  SELECT g, MIN(po) AS mpo FROM (
+       |    SELECT p.g, pr.pick_order AS po FROM pres p JOIN prio pr USING (source)
+       |  ) GROUP BY g
+       |), nov AS (
+       |  SELECT mpo, COUNT(*) AS novel_grams FROM own GROUP BY mpo
+       |), plan AS (
+       |  SELECT source, pick_order, n_grams, novel_grams, novel_frac,
+       |    CASE WHEN novel_frac >= $PlanKeepMin THEN 'keep'
+       |         WHEN novel_frac >= $PlanDwMin THEN 'down_weight'
+       |         ELSE 'drop' END AS decision,
+       |    CASE WHEN novel_frac >= $PlanKeepMin THEN 1.0
+       |         WHEN novel_frac >= $PlanDwMin THEN novel_frac
+       |         ELSE 0.0 END AS weight
+       |  FROM (
+       |    SELECT source, pick_order, n_grams,
+       |      COALESCE(novel_grams, 0) AS novel_grams,
+       |      ROUND(CAST(COALESCE(novel_grams, 0) AS DOUBLE) / n_grams, 4) AS novel_frac
+       |    FROM prio LEFT JOIN nov ON pick_order = mpo
+       |  )
+       |)""".stripMargin
 
   /** c100's score pipeline as a reusable oracle CTE (ends at `lq`) —
     * shared by c100 / c153 / c154 so the score definition cannot
@@ -1767,41 +1852,34 @@ object TextAnalysis {
 
     // The c201 oracle replays the fixed largest-first greedy: presence
     // → per-source sizes → pick order → per-gram first-picked owner →
-    // marginal counts → the threshold decisions.
+    // marginal counts → the threshold decisions. The chain ends in a
+    // `plan` CTE shared verbatim with c202's oracle (one decision
+    // text for the plan and its consumer).
     "c201_source_overlap_plan" ->
-      s"""WITH pres AS (
-         |  SELECT DISTINCT source, g FROM (
-         |    SELECT source, unnest(list_transform(
-         |      range(1, greatest(len(string_split(text, ' ')) - 4, 0) + 1),
-         |      i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS g
-         |    FROM documents)
-         |), bysrc AS (
-         |  SELECT source, COUNT(*) AS n_grams FROM pres GROUP BY source
-         |), prio AS (
-         |  SELECT source, n_grams, CAST(row_number() OVER (
-         |    ORDER BY n_grams DESC NULLS LAST, source ASC) AS BIGINT) AS pick_order
-         |  FROM bysrc
-         |), own AS (
-         |  SELECT g, MIN(po) AS mpo FROM (
-         |    SELECT p.g, pr.pick_order AS po FROM pres p JOIN prio pr USING (source)
-         |  ) GROUP BY g
-         |), nov AS (
-         |  SELECT mpo, COUNT(*) AS novel_grams FROM own GROUP BY mpo
-         |)
-         |SELECT source, pick_order, n_grams, novel_grams, novel_frac,
-         |  CASE WHEN novel_frac >= $PlanKeepMin THEN 'keep'
-         |       WHEN novel_frac >= $PlanDwMin THEN 'down_weight'
-         |       ELSE 'drop' END AS decision,
-         |  CASE WHEN novel_frac >= $PlanKeepMin THEN 1.0
-         |       WHEN novel_frac >= $PlanDwMin THEN novel_frac
-         |       ELSE 0.0 END AS weight
-         |FROM (
-         |  SELECT source, pick_order, n_grams,
-         |    COALESCE(novel_grams, 0) AS novel_grams,
-         |    ROUND(CAST(COALESCE(novel_grams, 0) AS DOUBLE) / n_grams, 4) AS novel_frac
-         |  FROM prio LEFT JOIN nov ON pick_order = mpo
-         |)
+      s"""$overlapPlanCte
+         |SELECT * FROM plan
          |ORDER BY pick_order ASC NULLS FIRST""".stripMargin,
+
+    // c202 replays c26's rate rule × the plan weight, with the
+    // membership compare in INTEGERS (no hex-case hazard).
+    "c202_weighted_mix" ->
+      s"""$overlapPlanCte, marked AS (
+         |  SELECT d.source, p.weight,
+         |    CAST(((CAST(substr(d.source, 4, 10) AS INT) % 4) + 1) AS DOUBLE) / 8.0 AS target_rate,
+         |    CAST(((CAST(substr(d.source, 4, 10) AS INT) % 4) + 1) AS DOUBLE) / 8.0 * p.weight AS eff_rate,
+         |    CAST('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 2) AS INT) <
+         |      CAST(floor((CAST(((CAST(substr(d.source, 4, 10) AS INT) % 4) + 1) AS DOUBLE) / 8.0
+         |        * p.weight) * 256) AS INT) AS kept
+         |  FROM documents d JOIN plan p USING (source)
+         |)
+         |SELECT source, COUNT(*) AS n_total,
+         |  COUNT(CASE WHEN kept THEN 1 END) AS n_kept,
+         |  first(target_rate) AS target_rate,
+         |  first(weight) AS weight,
+         |  ROUND(first(eff_rate), 4) AS eff_rate,
+         |  ROUND(CAST(COUNT(CASE WHEN kept THEN 1 END) AS DOUBLE) / COUNT(*), 4) AS actual_rate
+         |FROM marked GROUP BY source
+         |ORDER BY source ASC NULLS FIRST""".stripMargin,
 
     // The c185 oracle replays grams → the c32 split rule → the
     // distinct train set → per-test-doc seen/novelty.

@@ -98,7 +98,8 @@ class MiniOracleSpec extends AnyFunSuite {
       "3 TakeOrdered survivors, never the key space"),
     "c201_source_overlap_plan" -> ("pick-order rank over the ≤#sources " +
       "gram-count aggregate (scaladoc'd: sources-bounded, never the " +
-      "gram table)"))
+      "gram table)"),
+    "c202_weighted_mix" -> "inherits c201's sources-bounded pick-order rank")
 
   /** Keys observed carrying a global window during the per-key tests
     * (feeds the dead-entry check).

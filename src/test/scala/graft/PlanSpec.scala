@@ -946,4 +946,11 @@ class PlanSpec extends AnyFunSuite {
       s"pick-order table must broadcast onto the presence scan:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("c202: the consumed plan broadcasts onto one corpus scan; no sort-merge, no cartesian") {
+    val p = plan(TextAnalysis.weightedMix(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the sources-bounded plan must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -572,6 +572,63 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.values.exists(_._4 < 1.0), "no overlap reached the plan - vacuous")
   }
 
+  test("c202: the weighted mix consumes the plan's weights and its rates replay exactly") {
+    val sf = TestSpark.sf0001
+    val plan = TextAnalysis.sourceOverlapPlan(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(6)).toMap
+    val out = TextAnalysis.weightedMix(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    assert(out.nonEmpty && out.keySet == plan.keySet)
+    def md5hex(x: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    docs.groupBy(_._2).foreach { case (src, ds) =>
+      val (nTotal, nKept, rate, w, eff, actual) = out(src)
+      assert(w == plan(src), s"$src: consumed weight drifted from the plan")
+      val expRate = ((src.drop(3).toInt % 4) + 1).toDouble / 8.0
+      assert(nTotal == ds.length.toLong && rate == expRate && eff == r4(expRate * w))
+      val cut = math.floor(expRate * w * 256).toInt
+      val kept = ds.count { case (id, _) =>
+        Integer.parseInt(md5hex(s"mix:$id").take(2), 16) < cut }
+      assert(nKept == kept.toLong, s"$src: membership drifted: $nKept vs $kept")
+      assert(actual == r4(kept.toDouble / ds.length))
+      // the weight is LIVE: a down-weighted/dropped source keeps fewer
+      // docs than its raw c26 rate would have
+      if (w < 1.0) {
+        val rawCut = math.floor(expRate * 256).toInt
+        val rawKept = ds.count { case (id, _) =>
+          Integer.parseInt(md5hex(s"mix:$id").take(2), 16) < rawCut }
+        assert(kept <= rawKept)
+      }
+    }
+    // the fixture's 20 near-disjoint sources all legitimately KEEP
+    // (novel_frac >= 0.5 everywhere at sf0.001) — so drive the
+    // down-weight/drop branches on a constructed corpus through the
+    // shared kernel: src1 is a pure subset of src0 (a redundant
+    // re-dump) and must DROP; src2 half-overlaps and must DOWN-WEIGHT
+    import spark.implicits._
+    val base = (1 to 12).map(i =>
+      s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i")
+    val cons = (
+      base.zipWithIndex.map { case (t, i) => (100L + i, "src0", t) } ++
+      base.take(6).zipWithIndex.map { case (t, i) => (200L + i, "src1", t) } ++
+      (base.take(3).zipWithIndex.map { case (t, i) => (300L + i, "src2", t) } ++
+        Seq((310L, "src2", "wholly novel text with six tokens"))))
+      .toDF("doc_id", "source", "text")
+    val consPlan = TextAnalysis.overlapPlanOf(cons).collect()
+      .map(r => r.getString(0) -> (r.getString(5), r.getDouble(6))).toMap
+    assert(consPlan("src0") == ("keep", 1.0), s"biggest source must keep: $consPlan")
+    assert(consPlan("src1")._1 == "drop" && consPlan("src1")._2 == 0.0,
+      s"a pure-subset re-dump must drop: ${consPlan("src1")}")
+    assert(consPlan("src2")._1 == "down_weight" &&
+      consPlan("src2")._2 > 0.0 && consPlan("src2")._2 < 0.5,
+      s"a half-overlapping source must down-weight to its novel fraction: ${consPlan("src2")}")
+  }
+
   test("c186: the Zipf fit replays independently from raw term counts; r2 is a genuine fit quality") {
     val sf = TestSpark.sf0001
     val row = TextAnalysis.zipfFit(spark, sf).collect().head
