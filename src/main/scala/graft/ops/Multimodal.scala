@@ -412,30 +412,55 @@ object Multimodal {
         if (cnts(g) > 0) sums(g).toDouble / cnts(g) else 0.0)
     }
 
-  /** Kernel of [[mediaEmbedTopk]] over any mediaTable-shaped frame. */
+  /** Kernel of [[mediaEmbedTopk]] over any mediaTable-shaped frame.
+    *
+    * The probe's features are computed over the ONE min-doc_id row
+    * (TakeOrderedAndProject over the raw media scan, THEN the feature
+    * projection), not by running the feature kernel over the whole
+    * corpus a second time just to take its first row — the r18
+    * optimization round measured the probe branch as a full second
+    * feature pass (guide §1.2: don't compute things you throw away).
+    * doc_id is unique, so "features of the min-doc_id row" ≡ "min-
+    * doc_id row of all features" and the output is unchanged.
+    */
   private[graft] def mediaEmbedTopkOf(media: DataFrame): DataFrame =
-    topkFromFeatures(sqlFeatures(media))
+    topkFromFeatures(sqlFeatures(media),
+      sqlFeatures(media.orderBy("doc_id").limit(1)))
 
   /** The codegen'd feature half of c85: per-patch byte-group means as
     * pure SQL folds.
     */
   private[graft] def sqlFeatures(media: DataFrame): DataFrame = {
     // One split per row (ASCII corpus: chars == bytes, enforced by
-    // Verify), then 8 integer folds over the array — O(1) element
-    // access, no per-byte hex/conv string churn (the first cut's
-    // per-byte hex()+conv() measured 6.3 s sf0.1 wall; this shape
-    // 2.8 s — 2.2×). `aggregate` indexes via sequence so the group of
-    // each position stays pure integer arithmetic.
+    // Verify), ONE ascii decode pass into an integer array, then one
+    // strided fold per group over PATCH STARTS (positions of group g
+    // are exactly 32k+4g..32k+4g+3): each byte is decoded once and
+    // added once, instead of the previous shape's 8 full-array folds
+    // that re-ran ascii() and a branch on every byte for every group
+    // (8× the element work — measured 6.6 s wall / 5.9 s cpu at
+    // sf0.1; r18 optimization round, guide §1.2 per-task work). The
+    // decode array is aliased in its own projection and referenced 8
+    // times, which blocks CollapseProject from inlining it 8×
+    // (non-cheap expression, multiple references). Group sums are
+    // exact integer folds in both shapes, so the means — and the
+    // hashed output — are bit-identical.
+    val bw = GroupW
     val feats = media
       .select(col("doc_id"), octet_length(col("content")).as("nb"),
         split(col("content").cast("string"), "").as("chars"))
+      .select(col("doc_id"), col("nb"), expr(
+        "transform(sequence(0, nb - 1), p -> cast(ascii(chars[p]) AS BIGINT))")
+        .as("bv"))
       .select(
         (col("doc_id") +: (0 until EmbedGroups).map { g =>
           val cnt = groupCountExpr(g, "nb", "div")
+          val tailAdds = (1 until bw).map(j =>
+            s"IF(b + $j < nb, bv[b + $j], 0L)").mkString(" + ")
           val sum =
-            s"""aggregate(sequence(0, nb - 1), 0L,
-               |  (acc, p) -> acc + IF((p % $PatchBytes) div $GroupW = $g,
-               |    cast(ascii(chars[p]) AS BIGINT), 0L))""".stripMargin
+            s"""CASE WHEN nb > ${bw * g} THEN
+               |  aggregate(sequence(${bw * g}, nb - 1, $PatchBytes), 0L,
+               |    (acc, b) -> acc + bv[b] + $tailAdds)
+               |ELSE 0L END""".stripMargin
           expr(s"CASE WHEN $cnt > 0 THEN ($sum) / cast(($cnt) AS DOUBLE) ELSE 0.0 END")
             .as(s"m$g")
         }): _*)
@@ -445,8 +470,17 @@ object Multimodal {
   /** The retrieval half of c85 over any `(doc_id, m0..m7)` feature
     * frame — the downstream [[encodedFeatures]]' contract plugs into.
     */
-  private[graft] def topkFromFeatures(feats: DataFrame): DataFrame = {
-    val probe = feats.orderBy("doc_id").limit(1)
+  private[graft] def topkFromFeatures(feats: DataFrame): DataFrame =
+    topkFromFeatures(feats, feats.orderBy("doc_id").limit(1))
+
+  /** As above, with the probe's 1-row feature frame supplied by the
+    * caller — [[mediaEmbedTopkOf]] passes the features of just the
+    * min-doc_id media row so the probe branch never re-runs the
+    * feature kernel over the corpus.
+    */
+  private[graft] def topkFromFeatures(feats: DataFrame,
+      probeFeats: DataFrame): DataFrame = {
+    val probe = probeFeats
       .select(col("doc_id").as("probe_id") +:
         (0 until EmbedGroups).map(g => col(s"m$g").as(s"p$g")): _*)
     def dot(a: Int => String, b: Int => String): String =
