@@ -1,0 +1,57 @@
+package graft
+import org.apache.spark.sql.functions._
+/** Scratch micro-bench used during the r18 optimization round (not a
+  * bench/verify surface): times sub-plans of a key so per-stage cost
+  * claims in OPTIMIZATION_r18.md are measured, not guessed.
+  */
+object OptProbe {
+  def main(args: Array[String]): Unit = {
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"[t] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    time("warmSimhash")(ops.NearDup.warmSimhash(spark, sf))
+    val wide = ops.NearDup.simhashWideTable(spark, sf)
+    time("wide scan")(wide.queryExecution.toRdd.count())
+    println("wide partitions: " + wide.rdd.getNumPartitions + " rows " + wide.count())
+    val n = ops.NearDup.docCount(spark, sf)
+    println("docCount " + n + " blockW " + ops.NearDup.simhashBlockW(n))
+    time("c59 run1")(ops.NearDup.simhashHammingPairs(spark, sf).queryExecution.toRdd.count())
+    time("c59 run2")(ops.NearDup.simhashHammingPairs(spark, sf).queryExecution.toRdd.count())
+    val bits = 4 * ops.NearDup.simhashBlockW(n)
+    val prints = wide.select(col("doc_id"), shiftright(col("v"), 60 - bits).as("v"))
+    time("prints only")(prints.queryExecution.toRdd.count())
+    val blockW = bits / 4
+    val mask = (1L << blockW) - 1
+    def blockOf(v: String, j: String) =
+      s"(shiftright($v, $bits - $blockW * ($j + 1)) & $mask)"
+    val probes = prints
+      .select(col("doc_id"), col("v"),
+        explode(expr((0 until 4).map(j =>
+          s"struct($j AS blk, ${blockOf("v", j.toString)} AS bval)")
+          .mkString("array(", ", ", ")"))).as("p"))
+      .select(col("doc_id"), col("v"), col("p.blk").as("blk"),
+        col("p.bval").as("bval"))
+    time("probes only")(probes.queryExecution.toRdd.count())
+    val a = probes.select(col("doc_id").as("doc_a"), col("v").as("va"),
+      col("blk"), col("bval"))
+    val b = probes.select(col("doc_id").as("doc_b"), col("v").as("vb"),
+      col("blk").as("blk_b"), col("bval").as("bval_b"))
+    val joined = a.join(b, col("blk") === col("blk_b") &&
+      col("bval") === col("bval_b") && col("doc_a") < col("doc_b"))
+    time("join only")(joined.queryExecution.toRdd.count())
+    val guarded = joined.where(expr(s"NOT exists(sequence(0, 3), " +
+      s"j -> j < blk AND ${blockOf("va", "j")} = ${blockOf("vb", "j")})"))
+    time("join+guard")(guarded.queryExecution.toRdd.count())
+    val full = guarded.select(col("doc_a"), col("doc_b"),
+      expr("CAST(bit_count(va ^ vb) AS BIGINT)").as("hamming"))
+      .where(col("hamming") <= 3)
+    time("join+guard+ham")(full.queryExecution.toRdd.count())
+    time("plus orderBy")(full.orderBy("doc_a", "doc_b").queryExecution.toRdd.count())
+    spark.stop()
+  }
+}

@@ -176,9 +176,25 @@ object Insights {
     val grams = sourceGrams(Tables.t(spark, sfDir, "documents"))
     // Exact audit: distinct-gram counts and pairwise intersections.
     val nExact = grams.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val pairsExact = grams.as("x").join(grams.as("y"),
-        col("x.g") === col("y.g") && col("x.source") < col("y.source"))
-      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+    // r18 optimization: the pairwise intersections come from a
+    // ROW-LOCAL i<j fan over each gram's sorted source set (≤20
+    // sources, the c196 discipline) instead of a gram-keyed
+    // grams×grams self-join — the self-join duplicated the whole
+    // trigram explode+distinct chain under both inputs and shuffled
+    // every co-occurrence as a joined row (part of c121's measured
+    // 3.1 s wall / 7.7 s cpu at sf0.1; guide §2.4). Counts are
+    // identical: fan pairs = exactly the (source_a < source_b) rows
+    // the join produced, and the per-gram fan is sources²-bounded at
+    // any corpus size.
+    val pairsExact = grams.groupBy(col("g"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .where(size(col("ss")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ss) - 2),
+          |  i -> transform(sequence(i + 1, size(ss) - 1),
+          |    j -> struct(ss[i] AS sa, ss[j] AS sb))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.sa").as("source_a"), col("p.sb").as("source_b"))
       .agg(count(lit(1)).as("inter_exact"))
     // Sketches: k smallest distinct hash values per source.
     val hashed = grams.select(col("source"), mdU(col("g")).as("u")).distinct()
@@ -412,19 +428,37 @@ object Insights {
     * measure.
     */
   def basketLift(spark: SparkSession, sfDir: String): DataFrame = {
+    // r18 optimization: ONE basket table (order → sorted distinct
+    // brand set, deduped inside the collect_set aggregate) feeds the
+    // pair counts, the brand marginals and the basket count, and the
+    // within-basket pair generator is a ROW-LOCAL i<j fan over the
+    // sorted set (the c196 discipline) instead of an items×items
+    // self-join — the old plan evaluated the (lineitem ⋈ part →
+    // distinct) chain under four branches and shuffled Σ basket_size²
+    // joined rows (measured 3.1 s wall / 13.5 s cpu at sf0.1; guide
+    // §2.4). Counts are identical: the fan emits exactly the
+    // (brand_a < brand_b) pairs the self-join produced, and the
+    // basket-local quadratic stays bounded by the lines-per-order
+    // ceiling exactly as before.
     val li = Tables.t(spark, sfDir, "lineitem")
     val part = Tables.t(spark, sfDir, "part")
-    val items = li.select(col("l_orderkey"), col("l_partkey"))
+    val baskets = li.select(col("l_orderkey"), col("l_partkey"))
       .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
-      .distinct()
-    val nBaskets = items.select(col("ok")).distinct()
-      .agg(count(lit(1)).as("n_baskets"))
-    val brandN = items.groupBy(col("brand")).agg(count(lit(1)).as("bn"))
-    val pairs = items.as("x").join(items.as("y"),
-        col("x.ok") === col("y.ok") && col("x.brand") < col("y.brand"))
-      .groupBy(col("x.brand").as("brand_a"), col("y.brand").as("brand_b"))
+      .groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("brand"))).as("bs"))
+    val nBaskets = baskets.agg(count(lit(1)).as("n_baskets"))
+    val brandN = baskets.select(explode(col("bs")).as("brand"))
+      .groupBy(col("brand")).agg(count(lit(1)).as("bn"))
+    val pairs = baskets
+      .where(size(col("bs")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(bs) - 2),
+          |  i -> transform(sequence(i + 1, size(bs) - 1),
+          |    j -> struct(bs[i] AS brand_a, bs[j] AS brand_b))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.brand_a").as("brand_a"), col("p.brand_b").as("brand_b"))
       .agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= BasketMinPairN)
     pairs

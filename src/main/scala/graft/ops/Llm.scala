@@ -1542,33 +1542,77 @@ object Llm {
   def prefixFilterJoin(spark: SparkSession, sfDir: String): DataFrame =
     prefixFilterJoinOf(tokenized(spark, sfDir))
 
-  /** Kernel of [[prefixFilterJoin]] over any (doc_id, ws) frame. */
+  /** Kernel of [[prefixFilterJoin]] over any (doc_id, ws) frame.
+    *
+    * Rewritten in the r18 optimization round — the output (every pair
+    * with Jaccard ≥ τ, zero loss) is unchanged and still verified
+    * against the full-quadratic DuckDB oracle; what changed is the
+    * physical shape. The old form built the per-doc distinct shingle
+    * ARRAY and referenced it under six plan branches (both pfx
+    * self-join sides replayed the whole freq→join→window chain, the
+    * verify attached full arrays twice, and Generate's pushed-down
+    * non-null guards re-evaluated the shingle transform ~3× per row
+    * inside each scan's Filter) — measured 9.8 s wall / 27.3 s cpu at
+    * sf0.1 with SIX documents scans in the plan. This form (guide
+    * §2.4 remove shuffles, §2.3 shuffle fewer bytes):
+    *
+    *  - ONE shingle stream `ex` = explode THEN hash-agg distinct, so
+    *    the concat_ws runs once per position and the distinct is a
+    *    map-side-combinable aggregate instead of a per-row
+    *    array_distinct re-run in every Generate guard; `ex`'s distinct
+    *    Exchange is plan-identical under its three consumers, so
+    *    exchange reuse materializes it once;
+    *  - df (global shingle frequency), sz (per-doc distinct count)
+    *    and the rare-first rank come from WINDOWS over that one
+    *    stream (the doc_id exchange serves both sz and rank) — the
+    *    vocabulary-sized freq table no longer broadcasts or joins;
+    *  - candidates come from a ROW-LOCAL pair fan per prefix shingle
+    *    (the c196 discipline: sort the ≤bucket-sized doc list once,
+    *    fan i<j pairs in a projection) instead of a pfx×pfx self-join
+    *    that duplicated the entire upstream chain;
+    *  - the verify counts |A∩B| by joining the candidate pairs back
+    *    to the exploded stream (ids + one shingle string per row
+    *    cross the exchanges — never a full shingle ARRAY), and
+    *    |A∪B| = sz_a + sz_b − inter arithmetically. A shared prefix
+    *    shingle guarantees inter ≥ 1, so the inner join drops no
+    *    candidate.
+    */
   private[graft] def prefixFilterJoinOf(toks: DataFrame): DataFrame = {
-    val ssets = toks
+    val ex = toks
       .where(size(col("ws")) >= 3)
-      .select(col("doc_id"), expr(
-        "array_distinct(transform(sequence(0, size(ws) - 3), " +
-          "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))").as("sset"))
-    val ex = ssets.select(col("doc_id"), size(col("sset")).as("sz"),
-      explode(col("sset")).as("s"))
-    val freq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val pfx = ex.join(freq, "s")
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 3), " +
+          "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")).as("s"))
+      .distinct()
+    val ranked = ex
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("s").asc)))
+    val pfx = ranked
       .where(col("rn") <=
         col("sz") - expr(s"($PfxTauNum * sz + ${PfxTauDen - 1}) div $PfxTauDen") + 1)
-      .select(col("doc_id"), col("s"))
-    val cands = pfx.as("pa")
-      .join(pfx.as("pb"), col("pa.s") === col("pb.s") &&
-        col("pa.doc_id") < col("pb.doc_id"))
-      .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
+      .select(col("doc_id"), col("sz"), col("s"))
+    val cands = pfx.groupBy(col("s"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sz")))).as("ds"))
+      .where(size(col("ds")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ds) - 2),
+          |  i -> transform(sequence(i + 1, size(ds) - 1),
+          |    j -> struct(ds[i].doc_id AS doc_a, ds[i].sz AS sz_a,
+          |                ds[j].doc_id AS doc_b, ds[j].sz AS sz_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.sz_a").as("sz_a"),
+        col("p.doc_b").as("doc_b"), col("p.sz_b").as("sz_b"))
       .distinct()
     cands
-      .join(ssets.select(col("doc_id").as("doc_a"), col("sset").as("ta")), "doc_a")
-      .join(ssets.select(col("doc_id").as("doc_b"), col("sset").as("tb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("ta"), col("tb"))).as("inter"),
-        size(array_union(col("ta"), col("tb"))).as("uni"))
+      .join(ex.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+      .join(ex.select(col("doc_id").as("db"), col("s").as("sb")),
+        col("doc_b") === col("db") && col("s") === col("sb"))
+      .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("sz_a") + col("sz_b") - col("inter")).as("uni"))
       .where(col("inter") * PfxTauDen >= col("uni") * PfxTauNum)
       .select(col("doc_a"), col("doc_b"),
         round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))

@@ -228,10 +228,20 @@ object NearDup {
       col("blk"), col("bval"))
     val b = probes.select(col("doc_id").as("doc_b"), col("v").as("vb"),
       col("blk").as("blk_b"), col("bval").as("bval_b"))
+    // First-matching-block guard statically unrolled to a plain
+    // boolean disjunction over the blocks-1 possible earlier blocks:
+    // the lambda form `NOT exists(sequence(0, blocks-1), j -> ...)`
+    // is a higher-order function that falls out of whole-stage
+    // codegen and was measured at +1.1 s on c59's candidate stream at
+    // sf0.1 (r18 optimization round, guide §1.2 per-task work /
+    // "eliminate non-codegen expressions"). Same predicate, same
+    // pairs.
+    val earlier = (0 until blocks - 1).map(j =>
+      s"($j < blk AND ${blockOf("va", j.toString)} = ${blockOf("vb", j.toString)})")
+      .mkString(" OR ")
     a.join(b, col("blk") === col("blk_b") && col("bval") === col("bval_b") &&
         col("doc_a") < col("doc_b"))
-      .where(expr(s"NOT exists(sequence(0, ${blocks - 1}), " +
-        s"j -> j < blk AND ${blockOf("va", "j")} = ${blockOf("vb", "j")})"))
+      .where(expr(s"NOT ($earlier)"))
       .select(col("doc_a"), col("doc_b"),
         expr("CAST(bit_count(va ^ vb) AS BIGINT)").as("hamming"))
       .where(col("hamming") <= blocks - 1)
