@@ -17,6 +17,28 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Canon {
 
+  /** Canonical global sort behind a MATERIALIZATION BARRIER (r18
+    * optimization round, guide §2.4/§3.3): a bare `orderBy` plans a
+    * RangePartitioning exchange whose partition-bound sampling pass
+    * executes the ENTIRE unshuffled child chain once and the shuffle
+    * itself executes it again — for a query that is one heavy
+    * projection over a scan (fingerprints, regex redaction, JSON
+    * parses) the whole query runs twice (measured: c17's warm sort
+    * 1.60 s vs 0.87 s behind the barrier at sf0.1). The hash
+    * repartition on the leading sort column materializes the chain
+    * once; the range sampling then reads shuffle output instead of
+    * recomputing. Scale story: the barrier adds one OUTPUT-sized
+    * hash exchange (AQE-coalesced) and removes a full recompute of
+    * the chain — at 100 TB the recompute includes the corpus scan,
+    * which is strictly more expensive than re-shuffling the (usually
+    * narrower) output. Apply to sorts whose child has no exchange of
+    * its own; a sort directly above an aggregation re-samples only
+    * the cheap post-shuffle stage and does not need this.
+    */
+  def barrierSort(df: org.apache.spark.sql.DataFrame, keys: String*)
+      : org.apache.spark.sql.DataFrame =
+    df.repartition(col(keys.head)).orderBy(keys.map(col): _*)
+
   /** Exact sum: cast each element to DECIMAL(38,6) (identical
     * nearest-rounding in both engines), sum exactly, emit double.
     * Oracle mirror: `CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)`.

@@ -14,6 +14,24 @@ object OptProbe {
       val t0 = System.nanoTime(); f
       println(f"[t] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    // c121 sub-stages
+    {
+      val dd = Tables.t(spark, sf, "documents")
+      val grams = ops.Insights.sourceGrams(dd)
+      time("c121 grams")(grams.queryExecution.toRdd.count())
+      time("c121 grams2")(grams.queryExecution.toRdd.count())
+      time("c121 full1")(ops.Insights.kmvPairOverlap(spark, sf).queryExecution.toRdd.count())
+      time("c121 full2")(ops.Insights.kmvPairOverlap(spark, sf).queryExecution.toRdd.count())
+    }
+    val docs = Tables.t(spark, sf, "documents")
+    val fp = docs.select(col("doc_id"), expr(
+      "concat_ws('|', slice(array_sort(transform(sequence(1, greatest(length(text) - 4, 1), 4), i -> md5(substring(text, i, 5)))), 1, 4))")
+      .as("fingerprint"))
+    time("c17 noSort")(fp.queryExecution.toRdd.count())
+    time("c17 orderBy")(fp.orderBy("doc_id").queryExecution.toRdd.count())
+    time("c17 barrier+orderBy")(fp.repartition(col("doc_id")).orderBy("doc_id").queryExecution.toRdd.count())
+    time("c17 orderBy again")(fp.orderBy("doc_id").queryExecution.toRdd.count())
+    time("c17 barrier again")(fp.repartition(col("doc_id")).orderBy("doc_id").queryExecution.toRdd.count())
     time("warmSimhash")(ops.NearDup.warmSimhash(spark, sf))
     val wide = ops.NearDup.simhashWideTable(spark, sf)
     time("wide scan")(wide.queryExecution.toRdd.count())

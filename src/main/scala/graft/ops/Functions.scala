@@ -54,7 +54,7 @@ object Functions {
         concat_ws(",", sort_array(map_keys(col("m")))).as("keys_sorted"),
         aggregate(map_values(col("m")), lit(0L), (acc, v) => acc + v).as("vals_sum"),
         element_at(col("m"), "uid_mod").cast("long").as("uid_mod"))
-      .orderBy("event_id")
+      .transform(graft.Canon.barrierSort(_, "event_id"))
 
   /** b35 — string-function family over part. Integer-returning
     * functions cast to BIGINT to match DuckDB's return types.

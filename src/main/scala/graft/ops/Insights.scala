@@ -204,16 +204,23 @@ object Insights {
       .where(col("rn") <= PairK)
       .select(col("source"), col("u"))
     // Every source pair; merge the two sketches, k smallest of union.
-    val srcs = nExact.select(col("source"))
-    val pairs = srcs.as("a").join(srcs.as("b"),
-        col("a.source") < col("b.source"))
-      .select(col("a.source").as("sa"), col("b.source").as("sb"))
-    val merged = pairs.join(sk.as("ska"), col("sa") === col("ska.source"))
-      .select(col("sa"), col("sb"), col("ska.u").as("u"),
-        lit(1L).as("in_a"), lit(0L).as("in_b"))
-      .unionAll(pairs.join(sk.as("skb"), col("sb") === col("skb.source"))
-        .select(col("sa"), col("sb"), col("skb.u").as("u"),
-          lit(0L).as("in_a"), lit(1L).as("in_b")))
+    // r18 optimization: ONE evaluation of the sketch table fans each
+    // sketch row to its 19 pair slots (broadcast partner list,
+    // least/greatest orient the pair and the side flag) — the old
+    // ska/skb union evaluated the whole (trigram vocab → md5 →
+    // distinct → per-source k-min window) chain TWICE, which was most
+    // of c121's remaining 3.1 s wall at sf0.1 (guide §1.2 "don't
+    // compute things twice"). Merged rows are identical: (pair, u)
+    // with a membership flag per side, max-merged as before.
+    val srcs = nExact.select(col("source").as("s2"))
+    val merged = sk
+      .join(broadcast(srcs), col("s2") =!= col("source"))
+      .select(
+        least(col("source"), col("s2")).as("sa"),
+        greatest(col("source"), col("s2")).as("sb"),
+        col("u"),
+        when(col("source") < col("s2"), 1L).otherwise(0L).as("in_a"),
+        when(col("source") > col("s2"), 1L).otherwise(0L).as("in_b"))
       .groupBy(col("sa"), col("sb"), col("u"))
       .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
       .withColumn("rn", row_number().over(

@@ -81,7 +81,7 @@ object Migration {
       col("event_type"),
       col("value"),
       from_json(col("props"), lit("k INT")).getField("k").as("k"))
-      .orderBy("event_id")
+      .transform(graft.Canon.barrierSort(_, "event_id"))
 
   /** A7 — migration verification: source vs target row counts per
     * table. "Target" is the identity-migrated frame (same rows passed

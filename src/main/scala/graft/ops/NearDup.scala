@@ -375,7 +375,7 @@ object NearDup {
       .select(col("doc_a"), col("doc_b"),
         round(size(array_intersect(col("ga"), col("gb"))).cast("double") /
           size(array_union(col("ga"), col("gb"))), 4).as("char3_jaccard"))
-      .orderBy("doc_a", "doc_b")
+      .transform(graft.Canon.barrierSort(_, "doc_a", "doc_b"))
   }
 
   private def cosine(a: Column, b: Column): Column = {

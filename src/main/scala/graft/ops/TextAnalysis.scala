@@ -100,7 +100,7 @@ object TextAnalysis {
         length(regexp_replace(col("text"), " ", "")).cast("long").as("n_letters"))
       .withColumn("pieces_per_token",
         round(col("bpe_pieces").cast("double") / col("ws_tokens"), 4))
-      .orderBy("doc_id")
+      .transform(graft.Canon.barrierSort(_, "doc_id"))
 
   /** c17 — document fingerprint: bottom-4 sketch of character 5-gram
     * md5s, sampled at stride 4 (winnowing-style). Constant-size per
@@ -111,11 +111,10 @@ object TextAnalysis {
     * the '|'-joined sorted sketch (one string, §5.3 rule 5).
     */
   def docFingerprint(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.t(spark, sfDir, "documents")
+    graft.Canon.barrierSort(Tables.t(spark, sfDir, "documents")
       .select(col("doc_id"), expr(
         "concat_ws('|', slice(array_sort(transform(sequence(1, greatest(length(text) - 4, 1), 4), i -> md5(substring(text, i, 5)))), 1, 4))")
-        .as("fingerprint"))
-      .orderBy("doc_id")
+        .as("fingerprint")), "doc_id")
 
   private val ChunkW = 32
   private val ChunkStride = 24
@@ -481,7 +480,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("n_email"), col("n_url"), col("n_phone"),
         length(col("clean")).cast("long").as("clean_len"),
         md5(col("clean")).as("clean_md5"))
-      .orderBy("doc_id")
+      .transform(graft.Canon.barrierSort(_, "doc_id"))
 
   private[graft] val PackBudget = 2048
 
@@ -721,7 +720,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"),
         length(col("norm")).cast("long").as("norm_len"),
         md5(col("norm")).as("norm_md5"))
-      .orderBy("doc_id")
+      .transform(graft.Canon.barrierSort(_, "doc_id"))
 
   /** c41 — STRATIFIED balancing sample: downsample every language to
     * the smallest language's size (the corpus-balancing step before
