@@ -14,8 +14,16 @@ object OptProbe {
       val t0 = System.nanoTime(); f
       println(f"[t] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    // setup probes
+    time("setup vec: ivf")(ops.NearDup.writeIvfIndexStore(spark, sf))
+    time("setup vec: codebook")(ops.NearDup.writePqCodebookStore(spark, sf))
+    time("setup vec: codes")(ops.NearDup.writePqCodesStore(spark, sf))
+    time("setup ingest")(ops.NearDup.writeRebuiltIndexStore(spark, sf))
+    time("setup bands")(ops.Llm.warmBands(spark, sf))
+    time("setup labels")(ops.NearDup.warmLabels(spark, sf))
+    time("setup grams")(ops.NearDup.warmGrams(spark, sf))
     // c121 sub-stages
-    {
+    locally {
       val dd = Tables.t(spark, sf, "documents")
       val grams = ops.Insights.sourceGrams(dd)
       time("c121 grams")(grams.queryExecution.toRdd.count())

@@ -1238,8 +1238,13 @@ object NearDup {
         .select(col("vec_id"), col("j"),
           expr(s"slice(embedding, j * (size(embedding) div $PqM) + 1, size(embedding) div $PqM)")
             .as("sub"))
-      val asg = kmAssign(emb.select(col("vec_id"), col("embedding")),
-        centroidStore(spark, sfDir))
+      // r18 optimization: the (vec_id, cluster) assignment is already
+      // persisted in the inverted-list artifact this store is keyed
+      // next to — read it back instead of re-running the O(n·k)
+      // kmAssign pass a second time per corpus (writeIvfIndexStore
+      // runs it once; same centroids, same assignment, identical
+      // codes artifact).
+      val asg = ivfIndexStore(spark, sfDir)
         .select(col("vec_id"), col("cluster"))
       pqCodes((subs, pqCodebookStore(spark, sfDir)))
         .join(asg, "vec_id")

@@ -365,7 +365,14 @@ object Streams {
   }
 
   def streamTumbling(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = streamTable(spark, sfDir, "events")
+    // r18 optimization: the stateful-aggregation partition count is
+    // pinned to state size via an isolated child session, the same
+    // c36/c37 discipline ("sized to STATE not CPUs") — on the caller's
+    // session these complete-mode snapshots inherited
+    // shuffle.partitions = cpus (32 on the bench host), paying 32
+    // state-store commits per micro-batch for KB-sized state.
+    val s = stateSession(spark, statePartitions = 8)
+    val ev = streamTable(s, sfDir, "events")
       .transform(ev => ev.withColumn("ts", graft.Tables.tsNtz(ev)))
     val agg = ev.groupBy(window(col("ts"), "1 hour").as("w"))
       .agg(count(lit(1)).as("n_events"), graft.Canon.dsum(col("value")).as("sum_value"))
@@ -381,7 +388,8 @@ object Streams {
     * the result is batching-invariant and shares b44's oracle.
     */
   def streamSessions(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = streamTable(spark, sfDir, "events")
+    val s = stateSession(spark, statePartitions = 8) // see streamTumbling note
+    val ev = streamTable(s, sfDir, "events")
       .transform(ev => ev.withColumn("ts", graft.Tables.tsNtz(ev)))
     val agg = ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
       .agg(count(lit(1)).as("n_events"), graft.Canon.dsum(col("value")).as("sum_value"))
@@ -466,7 +474,8 @@ object Streams {
     * oracle-verified through the real incremental engine.
     */
   def streamSliding(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = streamTable(spark, sfDir, "events")
+    val s = stateSession(spark, statePartitions = 8) // see streamTumbling note
+    val ev = streamTable(s, sfDir, "events")
       .transform(ev => ev.withColumn("ts", graft.Tables.tsNtz(ev)))
     val agg = ev.groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
       .agg(count(lit(1)).as("n_events"), graft.Canon.dsum(col("value")).as("sum_value"))
@@ -507,8 +516,9 @@ object Streams {
     * shared-oracle discipline).
     */
   def streamPsiDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = stateSession(spark, statePartitions = 8) // see streamTumbling note
     val counts = graft.ops.Analytics.psiCounts(
-      streamTable(spark, sfDir, "events"))
+      streamTable(s, sfDir, "events"))
     graft.ops.Analytics.psiFromCounts(
       runToParquet(counts, "complete", "c108"))
   }
@@ -531,7 +541,8 @@ object Streams {
     */
   def streamHll(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.ops.Relational
-    val items = streamTable(spark, sfDir, "documents")
+    val s = stateSession(spark, statePartitions = 8) // see streamTumbling note
+    val items = streamTable(s, sfDir, "documents")
       .select(col("lang"), explode(split(col("text"), " ")).as("item"))
     val regs = Relational.hllRho(items, Seq("lang"))
       .groupBy(col("lang"), col("bkt"))
@@ -551,8 +562,9 @@ object Streams {
     // The SAME kernel as batch c31 (TextAnalysis.curateAgg) over the
     // streaming frame — the gate predicates cannot drift between the
     // batch and streaming forms because there is only one copy.
+    val s = stateSession(spark, statePartitions = 8) // see streamTumbling note
     val agg = graft.ops.TextAnalysis.curateAgg(
-      streamTable(spark, sfDir, "documents"),
+      streamTable(s, sfDir, "documents"),
       graft.ops.NearDup.clusterLosers(spark, sfDir))
     runToParquet(agg, "complete", "c55").orderBy("lang")
   }
