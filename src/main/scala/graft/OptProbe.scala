@@ -14,6 +14,38 @@ object OptProbe {
       val t0 = System.nanoTime(); f
       println(f"[t] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    locally {
+      val dd = Tables.t(spark, sf, "documents")
+      val pres = ops.TextAnalysis.gramPresence(dd)
+      time("c196 pres once")(pres.queryExecution.toRdd.count())
+      time("c196 pres once2")(pres.queryExecution.toRdd.count())
+      time("c196 full")(ops.TextAnalysis.sourceOverlap(spark, sf).queryExecution.toRdd.count())
+      time("c201 full")(ops.TextAnalysis.sourceOverlapPlan(spark, sf).queryExecution.toRdd.count())
+      time("c202 full")(ops.TextAnalysis.weightedMix(spark, sf).queryExecution.toRdd.count())
+    }
+    // exchange-reuse experiment + c188 shape test
+    locally {
+      val dd = Tables.t(spark, sf, "documents")
+      val inst = ops.NearDup.cdcInstancesOf(dd)
+      time("c188 inst once")(inst.queryExecution.toRdd.count())
+      time("c188 inst once2")(inst.queryExecution.toRdd.count())
+      time("c188 full")(ops.NearDup.cdcChunkDedup(spark, sf).queryExecution.toRdd.count())
+      time("c188 full2")(ops.NearDup.cdcChunkDedup(spark, sf).queryExecution.toRdd.count())
+      val byFpSrc = inst.groupBy(col("fp"), col("source"))
+        .agg(count(lit(1)).as("cnt"), sum(col("clen")).as("sc"),
+          min(col("doc_id")).as("md"), max(col("clen")).as("mx"))
+      val bySrc = byFpSrc.groupBy(col("source"))
+        .agg(sum(col("cnt")).as("n_chunks"), sum(col("sc")).as("n_chars"))
+      val owned = byFpSrc.groupBy(col("fp"))
+        .agg(min(struct(col("md"), col("source"))).as("o"), max(col("mx")).as("clen"))
+        .groupBy(col("o.source").as("source"))
+        .agg(count(lit(1)).as("n_owned"), sum(col("clen")).as("owned_chars"))
+      val j = bySrc.join(owned, Seq("source"), "left")
+      time("c188 restructured")(j.queryExecution.toRdd.count())
+      time("c188 restructured2")(j.queryExecution.toRdd.count())
+      val ep = j.queryExecution.executedPlan.toString
+      println("[reuse] ReusedExchange in final plan: " + ep.contains("ReusedExchange") + " / stages: " + ep.count(_ == '\n'))
+    }
     // setup probes
     time("setup vec: ivf")(ops.NearDup.writeIvfIndexStore(spark, sf))
     time("setup vec: codebook")(ops.NearDup.writePqCodebookStore(spark, sf))

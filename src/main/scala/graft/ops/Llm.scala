@@ -588,11 +588,18 @@ object Llm {
     def segStart(l: String, i: Int) =
       s"(CASE WHEN $i < ($l % $K) THEN $i * (($l div $K) + 1) " +
         s"ELSE ($l % $K) * (($l div $K) + 1) + ($i - ($l % $K)) * ($l div $K) END)"
-    val cleanSegs = (0 until K).map { i =>
-      docs.select(col("doc_id"),
-        expr(s"xxhash64(substring(text, ${segStart("length(text)", i)} + 1, ${segLen("length(text)", i)}))").as("seg_h"),
-        lit(i).as("seg_idx"), length(col("text")).as("clean_len"))
-    }.reduce(_ unionByName _)
+    // r18 optimization: ONE documents scan exploding the K segment
+    // structs per row, not K unioned scans (guide §2.4 share one
+    // scan). Same (doc_id, seg_h, seg_idx, clean_len) rows.
+    val segStructs = (0 until K).map { i =>
+      s"struct(xxhash64(substring(text, ${segStart("length(text)", i)} + 1, " +
+        s"${segLen("length(text)", i)})) AS seg_h, $i AS seg_idx)"
+    }.mkString("array(", ", ", ")")
+    val cleanSegs = docs
+      .select(col("doc_id"), length(col("text")).as("clean_len"),
+        explode(expr(segStructs)).as("sg"))
+      .select(col("doc_id"), col("sg.seg_h").as("seg_h"),
+        col("sg.seg_idx").as("seg_idx"), col("clean_len"))
     // Dirty probes: for each candidate clean length (n−D..n+D),
     // segment index, and shift (−D..+D), the HASH of the aligned
     // substring of t — a constant ≤ K·(2D+1)² structs per row, each
@@ -640,7 +647,11 @@ object Llm {
         graft.functions.EditDistance.edist(col("text"), col("t"))
           .cast("long").as("edit_dist"))
       .where(col("edit_dist") <= D)
-      .orderBy("doc_id", "dirty_id")
+      // Barrier before the canonical sort: the range-bound sampling
+      // pass would otherwise re-run the verify joins AND the
+      // O(len²/w) edit-distance kernel once per candidate a second
+      // time (Canon.barrierSort rationale).
+      .transform(graft.Canon.barrierSort(_, "doc_id", "dirty_id"))
   }
 
   /** c159 — blocked PROBABILISTIC RECORD LINKAGE (Fellegi & Sunter

@@ -169,15 +169,27 @@ object Retrieval {
             (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") /
               (col("total_toks").cast("double") / col("n_docs")))), 4).as("s_bm25"),
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4).as("s_tfidf"))
-    def rankedBy(scoreCol: String, rankName: String): DataFrame = scored
-      .withColumn(rankName, row_number().over(
-        Window.partitionBy(col("q"))
-          .orderBy(col(scoreCol).desc, col("doc_id").asc)).cast("long"))
-      .where(col(rankName) <= RrfCap)
-      .select(col("q"), col("qrank"), col("doc_id"), col(rankName))
-    val fused = rankedBy("s_bm25", "rank_bm25")
-      .join(rankedBy("s_tfidf", "rank_tfidf"),
-        Seq("q", "qrank", "doc_id"), "full_outer")
+    // r18 optimization: both rankers' ranks are window specs over the
+    // SAME q-partitioning, so they compute over ONE exchange of ONE
+    // `scored` evaluation (the old form evaluated the whole scored
+    // chain under each rankedBy branch and full-outer-joined the two
+    // capped lists — two extra exchanges plus a join, guide §2.4:
+    // window functions partitioned alike share one shuffle). A doc
+    // outside one ranker's cap contributes 0 to the fusion sum and a
+    // NULL rank column — exactly the join form's coalesce/absent
+    // semantics — and the membership filter runs BEFORE the final
+    // top-k window, so that window still sorts ≤ 2·cap rows per query
+    // at any scale.
+    def rk(scoreCol: String) = row_number().over(
+      Window.partitionBy(col("q"))
+        .orderBy(col(scoreCol).desc, col("doc_id").asc)).cast("long")
+    val fused = scored
+      .withColumn("rb", rk("s_bm25"))
+      .withColumn("rt", rk("s_tfidf"))
+      .where(col("rb") <= RrfCap || col("rt") <= RrfCap)
+      .select(col("q"), col("qrank"), col("doc_id"),
+        when(col("rb") <= RrfCap, col("rb")).as("rank_bm25"),
+        when(col("rt") <= RrfCap, col("rt")).as("rank_tfidf"))
       .withColumn("rrf_score", round(
         coalesce(lit(1.0) / (lit(RrfK) + col("rank_bm25")), lit(0.0)) +
         coalesce(lit(1.0) / (lit(RrfK) + col("rank_tfidf")), lit(0.0)), 6))

@@ -131,12 +131,18 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("c23/c24: redaction and quantization are shuffle-free projections") {
-    for (df <- Seq(TextAnalysis.piiRedact(spark, sf),
-        NearDup.embeddingQuantize(spark, sf))) {
-      val p = plan(df)
-      assert(!p.contains("Exchange hashpartitioning"),
-        s"projection-only query grew a hash shuffle: $p")
-    }
+    // c24 stays strictly shuffle-free (canon range sort only). c23
+    // carries exactly ONE hash exchange since r18: the
+    // Canon.barrierSort materialization barrier that stops the range
+    // sort's bound sampling from re-running the regex projection over
+    // the corpus a second time.
+    val p24 = plan(NearDup.embeddingQuantize(spark, sf))
+    assert(!p24.contains("Exchange hashpartitioning"),
+      s"projection-only query grew a hash shuffle: $p24")
+    val p23 = plan(TextAnalysis.piiRedact(spark, sf))
+    assert(!p23.contains("Join") && !p23.contains("Aggregate"), p23)
+    assert(p23.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1,
+      s"c23 should carry only the barrier exchange:\n$p23")
   }
 
   test("c52: chunking is a shuffle-free fan-out (canon sort is the only exchange)") {
@@ -241,8 +247,10 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(TextAnalysis.textNormalize(spark, sf))
     assert(!p.contains("Join"), p)
     assert(!p.contains("Aggregate"), p)
-    // Exactly one Exchange: the canon orderBy's range partitioning.
-    assert(p.linesIterator.count(_.trim.startsWith("+- Exchange")) <= 1, p)
+    // Two exchanges since r18: the Canon.barrierSort hash barrier
+    // (one regex pass instead of the range sampler's two) plus the
+    // canon orderBy's range partitioning.
+    assert(p.linesIterator.count(_.trim.startsWith("+- Exchange")) <= 2, p)
   }
 
   test("c38: adaptive IVF — refined cells and probe broadcast, top-k fuses, no cartesian") {
@@ -595,10 +603,14 @@ class PlanSpec extends AnyFunSuite {
     assert(pushed.contains("o_orderdate"), s"date filter not pushed:\n$pushed")
   }
 
-  test("c86: the incremental merge re-aggregates two partial scans, never a third") {
+  test("c86: the incremental merge computes both partial tables in ONE scan") {
+    // r18: the delta flag joined the partial grouping key, so the
+    // base and delta partial tables come from one lineitem pass (one
+    // md5 per row) and the merge re-aggregates the same 12 partial
+    // rows the two-scan form produced.
     val p = plan(Relational.incrementalAgg(spark, sf))
     val scans = p.linesIterator.count(_.contains("lineitem.parquet"))
-    assert(scans == 2, s"expected exactly 2 lineitem scans (base + delta), got $scans:\n$p")
+    assert(scans == 1, s"expected exactly 1 lineitem scan, got $scans:\n$p")
     assert(p.contains("HashAggregate"), p)
   }
 
@@ -773,10 +785,19 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"expected exactly 1 lineitem scan, got $scans:\n$p")
   }
 
-  test("c97: both capped rank lists pre-prune via WindowGroupLimit before the fusion join") {
+  test("c97: both rank windows share ONE q-exchange; no fusion join; final top-k sees capped rows") {
+    // r18: the two rankers' rank windows are window specs over the
+    // same q-partitioning (one exchange, one `scored` evaluation)
+    // and the full-outer fusion join is gone — membership in either
+    // capped list filters BEFORE the final top-k window, so fusion
+    // still never sorts the scored corpus.
     val p = plan(Retrieval.rrfFusion(spark, sf))
-    assert(p.linesIterator.count(_.contains("WindowGroupLimit")) >= 2,
-      s"capped rank windows must pre-prune map-side:\n$p")
+    assert(!p.contains("FullOuter"), s"fusion join crept back into c97:\n$p")
+    val windows = p.linesIterator.count(_.trim.startsWith("+- Window"))
+    assert(windows >= 3, s"expected the two rank windows + final top-k:\n$p")
+    val qExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(q#"))
+    assert(qExchanges <= 1, s"rank windows must share the q exchange:\n$p")
   }
 
   test("c98: wedge enumeration and closure are equi-joins — nothing cartesian") {
