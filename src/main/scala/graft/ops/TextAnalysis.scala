@@ -1090,16 +1090,25 @@ object TextAnalysis {
     * 1e-4.
     */
   def prCurve(spark: SparkSession, sfDir: String): DataFrame = {
-    val scored = lqScores(spark, sfDir)
+    // r18 optimization: docs collapse to per-SCORE integer tallies
+    // first (the c153 grain) — the tally is an AGGREGATE exchange,
+    // prune-stable under both its consumers (bounds and the binning),
+    // so the c100 scoring pass over the corpus runs ONCE instead of
+    // twice. Bin membership is a function of the score value and the
+    // same broadcast (lo, hi), and the per-bin counts are integer
+    // sums of the tallies — outputs identical.
+    val tall = lqScores(spark, sfDir)
       .select(col("score"), (col("lang") === "en").as("y"))
-    val bounds = scored.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
-    val perBin = scored.crossJoin(broadcast(bounds))
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("npv"))
+    val bounds = tall.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
+    val perBin = tall.crossJoin(broadcast(bounds))
       .withColumn("bin", least(floor((col("score") - col("lo")) /
           (col("hi") - col("lo") + lit(1e-12)) * PrBins).cast("long"),
         lit(PrBins - 1L)))
       .groupBy(col("bin"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("y"), 1L).otherwise(0L)).as("np"))
+      .agg(sum(col("cnt")).as("n"), sum(col("npv")).as("np"))
     val suff = perBin.as("a")
       .join(perBin.as("b"), col("b.bin") >= col("a.bin"))
       .groupBy(col("a.bin").as("bin"))
