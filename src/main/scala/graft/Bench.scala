@@ -18,6 +18,22 @@ object Bench {
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     val spark = Sessions.local(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Round 19 (r18 verdict item 2): per-corpus artifact stores must
+    // NOT persist across JVM runs in the bench — the stable tmpdir
+    // roots keyed on the corpus fingerprint let a warm store from an
+    // EARLIER run serve this run (setup_vec_index timed 0.165 s vs
+    // 7.4 s cold; c199 timed a resume-verify instead of the
+    // pipeline). Both roots now point into a fresh per-run scratch
+    // (reaped at JVM exit); the stable tmpdir default remains only
+    // for the resume-semantics specs and ad-hoc use. c199
+    // additionally gets a fresh run dir per timed INVOCATION (inside
+    // timeOnce) so both interleaved passes time the real pipeline
+    // rather than pass 2 resuming pass 1's artifacts.
+    val scratchRoot = Files.createTempDirectory("graft-bench-scratch-").toString
+    graft.streaming.Streams.trackTmpDir(scratchRoot)
+    spark.conf.set(ops.NearDup.VecStoreDirConf, s"$scratchRoot/vecstore")
+    spark.conf.set(ops.CurationRun.RunDirConf, s"$scratchRoot/curation")
+    val c199Pass = new java.util.concurrent.atomic.AtomicInteger(0)
     // Rehearsal knob: cap for the size-aware broadcast hints
     // (Skew.maybeBroadcast). SCALE.md's boilerplate corpus sets this
     // low to drive the AQE no-hint path at test scale; unset = the
@@ -158,6 +174,9 @@ object Bench {
     // total (round-4 ADVICE).
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double, Long, Long) =
       try {
+        if (name == "c199_curation_run")
+          spark.conf.set(ops.CurationRun.RunDirConf,
+            s"$scratchRoot/curation-pass${c199Pass.incrementAndGet()}")
         val (c0, s0, k0) = drained()
         val t0 = System.nanoTime()
         fn(spark, sfDir).queryExecution.toRdd.count()
@@ -232,7 +251,7 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_sec":$cpuJson,""" +
         s""""spilled_bytes":$spillJson,"spilled_bytes_total":${spillBytes.get()},"tasks":$tasksJson,"setup_lsh_bands":${setupVal(setupBands)},"setup_lsh_pairs":${setupVal(setupPairs)},"setup_cc_labels":${setupVal(setupLabels)},"setup_substr_grams":${setupVal(setupGrams)},"setup_token_sets":${setupVal(setupToks)},"setup_simhash_prints":${setupVal(setupSimhash)},"setup_vec_index":${setupVal(setupVec)},"setup_ingest_index":${setupVal(setupIngest)},""" +
-        s""""setup_sec_total":${setupSecs.sum},"grading_note":"end-to-end cost = value + setup_sec_total; setups are one-time per-corpus artifacts shared by 2+ keys (BASELINE.md: Reading setup_*)",""" +
+        s""""setup_sec_total":${setupSecs.sum},"grading_note":"end-to-end cost = value + setup_sec_total; setups are one-time per-corpus artifacts shared by 2+ keys (BASELINE.md: Reading setup_*); artifact stores are rebuilt in a fresh per-run scratch - nothing persists across JVM runs, and c199 rebuilds its pipeline on every timed invocation",""" +
         s""""failed":$failedJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outFile), json + "\n")
     // The driver keeps only the last ~2000 chars of stdout and parses

@@ -9,6 +9,13 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Same fresh-per-run artifact roots as Bench (r18 verdict item 2):
+    // the dumped results must be computed from the parquet inputs in
+    // THIS run, never served from a previous JVM's tmpdir store.
+    val scratchRoot = Files.createTempDirectory("graft-verify-scratch-").toString
+    graft.streaming.Streams.trackTmpDir(scratchRoot)
+    spark.conf.set(ops.NearDup.VecStoreDirConf, s"$scratchRoot/vecstore")
+    spark.conf.set(ops.CurationRun.RunDirConf, s"$scratchRoot/curation")
     new java.io.File(outDir).mkdirs()
     // c48/c49 cross-engine precondition, enforced on the corpus being
     // verified: the Spark kernel slices UTF-8 BYTES while the DuckDB
