@@ -375,11 +375,13 @@ object Plans {
           "size full outer join) — no row-level join between the " +
           "sides, no window, no exchange beyond the two digest aggs."),
       "c196_source_overlap" ->
-        ("Source overlap: ONE gram scan → distinct (source, gram) " +
-          "HashAggregate; the pair fan is a row-local lambda over each " +
-          "gram's ≤#sources collect_set (never a gram-keyed self-join " +
-          "— the DuckDB 79 GB planner-trap lesson); map-side combine " +
-          "to the ≤C(20,2)-row matrix."),
+        ("Source overlap: ONE gram scan → per-gram collect_set " +
+          "ObjectHashAggregate (the distinct folded into the set — " +
+          "r19); the pair fan is a row-local lambda over each gram's " +
+          "≤#sources sorted set (never a gram-keyed self-join — the " +
+          "DuckDB 79 GB planner-trap lesson); per-source sizes ride " +
+          "ONE broadcast map row; map-side combine to the " +
+          "≤C(20,2)-row matrix."),
       "c197_join_skew_audit" ->
         ("Skew audit: per audited key ONE map-side-combined key-count " +
           "HashAggregate + a 2-value broadcast total + TakeOrdered " +
@@ -411,12 +413,13 @@ object Plans {
           "counts map-side combine to #sources rows — the plan build " +
           "(c201's shape) is the only other work."),
       "c201_source_overlap_plan" ->
-        ("Overlap plan: c196's presence grain + a sources-bounded " +
-          "count; pick-order rank over the ≤#sources aggregate " +
-          "(whitelisted); ONE per-gram MIN(pick_order) " +
-          "map-side-combined HashAggregate; marginal counts are " +
-          "sources-bounded — the gram table is touched twice, " +
-          "never windowed."),
+        ("Overlap plan: c196's per-gram source-set aggregate grain " +
+          "(prune-stable, so its exchange reuses across branches — " +
+          "r19); pick-order rank over the ≤#sources count " +
+          "(whitelisted); each gram's MIN(pick_order) is a row-local " +
+          "array_min over its set against ONE broadcast pick-order " +
+          "map row (the presence⋈prio join and its gram re-scan are " +
+          "gone); marginal counts map-side combine, sources-bounded."),
       "c112_autocorrelation" ->
         ("Autocorrelation (cost-center audit): positions from the " +
           "OrderStats two-pass bucketed rank (no partition-less " +

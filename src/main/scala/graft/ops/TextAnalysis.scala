@@ -1528,8 +1528,8 @@ object TextAnalysis {
     * into a ≤C(20,2)-row matrix. Output is sources²-bounded at any
     * corpus size.
     */
-  /** Distinct (source, 5-gram) presence — the shared grain of c196's
-    * overlap matrix and c201's mixing plan. */
+  /** Distinct (source, 5-gram) presence — kept for the OptProbe
+    * harness; the query paths consume [[gramSources]] instead. */
   private[graft] def gramPresence(docs: DataFrame): DataFrame = docs
     .withColumn("ws", split(col("text"), " "))
     .where(size(col("ws")) >= 5)
@@ -1537,21 +1537,41 @@ object TextAnalysis {
       "transform(sequence(1, size(ws) - 4), i -> concat_ws(' ', slice(ws, i, 5)))")).as("g"))
     .distinct()
 
+  /** Per distinct 5-gram, the sorted set of sources containing it —
+    * the ONE heavy pass shared by c196's matrix and c201's plan
+    * (round 19). `collect_set` dedups (source, gram) duplicates, so
+    * the separate distinct exchange the old presence grain paid is
+    * folded into this aggregate; and because every downstream branch
+    * hangs off this AGGREGATE grain, its exchange is prune-stable
+    * (the r18 finding-2 mechanism) — the corpus explode executes
+    * once no matter how many branches consume it. */
+  private[graft] def gramSources(docs: DataFrame): DataFrame = docs
+    .withColumn("ws", split(col("text"), " "))
+    .where(size(col("ws")) >= 5)
+    .select(col("source"), explode(expr(
+      "transform(sequence(1, size(ws) - 4), i -> concat_ws(' ', slice(ws, i, 5)))")).as("g"))
+    .groupBy(col("g")).agg(sort_array(collect_set(col("source"))).as("ss"))
+
   def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
-    val pres = gramPresence(Tables.t(spark, sfDir, "documents"))
-    val bySrc = pres.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val shared = pres
-      .groupBy(col("g")).agg(sort_array(collect_set(col("source"))).as("ss"))
-      .where(size(col("ss")) >= 2)
+    val gs = gramSources(Tables.t(spark, sfDir, "documents"))
+    // Per-source gram-set sizes as ONE broadcast row (map source→n):
+    // joining the bySrc table twice (n_a, n_b) re-executed its whole
+    // chain per reference; the 1-row map is attached row-locally.
+    val srcSizes = gs.select(explode(col("ss")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .agg(map_from_arrays(
+        collect_list(col("source")), collect_list(col("n"))).as("nm"))
+    gs.where(size(col("ss")) >= 2)
       .select(explode(expr(
         """flatten(transform(ss, (a, i) ->
           |  transform(slice(ss, i + 2, size(ss) - i - 1),
           |    b -> struct(a AS sa, b AS sb))))""".stripMargin)).as("p"))
       .select(col("p.sa").as("sa"), col("p.sb").as("sb"))
       .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("n_shared"))
-    shared
-      .join(bySrc.select(col("source").as("sa"), col("n").as("n_a")), "sa")
-      .join(bySrc.select(col("source").as("sb"), col("n").as("n_b")), "sb")
+      .crossJoin(broadcast(srcSizes))
+      .select(col("sa"), col("sb"), col("n_shared"),
+        coalesce(element_at(col("nm"), col("sa")), lit(0L)).as("n_a"),
+        coalesce(element_at(col("nm"), col("sb")), lit(0L)).as("n_b"))
       .select(col("sa"), col("sb"), col("n_shared"), col("n_a"), col("n_b"),
         round(col("n_shared").cast("double") /
           (col("n_a") + col("n_b") - col("n_shared")), 4).as("jaccard"),
@@ -1600,18 +1620,23 @@ object TextAnalysis {
     * c202, which CONSUMES the weights (one kernel, the decision and
     * its consumer cannot drift). */
   private[graft] def overlapPlanOf(docs: DataFrame): DataFrame = {
-    val pres = gramPresence(docs)
-    val bySrc = pres.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+    val gs = gramSources(docs)
+    val bySrc = gs.select(explode(col("ss")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
     val prio = bySrc.withColumn("pick_order",
       row_number().over(Window.orderBy(col("n_grams").desc, col("source").asc))
         .cast("long"))
-    val owners = pres
-      .join(Skew.maybeBroadcast(
-        prio.select(col("source"), col("pick_order").as("po")),
-        boundRows = 64L, rowBytes = 32L, session = pres.sparkSession), "source")
-      .groupBy(col("g")).agg(min(col("po")).as("mpo"))
+    // source→pick_order as ONE broadcast row: the old presence⋈prio
+    // join re-ran the full gram pass under the join's probe side;
+    // here each gram's min pick-order is a row-local array_min over
+    // its (≤#sources) source set, and the only remaining gram-keyed
+    // work is the map-side-combined count per owner.
+    val prioMap = prio.agg(map_from_arrays(
+      collect_list(col("source")), collect_list(col("pick_order"))).as("pm"))
+    val owners = gs.crossJoin(broadcast(prioMap))
+      .select(expr("array_min(transform(ss, s -> element_at(pm, s)))").as("mpo"))
       .groupBy(col("mpo")).agg(count(lit(1)).as("novel_grams"))
-    prio.join(owners, col("pick_order") === col("mpo"), "left")
+    prio.join(broadcast(owners), col("pick_order") === col("mpo"), "left")
       .withColumn("novel_grams", coalesce(col("novel_grams"), lit(0L)))
       .withColumn("novel_frac",
         round(col("novel_grams").cast("double") / col("n_grams"), 4))
