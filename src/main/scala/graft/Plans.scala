@@ -421,14 +421,15 @@ object Plans {
           "map row (the presence⋈prio join and its gram re-scan are " +
           "gone); marginal counts map-side combine, sources-bounded."),
       "c112_autocorrelation" ->
-        ("Autocorrelation (cost-center audit): positions from the " +
-          "OrderStats two-pass bucketed rank (no partition-less " +
-          "window); the probe side explodes ×AcfLags per row and " +
-          "equi-joins on (type, pos) — a lags-bounded LINEAR fan, " +
-          "never quadratic; DECIMAL moment sums map-side combine; " +
-          "the lag spine is a broadcast cross of the tiny type set. " +
-          "The 2.6 s price is two passes + the ×8 probe explode over " +
-          "10M-row events — honest linear cost, no fixable exchange."),
+        ("Autocorrelation: positions from the OrderStats two-pass " +
+          "bucketed rank (no partition-less window), evaluated ONCE " +
+          "(r19 — the old (type, pos) self-join replayed the kernel " +
+          "under both sides): each row fans to 1+AcfLags slot " +
+          "records, one (type, slot) aggregate gathers (x, y_1..y_K) " +
+          "and a row-local filtered fan emits the identical pair " +
+          "multiset; DECIMAL moment sums map-side combine; the lag " +
+          "spine is a broadcast cross of the tiny type set — " +
+          "lags-bounded LINEAR fan, never quadratic."),
       "c37_stream_enrich" ->
         ("Stream enrich (cost-center audit): the plan below is the " +
           "SINK READ (orderBy over the appended parquet) — the cost " +

@@ -835,15 +835,17 @@ object Analytics {
     * of events/5 rows — the parallelism floor the round-11 SCALE.md
     * documented as the open trade): each row's exact global POSITION
     * in its type's series comes from [[graft.ops.OrderStats.cumLe]]
-    * (two-pass bucketed rank over ts_us — §5.3 rule 9), and lag-k
-    * alignment is then a plain (type, pos − k) EQUI-JOIN — v_t meets
-    * v_{t−k} by position arithmetic, no sequential pass anywhere.
-    * One probe-side explode emits the 3 lag targets per row, so all
-    * lags ride ONE join + ONE map-side-combined moment aggregate;
-    * pair sets (and the decimal moment sums assembled in the fixed
-    * c105 Pearson dag) are IDENTICAL to the window form, so the
-    * oracle is unchanged. The (type × lag) spine keeps the n = 0
-    * rows the conditional-sum form emitted.
+    * (two-pass bucketed rank over ts_us — §5.3 rule 9). Round 19
+    * retires the (type, pos) self-join that aligned v_t with v_{t−k}
+    * (it evaluated the rank kernel under BOTH join sides): each row
+    * fans to 1 + AcfLags slot records, one (type, slot) aggregate
+    * gathers (x, y_1..y_K), and a row-local filtered fan emits the
+    * identical pair multiset — the rank kernel has ONE consumer and
+    * all lags still ride ONE map-side-combined moment aggregate.
+    * Pair sets (and the decimal moment sums assembled in the fixed
+    * c105 Pearson dag) are IDENTICAL to the window and join forms,
+    * so the oracle is unchanged. The (type × lag) spine keeps the
+    * n = 0 rows the conditional-sum form emitted.
     */
   def autocorrelation(spark: SparkSession, sfDir: String): DataFrame = {
     def d(c: Column) = c.cast(org.apache.spark.sql.types.DecimalType(38, 6))
@@ -854,16 +856,30 @@ object Analytics {
         ordered.withColumn("v", col("ts_us")).withColumn("cnt", lit(1L)),
         Seq("event_type"), Seq("event_id"))
       .select(col("event_type"), col("value"), col("cum_le").as("pos"))
-    // Probe side: row at position p offers itself as the lag-k partner
-    // of position p + k, for every k in 1..AcfLags.
-    val probes = pos
-      .select(col("event_type"), col("value").as("y"), col("pos"),
-        explode(expr(s"sequence(1, $AcfLags)")).as("lag"))
-      .select(col("event_type"), col("y"), col("lag"),
-        (col("pos") + col("lag")).as("pos"))
-    val pairs = pos.join(probes, Seq("event_type", "pos"))
-      .select(col("event_type"), col("lag"),
-        col("value").as("x"), col("y"))
+    // Round 19: the old (type, pos)-keyed SELF-join evaluated the
+    // two-pass rank kernel under BOTH sides. One slot grain replaces
+    // it: each row offers itself to slot = pos as the x-carrier
+    // (lag 0) and to slot = pos + k as the lag-k y-carrier, one
+    // aggregate gathers (x, y_1..y_K) per slot, and a row-local
+    // filtered fan emits exactly the pairs the join produced — the
+    // rank kernel now has ONE consumer, and the same 4n rows cross
+    // one exchange instead of a join's two.
+    val ys = (1 to AcfLags).map(k => s"y$k")
+    val slots = pos.select(col("event_type"), col("value"),
+        explode(expr(s"transform(sequence(0, $AcfLags), " +
+          "k -> struct(k AS lag, pos + k AS slot))")).as("e"))
+      .select(col("event_type"), col("e.slot").as("slot"),
+        col("e.lag").as("lag"), col("value"))
+    val gathered = slots.groupBy(col("event_type"), col("slot"))
+      .agg(max(when(col("lag") === 0, col("value"))).as("x"),
+        (1 to AcfLags).map(k =>
+          max(when(col("lag") === k, col("value"))).as(s"y$k")): _*)
+    val pairs = gathered.select(col("event_type"),
+        explode(expr(s"filter(transform(sequence(1, $AcfLags), " +
+          s"k -> struct(k AS lag, x, element_at(array(${ys.mkString(",")}), k) AS y)), " +
+          "p -> p.x IS NOT NULL AND p.y IS NOT NULL)")).as("p"))
+      .select(col("event_type"), col("p.lag").as("lag"),
+        col("p.x").as("x"), col("p.y").as("y"))
     val moments = pairs.groupBy(col("event_type"), col("lag"))
       .agg(count(lit(1)).as("n"),
         sum(d(col("x"))).cast("double").as("sx"),

@@ -37,11 +37,16 @@ class SessionsSpec extends AnyFunSuite {
     // the SQL-conf subset to a child session of the shared context
     // (master/core settings are fixed by the running context).
     val s2 = TestSpark.spark.newSession()
-    // warehouse.dir is a STATIC conf — builder-time only (TestSpark
-    // already pins it to Sessions.warehouseDir); the runtime subset
-    // excludes it.
+    // codegen cache sizing is part of the pinned posture (round 19:
+    // the 100-entry default recompiled every fragment on repeated
+    // runs — measured 319→237 s across the 297-key sf0.1 bench).
+    assert(p("spark.sql.codegen.cache.maxEntries") == "10000")
+    // warehouse.dir and codegen.cache.maxEntries are STATIC confs —
+    // builder-time only (TestSpark already builds from the posture);
+    // the runtime subset excludes them.
     p.filter { case (k, _) =>
-      k.startsWith("spark.sql.") && k != "spark.sql.warehouse.dir"
+      k.startsWith("spark.sql.") && k != "spark.sql.warehouse.dir" &&
+        k != "spark.sql.codegen.cache.maxEntries"
     }.foreach { case (k, v) => s2.conf.set(k, v) }
     assert(s2.conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum") == "256")
     assert(s2.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes") == "16m")
