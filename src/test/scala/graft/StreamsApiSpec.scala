@@ -281,6 +281,21 @@ class StreamsApiSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(root.toString)), "tree not deleted")
   }
 
+  test("statePartitionsFor tracks state size: floor 2, linear growth, clamp 64") {
+    // r18 verdict item 3/8: the flat statePartitions = 8 is replaced
+    // by a state-row-derived count. KB-state grains land on the floor
+    // (never 1 — no serializing on a single store), a 150k-row state
+    // (the sf0.1 order-keyed fold) gets ~10, and the local clamp is 64.
+    assert(Streams.statePartitionsFor(1L) == 2)
+    assert(Streams.statePartitionsFor(Streams.BoundedDomainHint) == 2)
+    assert(Streams.statePartitionsFor(Streams.HourlyWindowYearHint) == 2)
+    assert(Streams.statePartitionsFor(150000L) == 10)
+    assert(Streams.statePartitionsFor(Long.MaxValue / 4) == 64)
+    // monotone: more state never means fewer partitions
+    val xs = Seq(1L, 100L, 20000L, 100000L, 1000000L, 10000000L)
+    assert(xs.map(Streams.statePartitionsFor).sliding(2).forall(p => p(0) <= p(1)))
+  }
+
   test("runningTotals accumulates state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Double)]
