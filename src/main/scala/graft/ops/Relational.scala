@@ -166,18 +166,34 @@ object Relational {
     * exact side is the expensive verification pass you run on an
     * audit sample, the sketch is the production estimator.
     */
-  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.t(spark, sfDir, "lineitem").agg(
-      count(lit(1)).as("total_rows"),
-      countDistinct(col("l_partkey")).as("exact_parts"),
-      countDistinct(col("l_orderkey")).as("exact_orders"),
-      approx_count_distinct(col("l_partkey")).as("ap"),
-      approx_count_distinct(col("l_orderkey")).as("ao"))
-    .select(col("total_rows"), col("exact_parts"), col("exact_orders"),
-      (abs(col("ap") - col("exact_parts")).cast("double") <=
-        lit(HllRelErrBound) * col("exact_parts")).as("parts_within_bound"),
-      (abs(col("ao") - col("exact_orders")).cast("double") <=
-        lit(HllRelErrBound) * col("exact_orders")).as("orders_within_bound"))
+  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    // Round 19 (r18 verdict item 6): the one-agg form planned the two
+    // exact distincts + two HLLs as an Expand ×3 (every row tripled,
+    // carrying both key columns). One narrow (cid, v) explode ×2
+    // feeds ONE dedup aggregate instead; the exact count is the
+    // deduped row count per cid, total_rows is the duplicate-count
+    // sum on one side, and the HLL over the DEDUPED values is the
+    // identical sketch (HLL is duplicate-insensitive — same value
+    // set, same registers, same estimate).
+    val g = Tables.t(spark, sfDir, "lineitem")
+      .select(explode(expr(
+        "array(struct(0 AS cid, l_partkey AS v), struct(1 AS cid, l_orderkey AS v))")).as("e"))
+      .select(col("e.cid").as("cid"), col("e.v").as("v"))
+      .groupBy(col("cid"), col("v")).agg(count(lit(1)).as("c"))
+      .groupBy(col("cid")).agg(count(lit(1)).as("exact"),
+        sum(col("c")).as("nrows"), approx_count_distinct(col("v")).as("ap"))
+    g.agg(
+        coalesce(max(when(col("cid") === 0, col("nrows"))), lit(0L)).as("total_rows"),
+        coalesce(max(when(col("cid") === 0, col("exact"))), lit(0L)).as("exact_parts"),
+        coalesce(max(when(col("cid") === 1, col("exact"))), lit(0L)).as("exact_orders"),
+        coalesce(max(when(col("cid") === 0, col("ap"))), lit(0L)).as("ap"),
+        coalesce(max(when(col("cid") === 1, col("ap"))), lit(0L)).as("ao"))
+      .select(col("total_rows"), col("exact_parts"), col("exact_orders"),
+        (abs(col("ap") - col("exact_parts")).cast("double") <=
+          lit(HllRelErrBound) * col("exact_parts")).as("parts_within_bound"),
+        (abs(col("ao") - col("exact_orders")).cast("double") <=
+          lit(HllRelErrBound) * col("exact_orders")).as("orders_within_bound"))
+  }
 
   /** b50 — approximate quantile/percentile sketches (companion to
     * b18's HLL): the monitoring aggregates a 100 TB pipeline runs
