@@ -75,6 +75,22 @@ object Sessions {
     "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // Scan-split floor: Spark's split size is
+    // min(maxPartitionBytes, max(openCostInBytes, bytes/parallelism))
+    // — already input-size-adaptive, but the 4 MiB openCost default
+    // (modelling spinning-disk file-open overhead) FLOORS the split
+    // size, which pinned a ~25 MiB fixture table at ~7 splits on 32
+    // cores and serialized the md5-grind keys onto a fraction of the
+    // machine (c114 cpu ≈ wall at sf0.1 while the same key ran 22×
+    // parallel at 10×). 128 KiB reflects local-NVMe/page-cache open
+    // cost and lets small inputs use the available cores; for large
+    // inputs bytes/parallelism ≥ maxPartitionBytes and the floor is
+    // irrelevant — 100 TB split planning is unchanged. The residual
+    // risk (a swarm of sub-128 KiB files getting a task each) is a
+    // file-compaction problem (guide §6), not a reason to pretend
+    // opens cost 4 MiB. Measured round 19 at sf0.1: full bench
+    // 241.5 s → 204.3 s (geomean 1.19×) from this conf alone.
+    "spark.sql.files.openCostInBytes" -> "131072",
     // Whole-stage-codegen compile cache (STATIC conf, JVM-wide): the
     // default 100 entries thrashes on a many-query session — this
     // engine's 297-key surface compiles 2-10 generated classes per

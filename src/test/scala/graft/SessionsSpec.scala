@@ -37,6 +37,11 @@ class SessionsSpec extends AnyFunSuite {
     // the SQL-conf subset to a child session of the shared context
     // (master/core settings are fixed by the running context).
     val s2 = TestSpark.spark.newSession()
+    // scan-split floor: 128 KiB open cost so small inputs split to
+    // the available cores (round 19: 241.5→204.3 s; the 4 MiB default
+    // pinned 25 MiB tables at ~7 splits). Large-input split planning
+    // is unaffected (bytes/parallelism dominates the floor there).
+    assert(p("spark.sql.files.openCostInBytes") == "131072")
     // codegen cache sizing is part of the pinned posture (round 19:
     // the 100-entry default recompiled every fragment on repeated
     // runs — measured 319→237 s across the 297-key sf0.1 bench).
